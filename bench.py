@@ -1,0 +1,57 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from emiproc_spark.driver_queries import QUERIES  # noqa: E402
+from emiproc_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    spark = get_spark(app_name="emiproc_spark_bench")
+    # warm the JVM + parquet footer caches with one tiny action
+    spark.range(1).collect()
+
+    timings: dict[str, float] = {}
+    t_all = time.perf_counter()
+    for name, fn in QUERIES.items():
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # noop sink materializes every column (count() would let
+        # Catalyst prune the value computations away)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+    total = round(time.perf_counter() - t_all, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,579 @@
+"""Driver-contract queries: Spark implementation + DuckDB oracle pairs.
+
+Every entry exercises an engine operator (SURVEY.md §2) on data derived
+deterministically from the driver's parquet tables; the oracle is the
+same computation in closed-form ANSI SQL.
+
+Float determinism: aggregation order differs between engines, so every
+sum routes through ``DECIMAL(30,10)`` — per-row double arithmetic is
+bit-identical in both engines, decimal addition is exact, and the final
+cast back to double is then bit-identical too.  No tolerance needed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.operators import basic as ops
+from emiproc_spark.operators import regrid as rg
+from emiproc_spark.operators import speciation as spn
+
+# Parity quantization: CAST(double AS DECIMAL) rounds differently in
+# Spark (exact-expansion HALF_UP) vs DuckDB near decimal ties, so sums
+# quantize per-row with FLOOR(x*1e6 + 0.5) — pure IEEE double ops that
+# are bit-identical in both engines — then sum exactly as int64.
+QSCALE = 1_000_000.0
+
+
+def sumd(col) -> F.Column:
+    """Order-insensitive exact sum of doubles (µ-quantized), as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(QSCALE) + F.lit(0.5)).cast("long")
+    return (F.sum(q).cast("double") / F.lit(QSCALE))
+
+
+def sql_sumd(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {QSCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {QSCALE}"
+    )
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+# ======================================================================
+# TPC-H-style relational queries (joins / aggs / top-k)
+# ======================================================================
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = fx.load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            sumd("l_quantity").alias("sum_qty"),
+            sumd("l_extendedprice").alias("sum_base_price"),
+            sumd(disc_price).alias("sum_disc_price"),
+            sumd(charge).alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_sumd('l_quantity')} AS sum_qty,
+           {sql_sumd('l_extendedprice')} AS sum_base_price,
+           {sql_sumd('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {sql_sumd('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join: lineitem⋈supplier⋈nation⋈region with
+    broadcast dimension tables."""
+    li = fx.load(spark, sf_dir, "lineitem")
+    sup = fx.load(spark, sf_dir, "supplier")
+    nat = fx.load(spark, sf_dir, "nation")
+    reg = fx.load(spark, sf_dir, "region")
+    dims = (
+        sup.join(F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("s_suppkey", "n_name", "r_name")
+    )
+    return (
+        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            sumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = f"""
+    SELECT r_name, n_name,
+           {sql_sumd('l_extendedprice * (1 - l_discount)')} AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+"""
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style top-k: revenue per customer, deterministic order.
+
+    Ranking uses the decimal-exact revenue so both engines pick the same
+    top rows; c_custkey breaks ties.
+    """
+    li = fx.load(spark, sf_dir, "lineitem")
+    orders = fx.load(spark, sf_dir, "orders")
+    cust = fx.load(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(sumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+SQL_TOP_CUSTOMERS = f"""
+    SELECT c_custkey, c_name,
+           {sql_sumd('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+"""
+
+
+def q_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style semi-join: orders with at least one line item
+    shipped after the order date."""
+    li = fx.load(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = fx.load(spark, sf_dir, "orders")
+    return (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"], "semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+SQL_ORDER_PRIORITY = """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    GROUP BY o_orderpriority
+"""
+
+
+# ======================================================================
+# Inventory operators on the derived emissions table
+# ======================================================================
+def q_total_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    # rollup computes per-(sub,cat) and per-sub totals in one pass
+    q = F.floor(F.col("value_kg_y") * F.lit(QSCALE) + F.lit(0.5)).cast("long")
+    return (
+        e.select("substance", "category", q.alias("v"))
+        .rollup("substance", "category")
+        .agg((F.sum("v").cast("double") / F.lit(QSCALE)).alias("total_kg_y"))
+        .where(F.col("substance").isNotNull())
+        .withColumn("category", F.coalesce(F.col("category"), F.lit("__total__")))
+    )
+
+
+SQL_TOTAL_EMISSIONS = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT substance, category, {sql_sumd('value_kg_y')} AS total_kg_y
+    FROM e GROUP BY substance, category
+    UNION ALL
+    SELECT substance, '__total__' AS category, {sql_sumd('value_kg_y')} AS total_kg_y
+    FROM e GROUP BY substance
+"""
+
+
+def q_group_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    ops.validate_group(fx.CATEGORY_GROUPS)
+    # same plan as ops.group_categories (broadcast map join + hash agg)
+    # with the decimal-exact sum used across the driver contract
+    return (
+        e.join(
+            F.broadcast(
+                spark.createDataFrame(
+                    [(m, g_) for g_, ms in fx.CATEGORY_GROUPS.items() for m in ms],
+                    schema="category string, grp string",
+                )
+            ),
+            "category",
+        )
+        .groupBy("cell_id", F.col("grp").alias("category"), "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
+
+
+SQL_GROUP_CATEGORIES = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, {fx.CATEGORY_GROUPS_SQL_CASE} AS category, substance,
+           {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM e GROUP BY 1, 2, 3
+"""
+
+
+def q_group_substances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    mdf = spark.createDataFrame(
+        [(m, g_) for g_, ms in fx.SUBSTANCE_GROUPS.items() for m in ms],
+        schema="substance string, grp string",
+    )
+    return (
+        e.join(F.broadcast(mdf), "substance", "left")
+        .withColumn("grp", F.coalesce("grp", "substance"))
+        .groupBy("cell_id", "category", F.col("grp").alias("substance"))
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
+
+
+SQL_GROUP_SUBSTANCES = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, category, {fx.SUBSTANCE_GROUPS_SQL_CASE} AS substance,
+           {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM e GROUP BY 1, 2, 3
+"""
+
+
+def q_scale_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    factors = spark.createDataFrame(
+        fx.SCALE_FACTORS, schema="category string, substance string, factor double"
+    )
+    scaled = ops.scale_inventory(e, factors)
+    return scaled.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+SQL_SCALE_INVENTORY = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, category, substance,
+           {sql_sumd(f'value_kg_y * ({fx.SCALE_SQL_CASE})')} AS value_kg_y
+    FROM e GROUP BY 1, 2, 3
+"""
+
+
+def q_drop_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    kept = ops.drop(e, categories=["R"], substances=["F"], keep_instead_of_drop=True)
+    return kept.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+SQL_DROP_KEEP = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM e WHERE category = 'R' AND substance = 'F'
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_add_inventories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    doubled = ops.scale_inventory(e, 2.0)
+    return (
+        e.select("cell_id", "category", "substance", "value_kg_y")
+        .unionByName(doubled.select("cell_id", "category", "substance", "value_kg_y"))
+        .groupBy("cell_id", "category", "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
+
+
+SQL_ADD_INVENTORIES = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    u AS (
+        SELECT cell_id, category, substance, value_kg_y FROM e
+        UNION ALL
+        SELECT cell_id, category, substance, value_kg_y * 2.0 FROM e
+    )
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM u GROUP BY 1, 2, 3
+"""
+
+
+def q_speciate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.core.schemas import SPECIATION
+
+    e = fx.emissions(spark, sf_dir)
+    spec = spark.createDataFrame(fx.SPECIATION_ROWS, schema=SPECIATION)
+    sp = spn.speciate(e, spec)
+    return sp.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+SQL_SPECIATE = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    sp AS ({fx.SPECIATION_SQL.format(emissions=fx.EMISSIONS_SQL)})
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM sp GROUP BY 1, 2, 3
+"""
+
+
+def q_speciate_nox(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # treat substance 'O' as NOx mass: split into NO2 (18 %) and NO
+    e = fx.emissions(spark, sf_dir)
+    renamed = e.withColumn(
+        "substance", F.when(F.col("substance") == "O", "NOx").otherwise(F.col("substance"))
+    )
+    sp = spn.speciate_nox(renamed, no2_fraction=0.18)
+    return sp.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+# the NO ratio must be the *same double constant* the Spark side uses —
+# (1-f)*30/46 evaluated in Python — or per-row products differ in the
+# last ulp (different association order)
+_NO_RATIO = repr((1.0 - 0.18) * spn.MM_NO / spn.MM_NO2)
+SQL_SPECIATE_NOX = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    sp AS (
+        SELECT cell_id, category, 'NO2' AS substance, value_kg_y * 0.18 AS value_kg_y
+        FROM e WHERE substance = 'O'
+        UNION ALL
+        SELECT cell_id, category, 'NO' AS substance,
+               value_kg_y * {_NO_RATIO} AS value_kg_y
+        FROM e WHERE substance = 'O'
+        UNION ALL
+        SELECT cell_id, category, substance, value_kg_y FROM e WHERE substance <> 'O'
+    )
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM sp GROUP BY 1, 2, 3
+"""
+
+
+# ======================================================================
+# Spatial operators
+# ======================================================================
+def q_remap_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = rg.weights_rect_rect(fx.fine_grid(spark), fx.coarse_grid(spark), tile=fx.COARSE_D)
+    return w.select("src_id", "dst_id", "weight")
+
+
+SQL_REMAP_WEIGHTS = fx.WEIGHTS_SQL
+
+
+def q_remap_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    w = rg.weights_rect_rect(fx.fine_grid(spark), fx.coarse_grid(spark), tile=fx.COARSE_D)
+    remapped = (
+        e.join(F.broadcast(w), e["cell_id"] == w["src_id"], "inner")
+        .groupBy(F.col("dst_id").alias("cell_id"), "category", "substance")
+        .agg(sumd(F.col("value_kg_y") * F.col("weight")).alias("value_kg_y"))
+    )
+    return remapped
+
+
+SQL_REMAP_INVENTORY = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), w AS ({fx.WEIGHTS_SQL})
+    SELECT w.dst_id AS cell_id, e.category, e.substance,
+           {sql_sumd('e.value_kg_y * w.weight')} AS value_kg_y
+    FROM e JOIN w ON e.cell_id = w.src_id
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_crop_with_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    cw = rg.crop_weights_rect(fx.fine_grid(spark), *fx.CROP)
+    cropped = rg.crop_with_shape(e, cw)
+    return cropped.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+_x0, _y0, _x1, _y1 = fx.CROP
+SQL_CROP_WITH_SHAPE = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), g AS ({fx.FINE_GRID_SQL}),
+    cw AS (
+        SELECT cell_id,
+               GREATEST(0.0, LEAST(xmax, {_x1}) - GREATEST(xmin, {_x0}))
+             * GREATEST(0.0, LEAST(ymax, {_y1}) - GREATEST(ymin, {_y0}))
+             / ((xmax - xmin) * (ymax - ymin)) AS crop_w
+        FROM g
+    )
+    SELECT e.cell_id, category, substance,
+           {sql_sumd('value_kg_y * crop_w')} AS value_kg_y
+    FROM e JOIN cw ON e.cell_id = cw.cell_id
+    WHERE value_kg_y * crop_w <> 0.0
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_clip_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = fx.emissions(spark, sf_dir)
+    clipped = rg.clip_box(e, fx.fine_grid(spark), *fx.CLIP)
+    return clipped.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+_cx0, _cy0, _cx1, _cy1 = fx.CLIP
+SQL_CLIP_BOX = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), g AS ({fx.FINE_GRID_SQL})
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM e
+    WHERE cell_id IN (
+        SELECT cell_id FROM g
+        WHERE xmax > {_cx0} AND xmin < {_cx1} AND ymax > {_cy0} AND ymin < {_cy1}
+    )
+    GROUP BY 1, 2, 3
+"""
+
+
+def q_top_emitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 cells by total emission (scripts/zh_largest_emitters.py
+    analogue) — deterministic via exact sums + cell_id tie-break."""
+    e = fx.emissions(spark, sf_dir)
+    return (
+        e.groupBy("cell_id")
+        .agg(sumd("value_kg_y").alias("total_kg_y"))
+        .orderBy(F.col("total_kg_y").desc(), F.col("cell_id"))
+        .limit(10)
+    )
+
+
+SQL_TOP_EMITTERS = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, {sql_sumd('value_kg_y')} AS total_kg_y
+    FROM e GROUP BY cell_id
+    ORDER BY total_kg_y DESC, cell_id
+    LIMIT 10
+"""
+
+
+# ======================================================================
+# Events (time-series)
+# ======================================================================
+NS_PER_DAY = 86_400_000_000_000
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day aggregation.  ts is TIMESTAMP(NANOS) parquet which
+    Spark reads via nanosAsLong — bucketing is integer arithmetic on the
+    epoch-nanos value, timezone-free by construction."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("epoch_day", (F.col("ts") / F.lit(NS_PER_DAY)).cast("long"))
+        .groupBy("epoch_day", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            sumd("value").alias("sum_value"),
+        )
+    )
+
+
+SQL_EVENTS_DAILY = f"""
+    SELECT CAST(FLOOR(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS epoch_day,
+           event_type,
+           COUNT(*) AS n_events,
+           {sql_sumd('value')} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_events_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile — the engine's cyclic-profile position
+    expression (get_index_in_profile semantics,
+    reference emiproc/profiles/temporal/operators.py:49-94)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn(
+            "hour_of_day", ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("long") % 24).cast("int")
+        )
+        .groupBy("hour_of_day")
+        .agg(F.count("*").alias("n_events"), sumd("value").alias("sum_value"))
+    )
+
+
+SQL_EVENTS_HOURLY_PROFILE = f"""
+    SELECT CAST(FLOOR(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) % 24 AS hour_of_day,
+           COUNT(*) AS n_events,
+           {sql_sumd('value')} AS sum_value
+    FROM events
+    GROUP BY 1
+"""
+
+
+def q_events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON property extraction + aggregation."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("long"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+        )
+    )
+
+
+SQL_EVENTS_JSON_PROPS = """
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+"""
+
+
+# ======================================================================
+# registry
+# ======================================================================
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_nation": q_revenue_by_nation,
+    "top_customers": q_top_customers,
+    "order_priority": q_order_priority,
+    "total_emissions": q_total_emissions,
+    "group_categories": q_group_categories,
+    "group_substances": q_group_substances,
+    "scale_inventory": q_scale_inventory,
+    "drop_keep": q_drop_keep,
+    "add_inventories": q_add_inventories,
+    "speciate": q_speciate,
+    "speciate_nox": q_speciate_nox,
+    "remap_weights": q_remap_weights,
+    "remap_inventory": q_remap_inventory,
+    "crop_with_shape": q_crop_with_shape,
+    "clip_box": q_clip_box,
+    "top_emitters": q_top_emitters,
+    "events_daily": q_events_daily,
+    "events_hourly_profile": q_events_hourly_profile,
+    "events_json_props": q_events_json_props,
+}
+
+ORACLES: dict[str, str] = {
+    "tpch_q1": SQL_TPCH_Q1,
+    "revenue_by_nation": SQL_REVENUE_BY_NATION,
+    "top_customers": SQL_TOP_CUSTOMERS,
+    "order_priority": SQL_ORDER_PRIORITY,
+    "total_emissions": SQL_TOTAL_EMISSIONS,
+    "group_categories": SQL_GROUP_CATEGORIES,
+    "group_substances": SQL_GROUP_SUBSTANCES,
+    "scale_inventory": SQL_SCALE_INVENTORY,
+    "drop_keep": SQL_DROP_KEEP,
+    "add_inventories": SQL_ADD_INVENTORIES,
+    "speciate": SQL_SPECIATE,
+    "speciate_nox": SQL_SPECIATE_NOX,
+    "remap_weights": SQL_REMAP_WEIGHTS,
+    "remap_inventory": SQL_REMAP_INVENTORY,
+    "crop_with_shape": SQL_CROP_WITH_SHAPE,
+    "clip_box": SQL_CLIP_BOX,
+    "top_emitters": SQL_TOP_EMITTERS,
+    "events_daily": SQL_EVENTS_DAILY,
+    "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
+    "events_json_props": SQL_EVENTS_JSON_PROPS,
+}

@@ -1,0 +1,168 @@
+"""Scalar pipeline operators: pure joins/aggregations, no geometry.
+
+Each function mirrors a reference operator (cited per-function) but is a
+lazy DataFrame transformation.  Scale notes:
+
+- grouping maps and scaling tables are tiny → always broadcast;
+- `groupBy(cell_id, category, substance)` aggregations get map-side
+  partial aggregation from Spark automatically (the reference's
+  column-block sums, vectorized differently);
+- nothing here collects to the driver except the explicit totals
+  checkers, whose result is O(categories × substances).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+KEY = ["cell_id", "category", "substance"]
+
+
+def _mapping_df(spark: SparkSession, mapping: dict[str, str], key: str) -> DataFrame:
+    """dict {old -> group} as a broadcastable 2-column table."""
+    rows = [(k, v) for k, v in mapping.items()]
+    return spark.createDataFrame(rows, schema=f"{key} string, __group string")
+
+
+def validate_group(mapping: dict[str, list[str]]) -> dict[str, str]:
+    """Invert {group: [members]} to {member: group}; members must be
+    disjoint (reference validate_group, emiproc/inventories/utils.py:91-117)."""
+    inv: dict[str, str] = {}
+    for group, members in mapping.items():
+        for m in members:
+            if m in inv:
+                raise ValueError(f"category {m!r} appears in groups {inv[m]!r} and {group!r}")
+            inv[m] = group
+    return inv
+
+
+def group_categories(
+    emissions: DataFrame,
+    mapping: dict[str, list[str]],
+    ignore_missing: bool = False,
+) -> DataFrame:
+    """Rollup on the category key: new cat = Σ member cats per substance.
+
+    Reference: group_categories, emiproc/inventories/utils.py:264-375.
+    Spark plan: broadcast-join the member→group map, then hash-aggregate.
+    """
+    member_to_group = validate_group(mapping)
+    spark = emissions.sparkSession
+    mdf = _mapping_df(spark, member_to_group, "category")
+    joined = emissions.join(F.broadcast(mdf), "category", "inner" if ignore_missing else "left")
+    if not ignore_missing:
+        joined = joined.withColumn("__group", F.coalesce(F.col("__group"), F.col("category")))
+    return (
+        joined.groupBy("cell_id", F.col("__group").alias("category"), "substance")
+        .agg(F.sum("value_kg_y").alias("value_kg_y"))
+    )
+
+
+def group_substances(emissions: DataFrame, mapping: dict[str, list[str]]) -> DataFrame:
+    """Same rollup over the substance key
+    (reference group_substances, emiproc/inventories/utils.py:378-474)."""
+    member_to_group = validate_group(mapping)
+    mdf = _mapping_df(emissions.sparkSession, member_to_group, "substance")
+    return (
+        emissions.join(F.broadcast(mdf), "substance", "left")
+        .withColumn("__group", F.coalesce(F.col("__group"), F.col("substance")))
+        .groupBy("cell_id", "category", F.col("__group").alias("substance"))
+        .agg(F.sum("value_kg_y").alias("value_kg_y"))
+    )
+
+
+def add_inventories(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Union + element-wise add; missing (cell,cat,sub) keys act as 0
+    (reference add_inventories, emiproc/inventories/utils.py:477-577)."""
+    return (
+        a.select(*KEY, "value_kg_y")
+        .unionByName(b.select(*KEY, "value_kg_y"))
+        .groupBy(*KEY)
+        .agg(F.sum("value_kg_y").alias("value_kg_y"))
+    )
+
+
+def scale_inventory(
+    emissions: DataFrame,
+    factors: DataFrame | float,
+) -> DataFrame:
+    """Multiply by a global float or a per-(category, substance) factor
+    table (category, substance, factor); unmatched keys scale by 1.0.
+
+    Reference: scale_inventory, emiproc/inventories/utils.py:631-684.
+    """
+    if isinstance(factors, (int, float)):
+        return emissions.withColumn("value_kg_y", F.col("value_kg_y") * F.lit(float(factors)))
+    return (
+        emissions.join(F.broadcast(factors), ["category", "substance"], "left")
+        .withColumn("value_kg_y", F.col("value_kg_y") * F.coalesce(F.col("factor"), F.lit(1.0)))
+        .drop("factor")
+    )
+
+
+def drop(
+    emissions: DataFrame,
+    categories: list[str] | None = None,
+    substances: list[str] | None = None,
+    keep_instead_of_drop: bool = False,
+) -> DataFrame:
+    """Drop (or keep-only) lists of categories/substances
+    (reference drop, emiproc/inventories/utils.py:714-772)."""
+    df = emissions
+    if categories:
+        cond = F.col("category").isin(categories)
+        df = df.where(cond if keep_instead_of_drop else ~cond)
+    if substances:
+        cond = F.col("substance").isin(substances)
+        df = df.where(cond if keep_instead_of_drop else ~cond)
+    return df
+
+
+def get_total_emissions(
+    emissions: DataFrame,
+    shaped: DataFrame | None = None,
+    total_key: str = "__total__",
+) -> DataFrame:
+    """Per-(substance, category) totals plus a per-substance ``__total__``
+    row — the reference's conservation oracle
+    (get_total_emissions, emiproc/inventories/utils.py:580-628).
+
+    Implemented as ``rollup(substance, category)`` so Spark computes the
+    per-category and per-substance aggregates in one pass; the grand-total
+    row (both null) is filtered out to match reference semantics.
+    """
+    df = emissions.select("substance", "category", "value_kg_y")
+    if shaped is not None:
+        df = df.unionByName(shaped.select("substance", "category", "value_kg_y"))
+    return (
+        df.rollup("substance", "category")
+        .agg(F.sum("value_kg_y").alias("total_kg_y"))
+        .where(F.col("substance").isNotNull())
+        .withColumn("category", F.coalesce(F.col("category"), F.lit(total_key)))
+    )
+
+
+def total_emissions_almost_equal(
+    a: DataFrame,
+    b: DataFrame,
+    rtol: float = 1e-5,
+) -> bool:
+    """Relative-tolerance comparison of two totals tables — the invariant
+    checker (reference total_emissions_almost_equal,
+    emiproc/utilities.py:545-578).  Collects O(cats × subs) rows only.
+    """
+    ta = {(r["substance"], r["category"]): r["total_kg_y"] for r in a.collect()}
+    tb = {(r["substance"], r["category"]): r["total_kg_y"] for r in b.collect()}
+    if set(ta) != set(tb):
+        return False
+    for k, va in ta.items():
+        vb = tb[k]
+        if va == vb:
+            continue
+        denom = max(abs(va), abs(vb))
+        if denom == 0:
+            continue
+        if abs(va - vb) / denom > rtol:
+            return False
+    return True

@@ -1,0 +1,249 @@
+"""Spatial remapping: tile-partitioned intersection join + weighted agg.
+
+Reference semantics: ``calculate_weights_mapping``
+(emiproc/regrid.py:104-310) — for (src shape, dst cell) pairs that
+intersect, weight = area(src ∩ dst)/area(src); point sources in n cells
+split 1/n (regrid.py:277-285); line sources weighted by clipped length
+(regrid.py:251-290).  ``weights_remap`` (regrid.py:313-346) is the sparse
+matrix product dst = W · src — in Spark a hash join + hash aggregation.
+
+Scale design (SURVEY.md §4): the reference's bbox prefilter (`.cx`,
+regrid.py:179-183) becomes a deterministic *tile equi-join*: each bbox is
+assigned to the integer tiles it covers, candidates are pairs sharing a
+tile, and a canonical-tile filter dedupes pairs without a shuffle-heavy
+``distinct``.  The refine step is pure column arithmetic for axis-aligned
+cells (stays in whole-stage codegen) and an Arrow pandas UDF over the
+numpy geometry kernel for general polygons.  Weights are a reusable
+table: computed once, joined against every (category, substance) slice —
+mirroring the reference's weights cache (regrid.py:42-101) as persisted
+Parquet.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark.functions import geometry as geom
+
+BBOX = ["xmin", "ymin", "xmax", "ymax"]
+
+
+def _tiles(df: DataFrame, prefix: str, tile: float) -> DataFrame:
+    """Explode each row to the integer tiles its bbox covers."""
+    return (
+        df.withColumn(
+            "tx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}xmin") / F.lit(tile)),
+                    F.floor(F.col(f"{prefix}xmax") / F.lit(tile)),
+                )
+            ),
+        )
+        .withColumn(
+            "ty",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{prefix}ymin") / F.lit(tile)),
+                    F.floor(F.col(f"{prefix}ymax") / F.lit(tile)),
+                )
+            ),
+        )
+    )
+
+
+def tile_candidates(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
+    """Candidate intersecting pairs via tile equi-join.
+
+    Both inputs need bbox columns; ``src`` columns are prefixed ``s_``,
+    ``dst`` columns ``d_`` in the output.  Pairs are emitted exactly once:
+    only from the canonical tile containing the intersection bbox's
+    lower-left corner — no ``distinct`` needed.
+    """
+    s = _tiles(src.select([F.col(c).alias(f"s_{c}") for c in src.columns]), "s_", tile)
+    d = _tiles(dst.select([F.col(c).alias(f"d_{c}") for c in dst.columns]), "d_", tile)
+    joined = s.join(d, ["tx", "ty"], "inner").where(
+        (F.col("s_xmin") <= F.col("d_xmax"))
+        & (F.col("s_xmax") >= F.col("d_xmin"))
+        & (F.col("s_ymin") <= F.col("d_ymax"))
+        & (F.col("s_ymax") >= F.col("d_ymin"))
+    )
+    canonical = (
+        (F.col("tx") == F.floor(F.greatest("s_xmin", "d_xmin") / F.lit(tile)))
+        & (F.col("ty") == F.floor(F.greatest("s_ymin", "d_ymin") / F.lit(tile)))
+    )
+    return joined.where(canonical).drop("tx", "ty")
+
+
+def weights_rect_rect(src_grid: DataFrame, dst_grid: DataFrame, tile: float) -> DataFrame:
+    """weights(src_id, dst_id, weight) for two axis-aligned-cell grids.
+
+    Refine is closed-form interval overlap — entirely JVM-side, no UDF
+    (reference grid→grid case, emiproc/regrid.py:294-299).
+    """
+    cand = tile_candidates(
+        src_grid.select("cell_id", *BBOX), dst_grid.select("cell_id", *BBOX), tile
+    )
+    ox = F.greatest(F.lit(0.0), F.least("s_xmax", "d_xmax") - F.greatest("s_xmin", "d_xmin"))
+    oy = F.greatest(F.lit(0.0), F.least("s_ymax", "d_ymax") - F.greatest("s_ymin", "d_ymin"))
+    s_area = (F.col("s_xmax") - F.col("s_xmin")) * (F.col("s_ymax") - F.col("s_ymin"))
+    return (
+        cand.withColumn("weight", ox * oy / s_area)
+        .where(F.col("weight") > 0)
+        .select(
+            F.col("s_cell_id").alias("src_id"),
+            F.col("d_cell_id").alias("dst_id"),
+            "weight",
+        )
+    )
+
+
+def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataFrame:
+    """weights for general polygon/line/point sources onto rect cells.
+
+    ``src``: (source_id, geometry WKB, xmin..ymax).  Refine runs the numpy
+    kernel inside an Arrow-batched ``mapInPandas`` — the slow path, but
+    only candidate pairs (post tile-prune) reach it.
+
+    Point weight 1/n over the n covering cells (regrid.py:277-285);
+    line weight = clipped length / total length (regrid.py:251-275);
+    polygon weight = intersection area / polygon area.
+    """
+    cand = tile_candidates(
+        src.select(F.col("source_id").alias("cell_id"), "geometry", *BBOX),
+        dst_grid.select("cell_id", *BBOX),
+        tile,
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_src, out_dst, out_w, out_pt = [], [], [], []
+            if pdf.empty:
+                continue
+            for row in pdf.itertuples(index=False):
+                gtype, rings = geom.parse_wkb(bytes(row.s_geometry))
+                box = (row.d_xmin, row.d_ymin, row.d_xmax, row.d_ymax)
+                is_point = False
+                if gtype == geom.WKB_POINT:
+                    x, y = rings[0][0]
+                    w = 1.0 if geom.point_in_box(x, y, *box) else 0.0
+                    is_point = True
+                elif gtype == geom.WKB_LINESTRING:
+                    total = geom.line_length(rings[0])
+                    w = geom.clipped_line_length(rings[0], *box) / total if total > 0 else 0.0
+                else:
+                    clip = geom.parse_wkb(geom.wkb_box(*box))[1][0]
+                    area = sum(geom.shoelace_area(r) for r in rings)
+                    w = geom.intersection_area(rings, clip) / area if area > 0 else 0.0
+                if w > 0:
+                    out_src.append(row.s_cell_id)
+                    out_dst.append(row.d_cell_id)
+                    out_w.append(w)
+                    out_pt.append(is_point)
+            yield pd.DataFrame(
+                {
+                    "src_id": pd.Series(out_src, dtype="int64"),
+                    "dst_id": pd.Series(out_dst, dtype="int64"),
+                    "weight": pd.Series(out_w, dtype="float64"),
+                    "is_point": pd.Series(out_pt, dtype="bool"),
+                }
+            )
+
+    raw = cand.mapInPandas(refine, schema="src_id long, dst_id long, weight double, is_point boolean")
+    # A point on a shared edge/corner is contained (inclusively) by n
+    # cells — split its weight 1/n (reference emiproc/regrid.py:277-285).
+    n_per_src = F.count("*").over(Window.partitionBy("src_id"))
+    return raw.withColumn(
+        "weight",
+        F.when(F.col("is_point"), F.col("weight") / n_per_src).otherwise(F.col("weight")),
+    ).drop("is_point")
+
+
+def weights_remap(emissions: DataFrame, weights: DataFrame, broadcast_weights: bool = False) -> DataFrame:
+    """dst = W · src for every (category, substance) slice in one pass —
+    the sparse matmul (reference weights_remap, emiproc/regrid.py:313-346)
+    as hash join + hash agg.  One weights table serves all columns
+    (reference reuses W across columns, regrid.py:505-517)."""
+    w = F.broadcast(weights) if broadcast_weights else weights
+    return (
+        emissions.join(w, emissions["cell_id"] == weights["src_id"], "inner")
+        .groupBy(
+            F.col("dst_id").alias("cell_id"),
+            "category",
+            "substance",
+        )
+        .agg(F.sum(F.col("value_kg_y") * F.col("weight")).alias("value_kg_y"))
+    )
+
+
+def remap_inventory(
+    emissions: DataFrame,
+    src_grid: DataFrame,
+    dst_grid: DataFrame,
+    tile: float,
+    weights: DataFrame | None = None,
+) -> DataFrame:
+    """Full gridded remap (reference remap_inventory,
+    emiproc/regrid.py:421-597): build (or reuse) the weight table, then
+    join+aggregate.  Callers persist ``weights`` to Parquet to mirror the
+    reference's .npz cache (regrid.py:42-101)."""
+    if weights is None:
+        weights = weights_rect_rect(src_grid, dst_grid, tile)
+    return weights_remap(emissions, weights)
+
+
+def crop_weights_rect(
+    grid: DataFrame, xmin: float, ymin: float, xmax: float, ymax: float
+) -> DataFrame:
+    """Per-cell crop weight against an axis-aligned shape: 1 inside,
+    0 outside, fractional on the boundary (reference
+    geoserie_intersection, emiproc/regrid.py:349-418)."""
+    ox = F.greatest(
+        F.lit(0.0), F.least(F.col("xmax"), F.lit(xmax)) - F.greatest(F.col("xmin"), F.lit(xmin))
+    )
+    oy = F.greatest(
+        F.lit(0.0), F.least(F.col("ymax"), F.lit(ymax)) - F.greatest(F.col("ymin"), F.lit(ymin))
+    )
+    area = (F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))
+    return grid.select("cell_id", (ox * oy / area).alias("crop_w"))
+
+
+def crop_with_shape(
+    emissions: DataFrame,
+    crop_weights: DataFrame,
+    keep_outside: bool = False,
+) -> DataFrame:
+    """Multiply values by crop weight, keep w>0 (reference crop_with_shape,
+    emiproc/inventories/utils.py:120-261).  ``keep_outside`` inverts the
+    weights (regrid.py:396-417)."""
+    w = F.col("crop_w") if not keep_outside else (F.lit(1.0) - F.col("crop_w"))
+    return (
+        emissions.join(crop_weights, "cell_id", "inner")
+        .withColumn("value_kg_y", F.col("value_kg_y") * w)
+        .where(F.col("value_kg_y") != 0.0)
+        .drop("crop_w")
+    )
+
+
+def clip_box(
+    emissions: DataFrame,
+    grid: DataFrame,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+) -> DataFrame:
+    """Bounding-box selection of cells — a semi join on a partition-
+    prunable predicate (reference clip_box,
+    emiproc/inventories/utils.py:888-954)."""
+    cells = grid.where(
+        (F.col("xmax") > F.lit(xmin))
+        & (F.col("xmin") < F.lit(xmax))
+        & (F.col("ymax") > F.lit(ymin))
+        & (F.col("ymin") < F.lit(ymax))
+    ).select("cell_id")
+    return emissions.join(F.broadcast(cells), "cell_id", "semi")

@@ -1,0 +1,105 @@
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import EMISSIONS
+from emiproc_spark.operators import (
+    add_inventories,
+    drop,
+    get_total_emissions,
+    group_categories,
+    group_substances,
+    merge_substances,
+    scale_inventory,
+    speciate_nox,
+    total_emissions_almost_equal,
+)
+
+
+@pytest.fixture(scope="module")
+def emissions(spark):
+    # mirrors the reference toy inventory (tests_utils/test_inventories.py:16-26)
+    rows = []
+    for cell in range(5):
+        rows += [
+            (cell, "adf", "CH4", float(cell)),
+            (cell, "adf", "CO2", float(cell + 1)),
+            (cell, "liku", "CO2", float(cell + 3)),
+            (cell, "test", "NH3", float(2 * cell)),
+            (cell, "test", "NOx", 10.0),
+        ]
+    return spark.createDataFrame(rows, schema=EMISSIONS)
+
+
+def test_totals_rollup(emissions):
+    t = get_total_emissions(emissions)
+    rows = {(r["substance"], r["category"]): r["total_kg_y"] for r in t.collect()}
+    assert rows[("CH4", "adf")] == sum(range(5))
+    assert rows[("CO2", "__total__")] == sum(c + 1 for c in range(5)) + sum(c + 3 for c in range(5))
+    assert ("NH3", "test") in rows
+
+
+def test_group_categories_conserves(emissions):
+    grouped = group_categories(emissions, {"all": ["adf", "liku", "test"]})
+    assert total_emissions_almost_equal(
+        get_total_emissions(emissions).groupBy("substance").agg(F.sum("total_kg_y").alias("total_kg_y")).withColumn("category", F.lit("x")),
+        get_total_emissions(grouped).groupBy("substance").agg(F.sum("total_kg_y").alias("total_kg_y")).withColumn("category", F.lit("x")),
+    )
+    assert grouped.select("category").distinct().count() == 1
+
+
+def test_group_categories_duplicate_member_raises(emissions):
+    with pytest.raises(ValueError):
+        group_categories(emissions, {"a": ["adf"], "b": ["adf"]})
+
+
+def test_group_substances(emissions):
+    g = group_substances(emissions, {"GHG": ["CH4", "CO2"]})
+    subs = {r[0] for r in g.select("substance").distinct().collect()}
+    assert subs == {"GHG", "NH3", "NOx"}
+
+
+def test_scale_inventory_global(emissions):
+    doubled = scale_inventory(emissions, 2.0)
+    t0 = get_total_emissions(emissions).collect()
+    t1 = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(doubled).collect()}
+    for r in t0:
+        assert t1[(r["substance"], r["category"])] == pytest.approx(2 * r["total_kg_y"])
+
+
+def test_scale_inventory_table(spark, emissions):
+    factors = spark.createDataFrame(
+        [("adf", "CH4", 10.0)], schema="category string, substance string, factor double"
+    )
+    scaled = scale_inventory(emissions, factors)
+    t = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(scaled).collect()}
+    assert t[("CH4", "adf")] == 10 * sum(range(5))
+    assert t[("CO2", "adf")] == sum(c + 1 for c in range(5))  # untouched
+
+
+def test_drop_keep(emissions):
+    kept = drop(emissions, substances=["CO2"], keep_instead_of_drop=True)
+    assert {r[0] for r in kept.select("substance").distinct().collect()} == {"CO2"}
+    dropped = drop(emissions, categories=["test"])
+    assert "test" not in {r[0] for r in dropped.select("category").distinct().collect()}
+
+
+def test_add_inventories(emissions):
+    total = add_inventories(emissions, scale_inventory(emissions, 2.0))
+    t = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(total).collect()}
+    assert t[("CH4", "adf")] == 3 * sum(range(5))
+
+
+def test_speciate_nox(emissions):
+    sp = speciate_nox(emissions, no2_fraction=0.2)
+    t = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(sp).collect()}
+    assert ("NOx", "test") not in t
+    assert t[("NO2", "test")] == pytest.approx(0.2 * 50.0)
+    assert t[("NO", "test")] == pytest.approx(0.8 * 50.0 * 30.0 / 46.0)
+    # other substances untouched
+    assert t[("CH4", "adf")] == sum(range(5))
+
+
+def test_merge_substances(emissions):
+    m = merge_substances(emissions, {"CO2eq": ["CO2", "CH4"]})
+    t = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(m).collect()}
+    assert t[("CO2eq", "adf")] == sum(range(5)) + sum(c + 1 for c in range(5))

@@ -1,0 +1,36 @@
+"""The local mirror of the driver's t1/t2 gates: entry() smoke +
+query/oracle parity on sf0.001 (fast; sf0.01 runs in CI/driver)."""
+
+import pytest
+
+import __spark_entry__ as entrymod
+from emiproc_spark.parity import compare
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) >= 0
+    assert set(df.columns) == {"cell_id", "category", "substance", "value_kg_y"}
+
+
+def test_queries_have_oracles():
+    q = entrymod.queries()
+    o = entrymod.oracle_sql()
+    assert q, "no queries declared"
+    missing = set(o) - set(q)
+    assert not missing, f"oracles without queries: {missing}"
+
+
+@pytest.mark.parametrize("name", list(entrymod.queries()))
+def test_query_matches_oracle(spark, sf_dir, name):
+    q = entrymod.queries()[name]
+    o = entrymod.oracle_sql().get(name)
+    if o is None:
+        df = q(spark, sf_dir)
+        assert df.count() >= 0  # rows-only check, like the driver
+        return
+    r = compare(spark, sf_dir, name, q, o)
+    assert r["cols_match"], r
+    assert r["rows_match"], r
+    assert r["values_match"], r
