@@ -530,6 +530,313 @@ SQL_EVENTS_JSON_PROPS = """
 
 
 # ======================================================================
+# Profile algebra + temporal expansion
+# ======================================================================
+def qd(col, scale: float = 1e9) -> F.Column:
+    """Quantize a small double (ratios, factors) at 1e-9 so sub-ulp
+    engine differences (e.g. renormalization fold order) collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_qd(expr: str, scale: float = 1e9) -> str:
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def _daily_ratios(k: int = 0) -> list[float]:
+    """Pattern-k daily profile: r[h] = (h+1+k)/(300+24k) — sums to 1
+    exactly in rational arithmetic; identical double arithmetic exists
+    in closed-form SQL."""
+    return [(h + 1 + k) / (300.0 + 24 * k) for h in range(24)]
+
+
+WEEKLY_RATIOS = [(d + 1) / 28.0 for d in range(7)]
+EXPAND_HOURS = 72
+YEAR_HOURS = 8784.0  # 2024 is a leap year
+
+
+def _test_tprofiles(spark: SparkSession) -> DataFrame:
+    from emiproc_spark.core.schemas import TPROFILE
+
+    return spark.createDataFrame(
+        [
+            (0, "daily", _daily_ratios(0)),
+            (1, "daily", [1.0 / 24] * 24),
+            (2, "weekly", WEEKLY_RATIOS),
+        ],
+        schema=TPROFILE,
+    )
+
+
+def q_temporal_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annual → hourly expansion over 72 h: category A follows the daily
+    profile, R the weekly profile, N is constant (missing index row →
+    sf 1.0).  Exercises temporally_scaled end-to-end."""
+    from emiproc_spark.operators.temporal import temporally_scaled
+
+    e = fx.emissions(spark, sf_dir)
+    index = spark.createDataFrame(
+        [("A", "F", 0), ("A", "O", 0), ("R", "F", 2), ("R", "O", 2)],
+        schema="category string, substance string, profile_id int",
+    )
+    out = temporally_scaled(
+        e, index, _test_tprofiles(spark), "2024-01-01 00:00:00", EXPAND_HOURS, int(YEAR_HOURS)
+    )
+    return out.groupBy("category", "substance", "hour_index").agg(
+        sumd("value_kg_h").alias("value_kg_h")
+    )
+
+
+# 2024-01-01 is a Monday → weekday(ts) == (h // 24) % 7 over the window
+SQL_TEMPORAL_EXPAND = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), hrs AS (SELECT h FROM range({EXPAND_HOURS}) t(h)),
+    x AS (
+        SELECT e.category, e.substance, hrs.h AS hour_index,
+               e.value_kg_y / {YEAR_HOURS} * (
+                   CASE e.category
+                       WHEN 'A' THEN ((hrs.h % 24) + 1) / 300.0 * 24
+                       WHEN 'R' THEN (((hrs.h // 24) % 7) + 1) / 28.0 * 7
+                       ELSE 1.0
+                   END
+               ) AS value_kg_h
+        FROM e CROSS JOIN hrs
+    )
+    SELECT category, substance, hour_index, {sql_sumd('value_kg_h')} AS value_kg_h
+    FROM x GROUP BY 1, 2, 3
+"""
+
+
+def q_profiles_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Emission-weighted profile merge under a category grouping
+    (combine_profiles / group_profiles_indexes semantics).  Weights are
+    the µ-quantized per-category masses, so both engines blend identical
+    doubles; the blended ratio is re-quantized at 1e-9."""
+    from emiproc_spark.operators.profiles import combine_profiles
+
+    e = fx.emissions(spark, sf_dir)
+    w = e.groupBy("category").agg(sumd("value_kg_y").alias("weight"))
+    idx = spark.createDataFrame(
+        [("A", 0), ("N", 1), ("R", 0)], schema="category string, profile_id int"
+    )
+    grp = spark.createDataFrame(
+        [("A", "grp_an"), ("N", "grp_an"), ("R", "grp_r")],
+        schema="category string, grp string",
+    )
+    iw = idx.join(w, "category").join(F.broadcast(grp), "category")
+    out = combine_profiles(iw, _test_tprofiles(spark), ["grp"])
+    return out.select(
+        "grp", "ptype", F.posexplode("ratios").alias("pos", "ratio")
+    ).withColumn("ratio", qd("ratio"))
+
+
+SQL_PROFILES_COMBINE = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    w AS (
+        SELECT category, {sql_sumd('value_kg_y')} AS weight
+        FROM e GROUP BY category
+    ),
+    -- profiles: A,R → pattern-0 daily; N → uniform daily
+    blend AS (
+        SELECT 'grp_an' AS grp, 'daily' AS ptype, p.pos,
+               ((wa.weight * ((p.pos + 1) / 300.0)) + (wn.weight * (1.0 / 24)))
+               / (wa.weight + wn.weight) AS ratio
+        FROM range(24) p(pos),
+             (SELECT weight FROM w WHERE category = 'A') wa,
+             (SELECT weight FROM w WHERE category = 'N') wn
+        UNION ALL
+        SELECT 'grp_r' AS grp, 'daily' AS ptype, p.pos,
+               (p.pos + 1) / 300.0 AS ratio
+        FROM range(24) p(pos)
+    ),
+    -- plain SUM: the ±ulp fold-order wobble is collapsed by the 1e-9
+    -- output quantizer (sql_sumd would quantize at 1e-6 and skew ratios)
+    tot AS (
+        SELECT grp, ptype, SUM(ratio) AS total FROM blend GROUP BY grp, ptype
+    )
+    SELECT b.grp, b.ptype, CAST(b.pos AS INT) AS pos,
+           {sql_qd('b.ratio / t.total')} AS ratio
+    FROM blend b JOIN tot t ON b.grp = t.grp AND b.ptype = t.ptype
+"""
+
+
+def q_country_to_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Country-keyed profiles → cell-keyed via country fractions
+    (country_to_cells fraction method).  cell_country is closed-form:
+    cell c belongs 60 % to country C(c%3), 40 % to C((c+1)%3)."""
+    from emiproc_spark.operators.profiles import country_to_cells
+
+    cidx = spark.createDataFrame(
+        [("C0", 0), ("C1", 1), ("C2", 2)], schema="country string, profile_id int"
+    )
+    store = spark.createDataFrame(
+        [(k, "daily", _daily_ratios(k)) for k in range(3)],
+        schema="profile_id int, ptype string, ratios array<double>",
+    )
+    cc = (
+        spark.range(fx.N_CELLS)
+        .select(
+            F.col("id").alias("cell_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("C"), (F.col("id") % 3)).alias("country"),
+                        F.lit(0.6).alias("fraction"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("C"), ((F.col("id") + 1) % 3)).alias("country"),
+                        F.lit(0.4).alias("fraction"),
+                    ),
+                )
+            ).alias("cf"),
+        )
+        .select("cell_id", "cf.country", "cf.fraction")
+    )
+    out = country_to_cells(cidx, store, cc)
+    return out.select(
+        "cell_id", "ptype", F.posexplode("ratios").alias("pos", "ratio")
+    ).withColumn("ratio", qd("ratio"))
+
+
+SQL_COUNTRY_TO_CELLS = f"""
+    WITH cells AS (SELECT c AS cell_id FROM range({fx.N_CELLS}) t(c)),
+    blend AS (
+        SELECT cell_id, 'daily' AS ptype, p.pos,
+               0.6 * ((p.pos + 1 + (cell_id % 3)) / (300.0 + 24 * (cell_id % 3)))
+             + 0.4 * ((p.pos + 1 + ((cell_id + 1) % 3)) / (300.0 + 24 * ((cell_id + 1) % 3)))
+               AS wr
+        FROM cells CROSS JOIN range(24) p(pos)
+    ),
+    tot AS (SELECT cell_id, ptype, SUM(wr) AS total FROM blend GROUP BY 1, 2)
+    SELECT b.cell_id, b.ptype, CAST(b.pos AS INT) AS pos,
+           {sql_qd('b.wr / t.total')} AS ratio
+    FROM blend b JOIN tot t USING (cell_id, ptype)
+"""
+
+
+def q_profiles_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-encoding dedup of per-cell ratio vectors
+    (ratios_dataarray_to_profiles semantics): 100 cells carry 5 distinct
+    daily patterns → 5 stored profiles; ids are lexicographic rank
+    (pattern k has increasing first element, so id == k)."""
+    from emiproc_spark.operators.profiles import dedup_profiles
+
+    k = F.col("id") % 5
+    per_cell = spark.range(fx.N_CELLS).select(
+        F.col("id").alias("cell_id"),
+        F.lit("daily").alias("ptype"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(23)),
+            lambda h: (h + 1 + k) / (F.lit(300.0) + 24 * k),
+        ).alias("ratios"),
+    )
+    store, index = dedup_profiles(per_cell)
+    counts = index.groupBy("profile_id").agg(F.count("*").alias("n_cells"))
+    return (
+        store.join(counts, "profile_id")
+        .select("profile_id", "n_cells", F.posexplode("ratios").alias("pos", "ratio"))
+    )
+
+
+SQL_PROFILES_DEDUP = f"""
+    SELECT k AS profile_id,
+           CAST({fx.N_CELLS} / 5 AS BIGINT) AS n_cells,
+           CAST(p.pos AS INT) AS pos,
+           (p.pos + 1 + k) / (300.0 + 24 * k) AS ratio
+    FROM range(5) t(k) CROSS JOIN range(24) p(pos)
+"""
+
+
+def q_vertical_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conservative vertical re-binning onto [100, 200, 400] m levels
+    (resample_vertical_profiles)."""
+    from emiproc_spark.operators.vertical import resample_vertical_profiles
+
+    vp = spark.createDataFrame(
+        [
+            (0, [50.0, 100.0, 200.0], [0.5, 0.3, 0.2]),
+            (1, [100.0, 300.0], [0.6, 0.4]),
+        ],
+        schema="profile_id int, heights_top_m array<double>, ratios array<double>",
+    )
+    out = resample_vertical_profiles(vp, [100.0, 200.0, 400.0])
+    return out.select("profile_id", F.posexplode("ratios").alias("layer", "ratio"))
+
+
+SQL_VERTICAL_REBIN = """
+    WITH src(profile_id, lo, hi, ratio) AS (
+        VALUES (0, 0.0, 50.0, 0.5), (0, 50.0, 100.0, 0.3), (0, 100.0, 200.0, 0.2),
+               (1, 0.0, 100.0, 0.6), (1, 100.0, 300.0, 0.4)
+    ),
+    tgt(layer, t_lo, t_hi) AS (
+        VALUES (0, 0.0, 100.0), (1, 100.0, 200.0), (2, 200.0, 400.0)
+    ),
+    contrib AS (
+        SELECT s.profile_id, t.layer,
+               s.ratio * GREATEST(0.0, LEAST(s.hi, t.t_hi) - GREATEST(s.lo, t.t_lo))
+               / (s.hi - s.lo) AS part
+        FROM src s CROSS JOIN tgt t
+        WHERE LEAST(s.hi, t.t_hi) - GREATEST(s.lo, t.t_lo) > 0
+    )
+    SELECT p.profile_id, t.layer, COALESCE(SUM(c.part), 0.0) AS ratio
+    FROM (SELECT DISTINCT profile_id FROM src) p
+    CROSS JOIN tgt t
+    LEFT JOIN contrib c ON c.profile_id = p.profile_id AND c.layer = t.layer
+    GROUP BY p.profile_id, t.layer
+"""
+
+
+def q_hdd_factors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heating-degree-day factors from the events stream used as a
+    temperature series (create_HDD_scaling_factor semantics):
+    temp = value/10, HDD = (20 − T̄)·[T̄ < 12], normalized by the
+    period-mean HDD — all arithmetic deterministic via sumd."""
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.withColumn("epoch_day", (F.col("ts") / F.lit(NS_PER_DAY)).cast("long"))
+        .groupBy("epoch_day")
+        .agg(sumd("value").alias("sv"), F.count("*").alias("n"))
+        .withColumn("temp_c", F.col("sv") / F.col("n") / F.lit(10.0))
+        .withColumn(
+            "hdd",
+            F.when(F.col("temp_c") < 12.0, F.lit(20.0) - F.col("temp_c")).otherwise(
+                F.lit(0.0)
+            ),
+        )
+    )
+    mean = daily.agg(
+        (sumd("hdd") / F.count("*")).alias("mean_hdd")
+    )
+    return (
+        daily.crossJoin(F.broadcast(mean))
+        .withColumn(
+            "factor",
+            F.when(F.col("mean_hdd") == 0.0, F.lit(1.0)).otherwise(
+                F.col("hdd") / F.col("mean_hdd")
+            ),
+        )
+        .select("epoch_day", "hdd", "factor")
+    )
+
+
+SQL_HDD_FACTORS = f"""
+    WITH daily AS (
+        SELECT CAST(FLOOR(epoch_ns(ts) / {NS_PER_DAY}.0) AS BIGINT) AS epoch_day,
+               {sql_sumd('value')} AS sv, COUNT(*) AS n
+        FROM events GROUP BY 1
+    ),
+    h AS (
+        SELECT epoch_day,
+               CASE WHEN sv / n / 10.0 < 12.0 THEN 20.0 - sv / n / 10.0 ELSE 0.0 END AS hdd
+        FROM daily
+    ),
+    m AS (SELECT {sql_sumd('hdd')} / COUNT(*) AS mean_hdd FROM h)
+    SELECT epoch_day, hdd,
+           CASE WHEN m.mean_hdd = 0.0 THEN 1.0 ELSE hdd / m.mean_hdd END AS factor
+    FROM h CROSS JOIN m
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -553,6 +860,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_daily": q_events_daily,
     "events_hourly_profile": q_events_hourly_profile,
     "events_json_props": q_events_json_props,
+    "temporal_expand": q_temporal_expand,
+    "profiles_combine": q_profiles_combine,
+    "country_to_cells": q_country_to_cells,
+    "profiles_dedup": q_profiles_dedup,
+    "vertical_rebin": q_vertical_rebin,
+    "hdd_factors": q_hdd_factors,
 }
 
 ORACLES: dict[str, str] = {
@@ -576,4 +889,10 @@ ORACLES: dict[str, str] = {
     "events_daily": SQL_EVENTS_DAILY,
     "events_hourly_profile": SQL_EVENTS_HOURLY_PROFILE,
     "events_json_props": SQL_EVENTS_JSON_PROPS,
+    "temporal_expand": SQL_TEMPORAL_EXPAND,
+    "profiles_combine": SQL_PROFILES_COMBINE,
+    "country_to_cells": SQL_COUNTRY_TO_CELLS,
+    "profiles_dedup": SQL_PROFILES_DEDUP,
+    "vertical_rebin": SQL_VERTICAL_REBIN,
+    "hdd_factors": SQL_HDD_FACTORS,
 }

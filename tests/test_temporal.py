@@ -1,0 +1,81 @@
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import EMISSIONS, TPROFILE
+from emiproc_spark.operators.temporal import (
+    position_in_profile,
+    temporally_scaled,
+    time_scaffold,
+)
+
+
+@pytest.fixture(scope="module")
+def tprofiles(spark):
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    weekly = [(d + 1) / 28.0 for d in range(7)]
+    return spark.createDataFrame(
+        [(0, "daily", daily), (2, "weekly", weekly)], schema=TPROFILE
+    )
+
+
+def test_position_exprs(spark):
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00",), ("2024-01-01 13:00:00",), ("2024-03-05 07:00:00",)],
+        schema="s string",
+    ).withColumn("ts", F.col("s").cast("timestamp_ntz"))
+    rows = df.select(
+        position_in_profile(F.col("ts"), "daily").alias("d"),
+        position_in_profile(F.col("ts"), "weekly").alias("w"),
+        position_in_profile(F.col("ts"), "monthly").alias("m"),
+        position_in_profile(F.col("ts"), "day_of_year").alias("doy"),
+        position_in_profile(F.col("ts"), "hour_of_week").alias("how"),
+    ).collect()
+    # 2024-01-01 is a Monday
+    assert (rows[0]["d"], rows[0]["w"], rows[0]["m"], rows[0]["doy"]) == (0, 0, 0, 0)
+    assert rows[1]["d"] == 13 and rows[1]["how"] == 13
+    assert rows[2]["m"] == 2 and rows[2]["w"] == 1  # March, Tuesday
+
+
+def test_time_scaffold(spark):
+    ts = time_scaffold(spark.range(1), "2024-01-01 00:00:00", 48)
+    rows = ts.orderBy("hour_index").collect()
+    assert len(rows) == 48
+    assert str(rows[25]["ts"]) == "2024-01-02 01:00:00"
+
+
+def test_temporal_expansion_conserves_annual_total(spark, tprofiles):
+    emissions = spark.createDataFrame(
+        [(0, "A", "CO2", 8784.0), (1, "B", "CO2", 100.0)], schema=EMISSIONS
+    )
+    index = spark.createDataFrame(
+        [("A", "CO2", 0), ("B", "CO2", -1)],
+        schema="category string, substance string, profile_id int",
+    )
+    # over a full cycle (24 h) the daily profile's mean sf is 1.0
+    out = temporally_scaled(emissions, index, tprofiles, "2024-01-01 00:00:00", 24, 8784)
+    sums = {
+        r["category"]: r["s"]
+        for r in out.groupBy("category").agg(F.sum("value_kg_h").alias("s")).collect()
+    }
+    # A: 8784/8784=1 kg/h average × 24 h = 24 kg
+    assert sums["A"] == pytest.approx(24.0)
+    # B: constant profile → 100/8784 per hour × 24
+    assert sums["B"] == pytest.approx(100.0 / 8784 * 24)
+
+
+def test_temporal_weekly_profile(spark, tprofiles):
+    emissions = spark.createDataFrame([(0, "R", "CO2", 7.0 * 8784)], schema=EMISSIONS)
+    index = spark.createDataFrame(
+        [("R", "CO2", 2)], schema="category string, substance string, profile_id int"
+    )
+    out = temporally_scaled(emissions, index, tprofiles, "2024-01-01 00:00:00", 7 * 24, 8784)
+    per_day = (
+        out.withColumn("day", (F.col("hour_index") / 24).cast("int"))
+        .groupBy("day")
+        .agg(F.sum("value_kg_h").alias("s"))
+        .orderBy("day")
+        .collect()
+    )
+    # Monday (pos 0) weight 1/28 → day total = 7*8784/8784 * (1/28*7) * 24
+    assert per_day[0]["s"] == pytest.approx(7.0 * (1 / 28 * 7) * 24)
+    assert per_day[6]["s"] == pytest.approx(7.0 * (7 / 28 * 7) * 24)
