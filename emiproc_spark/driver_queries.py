@@ -22,25 +22,7 @@ from emiproc_spark.operators import basic as ops
 from emiproc_spark.operators import regrid as rg
 from emiproc_spark.operators import speciation as spn
 
-# Parity quantization: CAST(double AS DECIMAL) rounds differently in
-# Spark (exact-expansion HALF_UP) vs DuckDB near decimal ties, so sums
-# quantize per-row with FLOOR(x*1e6 + 0.5) — pure IEEE double ops that
-# are bit-identical in both engines — then sum exactly as int64.
-QSCALE = 1_000_000.0
-
-
-def sumd(col) -> F.Column:
-    """Order-insensitive exact sum of doubles (µ-quantized), as double."""
-    c = F.col(col) if isinstance(col, str) else col
-    q = F.floor(c * F.lit(QSCALE) + F.lit(0.5)).cast("long")
-    return (F.sum(q).cast("double") / F.lit(QSCALE))
-
-
-def sql_sumd(expr: str) -> str:
-    return (
-        f"CAST(SUM(CAST(FLOOR(({expr}) * {QSCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {QSCALE}"
-    )
+from emiproc_spark.qhelpers import QSCALE, qd, sql_qd, sql_sumd, sumd  # noqa: F401,E402
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,17 +514,6 @@ SQL_EVENTS_JSON_PROPS = """
 # ======================================================================
 # Profile algebra + temporal expansion
 # ======================================================================
-def qd(col, scale: float = 1e9) -> F.Column:
-    """Quantize a small double (ratios, factors) at 1e-9 so sub-ulp
-    engine differences (e.g. renormalization fold order) collapse."""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
-
-
-def sql_qd(expr: str, scale: float = 1e9) -> str:
-    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
-
-
 def _daily_ratios(k: int = 0) -> list[float]:
     """Pattern-k daily profile: r[h] = (h+1+k)/(300+24k) — sums to 1
     exactly in rational arithmetic; identical double arithmetic exists
@@ -868,6 +839,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hdd_factors": q_hdd_factors,
 }
 
+from emiproc_spark.driver_queries_text import ORACLES_TEXT, QUERIES_TEXT  # noqa: E402
+
+QUERIES.update(QUERIES_TEXT)
+
 ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
@@ -896,3 +871,5 @@ ORACLES: dict[str, str] = {
     "vertical_rebin": SQL_VERTICAL_REBIN,
     "hdd_factors": SQL_HDD_FACTORS,
 }
+
+ORACLES.update(ORACLES_TEXT)

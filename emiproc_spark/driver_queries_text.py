@@ -1,0 +1,392 @@
+"""Driver-contract queries for the training-data pipeline operators:
+dedup, text analysis, similarity search, multimodal plumbing.
+
+Same parity conventions as ``driver_queries``: md5-based hashing (engine
+independent), integer quantization for float sums, deterministic
+tie-breaks for top-k.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.qhelpers import qd, sql_qd
+from emiproc_spark.operators import dedup as dd
+from emiproc_spark.operators import text as tx
+from emiproc_spark.operators.text import STOPWORDS_SQL
+
+# doubled corpus: every text appears at least twice so dedup operators
+# have guaranteed positives on purely synthetic data
+DOUBLE_OFFSET = 1_000_000
+
+
+def _docs2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    twin = d.select((F.col("doc_id") + DOUBLE_OFFSET).alias("doc_id"), "text")
+    return d.unionByName(twin)
+
+
+DOCS2_SQL = f"""
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + {DOUBLE_OFFSET} AS doc_id, text FROM documents
+"""
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dd.exact_duplicates(_docs2(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = f"""
+    WITH d AS ({DOCS2_SQL})
+    SELECT md5(text) AS text_hash, COUNT(*) AS n_docs, MIN(doc_id) AS keep_doc_id
+    FROM d GROUP BY 1 HAVING COUNT(*) > 1
+"""
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality statistics per (lang, source): token counts,
+    stopword counts, char counts — the length/stopword heuristics."""
+    d = fx.load(spark, sf_dir, "documents")
+    t = tx.tokens(F.col("text"))
+    return (
+        d.select(
+            "lang",
+            "source",
+            F.size(t).alias("n_tokens"),
+            tx.stopword_count(t).alias("n_stop"),
+            F.length("text").alias("n_chars_m"),
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.sum("n_stop").alias("sum_stop"),
+            F.sum("n_chars_m").alias("sum_chars"),
+        )
+    )
+
+
+SQL_TEXT_STATS = f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    x -> x IN {STOPWORDS_SQL}))) AS BIGINT) AS sum_stop,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY 1, 2
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = tx.lang_id_score(d)
+    return scored.select("doc_id", qd("en_score").alias("en_score"), "is_en")
+
+
+SQL_LANG_ID = f"""
+    SELECT doc_id,
+           {sql_qd(f"len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL}))"
+                   f" / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS en_score,
+           CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL}))
+                     / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
+                THEN 1 ELSE 0 END AS is_en
+    FROM documents
+"""
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents")
+    fp = tx.fingerprint(d)
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_distinct_fp"),
+    )
+
+
+SQL_DOC_FINGERPRINT = """
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(DISTINCT md5(array_to_string(string_split(lower(trim(text)), ' '), ' ')))
+               AS n_distinct_fp
+    FROM documents GROUP BY source
+"""
+
+
+# shared shingle CTE (3-gram over single-space tokens, distinct per doc)
+SHINGLES_SQL = """
+    SELECT DISTINCT doc_id,
+           toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS shingle
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM ({docs}) ),
+         UNNEST(range(GREATEST(len(toks) - 2, 0))) AS t(i)
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5)
+    return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+SQL_NGRAM_JACCARD = f"""
+    WITH d AS ({DOCS2_SQL}),
+    sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= 0.5
+"""
+
+
+def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = dd.minhash_signatures(_docs2(spark, sf_dir), k=8)
+    return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+
+
+SQL_MINHASH_LSH = f"""
+    WITH d AS ({DOCS2_SQL}),
+    sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    hashed AS (
+        SELECT doc_id, t.seed,
+               MIN(md5(shingle || '#' || CAST(t.seed AS VARCHAR))) AS minhash
+        FROM sh, UNNEST(range(8)) AS t(seed)
+        GROUP BY doc_id, t.seed
+    ),
+    banded AS (
+        SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+        FROM hashed GROUP BY doc_id, seed // 2
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM banded a
+    JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+"""
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").where(F.col("doc_id") < 1000).select(
+        "doc_id", "text"
+    )
+    return dd.simhash(d)
+
+
+SQL_SIMHASH = """
+    WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 1000),
+    tok AS (
+        SELECT DISTINCT doc_id, t.tok
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM d),
+             UNNEST(toks) AS t(tok)
+    ),
+    dig AS (
+        SELECT doc_id,
+               p.p * 4 + b.b AS pos,
+               CASE WHEN CAST(FLOOR(
+                    (strpos('0123456789abcdef', substr(md5(tok), p.p + 1, 1)) - 1)
+                    / POWER(2.0, 3 - b.b)) AS BIGINT) % 2 = 1
+                    THEN 1 ELSE -1 END AS bit
+        FROM tok, UNNEST(range(16)) AS p(p), UNNEST(range(4)) AS b(b)
+    ),
+    votes AS (SELECT doc_id, pos, SUM(bit) AS vote FROM dig GROUP BY 1, 2)
+    SELECT doc_id,
+           string_agg(CASE WHEN vote > 0 THEN '1' ELSE '0' END, '' ORDER BY pos)
+               AS simhash_bits
+    FROM votes GROUP BY doc_id
+"""
+
+
+# ======================================================================
+# similarity search
+# ======================================================================
+DIM = 64
+DOT_SCALE = 1e12
+
+
+def _dotq(prod) -> F.Column:
+    """Quantized (order-free) sum of per-element products."""
+    c = F.col(prod) if isinstance(prod, str) else prod
+    return F.sum(
+        F.floor(c * F.lit(DOT_SCALE) + F.lit(0.5)).cast("long")
+    ).cast("double") / F.lit(DOT_SCALE)
+
+
+def sql_dotq(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {DOT_SCALE}"
+    )
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the vec_id=0 query vector —
+    the correctness baseline for ANN.  Exploded per-element products
+    with quantized sums keep both engines bit-identical."""
+    emb = fx.load(spark, sf_dir, "embeddings")
+    qpos = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("i", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    terms = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(qpos), "i")
+    )
+    scored = (
+        terms.groupBy("vec_id")
+        .agg(
+            _dotq(F.col("v") * F.col("qv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nq")))
+    )
+    return (
+        scored.select("vec_id", qd("cos").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+SQL_ANN_COSINE_TOPK = f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    terms AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS v,
+               CAST(q.qe[t.i + 1] AS DOUBLE) AS qv
+        FROM embeddings e CROSS JOIN q, UNNEST(range({DIM})) AS t(i)
+    ),
+    scored AS (
+        SELECT vec_id,
+               {sql_dotq('v * qv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('qv * qv')} AS nq
+        FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, {sql_qd('dp / (SQRT(na) * SQRT(nq))')} AS cos
+    FROM scored
+    ORDER BY {sql_qd('dp / (SQRT(na) * SQRT(nq))')} DESC, vec_id
+    LIMIT 10
+"""
+
+
+def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucket assignment (8 deterministic
+    md5-seeded planes) — the candidate-generation half of scalable ANN."""
+    from emiproc_spark.operators.similarity import hyperplane
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    terms = emb.select("vec_id", F.posexplode("embedding").alias("i", "v")).withColumn(
+        "v", F.col("v").cast("double")
+    )
+    planes = [
+        (p, i, hp_i) for p in range(8) for i, hp_i in enumerate(hyperplane(DIM, p))
+    ]
+    pdf = spark.createDataFrame(planes, schema="p int, i int, hp double")
+    bits = (
+        terms.join(F.broadcast(pdf), "i")
+        .groupBy("vec_id", "p")
+        .agg(_dotq(F.col("v") * F.col("hp")).alias("dp"))
+        .withColumn("bit", F.when(F.col("dp") > 0, "1").otherwise("0"))
+        .groupBy("vec_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("p", "bit"))),
+                    lambda s: s["bit"],
+                ),
+            ).alias("bucket")
+        )
+    )
+    return bits
+
+
+SQL_ANN_LSH_BUCKETS = f"""
+    WITH planes AS (
+        SELECT p.p, i.i,
+               CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('p' || CAST(p.p AS VARCHAR) || 'd' || CAST(i.i AS VARCHAR)), 1, 1))
+                    - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END AS hp
+        FROM UNNEST(range(8)) AS p(p), UNNEST(range({DIM})) AS i(i)
+    ),
+    terms AS (
+        SELECT e.vec_id, pl.p,
+               CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.hp AS prod
+        FROM embeddings e JOIN planes pl ON TRUE
+    ),
+    dots AS (
+        SELECT vec_id, p, {sql_dotq('prod')} AS dp
+        FROM terms GROUP BY vec_id, p
+    )
+    SELECT vec_id,
+           string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+    FROM dots GROUP BY vec_id
+"""
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-payload feature extraction through Arrow mapInPandas with
+    the deterministic stub decoder — oracle replays the byte statistics
+    in SQL (docs are ASCII, so codepoints == bytes)."""
+    from emiproc_spark.operators.multimodal import attach_binary, extract_features
+
+    d = fx.load(spark, sf_dir, "documents").where(F.col("doc_id") < 500)
+    media = attach_binary(d)
+    return extract_features(media, fake=True).select(
+        "doc_id", "n_bytes", "checksum", "mean_byte", "feat0"
+    )
+
+
+SQL_MULTIMODAL_FEATURES = """
+    WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents WHERE doc_id < 500),
+    sq AS (SELECT doc_id, text, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS side FROM d),
+    codes AS (
+        SELECT doc_id, n, side,
+               CAST(SUM(ord(substr(text, CAST(t.j AS INT) + 1, 1))) AS BIGINT) AS total,
+               COUNT(*) AS cnt
+        FROM sq, UNNEST(range(side * side)) AS t(j)
+        GROUP BY doc_id, n, side
+    )
+    SELECT doc_id, n AS n_bytes,
+           total % 1000003 AS checksum,
+           CAST(total AS DOUBLE) / cnt AS mean_byte,
+           CAST(n % 7 AS DOUBLE) AS feat0
+    FROM codes
+"""
+
+
+QUERIES_TEXT: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "text_stats": q_text_stats,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "ngram_jaccard": q_ngram_jaccard,
+    "minhash_lsh": q_minhash_lsh,
+    "simhash": q_simhash,
+    "ann_cosine_topk": q_ann_cosine_topk,
+    "ann_lsh_buckets": q_ann_lsh_buckets,
+    "multimodal_features": q_multimodal_features,
+}
+
+ORACLES_TEXT: dict[str, str] = {
+    "dedup_exact": SQL_DEDUP_EXACT,
+    "text_stats": SQL_TEXT_STATS,
+    "lang_id": SQL_LANG_ID,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "ngram_jaccard": SQL_NGRAM_JACCARD,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "ann_cosine_topk": SQL_ANN_COSINE_TOPK,
+    "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
+    "multimodal_features": SQL_MULTIMODAL_FEATURES,
+}

@@ -1,0 +1,230 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Scale design:
+
+- **exact**: hash-groupBy on a content digest — one shuffle on the
+  digest, arbitrarily wide.
+- **n-gram Jaccard**: shingle-explode → self-equi-join on shingle →
+  pair-count agg.  The join key is the shingle, so hot shingles are the
+  skew risk — ``max_shingle_freq`` drops stop-shingles (appearing in
+  more than N docs) before the join, the standard web-dedup guard.
+- **MinHash-LSH**: k independent hash functions realized as
+  lexicographic min of md5(shingle ⊕ seed); signatures banded so only
+  same-band docs join — candidate generation never goes quadratic.
+- **SimHash**: 64-bit fingerprint from per-token md5 bits; near-dup =
+  small Hamming distance on the fingerprint (cheap bit ops).
+
+All hashing is md5-based so results are engine-independent and
+oracle-checkable (no JVM-specific hash functions in semantics-bearing
+positions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.text import shingles, tokens
+
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id)
+    for groups with n_docs > 1."""
+    return (
+        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle) pairs."""
+    return (
+        docs.select("doc_id", F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-duplicate pairs by shingle-set Jaccard ≥ threshold.
+
+    |A∩B| from the shingle self-join; |A∪B| = |A|+|B|−|A∩B| from the
+    per-doc set sizes — no second pass over pairs.
+    """
+    sh = doc_shingles(docs, text_col, n).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    joinable = sh
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
+        joinable = sh.join(
+            freq.where(F.col("df") <= max_shingle_freq).select("shingle"), "shingle", "semi"
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per document.
+
+    Permutation i is realized as md5(shingle ∥ '#i'); the signature
+    element is the lexicographic min of the hex digest — deterministic
+    across engines.  Returns (doc_id, seed, minhash)."""
+    sh = doc_shingles(docs, text_col, n)
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
+    return (
+        sh.select("doc_id", "shingle", seeds)
+        .withColumn(
+            "h", F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("minhash"))
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+) -> DataFrame:
+    """Band the signature and emit distinct candidate pairs sharing at
+    least one band — the LSH bucket join.  ``signatures`` is the long
+    (doc_id, seed, minhash) form with bands·rows_per_band seeds."""
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                        lambda s: s["minhash"],
+                    ),
+                )
+            ).alias("band_hash")
+        )
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+HEX_DIGITS = "0123456789abcdef"
+
+
+def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprint as a bit-string column.
+
+    Each distinct token hashes to md5; hex digit p (0..15) contributes 4
+    bits.  Per bit position, tokens vote ±1; the fingerprint bit is 1
+    where the vote is positive.  Returns (doc_id, simhash_bits).
+
+    Bit-string (not BIGINT) output keeps it engine-portable; Hamming
+    distance is a cheap zip-count on the string or a later cast.
+    """
+    assert bits == 64, "md5-based simhash is 64-bit (16 hex digits)"
+    tok = (
+        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
+        .distinct()
+        .withColumn("h", F.md5("tok"))
+    )
+    digit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p")
+    with_digit = tok.select("doc_id", "h", digit).withColumn(
+        "v", F.instr(F.lit(HEX_DIGITS), F.substring("h", F.col("p") + 1, F.lit(1))) - 1
+    )
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
+    votes = (
+        with_digit.select("doc_id", "p", "v", bitpos)
+        .withColumn(
+            "bit",
+            F.when(
+                F.floor(F.col("v") / F.pow(F.lit(2.0), F.lit(3) - F.col("b"))) % 2 == 1,
+                1,
+            ).otherwise(-1),
+        )
+        .withColumn("pos", F.col("p") * 4 + F.col("b"))
+        .groupBy("doc_id", "pos")
+        .agg(F.sum("bit").alias("vote"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "vote"))),
+                lambda s: F.when(s["vote"] > 0, "1").otherwise("0"),
+            ),
+        ).alias("simhash_bits")
+    )
+
+
+def hamming_pairs(fingerprints: DataFrame, max_distance: int = 3) -> DataFrame:
+    """Near-dup pairs by Hamming distance over simhash bit-strings,
+    LSH-blocked on 16-bit quarters: two 64-bit hashes within distance 3
+    must agree on at least one quarter — only same-quarter docs join.
+    """
+    quarters = fingerprints.select(
+        "doc_id",
+        "simhash_bits",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
+    ).withColumn("qbits", F.substring("simhash_bits", F.col("q") * 16 + 1, F.lit(16)))
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(b, ["q", "qbits"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash_bits").alias("bits_a"),
+            F.col("b.simhash_bits").alias("bits_b"),
+        )
+        .distinct()
+    )
+    dist = F.size(
+        F.filter(
+            F.zip_with(
+                F.split("bits_a", ""),
+                F.split("bits_b", ""),
+                lambda x, y: (x != y).cast("int"),
+            ),
+            lambda d: d == 1,
+        )
+    )
+    return cand.withColumn("hamming", dist).where(F.col("hamming") <= max_distance).select(
+        "doc_a", "doc_b", "hamming"
+    )
+
+
+def dedup_keep_first(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Materialize a deduplicated corpus: drop every doc that appears as
+    the larger id of a near-dup pair (connected-component-free greedy
+    keep-lowest, the common single-pass policy)."""
+    drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(drop, "doc_id", "anti")

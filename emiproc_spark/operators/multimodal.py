@@ -1,0 +1,89 @@
+"""Multimodal columns: images/audio/video as opaque binary + typed metadata.
+
+The Spark-side plumbing is real — binary columns, Arrow-batched
+``mapInPandas`` feature extraction, schema/partitioning — while the
+actual media decode is stubbed (no image/audio libs in this
+environment): ``decode_image`` raises NotImplementedError unless
+``fake=True``, which substitutes a deterministic byte-statistics
+"decode" so the pipeline shape is testable end-to-end.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURE_SCHEMA = (
+    "doc_id long, n_bytes long, checksum long, mean_byte double, feat0 double"
+)
+
+
+def attach_binary(docs: DataFrame, src_col: str = "text") -> DataFrame:
+    """Model a media payload: cast a column to binary with metadata.
+    In production this is the parquet/lance binary column itself."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col(src_col), "utf-8").alias("payload"),
+        F.octet_length(F.col(src_col)).alias("n_bytes"),
+    )
+
+
+def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
+    """Decode an image payload to an array.  STUB: real decode needs an
+    image library not present in this environment."""
+    if not fake:
+        raise NotImplementedError(
+            "image decode requires an imaging library; pass fake=True for "
+            "the deterministic byte-statistics stand-in"
+        )
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    side = max(1, int(len(arr) ** 0.5))
+    return arr[: side * side].reshape(side, side)
+
+
+def extract_features(
+    media: DataFrame, payload_col: str = "payload", fake: bool = True
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The mapInPandas shape (iterator of batches → iterator of batches) is
+    exactly what a real CLIP/whisper embedding step uses; the math inside
+    is the deterministic stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_image(bytes(payload), fake=fake)
+                flat = img.astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "n_bytes": len(payload),
+                        "checksum": int(flat.sum() % 1_000_003),
+                        "mean_byte": float(flat.mean()) if flat.size else 0.0,
+                        "feat0": float(len(payload) % 7),
+                    }
+                )
+            yield pd.DataFrame(out, columns=["doc_id", "n_bytes", "checksum", "mean_byte", "feat0"])
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """Video-frame-sampling analogue on opaque payloads: emit one row per
+    sampled offset (posexplode over a computed offset array) — the
+    partition-explosion pattern a real frame sampler uses."""
+    offsets = F.sequence(
+        F.lit(0),
+        F.greatest(F.octet_length("payload") - 1, F.lit(0)),
+        F.lit(every_n_bytes),
+    )
+    return media.select(
+        "doc_id",
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )

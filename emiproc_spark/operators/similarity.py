@@ -1,0 +1,144 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: the correctness baseline — one pass over
+  the vectors, JVM-side ``zip_with``/``aggregate`` arithmetic, global
+  top-k via orderBy+limit (Spark runs distributed partial top-k).
+- random-hyperplane LSH buckets: the scale path — deterministic
+  md5-seeded hyperplanes, bucket key = sign-bit string; candidate
+  generation is an equi-join on the bucket, then exact re-rank.
+
+For a 100 TB corpus the bucket join replaces the O(N) scan per query
+with a per-bucket scan (~N / 2^planes), and the same signatures serve
+the all-pairs near-dup case (bucket self-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force cosine top-k against one query vector.
+
+    The per-partition top-k + driver merge is what orderBy+limit compiles
+    to (TakeOrderedAndProject) — no full sort, no global shuffle.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        embeddings.select(
+            id_col, cosine(F.col(vec_col), q).alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact k-NN join (small query side × large corpus): broadcast the
+    queries, window-rank per query.  For large query sides, LSH-bucket
+    both sides first (``lsh_buckets``) and re-rank within buckets."""
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "query_id",
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("qvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .drop("rank")
+    )
+
+
+def hyperplane(dim: int, plane: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane: component d is ±1 by the
+    parity of a hex digit of md5('p{plane}d{d}') — engine-portable, no
+    RNG state."""
+    import hashlib
+
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"p{plane}d{d}".encode()).hexdigest()
+        out.append(1.0 if int(h[0], 16) % 2 == 1 else -1.0)
+    return out
+
+
+def lsh_buckets(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket = sign-bit string over ``planes``
+    deterministic hyperplanes.  Adds a ``bucket`` column."""
+    bits = []
+    for p in range(planes):
+        hp = F.array(*[F.lit(v) for v in hyperplane(dim, p)])
+        bits.append(F.when(dot(F.col(vec_col), hp) > 0, "1").otherwise("0"))
+    return embeddings.withColumn("bucket", F.concat(*bits))
+
+
+def ann_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    dim: int,
+    k: int = 10,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: scan only the query's LSH bucket, exact
+    re-rank inside.  Recall improves with multi-probe (flip one bit) —
+    here the single-probe baseline."""
+    bucketed = lsh_buckets(embeddings, dim, planes, vec_col)
+    qbits = "".join(
+        "1" if sum(a * b for a, b in zip(query_vec, hyperplane(dim, p))) > 0 else "0"
+        for p in range(planes)
+    )
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        bucketed.where(F.col("bucket") == qbits)
+        .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )

@@ -1,0 +1,74 @@
+"""Text analysis for large-scale training-data pipelines.
+
+Beyond-reference operators (SURVEY.md §7.2 M7): tokenization, shingles,
+quality scoring, language-ID heuristic, document fingerprinting.  All
+hot-path expressions are built-in ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small English stopword set for the heuristic scorers (deterministic,
+# shared with oracle SQL via STOPWORDS_SQL)
+STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
+STOPWORDS_SQL = "(" + ", ".join(f"'{w}'" for w in STOPWORDS) + ")"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization (single-space split — the canonical
+    tokenizer shared with the DuckDB oracle)."""
+    return F.split(text, " ")
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings."""
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    parts = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
+    )
+    return F.when(F.size(toks) >= n, F.transform(idx, parts)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def stopword_count(toks: Column) -> Column:
+    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+
+
+def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document quality features: token count, char count, mean word
+    length, stopword ratio — the length/punct/stopword heuristics of
+    web-scale corpus filtering."""
+    t = tokens(F.col(text_col))
+    return docs.withColumns(
+        {
+            "n_tokens": F.size(t),
+            "n_chars_m": F.length(text_col),
+            "mean_word_len": F.length(text_col) / F.size(t),
+            "stopword_ratio": stopword_count(t) / F.size(t),
+        }
+    )
+
+
+def lang_id_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Language-ID heuristic: stopword-overlap score (fraction of tokens
+    in the English stopword set).  A real model plugs in the same shape —
+    per-language marker-token sets scored in one pass."""
+    t = tokens(F.col(text_col))
+    return docs.withColumn("en_score", stopword_count(t) / F.size(t)).withColumn(
+        "is_en", (F.col("en_score") > 0.05).cast("int")
+    )
+
+
+def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized
+    (lowercased, space-joined) token stream."""
+    t = tokens(F.lower(F.trim(F.col(text_col))))
+    return docs.withColumn("fp", F.md5(F.concat_ws(" ", t)))

@@ -1,0 +1,41 @@
+"""Parity arithmetic helpers shared by every driver-contract query.
+
+Aggregation order differs between Spark and DuckDB, so no plain double
+sum can hash-match.  Per-row double arithmetic IS bit-identical across
+engines (same IEEE ops), and ``FLOOR(x·s + 0.5)`` is pure IEEE too — so
+sums quantize per-row to int64, add exactly, and divide back.  CAST to
+DECIMAL is *not* usable: Spark rounds the exact decimal expansion while
+DuckDB disagrees near ties.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+QSCALE = 1_000_000.0  # µ-quantization for emission/price-sized values
+QR = 1e9  # output quantization for ratio-sized values
+
+
+def sumd(col) -> F.Column:
+    """Order-insensitive exact sum of doubles (µ-quantized), as double."""
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * F.lit(QSCALE) + F.lit(0.5)).cast("long")
+    return F.sum(q).cast("double") / F.lit(QSCALE)
+
+
+def sql_sumd(expr: str) -> str:
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {QSCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {QSCALE}"
+    )
+
+
+def qd(col, scale: float = QR) -> F.Column:
+    """Quantize a small double (ratios, factors) so sub-ulp engine
+    differences (e.g. fold-order in renormalization) collapse."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def sql_qd(expr: str, scale: float = QR) -> str:
+    return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"

@@ -1,0 +1,118 @@
+"""Profile ingestion: CSV/YAML formats → profile store + index tables.
+
+Reference formats (emiproc/profiles/temporal/io.py:91-208 and
+profiles/vertical_profiles.py:254-399):
+
+- temporal CSV: selector columns (category[, substance, country, type])
+  + one column per period; the column-name set decides the profile class
+  (24 hour columns → daily, 7 day names → weekly, 12 month names →
+  monthly);
+- vertical CSV: ``Category,Substance,20m,92m,…`` interval headers;
+- values may be ratios (sum≈1) or scaling factors (mean≈1) — detected
+  and normalized like io.py:167-181.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.profiles import dedup_profiles, normalize_ratios
+
+DAY_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
+MONTH_NAMES = [
+    "jan", "feb", "mar", "apr", "may", "jun",
+    "jul", "aug", "sep", "oct", "nov", "dec",
+]
+
+
+def detect_profile_type(period_cols: list[str]) -> str:
+    """Column-name pattern → profile class (reference io.py:67-88)."""
+    lower = [c.lower() for c in period_cols]
+    if len(lower) == 24 and all(c.isdigit() or c.startswith("h") for c in lower):
+        return "daily"
+    if len(lower) == 7 and set(lower) == set(DAY_NAMES):
+        return "weekly"
+    if len(lower) == 12 and set(lower) == set(MONTH_NAMES):
+        return "monthly"
+    if len(lower) in (8760, 8784):
+        return "hour_of_year"
+    raise ValueError(f"cannot infer profile type from columns {period_cols[:5]}…")
+
+
+def read_temporal_profiles_csv(
+    spark: SparkSession,
+    path: str,
+    selector_cols: list[str],
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """CSV → (tprofile store, index).  Period columns are every column
+    not in ``selector_cols``; order follows a canonical period ordering.
+    Rows are auto-normalized: scaling factors (mean 1) and ratios
+    (sum 1) both end as ratios (reference io.py:167-181)."""
+    raw = spark.read.options(header=True, inferSchema=True, **options).csv(path)
+    period_cols = [c for c in raw.columns if c not in selector_cols]
+    ptype = detect_profile_type(period_cols)
+    ordered = _order_periods(period_cols, ptype)
+    arr = F.array(*[F.col(f"`{c}`").cast("double") for c in ordered])
+    prof = raw.select(
+        *selector_cols, F.lit(ptype).alias("ptype"), normalize_ratios(arr).alias("ratios")
+    )
+    return dedup_profiles(prof)
+
+
+def _order_periods(cols: list[str], ptype: str) -> list[str]:
+    lower = {c.lower(): c for c in cols}
+    if ptype == "weekly":
+        return [lower[d] for d in DAY_NAMES]
+    if ptype == "monthly":
+        return [lower[m] for m in MONTH_NAMES]
+    # numeric-ish headers sort by numeric value
+    def keyfn(c: str):
+        digits = "".join(ch for ch in c if ch.isdigit())
+        return int(digits) if digits else 0
+
+    return sorted(cols, key=keyfn)
+
+
+def read_vertical_profiles_csv(
+    spark: SparkSession,
+    path: str,
+    selector_cols: list[str],
+    **options,
+) -> tuple[DataFrame, DataFrame]:
+    """Vertical CSV with height headers like ``20m,92m,184m`` (reference
+    vertical_profiles.py:276-364): header order gives the level tops."""
+    raw = spark.read.options(header=True, inferSchema=True, **options).csv(path)
+    height_cols = [c for c in raw.columns if c not in selector_cols]
+    tops = sorted(
+        (float("".join(ch for ch in c if ch.isdigit() or ch == ".")), c)
+        for c in height_cols
+    )
+    arr = F.array(*[F.col(f"`{c}`").cast("double") for _, c in tops])
+    prof = raw.select(
+        *selector_cols,
+        F.lit("vertical").alias("ptype"),
+        normalize_ratios(arr).alias("ratios"),
+    )
+    store, index = dedup_profiles(prof)
+    heights = F.array(*[F.lit(t) for t, _ in tops])
+    return store.withColumn("heights_top_m", heights).select(
+        "profile_id", "heights_top_m", "ratios"
+    ), index
+
+
+def profiles_from_yaml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
+    """YAML profile definitions (reference io.py:211-306): keys
+    ``daily``/``weekly``/``monthly`` each hold a ratio list."""
+    import yaml  # gated: pyyaml may be absent
+
+    with open(path) as f:
+        spec = yaml.safe_load(f)
+    rows = []
+    for key, ptype in (("diurn", "daily"), ("daily", "daily"), ("weekly", "weekly"), ("monthly", "monthly")):
+        if key in spec:
+            rows.append((spec.get("name", path), ptype, [float(x) for x in spec[key]]))
+    prof = spark.createDataFrame(rows, schema="name string, ptype string, ratios array<double>")
+    prof = prof.withColumn("ratios", normalize_ratios(F.col("ratios")))
+    return dedup_profiles(prof)

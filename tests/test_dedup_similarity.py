@@ -1,0 +1,112 @@
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators import dedup as dd
+from emiproc_spark.operators import similarity as sim
+from emiproc_spark.operators.multimodal import (
+    attach_binary,
+    decode_image,
+    extract_features,
+    frame_sample,
+)
+from emiproc_spark.operators.text import quality_features
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "completely different text with other words entirely here now"),
+    ]
+    return spark.createDataFrame(rows, schema="doc_id long, text string").cache()
+
+
+def test_exact_duplicates(docs):
+    out = dd.exact_duplicates(docs).collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keep_doc_id"] == 0
+
+
+def test_ngram_jaccard(docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+             dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert pairs[(0, 1)] == pytest.approx(1.0)
+    assert 0.3 <= pairs[(0, 2)] < 1.0
+    assert (0, 3) not in pairs
+
+
+def test_minhash_lsh(docs):
+    sigs = dd.minhash_signatures(docs, k=8)
+    cands = {(r["doc_a"], r["doc_b"]) for r in dd.lsh_candidate_pairs(sigs).collect()}
+    assert (0, 1) in cands  # identical docs always collide
+    assert (0, 3) not in cands
+
+
+def test_simhash_and_hamming(docs):
+    fp = dd.simhash(docs)
+    rows = {r["doc_id"]: r["simhash_bits"] for r in fp.collect()}
+    assert all(len(b) == 64 for b in rows.values())
+    assert rows[0] == rows[1]
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
+             dd.hamming_pairs(fp, max_distance=10).collect()}
+    assert pairs[(0, 1)] == 0
+    assert (0, 3) not in pairs
+
+
+def test_dedup_keep_first(docs):
+    sigs = dd.minhash_signatures(docs, k=8)
+    pairs = dd.lsh_candidate_pairs(sigs)
+    kept = dd.dedup_keep_first(docs, pairs)
+    ids = {r["doc_id"] for r in kept.collect()}
+    assert 0 in ids and 1 not in ids and 3 in ids
+
+
+def test_cosine_topk(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    top = sim.cosine_topk(emb, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [0, 1]
+    assert top[0]["cos"] == pytest.approx(1.0)
+
+
+def test_knn_join(spark):
+    rows = [(i, [float(i), 1.0]) for i in range(5)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    out = sim.knn_join(emb.where(F.col("vec_id") == 0), emb, k=2).collect()
+    assert len(out) == 2
+    assert out[0]["neighbor_id"] == 0  # self is nearest
+
+
+def test_ann_topk_contains_self(spark):
+    import random
+
+    random.seed(7)
+    rows = [(i, [random.uniform(-1, 1) for _ in range(16)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, schema="vec_id long, embedding array<float>")
+    q = rows[5][1]
+    top = sim.ann_topk(emb, q, dim=16, k=5, planes=4).collect()
+    assert top and top[0]["vec_id"] == 5  # query's own bucket contains it, cos=1
+
+
+def test_quality_features(docs):
+    out = quality_features(docs).collect()[0]
+    assert out["n_tokens"] == 9
+    assert out["stopword_ratio"] == pytest.approx(2 / 9)  # 'the' twice
+
+
+def test_multimodal_stub(spark, docs):
+    with pytest.raises(NotImplementedError):
+        decode_image(b"xx", fake=False)
+    media = attach_binary(docs)
+    feats = {r["doc_id"]: r for r in extract_features(media, fake=True).collect()}
+    assert feats[0]["n_bytes"] == len("the quick brown fox jumps over the lazy dog")
+    assert feats[0]["checksum"] == feats[1]["checksum"]
+    frames = frame_sample(media, every_n_bytes=16)
+    assert frames.where(F.col("doc_id") == 0).count() == 3  # 43 bytes → offsets 0,16,32
