@@ -546,12 +546,18 @@ def q_temporal_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.temporal import temporally_scaled
 
     e = fx.emissions(spark, sf_dir)
+    # pre-aggregate to the canonical one-row-per-(cell, cat, sub)
+    # inventory before exploding hours: the expansion fans out keys,
+    # not raw scan rows (600 × 72 instead of |lineitem| × 72)
+    e2 = e.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
     index = spark.createDataFrame(
         [("A", "F", 0), ("A", "O", 0), ("R", "F", 2), ("R", "O", 2)],
         schema="category string, substance string, profile_id int",
     )
     out = temporally_scaled(
-        e, index, _test_tprofiles(spark), "2024-01-01 00:00:00", EXPAND_HOURS, int(YEAR_HOURS)
+        e2, index, _test_tprofiles(spark), "2024-01-01 00:00:00", EXPAND_HOURS, int(YEAR_HOURS)
     )
     return out.groupBy("category", "substance", "hour_index").agg(
         sumd("value_kg_h").alias("value_kg_h")
@@ -560,7 +566,12 @@ def q_temporal_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # 2024-01-01 is a Monday → weekday(ts) == (h // 24) % 7 over the window
 SQL_TEMPORAL_EXPAND = f"""
-    WITH e AS ({fx.EMISSIONS_SQL}), hrs AS (SELECT h FROM range({EXPAND_HOURS}) t(h)),
+    WITH e0 AS ({fx.EMISSIONS_SQL}),
+    e AS (
+        SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+        FROM e0 GROUP BY 1, 2, 3
+    ),
+    hrs AS (SELECT h FROM range({EXPAND_HOURS}) t(h)),
     x AS (
         SELECT e.category, e.substance, hrs.h AS hour_index,
                e.value_kg_y / {YEAR_HOURS} * (
@@ -808,6 +819,205 @@ SQL_HDD_FACTORS = f"""
 
 
 # ======================================================================
+# Masks, inside/outside merge, VPRM, human respiration
+# ======================================================================
+# Axis-aligned "country" rectangles over the 10×10 grid; quarter-aligned
+# bounds keep every intersection area binary-exact, and no cell ends up
+# with an accidental near-tie between regions (the 4.25 split gives
+# 0.25/0.75 in the straddling column).  Cells with ymin ≥ 8 are ocean.
+REGIONS = [
+    ("C0", 0.0, 0.0, 4.25, 8.0),
+    ("C1", 4.25, 0.0, 10.0, 8.0),
+]
+
+
+def _region_table(spark: SparkSession):
+    from emiproc_spark.functions.geometry import wkb_box
+
+    rows = [
+        (i, name, wkb_box(x0, y0, x1, y1), x0, y0, x1, y1, (x1 - x0) * (y1 - y0))
+        for i, (name, x0, y0, x1, y1) in enumerate(REGIONS)
+    ]
+    return spark.createDataFrame(
+        rows,
+        schema=(
+            "region_key long, country string, geometry binary, "
+            "xmin double, ymin double, xmax double, ymax double, area double"
+        ),
+    )
+
+
+REGION_SQL = "SELECT * FROM (VALUES " + ", ".join(
+    f"('{n}', {x0}, {y0}, {x1}, {y1})" for n, x0, y0, x1, y1 in REGIONS
+) + ") AS r(country, rxmin, rymin, rxmax, rymax)"
+
+
+def q_country_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell country fractions via the generic polygon spatial-join
+    kernel (get_country_mask fraction method) — the Spark side runs the
+    real WKB clip in mapInPandas; the oracle is interval arithmetic."""
+    from emiproc_spark.operators.masks import cell_region_fractions
+
+    fr = cell_region_fractions(_region_table(spark), fx.fine_grid(spark), tile=fx.COARSE_D)
+    return fr.select("cell_id", "country", qd("fraction").alias("fraction"))
+
+
+SQL_COUNTRY_FRACTIONS = f"""
+    WITH g AS ({fx.FINE_GRID_SQL}), r AS ({REGION_SQL})
+    SELECT g.cell_id, r.country,
+           {sql_qd('''GREATEST(0.0, LEAST(g.xmax, r.rxmax) - GREATEST(g.xmin, r.rxmin))
+         * GREATEST(0.0, LEAST(g.ymax, r.rymax) - GREATEST(g.ymin, r.rymin))
+         / ((g.xmax - g.xmin) * (g.ymax - g.ymin))''')} AS fraction
+    FROM g CROSS JOIN r
+    WHERE LEAST(g.xmax, r.rxmax) > GREATEST(g.xmin, r.rxmin)
+      AND LEAST(g.ymax, r.rymax) > GREATEST(g.ymin, r.rymin)
+"""
+
+
+def q_country_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Majority country per cell (argmax fraction, -99 for ocean cells)."""
+    from emiproc_spark.operators.masks import cell_region_fractions, majority_region
+
+    fr = cell_region_fractions(_region_table(spark), fx.fine_grid(spark), tile=fx.COARSE_D)
+    return majority_region(fr.withColumn("fraction", qd("fraction")), fx.fine_grid(spark))
+
+
+SQL_COUNTRY_MAJORITY = f"""
+    WITH g AS ({fx.FINE_GRID_SQL}), r AS ({REGION_SQL}),
+    fr AS ({SQL_COUNTRY_FRACTIONS}),
+    ranked AS (
+        SELECT cell_id, country,
+               ROW_NUMBER() OVER (PARTITION BY cell_id
+                                  ORDER BY fraction DESC, country DESC) AS rn
+        FROM fr
+    )
+    SELECT g.cell_id, COALESCE(ranked.country, '-99') AS country
+    FROM g LEFT JOIN ranked ON g.cell_id = ranked.cell_id AND ranked.rn = 1
+"""
+
+
+def q_combine_inventories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inside/outside merge around the crop shape: crop(inside) +
+    crop(outside inverted) — the reference's declared-but-unimplemented
+    combine_inventories, realized by composition."""
+    from emiproc_spark.operators.masks import combine_inventories
+
+    e = fx.emissions(spark, sf_dir)
+    inside = e
+    outside = ops.scale_inventory(e, 3.0)
+    cw = rg.crop_weights_rect(fx.fine_grid(spark), *fx.CROP)
+    out = combine_inventories(inside, outside, cw)
+    return out.groupBy("cell_id", "category", "substance").agg(
+        sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+SQL_COMBINE_INVENTORIES = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), g AS ({fx.FINE_GRID_SQL}),
+    cw AS (
+        SELECT cell_id,
+               GREATEST(0.0, LEAST(xmax, {_x1}) - GREATEST(xmin, {_x0}))
+             * GREATEST(0.0, LEAST(ymax, {_y1}) - GREATEST(ymin, {_y0}))
+             / ((xmax - xmin) * (ymax - ymin)) AS crop_w
+        FROM g
+    ),
+    u AS (
+        SELECT e.cell_id, category, substance, value_kg_y * crop_w AS value_kg_y
+        FROM e JOIN cw ON e.cell_id = cw.cell_id
+        WHERE value_kg_y * crop_w <> 0.0
+        UNION ALL
+        SELECT e.cell_id, category, substance,
+               (value_kg_y * 3.0) * (1.0 - crop_w) AS value_kg_y
+        FROM e JOIN cw ON e.cell_id = cw.cell_id
+        WHERE (value_kg_y * 3.0) * (1.0 - crop_w) <> 0.0
+    )
+    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM u GROUP BY 1, 2, 3
+"""
+
+
+# VPRM constants shared with the oracle
+VPRM_LAMBDA = 0.2
+VPRM_PAR0 = 570.0
+VPRM_ALPHA = 0.12
+VPRM_BETA = 0.5
+
+
+def q_vprm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPRM GEE + respiration over a met timeseries derived from events
+    (temp = value/10, rad = value, EVI/LSWI closed-form from value) —
+    pure column arithmetic, bit-identical per row in both engines."""
+    from emiproc_spark.operators.vprm import vprm_gee, vprm_respiration
+
+    ev = _events(spark, sf_dir)
+    ts = ev.select(
+        "event_id",
+        (F.col("value") / 10.0).alias("temperature_c"),
+        F.col("value").alias("rad_w_m2"),
+        ((F.col("value") % 50.0) / 100.0).alias("evi"),
+        ((F.col("value") % 30.0) / 100.0 - 0.1).alias("lswi"),
+    )
+    out = vprm_gee(ts, VPRM_LAMBDA, VPRM_PAR0)
+    out = vprm_respiration(out, VPRM_ALPHA, VPRM_BETA)
+    return out.select("event_id", qd("gee").alias("gee"), qd("respiration").alias("respiration"))
+
+
+SQL_VPRM = f"""
+    WITH ts AS (
+        SELECT event_id,
+               value / 10.0 AS t,
+               value AS rad,
+               (value % 50.0) / 100.0 AS evi,
+               (value % 30.0) / 100.0 - 0.1 AS lswi
+        FROM events
+    ),
+    mx AS (SELECT MAX(lswi) AS lswi_max FROM ts),
+    calc AS (
+        SELECT event_id,
+               CASE WHEN t > 0.0 AND t < 45.0
+                         AND ((t - 0.0) * (t - 45.0) - (t - 20.0) * (t - 20.0)) <> 0.0
+                    THEN ((t - 0.0) * (t - 45.0))
+                         / ((t - 0.0) * (t - 45.0) - (t - 20.0) * (t - 20.0))
+                    ELSE 0.0 END AS tscale,
+               (1.0 + lswi) / (1.0 + mx.lswi_max) AS wscale,
+               (1.0 + lswi) / 2.0 AS pscale,
+               evi,
+               rad / {repr(0.505)} AS par,
+               t
+        FROM ts CROSS JOIN mx
+    )
+    SELECT event_id,
+           {sql_qd(f'{VPRM_LAMBDA} * tscale * wscale * pscale * evi * par / (1.0 + par / {VPRM_PAR0})')} AS gee,
+           {sql_qd(f'{VPRM_ALPHA} * GREATEST(t, 0.0) + {VPRM_BETA}')} AS respiration
+    FROM calc
+"""
+
+
+RESP_FACTOR = 0.024  # kg CO2 / person / day scale
+
+
+def q_people_to_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Human-respiration emissions from a population table (customers:
+    n_people = c_custkey % 1000), aggregated per market segment."""
+    from emiproc_spark.operators.vprm import people_to_emissions
+
+    cust = fx.load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment", (F.col("c_custkey") % 1000).alias("n_people")
+    )
+    e = people_to_emissions(cust, RESP_FACTOR, time_ratio=0.8)
+    return e.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_rows"), sumd("value_kg_y").alias("value_kg_y")
+    )
+
+
+SQL_PEOPLE_TO_EMISSIONS = f"""
+    SELECT c_mktsegment, COUNT(*) AS n_rows,
+           {sql_sumd(f'{RESP_FACTOR} * (c_custkey % 1000) * 0.8 * 365.25')} AS value_kg_y
+    FROM customer GROUP BY 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -837,6 +1047,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiles_dedup": q_profiles_dedup,
     "vertical_rebin": q_vertical_rebin,
     "hdd_factors": q_hdd_factors,
+    "country_fractions": q_country_fractions,
+    "country_majority": q_country_majority,
+    "combine_inventories": q_combine_inventories,
+    "vprm": q_vprm,
+    "people_to_emissions": q_people_to_emissions,
 }
 
 from emiproc_spark.driver_queries_text import ORACLES_TEXT, QUERIES_TEXT  # noqa: E402
@@ -870,6 +1085,11 @@ ORACLES: dict[str, str] = {
     "profiles_dedup": SQL_PROFILES_DEDUP,
     "vertical_rebin": SQL_VERTICAL_REBIN,
     "hdd_factors": SQL_HDD_FACTORS,
+    "country_fractions": SQL_COUNTRY_FRACTIONS,
+    "country_majority": SQL_COUNTRY_MAJORITY,
+    "combine_inventories": SQL_COMBINE_INVENTORIES,
+    "vprm": SQL_VPRM,
+    "people_to_emissions": SQL_PEOPLE_TO_EMISSIONS,
 }
 
 ORACLES.update(ORACLES_TEXT)

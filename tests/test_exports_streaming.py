@@ -1,0 +1,138 @@
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import EMISSIONS
+from emiproc_spark.exports.writers import (
+    add_totals,
+    export_hourly_parquet,
+    export_raster_parquet,
+    nc_cf_attributes,
+    regionize,
+    tz_shifted_ratios,
+    with_flux_units,
+)
+from emiproc_spark.grids import regular_grid
+from emiproc_spark.sources.readers import convert_units, from_wide, to_wide
+from emiproc_spark.streaming.streams import dedup_stream, windowed_event_stats
+
+
+@pytest.fixture(scope="module")
+def emissions(spark):
+    rows = [(c, "cat", "CO2", float(c + 1)) for c in range(4)]
+    return spark.createDataFrame(rows, schema=EMISSIONS).cache()
+
+
+@pytest.fixture(scope="module")
+def grid(spark):
+    return regular_grid(spark, 0.0, 0.0, 2, 2, 1.0, 1.0, with_geometry=False).cache()
+
+
+def test_flux_units(emissions, grid):
+    out = with_flux_units(emissions, grid).collect()[0]
+    assert out["flux_kg_m2_s"] == pytest.approx(
+        out["value_kg_y"] / 1.0 / (365.25 * 24 * 3600)
+    )
+
+
+def test_add_totals(emissions):
+    rows = {(r["substance"], r["category"]): r["total_kg_y"] for r in add_totals(emissions).collect()}
+    assert rows[("CO2", "cat")] == 10.0
+    assert rows[("CO2", "__total__")] == 10.0
+
+
+def test_raster_and_hourly_exports(emissions, grid, spark):
+    with tempfile.TemporaryDirectory() as d:
+        export_raster_parquet(emissions, grid, f"{d}/raster")
+        back = spark.read.parquet(f"{d}/raster")
+        assert back.count() == 4
+        assert "lon" in back.columns and "cat__CO2" in back.columns
+        hourly = emissions.withColumn("hour_index", F.col("cell_id") % 2)
+        export_hourly_parquet(hourly, f"{d}/hourly")
+        assert len([p for p in os.listdir(f"{d}/hourly") if p.startswith("hour_index=")]) == 2
+
+
+def test_regionize(spark):
+    cell_tz = spark.createDataFrame(
+        [(0, "Europe/Zurich"), (1, "Europe/Zurich"), (2, "Europe/Paris")],
+        schema="cell_id long, tzid string",
+    )
+    idx = spark.createDataFrame([(0, 5), (1, 5), (2, 5)], schema="cell_id long, profile_id int")
+    out = regionize(cell_tz, idx)
+    regions = {r["cell_id"]: r["region_id"] for r in out.collect()}
+    assert regions[0] == regions[1] != regions[2]
+
+
+def test_tz_shifted_ratios(spark):
+    prof = spark.createDataFrame(
+        [(0, "daily", [float(h) for h in range(24)])],
+        schema="profile_id int, ptype string, ratios array<double>",
+    )
+    shift = spark.createDataFrame([(2,)], schema="shift_h int")
+    out = tz_shifted_ratios(prof, shift).collect()[0]["ratios_local"]
+    assert out[0] == 2.0 and out[23] == 1.0
+
+
+def test_nc_cf_attributes():
+    attrs = nc_cf_attributes("test", ["CO2", "CH4"], 2024)
+    assert attrs["Conventions"] == "CF-1.10"
+    assert attrs["substances"] == "CH4,CO2"
+
+
+def test_wide_roundtrip(spark, emissions):
+    w = to_wide(emissions)
+    back = from_wide(w)
+    assert back.agg(F.sum("value_kg_y")).collect()[0][0] == pytest.approx(10.0)
+
+
+def test_convert_units(spark):
+    df = spark.createDataFrame([(2.0, 3.0)], "v double, area_m2 double")
+    assert convert_units(df, "v", "t/y").collect()[0]["value_kg_y"] == 2000.0
+    assert convert_units(df, "v", "kg/m2/y").collect()[0]["value_kg_y"] == 6.0
+    with pytest.raises(ValueError):
+        convert_units(df, "v", "furlongs")
+
+
+def test_windowed_event_stats_batch(spark):
+    rows = [
+        ("2024-01-01 00:10:00", "a", 1.0),
+        ("2024-01-01 00:50:00", "a", 2.0),
+        ("2024-01-01 01:10:00", "a", 4.0),
+    ]
+    ev = spark.createDataFrame(rows, schema="ts string, event_type string, value double").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {str(r["window_start"]): r["sum_value"] for r in windowed_event_stats(ev).collect()}
+    assert len(out) == 2
+    assert 3.0 in out.values() and 4.0 in out.values()
+
+
+def test_dedup_stream_batch(spark):
+    ev = spark.createDataFrame(
+        [(1, "x"), (1, "x"), (2, "y")], schema="event_id long, payload string"
+    )
+    assert dedup_stream(ev, ["event_id"]).count() == 2
+
+
+def test_streaming_end_to_end(spark):
+    """Real Structured Streaming smoke: rate source → windowed agg →
+    memory sink with availableNow trigger."""
+    rate = spark.readStream.format("rate").option("rowsPerSecond", "100").load()
+    ev = rate.select(
+        F.col("timestamp").alias("ts"),
+        (F.col("value") % 3).cast("string").alias("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+    agg = windowed_event_stats(ev, window_duration="10 seconds", watermark_delay="0 seconds")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("stream_smoke")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    spark.table("stream_smoke")  # table exists; rows may be withheld by watermark
+    assert not q.isActive
