@@ -818,6 +818,39 @@ SQL_HDD_FACTORS = f"""
 """
 
 
+def q_interpolate_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly profile → hour-of-year with midpoint linear interpolation
+    (interpolate_profiles semantics); first 1000 hours."""
+    from emiproc_spark.operators.interpolation import profile_to_hour_of_year
+
+    prof = spark.createDataFrame(
+        [(0, [(m + 1) / 78.0 for m in range(12)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    out = profile_to_hour_of_year(prof, "monthly", 8760, interpolate=True)
+    return out.where(F.col("hour") < 1000).select(
+        "profile_id", "hour", qd("sf").alias("sf")
+    )
+
+
+SQL_INTERPOLATE_PROFILES = f"""
+    WITH hrs AS (SELECT h FROM range(1000) t(h)),
+    calc AS (
+        SELECT h,
+               ((h % 8760) + 0.5) / (8760.0 / 12) - 0.5 AS frac
+        FROM hrs
+    ),
+    pos AS (
+        SELECT h, frac, FLOOR(frac) AS k0, frac - FLOOR(frac) AS t,
+               CAST(((CAST(FLOOR(frac) AS BIGINT) % 12) + 12) % 12 AS INT) AS lo
+        FROM calc
+    )
+    SELECT 0 AS profile_id, h AS hour,
+           {sql_qd('((lo + 1) / 78.0 * (1.0 - t) + (((lo + 1) % 12) + 1) / 78.0 * t) * 12')} AS sf
+    FROM pos
+"""
+
+
 # ======================================================================
 # Masks, inside/outside merge, VPRM, human respiration
 # ======================================================================
@@ -1047,6 +1080,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiles_dedup": q_profiles_dedup,
     "vertical_rebin": q_vertical_rebin,
     "hdd_factors": q_hdd_factors,
+    "interpolate_profiles": q_interpolate_profiles,
     "country_fractions": q_country_fractions,
     "country_majority": q_country_majority,
     "combine_inventories": q_combine_inventories,
@@ -1085,6 +1119,7 @@ ORACLES: dict[str, str] = {
     "profiles_dedup": SQL_PROFILES_DEDUP,
     "vertical_rebin": SQL_VERTICAL_REBIN,
     "hdd_factors": SQL_HDD_FACTORS,
+    "interpolate_profiles": SQL_INTERPOLATE_PROFILES,
     "country_fractions": SQL_COUNTRY_FRACTIONS,
     "country_majority": SQL_COUNTRY_MAJORITY,
     "combine_inventories": SQL_COMBINE_INVENTORIES,

@@ -123,6 +123,29 @@ def nc_cf_attributes(
     }
 
 
+def export_text_formatted(
+    df: DataFrame,
+    path: str,
+    columns: list[str],
+    sep: str = ",",
+    decimals: int = 6,
+) -> None:
+    """Fixed-format text export (reference GRAL emission writers,
+    exports/gral.py:65-331 write per-source text lines): rows formatted
+    JVM-side with ``format_number``/``concat_ws`` and written as
+    distributed text partitions — no driver collect, no Python loop."""
+    parts = []
+    for c in columns:
+        dtype = dict(df.dtypes)[c]
+        col = F.col(c)
+        if dtype in ("double", "float"):
+            col = F.format_number(col, decimals)
+        parts.append(col.cast("string"))
+    df.select(F.concat_ws(sep, *parts).alias("value")).write.mode(
+        "overwrite"
+    ).text(path)
+
+
 def export_netcdf(emissions: DataFrame, grid: DataFrame, path: str) -> None:
     """Gated NetCDF bridge: collects the (small, export-sized) wide
     raster to pandas and writes via xarray — the reference's own

@@ -1,0 +1,156 @@
+"""Profile resampling: composite cycles ↔ hour-of-year series.
+
+Reference: ``emiproc/profiles/temporal/operators.py:152-338`` —
+``get_profile_da`` stamps a profile at period midpoints,
+``interpolate_profiles`` linearly interpolates each cycle to hourly
+resolution and multiplies cycles together; the inverse direction
+aggregates hour-of-year back to (daily, weekly, monthly) cycles with
+hour/dow mean and month **sum** (operators.py:304-318).
+
+Spark shape: the hourly scaffold is ``sequence``+``explode`` (8760/8784
+rows per profile — dimension-sized); interpolation is an element_at
+gather of the two bracketing period values with closed-form weights, no
+window functions needed because cyclic position arithmetic is exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import PROFILE_SIZES
+
+
+# hours per full cycle of each profile type: daily repeats every 24 h,
+# weekly every 168 h, monthly/day_of_year span the year
+def _cycle_hours(ptype: str, year_hours: int) -> int:
+    return {
+        "daily": 24,
+        "weekly": 168,
+        "hour_of_week": 168,
+        "monthly": year_hours,
+        "day_of_year": year_hours,
+        "day_of_leap_year": year_hours,
+        "hour_of_year": year_hours,
+        "hour_of_leap_year": year_hours,
+    }[ptype]
+
+
+def profile_to_hour_of_year(
+    tprofiles: DataFrame,
+    ptype: str,
+    year_hours: int = 8760,
+    interpolate: bool = True,
+) -> DataFrame:
+    """Resample profiles of one type to an hour-of-year scaling-factor
+    series (reference interpolate_profiles → hourly,
+    operators.py:290-302).
+
+    Each cycle repeats ``year_hours / cycle_hours`` times; values sit at
+    period midpoints and interpolate linearly between them with cyclic
+    wrap (midpoint stamping per get_profile_da, operators.py:196-209).
+    Months are uniform-length (year_hours/12) — a documented divergence
+    from the reference's true-calendar midpoints; totals are unaffected
+    because factors renormalize over the cycle.
+
+    Returns (profile_id, hour, sf); mean(sf) ≈ 1 per profile.
+    """
+    cyc = _cycle_hours(ptype, year_hours)
+    hours = F.explode(F.sequence(F.lit(0), F.lit(year_hours - 1))).alias("hour")
+    base = tprofiles.select("profile_id", "ratios", hours)
+    n = F.size("ratios")
+    period_h = F.lit(float(cyc)) / n
+    # position of this hour's midpoint within the current cycle, in
+    # period units
+    pos = ((F.col("hour") % cyc) + F.lit(0.5)) / period_h
+    if interpolate:
+        # period k's midpoint sits at position k+0.5
+        frac = pos - 0.5
+        k0 = F.floor(frac)
+        t = frac - k0
+        lo = ((k0 % n) + n) % n
+        hi = (lo + 1) % n
+        val = (
+            F.element_at("ratios", lo.cast("int") + 1) * (F.lit(1.0) - t)
+            + F.element_at("ratios", hi.cast("int") + 1) * t
+        ) * n
+        out = base.withColumn("sf", val)
+    else:
+        k = F.floor(pos).cast("int") % n
+        out = base.withColumn("sf", F.element_at("ratios", k + 1) * n)
+    return out.select("profile_id", "hour", "sf")
+
+
+def hour_of_year_to_cycles(
+    series: DataFrame,
+    year_start_weekday: int = 0,
+) -> DataFrame:
+    """Inverse resample: hour-of-year series → three cycles
+    (reference operators.py:304-318): hour-of-day mean, day-of-week
+    mean, month **sum**, each renormalized to ratios.
+
+    ``series``: (profile_id, hour, sf).  Month boundaries use the
+    non-leap 365-day calendar like the reference's dayofyear mapping.
+    Returns (profile_id, ptype, pos, ratio) in long form.
+    """
+    month_starts = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334, 365]
+    doy = F.floor(F.col("hour") / 24)
+    month = F.lit(11)
+    for m in range(11, -1, -1):
+        month = F.when(doy >= month_starts[m], F.lit(m)).otherwise(month)
+    enriched = series.select(
+        "profile_id",
+        "sf",
+        (F.col("hour") % 24).alias("hour_of_day"),
+        ((doy + year_start_weekday) % 7).alias("day_of_week"),
+        month.alias("month"),
+    )
+
+    def cycle(dim: str, ptype: str, agg: Column) -> DataFrame:
+        g = enriched.groupBy("profile_id", F.col(dim).alias("pos")).agg(agg.alias("val"))
+        tot = g.groupBy("profile_id").agg(F.sum("val").alias("tot"))
+        return g.join(tot, "profile_id").select(
+            "profile_id",
+            F.lit(ptype).alias("ptype"),
+            F.col("pos").cast("int").alias("pos"),
+            (F.col("val") / F.col("tot")).alias("ratio"),
+        )
+
+    daily = cycle("hour_of_day", "daily", F.avg("sf"))
+    weekly = cycle("day_of_week", "weekly", F.avg("sf"))
+    monthly = cycle("month", "monthly", F.sum("sf"))
+    return daily.unionByName(weekly).unionByName(monthly)
+
+
+def resolve_daytype(
+    day_profiles: DataFrame,
+    day_type_sets: dict[str, list[int]] | None = None,
+) -> DataFrame:
+    """Merge day_type-split daily profiles into one hour-of-week profile
+    by masking day-of-week ranges (reference resolve_daytype,
+    operators.py:345-437): each weekday takes its day_type's 24 ratios.
+
+    ``day_profiles``: (profile_id, day_type, ratios ARRAY<24 DOUBLE>).
+    Default sets: weekday = Mon..Fri, weekend = Sat+Sun.
+    Returns (profile_id, ptype='hour_of_week', ratios ARRAY<168>).
+    """
+    sets = day_type_sets or {"weekday": [0, 1, 2, 3, 4], "weekend": [5, 6]}
+    spark = day_profiles.sparkSession
+    rows = [(dt, d) for dt, days in sets.items() for d in days]
+    days = spark.createDataFrame(rows, schema="day_type string, dow int")
+    per_day = (
+        day_profiles.join(F.broadcast(days), "day_type")
+        .select("profile_id", "dow", F.posexplode("ratios").alias("h", "ratio"))
+        .withColumn("pos", F.col("dow") * 24 + F.col("h"))
+    )
+    tot = per_day.groupBy("profile_id").agg(F.sum("ratio").alias("tot"))
+    from emiproc_spark.operators.profiles import _ratio_from_pairs
+
+    return (
+        per_day.join(tot, "profile_id")
+        .withColumn("ratio", F.col("ratio") / F.col("tot"))
+        .groupBy("profile_id")
+        .agg(_ratio_from_pairs().alias("ratios"))
+        .withColumn("ptype", F.lit("hour_of_week"))
+        .select("profile_id", "ptype", "ratios")
+    )

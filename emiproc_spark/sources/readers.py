@@ -140,8 +140,9 @@ def from_duckdb(
         con.close()
     wide = spark.createDataFrame(tbl.to_pandas())
     sub_cols = [c for c in wide.columns if c.startswith(substance_prefix)]
+    # mixed numeric source types (DECIMAL widths, ints) must unify for stack
     stack_expr = ", ".join(
-        f"'{c[len(substance_prefix):]}', `{c}`" for c in sub_cols
+        f"'{c[len(substance_prefix):]}', CAST(`{c}` AS DOUBLE)" for c in sub_cols
     )
     return wide.selectExpr(
         f"{cell_col} AS cell_id",

@@ -1,0 +1,85 @@
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.interpolation import (
+    hour_of_year_to_cycles,
+    profile_to_hour_of_year,
+    resolve_daytype,
+)
+
+
+def test_daily_step_resample_repeats(spark):
+    prof = spark.createDataFrame(
+        [(0, [(h + 1) / 300.0 for h in range(24)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    out = profile_to_hour_of_year(prof, "daily", 8760, interpolate=False)
+    rows = {r["hour"]: r["sf"] for r in out.where(F.col("hour") < 50).collect()}
+    assert rows[0] == pytest.approx(1 / 300 * 24)
+    assert rows[25] == pytest.approx(2 / 300 * 24)  # repeats next day
+    # mean over year = 1
+    mean = out.agg(F.avg("sf")).collect()[0][0]
+    assert mean == pytest.approx(1.0)
+
+
+def test_daily_interpolated_mean_one(spark):
+    prof = spark.createDataFrame(
+        [(0, [(h + 1) / 300.0 for h in range(24)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    out = profile_to_hour_of_year(prof, "daily", 8760, interpolate=True)
+    mean = out.agg(F.avg("sf")).collect()[0][0]
+    assert mean == pytest.approx(1.0, rel=1e-9)
+    # uniform profile stays exactly 1 everywhere
+    uni = spark.createDataFrame(
+        [(1, [1.0 / 24] * 24)], schema="profile_id int, ratios array<double>"
+    )
+    u = profile_to_hour_of_year(uni, "daily", 8760)
+    assert u.agg(F.min("sf")).collect()[0][0] == pytest.approx(1.0)
+    assert u.agg(F.max("sf")).collect()[0][0] == pytest.approx(1.0)
+
+
+def test_monthly_interpolation_smooth(spark):
+    prof = spark.createDataFrame(
+        [(0, [(m + 1) / 78.0 for m in range(12)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    out = profile_to_hour_of_year(prof, "monthly", 8760, interpolate=True)
+    # adjacent hours differ by at most the per-hour slope between months
+    vals = [r["sf"] for r in out.orderBy("hour").limit(2000).collect()]
+    max_jump = max(abs(a - b) for a, b in zip(vals, vals[1:]))
+    assert max_jump < 0.01
+
+
+def test_roundtrip_cycles(spark):
+    prof = spark.createDataFrame(
+        [(0, [(h + 1) / 300.0 for h in range(24)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    hourly = profile_to_hour_of_year(prof, "daily", 8760, interpolate=False)
+    cycles = hour_of_year_to_cycles(hourly)
+    daily = {
+        r["pos"]: r["ratio"]
+        for r in cycles.where(F.col("ptype") == "daily").collect()
+    }
+    for h in range(24):
+        assert daily[h] == pytest.approx((h + 1) / 300.0)
+    weekly = cycles.where(F.col("ptype") == "weekly").collect()
+    assert all(r["ratio"] == pytest.approx(1 / 7) for r in weekly)
+
+
+def test_resolve_daytype(spark):
+    wk = [1.0 / 24] * 24
+    we = [0.0] * 12 + [1.0 / 12] * 12
+    prof = spark.createDataFrame(
+        [(0, "weekday", wk), (0, "weekend", we)],
+        schema="profile_id int, day_type string, ratios array<double>",
+    )
+    out = resolve_daytype(prof).collect()[0]
+    assert out["ptype"] == "hour_of_week"
+    r = out["ratios"]
+    assert len(r) == 168
+    assert sum(r) == pytest.approx(1.0)
+    # Saturday morning (day 5, hour 0) is zero; Monday is uniform
+    assert r[5 * 24 + 0] == 0.0
+    assert r[0] == pytest.approx((1.0 / 24) / 7.0)
