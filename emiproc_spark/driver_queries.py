@@ -4,10 +4,11 @@ Every entry exercises an engine operator (SURVEY.md §2) on data derived
 deterministically from the driver's parquet tables; the oracle is the
 same computation in closed-form ANSI SQL.
 
-Float determinism: aggregation order differs between engines, so every
-sum routes through ``DECIMAL(30,10)`` — per-row double arithmetic is
-bit-identical in both engines, decimal addition is exact, and the final
-cast back to double is then bit-identical too.  No tolerance needed.
+Float determinism: aggregation order differs between engines, so sums
+route through per-row integer quantization (see ``qhelpers``) — per-row
+double arithmetic is bit-identical across engines, int64 addition is
+exact, and the final divide back to double matches bit-for-bit.  No
+tolerance needed anywhere.
 """
 
 from __future__ import annotations
@@ -818,6 +819,139 @@ SQL_HDD_FACTORS = f"""
 """
 
 
+# ======================================================================
+# Relational breadth: windows, grouping sets, set ops (SURVEY §2.8)
+# ======================================================================
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running per-customer order total — a window frame with a fully
+    deterministic ordering, so the sequential fold is bit-identical in
+    both engines (no quantization needed)."""
+    from pyspark.sql import Window
+
+    orders = fx.load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # quantize inside the frame: engines associate window sums
+    # differently (running fold vs segment tree), int64 sums don't care
+    qv = F.floor(F.col("o_totalprice") * F.lit(QSCALE) + F.lit(0.5)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        (F.sum(qv).over(w).cast("double") / F.lit(QSCALE)).alias("running_total"),
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        ).alias("order_seq"),
+    )
+
+
+SQL_WINDOW_RUNNING_TOTAL = """
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE) / 1000000.0 AS running_total,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+"""
+
+
+def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense-rank suppliers by revenue within nation — ranking window
+    over an exact (µ-quantized) aggregate."""
+    from pyspark.sql import Window
+
+    li = fx.load(spark, sf_dir, "lineitem")
+    sup = fx.load(spark, sf_dir, "supplier")
+    rev = (
+        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(sumd("l_extendedprice").alias("revenue"))
+    )
+    w = Window.partitionBy("s_nationkey").orderBy(F.col("revenue").desc(), "s_suppkey")
+    return rev.withColumn("rnk", F.dense_rank().over(w))
+
+
+SQL_SUPPLIER_RANK = f"""
+    WITH rev AS (
+        SELECT s_nationkey, s_suppkey, {sql_sumd('l_extendedprice')} AS revenue
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1, 2
+    )
+    SELECT s_nationkey, s_suppkey, revenue,
+           DENSE_RANK() OVER (PARTITION BY s_nationkey
+                              ORDER BY revenue DESC, s_suppkey) AS rnk
+    FROM rev
+"""
+
+
+def q_cube_emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (category, substance) — full grouping-sets lattice with
+    null markers replaced so the hash compare is unambiguous."""
+    e = fx.emissions(spark, sf_dir)
+    q = F.floor(F.col("value_kg_y") * F.lit(QSCALE) + F.lit(0.5)).cast("long")
+    return (
+        e.select("category", "substance", q.alias("v"))
+        .cube("category", "substance")
+        .agg(
+            (F.sum("v").cast("double") / F.lit(QSCALE)).alias("total_kg_y"),
+            F.count("*").alias("n_rows"),
+        )
+        .withColumn("category", F.coalesce("category", F.lit("__all__")))
+        .withColumn("substance", F.coalesce("substance", F.lit("__all__")))
+    )
+
+
+SQL_CUBE_EMISSIONS = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT COALESCE(category, '__all__') AS category,
+           COALESCE(substance, '__all__') AS substance,
+           {sql_sumd('value_kg_y')} AS total_kg_y,
+           COUNT(*) AS n_rows
+    FROM e GROUP BY CUBE (category, substance)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT/INTERSECT: customers with orders but none in 'F' status,
+    and customers in both 'O' and 'F' — counted per branch."""
+    orders = fx.load(spark, sf_dir, "orders")
+    all_c = orders.select("o_custkey")
+    f_c = orders.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    o_c = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    no_f = all_c.subtract(f_c)  # EXCEPT (distinct) semantics
+    both = o_c.intersect(f_c)
+    return spark.createDataFrame(
+        [("except_f",), ("intersect_of",)], schema="branch string"
+    ).join(
+        no_f.agg(F.count("*").alias("n")).withColumn("branch", F.lit("except_f"))
+        .unionByName(both.agg(F.count("*").alias("n")).withColumn("branch", F.lit("intersect_of"))),
+        "branch",
+    )
+
+
+SQL_SET_OPS = """
+    WITH no_f AS (
+        SELECT DISTINCT o_custkey FROM (
+            SELECT o_custkey FROM orders
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        )
+    ),
+    both_st AS (
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT
+        SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    SELECT 'except_f' AS branch, COUNT(*) AS n FROM no_f
+    UNION ALL
+    SELECT 'intersect_of' AS branch, COUNT(*) AS n FROM both_st
+"""
+
+
 def q_interpolate_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly profile → hour-of-year with midpoint linear interpolation
     (interpolate_profiles semantics); first 1000 hours."""
@@ -1080,6 +1214,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profiles_dedup": q_profiles_dedup,
     "vertical_rebin": q_vertical_rebin,
     "hdd_factors": q_hdd_factors,
+    "window_running_total": q_window_running_total,
+    "supplier_rank": q_supplier_rank,
+    "cube_emissions": q_cube_emissions,
+    "set_ops": q_set_ops,
     "interpolate_profiles": q_interpolate_profiles,
     "country_fractions": q_country_fractions,
     "country_majority": q_country_majority,
@@ -1119,6 +1257,10 @@ ORACLES: dict[str, str] = {
     "profiles_dedup": SQL_PROFILES_DEDUP,
     "vertical_rebin": SQL_VERTICAL_REBIN,
     "hdd_factors": SQL_HDD_FACTORS,
+    "window_running_total": SQL_WINDOW_RUNNING_TOTAL,
+    "supplier_rank": SQL_SUPPLIER_RANK,
+    "cube_emissions": SQL_CUBE_EMISSIONS,
+    "set_ops": SQL_SET_OPS,
     "interpolate_profiles": SQL_INTERPOLATE_PROFILES,
     "country_fractions": SQL_COUNTRY_FRACTIONS,
     "country_majority": SQL_COUNTRY_MAJORITY,

@@ -1,0 +1,146 @@
+"""Composite temporal profiles: multiple cycles per assignment.
+
+Reference: ``emiproc/profiles/temporal/composite.py`` — a composite
+profile multiplies several cycles (hour-of-day × day-of-week ×
+month-of-year); the store keeps, per type, a ratio matrix and an index
+with −1 = "no sub-profile" (constant).
+
+Spark model: the composite is the *long* relation
+
+    composite(comp_id INT, ptype STRING, profile_id INT)
+
+over the flat ``tprofile`` store — joins replace index gathers, and a
+missing (comp_id, ptype) row is the constant sub-profile.  Scaling
+factors multiply across types at apply time
+(``scaling_factor_at`` per type, product over types — reference
+get_scaling_factors_at_time, temporal/operators.py:97-149).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.temporal import scaling_factor_at
+
+
+def make_composite_profiles(assignments: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Dictionary-encode per-type profile assignments into composite ids
+    (reference make_composite_profiles, composite.py:375-435: stringified
+    tuple unique → int ids).
+
+    ``assignments``: (…keys, ptype, profile_id) — one row per key and
+    type.  Returns (composite(comp_id, ptype, profile_id),
+    index(…keys, comp_id)).
+    """
+    keys = [c for c in assignments.columns if c not in ("ptype", "profile_id")]
+    tuples = assignments.groupBy(*keys).agg(
+        F.array_sort(F.collect_list(F.struct("ptype", "profile_id"))).alias("combo")
+    )
+    distinct = tuples.select("combo").distinct().withColumn(
+        "comp_id", (F.row_number().over(Window.orderBy("combo")) - 1).cast("int")
+    )
+    index = tuples.join(distinct, "combo").select(*keys, "comp_id")
+    composite = (
+        distinct.select("comp_id", F.explode("combo").alias("c"))
+        .select("comp_id", F.col("c.ptype").alias("ptype"), F.col("c.profile_id").alias("profile_id"))
+        .where(F.col("profile_id") >= 0)
+    )
+    return composite, index
+
+
+def concatenate_profiles(a: DataFrame, b: DataFrame) -> tuple[DataFrame, Column]:
+    """Union two profile stores with id offset (reference
+    concatenate_profiles, profiles/operators.py:35-55).  Returns the
+    union and the offset applied to ``b`` ids (for re-keying indexes)."""
+    offset = a.agg(F.coalesce(F.max("profile_id") + 1, F.lit(0))).collect()[0][0]
+    shifted = b.withColumn("profile_id", (F.col("profile_id") + F.lit(offset)).cast("int"))
+    return a.unionByName(shifted), F.lit(offset)
+
+
+def broadcast_to_types(composite: DataFrame, ptypes: list[str]) -> DataFrame:
+    """Widen every composite to a common type set, filling missing types
+    with the constant sub-profile −1 (reference
+    CompositeTemporalProfiles.broadcast, composite.py:230-372)."""
+    spark = composite.sparkSession
+    tdf = spark.createDataFrame([(t,) for t in ptypes], schema="ptype string")
+    scaffold = composite.select("comp_id").distinct().crossJoin(F.broadcast(tdf))
+    return scaffold.join(composite, ["comp_id", "ptype"], "left").withColumn(
+        "profile_id", F.coalesce("profile_id", F.lit(-1))
+    )
+
+
+def composite_scaling_factor(ts: Column, sub_profiles: DataFrame) -> DataFrame:
+    """Scaling factor of each composite at one timestamp column bound to
+    ``sub_profiles`` rows (comp_id, ptype, ratios): per-type factors
+    multiply via exp(Σ log) — a product aggregate that keeps map-side
+    partial aggregation (missing types contribute log(1)=0)."""
+    per_type = sub_profiles.withColumn(
+        "sf", scaling_factor_at(ts, F.col("ptype"), F.col("ratios"))
+    )
+    return per_type.groupBy("comp_id").agg(
+        F.exp(F.sum(F.log(F.greatest(F.col("sf"), F.lit(1e-300))))).alias("sf")
+    )
+
+
+def ensure_specific_days_consistency(
+    day_profiles: DataFrame,
+    general: DataFrame | None = None,
+) -> DataFrame:
+    """Expand weekday/weekend day-type profiles to all seven days,
+    filling gaps with the general daily profile (reference
+    ensure_specific_days_consistency, temporal/utils.py:36-97).
+
+    ``day_profiles``: (profile_id, day_type, ratios) with day_type in
+    {mon..sun, weekday, weekend}; ``general``: (profile_id, ratios)
+    fallback.  Returns (profile_id, dow, ratios) for dow 0..6.
+    """
+    spark = day_profiles.sparkSession
+    expand = {
+        "weekday": [0, 1, 2, 3, 4],
+        "weekend": [5, 6],
+        "mon": [0], "tue": [1], "wed": [2], "thu": [3],
+        "fri": [4], "sat": [5], "sun": [6],
+    }
+    rows = [(dt, d) for dt, days in expand.items() for d in days]
+    mapping = spark.createDataFrame(rows, schema="day_type string, dow int")
+    # most specific wins when e.g. 'sat' and 'weekend' both cover dow 5:
+    # single-day types take precedence over ranges
+    rank = F.when(F.col("day_type").isin("weekday", "weekend"), 1).otherwise(0)
+    specific = (
+        day_profiles.join(F.broadcast(mapping), "day_type")
+        .withColumn("prio", rank)
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("profile_id", "dow").orderBy("prio")
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("profile_id", "dow", "ratios")
+    )
+    if general is None:
+        return specific
+    days = spark.createDataFrame([(d,) for d in range(7)], schema="dow int")
+    scaffold = general.select("profile_id", F.col("ratios").alias("g_ratios")).crossJoin(
+        F.broadcast(days)
+    )
+    return (
+        scaffold.join(specific, ["profile_id", "dow"], "left")
+        .withColumn("ratios", F.coalesce("ratios", "g_ratios"))
+        .select("profile_id", "dow", "ratios")
+    )
+
+
+def check_valid_profiles(tprofiles: DataFrame, rtol: float = 1e-6) -> DataFrame:
+    """Integrity constraints (reference check_valid_indexes /
+    profile invariants, profiles/utils.py:54-92,
+    temporal/profiles.py:53-55): non-negative ratios summing to 1.
+    Returns the violating rows (empty = valid) — a data-quality
+    assertion that runs distributed."""
+    total = F.aggregate("ratios", F.lit(0.0), lambda a, x: a + x)
+    has_neg = F.exists("ratios", lambda x: x < 0)
+    has_nan = F.exists("ratios", lambda x: F.isnan(x))
+    return tprofiles.withColumn("ratio_sum", total).where(
+        has_neg | has_nan | (F.abs(F.col("ratio_sum") - 1.0) > rtol)
+    )

@@ -46,40 +46,51 @@ def speciate(
     """
     spec = speciation
     if cell_country is None:
-        # Resolve category specificity *before* joining emissions: a
-        # category-specific row overrides the wildcard (null-category)
-        # rows for that (category, src_substance) — the reference's
-        # most-specific-selector-wins rule.  All the tables involved are
-        # tiny (categories × substances) ⇒ broadcast.
-        spec_c = spec.where(F.col("category").isNotNull()).select(
-            "category", "src_substance", "dst_substance", "ratio"
+        # Single-pass plan: the speciation table is grouped into split
+        # arrays (category-specific and wildcard separately), broadcast,
+        # left-joined, and the most specific non-null array wins —
+        # unmatched substances fall back to an identity split.  One scan
+        # of the fact table, two broadcast joins, zero extra shuffles;
+        # specificity resolution (reference's most-specific-wins rule)
+        # is the coalesce order.
+        split = F.array_agg(F.struct("dst_substance", "ratio"))
+        spec_c = (
+            spec.where(F.col("category").isNotNull())
+            .groupBy("category", F.col("src_substance").alias("substance"))
+            .agg(split.alias("__splits_c"))
         )
-        spec_w = spec.where(F.col("category").isNull()).select(
-            "src_substance", "dst_substance", "ratio"
+        spec_w = (
+            spec.where(F.col("category").isNull())
+            .groupBy(F.col("src_substance").alias("substance"))
+            .agg(split.alias("__splits_w"))
         )
-        cats = emissions.select("category").distinct()
-        wildcard_expanded = cats.crossJoin(spec_w).join(
-            spec_c.select("category", "src_substance").distinct(),
-            ["category", "src_substance"],
-            "anti",
-        )
-        eff = spec_c.unionByName(
-            wildcard_expanded.select("category", "src_substance", "dst_substance", "ratio")
-        )
-        speciated = (
-            emissions.alias("e")
-            .join(
-                F.broadcast(eff.alias("s")),
-                (F.col("e.category") == F.col("s.category"))
-                & (F.col("e.substance") == F.col("s.src_substance")),
-                "inner",
+        identity = F.array(
+            F.struct(
+                F.col("substance").alias("dst_substance"),
+                F.lit(1.0).alias("ratio"),
             )
-            .select(
-                F.col("e.cell_id").alias("cell_id"),
-                F.col("e.category").alias("category"),
-                F.col("s.dst_substance").alias("substance"),
-                (F.col("e.value_kg_y") * F.col("s.ratio")).alias("value_kg_y"),
+        )
+        joined = (
+            emissions.join(F.broadcast(spec_c), ["category", "substance"], "left")
+            .join(F.broadcast(spec_w), ["substance"], "left")
+            .withColumn(
+                "__splits", F.coalesce("__splits_c", "__splits_w", identity)
             )
+        )
+        if drop_unspeciated:
+            joined = joined.where(
+                F.col("__splits_c").isNotNull() | F.col("__splits_w").isNotNull()
+            )
+        return joined.select(
+            "cell_id",
+            "category",
+            F.explode("__splits").alias("__s"),
+            "value_kg_y",
+        ).select(
+            "cell_id",
+            "category",
+            F.col("__s.dst_substance").alias("substance"),
+            (F.col("value_kg_y") * F.col("__s.ratio")).alias("value_kg_y"),
         )
     else:
         # Country-dependent ratios blended per cell by country fractions:

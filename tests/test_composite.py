@@ -1,0 +1,87 @@
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import TPROFILE
+from emiproc_spark.operators.composite import (
+    broadcast_to_types,
+    check_valid_profiles,
+    composite_scaling_factor,
+    concatenate_profiles,
+    ensure_specific_days_consistency,
+    make_composite_profiles,
+)
+
+
+def test_make_composite_profiles(spark):
+    rows = [
+        ("A", "CO2", "daily", 0),
+        ("A", "CO2", "weekly", 2),
+        ("B", "CO2", "daily", 0),
+        ("B", "CO2", "weekly", 2),
+        ("C", "CO2", "daily", 1),
+    ]
+    a = spark.createDataFrame(rows, schema="category string, substance string, ptype string, profile_id int")
+    composite, index = make_composite_profiles(a)
+    m = {r["category"]: r["comp_id"] for r in index.collect()}
+    assert m["A"] == m["B"] != m["C"]  # same combo → same composite id
+    combo_a = {
+        (r["ptype"], r["profile_id"])
+        for r in composite.where(F.col("comp_id") == m["A"]).collect()
+    }
+    assert combo_a == {("daily", 0), ("weekly", 2)}
+
+
+def test_concatenate_profiles(spark):
+    a = spark.createDataFrame([(0, "daily", [0.5, 0.5])], schema=TPROFILE)
+    b = spark.createDataFrame([(0, "daily", [0.25, 0.75])], schema=TPROFILE)
+    merged, _ = concatenate_profiles(a, b)
+    ids = sorted(r["profile_id"] for r in merged.collect())
+    assert ids == [0, 1]
+
+
+def test_broadcast_to_types(spark):
+    comp = spark.createDataFrame(
+        [(0, "daily", 3)], schema="comp_id int, ptype string, profile_id int"
+    )
+    wide = broadcast_to_types(comp, ["daily", "weekly", "monthly"])
+    rows = {r["ptype"]: r["profile_id"] for r in wide.collect()}
+    assert rows == {"daily": 3, "weekly": -1, "monthly": -1}
+
+
+def test_composite_scaling_factor_product(spark):
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    weekly = [(d + 1) / 28.0 for d in range(7)]
+    subs = spark.createDataFrame(
+        [(0, "daily", daily), (0, "weekly", weekly)],
+        schema="comp_id int, ptype string, ratios array<double>",
+    )
+    ts = F.lit("2024-01-01 13:00:00").cast("timestamp_ntz")  # Monday 13h
+    sf = composite_scaling_factor(ts, subs).collect()[0]["sf"]
+    assert sf == pytest.approx((14 / 300 * 24) * (1 / 28 * 7))
+
+
+def test_specific_days(spark):
+    wk = [1.0 / 24] * 24
+    sat = [0.5 / 24] * 24
+    gen = [2.0 / 24] * 24
+    prof = spark.createDataFrame(
+        [(0, "weekday", wk), (0, "sat", sat)],
+        schema="profile_id int, day_type string, ratios array<double>",
+    )
+    general = spark.createDataFrame(
+        [(0, gen)], schema="profile_id int, ratios array<double>"
+    )
+    out = {r["dow"]: r["ratios"][0] for r in
+           ensure_specific_days_consistency(prof, general).collect()}
+    assert out[0] == pytest.approx(1 / 24)   # weekday
+    assert out[5] == pytest.approx(0.5 / 24)  # specific sat wins
+    assert out[6] == pytest.approx(2 / 24)   # gap → general
+
+
+def test_check_valid_profiles(spark):
+    good = (0, "daily", [0.5, 0.5])
+    bad_sum = (1, "daily", [0.5, 0.6])
+    bad_neg = (2, "daily", [1.5, -0.5])
+    df = spark.createDataFrame([good, bad_sum, bad_neg], schema=TPROFILE)
+    bad = {r["profile_id"] for r in check_valid_profiles(df).collect()}
+    assert bad == {1, 2}
