@@ -37,6 +37,9 @@ def main() -> None:
         # Catalyst prune the value computations away)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+        # operators may cache intermediates; drop them so later queries
+        # aren't taxed by accumulated executor memory / GC pressure
+        spark.catalog.clearCache()
     total = round(time.perf_counter() - t_all, 4)
 
     print(
