@@ -163,6 +163,49 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
     ).drop("is_point")
 
 
+def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
+    """weights(src_id, dst_id, weight) for polygon sources onto *convex*
+    polygonal destination cells (triangular ICON meshes, hexagons —
+    reference ICONGrid remap, emiproc/grids.py:837-1013 +
+    regrid.py:232-301).
+
+    Same tile-join candidate generation; the refine clips the source
+    rings by the destination ring (Sutherland–Hodgman needs only the
+    clip side convex).  ``dst`` needs (cell_id, geometry, bbox).
+    """
+    cand = tile_candidates(
+        src.select(F.col("source_id").alias("cell_id"), "geometry", *BBOX),
+        dst.select("cell_id", "geometry", *BBOX),
+        tile,
+    )
+
+    def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_src, out_dst, out_w = [], [], []
+            if pdf.empty:
+                continue
+            for row in pdf.itertuples(index=False):
+                _, src_rings = geom.parse_wkb(bytes(row.s_geometry))
+                _, dst_rings = geom.parse_wkb(bytes(row.d_geometry))
+                area = sum(geom.shoelace_area(r) for r in src_rings)
+                if area <= 0:
+                    continue
+                w = geom.intersection_area(src_rings, dst_rings[0]) / area
+                if w > 0:
+                    out_src.append(row.s_cell_id)
+                    out_dst.append(row.d_cell_id)
+                    out_w.append(w)
+            yield pd.DataFrame(
+                {
+                    "src_id": pd.Series(out_src, dtype="int64"),
+                    "dst_id": pd.Series(out_dst, dtype="int64"),
+                    "weight": pd.Series(out_w, dtype="float64"),
+                }
+            )
+
+    return cand.mapInPandas(refine, schema="src_id long, dst_id long, weight double")
+
+
 def weights_remap(emissions: DataFrame, weights: DataFrame, broadcast_weights: bool = False) -> DataFrame:
     """dst = W · src for every (category, substance) slice in one pass —
     the sparse matmul (reference weights_remap, emiproc/regrid.py:313-346)

@@ -100,3 +100,35 @@ def test_crop_with_shape(emissions, fine_grid):
 def test_clip_box(emissions, fine_grid):
     clipped = clip_box(emissions, fine_grid, 0.0, 0.0, 2.0, 2.0)
     assert clipped.count() == 4
+
+
+def test_weights_poly_poly_triangles(spark, fine_grid):
+    """Triangular destination cells (ICON-mesh analogue): two triangles
+    splitting the unit square [0,2]x[0,2] diagonally."""
+    from emiproc_spark.functions.geometry import wkb_polygon
+    from emiproc_spark.operators.regrid import weights_poly_poly
+
+    tri_rows = [
+        (0, wkb_polygon([(0.0, 0.0), (2.0, 0.0), (2.0, 2.0)]), 0.0, 0.0, 2.0, 2.0),
+        (1, wkb_polygon([(0.0, 0.0), (2.0, 2.0), (0.0, 2.0)]), 0.0, 0.0, 2.0, 2.0),
+    ]
+    dst = spark.createDataFrame(
+        tri_rows,
+        schema="cell_id long, geometry binary, xmin double, ymin double, xmax double, ymax double",
+    )
+    src_rows = [(7, wkb_polygon([(0.0, 0.0), (2.0, 0.0), (2.0, 2.0), (0.0, 2.0)]), 0.0, 0.0, 2.0, 2.0)]
+    src = spark.createDataFrame(
+        src_rows,
+        schema="source_id long, geometry binary, xmin double, ymin double, xmax double, ymax double",
+    )
+    w = {r["dst_id"]: r["weight"] for r in weights_poly_poly(src, dst, tile=2.0).collect()}
+    assert w[0] == pytest.approx(0.5)
+    assert w[1] == pytest.approx(0.5)
+
+
+def test_days_in_year(spark):
+    from emiproc_spark.operators.temporal import days_in_year
+
+    df = spark.createDataFrame([(2024,), (2023,), (1900,), (2000,)], "y int")
+    out = {r["y"]: r["d"] for r in df.select("y", days_in_year(F.col("y")).alias("d")).collect()}
+    assert out == {2024: 366, 2023: 365, 1900: 365, 2000: 366}

@@ -1,0 +1,93 @@
+"""Scale smoke (gated): exercises the plans that must survive a 100×
+scale-up on meaningfully larger synthetic data than the driver fixtures.
+
+Run with SPARK_GRAFT_SCALE_TESTS=1 — skipped in the fast suite.
+"""
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="set SPARK_GRAFT_SCALE_TESTS=1 to run scale smokes",
+)
+
+
+def test_remap_million_cells(spark):
+    """1M-cell grid → 10k-cell grid: weights build (tile join, no
+    cross product) + remap join/agg, conservation checked."""
+    from emiproc_spark.grids import regular_grid
+    from emiproc_spark.operators.regrid import remap_inventory, weights_rect_rect
+
+    fine = regular_grid(spark, 0.0, 0.0, 1000, 1000, 1.0, 1.0, with_geometry=False)
+    coarse = regular_grid(spark, 0.0, 0.0, 100, 100, 10.0, 10.0, with_geometry=False)
+    emissions = fine.select(
+        F.col("cell_id"),
+        F.lit("cat").alias("category"),
+        F.lit("CO2").alias("substance"),
+        (F.col("cell_id") % 97 + 1.0).alias("value_kg_y"),
+    )
+    t0 = time.time()
+    w = weights_rect_rect(fine, coarse, tile=10.0)
+    remapped = remap_inventory(emissions, fine, coarse, tile=10.0, weights=w)
+    total_in = emissions.agg(F.sum("value_kg_y")).collect()[0][0]
+    total_out = remapped.agg(F.sum("value_kg_y")).collect()[0][0]
+    dt = time.time() - t0
+    assert remapped.count() == 10_000
+    assert total_out == pytest.approx(total_in, rel=1e-9)
+    print(f"\n1M-cell remap wall: {dt:.1f}s")
+    assert dt < 120
+
+
+def test_temporal_expand_wide(spark):
+    """1M (cell,cat,sub) keys × 24 h = 24M output rows through the
+    broadcast time-scaffold expansion."""
+    from emiproc_spark.core.schemas import TPROFILE
+    from emiproc_spark.operators.temporal import temporally_scaled
+
+    emissions = (
+        spark.range(1_000_000)
+        .select(
+            F.col("id").alias("cell_id"),
+            F.lit("A").alias("category"),
+            F.lit("CO2").alias("substance"),
+            (F.col("id") % 13 + 1.0).alias("value_kg_y"),
+        )
+    )
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    profiles = spark.createDataFrame([(0, "daily", daily)], schema=TPROFILE)
+    index = spark.createDataFrame(
+        [("A", "CO2", 0)], schema="category string, substance string, profile_id int"
+    )
+    t0 = time.time()
+    out = temporally_scaled(emissions, index, profiles, "2024-01-01 00:00:00", 24, 8784)
+    n = out.count()
+    dt = time.time() - t0
+    assert n == 24_000_000
+    print(f"\n24M-row expansion wall: {dt:.1f}s")
+    assert dt < 120
+
+
+def test_minhash_100k_docs(spark):
+    """MinHash-LSH candidate generation over 100k synthetic docs —
+    the banding join must stay sub-quadratic."""
+    from emiproc_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    # docs repeat every 20k ids → guaranteed dup families; one md5 per
+    # doc chunked into 8 "words" keeps generation trivial
+    h = F.md5((F.col("id") % 20_000).cast("string"))
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(" ", *[F.substring(h, 1 + 4 * i, 4) for i in range(8)]).alias("text"),
+    )
+    t0 = time.time()
+    sigs = minhash_signatures(docs, k=8)
+    pairs = lsh_candidate_pairs(sigs)
+    n = pairs.count()
+    dt = time.time() - t0
+    print(f"\n100k-doc minhash-LSH wall: {dt:.1f}s, candidates: {n}")
+    assert n >= 100_000  # each 5-clone family yields ≥10 pairs
+    assert dt < 300
