@@ -952,6 +952,88 @@ SQL_SET_OPS = """
 """
 
 
+def q_composite_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite profile (daily × weekly) scaling factors over one week
+    — the product-of-cycles semantics (composite_scaling_factor).
+    exp(Σlog) vs direct product differ at libm-ulp level only, collapsed
+    by the 1e-9 quantizer."""
+    from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
+
+    subs = spark.createDataFrame(
+        [
+            (0, "daily", _daily_ratios(0)),
+            (0, "weekly", WEEKLY_RATIOS),
+        ],
+        schema="comp_id int, ptype string, ratios array<double>",
+    )
+    hours = time_scaffold(subs, "2024-01-01 00:00:00", 168)
+    per_type = hours.crossJoin(F.broadcast(subs)).withColumn(
+        "sf1", scaling_factor_at(F.col("ts"), F.col("ptype"), F.col("ratios"))
+    )
+    return (
+        per_type.groupBy("comp_id", "hour_index")
+        .agg(F.exp(F.sum(F.log("sf1"))).alias("sf"))
+        .select("comp_id", "hour_index", qd("sf").alias("sf"))
+    )
+
+
+SQL_COMPOSITE_SCALING = f"""
+    SELECT 0 AS comp_id, h AS hour_index,
+           {sql_qd('EXP(LN(((h % 24) + 1) / 300.0 * 24) + LN((((h // 24) % 7) + 1) / 28.0 * 7))')} AS sf
+    FROM range(168) t(h)
+"""
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (30-minute
+    inactivity gap): lag + cumulative-sum session ids, then per-user
+    session stats — integer arithmetic throughout, fully deterministic."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    with_new = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts") - F.lag("ts").over(w)) > gap_ns, 1
+        ).otherwise(F.when(F.lag("ts").over(w).isNull(), 1).otherwise(0)),
+    )
+    with_sid = with_new.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_sid.groupBy("user_id")
+        .agg(
+            F.max("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+SQL_SESSIONIZE = f"""
+    WITH w AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1
+                    WHEN epoch_ns(ts) - epoch_ns(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                         > {30 * 60 * 1_000_000_000} THEN 1
+                    ELSE 0 END AS new_session
+        FROM events
+    ),
+    s AS (
+        SELECT user_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM w
+    )
+    SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id
+"""
+
+
 def q_interpolate_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Monthly profile → hour-of-year with midpoint linear interpolation
     (interpolate_profiles semantics); first 1000 hours."""
@@ -1218,6 +1300,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "supplier_rank": q_supplier_rank,
     "cube_emissions": q_cube_emissions,
     "set_ops": q_set_ops,
+    "composite_scaling": q_composite_scaling,
+    "sessionize": q_sessionize,
     "interpolate_profiles": q_interpolate_profiles,
     "country_fractions": q_country_fractions,
     "country_majority": q_country_majority,
@@ -1261,6 +1345,8 @@ ORACLES: dict[str, str] = {
     "supplier_rank": SQL_SUPPLIER_RANK,
     "cube_emissions": SQL_CUBE_EMISSIONS,
     "set_ops": SQL_SET_OPS,
+    "composite_scaling": SQL_COMPOSITE_SCALING,
+    "sessionize": SQL_SESSIONIZE,
     "interpolate_profiles": SQL_INTERPOLATE_PROFILES,
     "country_fractions": SQL_COUNTRY_FRACTIONS,
     "country_majority": SQL_COUNTRY_MAJORITY,
