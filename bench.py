@@ -25,8 +25,17 @@ def main() -> None:
         sf_val = sf
 
     spark = get_spark(app_name="emiproc_spark_bench")
-    # warm the JVM + parquet footer caches with one tiny action
+    # Warm fixed costs that would otherwise land on whichever query runs
+    # first: JVM/codegen, parquet footer cache, and the Python UDF
+    # worker pool (first pandas UDF pays ~2-3 s of worker spin-up).
     spark.range(1).collect()
+
+    def _warm_batches(it):
+        yield from it
+
+    spark.range(32).repartition(32).mapInPandas(
+        _warm_batches, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
