@@ -41,16 +41,38 @@ def group_categories(
     emissions: DataFrame,
     mapping: dict[str, list[str]],
     ignore_missing: bool = False,
+    strict: bool = False,
 ) -> DataFrame:
     """Rollup on the category key: new cat = Σ member cats per substance.
 
     Reference: group_categories, emiproc/inventories/utils.py:264-375.
     Spark plan: broadcast-join the member→group map, then hash-aggregate.
+
+    Uncovered categories: ``strict=True`` raises at execution when the
+    inventory holds a category absent from the mapping (the reference's
+    validate_group coverage check, inventories/utils.py:91-118 — typos in
+    group maps surface instead of passing through); default passes them
+    through unchanged; ``ignore_missing=True`` drops them.
     """
+    if strict and ignore_missing:
+        raise ValueError("strict and ignore_missing are mutually exclusive")
     member_to_group = validate_group(mapping)
     spark = emissions.sparkSession
     mdf = _mapping_df(spark, member_to_group, "category")
     joined = emissions.join(F.broadcast(mdf), "category", "inner" if ignore_missing else "left")
+    if strict:
+        joined = joined.withColumn(
+            "value_kg_y",
+            F.when(
+                F.col("__group").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("group_categories: category not covered by mapping: "),
+                        F.col("category"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("value_kg_y")),
+        )
     if not ignore_missing:
         joined = joined.withColumn("__group", F.coalesce(F.col("__group"), F.col("category")))
     return (

@@ -30,18 +30,25 @@ def cell_region_fractions(
     grid: DataFrame,
     tile: float,
     region_col: str = "country",
+    region_key_col: str = "region_key",
+    area_col: str = "area",
 ) -> DataFrame:
     """(cell_id, region, fraction) with per-cell fractions summing to the
     covered share of the cell (ocean cells simply miss rows — the
     reference's fraction semantics, utilities.py:443-519).
 
-    ``regions``: (region_id/source_id, geometry, xmin..ymax, <region_col>).
+    ``regions`` requires columns: ``<region_key_col>`` (unique numeric
+    key), ``<region_col>`` (region label, e.g. ISO3), ``geometry``
+    (polygon WKB), ``xmin``/``ymin``/``xmax``/``ymax`` (bbox), and
+    ``<area_col>`` (planar polygon area).  Override the key/area column
+    names via ``region_key_col``/``area_col``.
+
     The weight from weights_poly_rect is area(region ∩ cell)/area(region);
     fractions need area(∩)/area(cell), so we rescale by region area /
-    cell area — both present as bbox-derived columns.
+    cell area.
     """
     src = regions.select(
-        F.col("region_key").alias("source_id"),
+        F.col(region_key_col).alias("source_id"),
         "geometry",
         "xmin",
         "ymin",
@@ -51,10 +58,9 @@ def cell_region_fractions(
     w = weights_poly_rect(src, grid, tile)
     # convert src-relative weight to cell-relative fraction
     src_area = regions.select(
-        F.col("region_key").alias("src_id"),
+        F.col(region_key_col).alias("src_id"),
         F.col(region_col).alias("region"),
-        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin"))).alias("src_bbox_area"),
-        F.col("area").alias("src_area"),
+        F.col(area_col).alias("src_area"),
     )
     cell_area = grid.select(
         F.col("cell_id").alias("dst_id"),

@@ -10,7 +10,7 @@ NOx→NO+NO2 (speciation.py:366-369,472-474).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark.operators.basic import KEY
@@ -27,6 +27,8 @@ def speciate(
     speciation: DataFrame,
     cell_country: DataFrame | None = None,
     drop_unspeciated: bool = False,
+    year: int | None = None,
+    source_type: str | None = "gridded",
 ) -> DataFrame:
     """Split substances by a ratio table.
 
@@ -35,16 +37,39 @@ def speciate(
     selector applies to all values of that dim (wildcard semantics,
     reference speciation.py:129-348).
 
+    The ``year``/``type`` selector columns are resolved up-front the way
+    the reference does (``speciation_ratios["year"] == inv.year``,
+    speciation.py:194-202; ``type == "gridded"``, speciation.py:220-221):
+    rows with a non-null selector survive only if it equals the ``year``
+    / ``source_type`` argument.  If several ratio rows remain for one
+    (category, src, dst) selector group the plan raises at execution
+    (the reference's "ratios not unique" error, speciation.py:264-269)
+    instead of silently multiplying mass.
+
     Without ``cell_country``, selectors are matched on (substance
     [, category]).  With ``cell_country`` (cell_id, country, fraction),
-    country-dependent ratios are blended per cell by country fractions —
-    the reference's ``countries_fractions.dot(ratios)``
-    (speciation.py:228-260) expressed as join + weighted aggregation.
+    country-dependent ratios are blended per cell by country fractions
+    normalized per cell (reference divides by
+    ``countries_fractions.sum("country")``, speciation.py:211-213) so
+    partially-covered cells keep full mass; cells whose blended ratios
+    sum to 0 (no covered country in the table, or no coverage at all)
+    fall back to the ``-99`` default row, and raise if none exists and
+    the cell has emissions (speciation.py:238-258).
 
     Rows whose substance has no speciation entry pass through unchanged
     (unless ``drop_unspeciated``).
     """
     spec = speciation
+    if year is not None and "year" in spec.columns:
+        spec = spec.where(F.col("year").isNull() | (F.col("year") == F.lit(year)))
+    if source_type is not None and "type" in spec.columns:
+        spec = spec.where(
+            F.col("type").isNull() | (F.col("type") == F.lit(source_type))
+        )
+    # With year/type left unresolved, rows differing only in those
+    # selectors collide in one group and trip the duplicate guard below
+    # (reference resolves year==inv.year / type=="gridded" up-front,
+    # speciation.py:194-202,220-221, and errors on non-unique ratios).
     if cell_country is None:
         # Single-pass plan: the speciation table is grouped into split
         # arrays (category-specific and wildcard separately), broadcast,
@@ -54,15 +79,19 @@ def speciate(
         # specificity resolution (reference's most-specific-wins rule)
         # is the coalesce order.
         split = F.array_agg(F.struct("dst_substance", "ratio"))
+        # >1 row per dst within a selector group means year/type were not
+        # resolved to a single ratio set — the reference raises
+        # (speciation.py:264-269); we raise lazily at execution.
+        dup = F.count("*") > F.count_distinct("dst_substance")
         spec_c = (
             spec.where(F.col("category").isNotNull())
             .groupBy("category", F.col("src_substance").alias("substance"))
-            .agg(split.alias("__splits_c"))
+            .agg(split.alias("__splits_c"), dup.alias("__dup_c"))
         )
         spec_w = (
             spec.where(F.col("category").isNull())
             .groupBy(F.col("src_substance").alias("substance"))
-            .agg(split.alias("__splits_w"))
+            .agg(split.alias("__splits_w"), dup.alias("__dup_w"))
         )
         identity = F.array(
             F.struct(
@@ -76,63 +105,115 @@ def speciate(
             .withColumn(
                 "__splits", F.coalesce("__splits_c", "__splits_w", identity)
             )
+            .withColumn(
+                "__dup",
+                F.when(F.col("__splits_c").isNotNull(), F.col("__dup_c")).otherwise(
+                    F.coalesce(F.col("__dup_w"), F.lit(False))
+                ),
+            )
         )
         if drop_unspeciated:
             joined = joined.where(
                 F.col("__splits_c").isNotNull() | F.col("__splits_w").isNotNull()
             )
+        guard = F.when(
+            F.col("__dup"),
+            F.raise_error(
+                F.concat(
+                    F.lit("speciate: multiple ratio rows per (category, src, dst) "
+                          "selector group for substance "),
+                    F.col("substance"),
+                    F.lit(" — resolve year/type first"),
+                )
+            ).cast("double"),
+        ).otherwise(F.col("__s.ratio"))
         return joined.select(
             "cell_id",
             "category",
+            "__dup",
             F.explode("__splits").alias("__s"),
             "value_kg_y",
         ).select(
             "cell_id",
             "category",
             F.col("__s.dst_substance").alias("substance"),
-            (F.col("value_kg_y") * F.col("__s.ratio")).alias("value_kg_y"),
+            (F.col("value_kg_y") * guard).alias("value_kg_y"),
         )
     else:
         # Country-dependent ratios blended per cell by country fractions:
-        # ratio_cell = Σ_country fraction · ratio(country), with the -99
-        # default row as fallback for countries absent from the table
-        # (reference speciation.py:228-260).
+        # ratio_cell = Σ_country fraction_norm · ratio(country).  Fractions
+        # are normalized per cell first (reference speciation.py:211-213)
+        # so partially-covered cells keep full mass; countries absent from
+        # the ratio table contribute 0 (xarray .dot drops them); cells
+        # whose blended ratios sum to 0 fall back to the -99 default row
+        # and raise if none exists and the cell has emissions
+        # (speciation.py:238-258).
         spec_c = spec.where(
             F.col("country").isNotNull() & (F.col("country") != "-99")
         ).select("country", "src_substance", "dst_substance", "ratio")
         default = spec.where(
             F.col("country").isNull() | (F.col("country") == "-99")
         ).select(
-            F.col("src_substance").alias("src_substance"),
-            F.col("dst_substance").alias("dst_substance"),
-            F.col("ratio").alias("default_ratio"),
+            "src_substance",
+            "dst_substance",
+            F.col("ratio").alias("__default_ratio"),
         )
-        pairs = (
-            spec.select("src_substance", "dst_substance").distinct()
+        pairs = spec.select("src_substance", "dst_substance").distinct()
+        cell_win = Window.partitionBy("cell_id")
+        cc = (
+            cell_country.select("cell_id", "country", "fraction")
+            .withColumn("__tot", F.sum("fraction").over(cell_win))
+            .withColumn(
+                "__frac_n",
+                F.when(
+                    F.col("__tot") > 0.0, F.col("fraction") / F.col("__tot")
+                ).otherwise(F.lit(0.0)),
+            )
         )
-        cc = cell_country.select("cell_id", "country", "fraction")
         blended = (
-            cc.crossJoin(F.broadcast(pairs))
-            .join(F.broadcast(spec_c), ["country", "src_substance", "dst_substance"], "left")
-            .join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
-            .withColumn("eff_ratio", F.coalesce("ratio", "default_ratio", F.lit(0.0)))
+            cc.join(F.broadcast(spec_c), "country", "inner")
             .groupBy("cell_id", "src_substance", "dst_substance")
-            .agg(F.sum(F.col("fraction") * F.col("eff_ratio")).alias("ratio"))
+            .agg(F.sum(F.col("__frac_n") * F.col("ratio")).alias("__ratio_blend"))
         )
-        speciated = (
-            emissions.alias("e")
-            .join(
-                blended.alias("s"),
-                (F.col("e.cell_id") == F.col("s.cell_id"))
-                & (F.col("e.substance") == F.col("s.src_substance")),
-                "inner",
+        # fan the fact table out to every dst substance, LEFT-join the
+        # per-cell blend: uncovered cells keep their rows and resolve
+        # through the zero-sum fallback below instead of being dropped
+        fan = emissions.join(
+            F.broadcast(pairs),
+            emissions["substance"] == pairs["src_substance"],
+            "inner",
+        )
+        j = fan.join(
+            blended, ["cell_id", "src_substance", "dst_substance"], "left"
+        ).join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
+        # Σ over dst of the blended ratios for this (cell, category, src):
+        # every dst row of the pair fan-out is present, so a window sum
+        # over them reconstructs the reference's mask_zero_ratios test
+        rsum_win = Window.partitionBy("cell_id", "category", "src_substance")
+        j = j.withColumn(
+            "__rsum", F.sum(F.coalesce("__ratio_blend", F.lit(0.0))).over(rsum_win)
+        )
+        no_default_err = F.raise_error(
+            F.concat(
+                F.lit("speciate: no country ratios and no -99 default for cell "),
+                F.col("cell_id").cast("string"),
+                F.lit(" with nonzero emissions — add a -99 row"),
             )
-            .select(
-                F.col("e.cell_id").alias("cell_id"),
-                F.col("e.category").alias("category"),
-                F.col("s.dst_substance").alias("substance"),
-                (F.col("e.value_kg_y") * F.col("s.ratio")).alias("value_kg_y"),
-            )
+        ).cast("double")
+        eff_ratio = F.when(
+            F.col("__rsum") == 0.0,
+            F.coalesce(
+                F.col("__default_ratio"),
+                F.when(F.col("value_kg_y") == 0.0, F.lit(0.0)).otherwise(
+                    no_default_err
+                ),
+            ),
+        ).otherwise(F.coalesce(F.col("__ratio_blend"), F.lit(0.0)))
+        speciated = j.select(
+            "cell_id",
+            "category",
+            F.col("dst_substance").alias("substance"),
+            (F.col("value_kg_y") * eff_ratio).alias("value_kg_y"),
         )
     if drop_unspeciated:
         return speciated
@@ -164,6 +245,60 @@ def _nox_table(spark: SparkSession, no2_fraction: float, nox: str) -> DataFrame:
     from emiproc_spark.core.schemas import SPECIATION
 
     return spark.createDataFrame(rows, schema=SPECIATION)
+
+
+def speciate_inventory(
+    emissions: DataFrame,
+    speciation_dict: dict[tuple[str, str], dict[tuple[str, str], float]],
+    drop_speciated: bool = True,
+) -> DataFrame:
+    """Dict-driven (cat, sub) → {(cat', sub'): ratio} fan-out — unlike
+    :func:`speciate` the *category* may change, and ratios need not sum
+    to 1 (molar-mass conversions, reference speciate_inventory,
+    emiproc/speciation.py:351-436, non-normalized note :366-369).
+
+    Keys absent from the dict pass through unchanged; speciated source
+    rows are dropped unless ``drop_speciated=False`` (reference ``drop``
+    arg, speciation.py:363).
+    """
+    spark = emissions.sparkSession
+    rows = [
+        (cat, sub, dst_cat, dst_sub, float(ratio))
+        for (cat, sub), dsts in speciation_dict.items()
+        for (dst_cat, dst_sub), ratio in dsts.items()
+    ]
+    table = spark.createDataFrame(
+        rows,
+        schema=(
+            "category string, substance string, dst_category string, "
+            "dst_substance string, ratio double"
+        ),
+    )
+    splits = table.groupBy("category", "substance").agg(
+        F.array_agg(
+            F.struct("dst_category", "dst_substance", "ratio")
+        ).alias("__splits")
+    )
+    speciated = (
+        emissions.join(F.broadcast(splits), ["category", "substance"], "inner")
+        .select("cell_id", F.explode("__splits").alias("__s"), "value_kg_y")
+        .select(
+            "cell_id",
+            F.col("__s.dst_category").alias("category"),
+            F.col("__s.dst_substance").alias("substance"),
+            (F.col("value_kg_y") * F.col("__s.ratio")).alias("value_kg_y"),
+        )
+    )
+    keys = table.select("category", "substance").distinct()
+    untouched = emissions.join(
+        F.broadcast(keys), ["category", "substance"], "anti"
+    ).select(*KEY, "value_kg_y")
+    if not drop_speciated:
+        untouched = untouched.unionByName(
+            emissions.join(F.broadcast(keys), ["category", "substance"], "semi")
+            .select(*KEY, "value_kg_y")
+        )
+    return untouched.unionByName(speciated.select(*KEY, "value_kg_y"))
 
 
 def merge_substances(

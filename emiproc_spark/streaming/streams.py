@@ -73,8 +73,15 @@ def hourly_emission_stream(
     hourly export loop.
 
     Stream-static join: the static side is the inventory; state is just
-    the rate offset, so this scales to any inventory size."""
-    from emiproc_spark.operators.temporal import scaling_factor_at
+    the rate offset, so this scales to any inventory size.
+
+    Profile binding goes through ``attach_profiles`` — the same
+    wildcard-resolution + ambiguity guards as the batch expansion, so a
+    duplicate index row raises here too instead of multiplying mass."""
+    from emiproc_spark.operators.temporal import (
+        attach_profiles,
+        composite_scaling_factor,
+    )
 
     rate = spark.readStream.format("rate").option(
         "rowsPerSecond", rows_per_second
@@ -86,13 +93,10 @@ def hourly_emission_stream(
             + F.make_interval(hours=F.col("value").cast("int"))
         ).alias("sim_ts"),
     )
-    idx = tprofile_index.select("category", "substance", "profile_id")
-    store = tprofiles.select("profile_id", "ptype", "ratios")
-    static = (
-        emissions.join(F.broadcast(idx), ["category", "substance"], "left")
-        .join(F.broadcast(store), "profile_id", "left")
+    static = attach_profiles(emissions, tprofile_index, tprofiles)
+    sf = composite_scaling_factor(
+        F.col("sim_ts"), F.col("__profs"), F.col("__guard")
     )
-    sf = scaling_factor_at(F.col("sim_ts"), F.col("ptype"), F.col("ratios"))
     return hours.join(static).select(
         "hour_index",
         "sim_ts",
