@@ -4,9 +4,9 @@ Reference exports (SURVEY.md §2.2) write NetCDF/GRAL/GPKG files.  The
 engine's native sink is partitioned Parquet — distributed, atomic,
 column-pruned — with the reference's *semantic* steps (unit conversion,
 (cat,sub) pivot, totals rollup, timezone regionization) as explicit
-transformations.  NetCDF containers need xarray (absent here); the
-collect-to-xarray bridge is gated and documented as the single-node
-final step, exactly like the reference's writers.
+transformations.  NetCDF containers are written via the pure-numpy
+NetCDF-3 codec (exports/netcdf.py) — the dense-raster assembly is the
+single-node final step, exactly like the reference's writers.
 """
 
 from __future__ import annotations
@@ -146,15 +146,10 @@ def export_text_formatted(
     ).text(path)
 
 
-def export_netcdf(emissions: DataFrame, grid: DataFrame, path: str) -> None:
-    """Gated NetCDF bridge: collects the (small, export-sized) wide
-    raster to pandas and writes via xarray — the reference's own
-    single-node final step.  Unavailable without xarray."""
-    try:
-        import xarray  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "NetCDF export needs xarray; use export_raster_parquet and "
-            "convert partition-wise where xarray is available"
-        ) from e
-    raise NotImplementedError  # pragma: no cover — backend absent here
+def export_netcdf(emissions: DataFrame, grid: DataFrame, path: str, **kwargs) -> str:
+    """NetCDF raster export — real implementation in
+    :mod:`emiproc_spark.exports.netcdf` on the pure-numpy NetCDF-3
+    codec (no xarray needed)."""
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+
+    return export_raster_netcdf(emissions, grid, path, **kwargs)

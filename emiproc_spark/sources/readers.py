@@ -13,10 +13,9 @@ edge.  Here that shape is a small set of composable ingest primitives:
 - ``from_duckdb`` — DuckDB databases (reference
   inventories/zurich/duck.py:84-154) via Arrow, no JDBC needed;
 - ``from_netcdf_raster`` — generic NetCDF raster ingest (reference
-  inventories/netcdf_raster.py:112-295), gated behind an import-try
-  since xarray/netCDF4 are not in this environment: the function
-  documents and validates the layout, and raises a clear error if the
-  backend is missing;
+  inventories/netcdf_raster.py:112-295) via the pure-numpy NetCDF-3
+  codec (functions/netcdf3.py) decoded in executors — see
+  sources/netcdf.py for the distributed plan;
 - ``from_csv_emissions`` — delimited text (reference GRAL/Swiss CSV
   paths).
 
@@ -165,23 +164,17 @@ def from_csv_emissions(
 def from_netcdf_raster(
     spark: SparkSession,
     path: str,
-    var_to_catsub: dict[str, tuple[str, str]],
-    unit: str = "kg/y",
-):
+    var_to_catsub: dict[str, tuple[str, str]] | None = None,
+    unit: str | None = None,
+    **kwargs,
+) -> DataFrame:
     """Generic NetCDF raster ingest (reference NetcdfRaster,
     inventories/netcdf_raster.py:112-295): each variable maps to a
-    (category, substance); cells are the flattened (lon, lat) raster in
-    row-major cell_id order.
+    (category, substance); cells are the lon-major flattened raster.
 
-    Gated: requires xarray+netCDF4, which this environment lacks.  The
-    scale path is mapInPandas over per-file tasks (one NetCDF per task,
-    xarray inside the executor), not a driver-side load.
-    """
-    try:
-        import xarray  # noqa: F401
-    except ImportError as e:  # pragma: no cover
-        raise ImportError(
-            "from_netcdf_raster needs xarray+netCDF4; convert the NetCDF "
-            "to parquet (long or wide) and use from_parquet_long/from_wide"
-        ) from e
-    raise NotImplementedError  # pragma: no cover — backend absent here
+    Real implementation in :mod:`emiproc_spark.sources.netcdf` — a
+    pure-numpy NetCDF-3 codec decoded inside ``mapInPandas`` executors
+    over per-file ``binaryFile`` tasks (no xarray dependency)."""
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    return from_netcdf_rasters(spark, path, var_to_catsub, unit=unit, **kwargs)
