@@ -143,15 +143,17 @@ def lsh_candidate_pairs(
     )
 
 
-HEX_DIGITS = "0123456789abcdef"
-
-
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint as a bit-string column.
 
-    Each distinct token hashes to md5; hex digit p (0..15) contributes 4
-    bits.  Per bit position, tokens vote ±1; the fingerprint bit is 1
+    Each distinct token hashes to md5; the first 16 hex digits carry the
+    64 bits.  Per bit position, tokens vote ±1; the fingerprint bit is 1
     where the vote is positive.  Returns (doc_id, simhash_bits).
+
+    The bits are extracted JVM-side — ``conv`` turns each 8-hex-digit
+    half into a 32-bit int, ``shiftright``+mask reads each position — so
+    the aggregation input is ONE row per (doc, distinct token) carrying
+    64 vote columns (map-side partial sums), not a 64-way row explode.
 
     Bit-string (not BIGINT) output keeps it engine-portable; Hamming
     distance is a cheap zip-count on the string or a later cast.
@@ -161,33 +163,21 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
         docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
         .distinct()
         .withColumn("h", F.md5("tok"))
+        .withColumn("hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
+        .withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
     )
-    digit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("p")
-    with_digit = tok.select("doc_id", "h", digit).withColumn(
-        "v", F.instr(F.lit(HEX_DIGITS), F.substring("h", F.col("p") + 1, F.lit(1))) - 1
-    )
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(3))).alias("b")
-    votes = (
-        with_digit.select("doc_id", "p", "v", bitpos)
-        .withColumn(
-            "bit",
-            F.when(
-                F.floor(F.col("v") / F.pow(F.lit(2.0), F.lit(3) - F.col("b"))) % 2 == 1,
-                1,
-            ).otherwise(-1),
-        )
-        .withColumn("pos", F.col("p") * 4 + F.col("b"))
-        .groupBy("doc_id", "pos")
-        .agg(F.sum("bit").alias("vote"))
-    )
-    return votes.groupBy("doc_id").agg(
-        F.concat_ws(
-            "",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "vote"))),
-                lambda s: F.when(s["vote"] > 0, "1").otherwise("0"),
-            ),
-        ).alias("simhash_bits")
+
+    def vote(pos: int):
+        half, shift = ("hi", 31 - pos) if pos < 32 else ("lo", 63 - pos)
+        bit = F.shiftright(F.col(half), shift).bitwiseAND(F.lit(1))
+        return F.sum(bit * 2 - 1).alias(f"v{pos}")
+
+    votes = tok.groupBy("doc_id").agg(*[vote(i) for i in range(64)])
+    return votes.select(
+        "doc_id",
+        F.concat(
+            *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
+        ).alias("simhash_bits"),
     )
 
 
