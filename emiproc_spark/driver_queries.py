@@ -1311,8 +1311,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 from emiproc_spark.driver_queries_text import ORACLES_TEXT, QUERIES_TEXT  # noqa: E402
+from emiproc_spark.driver_queries_io import ORACLES_IO, QUERIES_IO  # noqa: E402
 
 QUERIES.update(QUERIES_TEXT)
+QUERIES.update(QUERIES_IO)
 
 ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
@@ -1356,3 +1358,4 @@ ORACLES: dict[str, str] = {
 }
 
 ORACLES.update(ORACLES_TEXT)
+ORACLES.update(ORACLES_IO)
