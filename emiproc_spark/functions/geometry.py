@@ -230,3 +230,290 @@ def point_in_box(x, y, xmin, ymin, xmax, ymax) -> bool:
     every adjacent cell; the caller splits weight 1/n across matches
     (reference emiproc/regrid.py:277-285)."""
     return xmin <= x <= xmax and ymin <= y <= ymax
+
+
+# ====================================================================
+# Batched kernels: one numpy pass over an entire Arrow batch of
+# (subject, clip) pairs — no per-pair Python loop.
+#
+# The half-plane pass uses the projection-with-crossing-insertion
+# variant of Sutherland–Hodgman: outside vertices are projected onto
+# the clip line and crossings inserted at sign changes.  The projected
+# excursions run *along* the clip line, so they enclose zero area, and
+# they remain collinear (hence still zero-area) under every subsequent
+# half-plane of a convex clip — the polygon areas after all passes are
+# exactly the clip-intersection areas, with vertex counts bounded by
+# 2·V per pass instead of ragged reallocation.
+# ====================================================================
+def stack_rings(rings: list[np.ndarray]) -> tuple[np.ndarray, np.ndarray]:
+    """Pad open rings to a dense (B, Vmax, 2) stack + per-row counts.
+    Closing duplicate vertices are dropped."""
+    opened = []
+    for r in rings:
+        if len(r) > 1 and r[0][0] == r[-1][0] and r[0][1] == r[-1][1]:
+            r = r[:-1]
+        opened.append(np.asarray(r, dtype=np.float64))
+    counts = np.array([len(r) for r in opened], dtype=np.int64)
+    vmax = int(counts.max()) if len(counts) else 0
+    out = np.zeros((len(opened), vmax, 2))
+    for i, r in enumerate(opened):
+        out[i, : len(r)] = r
+    return out, counts
+
+
+def batch_shoelace(P: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Absolute areas of a padded ring stack, vectorized."""
+    B, V, _ = P.shape
+    if V == 0:
+        return np.zeros(B)
+    j = np.arange(V)
+    valid = j[None, :] < counts[:, None]
+    nxt = (j[None, :] + 1) % np.maximum(counts[:, None], 1)
+    Pn = np.take_along_axis(P, np.broadcast_to(nxt[..., None], P.shape), axis=1)
+    cross = P[:, :, 0] * Pn[:, :, 1] - Pn[:, :, 0] * P[:, :, 1]
+    return np.abs(np.sum(np.where(valid, cross, 0.0), axis=1)) / 2.0
+
+
+def batch_halfplane_clip(
+    P: np.ndarray,
+    counts: np.ndarray,
+    ax: np.ndarray,
+    ay: np.ndarray,
+    ex: np.ndarray,
+    ey: np.ndarray,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One half-plane pass over the whole stack.
+
+    Per row the clip line passes through ``(ax, ay)`` with direction
+    ``(ex, ey)``; inside is the left side (``e × (p − a) ≥ 0``).  Rows
+    with ``e = 0`` are untouched (no-op pass).  Returns the new stack
+    and counts (grown by the number of inserted crossings).
+    """
+    B, V, _ = P.shape
+    if V == 0:
+        return P, counts
+    j = np.arange(V)
+    valid = j[None, :] < counts[:, None]
+    nxt_i = (j[None, :] + 1) % np.maximum(counts[:, None], 1)
+    Pn = np.take_along_axis(P, np.broadcast_to(nxt_i[..., None], P.shape), axis=1)
+
+    rx, ry = P[:, :, 0] - ax[:, None], P[:, :, 1] - ay[:, None]
+    rnx, rny = Pn[:, :, 0] - ax[:, None], Pn[:, :, 1] - ay[:, None]
+    s_cur = ex[:, None] * ry - ey[:, None] * rx
+    s_nxt = ex[:, None] * rny - ey[:, None] * rnx
+
+    noop = (ex == 0.0) & (ey == 0.0)
+    in_cur = (s_cur >= 0.0) | noop[:, None]
+    in_nxt = (s_nxt >= 0.0) | noop[:, None]
+    crossed = (in_cur != in_nxt) & valid
+    denom = s_cur - s_nxt
+    t = np.divide(s_cur, denom, out=np.zeros_like(s_cur), where=denom != 0.0)
+    Xc = P + t[..., None] * (Pn - P)
+
+    # projection of the next vertex onto the clip line where outside
+    ee = ex * ex + ey * ey
+    dot = np.divide(
+        rnx * ex[:, None] + rny * ey[:, None],
+        ee[:, None],
+        out=np.zeros_like(rnx),
+        where=ee[:, None] != 0.0,
+    )
+    proj = np.stack(
+        (ax[:, None] + dot * ex[:, None], ay[:, None] + dot * ey[:, None]), axis=-1
+    )
+    new_next = np.where(in_nxt[..., None], Pn, proj)
+
+    ncross = crossed.sum(axis=1)
+    maxc = int(ncross.max()) if B else 0
+    Vout = V + maxc + 1  # last slot is a write sink for masked entries
+    out = np.zeros((B, Vout, 2))
+    shift = np.cumsum(crossed, axis=1)
+    trash = Vout - 1
+    pos_next = np.where(valid, j[None, :] + shift, trash)
+    pos_cross = np.where(crossed, j[None, :] + shift - 1, trash)
+    np.put_along_axis(out, np.broadcast_to(pos_next[..., None], new_next.shape), new_next, axis=1)
+    np.put_along_axis(out, np.broadcast_to(pos_cross[..., None], Xc.shape), Xc, axis=1)
+    return out, counts + ncross
+
+
+def _axis_halfplane_clip(
+    X: np.ndarray,
+    Y: np.ndarray,
+    counts: np.ndarray,
+    bound: np.ndarray,
+    clip_x: bool,
+    keep_le: bool,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Axis-aligned half-plane pass on split coordinate planes
+    (X, Y: (B, V)).  Keeps ``coord <= bound`` (or >=); outside vertices
+    clamp the clipped coordinate to ``bound``; crossings land exactly on
+    the boundary.  ~2× cheaper than the generic line pass."""
+    B, V = X.shape
+    if V == 0:
+        return X, Y, counts
+    j = np.arange(V)
+    valid = j[None, :] < counts[:, None]
+    nxt = (j[None, :] + 1) % np.maximum(counts[:, None], 1)
+    Xn = np.take_along_axis(X, nxt, axis=1)
+    Yn = np.take_along_axis(Y, nxt, axis=1)
+
+    C = X if clip_x else Y
+    Cn = Xn if clip_x else Yn
+    s_cur = C - bound[:, None] if keep_le else bound[:, None] - C
+    s_nxt = Cn - bound[:, None] if keep_le else bound[:, None] - Cn
+    in_cur = s_cur <= 0.0
+    in_nxt = s_nxt <= 0.0
+    crossed = (in_cur != in_nxt) & valid
+    denom = s_cur - s_nxt
+    t = np.divide(s_cur, denom, out=np.zeros_like(s_cur), where=denom != 0.0)
+    # crossing point: clipped coord is exactly `bound`, other interpolates
+    if clip_x:
+        cx = np.broadcast_to(bound[:, None], X.shape)
+        cy = Y + t * (Yn - Y)
+        new_x = np.where(in_nxt, Xn, bound[:, None])
+        new_y = Yn
+    else:
+        cx = X + t * (Xn - X)
+        cy = np.broadcast_to(bound[:, None], Y.shape)
+        new_x = Xn
+        new_y = np.where(in_nxt, Yn, bound[:, None])
+
+    ncross = crossed.sum(axis=1)
+    maxc = int(ncross.max()) if B else 0
+    if maxc == 0:
+        # pure clamp, vertex count unchanged; padded rows' wrap-around
+        # nxt indices collide with valid slots, so route them to a sink
+        Xo = np.zeros((B, V + 1))
+        Yo = np.zeros((B, V + 1))
+        pos = np.where(valid, nxt, V)
+        np.put_along_axis(Xo, pos, new_x, axis=1)
+        np.put_along_axis(Yo, pos, new_y, axis=1)
+        return Xo[:, :V], Yo[:, :V], counts
+    Vout = V + maxc + 1  # last slot is a write sink for masked entries
+    Xo = np.zeros((B, Vout))
+    Yo = np.zeros((B, Vout))
+    shift = np.cumsum(crossed, axis=1)
+    trash = Vout - 1
+    pos_next = np.where(valid, j[None, :] + shift, trash)
+    pos_cross = np.where(crossed, j[None, :] + shift - 1, trash)
+    np.put_along_axis(Xo, pos_next, new_x, axis=1)
+    np.put_along_axis(Yo, pos_next, new_y, axis=1)
+    np.put_along_axis(Xo, pos_cross, cx, axis=1)
+    np.put_along_axis(Yo, pos_cross, cy, axis=1)
+    return Xo, Yo, counts + ncross
+
+
+def batch_rect_clip_area(
+    P: np.ndarray, counts: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    """Intersection areas of a padded ring stack with per-row boxes
+    ``(B, 4) = (xmin, ymin, xmax, ymax)`` — four vectorized axis-aligned
+    half-plane passes + one shoelace.
+
+    Rows whose ring bbox is fully inside (area = ring area) or disjoint
+    (area = 0) short-circuit; only straddlers run the clip passes.
+    """
+    B, V, _ = P.shape
+    if V == 0:
+        return np.zeros(B)
+    Xf, Yf = np.ascontiguousarray(P[:, :, 0]), np.ascontiguousarray(P[:, :, 1])
+    jf = np.arange(V)
+    validf = jf[None, :] < counts[:, None]
+    gxmin = np.where(validf, Xf, np.inf).min(axis=1)
+    gxmax = np.where(validf, Xf, -np.inf).max(axis=1)
+    gymin = np.where(validf, Yf, np.inf).min(axis=1)
+    gymax = np.where(validf, Yf, -np.inf).max(axis=1)
+    contained = (
+        (gxmin >= boxes[:, 0]) & (gxmax <= boxes[:, 2])
+        & (gymin >= boxes[:, 1]) & (gymax <= boxes[:, 3])
+    )
+    disjoint = (
+        (gxmin > boxes[:, 2]) | (gxmax < boxes[:, 0])
+        | (gymin > boxes[:, 3]) | (gymax < boxes[:, 1])
+    )
+    out = np.zeros(B)
+    if contained.any():
+        out[contained] = batch_shoelace(P[contained], counts[contained])
+    straddle = ~contained & ~disjoint
+    if not straddle.any():
+        return out
+    out[straddle] = _rect_clip_area_passes(
+        Xf[straddle], Yf[straddle], counts[straddle], boxes[straddle]
+    )
+    return out
+
+
+def _rect_clip_area_passes(
+    X: np.ndarray, Y: np.ndarray, counts: np.ndarray, boxes: np.ndarray
+) -> np.ndarray:
+    for bound_idx, clip_x, keep_le in (
+        (2, True, True),   # x <= xmax
+        (0, True, False),  # x >= xmin
+        (3, False, True),  # y <= ymax
+        (1, False, False),  # y >= ymin
+    ):
+        X, Y, counts = _axis_halfplane_clip(
+            X, Y, counts, boxes[:, bound_idx], clip_x, keep_le
+        )
+    B, V = X.shape
+    if V == 0:
+        return np.zeros(B)
+    j = np.arange(V)
+    valid = j[None, :] < counts[:, None]
+    nxt = (j[None, :] + 1) % np.maximum(counts[:, None], 1)
+    Xn = np.take_along_axis(X, nxt, axis=1)
+    Yn = np.take_along_axis(Y, nxt, axis=1)
+    cross = X * Yn - Xn * Y
+    return np.abs(np.sum(np.where(valid, cross, 0.0), axis=1)) / 2.0
+
+
+def batch_convex_clip_area(
+    P: np.ndarray,
+    counts: np.ndarray,
+    C: np.ndarray,
+    ccounts: np.ndarray,
+) -> np.ndarray:
+    """Intersection areas with per-row *convex* CCW clip rings padded to
+    ``(B, Emax, 2)``; rows run only their own clip edges (passes beyond
+    a row's edge count are no-ops via e = 0)."""
+    B, Emax, _ = C.shape
+    for k in range(Emax):
+        active = k < ccounts
+        nxt = (k + 1) % np.maximum(ccounts, 1)
+        a = C[np.arange(B), k]
+        b = C[np.arange(B), nxt]
+        e = np.where(active[:, None], b - a, 0.0)
+        P, counts = batch_halfplane_clip(P, counts, a[:, 0], a[:, 1], e[:, 0], e[:, 1])
+    return batch_shoelace(P, counts)
+
+
+def batch_box_clipped_length(
+    lines: list[np.ndarray], boxes: np.ndarray
+) -> np.ndarray:
+    """Per-row length of each polyline inside its own box — Liang–Barsky
+    over every segment of every line in one vectorized pass."""
+    nseg = np.array([max(len(c) - 1, 0) for c in lines], dtype=np.int64)
+    B = len(lines)
+    if nseg.sum() == 0:
+        return np.zeros(B)
+    row = np.repeat(np.arange(B), nseg)
+    p0 = np.concatenate([c[:-1] for c in lines if len(c) > 1])
+    p1 = np.concatenate([c[1:] for c in lines if len(c) > 1])
+    bx = boxes[row]
+    dx, dy = p1[:, 0] - p0[:, 0], p1[:, 1] - p0[:, 1]
+    t0 = np.zeros(len(row))
+    t1 = np.ones(len(row))
+    ok = np.ones(len(row), dtype=bool)
+    for p, q in (
+        (-dx, p0[:, 0] - bx[:, 0]),
+        (dx, bx[:, 2] - p0[:, 0]),
+        (-dy, p0[:, 1] - bx[:, 1]),
+        (dy, bx[:, 3] - p0[:, 1]),
+    ):
+        r = np.divide(q, p, out=np.zeros_like(q), where=p != 0.0)
+        t0 = np.where(p < 0, np.maximum(t0, r), t0)
+        t1 = np.where(p > 0, np.minimum(t1, r), t1)
+        ok &= ~((p == 0.0) & (q < 0.0))
+    frac = np.where(ok, np.maximum(t1 - t0, 0.0), 0.0)
+    seg_len = np.hypot(dx, dy) * frac
+    return np.bincount(row, weights=seg_len, minlength=B)

@@ -120,36 +120,73 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        # geometry parse + measure cache: one decode per source per task,
+        # not per candidate pair
+        cache: dict[int, tuple[int, list, float]] = {}
+
         for pdf in batches:
-            out_src, out_dst, out_w, out_pt = [], [], [], []
             if pdf.empty:
                 continue
-            for row in pdf.itertuples(index=False):
-                gtype, rings = geom.parse_wkb(bytes(row.s_geometry))
-                box = (row.d_xmin, row.d_ymin, row.d_xmax, row.d_ymax)
-                is_point = False
-                if gtype == geom.WKB_POINT:
-                    x, y = rings[0][0]
-                    w = 1.0 if geom.point_in_box(x, y, *box) else 0.0
-                    is_point = True
-                elif gtype == geom.WKB_LINESTRING:
-                    total = geom.line_length(rings[0])
-                    w = geom.clipped_line_length(rings[0], *box) / total if total > 0 else 0.0
-                else:
-                    clip = geom.parse_wkb(geom.wkb_box(*box))[1][0]
-                    area = sum(geom.shoelace_area(r) for r in rings)
-                    w = geom.intersection_area(rings, clip) / area if area > 0 else 0.0
-                if w > 0:
-                    out_src.append(row.s_cell_id)
-                    out_dst.append(row.d_cell_id)
-                    out_w.append(w)
-                    out_pt.append(is_point)
+            n = len(pdf)
+            src_ids = pdf["s_cell_id"].to_numpy()
+            for sid, buf in zip(src_ids, pdf["s_geometry"]):
+                if sid not in cache:
+                    gtype, rings = geom.parse_wkb(bytes(buf))
+                    if gtype == geom.WKB_POINT:
+                        measure = 1.0
+                    elif gtype == geom.WKB_LINESTRING:
+                        measure = geom.line_length(rings[0])
+                    else:
+                        measure = sum(geom.shoelace_area(r) for r in rings)
+                    cache[sid] = (gtype, rings, measure)
+            gtypes = np.array([cache[s][0] for s in src_ids])
+            boxes = pdf[["d_xmin", "d_ymin", "d_xmax", "d_ymax"]].to_numpy()
+            w = np.zeros(n)
+
+            pt = np.flatnonzero(gtypes == geom.WKB_POINT)
+            if pt.size:
+                xy = np.array([cache[src_ids[i]][1][0][0] for i in pt])
+                b = boxes[pt]
+                inside = (
+                    (b[:, 0] <= xy[:, 0]) & (xy[:, 0] <= b[:, 2])
+                    & (b[:, 1] <= xy[:, 1]) & (xy[:, 1] <= b[:, 3])
+                )
+                w[pt] = inside.astype(np.float64)
+
+            ln = np.flatnonzero(gtypes == geom.WKB_LINESTRING)
+            if ln.size:
+                coords = [cache[src_ids[i]][1][0] for i in ln]
+                totals = np.array([cache[src_ids[i]][2] for i in ln])
+                clipped = geom.batch_box_clipped_length(coords, boxes[ln])
+                w[ln] = np.divide(
+                    clipped, totals, out=np.zeros_like(clipped), where=totals > 0
+                )
+
+            pg = np.flatnonzero((gtypes != geom.WKB_POINT) & (gtypes != geom.WKB_LINESTRING))
+            if pg.size:
+                rings_flat, owner = [], []
+                for k, i in enumerate(pg):
+                    for r in cache[src_ids[i]][1]:
+                        rings_flat.append(r)
+                        owner.append(k)
+                owner = np.array(owner)
+                P, counts = geom.stack_rings(rings_flat)
+                inter = geom.batch_rect_clip_area(P, counts, boxes[pg][owner])
+                per_row = np.bincount(owner, weights=inter, minlength=pg.size)
+                areas = np.array([cache[src_ids[i]][2] for i in pg])
+                w[pg] = np.divide(
+                    per_row, areas, out=np.zeros_like(per_row), where=areas > 0
+                )
+
+            keep = w > 0
             yield pd.DataFrame(
                 {
-                    "src_id": pd.Series(out_src, dtype="int64"),
-                    "dst_id": pd.Series(out_dst, dtype="int64"),
-                    "weight": pd.Series(out_w, dtype="float64"),
-                    "is_point": pd.Series(out_pt, dtype="bool"),
+                    "src_id": pd.Series(src_ids[keep], dtype="int64"),
+                    "dst_id": pd.Series(pdf["d_cell_id"].to_numpy()[keep], dtype="int64"),
+                    "weight": pd.Series(w[keep], dtype="float64"),
+                    "is_point": pd.Series(gtypes[keep] == geom.WKB_POINT, dtype="bool"),
                 }
             )
 
@@ -180,26 +217,48 @@ def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
     )
 
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        src_cache: dict[int, tuple[list, float]] = {}
+        dst_cache: dict[int, np.ndarray] = {}
+
         for pdf in batches:
-            out_src, out_dst, out_w = [], [], []
             if pdf.empty:
                 continue
-            for row in pdf.itertuples(index=False):
-                _, src_rings = geom.parse_wkb(bytes(row.s_geometry))
-                _, dst_rings = geom.parse_wkb(bytes(row.d_geometry))
-                area = sum(geom.shoelace_area(r) for r in src_rings)
-                if area <= 0:
-                    continue
-                w = geom.intersection_area(src_rings, dst_rings[0]) / area
-                if w > 0:
-                    out_src.append(row.s_cell_id)
-                    out_dst.append(row.d_cell_id)
-                    out_w.append(w)
+            src_ids = pdf["s_cell_id"].to_numpy()
+            dst_ids = pdf["d_cell_id"].to_numpy()
+            for sid, buf in zip(src_ids, pdf["s_geometry"]):
+                if sid not in src_cache:
+                    _, rings = geom.parse_wkb(bytes(buf))
+                    src_cache[sid] = (rings, sum(geom.shoelace_area(r) for r in rings))
+            for did, buf in zip(dst_ids, pdf["d_geometry"]):
+                if did not in dst_cache:
+                    ring = geom.parse_wkb(bytes(buf))[1][0]
+                    if len(ring) > 1 and (ring[0] == ring[-1]).all():
+                        ring = ring[:-1]
+                    dst_cache[did] = geom.ensure_ccw(ring)
+
+            # one padded stack over every (subject ring, clip ring) pair
+            rings_flat, owner, clip_rings = [], [], []
+            for k, (sid, did) in enumerate(zip(src_ids, dst_ids)):
+                for r in src_cache[sid][0]:
+                    rings_flat.append(r)
+                    owner.append(k)
+                    clip_rings.append(dst_cache[did])
+            owner = np.array(owner)
+            P, counts = geom.stack_rings(rings_flat)
+            C, ccounts = geom.stack_rings(clip_rings)
+            inter = geom.batch_convex_clip_area(P, counts, C, ccounts)
+            per_row = np.bincount(owner, weights=inter, minlength=len(pdf))
+            areas = np.array([src_cache[s][1] for s in src_ids])
+            w = np.divide(per_row, areas, out=np.zeros_like(per_row), where=areas > 0)
+
+            keep = w > 0
             yield pd.DataFrame(
                 {
-                    "src_id": pd.Series(out_src, dtype="int64"),
-                    "dst_id": pd.Series(out_dst, dtype="int64"),
-                    "weight": pd.Series(out_w, dtype="float64"),
+                    "src_id": pd.Series(src_ids[keep], dtype="int64"),
+                    "dst_id": pd.Series(dst_ids[keep], dtype="int64"),
+                    "weight": pd.Series(w[keep], dtype="float64"),
                 }
             )
 

@@ -91,3 +91,56 @@ def test_minhash_100k_docs(spark):
     print(f"\n100k-doc minhash-LSH wall: {dt:.1f}s, candidates: {n}")
     assert n >= 100_000  # each 5-clone family yields ≥10 pairs
     assert dt < 300
+
+
+def test_poly_refine_200k_sources(spark):
+    """200k polygon sources onto a 100×100 grid through the batched
+    clip kernel — the refine must stay numpy-vectorized (no per-pair
+    Python loop) and conserve mass for interior sources."""
+    import numpy as np
+
+    from emiproc_spark.functions import geometry as geom
+    from emiproc_spark.operators.regrid import weights_poly_rect
+    from emiproc_spark.grids import regular_grid
+
+    rng = np.random.default_rng(7)
+    n = 200_000
+    cx = rng.uniform(5.0, 995.0, n)
+    cy = rng.uniform(5.0, 995.0, n)
+    rot = rng.uniform(0, 2 * np.pi, n)
+    scale = rng.uniform(0.3, 1.0, n)
+    # simple non-convex star template: evenly spaced angles, alternating
+    # radii with ratio > cos(60°) so the shape is star-shaped (⇒ simple)
+    base_ang = np.arange(6) * np.pi / 3
+    base_rad = np.array([3.0, 2.0, 3.0, 2.0, 3.0, 2.0])
+    rows = []
+    for i in range(n):
+        ang = base_ang + rot[i]
+        rad = base_rad * scale[i]
+        ring = np.column_stack(
+            (cx[i] + rad * np.cos(ang), cy[i] + rad * np.sin(ang))
+        )
+        rows.append(
+            (
+                i,
+                bytearray(geom.wkb_polygon([tuple(p) for p in ring])),
+                float(ring[:, 0].min()),
+                float(ring[:, 1].min()),
+                float(ring[:, 0].max()),
+                float(ring[:, 1].max()),
+            )
+        )
+    src = spark.createDataFrame(
+        rows,
+        "source_id long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    grid = regular_grid(spark, 0.0, 0.0, 100, 100, 10.0, 10.0, with_geometry=False)
+    t0 = time.time()
+    w = weights_poly_rect(src, grid, tile=10.0)
+    sums = w.groupBy("src_id").agg(F.sum("weight").alias("s"))
+    bad = sums.where(F.abs(F.col("s") - 1.0) > 1e-7).count()
+    dt = time.time() - t0
+    print(f"\n200k poly refine wall: {dt:.1f}s")
+    assert bad == 0  # every interior source fully covered
+    assert dt < 120
