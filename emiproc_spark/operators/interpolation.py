@@ -95,8 +95,8 @@ def hour_of_year_to_cycles(
     """
     month_starts = [0, 31, 59, 90, 120, 151, 181, 212, 243, 273, 304, 334, 365]
     doy = F.floor(F.col("hour") / 24)
-    month = F.lit(11)
-    for m in range(11, -1, -1):
+    month = F.lit(0)
+    for m in range(1, 12):
         month = F.when(doy >= month_starts[m], F.lit(m)).otherwise(month)
     enriched = series.select(
         "profile_id",
