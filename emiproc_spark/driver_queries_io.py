@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from emiproc_spark import fixtures as fx
 from emiproc_spark.operators import speciation as spn
 from emiproc_spark.qhelpers import sql_sumd, sumd
+from emiproc_spark.sources.readers import SECONDS_PER_YEAR
 
 # ======================================================================
 # speciate_inventory: dict-driven (cat,sub)→(cat',sub') fan-out
@@ -259,3 +260,259 @@ ORACLES_IO = {
     "tno_ingest": SQL_TNO_INGEST,
     "tno_points": SQL_TNO_POINTS,
 }
+
+
+# ======================================================================
+# Format-specific readers (round 2): EDGAR v8 / CAMS-REG-AQ / GFAS /
+# Saunois ingest through real NetCDF-3 files vs pure-SQL oracles
+# ======================================================================
+def _catsub_raster(spark: SparkSession, sf_dir: str, category: str) -> "np.ndarray":
+    """Integer-valued 10×10 (lat, lon) raster: FLOOR(µ-sum of emissions)
+    per cell for one category — engine-independent by construction."""
+    import numpy as np
+
+    pdf = (
+        fx.emissions(spark, sf_dir)
+        .where(F.col("category") == category)
+        .groupBy("cell_id")
+        .agg(F.floor(sumd("value_kg_y")).cast("double").alias("v"))
+        .toPandas()
+    )
+    arr = np.zeros((fx.FINE_NY, fx.FINE_NX))
+    lat_i = (pdf["cell_id"] % fx.FINE_NY).to_numpy()
+    lon_i = (pdf["cell_id"] // fx.FINE_NY).to_numpy()
+    arr[lat_i, lon_i] = pdf["v"].to_numpy()
+    return arr
+
+
+def _coord_ds():
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset()
+    ds.dims = {"lat": fx.FINE_NY, "lon": fx.FINE_NX}
+    ds.variables["lon"] = NCVariable(
+        "lon", ("lon",), np.arange(fx.FINE_NX) + 0.5
+    )
+    ds.variables["lat"] = NCVariable(
+        "lat", ("lat",), np.arange(fx.FINE_NY) + 0.5
+    )
+    return ds
+
+
+def q_edgar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGAR v8 layout: one file per (category, substance) with Tonnes
+    units and substance/long_name/year attrs; a wrong-year decoy file
+    must be skipped (reference edgarv8.py:190-235)."""
+    from emiproc_spark.functions.netcdf3 import NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import edgar_v8
+
+    d = tempfile.mkdtemp(prefix="emiproc_edgar_")
+    for cat in ("A", "N", "R"):
+        arr = _catsub_raster(spark, sf_dir, cat)
+        for year, scale in ((2022, 1.0), (2021, 3.0)):
+            ds = _coord_ds()
+            ds.variables["emissions"] = NCVariable(
+                "emissions", ("lat", "lon"), arr * scale,
+                {
+                    "units": "Tonnes", "substance": "CO2",
+                    "long_name": cat, "year": year,
+                },
+            )
+            write_netcdf(
+                os.path.join(d, f"v8.0_FT2022_GHG_CO2_{year}_{cat}_emi.nc"), ds
+            )
+    return edgar_v8(spark, d, year=2022)
+
+
+SQL_EDGAR_INGEST = f"""
+    WITH e AS ({fx.EMISSIONS_SQL})
+    SELECT cell_id, category, 'CO2' AS substance,
+           FLOOR({sql_sumd('value_kg_y')}) * 1000.0 AS value_kg_y
+    FROM e GROUP BY cell_id, category
+"""
+
+
+def q_cams_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAMS-REG-AQ layout: substance from the file name, one variable
+    per category, Tg units (reference cams_reg_aq.py:70-150)."""
+    from emiproc_spark.functions.netcdf3 import NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import cams_reg_aq
+
+    d = tempfile.mkdtemp(prefix="emiproc_cams_")
+    ds = _coord_ds()
+    for var, cat in (("A_PublicPower", "A"), ("F_RoadTransport", "R")):
+        arr = _catsub_raster(spark, sf_dir, cat) % 1_000_000
+        ds.variables[var] = NCVariable(var, ("lat", "lon"), arr, {"units": "Tg"})
+    write_netcdf(
+        os.path.join(
+            d, "CAMS-REG-ANT_EUR_0.05x0.1_anthro_nox_v6.1-Ref2_yearly_2022.nc"
+        ),
+        ds,
+    )
+    return cams_reg_aq(
+        spark, d, year=2022,
+        categories_mapping={"A_PublicPower": "A", "F_RoadTransport": "F"},
+    )
+
+
+SQL_CAMS_INGEST = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    g AS (
+        SELECT cell_id, category,
+               FLOOR({sql_sumd('value_kg_y')}) % 1000000 AS tg
+        FROM e WHERE category IN ('A', 'R') GROUP BY cell_id, category
+    )
+    SELECT cell_id, CASE WHEN category = 'A' THEN 'A' ELSE 'F' END AS category,
+           'NOx' AS substance, tg * 1e9 AS value_kg_y
+    FROM g WHERE tg <> 0
+"""
+
+
+GFAS_NLA, GFAS_NLO, GFAS_NDAYS = 5, 4, 365
+GFAS_LAT0 = 40.5
+
+
+def q_gfas_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GFAS layout: daily kg m-2 s-1 fire fluxes over one full year;
+    inventory = time-mean × year-seconds × spherical cell area
+    (reference gfas.py:58-118).  Integer-kg quantization collapses
+    sum-fold and libm-sin ulp differences."""
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import gfas_emissions
+
+    d = tempfile.mkdtemp(prefix="emiproc_gfas_")
+    t = np.arange(GFAS_NDAYS)[:, None, None]
+    la = np.arange(GFAS_NLA)[None, :, None]
+    lo = np.arange(GFAS_NLO)[None, None, :]
+    cell = lo * GFAS_NLA + la
+    arr = ((t * 7 + cell * 13) % 50 + 1) * 1e-9
+    ds = NCDataset()
+    ds.dims = {"valid_time": GFAS_NDAYS, "latitude": GFAS_NLA, "longitude": GFAS_NLO}
+    ds.variables["valid_time"] = NCVariable(
+        "valid_time", ("valid_time",), np.arange(GFAS_NDAYS, dtype=np.int32)
+    )
+    ds.variables["latitude"] = NCVariable(
+        "latitude", ("latitude",), np.arange(GFAS_NLA) + GFAS_LAT0
+    )
+    ds.variables["longitude"] = NCVariable(
+        "longitude", ("longitude",), np.arange(GFAS_NLO) + 0.5
+    )
+    ds.variables["fireco2"] = NCVariable(
+        "fireco2", ("valid_time", "latitude", "longitude"),
+        np.broadcast_to(arr, (GFAS_NDAYS, GFAS_NLA, GFAS_NLO)),
+        {"units": "kg m-2 s-1"},
+    )
+    write_netcdf(os.path.join(d, "gfas.nc"), ds)
+    out = gfas_emissions(spark, d, year=2023)
+    return out.select(
+        "cell_id", "category", "substance",
+        F.floor(F.col("value_kg_y") + 0.5).cast("double").alias("value_kg_y"),
+    )
+
+
+SQL_GFAS_INGEST = f"""
+    WITH cells AS (
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la
+        FROM range({GFAS_NLO}) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    daily AS (
+        SELECT c.cell_id, c.la,
+               ((d.d * 7 + c.cell_id * 13) % 50 + 1) * 1e-9 AS v
+        FROM cells c CROSS JOIN range({GFAS_NDAYS}) d(d)
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(1.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT d.cell_id, 'gfas' AS category, 'CO2' AS substance,
+           FLOOR(AVG(d.v * {SECONDS_PER_YEAR} * a.area) + 0.5) AS value_kg_y
+    FROM daily d JOIN areas a USING (la)
+    GROUP BY d.cell_id
+"""
+
+
+def q_saunois_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Saunois layout: per-category file, monthly g CH4 m-2 d-1 fluxes
+    with a singleton lev dim; annual total weights each month by its
+    day count (reference saunois.py:70-90)."""
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import saunois_emissions
+
+    d = tempfile.mkdtemp(prefix="emiproc_saunois_")
+    m = np.arange(12)[:, None, None]
+    la = np.arange(GFAS_NLA)[None, :, None]
+    lo = np.arange(GFAS_NLO)[None, None, :]
+    cell = lo * GFAS_NLA + la
+    arr = ((m * 5 + cell * 11) % 30 + 1).astype(np.float64)
+    ds = NCDataset()
+    ds.dims = {"time": 12, "lev": 1, "lat": GFAS_NLA, "lon": GFAS_NLO}
+    ds.variables["time"] = NCVariable("time", ("time",), np.arange(12, dtype=np.int32))
+    ds.variables["lat"] = NCVariable("lat", ("lat",), np.arange(GFAS_NLA) + GFAS_LAT0)
+    ds.variables["lon"] = NCVariable("lon", ("lon",), np.arange(GFAS_NLO) + 0.5)
+    ds.variables["flux"] = NCVariable(
+        "flux", ("time", "lev", "lat", "lon"),
+        np.broadcast_to(arr, (12, GFAS_NLA, GFAS_NLO))[:, np.newaxis, :, :],
+        {"units": "g CH4 m-2 d-1"},
+    )
+    write_netcdf(os.path.join(d, "wetland.nc"), ds)
+    out = saunois_emissions(spark, d)
+    return out.select(
+        "cell_id", "category", "substance",
+        F.floor(F.col("value_kg_y") + 0.5).cast("double").alias("value_kg_y"),
+    )
+
+
+SQL_SAUNOIS_INGEST = f"""
+    WITH days(mo, nd) AS (VALUES (0, 31), (1, 28), (2, 31), (3, 30), (4, 31),
+                                 (5, 30), (6, 31), (7, 31), (8, 30), (9, 31),
+                                 (10, 30), (11, 31)),
+    cells AS (
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la
+        FROM range({GFAS_NLO}) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    monthly AS (
+        SELECT c.cell_id, c.la,
+               CAST(SUM(((days.mo * 5 + c.cell_id * 11) % 30 + 1) * days.nd)
+                    AS DOUBLE) AS gsum
+        FROM cells c CROSS JOIN days
+        GROUP BY c.cell_id, c.la
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(1.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT m.cell_id, 'wetland' AS category, 'CH4' AS substance,
+           FLOOR((m.gsum * 1e-3) * a.area + 0.5) AS value_kg_y
+    FROM monthly m JOIN areas a USING (la)
+"""
+
+
+QUERIES_IO.update(
+    {
+        "edgar_ingest": q_edgar_ingest,
+        "cams_ingest": q_cams_ingest,
+        "gfas_ingest": q_gfas_ingest,
+        "saunois_ingest": q_saunois_ingest,
+    }
+)
+
+ORACLES_IO.update(
+    {
+        "edgar_ingest": SQL_EDGAR_INGEST,
+        "cams_ingest": SQL_CAMS_INGEST,
+        "gfas_ingest": SQL_GFAS_INGEST,
+        "saunois_ingest": SQL_SAUNOIS_INGEST,
+    }
+)
