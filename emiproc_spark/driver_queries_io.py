@@ -516,3 +516,60 @@ ORACLES_IO.update(
         "saunois_ingest": SQL_SAUNOIS_INGEST,
     }
 )
+
+
+# ======================================================================
+# GeoPackage round-trip: export via sqlite3 → distributed layer read →
+# MapLuft-style unpivot (reference exports/geopackage.py:9-55,
+# inventories/zurich/__init__.py:10-118)
+# ======================================================================
+def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from emiproc_spark.functions.geometry import wkb_point
+    from emiproc_spark.sources.geopackage import export_to_geopackage, from_geopackage
+
+    nat = (
+        fx.load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .toPandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        {
+            "geometry": [
+                wkb_point(float(k), float(r))
+                for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])
+            ],
+            "Emission_CO2": nat["n_nationkey"] * 2.5,
+            "Emission_Benzol": nat["n_regionkey"] + 0.5,
+        }
+    )
+    layer = spark.createDataFrame(pdf).coalesce(1).sortWithinPartitions(
+        F.col("Emission_CO2")
+    )
+    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_gpkg_"), "inv.gpkg")
+    export_to_geopackage({"zurich_cat": layer}, path)
+    out = from_geopackage(spark, path)
+    return out.select(
+        "category",
+        "source_id",
+        "substance",
+        "value_kg_y",
+        F.length("geometry").alias("wkb_len"),
+    )
+
+
+SQL_GPKG_ROUNDTRIP = """
+    SELECT 'zurich_cat' AS category, n_nationkey + 1 AS source_id,
+           'CO2' AS substance, n_nationkey * 2.5 AS value_kg_y, 21 AS wkb_len
+    FROM nation
+    UNION ALL
+    SELECT 'zurich_cat', n_nationkey + 1, 'benzene',
+           n_regionkey + 0.5, 21
+    FROM nation
+"""
+
+QUERIES_IO["gpkg_roundtrip"] = q_gpkg_roundtrip
+ORACLES_IO["gpkg_roundtrip"] = SQL_GPKG_ROUNDTRIP
