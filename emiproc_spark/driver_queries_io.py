@@ -573,3 +573,109 @@ SQL_GPKG_ROUNDTRIP = """
 
 QUERIES_IO["gpkg_roundtrip"] = q_gpkg_roundtrip
 ORACLES_IO["gpkg_roundtrip"] = SQL_GPKG_ROUNDTRIP
+
+
+# ======================================================================
+# GRAL round-trip: shaped points → point.dat (kg/h) → re-ingest (kg/y)
+# (reference exports/gral.py:197-224, inventories/gral.py:164-199)
+# ======================================================================
+def q_gral_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from emiproc_spark.exports.gral import HOUR_PER_YR, write_gral_emissions
+    from emiproc_spark.functions.geometry import wkb_point
+    from emiproc_spark.sources.gral import gral_inventory
+
+    nat = (
+        fx.load(spark, sf_dir, "nation")
+        .select("n_nationkey", "n_regionkey")
+        .toPandas()
+        .sort_values("n_nationkey")
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        {
+            "category": "traffic",
+            "geometry": [
+                wkb_point(float(k), float(r))
+                for k, r in zip(nat["n_nationkey"], nat["n_regionkey"])
+            ],
+            "substance": "NOx",
+            # integer multiples of HOUR_PER_YR survive the kg/h text
+            # round-trip bit-exactly
+            "value_kg_y": (nat["n_nationkey"] + 1) * HOUR_PER_YR,
+        }
+    )
+    d = os.path.join(tempfile.mkdtemp(prefix="emiproc_gral_"), "emissions")
+    write_gral_emissions(
+        d, spark.createDataFrame(pdf), emission_infos={"traffic": {"height": 4.0}}
+    )
+    out = gral_inventory(spark, d)
+    return out.select("category", "substance", "value_kg_y", "height")
+
+
+SQL_GRAL_ROUNDTRIP = """
+    SELECT 'traffic' AS category, 'NOx' AS substance,
+           (n_nationkey + 1) * (365.25 * 24) AS value_kg_y, 4.0 AS height
+    FROM nation
+"""
+
+
+# ======================================================================
+# Swiss ASCII-raster ingest: x-major south-up layout × per-year totals
+# (reference inventories/swiss.py:283-300)
+# ======================================================================
+def q_swiss_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.sources.swiss import swiss_rasters
+
+    per_cell = (
+        fx.emissions(spark, sf_dir)
+        .groupBy("cell_id")
+        .agg((F.floor(sumd("value_kg_y")) % 97).cast("double").alias("rv"))
+        .toPandas()
+        .set_index("cell_id")["rv"]
+    )
+    lines = [
+        f"ncols {fx.FINE_NX}", f"nrows {fx.FINE_NY}", "xllcorner 0",
+        "yllcorner 0", "cellsize 1", "NODATA_value -9999",
+    ]
+    for r in range(fx.FINE_NY):  # top row first: y = nrows-1-r
+        y = fx.FINE_NY - 1 - r
+        lines.append(
+            " ".join(
+                str(per_cell.get(x * fx.FINE_NY + y, 0.0))
+                for x in range(fx.FINE_NX)
+            )
+        )
+    d = tempfile.mkdtemp(prefix="emiproc_swiss_")
+    with open(os.path.join(d, "eipro.asc"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    totals = (
+        fx.emissions(spark, sf_dir)
+        .where(F.col("category") == "A")
+        .agg(F.floor(sumd("value_kg_y")).cast("double").alias("total"))
+        .select(
+            F.lit("eipro").alias("category"), F.lit("CO2").alias("substance"), "total"
+        )
+    )
+    return swiss_rasters(spark, d, totals)
+
+
+SQL_SWISS_INGEST = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    per_cell AS (
+        SELECT cell_id, FLOOR({sql_sumd('value_kg_y')}) % 97 AS rv
+        FROM e GROUP BY cell_id
+    ),
+    tot AS (
+        SELECT FLOOR({sql_sumd('value_kg_y')}) AS t FROM e WHERE category = 'A'
+    )
+    SELECT p.cell_id, 'eipro' AS category, 'CO2' AS substance,
+           p.rv * tot.t AS value_kg_y
+    FROM per_cell p, tot WHERE p.rv <> 0
+"""
+
+QUERIES_IO["gral_roundtrip"] = q_gral_roundtrip
+ORACLES_IO["gral_roundtrip"] = SQL_GRAL_ROUNDTRIP
+QUERIES_IO["swiss_ingest"] = q_swiss_ingest
+ORACLES_IO["swiss_ingest"] = SQL_SWISS_INGEST
