@@ -626,3 +626,38 @@ ORACLES_R2 = {
     "add_totals": SQL_ADD_TOTALS,
     "hoy_to_cycles": SQL_HOY_TO_CYCLES,
 }
+
+
+# ======================================================================
+# icon_oem_sf: OEM region scaling factors with UTC-shift roll
+# (reference exports/icon.py:505-526)
+# ======================================================================
+def q_icon_oem_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.exports.icon import region_scaling_factors
+
+    regions = spark.createDataFrame(
+        [(r, f"R{r}", r - 2) for r in range(6)],
+        "region_id int, region_key string, tz_shift int",
+    )
+    index = spark.createDataFrame(
+        [("traffic", "NOx", r, "daily", r % 3) for r in range(6)],
+        "category string, substance string, region_id int, ptype string, profile_id int",
+    )
+    out = region_scaling_factors(index, _daily_k(spark), regions)
+    return out.select(
+        "category", "substance", "region_id", "profile_id",
+        F.posexplode("sf").alias("pos", "sf"),
+    )
+
+
+SQL_ICON_OEM_SF = """
+    SELECT 'traffic' AS category, 'NOx' AS substance,
+           CAST(r.r AS INT) AS region_id, CAST(r.r % 3 AS INT) AS profile_id,
+           CAST(p.pos AS INT) AS pos,
+           ((((p.pos - (r.r - 2)) % 24 + 24) % 24) + 1 + (r.r % 3))
+               / (300.0 + 24 * (r.r % 3)) * 24 AS sf
+    FROM range(6) r(r), range(24) p(pos)
+"""
+
+QUERIES_R2["icon_oem_sf"] = q_icon_oem_sf
+ORACLES_R2["icon_oem_sf"] = SQL_ICON_OEM_SF

@@ -1,0 +1,209 @@
+"""ICON-OEM export: per-cycle scaling-factor files + gridded inventory
+(reference emiproc/exports/icon.py).
+
+``make_icon_time_profiles`` writes the OEM temporal-profile files —
+``hourofday.nc`` / ``dayofweek.nc`` / ``monthofyear.nc`` — in the exact
+OEM layout (icon.py:430-550): per (category, substance) a
+``(cycle, country)`` scaling-factor matrix over the regionized
+"countries" (distinct timezone × profile pairs, see
+``exports.writers.regionize``), with coords ``country``,
+``timezone_of_country``, ``temporal_profile_id`` and ``region_key``,
+and the hour-of-day cycle rolled by each region's UTC offset
+(``np.roll(sf, -tz_shift)``, icon.py:505-526).
+
+Spark shape: scaling factors and the tz roll are computed JVM-side
+(array ops over the broadcast profile store); only the final dense
+(cycle × region) matrices — dimension-sized — are collected into the
+NetCDF-3 writer.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+CYCLE_FILES = {
+    "daily": ("hourofday", 24),
+    "weekly": ("dayofweek", 7),
+    "monthly": ("monthofyear", 12),
+    "hour_of_year": ("hourofyear", 8760),
+}
+
+DEFAULT_NC_ATTRIBUTES = {
+    "DESCRIPTION": "Temporal profiles for emissions",
+    "DATAORIGIN": "emiproc_spark",
+}
+
+
+def region_scaling_factors(
+    index: DataFrame,
+    tprofiles: DataFrame,
+    regions: DataFrame,
+    correct_tz_shift: bool = True,
+) -> DataFrame:
+    """Per-(category, substance, region, ptype) scaling-factor vectors.
+
+    ``index``: (category, substance, region_id, ptype, profile_id);
+    ``tprofiles``: (profile_id, ptype, ratios);
+    ``regions``: (region_id, region_key, tz_shift).
+
+    sf = ratio × cycle_size (reference scaling_factors,
+    profiles/temporal/composite.py:205-212); the daily cycle rolls by
+    −tz_shift so local-time profiles apply in UTC
+    (icon.py:505-526): out[i] = in[(i − shift) mod n].
+    """
+    joined = (
+        index.join(F.broadcast(tprofiles), ["ptype", "profile_id"], "inner")
+        .join(F.broadcast(regions.select("region_id", "tz_shift")), "region_id")
+    )
+    n = F.size("ratios")
+    sf = F.transform(F.col("ratios"), lambda r: r * n)
+    shift = F.col("tz_shift")
+    rolled = F.transform(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.element_at("ratios", (((i - shift) % n + n) % n) + 1) * n,
+    )
+    return joined.select(
+        "category",
+        "substance",
+        "region_id",
+        "ptype",
+        "profile_id",
+        F.when(F.lit(correct_tz_shift) & F.col("ptype").isin("daily", "hour_of_year"), rolled)
+        .otherwise(sf)
+        .alias("sf"),
+    )
+
+
+def make_icon_time_profiles(
+    index: DataFrame,
+    tprofiles: DataFrame,
+    regions: DataFrame,
+    out_dir: str,
+    correct_tz_shift: bool = True,
+    var_name: str = "{category}_{substance}",
+    nc_attrs: dict | None = None,
+) -> dict[str, str]:
+    """Write the OEM per-cycle scaling-factor NetCDF files
+    (reference make_icon_time_profiles, icon.py:430-550).
+
+    Returns {cycle file stem: path}.  One file per ptype present in the
+    index; each (category, substance) becomes a variable with dims
+    ``(<cycle>, country)``; region metadata lands in the coord
+    variables exactly like the reference (icon.py:527-545).
+    """
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    sf = region_scaling_factors(index, tprofiles, regions, correct_tz_shift)
+    rows = sf.collect()  # dimension-sized: regions × catsubs × cycles
+    reg_rows = sorted(
+        regions.select("region_id", "region_key", "tz_shift").collect(),
+        key=lambda r: r["region_id"],
+    )
+    region_ids = [r["region_id"] for r in reg_rows]
+    reg_pos = {rid: i for i, rid in enumerate(region_ids)}
+    nreg = len(region_ids)
+
+    by_ptype: dict[str, dict[tuple[str, str], np.ndarray]] = {}
+    prof_of_region: dict[str, np.ndarray] = {}
+    for r in rows:
+        ptype = r["ptype"]
+        _, size = CYCLE_FILES[ptype]
+        mats = by_ptype.setdefault(ptype, {})
+        key = (r["category"], r["substance"])
+        if key not in mats:
+            mats[key] = np.ones((size, nreg))
+        mats[key][:, reg_pos[r["region_id"]]] = np.asarray(r["sf"])
+        pids = prof_of_region.setdefault(ptype, np.full(nreg, -1, dtype=np.int32))
+        pids[reg_pos[r["region_id"]]] = r["profile_id"]
+
+    keys = np.array([str(r["region_key"]) for r in reg_rows])
+    klen = max(1, max(len(k) for k in keys))
+    key_chars = np.zeros((nreg, klen), dtype="S1")
+    for i, k in enumerate(keys):
+        b = k.encode()[:klen]
+        key_chars[i, : len(b)] = np.frombuffer(b, dtype="S1")
+
+    out = {}
+    for ptype, mats in by_ptype.items():
+        stem, size = CYCLE_FILES[ptype]
+        ds = NCDataset()
+        ds.dims = {stem: size, "country": nreg, "region_str_len": klen}
+        ds.attrs = dict(nc_attrs or DEFAULT_NC_ATTRIBUTES)
+        ds.attrs["title"] = f"{stem} profiles"
+        ds.variables["country"] = NCVariable(
+            "country", ("country",), np.arange(nreg, dtype=np.int32)
+        )
+        ds.variables["timezone_of_country"] = NCVariable(
+            "timezone_of_country",
+            ("country",),
+            np.array([r["tz_shift"] for r in reg_rows], dtype=np.int32),
+        )
+        ds.variables["temporal_profile_id"] = NCVariable(
+            "temporal_profile_id", ("country",), prof_of_region[ptype]
+        )
+        ds.variables["region_key"] = NCVariable(
+            "region_key", ("country", "region_str_len"), key_chars
+        )
+        for (cat, sub), mat in sorted(mats.items()):
+            name = var_name.format(category=cat, substance=sub)
+            ds.variables[name] = NCVariable(
+                name,
+                (stem, "country"),
+                mat,
+                {"units": "1", "long_name": f"{stem} scaling factors for {name}"},
+            )
+        path = os.path.join(out_dir, f"{stem}.nc")
+        write_netcdf(path, ds)
+        out[stem] = path
+    return out
+
+
+def make_icon_vertical_profiles(
+    vprofiles: DataFrame,
+    out_dir: str,
+    nc_attrs: dict | None = None,
+) -> str:
+    """Write OEM vertical_profiles.nc (reference
+    make_icon_vertical_profiles, icon.py:552-600): one scaling-factor
+    variable per category over a shared ``level`` axis plus
+    layer_bot/mid/top bounds.
+
+    ``vprofiles``: (category, height_top, ratio) — heights must already
+    share one level set (use operators.vertical.vertical_rebin to
+    resample first, mirroring the reference's
+    resample_vertical_profiles)."""
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    rows = vprofiles.collect()
+    heights = sorted({float(r["height_top"]) for r in rows})
+    hpos = {h: i for i, h in enumerate(heights)}
+    cats = sorted({r["category"] for r in rows})
+    ds = NCDataset()
+    ds.dims = {"level": len(heights)}
+    ds.attrs = dict(nc_attrs or DEFAULT_NC_ATTRIBUTES)
+    ds.attrs["title"] = "Vertical profiles"
+    for cat in cats:
+        arr = np.zeros(len(heights))
+        for r in rows:
+            if r["category"] == cat:
+                arr[hpos[float(r["height_top"])]] = r["ratio"]
+        ds.variables[cat] = NCVariable(
+            cat, ("level",), arr,
+            {"long_name": f"vertical scaling factor for sources of {cat} category",
+             "units": "1"},
+        )
+    top = np.array(heights)
+    bot = np.roll(top, 1)
+    bot[0] = 0.0
+    ds.variables["layer_top"] = NCVariable("layer_top", ("level",), top)
+    ds.variables["layer_bot"] = NCVariable("layer_bot", ("level",), bot)
+    ds.variables["layer_mid"] = NCVariable("layer_mid", ("level",), (top + bot) / 2.0)
+    path = os.path.join(out_dir, "vertical_profiles.nc")
+    write_netcdf(path, ds)
+    return path

@@ -1,0 +1,117 @@
+"""WRF-chemi export: one NetCDF file per hour with per-(substance,
+category) mole-flux variables (reference emiproc/exports/wrf.py:129-240).
+
+Layout pinned to the reference:
+
+- variables ``E_{substance}_{category}`` (template configurable) with
+  dims ``(Time=1, emissions_zdim=1, south_north, west_east)``;
+- units mole/km²/h: kg/h ÷ (molar_mass·1e-3) ÷ (cell_area·1e-6)
+  (wrf.py:170-180);
+- cell unstacking ``cell = x·ny + y`` → west_east = x, south_north = y
+  (wrf.py:183-196);
+- a char ``Times`` variable holding ``%Y-%m-%d_%H:%M:%S``
+  (wrf.py:230-233); file names ``wrfchemi_d01_<stamp>``.
+
+Spark shape: the hourly expansion and unit conversion stay distributed
+(temporally_scaled → one arithmetic select); per-hour dense rasters are
+the single-node file boundary, assembled from a partition-pruned
+collect per output file.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# reference emiproc/utils/constants.py MOLAR_MASSES_
+MOLAR_MASSES = {
+    "CO2": 44.009, "CO": 28.010, "CH4": 16.04, "N2O": 44.013,
+    "NOx": 46.006, "NO2": 46.006, "NO": 30.006, "SO2": 64.066,
+    "NH3": 17.031, "VOC": 100.0,
+}
+
+
+def to_mole_flux(
+    hourly: DataFrame,
+    grid: DataFrame,
+    molar_masses: dict[str, float] | None = None,
+) -> DataFrame:
+    """kg/h/cell → mole/km²/h (reference wrf.py:170-180): divide by the
+    molar mass (kg/mol) and the cell area (km²)."""
+    mm = molar_masses or MOLAR_MASSES
+    spark = hourly.sparkSession
+    mmdf = spark.createDataFrame(
+        [(s, m) for s, m in mm.items()], "substance string, molar_mass double"
+    )
+    areas = grid.select("cell_id", "area_m2")
+    return (
+        hourly.join(F.broadcast(mmdf), "substance", "inner")
+        .join(F.broadcast(areas), "cell_id")
+        .withColumn(
+            "value_mole_km2_h",
+            F.col("value_kg_h")
+            / (F.col("molar_mass") * 1e-3)
+            / (F.col("area_m2") * 1e-6),
+        )
+        .drop("molar_mass", "area_m2")
+    )
+
+
+def export_wrf_hourly_emissions(
+    hourly_flux: DataFrame,
+    nx: int,
+    ny: int,
+    start: str,
+    out_dir: str,
+    variable_name: str = "E_{substance}_{category}",
+    grid_attrs: dict | None = None,
+) -> list[str]:
+    """Write wrfchemi files, one per distinct ``hour_index``
+    (reference export_wrf_hourly_emissions, wrf.py:129-240).
+
+    ``hourly_flux``: (cell_id, category, substance, hour_index,
+    value_mole_km2_h) — the output of :func:`to_mole_flux` over
+    ``operators.temporal.temporally_scaled``.  ``start``: timestamp of
+    hour 0 (``YYYY-MM-DD HH:MM:SS``).
+    """
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
+    pdf = hourly_flux.select(
+        "hour_index", "category", "substance", "cell_id", "value_mole_km2_h"
+    ).toPandas()
+    paths = []
+    for hour in sorted(pdf["hour_index"].unique()):
+        at = pdf[pdf["hour_index"] == hour]
+        stamp = (t0 + datetime.timedelta(hours=int(hour))).strftime(
+            "%Y-%m-%d_%H:%M:%S"
+        )
+        ds = NCDataset()
+        ds.dims = {
+            "Time": 1, "emissions_zdim": 1,
+            "south_north": ny, "west_east": nx, "DateStrLen": len(stamp),
+        }
+        ds.attrs = dict(grid_attrs or {})
+        ds.attrs["unit"] = "moles/km2/h"
+        times = np.frombuffer(stamp.encode(), dtype="S1").reshape(1, -1)
+        ds.variables["Times"] = NCVariable("Times", ("Time", "DateStrLen"), times)
+        for (cat, sub), g in at.groupby(["category", "substance"]):
+            arr = np.zeros((ny, nx))
+            cell = g["cell_id"].to_numpy()
+            arr[cell % ny, cell // ny] = g["value_mole_km2_h"].to_numpy()
+            name = variable_name.format(substance=sub, category=cat)
+            ds.variables[name] = NCVariable(
+                name,
+                ("Time", "emissions_zdim", "south_north", "west_east"),
+                arr[np.newaxis, np.newaxis, :, :],
+                {"units": "mol km^-2 hr^-1"},
+            )
+        path = os.path.join(out_dir, f"wrfchemi_d01_{stamp}")
+        write_netcdf(path, ds)
+        paths.append(path)
+    return paths

@@ -1,0 +1,118 @@
+"""ICON-OEM scaling-factor files and WRF-chemi hourly files, written by
+the exporters and read back with the NetCDF-3 codec, pinned against the
+reference layouts (exports/icon.py:430-550, exports/wrf.py:129-240)."""
+
+import numpy as np
+import pytest
+
+from emiproc_spark.exports.icon import (
+    make_icon_time_profiles,
+    make_icon_vertical_profiles,
+)
+from emiproc_spark.exports.wrf import export_wrf_hourly_emissions, to_mole_flux
+from emiproc_spark.functions.netcdf3 import read_netcdf
+
+
+def _regions(spark):
+    return spark.createDataFrame(
+        [(0, "UTC", 0), (1, "CET", 1), (2, "EET", 2)],
+        "region_id int, region_key string, tz_shift int",
+    )
+
+
+def _store(spark):
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    weekly = [(d + 1) / 28.0 for d in range(7)]
+    return spark.createDataFrame(
+        [(0, "daily", daily), (1, "weekly", weekly)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+
+
+def test_icon_time_profiles(spark, tmp_path):
+    index = spark.createDataFrame(
+        [
+            ("traffic", "NOx", 0, "daily", 0),
+            ("traffic", "NOx", 1, "daily", 0),
+            ("traffic", "NOx", 2, "daily", 0),
+            ("traffic", "NOx", 0, "weekly", 1),
+            ("traffic", "NOx", 1, "weekly", 1),
+            ("traffic", "NOx", 2, "weekly", 1),
+        ],
+        "category string, substance string, region_id int, ptype string, profile_id int",
+    )
+    out = make_icon_time_profiles(index, _store(spark), _regions(spark), str(tmp_path))
+    assert set(out.keys()) == {"hourofday", "dayofweek"}
+
+    ds = read_netcdf(out["hourofday"])
+    assert ds.dims["hourofday"] == 24 and ds.dims["country"] == 3
+    sf = ds.variables["traffic_NOx"].data
+    assert sf.shape == (24, 3)
+    daily_sf = np.array([(h + 1) / 300.0 * 24 for h in range(24)])
+    # region 0: no shift
+    assert np.allclose(sf[:, 0], daily_sf)
+    # region 1 (tz_shift=1): rolled by -1 → out[i] = in[(i-1) mod 24]
+    assert np.allclose(sf[:, 1], np.roll(daily_sf, 1))
+    assert np.allclose(sf[:, 2], np.roll(daily_sf, 2))
+    # coords
+    assert list(ds.variables["country"].data) == [0, 1, 2]
+    assert list(ds.variables["timezone_of_country"].data) == [0, 1, 2]
+    assert list(ds.variables["temporal_profile_id"].data) == [0, 0, 0]
+    keys = [
+        b"".join(row).decode().rstrip("\x00") for row in ds.variables["region_key"].data
+    ]
+    assert keys == ["UTC", "CET", "EET"]
+
+    # weekly file is unshifted
+    dw = read_netcdf(out["dayofweek"])
+    wk = dw.variables["traffic_NOx"].data
+    assert np.allclose(wk[:, 2], np.array([(d + 1) / 28.0 * 7 for d in range(7)]))
+
+
+def test_icon_vertical_profiles(spark, tmp_path):
+    vp = spark.createDataFrame(
+        [("traffic", 20.0, 0.7), ("traffic", 100.0, 0.3),
+         ("heating", 20.0, 1.0), ("heating", 100.0, 0.0)],
+        "category string, height_top double, ratio double",
+    )
+    path = make_icon_vertical_profiles(vp, str(tmp_path))
+    ds = read_netcdf(path)
+    assert np.allclose(ds.variables["layer_top"].data, [20.0, 100.0])
+    assert np.allclose(ds.variables["layer_bot"].data, [0.0, 20.0])
+    assert np.allclose(ds.variables["layer_mid"].data, [10.0, 60.0])
+    assert np.allclose(ds.variables["traffic"].data, [0.7, 0.3])
+    assert np.allclose(ds.variables["heating"].data, [1.0, 0.0])
+
+
+def test_wrf_hourly_files(spark, tmp_path):
+    nx, ny = 3, 2
+    hourly = spark.createDataFrame(
+        [
+            (0, "traffic", "CO", 0, 28.010),   # 1000 mol/h at cell 0
+            (3, "traffic", "CO", 0, 56.020),   # cell 3 = x1,y1
+            (0, "traffic", "CO", 1, 28.010),
+        ],
+        "cell_id long, category string, substance string, hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(c, 2e6) for c in range(nx * ny)], "cell_id long, area_m2 double"
+    )  # 2 km² cells
+    flux = to_mole_flux(hourly, grid)
+    paths = export_wrf_hourly_emissions(
+        flux, nx, ny, "2024-01-01 00:00:00", str(tmp_path)
+    )
+    assert len(paths) == 2
+    assert paths[0].endswith("wrfchemi_d01_2024-01-01_00:00:00")
+
+    ds = read_netcdf(paths[0])
+    v = ds.variables["E_CO_traffic"]
+    assert v.dims == ("Time", "emissions_zdim", "south_north", "west_east")
+    arr = v.data[0, 0]
+    # kg/h ÷ mm(kg/mol) ÷ km² : 28.010 / 0.028010 / 2 = 500
+    assert arr[0, 0] == pytest.approx(500.0)
+    # cell 3 = x=1, y=1 → south_north 1, west_east 1
+    assert arr[1, 1] == pytest.approx(1000.0)
+    assert arr[1, 2] == 0.0
+    times = b"".join(ds.variables["Times"].data[0]).decode()
+    assert times == "2024-01-01_00:00:00"
+    assert ds.attrs["unit"] == "moles/km2/h"
