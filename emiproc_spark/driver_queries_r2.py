@@ -661,3 +661,43 @@ SQL_ICON_OEM_SF = """
 
 QUERIES_R2["icon_oem_sf"] = q_icon_oem_sf
 ORACLES_R2["icon_oem_sf"] = SQL_ICON_OEM_SF
+
+
+# ======================================================================
+# shapefile_regions: .shp/.dbf → regions table → cell fractions
+# (reference get_natural_earth/get_timezones + get_country_mask,
+# emiproc/utilities.py:103-314, 317-531)
+# ======================================================================
+def q_shapefile_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from emiproc_spark.operators.masks import cell_region_fractions
+    from emiproc_spark.sources.shapefile import shapefile_to_regions, write_shapefile
+
+    regs = sorted(
+        fx.load(spark, sf_dir, "region").select("r_regionkey", "r_name").collect(),
+        key=lambda r: r["r_regionkey"],
+    )
+    # region r covers the x ∈ [2r, 2r+2) stripe of the 10×10 fixture grid
+    polys = [
+        [np.array([[2.0 * r["r_regionkey"], 0.0], [2.0 * r["r_regionkey"] + 2.0, 0.0],
+                   [2.0 * r["r_regionkey"] + 2.0, 10.0], [2.0 * r["r_regionkey"], 10.0]])]
+        for r in regs
+    ]
+    attrs = pd.DataFrame({"NAME": [r["r_name"] for r in regs]})
+    base = os.path.join(tempfile.mkdtemp(prefix="emiproc_shp_"), "regions")
+    write_shapefile(base, polys, attrs)
+    regions = shapefile_to_regions(spark, base + ".shp", label_field="NAME")
+    fr = cell_region_fractions(regions, fx.fine_grid(spark), tile=2.5)
+    return fr.withColumn("fraction", qd("fraction"))
+
+
+SQL_SHAPEFILE_REGIONS = """
+    SELECT t.i * 10 + s.j AS cell_id, r.r_name AS country, 1.0 AS fraction
+    FROM range(10) t(i) CROSS JOIN range(10) s(j)
+    JOIN region r ON r.r_regionkey = t.i // 2
+"""
+
+QUERIES_R2["shapefile_regions"] = q_shapefile_regions
+ORACLES_R2["shapefile_regions"] = SQL_SHAPEFILE_REGIONS
