@@ -517,3 +517,70 @@ def batch_box_clipped_length(
     frac = np.where(ok, np.maximum(t1 - t0, 0.0), 0.0)
     seg_len = np.hypot(dx, dy) * frac
     return np.bincount(row, weights=seg_len, minlength=B)
+
+
+# ====================================================================
+# Antimeridian handling (reference emiproc/grids.py:931-1013:
+# ICON triangles crossing ±180° are unwrapped, split at the meridian,
+# and each part shifted back into [−180, 180])
+# ====================================================================
+def unwrap_lons(ring: np.ndarray) -> np.ndarray:
+    """Make the ring's longitudes continuous: each vertex lands within
+    ±180° of the previous one (the reference's shift-by-360 detection,
+    grids.py:947-989, generalized to any vertex count)."""
+    r = np.asarray(ring, dtype=np.float64).copy()
+    lon = r[:, 0]
+    for i in range(1, len(lon)):
+        d = lon[i] - lon[i - 1]
+        if d > 180.0:
+            lon[i:] -= 360.0
+            # re-walk from the same vertex (single pass is enough for
+            # rings already within one wrap)
+        elif d < -180.0:
+            lon[i:] += 360.0
+    return r
+
+
+def split_antimeridian(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a (possibly wrapped) lon/lat ring at the ±180° meridian.
+
+    Returns 1 or 2 rings, every vertex in [−180, 180] (the reference's
+    MultiPolygon split + shift_lon_poly, grids.py:1000-1013).
+    """
+    r = unwrap_lons(ring)
+    lon = r[:, 0]
+    # center the unwrapped ring on its own mean wrap window
+    offset = 360.0 * np.round(lon.mean() / 360.0)
+    r[:, 0] -= offset
+    lon = r[:, 0]
+    lat_lo = min(-90.0, float(r[:, 1].min()) - 1.0)
+    lat_hi = max(90.0, float(r[:, 1].max()) + 1.0)
+    parts: list[np.ndarray] = []
+    if lon.max() > 180.0:
+        west = clip_polygon_convex(
+            r, np.array([[-540.0, lat_lo], [180.0, lat_lo], [180.0, lat_hi], [-540.0, lat_hi]])
+        )
+        east = clip_polygon_convex(
+            r, np.array([[180.0, lat_lo], [540.0, lat_lo], [540.0, lat_hi], [180.0, lat_hi]])
+        )
+        if len(east):
+            east = east.copy()
+            east[:, 0] -= 360.0
+        candidates = [west, east]
+    elif lon.min() < -180.0:
+        east = clip_polygon_convex(
+            r, np.array([[-180.0, lat_lo], [540.0, lat_lo], [540.0, lat_hi], [-180.0, lat_hi]])
+        )
+        west = clip_polygon_convex(
+            r, np.array([[-540.0, lat_lo], [-180.0, lat_lo], [-180.0, lat_hi], [-540.0, lat_hi]])
+        )
+        if len(west):
+            west = west.copy()
+            west[:, 0] += 360.0
+        candidates = [east, west]
+    else:
+        return [r]
+    for p in candidates:
+        if len(p) >= 3 and shoelace_area(p) > 1e-12:
+            parts.append(p)
+    return parts or [r]

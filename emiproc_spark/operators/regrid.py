@@ -187,17 +187,34 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
                     "dst_id": pd.Series(pdf["d_cell_id"].to_numpy()[keep], dtype="int64"),
                     "weight": pd.Series(w[keep], dtype="float64"),
                     "is_point": pd.Series(gtypes[keep] == geom.WKB_POINT, dtype="bool"),
+                    "is_line": pd.Series(
+                        gtypes[keep] == geom.WKB_LINESTRING, dtype="bool"
+                    ),
                 }
             )
 
-    raw = cand.mapInPandas(refine, schema="src_id long, dst_id long, weight double, is_point boolean")
+    raw = cand.mapInPandas(
+        refine,
+        schema="src_id long, dst_id long, weight double, is_point boolean, is_line boolean",
+    )
     # A point on a shared edge/corner is contained (inclusively) by n
     # cells — split its weight 1/n (reference emiproc/regrid.py:277-285).
     n_per_src = F.count("*").over(Window.partitionBy("src_id"))
-    return raw.withColumn(
-        "weight",
-        F.when(F.col("is_point"), F.col("weight") / n_per_src).otherwise(F.col("weight")),
-    ).drop("is_point")
+    # A line lying exactly on a shared cell edge counts in both cells —
+    # when a line's weights sum past 1, renormalize by the sum
+    # (reference regrid.py:266-275).
+    w_per_src = F.sum("weight").over(Window.partitionBy("src_id"))
+    return (
+        raw.withColumn(
+            "weight",
+            F.when(F.col("is_point"), F.col("weight") / n_per_src)
+            .when(
+                F.col("is_line") & (w_per_src > 1.0), F.col("weight") / w_per_src
+            )
+            .otherwise(F.col("weight")),
+        )
+        .drop("is_point", "is_line")
+    )
 
 
 def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
@@ -349,3 +366,88 @@ def clip_box(
         & (F.col("ymin") < F.lit(ymax))
     ).select("cell_id")
     return emissions.join(F.broadcast(cells), "cell_id", "semi")
+
+
+def crop_point_sources(
+    points: DataFrame,
+    xmin: float,
+    ymin: float,
+    xmax: float,
+    ymax: float,
+    keep_outside: bool = False,
+    x_col: str = "x",
+    y_col: str = "y",
+    value_col: str = "value_kg_y",
+) -> DataFrame:
+    """Crop point sources against a box: points strictly inside (or
+    outside with ``keep_outside``) pass whole; points exactly ON the
+    boundary are kept on BOTH sides at half value (reference
+    crop_with_shape point branch, emiproc/inventories/utils.py:225-240:
+    boundary points divided by 2 and included in either crop)."""
+    x, y = F.col(x_col), F.col(y_col)
+    strictly_in = (x > xmin) & (x < xmax) & (y > ymin) & (y < ymax)
+    inclusively_in = (x >= xmin) & (x <= xmax) & (y >= ymin) & (y <= ymax)
+    on_boundary = inclusively_in & ~strictly_in
+    keep = (~inclusively_in if keep_outside else strictly_in) | on_boundary
+    return points.where(keep).withColumn(
+        value_col,
+        F.when(on_boundary, F.col(value_col) / 2.0).otherwise(F.col(value_col)),
+    )
+
+
+def normalize_antimeridian(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
+    """Split polygon geometries crossing the ±180° meridian into
+    multi-ring WKB with every vertex in [−180, 180], updating the bbox
+    columns (reference ICONGrid.process_overlap_antimeridian,
+    emiproc/grids.py:931-1013).
+
+    Scale note: split cells get a bbox spanning both hemisphere edges,
+    so they join against more tiles — acceptable for the handful of
+    mesh cells touching the wrap (same trade the reference makes with
+    its MultiPolygon split).
+    """
+    import struct as _struct
+
+    from collections.abc import Iterator as _Iterator
+
+    cols = df.columns
+    schema = ", ".join(
+        f"`{n}` {t}" for n, t in df.dtypes
+    )
+
+    def fix(batches: _Iterator[pd.DataFrame]) -> _Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            geoms, xmins, ymins, xmaxs, ymaxs = [], [], [], [], []
+            for buf in pdf[geometry_col]:
+                gtype, rings = geom.parse_wkb(bytes(buf))
+                if gtype not in (geom.WKB_POLYGON,):
+                    parts = rings
+                else:
+                    parts = []
+                    for r in rings:
+                        parts.extend(geom.split_antimeridian(r))
+                out = [_struct.pack("<BII", 1, 3, len(parts))]
+                for r in parts:
+                    r = np.asarray(r, dtype=np.float64)
+                    if len(r) and not (r[0] == r[-1]).all():
+                        r = np.vstack([r, r[:1]])
+                    out.append(_struct.pack("<I", len(r)))
+                    out.append(r.astype("<f8").tobytes())
+                allp = np.vstack([np.asarray(p) for p in parts])
+                geoms.append(b"".join(out))
+                xmins.append(float(allp[:, 0].min()))
+                ymins.append(float(allp[:, 1].min()))
+                xmaxs.append(float(allp[:, 0].max()))
+                ymaxs.append(float(allp[:, 1].max()))
+            pdf = pdf.copy()
+            pdf[geometry_col] = pd.Series(geoms, index=pdf.index, dtype=object)
+            for name, vals in (
+                ("xmin", xmins), ("ymin", ymins), ("xmax", xmaxs), ("ymax", ymaxs)
+            ):
+                if name in cols:
+                    pdf[name] = vals
+            yield pdf
+
+    return df.mapInPandas(fix, schema=schema)
