@@ -608,7 +608,9 @@ def q_gral_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d = os.path.join(tempfile.mkdtemp(prefix="emiproc_gral_"), "emissions")
     write_gral_emissions(
-        d, spark.createDataFrame(pdf), emission_infos={"traffic": {"height": 4.0}}
+        d, spark.createDataFrame(pdf),
+        emission_infos={"traffic": {"height": 4.0}},
+        source_groups={("NOx", "traffic"): 0},
     )
     out = gral_inventory(spark, d)
     return out.select("category", "substance", "value_kg_y", "height")

@@ -172,13 +172,17 @@ def write_gral_emissions(
     (defaults match the reference dataclass,
     inventories/__init__.py:43-72)."""
     os.makedirs(path, exist_ok=True)
-    pairs = [
-        (r["substance"], r["category"])
-        for r in shaped.select("substance", "category").distinct().collect()
-    ]
-    cats = sorted({c for _, c in pairs})
-    subs = sorted({s for s, _ in pairs})
-    sg = source_groups or make_source_groups(cats, subs)
+    if source_groups is None:
+        pairs = [
+            (r["substance"], r["category"])
+            for r in shaped.select("substance", "category").distinct().collect()
+        ]
+        cats = sorted({c for _, c in pairs})
+        subs = sorted({s for s, _ in pairs})
+        sg = make_source_groups(cats, subs)
+    else:
+        sg = source_groups
+        cats = sorted({c for _, c in sg})
     sg_rows = [(s, c, g) for (s, c), g in sg.items()]
 
     infos = []
@@ -201,7 +205,9 @@ def write_gral_emissions(
             "Generated: emiproc_spark\n" + "Generated:\n" * 3 + LINE_HEADER + "\n"
         )
         files["c"].write(CADASTRE_HEADER + "\n")
-        for row in formatted.toLocalIterator():
+        # single-partition stream: the write is serial file IO anyway,
+        # and toLocalIterator over N shuffle partitions runs N jobs
+        for row in formatted.coalesce(1).toLocalIterator():
             files[row["kind"]].write(row["line"] + "\n")
     finally:
         for f in files.values():

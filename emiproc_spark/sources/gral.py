@@ -62,11 +62,7 @@ def _scan_dat(
     return files.mapInPandas(run, schema=_SCHEMA)
 
 
-def gral_point_sources(spark: SparkSession, path: str) -> DataFrame:
-    """``point.dat`` → point WKB + kg/y + stack EmissionInfo fields
-    (reference _read_points, gral.py:164-199)."""
-
-    def decode(df: pd.DataFrame) -> pd.DataFrame:
+def _decode_points(df: pd.DataFrame) -> pd.DataFrame:
         c = df.columns
         x = df[c[PT_X]].to_numpy(dtype=np.float64)
         y = df[c[PT_Y]].to_numpy(dtype=np.float64)
@@ -83,14 +79,13 @@ def gral_point_sources(spark: SparkSession, path: str) -> DataFrame:
             }
         )
 
-    return _scan_dat(spark, path, 1, decode)
+def gral_point_sources(spark: SparkSession, path: str) -> DataFrame:
+    """``point.dat`` → point WKB + kg/y + stack EmissionInfo fields
+    (reference _read_points, gral.py:164-199)."""
+    return _scan_dat(spark, path, 1, _decode_points)
 
 
-def gral_line_sources(spark: SparkSession, path: str) -> DataFrame:
-    """``line.dat`` → segment WKB + kg/y (rate × hours × km, reference
-    _read_lines, gral.py:200-250)."""
-
-    def decode(df: pd.DataFrame) -> pd.DataFrame:
+def _decode_lines(df: pd.DataFrame) -> pd.DataFrame:
         c = df.columns
         x1 = df[c[LN_X1]].to_numpy(dtype=np.float64)
         y1 = df[c[LN_Y1]].to_numpy(dtype=np.float64)
@@ -117,14 +112,13 @@ def gral_line_sources(spark: SparkSession, path: str) -> DataFrame:
             }
         )
 
-    return _scan_dat(spark, path, 4, decode)
+def gral_line_sources(spark: SparkSession, path: str) -> DataFrame:
+    """``line.dat`` → segment WKB + kg/y (rate × hours × km, reference
+    _read_lines, gral.py:200-250)."""
+    return _scan_dat(spark, path, 4, _decode_lines)
 
 
-def gral_cadastre_sources(spark: SparkSession, path: str) -> DataFrame:
-    """``cadastre.dat`` → axis-aligned square polygons + kg/y
-    (reference _read_cadastre, gral.py:252-317)."""
-
-    def decode(df: pd.DataFrame) -> pd.DataFrame:
+def _decode_cadastre(df: pd.DataFrame) -> pd.DataFrame:
         c = df.columns
         x = df[c[CAD_X]].to_numpy(dtype=np.float64)
         y = df[c[CAD_Y]].to_numpy(dtype=np.float64)
@@ -148,7 +142,18 @@ def gral_cadastre_sources(spark: SparkSession, path: str) -> DataFrame:
             }
         )
 
-    return _scan_dat(spark, path, 0, decode)
+def gral_cadastre_sources(spark: SparkSession, path: str) -> DataFrame:
+    """``cadastre.dat`` → axis-aligned square polygons + kg/y
+    (reference _read_cadastre, gral.py:252-317)."""
+    return _scan_dat(spark, path, 0, _decode_cadastre)
+
+
+# file name → (junk lines before header row, decoder)
+DAT_DECODERS = {
+    "point.dat": (1, _decode_points),
+    "line.dat": (4, _decode_lines),
+    "cadastre.dat": (0, _decode_cadastre),
+}
 
 
 def load_source_group_mapping(path: str) -> dict[int, tuple[str, str]]:
@@ -179,31 +184,50 @@ def gral_inventory(
         source_group_mapping = load_source_group_mapping(
             os.path.join(emissions_dir, "source_groups.json")
         )
-    parts = []
-    for fname, reader in (
-        ("point.dat", gral_point_sources),
-        ("line.dat", gral_line_sources),
-        ("cadastre.dat", gral_cadastre_sources),
-    ):
-        fpath = os.path.join(emissions_dir, fname)
-        if os.path.exists(fpath):
-            parts.append(reader(spark, fpath))
-    if not parts:
+    present = [
+        f for f in DAT_DECODERS if os.path.exists(os.path.join(emissions_dir, f))
+    ]
+    if not present:
         raise FileNotFoundError(f"no point/line/cadastre .dat files in {emissions_dir}")
-    scan = parts[0]
-    for p in parts[1:]:
-        scan = scan.unionByName(p)
+    # ONE scan over every .dat file, dispatching per file name — a single
+    # Spark job instead of one per source kind
+    files = (
+        spark.read.format("binaryFile")
+        .load([os.path.join(emissions_dir, f) for f in present])
+        .select("path", "content")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                skip, decode = DAT_DECODERS[os.path.basename(fpath)]
+                df = pd.read_csv(
+                    io.BytesIO(bytes(content)), header=skip, index_col=False
+                )
+                if len(df):
+                    yield decode(df)
+
+    scan = files.mapInPandas(run, schema=_SCHEMA)
     mdf = spark.createDataFrame(
         [(g, s, c) for g, (s, c) in source_group_mapping.items()],
         "source_group int, substance string, category string",
     )
     joined = scan.join(F.broadcast(mdf), "source_group", "left")
-    bad = joined.where(F.col("category").isNull()).limit(1).collect()
-    if bad:
-        raise ValueError(
-            f"source_group={bad[0]['source_group']} not found in source_group_mapping"
-        )
+    # unknown-group validation stays distributed: raise in the executor
+    # instead of paying a separate driver-side probe job
+    cat = F.when(
+        F.col("category").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("source_group="),
+                F.col("source_group").cast("string"),
+                F.lit(" not found in source_group_mapping"),
+            )
+        ),
+    ).otherwise(F.col("category"))
     return joined.select(
-        "category", "geometry", "substance", "value_kg_y",
+        cat.alias("category"), "geometry", "substance", "value_kg_y",
         "height", "width", "speed", "temperature", "vertical_extension",
     )

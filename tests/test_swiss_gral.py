@@ -168,5 +168,7 @@ def test_gral_unknown_source_group(spark, tmp_path):
         "junk\nx,y,z,e,u0,u1,u2,sp,di,te,source_group\n"
         "1.0,2.0,3.0,0.5,0,0,0,1,1,300,99\n"
     )
-    with pytest.raises(ValueError, match="source_group=99"):
-        gral_inventory(spark, str(d), source_group_mapping={1: ("NOx", "x")})
+    with pytest.raises(Exception, match="source_group=99"):
+        # validation is distributed (raise_error in the executors), so it
+        # fires at action time
+        gral_inventory(spark, str(d), source_group_mapping={1: ("NOx", "x")}).collect()
