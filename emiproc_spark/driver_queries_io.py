@@ -681,3 +681,54 @@ QUERIES_IO["gral_roundtrip"] = q_gral_roundtrip
 ORACLES_IO["gral_roundtrip"] = SQL_GRAL_ROUNDTRIP
 QUERIES_IO["swiss_ingest"] = q_swiss_ingest
 ORACLES_IO["swiss_ingest"] = SQL_SWISS_INGEST
+
+
+# ======================================================================
+# TNO gridded day-of-year profiles: CSV → per-cell normalized ratios
+# (reference read_tno_gridded_profiles, inventories/tno.py:325-404)
+# ======================================================================
+TNOP_NLON, TNOP_NLAT, TNOP_DAYS = 3, 2, 365
+
+
+def q_tno_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.sources.tno import tno_gridded_profiles
+
+    lines = ["year,latitude,longitude,POLL,GNFR,day,Factor"]
+    for lon_i in range(TNOP_NLON):
+        for lat_i in range(TNOP_NLAT):
+            cell = lon_i * TNOP_NLAT + lat_i
+            for day in range(1, TNOP_DAYS + 1):
+                f = (day * 3 + cell * 7) % 11 + 1
+                lines.append(
+                    f"2020,{45.5 + lat_i},{7.5 + lon_i},CH4,A,{day},{f}"
+                )
+                # duplicated rows must collapse (first wins) and other
+                # years filter out
+                lines.append(f"2020,{45.5 + lat_i},{7.5 + lon_i},CH4,A,{day},{9 * f}")
+                lines.append(f"2019,{45.5 + lat_i},{7.5 + lon_i},CH4,A,{day},999")
+    d = tempfile.mkdtemp(prefix="emiproc_tnop_")
+    path = os.path.join(d, "profiles.csv")
+    with open(path, "w") as fobj:
+        fobj.write("\n".join(lines) + "\n")
+    ratios, _ = tno_gridded_profiles(spark, path, year=2020)
+    return ratios
+
+
+SQL_TNO_PROFILES = f"""
+    WITH c AS (
+        SELECT lo.lo * {TNOP_NLAT} + la.la AS cell_id
+        FROM range({TNOP_NLON}) lo(lo) CROSS JOIN range({TNOP_NLAT}) la(la)
+    ),
+    f AS (
+        SELECT cell_id, d.d AS pos,
+               CAST(((d.d + 1) * 3 + cell_id * 7) % 11 + 1 AS DOUBLE) AS factor
+        FROM c CROSS JOIN range({TNOP_DAYS}) d(d)
+    ),
+    tot AS (SELECT cell_id, SUM(factor) AS t FROM f GROUP BY cell_id)
+    SELECT 'A' AS category, 'CH4' AS substance, f.cell_id,
+           CAST(f.pos AS INT) AS pos, f.factor / t.t AS ratio
+    FROM f JOIN tot t USING (cell_id)
+"""
+
+QUERIES_IO["tno_profiles"] = q_tno_profiles
+ORACLES_IO["tno_profiles"] = SQL_TNO_PROFILES
