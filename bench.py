@@ -49,6 +49,15 @@ def main() -> None:
         # operators may cache intermediates; drop them so later queries
         # aren't taxed by accumulated executor memory / GC pressure
         spark.catalog.clearCache()
+
+    # geometry-kernel microbench (not a driver-contract query): 50k
+    # polygon sources refined onto a 100×100 grid through the batched
+    # clip kernel — tracks weights_poly_rect throughput across rounds
+    from emiproc_spark.benchkit import poly_refine_bench  # noqa: E402
+
+    t0 = time.perf_counter()
+    poly_refine_bench(spark, n=50_000, grid_n=100)
+    timings["ubench_poly_refine_50k"] = round(time.perf_counter() - t0, 4)
     total = round(time.perf_counter() - t_all, 4)
 
     print(

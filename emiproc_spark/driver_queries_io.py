@@ -732,3 +732,61 @@ SQL_TNO_PROFILES = f"""
 
 QUERIES_IO["tno_profiles"] = q_tno_profiles
 ORACLES_IO["tno_profiles"] = SQL_TNO_PROFILES
+
+
+# ======================================================================
+# Swiss PRTR Excel ingest: stdlib XLSX decode + mapping/unit semantics
+# (reference read_prtr, inventories/swiss.py:423-541)
+# ======================================================================
+def q_prtr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.functions.xlsx import write_xlsx
+    from emiproc_spark.sources.swiss import read_prtr
+
+    nat = sorted(
+        fx.load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey").collect(),
+        key=lambda r: r["n_nationkey"],
+    )
+    header = [
+        "Year", "Source type", "North coordinate (CH1903+)",
+        "East coordinate (CH1903+)", "Facility", "Value", "Unit",
+        "Pollutant_name", "Installation_main activity",
+    ]
+    rows = [["j0"], ["j1"], header, ["j3"]]
+    for r in nat:
+        k = r["n_nationkey"]
+        rows.append(
+            [2020, "Punktquelle", 1200000.0 + k, 2600000.0 + k, f"plant{k}",
+             float(k) + 0.5, "t/a", "Kohlendioxid (CO2)", "1.c"]
+        )
+        rows.append(
+            [2020, "Punktquelle", 1200000.0 + k, 2600000.0 + k, f"plant{k}",
+             float(r["n_regionkey"]) * 10.0 + 1.0, "kg/a",
+             "Stickstoffoxide (NOx/NO2)", "5.b"]
+        )
+        # decoys the reader must drop: wrong year + diffuse source
+        rows.append(
+            [2019, "Punktquelle", 1.0, 2.0, "old", 9.0, "t/a",
+             "Kohlendioxid (CO2)", "1.c"]
+        )
+        rows.append(
+            [2020, "Diffus", 1.0, 2.0, "diff", 9.0, "t/a",
+             "Kohlendioxid (CO2)", "1.c"]
+        )
+    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_prtr_"), "prtr.xlsx")
+    write_xlsx(path, rows)
+    return read_prtr(spark, path, year=2020)
+
+
+SQL_PRTR_INGEST = """
+    SELECT 'eipro' AS category, 'CO2' AS substance,
+           2600000.0 + n_nationkey AS x, 1200000.0 + n_nationkey AS y,
+           (CAST(n_nationkey AS DOUBLE) + 0.5) * 1000.0 AS value_kg_y
+    FROM nation
+    UNION ALL
+    SELECT 'eipkv', 'NOx', 2600000.0 + n_nationkey, 1200000.0 + n_nationkey,
+           CAST(n_regionkey AS DOUBLE) * 10.0 + 1.0
+    FROM nation
+"""
+
+QUERIES_IO["prtr_ingest"] = q_prtr_ingest
+ORACLES_IO["prtr_ingest"] = SQL_PRTR_INGEST

@@ -123,14 +123,23 @@ def dedup_profiles(profiles: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Input: any DF with (…keys, ptype, ratios).  Returns
     (store(profile_id, ptype, ratios), index(…keys, profile_id)).
-    Profile stores are dimension-sized, so the global ordering window is
-    acceptable; the fact-side join stays distributed.
+
+    Ids are the lexicographic rank of (ptype, ratios), assigned by a
+    range-partitioned distributed sort + per-partition offset
+    (``zipWithIndex``) — no single-task global window, so per-cell
+    profile stores (TNO gridded day-of-year) dedup at scale too.
     """
     key_cols = [c for c in profiles.columns if c not in ("ptype", "ratios")]
+    spark = profiles.sparkSession
     distinct = profiles.select("ptype", "ratios").distinct()
-    store = distinct.withColumn(
-        "profile_id",
-        (F.row_number().over(Window.orderBy("ptype", "ratios")) - 1).cast("int"),
+    ranked = (
+        distinct.repartitionByRange("ptype", "ratios")
+        .sortWithinPartitions("ptype", "ratios")
+        .rdd.zipWithIndex()
+        .map(lambda t: (int(t[1]), t[0]["ptype"], list(t[0]["ratios"])))
+    )
+    store = spark.createDataFrame(
+        ranked, schema="profile_id int, ptype string, ratios array<double>"
     )
     index = profiles.join(store, ["ptype", "ratios"], "left").select(
         *key_cols, "ptype", "profile_id"

@@ -264,3 +264,107 @@ def split_co2_biogenic(points: DataFrame, totals: DataFrame) -> DataFrame:
         .drop("biog_frac")
     )
     return points.where(F.col("substance") != "CO2").unionByName(fossil).unionByName(biog)
+
+
+# ======================================================================
+# Swiss PRTR point sources (reference read_prtr, swiss.py:423-541)
+# ======================================================================
+# German pollutant labels → emiproc substances (reference
+# polluant_matching, swiss.py:328-373; commented-out labels are the
+# ones the reference also skips)
+POLLUTANT_MATCHING = {
+    "Schwefeloxide (SOx/SO2)": "SO2",
+    "flüchtige organische Verbindungen ohne Methan (NMVOC)": "VOC",
+    "Kohlenmonoxid (CO)": "CO",
+    "Stickstoffoxide (NOx/NO2)": "NOx",
+    "Kohlendioxid (CO2)": "CO2",
+    "Fluoride (als Gesamt-F)": "F-Gases",
+    "Ammoniak (NH3)": "NH3",
+    "Feinstaub (PM10)": "PM10",
+    "Methan (CH4)": "CH4",
+    "Distickstoffoxid (N2O)": "N2O",
+    "Schwefelhexafluorid (SF6)": "SF6",
+}
+
+# PRTR activity codes → swiss raster categories (reference
+# activities_to_categories, swiss.py:376-420)
+ACTIVITIES_TO_CATEGORIES = {
+    **{k: "eipro" for k in (
+        "1.a", "1.b", "1.c", "2.b", "2.c.1", "2.c.2", "2.e.1", "2.e.2",
+        "2.f", "3.e", "3.f", "3.g", "4.a.1", "4.a.10", "4.a.11", "4.a.2",
+        "4.a.5", "4.a.8", "4.b.5", "4.d", "4.e", "4.f", "6.b", "8.b.2",
+        "8.c", "9.c", "9.d",
+    )},
+    "3.c.1": "eipzm",
+    "5.a": "eipkv",
+    "5.b": "eipkv",
+    "5.d": "eidep",
+    "5.f": "eikla",
+    "5.g": "eikla",
+}
+
+PRTR_UNIT_FACTORS = {"t/a": 1e3, "kg/a": 1.0}
+
+
+def read_prtr(
+    spark: SparkSession,
+    prtr_file: str,
+    year: int,
+    substances: list[str] | None = None,
+    pollutant_matching: dict[str, str] | None = None,
+    activities_to_categories: dict[str, str] | None = None,
+) -> DataFrame:
+    """Swiss PRTR Excel → long point-source table
+    ``(category, substance, x, y, value_kg_y)`` (reference read_prtr,
+    swiss.py:423-541: skiprows [0, 1, 3], Punktquelle/year/notnull
+    filters, unit correction t/a → kg/a, pollutant + activity mapping,
+    per-(x, y) substance sums).
+
+    Decoded with the stdlib XLSX reader (functions/xlsx) — no openpyxl.
+    The file is dimension-sized (a national point-source register), so
+    the parse is driver-side feeding ``createDataFrame``.
+    """
+    from emiproc_spark.functions.xlsx import read_xlsx
+
+    matching = pollutant_matching or POLLUTANT_MATCHING
+    activities = activities_to_categories or ACTIVITIES_TO_CATEGORIES
+    if substances is not None:
+        matching = {k: v for k, v in matching.items() if v in substances}
+        for sub in substances:
+            if sub not in matching.values() and sub not in ("CO2_biog", "PM25"):
+                raise ValueError(
+                    f"Unkown substance `{sub}` not in the pollutant matching"
+                    " dictionary."
+                )
+
+    df = read_xlsx(prtr_file, header_row=2, skip_rows=(0, 1, 3))
+    if year not in set(df["Year"].dropna().astype(int)):
+        raise ValueError(f"Year {year} not in the data.")
+    mask = (
+        (df["Source type"] == "Punktquelle")
+        & (df["Year"].astype("Int64") == year)
+        & df["Value"].notnull()
+        & df["Pollutant_name"].isin(matching)
+    )
+    d = df.loc[mask].copy()
+    unknown_units = set(d["Unit"]) - set(PRTR_UNIT_FACTORS)
+    if unknown_units:
+        raise ValueError(f"Units not corrected for {sorted(unknown_units)}.")
+    d["value_kg_y"] = [
+        float(v) * PRTR_UNIT_FACTORS[u] for v, u in zip(d["Value"], d["Unit"])
+    ]
+    unknown_acts = set(d["Installation_main activity"]) - set(activities)
+    if unknown_acts:
+        raise ValueError(f"Missing categories for {sorted(unknown_acts)}")
+    d["substance"] = d["Pollutant_name"].map(matching)
+    d["category"] = d["Installation_main activity"].map(activities)
+    d["x"] = d["East coordinate (CH1903+)"].astype(float)
+    d["y"] = d["North coordinate (CH1903+)"].astype(float)
+    out = spark.createDataFrame(
+        d[["category", "substance", "x", "y", "value_kg_y"]],
+        schema="category string, substance string, x double, y double, value_kg_y double",
+    )
+    # per-(category, substance, location) sums (reference groupby x, y)
+    return out.groupBy("category", "substance", "x", "y").agg(
+        F.sum("value_kg_y").alias("value_kg_y")
+    )
