@@ -28,6 +28,7 @@ facts.
 from __future__ import annotations
 
 import datetime
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -339,3 +340,84 @@ def export_raster_netcdf(
     out = path if path.endswith(".nc") else path + ".nc"
     write_netcdf(out, ds)
     return out
+
+
+def export_hourly_netcdf(
+    hourly: DataFrame,
+    grid: DataFrame,
+    nx: int,
+    ny: int,
+    start: str,
+    out_dir: str,
+    var_name_format: str = "{substance}_{category}",
+    unit: str = "kg h-1",
+    filename_format: str = "%Y%m%d%H.nc",
+) -> list[str]:
+    """One NetCDF file per hour (reference export_hourly_emissions,
+    exports/hourly.py:60-230): variables ``{substance}_{category}`` with
+    dims (lat, lon, time=1), a ``cell_area`` variable, files named by
+    the timestamp.
+
+    ``hourly``: (cell_id, category, substance, hour_index, value_kg_h)
+    from ``operators.temporal.temporally_scaled`` — the expansion stays
+    distributed; each dense per-hour raster is the single-node file
+    boundary (the same chunked loop the reference runs).
+    """
+    import datetime
+
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
+    gpdf = grid.select("cell_id", "lon", "lat", "area_m2").toPandas()
+    lons = np.sort(gpdf["lon"].unique())
+    lats = np.sort(gpdf["lat"].unique())
+    area = np.zeros((lats.size, lons.size))
+    li = {v: i for i, v in enumerate(lats)}
+    lo = {v: i for i, v in enumerate(lons)}
+    cell_pos = {}
+    for r in gpdf.itertuples():
+        cell_pos[int(r.cell_id)] = (li[r.lat], lo[r.lon])
+        area[li[r.lat], lo[r.lon]] = r.area_m2
+
+    pdf = hourly.select(
+        "hour_index", "category", "substance", "cell_id", "value_kg_h"
+    ).toPandas()
+    paths = []
+    for hour in sorted(pdf["hour_index"].unique()):
+        at = pdf[pdf["hour_index"] == hour]
+        dt = t0 + datetime.timedelta(hours=int(hour))
+        ds = NCDataset()
+        ds.dims = {"lat": lats.size, "lon": lons.size, "time": 1}
+        ds.variables["lat"] = NCVariable(
+            "lat", ("lat",), lats, {"units": "degrees_north"}
+        )
+        ds.variables["lon"] = NCVariable(
+            "lon", ("lon",), lons, {"units": "degrees_east"}
+        )
+        ds.variables["time"] = NCVariable(
+            "time", ("time",), np.array([hour], dtype=np.int32),
+            {"units": f"hours since {start}"},
+        )
+        ds.variables["cell_area"] = NCVariable(
+            "cell_area", ("lat", "lon"), area,
+            {"standard_name": "cell_area", "long_name": "cell_area",
+             "units": "m2", "comment": "area of the cell"},
+        )
+        for (cat, sub), g in at.groupby(["category", "substance"]):
+            arr = np.zeros((lats.size, lons.size, 1))
+            for r in g.itertuples():
+                la, lon_i = cell_pos[int(r.cell_id)]
+                arr[la, lon_i, 0] = r.value_kg_h
+            name = var_name_format.format(substance=sub, category=cat)
+            ds.variables[name] = NCVariable(
+                name, ("lat", "lon", "time"), arr,
+                {"standard_name": f"{sub}_{cat}", "long_name": f"{sub}_{cat}",
+                 "units": unit, "comment": f"emissions of {sub} from {cat}"},
+            )
+        path = os.path.join(out_dir, dt.strftime(filename_format))
+        write_netcdf(path, ds)
+        paths.append(path)
+    return paths

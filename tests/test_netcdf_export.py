@@ -139,3 +139,34 @@ def test_categories_description_validation(tmp_path, raster_inputs):
     ds = read_netcdf(out)
     assert "categories_description" in ds.variables
     assert ds.variables["CO2_traffic"].attrs["comment"] == "cars"
+
+
+def test_export_hourly_netcdf(spark, tmp_path):
+    import numpy as np
+
+    from emiproc_spark.exports.netcdf import export_hourly_netcdf
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    hourly = spark.createDataFrame(
+        [(0, "traffic", "CO", 0, 5.0), (3, "traffic", "CO", 0, 7.0),
+         (0, "traffic", "CO", 1, 2.0)],
+        "cell_id long, category string, substance string, hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(x * 2 + y, float(x), float(y), 100.0) for x in range(3) for y in range(2)],
+        "cell_id long, lon double, lat double, area_m2 double",
+    )
+    paths = export_hourly_netcdf(
+        hourly, grid, nx=3, ny=2, start="2024-01-01 00:00:00", out_dir=str(tmp_path)
+    )
+    assert [p.split("/")[-1] for p in paths] == ["2024010100.nc", "2024010101.nc"]
+    ds = read_netcdf(paths[0])
+    v = ds.variables["CO_traffic"]
+    assert v.dims == ("lat", "lon", "time")
+    # cell 0 = lon0 lat0; cell 3 = lon1 lat1
+    assert v.data[0, 0, 0] == 5.0
+    assert v.data[1, 1, 0] == 7.0
+    assert ds.variables["cell_area"].data[0, 0] == 100.0
+    assert v.attrs["units"] == "kg h-1"
+    ds1 = read_netcdf(paths[1])
+    assert ds1.variables["CO_traffic"].data[0, 0, 0] == 2.0
