@@ -701,3 +701,93 @@ SQL_SHAPEFILE_REGIONS = """
 
 QUERIES_R2["shapefile_regions"] = q_shapefile_regions
 ORACLES_R2["shapefile_regions"] = SQL_SHAPEFILE_REGIONS
+
+
+# ======================================================================
+# add_profiles / concatenate_profiles: store union with id offset
+# (reference concatenate_profiles, profiles/operators.py:35-55)
+# ======================================================================
+def q_add_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.composite import concatenate_profiles
+
+    a = spark.createDataFrame(
+        [(k, "daily", [(h + 1 + k) / (300.0 + 24 * k) for h in range(24)])
+         for k in range(2)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    b = spark.createDataFrame(
+        [(0, "weekly", [(d + 1) / 28.0 for d in range(7)]),
+         (1, "daily", [1.0 / 24] * 24)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    merged, _offset = concatenate_profiles(a, b)
+    return merged.select(
+        "profile_id", "ptype", F.posexplode("ratios").alias("pos", "ratio")
+    )
+
+
+SQL_ADD_PROFILES = """
+    SELECT k.k AS profile_id, 'daily' AS ptype, CAST(p.pos AS INT) AS pos,
+           (p.pos + 1 + k.k) / (300.0 + 24 * k.k) AS ratio
+    FROM range(2) k(k), range(24) p(pos)
+    UNION ALL
+    SELECT 2, 'weekly', CAST(p.pos AS INT), (p.pos + 1) / 28.0 FROM range(7) p(pos)
+    UNION ALL
+    SELECT 3, 'daily', CAST(p.pos AS INT), 1.0 / 24 FROM range(24) p(pos)
+"""
+
+
+# ======================================================================
+# add_constant_profile_to_missing_cells: pad the index with −1 rows
+# (reference profiles/operators.py:746-797)
+# ======================================================================
+def q_missing_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.profiles import add_constant_profile_to_missing_cells
+
+    idx = spark.range(fx.N_CELLS // 2).select(
+        F.col("id").alias("cell_id"), (F.col("id") % 3).cast("int").alias("profile_id")
+    )
+    grid = fx.fine_grid(spark)
+    return add_constant_profile_to_missing_cells(idx, grid)
+
+
+SQL_MISSING_CELLS = f"""
+    SELECT c AS cell_id,
+           CASE WHEN c < {fx.N_CELLS // 2} THEN CAST(c % 3 AS INT) ELSE -1 END
+               AS profile_id
+    FROM range({fx.N_CELLS}) t(c)
+"""
+
+
+# ======================================================================
+# broadcast_to_types: widen composites to a common type set, −1 fill
+# (reference CompositeTemporalProfiles.broadcast, composite.py:230-372)
+# ======================================================================
+def q_broadcast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.composite import broadcast_to_types
+
+    composite = spark.createDataFrame(
+        [(0, "daily", 4), (0, "weekly", 5), (1, "daily", 6), (2, "monthly", 7)],
+        "comp_id int, ptype string, profile_id int",
+    )
+    return broadcast_to_types(composite, ["daily", "weekly", "monthly"])
+
+
+SQL_BROADCAST_TYPES = """
+    WITH comps AS (SELECT c AS comp_id FROM range(3) t(c)),
+    types(ptype) AS (VALUES ('daily'), ('weekly'), ('monthly')),
+    assigned(comp_id, ptype, profile_id) AS (
+        VALUES (0, 'daily', 4), (0, 'weekly', 5), (1, 'daily', 6), (2, 'monthly', 7)
+    )
+    SELECT CAST(c.comp_id AS INT) AS comp_id, t.ptype,
+           CAST(COALESCE(a.profile_id, -1) AS INT) AS profile_id
+    FROM comps c CROSS JOIN types t
+    LEFT JOIN assigned a ON a.comp_id = c.comp_id AND a.ptype = t.ptype
+"""
+
+QUERIES_R2["add_profiles"] = q_add_profiles
+ORACLES_R2["add_profiles"] = SQL_ADD_PROFILES
+QUERIES_R2["missing_cells"] = q_missing_cells
+ORACLES_R2["missing_cells"] = SQL_MISSING_CELLS
+QUERIES_R2["broadcast_types"] = q_broadcast_types
+ORACLES_R2["broadcast_types"] = SQL_BROADCAST_TYPES
