@@ -167,8 +167,9 @@ SQL_MINHASH_LSH = f"""
     WITH d AS ({DOCS2_SQL}),
     sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
     hashed AS (
-        SELECT doc_id, t.seed,
-               MIN(md5(shingle || '#' || CAST(t.seed AS VARCHAR))) AS minhash
+        SELECT doc_id, CAST(t.seed AS INT) AS seed,
+               MIN(substr(md5(shingle || '#0') || md5(shingle || '#1'),
+                          CAST(t.seed * 8 + 1 AS INT), 8)) AS minhash
         FROM sh, UNNEST(range(8)) AS t(seed)
         GROUP BY doc_id, t.seed
     ),

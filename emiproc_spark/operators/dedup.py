@@ -98,19 +98,30 @@ def minhash_signatures(
 ) -> DataFrame:
     """k-permutation MinHash signature per document.
 
-    Permutation i is realized as md5(shingle ∥ '#i'); the signature
-    element is the lexicographic min of the hex digest — deterministic
-    across engines.  Returns (doc_id, seed, minhash)."""
+    The k permutations come from 8-hex-digit (32-bit) chunks of
+    ⌈k/4⌉ md5 digests per shingle — ~k/4 hash invocations and ONE
+    aggregation row per (doc, shingle) instead of a k-way seed explode;
+    the k mins are map-side partial-agg columns, unpivoted JVM-side.
+    Returns (doc_id, seed, minhash) — deterministic across engines.
+    """
     sh = doc_shingles(docs, text_col, n)
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("seed")
-    return (
-        sh.select("doc_id", "shingle", seeds)
-        .withColumn(
-            "h", F.md5(F.concat(F.col("shingle"), F.lit("#"), F.col("seed").cast("string")))
-        )
-        .groupBy("doc_id", "seed")
-        .agg(F.min("h").alias("minhash"))
+    n_digests = (k + 3) // 4
+    full = F.concat(
+        *[
+            F.md5(F.concat(F.col("shingle"), F.lit(f"#{i}")))
+            for i in range(n_digests)
+        ]
     )
+    mins = sh.withColumn("h", full).groupBy("doc_id").agg(
+        *[
+            F.min(F.substring("h", i * 8 + 1, 8)).alias(f"m{i}")
+            for i in range(k)
+        ]
+    )
+    stack = ", ".join(f"{i}, m{i}" for i in range(k))
+    return mins.selectExpr(
+        "doc_id", f"stack({k}, {stack}) AS (seed, minhash)"
+    ).withColumn("seed", F.col("seed").cast("int"))
 
 
 def lsh_candidate_pairs(
