@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
 from emiproc_spark.operators import speciation as spn
-from emiproc_spark.qhelpers import sql_sumd, sumd
+from emiproc_spark.qhelpers import qd, sql_qd, sql_sumd, sumd
 from emiproc_spark.sources.readers import SECONDS_PER_YEAR
 
 # ======================================================================
@@ -790,3 +790,258 @@ SQL_PRTR_INGEST = """
 
 QUERIES_IO["prtr_ingest"] = q_prtr_ingest
 ORACLES_IO["prtr_ingest"] = SQL_PRTR_INGEST
+
+
+# ======================================================================
+# weights cache round-trip: build → parquet cache → re-read must equal
+# the closed-form weights (reference get_weights_mapping .npz cache,
+# regrid.py:42-101)
+# ======================================================================
+def q_weights_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.regrid import weights_rect_rect
+    from emiproc_spark.plans.cache import cached_weights
+
+    d = tempfile.mkdtemp(prefix="emiproc_wcache_")
+
+    def build():
+        return weights_rect_rect(
+            fx.fine_grid(spark), fx.coarse_grid(spark), tile=fx.COARSE_D
+        )
+
+    # first call computes + persists, second must hit the parquet cache
+    cached_weights(spark, d, "fine10", "coarse4", build)
+    return cached_weights(spark, d, "fine10", "coarse4", build)
+
+
+SQL_WEIGHTS_CACHE = fx.WEIGHTS_SQL
+
+
+# ======================================================================
+# EDGAR legacy: 0/360 lon wrap re-sort + flux × area × seconds
+# (reference EDGAR_Inventory, edgarv8.py:239-327)
+# ======================================================================
+def q_edgar_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import edgar_legacy
+
+    d = tempfile.mkdtemp(prefix="emiproc_edl_")
+    # lons 0,90,180,270 → shifted sort order [180, 270, 0, 90]
+    lon360 = np.array([0.0, 90.0, 180.0, 270.0])
+    la = np.arange(GFAS_NLA)[:, None]
+    lo = np.arange(4)[None, :]
+    flux = (((la * 4 + lo) * 13) % 50 + 1) * 1e-9
+    ds = NCDataset()
+    ds.dims = {"lat": GFAS_NLA, "lon": 4}
+    ds.variables["lat"] = NCVariable("lat", ("lat",), np.arange(GFAS_NLA) + GFAS_LAT0)
+    ds.variables["lon"] = NCVariable("lon", ("lon",), lon360)
+    ds.variables["emi_sf6"] = NCVariable(
+        "emi_sf6", ("lat", "lon"),
+        np.broadcast_to(flux, (GFAS_NLA, 4)), {"units": "kg m-2 s-1"},
+    )
+    write_netcdf(os.path.join(d, "v7.0_FT2021_SF6_2021_NFE.0.1x0.1.nc"), ds)
+    out = edgar_legacy(spark, d, substance="SF6")
+    return out.select(
+        "cell_id", "category", "substance",
+        F.floor(F.col("value_kg_y") + 0.5).cast("double").alias("value_kg_y"),
+    )
+
+
+SQL_EDGAR_LEGACY = f"""
+    WITH cells AS (
+        -- shifted lon order [180, 270, 0, 90] = original cols [2, 3, 0, 1]
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la,
+               CASE lo.lo WHEN 0 THEN 2 WHEN 1 THEN 3 WHEN 2 THEN 0 ELSE 1 END
+                   AS orig_col
+        FROM range(4) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(90.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT c.cell_id, 'NFE' AS category, 'SF6' AS substance,
+           FLOOR(((c.la * 4 + c.orig_col) * 13 % 50 + 1) * 1e-9
+                 * (365.25 * 24 * 3600) * a.area + 0.5) AS value_kg_y
+    FROM cells c JOIN areas a USING (la)
+"""
+
+
+# ======================================================================
+# WetCHARTs: model-ensemble mean over 12 monthly mg/m2/d steps
+# (reference wetcharts.py:35-110)
+# ======================================================================
+def q_wetcharts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import wetcharts
+
+    d = tempfile.mkdtemp(prefix="emiproc_wc_")
+    m = np.arange(12)[:, None, None, None]
+    mod = np.arange(3)[None, :, None, None]
+    la = np.arange(GFAS_NLA)[None, None, :, None]
+    lo = np.arange(GFAS_NLO)[None, None, None, :]
+    cell = lo * GFAS_NLA + la
+    arr = ((m * 5 + mod * 3 + cell * 11) % 40 + 1).astype(np.float64)
+    ds = NCDataset()
+    ds.dims = {"time": 12, "model": 3, "lat": GFAS_NLA, "lon": GFAS_NLO}
+    ds.variables["time"] = NCVariable("time", ("time",), np.arange(12, dtype=np.int32))
+    ds.variables["model"] = NCVariable(
+        "model", ("model",), np.array([29, 33, 41], dtype=np.int32)
+    )
+    ds.variables["lat"] = NCVariable("lat", ("lat",), np.arange(GFAS_NLA) + GFAS_LAT0)
+    ds.variables["lon"] = NCVariable("lon", ("lon",), np.arange(GFAS_NLO) + 0.5)
+    ds.variables["wetland_CH4_emissions"] = NCVariable(
+        "wetland_CH4_emissions", ("time", "model", "lat", "lon"),
+        np.broadcast_to(arr, (12, 3, GFAS_NLA, GFAS_NLO)),
+        {"units": "mg m-2 d-1"},
+    )
+    write_netcdf(os.path.join(d, "wetcharts.nc"), ds)
+    out = wetcharts(spark, d)
+    return out.select(
+        "cell_id", "category", "substance",
+        F.floor(F.col("value_kg_y") * 1e3 + 0.5).cast("double").alias("value_g_y"),
+    )
+
+
+SQL_WETCHARTS_INGEST = f"""
+    WITH cells AS (
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la
+        FROM range({GFAS_NLO}) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    vals AS (
+        SELECT c.cell_id, c.la,
+               AVG((m.m * 5 + mod.mod * 3 + c.cell_id * 11) % 40 + 1) AS mean_mg
+        FROM cells c CROSS JOIN range(12) m(m) CROSS JOIN range(3) mod(mod)
+        GROUP BY c.cell_id, c.la
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(1.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT v.cell_id, 'wetcharts' AS category, 'CH4' AS substance,
+           FLOOR(v.mean_mg * a.area * 1e-6 * 365.25 * 1e3 + 0.5) AS value_g_y
+    FROM vals v JOIN areas a USING (la)
+"""
+
+
+# ======================================================================
+# GFED5: daily NetCDF sum × 1e-3 × area (reference gfed.py:308-372)
+# ======================================================================
+def q_gfed5_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.gfed import gfed5_emissions
+
+    d = tempfile.mkdtemp(prefix="emiproc_g5_")
+    t = np.arange(31)[:, None, None]
+    la = np.arange(GFAS_NLA)[None, :, None]
+    lo = np.arange(GFAS_NLO)[None, None, :]
+    cell = lo * GFAS_NLA + la
+    arr = ((t * 7 + cell * 3) % 20 + 1).astype(np.float64)
+    ds = NCDataset()
+    ds.dims = {"time": 31, "lat": GFAS_NLA, "lon": GFAS_NLO}
+    ds.variables["time"] = NCVariable("time", ("time",), np.arange(31, dtype=np.int32))
+    ds.variables["lat"] = NCVariable("lat", ("lat",), np.arange(GFAS_NLA) + GFAS_LAT0)
+    ds.variables["lon"] = NCVariable("lon", ("lon",), np.arange(GFAS_NLO) + 0.5)
+    ds.variables["CH4"] = NCVariable(
+        "CH4", ("time", "lat", "lon"),
+        np.broadcast_to(arr, (31, GFAS_NLA, GFAS_NLO)),
+    )
+    write_netcdf(os.path.join(d, "GFED5_Beta_daily_202001.nc"), ds)
+    out = gfed5_emissions(spark, d, substances=["CH4"])
+    return out.select(
+        "cell_id", "category", "substance",
+        F.floor(F.col("value_kg_y") + 0.5).cast("double").alias("value_kg_y"),
+    )
+
+
+SQL_GFED5_INGEST = f"""
+    WITH cells AS (
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la
+        FROM range({GFAS_NLO}) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    vals AS (
+        SELECT c.cell_id, c.la,
+               CAST(SUM((t.t * 7 + c.cell_id * 3) % 20 + 1) AS DOUBLE) AS total
+        FROM cells c CROSS JOIN range(31) t(t)
+        GROUP BY c.cell_id, c.la
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(1.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT v.cell_id, 'gfed' AS category, 'CH4' AS substance,
+           FLOOR((v.total * 1e-3) * a.area + 0.5) AS value_kg_y
+    FROM vals v JOIN areas a USING (la)
+"""
+
+
+# ======================================================================
+# WRF mole-flux conversion: kg/h → mole/km²/h (reference wrf.py:170-180)
+# ======================================================================
+def q_wrf_flux(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.exports.wrf import to_mole_flux
+
+    e = (
+        fx.emissions(spark, sf_dir)
+        .where(F.col("substance") == "F")
+        .groupBy("cell_id", "category")
+        .agg(F.floor(sumd("value_kg_y")).cast("double").alias("value_kg_h"))
+        .select(
+            "cell_id", "category", F.lit("CO2").alias("substance"),
+            F.lit(0).alias("hour_index"), "value_kg_h",
+        )
+    )
+    grid = fx.fine_grid(spark).select(
+        "cell_id",
+        ((F.col("xmax") - F.col("xmin")) * (F.col("ymax") - F.col("ymin")) * 1e6)
+        .alias("area_m2"),
+    )
+    out = to_mole_flux(e, grid, molar_masses={"CO2": 44.009})
+    return out.select(
+        "cell_id", "category", "substance", "hour_index",
+        qd("value_mole_km2_h", 1e6).alias("mole_flux"),
+    )
+
+
+SQL_WRF_FLUX = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    agg AS (
+        SELECT cell_id, category, FLOOR({sql_sumd('value_kg_y')}) AS v
+        FROM e WHERE substance = 'F' GROUP BY 1, 2
+    )
+    SELECT cell_id, category, 'CO2' AS substance, 0 AS hour_index,
+           {sql_qd('v / (44.009 * 1e-3) / ((1e6) * 1e-6)', 1e6)} AS mole_flux
+    FROM agg
+"""
+
+QUERIES_IO.update(
+    {
+        "weights_cache": q_weights_cache,
+        "edgar_legacy": q_edgar_legacy,
+        "wetcharts_ingest": q_wetcharts_ingest,
+        "gfed5_ingest": q_gfed5_ingest,
+        "wrf_flux": q_wrf_flux,
+    }
+)
+ORACLES_IO.update(
+    {
+        "weights_cache": SQL_WEIGHTS_CACHE,
+        "edgar_legacy": SQL_EDGAR_LEGACY,
+        "wetcharts_ingest": SQL_WETCHARTS_INGEST,
+        "gfed5_ingest": SQL_GFED5_INGEST,
+        "wrf_flux": SQL_WRF_FLUX,
+    }
+)
