@@ -402,3 +402,70 @@ ORACLES_TEXT: dict[str, str] = {
     "ann_lsh_buckets": SQL_ANN_LSH_BUCKETS,
     "multimodal_features": SQL_MULTIMODAL_FEATURES,
 }
+
+
+# ======================================================================
+# embedding-cosine near-dup pairs: LSH-bucketed candidates + exact
+# cosine threshold (the embedding sibling of the MinHash band join)
+# ======================================================================
+EMB_DUP_THRESHOLD = 0.2  # synthetic embeddings are near-orthogonal; a low
+# threshold keeps the result set non-trivial while the bucket join stays
+# the candidate generator under test
+
+
+def q_embedding_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.similarity import embedding_dup_pairs
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, dim=DIM, threshold=EMB_DUP_THRESHOLD)
+    return pairs.select("id_a", "id_b", qd("cos", 1e4).alias("cos"))
+
+
+SQL_EMBEDDING_DUP = f"""
+    WITH planes AS (
+        SELECT p.p, i.i,
+               CASE WHEN (strpos('0123456789abcdef',
+                    substr(md5('p' || CAST(p.p AS VARCHAR) || 'd' || CAST(i.i AS VARCHAR)), 1, 1))
+                    - 1) % 2 = 1 THEN 1.0 ELSE -1.0 END AS hp
+        FROM UNNEST(range(8)) AS p(p), UNNEST(range({DIM})) AS i(i)
+    ),
+    dots AS (
+        SELECT e.vec_id, pl.p,
+               {sql_dotq('CAST(e.embedding[pl.i + 1] AS DOUBLE) * pl.hp')} AS dp
+        FROM embeddings e JOIN planes pl ON TRUE
+        GROUP BY e.vec_id, pl.p
+    ),
+    buckets AS (
+        SELECT vec_id,
+               string_agg(CASE WHEN dp > 0 THEN '1' ELSE '0' END, '' ORDER BY p)
+                   AS bucket
+        FROM dots GROUP BY vec_id
+    ),
+    cand AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM buckets a JOIN buckets b
+            ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    terms AS (
+        SELECT c.id_a, c.id_b,
+               CAST(ea.embedding[t.i + 1] AS DOUBLE) AS va,
+               CAST(eb.embedding[t.i + 1] AS DOUBLE) AS vb
+        FROM cand c
+        JOIN embeddings ea ON ea.vec_id = c.id_a
+        JOIN embeddings eb ON eb.vec_id = c.id_b,
+        UNNEST(range({DIM})) AS t(i)
+    ),
+    scored AS (
+        SELECT id_a, id_b,
+               {sql_dotq('va * vb')} AS dp,
+               {sql_dotq('va * va')} AS na,
+               {sql_dotq('vb * vb')} AS nb
+        FROM terms GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, {sql_qd('dp / (SQRT(na) * SQRT(nb))', 1e4)} AS cos
+    FROM scored
+    WHERE dp / (SQRT(na) * SQRT(nb)) >= {EMB_DUP_THRESHOLD}
+"""
+
+QUERIES_TEXT["embedding_dup"] = q_embedding_dup
+ORACLES_TEXT["embedding_dup"] = SQL_EMBEDDING_DUP

@@ -142,3 +142,35 @@ def ann_topk(
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def embedding_dup_pairs(
+    embeddings: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: same-LSH-bucket candidate
+    generation, exact cosine re-rank, keep pairs ≥ ``threshold``.
+
+    The self-join is bucketed (~N²/2^planes candidate pairs instead of
+    all-pairs) — the same scale shape as the MinHash band join; recall
+    improves with fewer planes or multi-probe.  Returns
+    (id_a, id_b, cos).
+    """
+    b = lsh_buckets(embeddings, dim, planes, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
+    )
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(c, "bucket")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )
