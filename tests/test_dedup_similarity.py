@@ -110,3 +110,21 @@ def test_multimodal_stub(spark, docs):
     assert feats[0]["checksum"] == feats[1]["checksum"]
     frames = frame_sample(media, every_n_bytes=16)
     assert frames.where(F.col("doc_id") == 0).count() == 3  # 43 bytes → offsets 0,16,32
+
+
+def test_embedding_dup_pairs(spark):
+    import numpy as np
+
+    from emiproc_spark.operators.similarity import embedding_dup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(20, 16)).astype("float32")
+    rows = [(i, [float(v) for v in base[i]]) for i in range(20)]
+    # near-duplicate of vec 0 (tiny perturbation -> same bucket, cos ~1)
+    rows.append((100, [float(v) for v in base[0] + 1e-4]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_dup_pairs(emb, dim=16, threshold=0.99).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (0, 100) in found
+    for r in pairs:
+        assert r["cos"] >= 0.99
