@@ -37,6 +37,20 @@ def main() -> None:
         _warm_batches, schema="id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Warm the OS page cache for every input table (untimed): otherwise
+    # whichever query first touches a table pays its disk-cold read and
+    # per-round timings depend on what the driver ran beforehand.  The
+    # bench measures engine work, not page-cache luck.
+    from emiproc_spark.parity import TABLES
+
+    # events.parquet is TIMESTAMP(NANOS) — readable only with this conf
+    # (the queries that use it set it themselves)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").write.format("noop").mode(
+            "overwrite"
+        ).save()
+
     timings: dict[str, float] = {}
     t_all = time.perf_counter()
     for name, fn in QUERIES.items():

@@ -469,3 +469,148 @@ SQL_EMBEDDING_DUP = f"""
 
 QUERIES_TEXT["embedding_dup"] = q_embedding_dup
 ORACLES_TEXT["embedding_dup"] = SQL_EMBEDDING_DUP
+
+
+# ======================================================================
+# IVF approximate top-k: nearest-centroid cell assignment (map-only in
+# the operator; here via the quantized explode so both engines agree
+# bit-for-bit), probe the 2 cells nearest the query, exact re-rank.
+# Mirrors operators/similarity.ivf_assign/ivf_topk.
+# ======================================================================
+N_CENTROIDS = 16
+N_PROBE = 2
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fx.load(spark, sf_dir, "embeddings")
+    # centroids = the N_CENTROIDS lowest-id vectors (ivf_seed_centroids)
+    cent = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("embedding").alias("i", "cv"),
+        )
+        .withColumn("cv", F.col("cv").cast("double"))
+    )
+    terms = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(cent), "i")
+    )
+    scored = (
+        terms.groupBy("vec_id", "cid")
+        .agg(
+            _dotq(F.col("v") * F.col("cv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("cv") * F.col("cv")).alias("nc"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nc")))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    probes = (
+        scored.where(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), F.col("cid"))
+        .limit(N_PROBE)
+        .select(F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell")
+    # exact re-rank against the query vector (vec_id = 0)
+    qpos = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("i", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    qterms = (
+        emb.join(cand, "vec_id")
+        .select("vec_id", "cell", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(qpos), "i")
+    )
+    rescored = (
+        qterms.groupBy("vec_id", "cell")
+        .agg(
+            _dotq(F.col("v") * F.col("qv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nq")))
+    )
+    return (
+        rescored.select("vec_id", "cell", qd("cos").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+SQL_IVF_TOPK = f"""
+    WITH cent AS (
+        SELECT e.vec_id AS cid, t.i,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS cv
+        FROM embeddings e, UNNEST(range({DIM})) AS t(i)
+        WHERE e.vec_id < {N_CENTROIDS}
+    ),
+    terms AS (
+        SELECT e.vec_id, c.cid,
+               CAST(e.embedding[c.i + 1] AS DOUBLE) AS v,
+               c.cv
+        FROM embeddings e JOIN cent c ON TRUE
+    ),
+    scored AS (
+        SELECT vec_id, cid,
+               {sql_dotq('v * cv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('cv * cv')} AS nc
+        FROM terms GROUP BY vec_id, cid
+    ),
+    cosed AS (
+        SELECT vec_id, cid, dp / (SQRT(na) * SQRT(nc)) AS cos
+        FROM scored
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cell
+        FROM (
+            SELECT vec_id, cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cid
+                   ) AS rn
+            FROM cosed
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT cid AS cell FROM cosed
+        WHERE vec_id = 0
+        ORDER BY cos DESC, cid LIMIT {N_PROBE}
+    ),
+    cand AS (
+        SELECT a.vec_id, a.cell
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    qterms AS (
+        SELECT c.vec_id, c.cell,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS v,
+               CAST(q.qe[t.i + 1] AS DOUBLE) AS qv
+        FROM cand c
+        JOIN embeddings e ON e.vec_id = c.vec_id
+        CROSS JOIN q, UNNEST(range({DIM})) AS t(i)
+    ),
+    rescored AS (
+        SELECT vec_id, cell,
+               {sql_dotq('v * qv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('qv * qv')} AS nq
+        FROM qterms GROUP BY vec_id, cell
+    )
+    SELECT vec_id, cell, {sql_qd('dp / (SQRT(na) * SQRT(nq))')} AS cos
+    FROM rescored
+    ORDER BY dp / (SQRT(na) * SQRT(nq)) DESC, vec_id
+    LIMIT 10
+"""
+
+QUERIES_TEXT["ivf_topk"] = q_ivf_topk
+ORACLES_TEXT["ivf_topk"] = SQL_IVF_TOPK

@@ -144,6 +144,131 @@ def ann_topk(
     )
 
 
+def ivf_seed_centroids(
+    embeddings: DataFrame,
+    k: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Deterministic IVF seed centroids: the ``k`` vectors with the
+    smallest ids.  k×dim floats — driver-side by design (the centroid
+    table is broadcast state, like a dimension table).  Refine with
+    :func:`ivf_refine` (Lloyd steps) when cluster quality matters."""
+    rows = (
+        embeddings.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
+    return [(i, [float(v) for v in r[1]]) for i, r in enumerate(rows)]
+
+
+def _centroid_scores(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
+    """Array of (cos, neg_cid) structs — one per centroid — computed in a
+    single JVM projection; ``array_max`` picks the best (ties → smaller
+    centroid id via the negated id field)."""
+    return F.array(
+        *[
+            F.struct(
+                cosine(
+                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in cvec])
+                ).alias("cos"),
+                F.lit(-cid).alias("neg_cid"),
+            )
+            for cid, cvec in centroids
+        ]
+    )
+
+
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF cell assignment: nearest-centroid by cosine.
+
+    Map-only — the centroid list rides along as an array-of-structs
+    literal inside one whole-stage-codegen projection, so assignment of
+    100 TB of vectors is a scan with zero shuffle.  Write the result
+    partitioned by ``cell`` and every probe becomes partition pruning.
+    """
+    best = F.array_max(_centroid_scores(vec_col, centroids))
+    return embeddings.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+
+
+def ivf_refine(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    steps: int = 1,
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd refinement: ``steps`` rounds of assign → per-cell mean.
+
+    The mean is a distributed posexplode + hash agg over (cell, dim);
+    only the k×dim centroid matrix ever reaches the driver.  Cells that
+    lose all members keep their previous centroid.
+    """
+    for _ in range(steps):
+        assigned = ivf_assign(embeddings, centroids, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(vec_col).alias("i", "v"))
+            .groupBy("cell", "i")
+            .agg(F.avg(F.col("v").cast("double")).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        new = {int(r["cell"]): [float(v) for v in r["cvec"]] for r in means}
+        centroids = [(cid, new.get(cid, cvec)) for cid, cvec in centroids]
+    return centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    centroids: list[tuple[int, list[float]]],
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cell_col: str = "cell",
+) -> DataFrame:
+    """IVF approximate top-k: probe the ``nprobe`` cells whose centroids
+    are closest to the query, exact cosine re-rank inside.
+
+    Probe selection is O(k·dim) driver arithmetic; the scan touches
+    ~nprobe/k of the corpus (partition-pruned when the index is written
+    partitioned by cell).  Recall/latency trades on ``nprobe``.
+    """
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dp / (na * nb) if na and nb else 0.0
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (-_cos(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    assigned = ivf_assign(embeddings, centroids, vec_col, cell_col)
+    return (
+        assigned.where(F.col(cell_col).isin(probes))
+        .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        .orderBy(F.col("cos").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def embedding_dup_pairs(
     embeddings: DataFrame,
     dim: int,

@@ -128,3 +128,49 @@ def test_embedding_dup_pairs(spark):
     assert (0, 100) in found
     for r in pairs:
         assert r["cos"] >= 0.99
+
+
+def test_ivf_assign_and_topk(spark):
+    import random
+
+    random.seed(11)
+    # three well-separated clusters around axis vectors
+    centers = [[5.0, 0.0, 0.0, 0.0], [0.0, 5.0, 0.0, 0.0], [0.0, 0.0, 5.0, 0.0]]
+    rows = []
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append((i, [v + random.uniform(-0.3, 0.3) for v in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # seed centroids = vec_ids 0,1,2 — one per cluster by construction
+    cent = sim.ivf_seed_centroids(emb, k=3)
+    assert [cid for cid, _ in cent] == [0, 1, 2]
+
+    assigned = sim.ivf_assign(emb, cent)
+    cells = {r["vec_id"]: r["cell"] for r in assigned.collect()}
+    for i in range(60):
+        assert cells[i] == i % 3  # every vector lands with its cluster seed
+
+    q = centers[1]
+    top = sim.ivf_topk(emb, q, cent, k=5, nprobe=1).collect()
+    assert len(top) == 5
+    assert all(r["vec_id"] % 3 == 1 for r in top)  # probe scans cluster 1 only
+
+    # exact brute-force and IVF agree on the top-5 in the probed cell
+    brute = sim.cosine_topk(emb, q, k=20).collect()
+    brute_in_cell = [r["vec_id"] for r in brute if r["vec_id"] % 3 == 1][:5]
+    assert [r["vec_id"] for r in top] == brute_in_cell
+
+
+def test_ivf_refine_moves_centroids(spark):
+    rows = [
+        (0, [1.0, 0.0]),
+        (1, [0.0, 1.0]),
+        (2, [0.9, 0.1]),
+        (3, [0.1, 0.9]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cent = sim.ivf_seed_centroids(emb, k=2)
+    refined = sim.ivf_refine(emb, cent, steps=1)
+    # cell 0 absorbed vecs {0,2}, cell 1 absorbed {1,3}: centroid = mean
+    assert refined[0][1] == pytest.approx([0.95, 0.05])
+    assert refined[1][1] == pytest.approx([0.05, 0.95])
