@@ -57,6 +57,91 @@ def dedup_stream(
     return df.dropDuplicates(keys)
 
 
+def sessionize_stream(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark_delay: str = "1 minute",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key gap sessionization via
+    ``applyInPandasWithState`` (event-time timeout).
+
+    The streaming counterpart of the batch ``sessionize`` query (lag +
+    cumulative-sum windows): state per key is the open session's
+    (start, last, n, sum); a session closes when a gap > ``gap`` shows
+    up in-batch, or when the watermark passes last+gap (timeout) — so
+    closed sessions are emitted exactly once, append-mode.
+
+    State is O(keys), not O(events): each key holds four scalars, so a
+    1000-executor cluster shards state by key hash and a 100 TB replay
+    streams through without unbounded growth.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+    out_schema = (
+        f"{key_col} long, session_start timestamp, session_end timestamp, "
+        "n_events long, sum_value double"
+    )
+    state_schema = "start long, last long, n long, s double"
+
+    def _close(key, start, last, n, s):
+        return pd.DataFrame(
+            {
+                key_col: [key],
+                "session_start": [pd.Timestamp(start, unit="ms")],
+                "session_end": [pd.Timestamp(last, unit="ms")],
+                "n_events": [n],
+                "sum_value": [s],
+            }
+        )
+
+    def fn(key, pdfs, state):
+        (k,) = key
+        if state.hasTimedOut:
+            start, last, n, s = state.get
+            state.remove()
+            yield _close(k, start, last, n, s)
+            return
+        rows = pd.concat(list(pdfs))
+        rows = rows.sort_values(ts_col)
+        if state.exists:
+            start, last, n, s = state.get
+        else:
+            start = last = None
+            n, s = 0, 0.0
+        closed = []
+        for ts, v in zip(rows[ts_col], rows[value_col]):
+            tms = int(pd.Timestamp(ts).value // 10**6)
+            if last is not None and tms - last > gap_ms:
+                closed.append((start, last, n, s))
+                start, n, s = None, 0, 0.0
+            if start is None:
+                start = tms
+            last = tms
+            n += 1
+            s += float(v)
+        state.update((start, last, n, s))
+        state.setTimeoutTimestamp(last + gap_ms)
+        for c in closed:
+            yield _close(k, *c)
+
+    return (
+        events.withWatermark(ts_col, watermark_delay)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def hourly_emission_stream(
     spark: SparkSession,
     emissions: DataFrame,
