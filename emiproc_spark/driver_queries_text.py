@@ -614,3 +614,29 @@ SQL_IVF_TOPK = f"""
 
 QUERIES_TEXT["ivf_topk"] = q_ivf_topk
 ORACLES_TEXT["ivf_topk"] = SQL_IVF_TOPK
+
+
+# ======================================================================
+# BPE-ish token counting: GPT-2-style pre-tokenizer regex (no merges),
+# the LLM-training token-budget estimator, vs whitespace tokens.
+# regexp_extract_all in both engines; integer sums — exact parity.
+# ======================================================================
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(tx.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+        F.sum(tx.token_count(F.col("text"))).alias("ws_tokens"),
+    )
+
+
+SQL_TOKEN_COUNTS = f"""
+    SELECT lang, source, COUNT(*) AS n_docs,
+           CAST(SUM(len(regexp_extract_all(text, '{tx.BPE_REGEX.replace("'", "''")}'))) AS BIGINT)
+               AS bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens
+    FROM documents GROUP BY 1, 2
+"""
+
+QUERIES_TEXT["token_counts"] = q_token_counts
+ORACLES_TEXT["token_counts"] = SQL_TOKEN_COUNTS

@@ -49,6 +49,23 @@ def stopword_count(toks: Column) -> Column:
     return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
 
 
+# BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset both
+# Java regex and RE2 support — no lookahead): contraction suffixes, then
+# space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
+BPE_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+
+
+def bpe_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization (the GPT-2 split pattern without merges):
+    the token-count estimator for LLM training budgets.  Pure
+    ``regexp_extract_all`` — JVM-side, no UDF."""
+    return F.regexp_extract_all(text, F.lit(BPE_REGEX), 0)
+
+
+def bpe_token_count(text: Column) -> Column:
+    return F.size(bpe_tokens(text))
+
+
 def quality_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Per-document quality features: token count, char count, mean word
     length, stopword ratio — the length/punct/stopword heuristics of

@@ -174,3 +174,25 @@ def test_ivf_refine_moves_centroids(spark):
     # cell 0 absorbed vecs {0,2}, cell 1 absorbed {1,3}: centroid = mean
     assert refined[0][1] == pytest.approx([0.95, 0.05])
     assert refined[1][1] == pytest.approx([0.05, 0.95])
+
+
+def test_bpe_token_count(spark):
+    from emiproc_spark.operators.text import bpe_token_count, bpe_tokens
+
+    rows = [(0, "It's 42 degrees, isn't it?"), (1, "hello   world")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["toks"], r["n"])
+        for r in d.select(
+            "doc_id",
+            bpe_tokens(F.col("text")).alias("toks"),
+            bpe_token_count(F.col("text")).alias("n"),
+        ).collect()
+    }
+    # It|'s| 42| degrees|,| isn|'t| it|?
+    assert out[0][0] == ["It", "'s", " 42", " degrees", ",", " isn", "'t", " it", "?"]
+    assert out[0][1] == 9
+    # hello|   |world (no-lookahead variant: \s+ is greedy, so the run of
+    # spaces is one token and 'world' carries no leading space)
+    assert out[1][0] == ["hello", "   ", "world"]
+    assert out[1][1] == 3
