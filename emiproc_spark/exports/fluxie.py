@@ -34,16 +34,28 @@ def export_fluxie(
     output_dir: str,
     transport_model: str = "emiproc",
     frequency: str = "yearly",
+    tprofile_index: DataFrame | None = None,
+    tprofiles: DataFrame | None = None,
 ) -> str:
     """``emissions_by_year``: {year: long emissions}; ``grid``:
     (cell_id, lon, lat, area_m2) regular lon-major grid;
-    ``country_fractions``: (cell_id, country, fraction)."""
+    ``country_fractions``: (cell_id, country, fraction).
+
+    ``frequency="monthly"`` follows the reference exactly: the time axis
+    is *daily* stamps over each inventory year (fluxie.py:154-158 calls
+    get_temporally_scaled_array with the default freq="D"), each stamp
+    scaled by the composite profile factor, units still kg m⁻² yr⁻¹.
+    Requires ``tprofile_index`` + ``tprofiles``.
+    """
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
 
-    if frequency != "yearly":
-        raise NotImplementedError(
-            "monthly fluxie export: expand with operators.temporal."
-            "temporally_scaled and regroup to months upstream"
+    if frequency not in ("yearly", "monthly"):
+        raise ValueError(f"frequency must be yearly or monthly, got {frequency!r}")
+    if frequency == "monthly" and (tprofile_index is None or tprofiles is None):
+        raise ValueError(
+            "monthly fluxie export needs tprofile_index and tprofiles "
+            "(the reference requires temporal profiles for monthly, "
+            "fluxie.py:41)"
         )
     years = sorted(emissions_by_year)
     if len(set(years)) != len(years) or not years:
@@ -67,25 +79,85 @@ def export_fluxie(
         la, lo = cell_pos[int(r.cell_id)]
         frac[c_i[r.country], la, lo] = r.fraction
 
-    # distributed: category sum ÷ area per year, collected per substance
-    per_year = []
-    for y in years:
-        e = emissions_by_year[y]
-        flux = (
-            e.groupBy("cell_id", "substance")
-            .agg(F.sum("value_kg_y").alias("v"))
-            .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
-            .select(
-                "cell_id", "substance", (F.col("v") / F.col("area_m2")).alias("flux")
+    # distributed: category sum ÷ area, collected per time step.
+    # per_time: list of (time_value, pdf(cell_id, substance, flux))
+    per_time: list = []
+    if frequency == "yearly":
+        for y in years:
+            e = emissions_by_year[y]
+            flux = (
+                e.groupBy("cell_id", "substance")
+                .agg(F.sum("value_kg_y").alias("v"))
+                .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
+                .select(
+                    "cell_id",
+                    "substance",
+                    (F.col("v") / F.col("area_m2")).alias("flux"),
+                )
             )
-        )
-        per_year.append(flux.toPandas())
+            per_time.append((y, flux.toPandas()))
+        time_attrs = {
+            "long_name": "inventory year (stamped June 1)",
+            "units": "year",
+        }
+    else:
+        import calendar
+        from datetime import date
 
-    substances = sorted({s for pdf in per_year for s in pdf["substance"].unique()})
+        from emiproc_spark.operators.temporal import (
+            attach_profiles,
+            composite_scaling_factor,
+        )
+
+        for y in years:
+            e = emissions_by_year[y]
+            static = attach_profiles(e, tprofile_index, tprofiles)
+            ndays = 366 if calendar.isleap(y) else 365
+            days = e.sparkSession.range(ndays).select(
+                F.col("id").cast("int").alias("t_idx"),
+                (
+                    F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz")
+                    + F.make_interval(days=F.col("id").cast("int"))
+                ).alias("sim_ts"),
+            )
+            sf = composite_scaling_factor(
+                F.col("sim_ts"), F.col("__profs"), F.col("__guard")
+            )
+            flux = (
+                static.crossJoin(F.broadcast(days))
+                .select(
+                    "t_idx",
+                    "cell_id",
+                    "substance",
+                    (F.col("value_kg_y") * sf).alias("v"),
+                )
+                .groupBy("t_idx", "cell_id", "substance")
+                .agg(F.sum("v").alias("v"))
+                .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
+                .select(
+                    "t_idx",
+                    "cell_id",
+                    "substance",
+                    (F.col("v") / F.col("area_m2")).alias("flux"),
+                )
+            )
+            pdf = flux.toPandas()
+            epoch0 = (date(y, 1, 1) - date(1970, 1, 1)).days
+            for i in range(ndays):
+                per_time.append((epoch0 + i, pdf[pdf["t_idx"] == i]))
+        time_attrs = {
+            "long_name": "daily scaling-factor stamps",
+            "units": "days since 1970-01-01",
+        }
+
+    substances = sorted(
+        {s for _, pdf in per_time for s in pdf["substance"].unique()}
+    )
     base = os.path.join(output_dir, transport_model)
+    time_vals = [tv for tv, _ in per_time]
     for sub in substances:
-        arr = np.zeros((len(years), ny, lons.size))
-        for t, pdf in enumerate(per_year):
+        arr = np.zeros((len(per_time), ny, lons.size))
+        for t, (_, pdf) in enumerate(per_time):
             sel = pdf[pdf["substance"] == sub]
             for r in sel.itertuples():
                 la, lo = cell_pos[int(r.cell_id)]
@@ -94,14 +166,14 @@ def export_fluxie(
 
         ds = NCDataset()
         ds.dims = {
-            "time": len(years), "latitude": ny, "longitude": lons.size,
+            "time": len(per_time), "latitude": ny, "longitude": lons.size,
             "country": len(countries), "country_str_len": max(
                 1, max(len(c) for c in countries)
             ),
         }
         ds.variables["time"] = NCVariable(
-            "time", ("time",), np.array(years, dtype=np.int32),
-            {"long_name": "inventory year (stamped June 1)", "units": "year"},
+            "time", ("time",), np.array(time_vals, dtype=np.int32),
+            time_attrs,
         )
         ds.variables["longitude"] = NCVariable(
             "longitude", ("longitude",), lons,

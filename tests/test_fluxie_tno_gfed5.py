@@ -50,8 +50,49 @@ def test_export_fluxie(spark, tmp_path):
     ds2 = read_netcdf(f"{out}/CO2/emiproc_CO2_yearly.nc")
     assert ds2.variables["flux_total_prior"].data[0, 0, 0] == pytest.approx(1.0)
 
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):  # monthly requires temporal profiles
         export_fluxie({2024: e24}, grid, cf, str(tmp_path), frequency="monthly")
+
+
+def test_export_fluxie_monthly(spark, tmp_path):
+    grid = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0), (1, 1.0, 0.0, 2.0)],
+        "cell_id long, lon double, lat double, area_m2 double",
+    )
+    e = spark.createDataFrame(
+        [(0, "traffic", "CH4", 10.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    cf = spark.createDataFrame(
+        [(0, "CHE", 1.0)], "cell_id long, country string, fraction double"
+    )
+    # weekly profile: Thursdays carry 7x the mean, other days 0
+    profiles = spark.createDataFrame(
+        [(0, "weekly", [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("traffic", "CH4", 0)],
+        "category string, substance string, profile_id int",
+    )
+    out = export_fluxie(
+        {2024: e}, grid, cf, str(tmp_path), frequency="monthly",
+        tprofile_index=index, tprofiles=profiles,
+    )
+    ds = read_netcdf(f"{out}/CH4/emiproc_CH4_monthly.nc")
+    flux = ds.variables["flux_total_prior"].data
+    assert flux.shape == (366, 1, 2)  # (daily stamps of leap 2024, lat, lon)
+    t = ds.variables["time"].data
+    assert t[0] == (np.datetime64("2024-01-01") - np.datetime64("1970-01-01")).astype(int)
+    # 2024-01-01 is a Monday; first Thursday is Jan 4 (index 3):
+    # sf = ratio[3] * 7 = 7 → flux = 10/2 * 7; other days 0
+    assert flux[3, 0, 0] == pytest.approx(35.0)
+    assert flux[0, 0, 0] == pytest.approx(0.0)
+    assert flux[4, 0, 0] == pytest.approx(0.0)
+    # instantaneous kg/yr scaling: yearly mean of sf is 1 → mean flux = 5
+    assert flux[:, 0, 0].mean() == pytest.approx(5.0, rel=0.01)
+    cflux = ds.variables["country_flux_total_prior"].data
+    assert cflux[3, 0] == pytest.approx(35.0)
 
 
 def test_tno_gridded_profiles(spark, tmp_path):
