@@ -1045,3 +1045,83 @@ ORACLES_IO.update(
         "wrf_flux": SQL_WRF_FLUX,
     }
 )
+
+
+# ======================================================================
+# LPJ-GUESS ingest: {substance}_{category} variable naming,
+# mg CH4 m-2 d-1 summed over daily steps x 1e-6 x spherical area
+# (reference lpjguess.py:23-110).  Integer mg values make the daily sum
+# exact in both engines; one multiply chain after that.
+# ======================================================================
+LPJ_NDAYS = 10
+
+
+def q_lpj_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.formats import lpj_guess
+
+    d = tempfile.mkdtemp(prefix="emiproc_lpj_")
+    t = np.arange(LPJ_NDAYS)[:, None, None]
+    la = np.arange(GFAS_NLA)[None, :, None]
+    lo = np.arange(GFAS_NLO)[None, None, :]
+    cell = lo * GFAS_NLA + la
+    ds = NCDataset()
+    ds.dims = {"time": LPJ_NDAYS, "latitude": GFAS_NLA, "longitude": GFAS_NLO}
+    ds.variables["time"] = NCVariable(
+        "time", ("time",), np.arange(LPJ_NDAYS, dtype=np.int32)
+    )
+    ds.variables["latitude"] = NCVariable(
+        "latitude", ("latitude",), np.arange(GFAS_NLA) + GFAS_LAT0
+    )
+    ds.variables["longitude"] = NCVariable(
+        "longitude", ("longitude",), np.arange(GFAS_NLO) + 0.5
+    )
+    for k, name in enumerate(["CH4_wetlands", "CH4_peatlands_total"]):
+        arr = ((t * 3 + cell * 7 + k) % 30 + 1).astype(np.float64)
+        ds.variables[name] = NCVariable(
+            name,
+            ("time", "latitude", "longitude"),
+            arr,
+            {"units": "mg CH4 m-2 d-1"},
+        )
+    write_netcdf(os.path.join(d, "lpj.nc"), ds)
+    out = lpj_guess(spark, d)
+    return out.select(
+        "cell_id",
+        "category",
+        "substance",
+        F.floor(F.col("value_kg_y") + F.lit(0.5)).cast("double").alias("value_kg_y"),
+    )
+
+
+SQL_LPJ_INGEST = f"""
+    WITH cells AS (
+        SELECT lo.lo * {GFAS_NLA} + la.la AS cell_id, la.la AS la
+        FROM range({GFAS_NLO}) lo(lo) CROSS JOIN range({GFAS_NLA}) la(la)
+    ),
+    sums AS (
+        SELECT c.cell_id, c.la, v.k,
+               CAST(SUM((d.d * 3 + c.cell_id * 7 + v.k) % 30 + 1) AS DOUBLE) AS s
+        FROM cells c
+        CROSS JOIN range({LPJ_NDAYS}) d(d)
+        CROSS JOIN range(2) v(k)
+        GROUP BY 1, 2, 3
+    ),
+    areas AS (
+        SELECT la,
+               6371000.0 * 6371000.0 * RADIANS(1.0)
+               * ABS(SIN(RADIANS({GFAS_LAT0} + la + 0.5))
+                     - SIN(RADIANS({GFAS_LAT0} + la - 0.5))) AS area
+        FROM range({GFAS_NLA}) t(la)
+    )
+    SELECT s.cell_id,
+           CASE WHEN s.k = 0 THEN 'wetlands' ELSE 'peatlands_total' END AS category,
+           'CH4' AS substance,
+           FLOOR(s.s * 1e-6 * a.area + 0.5) AS value_kg_y
+    FROM sums s JOIN areas a USING (la)
+"""
+
+QUERIES_IO["lpj_ingest"] = q_lpj_ingest
+ORACLES_IO["lpj_ingest"] = SQL_LPJ_INGEST
