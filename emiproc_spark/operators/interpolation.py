@@ -98,28 +98,45 @@ def hour_of_year_to_cycles(
     month = F.lit(0)
     for m in range(1, 12):
         month = F.when(doy >= month_starts[m], F.lit(m)).otherwise(month)
-    enriched = series.select(
-        "profile_id",
-        "sf",
-        (F.col("hour") % 24).alias("hour_of_day"),
-        ((doy + year_start_weekday) % 7).alias("day_of_week"),
-        month.alias("month"),
+    # one pass: explode each hour into its three (ptype, pos) cycle slots,
+    # single hash agg on (profile_id, ptype, pos), window-normalize per
+    # (profile_id, ptype) — 2 shuffles total instead of three scans each
+    # with two aggregations and a totals join
+    from pyspark.sql import Window
+
+    slots = F.array(
+        F.struct(
+            F.lit("daily").alias("ptype"),
+            (F.col("hour") % 24).cast("int").alias("pos"),
+        ),
+        F.struct(
+            F.lit("weekly").alias("ptype"),
+            ((doy + year_start_weekday) % 7).cast("int").alias("pos"),
+        ),
+        F.struct(F.lit("monthly").alias("ptype"), month.cast("int").alias("pos")),
     )
-
-    def cycle(dim: str, ptype: str, agg: Column) -> DataFrame:
-        g = enriched.groupBy("profile_id", F.col(dim).alias("pos")).agg(agg.alias("val"))
-        tot = g.groupBy("profile_id").agg(F.sum("val").alias("tot"))
-        return g.join(tot, "profile_id").select(
-            "profile_id",
-            F.lit(ptype).alias("ptype"),
-            F.col("pos").cast("int").alias("pos"),
-            (F.col("val") / F.col("tot")).alias("ratio"),
-        )
-
-    daily = cycle("hour_of_day", "daily", F.avg("sf"))
-    weekly = cycle("day_of_week", "weekly", F.avg("sf"))
-    monthly = cycle("month", "monthly", F.sum("sf"))
-    return daily.unionByName(weekly).unionByName(monthly)
+    long = series.select(
+        "profile_id", "sf", F.explode(slots).alias("slot")
+    ).select(
+        "profile_id",
+        F.col("slot.ptype").alias("ptype"),
+        F.col("slot.pos").alias("pos"),
+        "sf",
+    )
+    g = long.groupBy("profile_id", "ptype", "pos").agg(
+        F.sum("sf").alias("s"), F.count("*").alias("n")
+    )
+    # daily/weekly cycles are means over their slot; monthly is a sum
+    val = F.when(F.col("ptype") == "monthly", F.col("s")).otherwise(
+        F.col("s") / F.col("n")
+    )
+    w = Window.partitionBy("profile_id", "ptype")
+    return g.withColumn("val", val).select(
+        "profile_id",
+        "ptype",
+        "pos",
+        (F.col("val") / F.sum("val").over(w)).alias("ratio"),
+    )
 
 
 def resolve_daytype(

@@ -144,3 +144,36 @@ def test_poly_refine_200k_sources(spark):
     print(f"\n200k poly refine wall: {dt:.1f}s")
     assert bad == 0  # every interior source fully covered
     assert dt < 120
+
+
+def test_ivf_million_vectors(spark):
+    """1M × 16-dim vectors: map-only IVF assignment (zero shuffle) +
+    nprobe search.  The assignment projection is the 100 TB path — it
+    must stream, not collect or shuffle."""
+    from emiproc_spark.operators import similarity as sim
+
+    dim, k = 16, 8
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                ((F.col("id") * (3 + d) + d * d) % 101).cast("float") / 100.0
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cent = sim.ivf_seed_centroids(emb, k=k)
+    t0 = time.time()
+    assigned = sim.ivf_assign(emb, cent)
+    counts = assigned.groupBy("cell").count().collect()
+    dt = time.time() - t0
+    assert sum(r["count"] for r in counts) == 1_000_000
+    assert len(counts) >= 2  # vectors actually spread across cells
+
+    q = [0.5] * dim
+    t0 = time.time()
+    top = sim.ivf_topk(emb, q, cent, k=10, nprobe=2).collect()
+    dt2 = time.time() - t0
+    assert len(top) == 10
+    print(f"\nIVF 1M assign: {dt:.1f}s, probe top-k: {dt2:.1f}s")
+    assert dt < 60 and dt2 < 60
