@@ -1125,3 +1125,79 @@ SQL_LPJ_INGEST = f"""
 
 QUERIES_IO["lpj_ingest"] = q_lpj_ingest
 ORACLES_IO["lpj_ingest"] = SQL_LPJ_INGEST
+
+
+# ======================================================================
+# Profile CSV readers: weekly temporal profiles (column-set dispatch +
+# auto-normalize + dedup) and vertical height-header profiles
+# (reference profiles/temporal/io.py:167-181, vertical_profiles.py:276-364)
+# ======================================================================
+def q_tprofiles_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.sources.profiles_io import read_temporal_profiles_csv
+
+    d = tempfile.mkdtemp(prefix="emiproc_tp_")
+    p = os.path.join(d, "profiles.csv")
+    with open(p, "w") as f:
+        f.write("category,Mon,Tue,Wed,Thu,Fri,Sat,Sun\n")
+        f.write("A,1,2,3,4,5,6,7\n")
+        f.write("B,2,2,2,2,2,2,2\n")
+        f.write("C,1,2,3,4,5,6,7\n")  # duplicate of A: dedup path
+    store, index = read_temporal_profiles_csv(spark, p, ["category"])
+    out = index.join(store, ["profile_id", "ptype"]).select(
+        "category", "ptype", F.posexplode("ratios").alias("pos", "ratio")
+    )
+    return out.withColumn("ratio", qd("ratio"))
+
+
+SQL_TPROFILES_CSV = """
+    WITH rows(category, pos, v) AS (
+        SELECT cat.category, t.pos,
+               CASE WHEN cat.category = 'B' THEN 2.0 ELSE CAST(t.pos + 1 AS DOUBLE) END
+        FROM (VALUES ('A'), ('B'), ('C')) AS cat(category),
+             UNNEST(range(7)) AS t(pos)
+    )
+    SELECT category, 'weekly' AS ptype, pos,
+           {qd} AS ratio
+    FROM rows
+""".format(qd=sql_qd("v / SUM(v) OVER (PARTITION BY category)"))
+
+
+def q_vprofiles_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.sources.profiles_io import read_vertical_profiles_csv
+
+    d = tempfile.mkdtemp(prefix="emiproc_vp_")
+    p = os.path.join(d, "vertical.csv")
+    with open(p, "w") as f:
+        # headers intentionally out of height order: the reader re-sorts
+        f.write("category,92m,20m,184m\n")
+        f.write("traffic,0,10,0\n")
+        f.write("industry,4,1,5\n")
+    store, index = read_vertical_profiles_csv(spark, p, ["category"])
+    out = index.join(store, "profile_id").select(
+        "category",
+        F.posexplode(F.arrays_zip("heights_top_m", "ratios")).alias("pos", "z"),
+    )
+    return out.select(
+        "category",
+        "pos",
+        F.col("z.heights_top_m").alias("height_top_m"),
+        qd("z.ratios").alias("ratio"),
+    )
+
+
+SQL_VPROFILES_CSV = """
+    WITH rows(category, pos, height_top_m, v) AS (VALUES
+        ('traffic', 0, 20.0, 10.0), ('traffic', 1, 92.0, 0.0),
+        ('traffic', 2, 184.0, 0.0),
+        ('industry', 0, 20.0, 1.0), ('industry', 1, 92.0, 4.0),
+        ('industry', 2, 184.0, 5.0))
+    SELECT category, pos, height_top_m,
+           {qd} AS ratio
+    FROM rows
+""".format(qd=sql_qd("v / SUM(v) OVER (PARTITION BY category)"))
+
+
+QUERIES_IO["tprofiles_csv"] = q_tprofiles_csv
+ORACLES_IO["tprofiles_csv"] = SQL_TPROFILES_CSV
+QUERIES_IO["vprofiles_csv"] = q_vprofiles_csv
+ORACLES_IO["vprofiles_csv"] = SQL_VPROFILES_CSV
