@@ -27,8 +27,23 @@ from emiproc_spark.qhelpers import QSCALE, qd, sql_qd, sql_sumd, sumd  # noqa: F
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to epoch-nanoseconds BIGINT.
+
+    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (readable
+    only as long via nanosAsLong) and as timestamp[us]; downstream
+    queries do integer nanos arithmetic, so normalize here.  Session
+    timezone is UTC (session.py), so the NTZ→instant cast matches
+    DuckDB's ``epoch_ns`` on naive timestamps.
+    """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType
+
+    if not isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return ev
 
 
 # ======================================================================
