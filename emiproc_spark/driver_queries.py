@@ -1328,10 +1328,15 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 from emiproc_spark.driver_queries_text import ORACLES_TEXT, QUERIES_TEXT  # noqa: E402
 from emiproc_spark.driver_queries_io import ORACLES_IO, QUERIES_IO  # noqa: E402
 from emiproc_spark.driver_queries_r2 import ORACLES_R2, QUERIES_R2  # noqa: E402
+from emiproc_spark.driver_queries_curate import (  # noqa: E402
+    ORACLES_CURATE,
+    QUERIES_CURATE,
+)
 
 QUERIES.update(QUERIES_TEXT)
 QUERIES.update(QUERIES_IO)
 QUERIES.update(QUERIES_R2)
+QUERIES.update(QUERIES_CURATE)
 
 ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
@@ -1377,3 +1382,4 @@ ORACLES: dict[str, str] = {
 ORACLES.update(ORACLES_TEXT)
 ORACLES.update(ORACLES_IO)
 ORACLES.update(ORACLES_R2)
+ORACLES.update(ORACLES_CURATE)

@@ -1,0 +1,119 @@
+"""Connected components over candidate-duplicate pairs.
+
+LSH / Hamming / embedding near-dup operators emit candidate *pairs*
+(dedup.py, similarity.py); materializing duplicate *groups* — so a
+whole cluster collapses to one representative instead of greedy
+pair-at-a-time drops — needs connected components over the pair graph.
+
+Spark-first design: distributed min-label propagation with pointer
+jumping (path compression), the DataFrame rendering of the map-reduce
+CC family (Kiveris et al., "Connected Components in MapReduce and
+Beyond", hash-to-min).  Each round is two shuffles (neighbor-min +
+pointer jump) and converges in O(log n) rounds on typical dup graphs;
+``localCheckpoint`` truncates lineage so the iterative plan stays flat.
+The loop is driver-side but each round is a fully distributed job —
+same shape as IVF's Lloyd refine (similarity.py).
+
+Beyond-parity: the reference keeps dedup pairwise; cluster collapse is
+a training-data-pipeline need, not an emiproc one.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label every node of the pair graph with its component id (the
+    minimum node id reachable from it).
+
+    Returns ``(node, component)`` — one row per distinct node appearing
+    in ``pairs``.  Isolated docs (no pair) are absent; join back to the
+    corpus with a left join + ``coalesce(component, doc_id)``.
+    """
+    edges = pairs.select(
+        F.col(a_col).cast("long").alias("src"),
+        F.col(b_col).cast("long").alias("dst"),
+    )
+    # undirected: propagate both ways
+    edges = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    edges = edges.localCheckpoint(eager=True)
+
+    labels = edges.select("src").distinct().withColumn("component", F.col("src"))
+
+    for _ in range(max_iter):
+        # round part 1: every node takes the min label in its closed
+        # neighborhood (one shuffle on dst, one hash-agg on src)
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("src").alias("dst"), F.col("component").alias("dst_label")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dst_label").alias("nbr_min"))
+        )
+        stepped = labels.join(nbr_min, "src", "left").select(
+            "src",
+            F.least(
+                F.col("component"), F.coalesce("nbr_min", "component")
+            ).alias("component"),
+        )
+        # round part 2: pointer jump — follow component -> its own
+        # current label, halving chain depth (log-round convergence)
+        jumped = (
+            stepped.alias("n")
+            .join(
+                labels.select(
+                    F.col("src").alias("component"),
+                    F.col("component").alias("parent_label"),
+                ).alias("p"),
+                "component",
+                "left",
+            )
+            .select(
+                "src",
+                F.least(
+                    F.col("component"), F.coalesce("parent_label", "component")
+                ).alias("component"),
+            )
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "src")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+
+    return labels.select(F.col("src").alias("node"), "component")
+
+
+def dedup_keep_representative(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-dup component to its min-id representative:
+    the cluster-aware version of dedup.dedup_keep_first (which drops
+    pair-wise and can over-drop chains A-B, B-C)."""
+    comp = connected_components(pairs)
+    return (
+        docs.join(
+            comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+        )
+        .where(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
+        .drop("component")
+    )

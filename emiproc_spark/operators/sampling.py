@@ -1,0 +1,120 @@
+"""Deterministic sampling and source mixing for training-data curation.
+
+``rand()`` is engine- and partitioning-dependent, so sampled corpora
+built with it are irreproducible across runs/engines.  Everything here
+derives the keep/drop decision from a hash of the row's stable key:
+``hash_fraction`` maps a key to a uniform [0,1) double via the first 8
+hex digits of md5 — bit-identical in any engine with md5, embarrassingly
+parallel (map-only, no shuffle), and stable under repartitioning.
+
+Mixing (``mixture_rates``) solves the standard curation problem: given
+per-source token counts and target mixture weights, the acceptance
+rate per source that hits a global token budget — two tiny aggregates
+broadcast back over the corpus, then a map-only filter.
+
+Beyond-parity: reference has no sampling surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+HASH_DENOM = float(16**8)  # first 8 md5 hex digits → uniform [0, 1)
+
+
+def hash_fraction(key: F.Column) -> F.Column:
+    """Uniform [0,1) double, a pure function of ``key`` (map-only)."""
+    return (
+        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        / F.lit(HASH_DENOM)
+    )
+
+
+def sql_hash_fraction(expr: str) -> str:
+    """DuckDB rendering of :func:`hash_fraction` (no conv(); digit-wise
+    base-16 accumulation over the same 8 md5 hex digits)."""
+    digits = " + ".join(
+        f"(strpos('0123456789abcdef', substr(md5(CAST(({expr}) AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}.0"
+        for i in range(8)
+    )
+    return f"(({digits}) / {HASH_DENOM})"
+
+
+def sample_fraction(
+    df: DataFrame, rate: float, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ~``rate`` fraction of rows, keyed on
+    ``key_col`` — same rows every run, any partitioning."""
+    return df.where(hash_fraction(F.col(key_col)) < F.lit(float(rate)))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum → acceptance rate.
+
+    The rate table is a broadcast join (dimension-sized); the filter
+    itself is map-only, so the whole op adds zero shuffles to the scan.
+    """
+    spark = df.sparkSession
+    rate_df = spark.createDataFrame(
+        [(k, float(v)) for k, v in rates.items()], f"{stratum_col} string, rate double"
+    )
+    return (
+        df.join(F.broadcast(rate_df), stratum_col, "left")
+        .withColumn("rate", F.coalesce("rate", F.lit(float(default_rate))))
+        .where(hash_fraction(F.col(key_col)) < F.col("rate"))
+        .drop("rate")
+    )
+
+
+def mixture_rates(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: float,
+    stratum_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Acceptance rate per source to hit ``token_budget`` total tokens
+    in the target mixture ``weights`` (normalized internally).
+
+    rate_s = min(1, budget·w_s / tokens_s): one hash-agg over the corpus
+    (map-side partials), the rest is arithmetic on a dimension-sized
+    table.  Feed the result to :func:`apply_mixture`.
+    """
+    spark = df.sparkSession
+    wsum = sum(weights.values())
+    w_df = spark.createDataFrame(
+        [(k, float(v) / wsum) for k, v in weights.items()],
+        f"{stratum_col} string, weight double",
+    )
+    totals = df.groupBy(stratum_col).agg(F.sum(size_col).alias("stratum_tokens"))
+    return (
+        totals.join(w_df, stratum_col, "inner")
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget)) * F.col("weight") / F.col("stratum_tokens"),
+            ).alias("rate"),
+        )
+    )
+
+
+def apply_mixture(
+    df: DataFrame,
+    rates: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Filter the corpus by per-stratum rates (broadcast + map-only)."""
+    return (
+        df.join(F.broadcast(rates), stratum_col, "inner")
+        .where(hash_fraction(F.col(key_col)) < F.col("rate"))
+        .drop("rate")
+    )

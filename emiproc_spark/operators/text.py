@@ -96,3 +96,104 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (lowercased, space-joined) token stream."""
     t = tokens(F.lower(F.trim(F.col(text_col))))
     return docs.withColumn("fp", F.md5(F.concat_ws(" ", t)))
+
+
+def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Within-document repetition signals (Gopher-style repetition
+    filters): duplicate-token fraction and top-bigram share.
+
+    Everything stays inside one projection — ``array_distinct`` /
+    ``aggregate`` over the token array, no explode, no shuffle: at
+    100 TB this is a map-only scan."""
+    t = tokens(F.col(text_col))
+    big = shingles(t, 2)
+    # most-frequent-bigram count without explode: for each distinct
+    # bigram, count occurrences in the array; take the max
+    top_bigram = F.array_max(
+        F.transform(
+            F.array_distinct(big),
+            lambda g: F.size(F.filter(big, lambda x: x == g)),
+        )
+    )
+    return (
+        docs.withColumn("_toks", t)
+        .withColumn("_bigrams", big)
+        .withColumns(
+            {
+                "dup_token_frac": (
+                    F.size("_toks") - F.size(F.array_distinct("_toks"))
+                )
+                / F.size("_toks"),
+                "top_bigram_share": top_bigram / F.size("_bigrams"),
+            }
+        )
+        .drop("_toks", "_bigrams")
+    )
+
+
+# PII patterns restricted to the regex subset Java (Spark) and RE2
+# (DuckDB) agree on: no lookaround, no backreferences.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def scrub_pii(
+    docs: DataFrame,
+    text_col: str = "text",
+    email_token: str = "<EMAIL>",
+    phone_token: str = "<PHONE>",
+) -> DataFrame:
+    """Mask emails and phone numbers, keeping match counts for audit.
+
+    Map-only ``regexp_replace``/``regexp_count`` (JVM-side) — the shape
+    of every large-scale PII pass; swap in richer patterns per policy."""
+    c = F.col(text_col)
+    return docs.withColumns(
+        {
+            "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
+            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
+            "scrubbed": F.regexp_replace(
+                F.regexp_replace(c, EMAIL_RE, email_token),
+                PHONE_RE,
+                phone_token,
+            ),
+        }
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    log_idf: bool = True,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document.
+
+    Plan: explode → per-(doc, term) counts → document frequency as a
+    *second* aggregate on the same shuffled data (the groupBy(term)
+    reuses the (doc,term) partitioning's map-side partials) → window
+    top-k per doc.  idf = ln(N/df) on broadcast N; ``log_idf=False``
+    uses the raw inverse frequency tf·N/df — exact integer/IEEE-division
+    arithmetic, used by the driver oracle where ln() would be
+    libm-dependent across engines."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0][0]
+    if log_idf:
+        score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+    else:
+        score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+    w = Window.partitionBy(id_col).orderBy(F.desc("score_q"), F.asc("term"))
+    return (
+        tf.join(df_counts, "term")
+        .withColumn("score_q", F.floor(score * 1e9 + 0.5) / 1e9)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "df", "score_q", "rank")
+    )

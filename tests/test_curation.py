@@ -1,0 +1,116 @@
+"""Unit tests for corpus-curation operators: connected components,
+deterministic sampling / mixing, repetition features, PII scrub,
+TF-IDF top-k."""
+
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators import cluster as cl
+from emiproc_spark.operators import sampling as sp
+from emiproc_spark.operators import text as tx
+
+
+def test_connected_components_chain(spark):
+    # chain 1-2, 2-3, 3-4 plus isolated pair 10-11: two components
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["node"]: r["component"]
+        for r in cl.connected_components(pairs).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 40-node path exercises the pointer-jumping log-round convergence
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    out = cl.connected_components(pairs, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}
+    assert len(out) == 41
+
+
+def test_dedup_keep_representative_collapses_cluster(spark):
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(6)], "doc_id long, text string"
+    )
+    # A-B, B-C chain: greedy pair-drop would also drop C's pair partner
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a long, doc_b long")
+    kept = sorted(
+        r["doc_id"] for r in cl.dedup_keep_representative(docs, pairs).collect()
+    )
+    assert kept == [0, 1, 4, 5]
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    docs = spark.createDataFrame(
+        [(i, "web" if i % 2 else "books") for i in range(2000)],
+        "doc_id long, source string",
+    )
+    rates = {"web": 0.25, "books": 1.0}
+    a = sorted(r["doc_id"] for r in sp.stratified_sample(docs, rates).collect())
+    b = sorted(
+        r["doc_id"]
+        for r in sp.stratified_sample(docs.repartition(7), rates).collect()
+    )
+    assert a == b, "sampling must be independent of partitioning"
+    n_web = sum(1 for i in a if i % 2)
+    assert 1000 * 0.15 < n_web < 1000 * 0.35  # ~25% of the 1000 web docs
+    assert sum(1 for i in a if not i % 2) == 1000  # books kept whole
+
+
+def test_mixture_rates_hit_budget(spark):
+    docs = spark.createDataFrame(
+        [(i, "web", 100) for i in range(100)]
+        + [(1000 + i, "code", 100) for i in range(100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in sp.mixture_rates(
+            docs, {"web": 3.0, "code": 1.0}, token_budget=8000.0
+        ).collect()
+    }
+    # web wants 6000 of 10000 available -> rate 0.6; code wants 2000 -> 0.2
+    assert abs(rates["web"] - 0.6) < 1e-12
+    assert abs(rates["code"] - 0.2) < 1e-12
+    # oversubscribed stratum clamps to 1.0
+    rates2 = {
+        r["source"]: r["rate"]
+        for r in sp.mixture_rates(
+            docs, {"web": 9.0, "code": 1.0}, token_budget=20000.0
+        ).collect()
+    }
+    assert rates2["web"] == 1.0
+
+
+def test_repetition_features(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "x y z w")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_features(docs).collect()}
+    # 6 tokens, 2 distinct -> dup frac 4/6; bigram 'a b' appears 3 of 5
+    assert abs(out[1]["dup_token_frac"] - 4 / 6) < 1e-12
+    assert abs(out[1]["top_bigram_share"] - 3 / 5) < 1e-12
+    assert out[2]["dup_token_frac"] == 0.0
+
+
+def test_scrub_pii(spark):
+    docs = spark.createDataFrame(
+        [(1, "mail bob@x.org or 415-555-0000 now")], "doc_id long, text string"
+    )
+    r = tx.scrub_pii(docs).collect()[0]
+    assert r["n_emails"] == 1 and r["n_phones"] == 1
+    assert r["scrubbed"] == "mail <EMAIL> or <PHONE> now"
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    docs = spark.createDataFrame(
+        [(1, "common rare rare"), (2, "common other"), (3, "common x")],
+        "doc_id long, text string",
+    )
+    out = tx.tfidf_topk(docs, k=1, log_idf=False).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    assert top[1] == "rare"  # tf=2, df=1 beats common tf=1 df=3
+    assert all(r["rank"] == 1 for r in out)
