@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from emiproc_spark import fixtures as fx
 from emiproc_spark.operators import cluster as cl
 from emiproc_spark.operators import dedup as dd
+from emiproc_spark.operators import packing as pk
 from emiproc_spark.operators import sampling as sp
 from emiproc_spark.operators import text as tx
 from emiproc_spark.driver_queries_text import DOCS2_SQL, SQL_MINHASH_LSH, _docs2
@@ -250,6 +251,116 @@ SQL_TFIDF_TOPK = """
 """
 
 
+# ======================================================================
+# decontamination: corpus docs sharing any 5-gram with the eval split.
+# The synthetic corpus has no natural 5-gram overlap across the split,
+# so contamination is *planted*: every 7th corpus doc gets an eval
+# doc's text appended (same construction on both engines), making the
+# expected output exactly the planted ids plus any natural overlap.
+# ======================================================================
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 41 == 0)
+    ev = eval_docs.select(
+        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "ev_id",
+            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
+        )
+        .join(F.broadcast(ev), "ev_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
+        )
+    )
+    return pk.decontaminate(corpus, eval_docs, n=5, keep=False)
+
+
+def _sql_ngrams(src: str, n: int) -> str:
+    gram = " || ' ' || ".join(f"toks[t.i + {k}]" for k in range(n))
+    return f"""
+        SELECT doc_id, {gram} AS ngram
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM {src}),
+             UNNEST(range(1, len(toks) - {n - 2})) AS t(i)
+    """
+
+
+SQL_CORPUS_PLANTED = """
+    (SELECT d.doc_id,
+            d.text || COALESCE(' ' || e.text, '') AS text
+     FROM documents d
+     LEFT JOIN (SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0) e
+       ON d.doc_id % 7 = 0 AND e.doc_id = (d.doc_id % 12) * 41
+     WHERE d.doc_id % 41 <> 0)
+"""
+
+SQL_DECONTAMINATE = f"""
+    WITH ev AS (
+        SELECT DISTINCT ngram
+        FROM ({_sql_ngrams('(SELECT * FROM documents WHERE doc_id % 41 = 0)', 5)})
+    ),
+    cg AS ({_sql_ngrams(SQL_CORPUS_PLANTED, 5)})
+    SELECT DISTINCT cg.doc_id FROM cg JOIN ev USING (ngram)
+"""
+
+
+# ======================================================================
+# sequence packing + shard manifest (n_chars as the size proxy; 8 shards
+# = a power of two so floor(hash * 8) is exact in both engines)
+# ======================================================================
+PACK_CTX = 2048
+PACK_SHARDS = 8
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pk.pack_sequences(
+        d, ctx_len=PACK_CTX, n_shards=PACK_SHARDS, size_col="n_chars"
+    )
+
+
+_SQL_SHARDED = f"""
+    SELECT doc_id, n_chars,
+           CAST(FLOOR({sp.sql_hash_fraction('doc_id')} * {PACK_SHARDS}) AS INT)
+               AS shard_id,
+           {sp.sql_hash_fraction('doc_id')} AS h
+    FROM documents
+"""
+
+SQL_SEQ_PACK = f"""
+    WITH s AS ({_SQL_SHARDED}),
+    o AS (
+        SELECT doc_id, shard_id, n_chars,
+               CAST(COALESCE(SUM(n_chars) OVER (
+                   PARTITION BY shard_id ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM s
+    )
+    SELECT doc_id, shard_id, start_offset,
+           CAST(FLOOR(start_offset / {PACK_CTX}.0) AS INT) AS seq_first,
+           CAST(FLOOR((start_offset + n_chars - 1) / {PACK_CTX}.0) AS INT)
+               AS seq_last
+    FROM o
+"""
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return pk.shard_manifest(d, n_shards=PACK_SHARDS, size_col="n_chars")
+
+
+SQL_SHARD_PLAN = f"""
+    WITH s AS ({_SQL_SHARDED})
+    SELECT shard_id, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_tokens
+    FROM s GROUP BY shard_id
+"""
+
+
 QUERIES_CURATE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dup_clusters": q_dup_clusters,
     "doc_sample": q_doc_sample,
@@ -257,6 +368,9 @@ QUERIES_CURATE: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_stats": q_repetition_stats,
     "pii_scrub": q_pii_scrub,
     "tfidf_topk": q_tfidf_topk,
+    "decontaminate": q_decontaminate,
+    "seq_pack": q_seq_pack,
+    "shard_plan": q_shard_plan,
 }
 
 ORACLES_CURATE: dict[str, str] = {
@@ -266,4 +380,7 @@ ORACLES_CURATE: dict[str, str] = {
     "repetition_stats": SQL_REPETITION_STATS,
     "pii_scrub": SQL_PII_SCRUB,
     "tfidf_topk": SQL_TFIDF_TOPK,
+    "decontaminate": SQL_DECONTAMINATE,
+    "seq_pack": SQL_SEQ_PACK,
+    "shard_plan": SQL_SHARD_PLAN,
 }

@@ -1,0 +1,145 @@
+"""Corpus → training-set assembly: decontamination, sequence packing,
+shard planning.
+
+Beyond-reference operators (SURVEY.md §7.2 M7): the last mile of a
+training-data pipeline, after filtering/dedup (text.py, dedup.py,
+sampling.py) and before the tokenizer.
+
+Scale design:
+
+- **decontamination**: the eval/benchmark set is tiny next to the
+  corpus, so its n-gram set is built once and *broadcast*; the corpus
+  side is a shingle-explode → broadcast semi-join — no shuffle of
+  corpus data at all.  This is the GPT-3/Pile 13-gram-overlap rule.
+- **sequence packing**: concat-and-chunk within deterministic shards.
+  A single global cumulative sum would serialize on one task, so docs
+  are first hash-bucketed into shards (map-only, stable under
+  repartitioning) and the running token offset is a window *within*
+  each shard — shards pack independently and in parallel, which is
+  also how the files are written.
+- **shard planning**: one hash-agg over the corpus producing the
+  dimension-sized manifest (shard → doc/token/byte totals) that the
+  trainer's data loader consumes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.sampling import hash_fraction
+from emiproc_spark.operators.text import shingles, tokens
+
+
+def eval_ngrams(eval_docs: DataFrame, text_col: str = "text", n: int = 5) -> DataFrame:
+    """Distinct word n-grams of the eval/benchmark set (the contamination
+    dictionary — small, broadcast to every executor)."""
+    tok = eval_docs.select(tokens(F.col(text_col)).alias("toks"))
+    return tok.select(
+        F.explode(shingles(F.col("toks"), n)).alias("ngram")
+    ).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    keep: bool = True,
+) -> DataFrame:
+    """Drop (``keep=True``) or flag-only (``keep=False`` returns the
+    contaminated ids) corpus documents sharing any word ``n``-gram with
+    the eval set.
+
+    Corpus docs are exploded to (doc_id, ngram) and semi-joined against
+    the **broadcast** eval n-gram set: map-only against the corpus scan,
+    no corpus shuffle.  At 100 TB the eval dictionary (even 10 M
+    n-grams) broadcasts in one go; if it ever didn't, the same plan
+    degrades gracefully to a shuffle join on the n-gram key.
+    """
+    grams = F.broadcast(eval_ngrams(eval_docs, text_col, n))
+    tok = corpus.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    doc_grams = tok.select(
+        "doc_id", F.explode(shingles(F.col("toks"), n)).alias("ngram")
+    )
+    contaminated = doc_grams.join(grams, "ngram", "semi").select("doc_id").distinct()
+    if not keep:
+        return contaminated
+    return corpus.join(contaminated, "doc_id", "anti")
+
+
+def assign_shards(
+    docs: DataFrame, n_shards: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic shard id in [0, n_shards) from the stable key —
+    map-only, reproducible across runs/engines (md5-derived, not
+    ``spark_partition_id`` which depends on physical layout)."""
+    return docs.withColumn(
+        "shard_id",
+        F.floor(hash_fraction(F.col(key_col)) * n_shards).cast("int"),
+    )
+
+
+def pack_sequences(
+    docs: DataFrame,
+    ctx_len: int,
+    n_shards: int = 16,
+    size_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Concat-and-chunk packing plan: each document's placement when the
+    shard's documents are concatenated in deterministic order and cut
+    into ``ctx_len``-token training sequences.
+
+    Returns ``(doc_id, shard_id, start_offset, seq_first, seq_last)``:
+    the token offset where the doc starts within its shard stream and
+    the first/last sequence index it lands in (docs spanning a cut
+    appear in both — the trainer's loader handles the split).
+
+    Order within a shard is (hash, key) — a deterministic shuffle, so
+    adjacent source docs don't end up in the same context window.  The
+    window cumsum runs per shard: parallelism = ``n_shards``, pick it
+    ≥ cluster cores for full occupancy (each shard's windowed sort is
+    one task over corpus/n_shards rows).
+    """
+    sharded = assign_shards(docs, n_shards, key_col).withColumn(
+        "_h", hash_fraction(F.col(key_col))
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("_h", key_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        sharded.withColumn(
+            "start_offset", F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+        )
+        .withColumn("seq_first", F.floor(F.col("start_offset") / ctx_len).cast("int"))
+        .withColumn(
+            "seq_last",
+            F.floor(
+                (F.col("start_offset") + F.col(size_col) - 1) / ctx_len
+            ).cast("int"),
+        )
+        .select(key_col, "shard_id", "start_offset", "seq_first", "seq_last")
+    )
+
+
+def shard_manifest(
+    docs: DataFrame,
+    n_shards: int,
+    size_col: str = "n_tokens",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Per-shard manifest: ``(shard_id, n_docs, total_tokens)`` — the
+    dimension-sized table a data loader uses to schedule epochs.  One
+    hash-agg with map-side partials; the hash sharding keeps shard sizes
+    balanced to ~±sqrt tolerance without a sort."""
+    return (
+        assign_shards(docs, n_shards, key_col)
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(size_col).cast("long").alias("total_tokens"),
+        )
+    )

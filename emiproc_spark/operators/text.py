@@ -107,13 +107,24 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     100 TB this is a map-only scan."""
     t = tokens(F.col(text_col))
     big = shingles(t, 2)
-    # most-frequent-bigram count without explode: for each distinct
-    # bigram, count occurrences in the array; take the max
-    top_bigram = F.array_max(
-        F.transform(
-            F.array_distinct(big),
-            lambda g: F.size(F.filter(big, lambda x: x == g)),
-        )
+    # most-frequent-bigram count without explode: sort the array, then
+    # one linear fold tracking the longest equal-run — O(n log n) per
+    # doc vs the quadratic distinct×count scan, still pure JVM exprs
+    srt = F.array_sort(big)
+    top_bigram = F.aggregate(
+        srt,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc.best,
+                F.when(x == acc.prev, acc.cur + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
     )
     return (
         docs.withColumn("_toks", t)

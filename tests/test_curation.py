@@ -114,3 +114,61 @@ def test_tfidf_topk_ranks_rare_terms(spark):
     top = {r["doc_id"]: r["term"] for r in out}
     assert top[1] == "rare"  # tf=2, df=1 beats common tf=1 df=3
     assert all(r["rank"] == 1 for r in out)
+
+
+def test_decontaminate_drops_overlapping_docs(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro text then the quick brown fox jumps away"),  # 5-gram hit
+            (2, "completely unrelated content with no overlap at all"),
+            (3, "short doc"),  # < 5 tokens: no grams, never contaminated
+        ],
+        "doc_id long, text string",
+    )
+    from emiproc_spark.operators import packing as pk
+
+    kept = sorted(r["doc_id"] for r in pk.decontaminate(corpus, ev, n=5).collect())
+    assert kept == [2, 3]
+    flagged = pk.decontaminate(corpus, ev, n=5, keep=False).collect()
+    assert [r["doc_id"] for r in flagged] == [1]
+
+
+def test_pack_sequences_offsets_and_partition_stability(spark):
+    from emiproc_spark.operators import packing as pk
+
+    docs = spark.createDataFrame(
+        [(i, 100 + i % 7) for i in range(200)], "doc_id long, n_tokens long"
+    )
+    a = pk.pack_sequences(docs, ctx_len=512, n_shards=4).collect()
+    b = pk.pack_sequences(docs.repartition(13), ctx_len=512, n_shards=4).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    # per shard: offsets start at 0 and are contiguous (sum of sizes)
+    by_shard = {}
+    sizes = {i: 100 + i % 7 for i in range(200)}
+    for r in a:
+        by_shard.setdefault(r["shard_id"], []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r["start_offset"])
+        assert rows[0]["start_offset"] == 0
+        run = 0
+        for r in rows:
+            assert r["start_offset"] == run
+            assert r["seq_first"] == run // 512
+            assert r["seq_last"] == (run + sizes[r["doc_id"]] - 1) // 512
+            run += sizes[r["doc_id"]]
+
+
+def test_shard_manifest_conserves_totals(spark):
+    from emiproc_spark.operators import packing as pk
+
+    docs = spark.createDataFrame(
+        [(i, 10) for i in range(1000)], "doc_id long, n_tokens long"
+    )
+    rows = pk.shard_manifest(docs, n_shards=8).collect()
+    assert sum(r["n_docs"] for r in rows) == 1000
+    assert sum(r["total_tokens"] for r in rows) == 10000
+    assert len(rows) == 8  # all shards populated at this size
