@@ -1332,11 +1332,13 @@ from emiproc_spark.driver_queries_curate import (  # noqa: E402
     ORACLES_CURATE,
     QUERIES_CURATE,
 )
+from emiproc_spark.driver_queries_r3 import ORACLES_R3, QUERIES_R3  # noqa: E402
 
 QUERIES.update(QUERIES_TEXT)
 QUERIES.update(QUERIES_IO)
 QUERIES.update(QUERIES_R2)
 QUERIES.update(QUERIES_CURATE)
+QUERIES.update(QUERIES_R3)
 
 ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
@@ -1383,3 +1385,4 @@ ORACLES.update(ORACLES_TEXT)
 ORACLES.update(ORACLES_IO)
 ORACLES.update(ORACLES_R2)
 ORACLES.update(ORACLES_CURATE)
+ORACLES.update(ORACLES_R3)

@@ -1,0 +1,294 @@
+"""Round-3 driver-contract queries: explicit coverage for the last
+unit-only SURVEY §2 rows — cyclic profile positions (all distinct
+types), tz-aware local-time scaling series, profile weights with the
+−1 masking rule, and the fluxie export file layout.
+
+Timestamp hygiene: positions are computed on ``timestamp_ntz`` built
+from epoch-nanos integer arithmetic (no session-timezone dependence on
+either engine); DuckDB mirrors with ``make_timestamp`` on naive
+microseconds.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.driver_queries import _events
+from emiproc_spark.operators import temporal as tp
+from emiproc_spark.operators.profiles import get_weights_of_profiles
+from emiproc_spark.qhelpers import qd, sql_qd, sumd, sql_sumd
+
+NS_PER_DAY = 86_400 * 10**9
+
+
+def _ntz(ev: DataFrame) -> DataFrame:
+    """epoch-nanos ``ts`` → ``ts_ntz`` via integer day/second splitting
+    (exact: ns-of-day < 2**53, no double rounding on the big value)."""
+    ns_of_day = F.col("ts") % F.lit(NS_PER_DAY)
+    epoch_day = ((F.col("ts") - ns_of_day) / F.lit(NS_PER_DAY)).cast("int")
+    sec_of_day = (ns_of_day / F.lit(10**9)).cast("long")
+    return ev.withColumn(
+        "ts_ntz",
+        F.date_from_unix_date(epoch_day).cast("timestamp_ntz")
+        + F.make_interval(secs=sec_of_day),
+    )
+
+
+# ======================================================================
+# all distinct cyclic position types on one event stream (reference
+# get_index_in_profile, profiles/temporal/operators.py:49-94)
+# ======================================================================
+POSITION_TYPES = [
+    "daily",
+    "weekly",
+    "monthly",
+    "day_of_year",
+    "hour_of_year",
+    "hour_of_week",
+    "hour3_of_day",
+    "hour3_of_day_per_month",
+    "hour_of_week_per_month",
+]
+
+
+def q_profile_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ntz(_events(spark, sf_dir).select("event_id", "ts"))
+    cols = [
+        tp.position_in_profile(F.col("ts_ntz"), t).cast("int").alias(f"pos_{t}")
+        for t in POSITION_TYPES
+    ]
+    return ev.select("event_id", *cols)
+
+
+SQL_PROFILE_POSITIONS = """
+    WITH e AS (
+        SELECT event_id,
+               make_timestamp(CAST(FLOOR(epoch_ns(ts) / 1000.0) AS BIGINT)) AS t
+        FROM events
+    )
+    SELECT event_id,
+           CAST(hour(t) AS INT) AS pos_daily,
+           CAST(isodow(t) - 1 AS INT) AS pos_weekly,
+           CAST(month(t) - 1 AS INT) AS pos_monthly,
+           CAST(dayofyear(t) - 1 AS INT) AS pos_day_of_year,
+           CAST((dayofyear(t) - 1) * 24 + hour(t) AS INT) AS pos_hour_of_year,
+           CAST((isodow(t) - 1) * 24 + hour(t) AS INT) AS pos_hour_of_week,
+           CAST(hour(t) // 3 AS INT) AS pos_hour3_of_day,
+           CAST(hour(t) // 3 + (month(t) - 1) * 8 AS INT)
+               AS pos_hour3_of_day_per_month,
+           CAST((isodow(t) - 1) * 24 + hour(t) + (month(t) - 1) * 168 AS INT)
+               AS pos_hour_of_week_per_month
+    FROM e
+"""
+
+
+# ======================================================================
+# tz-aware local-time scaling factors (reference
+# create_scaling_factors_time_serie, operators.py:443-485)
+# ======================================================================
+TZS = ["UTC", "Europe/Zurich", "America/New_York", "Asia/Tokyo"]
+# daily ratio vector r_h = (h+1)/300 (sums to 1); sf = r[pos]·24
+_RATIOS = [(h + 1) / 300.0 for h in range(24)]
+
+
+def q_local_time_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _ntz(_events(spark, sf_dir).select("event_id", "ts", "user_id"))
+    ev = ev.withColumn(
+        "tz",
+        F.element_at(
+            F.array(*[F.lit(z) for z in TZS]),
+            (F.col("user_id") % 4 + 1).cast("int"),
+        ),
+    )
+    ratios = F.array(*[F.lit(r) for r in _RATIOS])
+    out = tp.local_scaling_series(ev, ratios, "daily")
+    return out.select("event_id", "tz", "pos_local", qd("sf").alias("sf"))
+
+
+_SQL_TZ_CASE = (
+    "CASE CAST(user_id % 4 AS INT) "
+    + " ".join(f"WHEN {i} THEN '{z}'" for i, z in enumerate(TZS))
+    + " END"
+)
+
+SQL_LOCAL_TIME_SF = f"""
+    WITH e AS (
+        SELECT event_id, {_SQL_TZ_CASE} AS tz,
+               make_timestamp(CAST(FLOOR(epoch_ns(ts) / 1000.0) AS BIGINT)) AS t
+        FROM events
+    ),
+    loc AS (
+        SELECT event_id, tz,
+               CAST(hour(timezone(tz, timezone('UTC', t))) AS INT) AS pos_local
+        FROM e
+    )
+    SELECT event_id, tz, pos_local,
+           {sql_qd('(pos_local + 1) / 300.0 * 24')} AS sf
+    FROM loc
+"""
+
+
+# ======================================================================
+# profile weights with the −1 → weight 0 rule (reference
+# get_weights_of_gdf_profiles, profiles/operators.py:253-304)
+# ======================================================================
+def q_profile_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pre-quantized per-(cell, category) mass so the weight entering the
+    # masking rule is engine-independent
+    e = (
+        fx.emissions(spark, sf_dir)
+        .groupBy("cell_id", "category")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
+    w = get_weights_of_profiles(e, ["cell_id", "category"])
+    idx = e.select(
+        "cell_id",
+        "category",
+        ((F.col("cell_id") + F.length("category")) % 5 - 1).alias("profile_id"),
+    )
+    return w.join(idx, ["cell_id", "category"]).select(
+        "cell_id",
+        "category",
+        F.col("profile_id").cast("int").alias("profile_id"),
+        F.when(F.col("profile_id") == -1, F.lit(0.0))
+        .otherwise(F.col("weight"))
+        .alias("weight"),
+    )
+
+
+SQL_PROFILE_WEIGHTS = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    w AS (
+        SELECT cell_id, category, {sql_sumd('value_kg_y')} AS weight
+        FROM e GROUP BY 1, 2
+    )
+    SELECT cell_id, category,
+           CAST((cell_id + len(category)) % 5 - 1 AS INT) AS profile_id,
+           CASE WHEN (cell_id + len(category)) % 5 - 1 = -1
+                THEN 0.0 ELSE weight END AS weight
+    FROM w
+"""
+
+
+# ======================================================================
+# fluxie export file layout round-trip (reference exports/fluxie.py):
+# write the yearly per-substance NetCDFs, read flux_total_prior and the
+# country rollup back, compare against the closed-form SQL
+# ======================================================================
+FLUXIE_YEAR = 2020
+
+
+def q_fluxie_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from emiproc_spark.driver_queries_io import _raster_grid
+    from emiproc_spark.exports.fluxie import export_fluxie
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    # two-stage quantized pre-aggregation: the per-(cell, substance)
+    # value entering the file is byte-identical to the oracle's nested
+    # sumd, so the export's internal category sum adds single rows only
+    agg = (
+        fx.emissions(spark, sf_dir)
+        .groupBy("cell_id", "category", "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+        .groupBy("cell_id", "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+        .withColumn("category", F.lit("all"))
+    )
+    grid = _raster_grid(spark)
+    cfrac = grid.select(
+        "cell_id",
+        F.concat(F.lit("C"), (F.col("cell_id") % 3).cast("string")).alias(
+            "country"
+        ),
+        F.lit(1.0).alias("fraction"),
+    )
+    out = tempfile.mkdtemp(prefix="emiproc_fluxie_")
+    export_fluxie({FLUXIE_YEAR: agg}, grid, cfrac, out)
+    rows = []
+    base = os.path.join(out, "emiproc")
+    for sub in sorted(os.listdir(base)):
+        ds = read_netcdf(
+            os.path.join(base, sub, f"emiproc_{sub}_yearly.nc")
+        )
+        flux = np.asarray(ds.variables["flux_total_prior"].data)[0]
+        cflux = np.asarray(ds.variables["country_flux_total_prior"].data)[0]
+        countries = list(ds.variables["country"].data)
+        lats = np.asarray(ds.variables["latitude"].data)
+        lons = np.asarray(ds.variables["longitude"].data)
+        for li, lat in enumerate(lats):
+            for lo, lon in enumerate(lons):
+                if flux[li, lo] != 0.0:
+                    rows.append(
+                        (sub, "cell", float(lon), float(lat), float(flux[li, lo]))
+                    )
+        for ci, c in enumerate(countries):
+            if isinstance(c, np.ndarray):  # NetCDF char-matrix row
+                c = c.tobytes().decode().rstrip("\x00").strip()
+            elif isinstance(c, bytes):
+                c = c.decode()
+            rows.append((sub, "country:" + c, -1.0, -1.0, float(cflux[ci])))
+    # cell fluxes are byte-identical µ-multiples (qd at 1e9 is exact on
+    # identical inputs); country sums are float dots in engine-specific
+    # order, so quantize those to 1e-2 (≫ the ~1e-8 order noise)
+    out_df = spark.createDataFrame(
+        rows, "substance string, kind string, lon double, lat double, flux double"
+    )
+    return out_df.select(
+        "substance",
+        "kind",
+        "lon",
+        "lat",
+        F.when(F.col("kind") == "cell", qd("flux"))
+        .otherwise(qd("flux", 100.0))
+        .alias("flux"),
+    )
+
+
+SQL_FLUXIE_EXPORT = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    agg AS (
+        SELECT cell_id, substance, {sql_sumd('value_kg_y')} AS v
+        FROM (
+            SELECT cell_id, category, substance,
+                   {sql_sumd('value_kg_y')} AS value_kg_y
+            FROM e GROUP BY 1, 2, 3
+        ) GROUP BY 1, 2
+    ),
+    cells AS (
+        SELECT substance, 'cell' AS kind,
+               CAST(cell_id // 10 AS DOUBLE) AS lon,
+               CAST(cell_id % 10 AS DOUBLE) AS lat,
+               {sql_qd('v / 1.0')} AS flux
+        FROM agg WHERE v <> 0.0
+    ),
+    countries AS (
+        SELECT substance, 'country:C' || CAST(cell_id % 3 AS VARCHAR) AS kind,
+               -1.0 AS lon, -1.0 AS lat,
+               {sql_qd('SUM(v / 1.0)', 100.0)} AS flux
+        FROM agg GROUP BY 1, 2
+    )
+    SELECT * FROM cells UNION ALL SELECT * FROM countries
+"""
+
+
+QUERIES_R3: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "profile_positions": q_profile_positions,
+    "local_time_sf": q_local_time_sf,
+    "profile_weights": q_profile_weights,
+    "fluxie_export": q_fluxie_export,
+}
+
+ORACLES_R3: dict[str, str] = {
+    "profile_positions": SQL_PROFILE_POSITIONS,
+    "local_time_sf": SQL_LOCAL_TIME_SF,
+    "profile_weights": SQL_PROFILE_WEIGHTS,
+    "fluxie_export": SQL_FLUXIE_EXPORT,
+}

@@ -79,3 +79,20 @@ def test_temporal_weekly_profile(spark, tprofiles):
     # Monday (pos 0) weight 1/28 → day total = 7*8784/8784 * (1/28*7) * 24
     assert per_day[0]["s"] == pytest.approx(7.0 * (1 / 28 * 7) * 24)
     assert per_day[6]["s"] == pytest.approx(7.0 * (7 / 28 * 7) * 24)
+
+
+def test_local_scaling_series_tz_wall_clock(spark):
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.temporal import local_scaling_series
+
+    df = spark.createDataFrame(
+        [("2020-06-01 12:00:00", "Europe/Zurich"), ("2020-06-01 12:00:00", "UTC")],
+        "t string, tz string",
+    ).withColumn("ts_ntz", F.col("t").cast("timestamp_ntz"))
+    ratios = F.array(*[F.lit((h + 1) / 300.0) for h in range(24)])
+    out = {r["tz"]: r for r in local_scaling_series(df, ratios, "daily").collect()}
+    # 12:00 UTC is 14:00 in Zurich (DST)
+    assert out["Europe/Zurich"]["pos_local"] == 14
+    assert out["UTC"]["pos_local"] == 12
+    assert abs(out["UTC"]["sf"] - 13 / 300.0 * 24) < 1e-12
