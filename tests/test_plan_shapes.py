@@ -72,3 +72,31 @@ def test_topk_no_global_sort(spark):
     partial top-k), not a full Sort + Exchange + collect."""
     df = QUERIES["ann_cosine_topk"](spark, SF_DIR)
     assert "TakeOrderedAndProject" in plan_of(spark, df)
+
+
+def test_decontaminate_broadcasts_eval_ngrams(spark):
+    """The eval-set n-gram dictionary must broadcast: the corpus side is
+    the 100 TB side and may not shuffle for the contamination check."""
+    df = QUERIES["decontaminate"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_pack_sequences_window_is_sharded(spark):
+    """The packing cumsum must run per shard — a global window compiles
+    to Exchange SinglePartition and serializes the whole corpus through
+    one task."""
+    df = QUERIES["seq_pack"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert "Window" in p
+    assert "SinglePartition" not in p
+
+
+def test_sampling_is_map_only(spark):
+    """Deterministic sampling adds no shuffle beyond the broadcast rate
+    join: one Exchange at most (the scan's own output) and no sort."""
+    df = QUERIES["doc_sample"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert "SortMergeJoin" not in p
+    assert "Exchange hashpartitioning" not in p
