@@ -1,0 +1,135 @@
+"""End-to-end pipeline tests mirroring the reference's three entry
+points (SURVEY.md §3): a user of the reference should be able to run
+the same chains here and see mass conserved at every step.
+
+EP1/EP2 — TNO file → ingest → remap → group → speciate → raster export
+round-trip (scripts/tno_2_icon.py, tno_2_raster.py analogues).
+EP3 — inventory + profiles → hourly expansion (exports/hourly.py).
+
+The oracle throughout is the reference's own invariant:
+``get_total_emissions`` compared with ``total_emissions_almost_equal``
+(reference tests/test_remap_inv.py:28-31).
+"""
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.core.schemas import SPECIATION
+from emiproc_spark.operators.basic import (
+    get_total_emissions,
+    group_categories,
+    total_emissions_almost_equal,
+)
+from emiproc_spark.operators.regrid import remap_inventory
+from emiproc_spark.operators.speciation import speciate
+from emiproc_spark.operators.temporal import temporally_scaled
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def tprofiles(spark):
+    from emiproc_spark.core.schemas import TPROFILE
+
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    return spark.createDataFrame([(0, "daily", daily)], schema=TPROFILE)
+
+
+@pytest.fixture(scope="module")
+def tno_path(spark):
+    from emiproc_spark.driver_queries_io import _tno_fixture
+
+    return _tno_fixture(spark, SF_DIR)
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tno_path):
+    from emiproc_spark.sources.tno import tno_area_emissions
+
+    return tno_area_emissions(spark, tno_path).cache()
+
+
+def test_ep1_ingest_remap_group_speciate_conserves(spark, ingested):
+    totals0 = get_total_emissions(ingested)
+
+    # remap onto the coarse grid (area-weight split, fine ⊂ coarse here
+    # so weights are 1 → exact conservation)
+    remapped = remap_inventory(
+        ingested, fx.fine_grid(spark), fx.coarse_grid(spark), tile=5.0
+    )
+    assert total_emissions_almost_equal(totals0, get_total_emissions(remapped))
+
+    # category regrouping (A/N/R → groups; P0/P1 absent from area srcs)
+    grouped = group_categories(
+        remapped, {"grp_an": ["A", "N"], "grp_r": ["R"], "pts": ["P0", "P1"]}
+    )
+    t_grouped = get_total_emissions(grouped)
+    per_sub0 = {
+        r["substance"]: r["total_kg_y"]
+        for r in totals0.where(F.col("category") == "__total__").collect()
+    }
+    per_sub1 = {
+        r["substance"]: r["total_kg_y"]
+        for r in t_grouped.where(F.col("category") == "__total__").collect()
+    }
+    for s, v in per_sub0.items():
+        assert v == pytest.approx(per_sub1[s], rel=1e-9)
+
+    # speciate F → F1/F2 (ratios sum to 1 ⇒ per-substance mass splits,
+    # total mass conserved)
+    spec = spark.createDataFrame(fx.SPECIATION_ROWS, schema=SPECIATION)
+    speciated = speciate(grouped, spec)
+    total_before = sum(per_sub0.values())
+    total_after = (
+        get_total_emissions(speciated)
+        .where(F.col("category") == "__total__")
+        .agg(F.sum("total_kg_y"))
+        .collect()[0][0]
+    )
+    assert total_after == pytest.approx(total_before, rel=1e-9)
+    subs = {
+        r["substance"]
+        for r in speciated.select("substance").distinct().collect()
+    }
+    assert "F" not in subs and {"F1", "F2"} <= subs
+
+
+def test_ep2_raster_export_roundtrip(spark, ingested):
+    from emiproc_spark.driver_queries_io import _raster_grid
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_e2e_"), "inv.nc")
+    export_raster_netcdf(ingested, _raster_grid(spark), out, add_totals=True)
+    back = from_netcdf_rasters(spark, out)
+    assert total_emissions_almost_equal(
+        get_total_emissions(ingested),
+        get_total_emissions(
+            back.where(~F.col("category").startswith("__"))
+        ),
+    )
+
+
+def test_ep3_hourly_expansion_conserves(spark, ingested, tprofiles):
+    index = (
+        ingested.select("category", "substance")
+        .distinct()
+        .withColumn("profile_id", F.lit(0))
+    )
+    hourly = temporally_scaled(
+        ingested, index, tprofiles, "2024-01-01 00:00:00", 24, 8784
+    )
+    # full daily cycle ⇒ mean sf 1 ⇒ 24 h mass = annual / 8784 · 24
+    annual = (
+        get_total_emissions(ingested)
+        .where(F.col("category") == "__total__")
+        .agg(F.sum("total_kg_y"))
+        .collect()[0][0]
+    )
+    day_mass = hourly.agg(F.sum("value_kg_h")).collect()[0][0]
+    assert day_mass == pytest.approx(annual / 8784 * 24, rel=1e-9)
+    assert hourly.select("hour_index").distinct().count() == 24
