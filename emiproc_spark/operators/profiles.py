@@ -86,8 +86,11 @@ def combine_profiles(
         F.sum(F.col("weight") * F.col("ratio")).alias("wr"),
         F.sum("weight").alias("w"),
     )
+    # zero-weight group: emit 0.0 so normalize_ratios' all-zero→uniform
+    # rule applies (reference rescale_ratios, composite.py:29-45); a null
+    # here would poison the whole rebuilt array instead
     combined = agg.withColumn(
-        "ratio", F.when(F.col("w") == 0.0, F.lit(None)).otherwise(F.col("wr") / F.col("w"))
+        "ratio", F.when(F.col("w") == 0.0, F.lit(0.0)).otherwise(F.col("wr") / F.col("w"))
     )
     return (
         combined.groupBy(*group_dims, "ptype")

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis) for profile-algebra invariants —
+SURVEY §7.5's "easy to get subtly wrong" register: weighted merges must
+use masked weights, zero-sum groups must go uniform, rebinning must
+conserve mass.  One Spark job per example, so example counts stay low.
+"""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from emiproc_spark.core.schemas import TPROFILE
+from emiproc_spark.operators.profiles import combine_profiles, normalize_ratios
+
+ratio_vec = st.lists(
+    st.floats(0.0, 100.0, allow_nan=False, allow_infinity=False),
+    min_size=2,
+    max_size=8,
+)
+
+
+@given(st.lists(ratio_vec.filter(lambda v: len(v) >= 2), min_size=1, max_size=5))
+@settings(max_examples=15, deadline=None)
+def test_normalize_ratios_sums_to_one(spark, vecs):
+    n = max(len(v) for v in vecs)
+    vecs = [v + [0.0] * (n - len(v)) for v in vecs]
+    df = spark.createDataFrame([(v,) for v in vecs], "ratios array<double>")
+    out = df.select(normalize_ratios(F.col("ratios")).alias("r")).collect()
+    for row, src in zip(out, vecs):
+        total = sum(row["r"])
+        assert total == pytest.approx(1.0, abs=1e-9)
+        if sum(src) == 0.0:
+            assert all(x == pytest.approx(1.0 / n) for x in row["r"])
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.floats(0.01, 10.0), min_size=4, max_size=4),
+            st.floats(0.0, 50.0),
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_combine_profiles_is_weighted_average(spark, members):
+    """Merging N profiles with emission weights must equal the numpy
+    weighted average of their normalized ratio rows (reference
+    weighted_combination, profiles/operators.py:58-138)."""
+    profs = [
+        (i, "daily4", [x / sum(vec) for x in vec])
+        for i, (vec, _w) in enumerate(members)
+    ]
+    tprofiles = spark.createDataFrame(profs, schema=TPROFILE)
+    index = spark.createDataFrame(
+        [("A", f"s{i}", i, float(w)) for i, (_v, w) in enumerate(members)],
+        "category string, substance string, profile_id int, weight double",
+    )
+    out = combine_profiles(index, tprofiles, ["category"]).collect()
+    assert len(out) == 1
+    got = np.array(out[0]["ratios"])
+    w = np.array([m[1] for m in members])
+    r = np.array([p[2] for p in profs])
+    if w.sum() == 0.0:
+        expected = np.full(4, 0.25)  # zero-weight group → uniform
+    else:
+        expected = (r * w[:, None]).sum(axis=0) / w.sum()
+        expected = expected / expected.sum()
+    np.testing.assert_allclose(got, expected, atol=1e-9)
+
+
+@given(
+    st.lists(st.floats(0.01, 1.0), min_size=3, max_size=6),
+    st.lists(st.floats(10.0, 120.0), min_size=1, max_size=4),
+)
+@settings(max_examples=15, deadline=None)
+def test_vertical_rebin_conserves_mass(spark, raw_ratios, extra_tops):
+    """Re-binning onto any target covering the source span conserves
+    the ratio mass (reference vertical_profiles.py:140-218)."""
+    from emiproc_spark.operators.vertical import resample_vertical_profiles
+
+    ratios = [x / sum(raw_ratios) for x in raw_ratios]
+    tops = [20.0 * (i + 1) for i in range(len(ratios))]
+    vp = spark.createDataFrame(
+        [(0, tops, ratios)],
+        "profile_id int, heights_top_m array<double>, ratios array<double>",
+    )
+    target = sorted(set([t for t in extra_tops if t < max(tops)] + [max(tops)]))
+    out = resample_vertical_profiles(vp, target).collect()
+    assert len(out) == 1
+    assert sum(out[0]["ratios"]) == pytest.approx(1.0, abs=1e-9)
