@@ -54,8 +54,19 @@ SQL_DUP_CLUSTERS = f"""
 # ======================================================================
 # deterministic sampling / mixing
 # ======================================================================
-SAMPLE_RATES = {"web": 0.5, "books": 0.9, "code": 0.25, "wiki": 1.0}
-MIX_WEIGHTS = {"web": 0.4, "books": 0.3, "code": 0.2, "wiki": 0.1}
+# strata are the table's real source labels (src0..src19); srcN for
+# N ≥ 8 hit the default rate 0 so the fallback path is exercised too
+SAMPLE_RATES = {
+    "src0": 1.0,
+    "src1": 0.5,
+    "src2": 0.25,
+    "src3": 0.9,
+    "src4": 0.75,
+    "src5": 0.1,
+    "src6": 0.6,
+    "src7": 0.33,
+}
+MIX_WEIGHTS = {"src0": 0.4, "src1": 0.3, "src2": 0.2, "src3": 0.1}
 MIX_BUDGET = 300_000.0  # chars
 
 
@@ -109,7 +120,7 @@ SQL_DATA_MIX = f"""
     )
     SELECT d.doc_id, d.source, d.n_chars
     FROM documents d JOIN rates r USING (source)
-    WHERE {sp.sql_hash_fraction('d.doc_id')} < r.rate
+    WHERE {sp.sql_hash_fraction('d.doc_id', 'mix')} < r.rate
 """
 
 

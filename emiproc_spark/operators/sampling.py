@@ -22,19 +22,29 @@ from pyspark.sql import DataFrame, functions as F
 HASH_DENOM = float(16**8)  # first 8 md5 hex digits → uniform [0, 1)
 
 
-def hash_fraction(key: F.Column) -> F.Column:
-    """Uniform [0,1) double, a pure function of ``key`` (map-only)."""
+def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
+    """Uniform [0,1) double, a pure function of ``key`` (map-only).
+
+    ``salt`` decorrelates the coins of *chained* sampling stages: two
+    filters on the same key with the same salt are perfectly correlated
+    (the second keeps ``min(r1, r2)``, not ``r1·r2``), so every
+    independent decision in a pipeline must use its own salt."""
     return (
-        F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        F.conv(
+            F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
+            16,
+            10,
+        ).cast("long")
         / F.lit(HASH_DENOM)
     )
 
 
-def sql_hash_fraction(expr: str) -> str:
+def sql_hash_fraction(expr: str, salt: str = "") -> str:
     """DuckDB rendering of :func:`hash_fraction` (no conv(); digit-wise
     base-16 accumulation over the same 8 md5 hex digits)."""
+    h = f"md5(CAST(({expr}) AS VARCHAR) || '{salt}')"
     digits = " + ".join(
-        f"(strpos('0123456789abcdef', substr(md5(CAST(({expr}) AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f"(strpos('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
         f" * {16 ** (7 - i)}.0"
         for i in range(8)
     )
@@ -42,11 +52,11 @@ def sql_hash_fraction(expr: str) -> str:
 
 
 def sample_fraction(
-    df: DataFrame, rate: float, key_col: str = "doc_id"
+    df: DataFrame, rate: float, key_col: str = "doc_id", salt: str = ""
 ) -> DataFrame:
     """Keep a deterministic ~``rate`` fraction of rows, keyed on
     ``key_col`` — same rows every run, any partitioning."""
-    return df.where(hash_fraction(F.col(key_col)) < F.lit(float(rate)))
+    return df.where(hash_fraction(F.col(key_col), salt) < F.lit(float(rate)))
 
 
 def stratified_sample(
@@ -55,6 +65,7 @@ def stratified_sample(
     stratum_col: str = "source",
     key_col: str = "doc_id",
     default_rate: float = 0.0,
+    salt: str = "",
 ) -> DataFrame:
     """Per-stratum deterministic sampling: stratum → acceptance rate.
 
@@ -68,7 +79,7 @@ def stratified_sample(
     return (
         df.join(F.broadcast(rate_df), stratum_col, "left")
         .withColumn("rate", F.coalesce("rate", F.lit(float(default_rate))))
-        .where(hash_fraction(F.col(key_col)) < F.col("rate"))
+        .where(hash_fraction(F.col(key_col), salt) < F.col("rate"))
         .drop("rate")
     )
 
@@ -111,10 +122,16 @@ def apply_mixture(
     rates: DataFrame,
     stratum_col: str = "source",
     key_col: str = "doc_id",
+    salt: str = "mix",
 ) -> DataFrame:
-    """Filter the corpus by per-stratum rates (broadcast + map-only)."""
+    """Filter the corpus by per-stratum rates (broadcast + map-only).
+
+    Default ``salt="mix"`` keeps this stage's coin independent of an
+    upstream :func:`stratified_sample` on the same key — without it the
+    two filters correlate and the kept fraction is ``min(r1, r2)``
+    instead of ``r1·r2`` (mixture budget badly overshot)."""
     return (
         df.join(F.broadcast(rates), stratum_col, "inner")
-        .where(hash_fraction(F.col(key_col)) < F.col("rate"))
+        .where(hash_fraction(F.col(key_col), salt) < F.col("rate"))
         .drop("rate")
     )

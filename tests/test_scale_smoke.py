@@ -177,3 +177,63 @@ def test_ivf_million_vectors(spark):
     assert len(top) == 10
     print(f"\nIVF 1M assign: {dt:.1f}s, probe top-k: {dt2:.1f}s")
     assert dt < 60 and dt2 < 60
+
+
+def test_curation_million_docs(spark):
+    """1M-doc sampling → mixing → packing chain: map-only sampling, one
+    agg for rates, per-shard windowed cumsum (32 shards ≈ cores), and
+    manifest totals conserved."""
+    from emiproc_spark.operators import packing as pk
+    from emiproc_spark.operators import sampling as sp
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("web"), F.lit("books"), F.lit("code")),
+            (F.col("id") % 3 + 1).cast("int"),
+        ).alias("source"),
+        (F.col("id") % 1900 + 100).alias("n_tokens"),
+    )
+    t0 = time.time()
+    sampled = sp.stratified_sample(
+        docs, {"web": 0.5, "books": 0.8, "code": 0.1}
+    )
+    rates = sp.mixture_rates(
+        sampled, {"web": 0.5, "books": 0.3, "code": 0.2}, 1e8
+    )
+    mixed = sp.apply_mixture(sampled, rates)
+    packed = pk.pack_sequences(mixed, ctx_len=4096, n_shards=32)
+    manifest = pk.shard_manifest(mixed, n_shards=32)
+    n_packed = packed.count()
+    m = manifest.agg(
+        F.sum("n_docs").alias("d"), F.sum("total_tokens").alias("t")
+    ).collect()[0]
+    dt = time.time() - t0
+    assert n_packed == m["d"] == mixed.count()
+    # mixture budget respected within sampling noise
+    assert m["t"] < 1.15e8
+    # packing offsets: max sequence index bounded by shard token mass
+    assert dt < 120, f"curation chain too slow: {dt:.1f}s"
+
+
+def test_connected_components_100k_edges(spark):
+    """100k-edge near-dup graph with long chains: convergence within
+    the pointer-jumping round budget, fully distributed rounds."""
+    from emiproc_spark.operators.cluster import connected_components
+
+    # 50k chains of length 2 plus one 1000-node path (worst-case depth)
+    pairs = spark.range(100_000).select(
+        F.when(F.col("id") < 1_000, F.col("id") + 5_000_000)
+        .otherwise(F.col("id") * 2)
+        .alias("doc_a"),
+        F.when(F.col("id") < 1_000, F.col("id") + 5_000_001)
+        .otherwise(F.col("id") * 2 + 1)
+        .alias("doc_b"),
+    )
+    t0 = time.time()
+    comp = connected_components(pairs)
+    n_comp = comp.select("component").distinct().count()
+    dt = time.time() - t0
+    # 99k pair-components + 1 chain component
+    assert n_comp == 99_000 + 1
+    assert dt < 180, f"CC too slow: {dt:.1f}s"
