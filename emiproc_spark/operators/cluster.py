@@ -44,7 +44,7 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=False)
 
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
 
@@ -86,7 +86,11 @@ def connected_components(
                 ).alias("component"),
             )
         )
-        new_labels = jumped.localCheckpoint(eager=True)
+        # lazy checkpoint: the convergence probe below is the action
+        # that materializes it, so each round costs ONE distributed job
+        # (plus the probe's reuse of the checkpointed partitions), not
+        # two separate materializations
+        new_labels = jumped.localCheckpoint(eager=False)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "src")
