@@ -93,6 +93,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def minhash_signature_array(
+    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 8
+) -> DataFrame:
+    """k-permutation MinHash signature per document as ONE array column,
+    computed without any aggregation — the *stateless* form for
+    Structured Streaming stages (usable before applyInPandasWithState,
+    where a groupBy would force an extra stateful aggregation).
+
+    Batch callers should prefer :func:`minhash_signatures`: its
+    explode→groupBy(doc_id) LOOKS like a shuffle of all shingles but is
+    not — every doc's shingles are generated inside one partition, so
+    map-side partial aggregation collapses them to one row per doc
+    before the exchange, and the codegen'd hash-agg measures ~1.8×
+    faster than this interpreted higher-order fold.
+
+    Returns (doc_id, sig ARRAY<STRING>[k]) — identical mins to
+    :func:`minhash_signatures`, deterministic across engines.
+    """
+    n_digests = (k + 3) // 4
+    tok = (
+        docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", shingles(F.col("__toks"), n).alias("__sh"))
+        # docs too short for any shingle had no rows in the explode
+        # formulation; keep that contract (an all-null sig would bucket
+        # every short doc together downstream)
+        .where(F.size("__sh") > 0)
+    )
+    hashed = tok.select(
+        "doc_id",
+        F.transform(
+            "__sh",
+            lambda s: F.concat(
+                *[F.md5(F.concat(s, F.lit(f"#{i}"))) for i in range(n_digests)]
+            ),
+        ).alias("__h"),
+    )
+    # all k mins in ONE fold over the hash array: k separate
+    # array_min(transform(...)) expressions would re-evaluate the md5
+    # column k times after Catalyst's projection collapse (~k× the hash
+    # work); the aggregate walks the array once, zip_with/least updates
+    # every chunk's running min per element.  "~" sorts after any hex
+    # digit, so it is the fold's +∞.  (NB: keep higher-order lambdas
+    # single-argument — a second parameter binds the array index.)
+    sig = F.aggregate(
+        F.col("__h"),
+        F.array(*[F.lit("~") for _ in range(k)]),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(*[F.substring(h, i * 8 + 1, 8) for i in range(k)]),
+            lambda a, b: F.least(a, b),
+        ),
+    )
+    return hashed.select("doc_id", sig.alias("sig"))
+
+
 def minhash_signatures(
     docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 8
 ) -> DataFrame:
@@ -101,8 +156,10 @@ def minhash_signatures(
     The k permutations come from 8-hex-digit (32-bit) chunks of
     ⌈k/4⌉ md5 digests per shingle — ~k/4 hash invocations and ONE
     aggregation row per (doc, shingle) instead of a k-way seed explode;
-    the k mins are map-side partial-agg columns, unpivoted JVM-side.
-    Returns (doc_id, seed, minhash) — deterministic across engines.
+    the k mins are map-side partial-agg columns (each doc's shingles
+    live in one partition, so the exchange carries one row per doc),
+    unpivoted JVM-side.  Returns (doc_id, seed, minhash) —
+    deterministic across engines.
     """
     sh = doc_shingles(docs, text_col, n)
     n_digests = (k + 3) // 4

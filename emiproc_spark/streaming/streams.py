@@ -190,3 +190,111 @@ def hourly_emission_stream(
         "substance",
         (F.col("value_kg_y") / F.lit(float(year_hours)) * sf).alias("value_kg_h"),
     )
+
+
+def near_dup_stream(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    k: int = 8,
+    bands: int = 4,
+    max_bucket: int = 64,
+) -> DataFrame:
+    """Streaming near-duplicate candidate pairs: MinHash-LSH banding as
+    a custom stateful operator (streaming counterpart of
+    operators.dedup.lsh_candidate_pairs).
+
+    Stage 1 is stateless and map-only — the signature comes from
+    ``minhash_signature_array`` (no aggregation, so it composes with the
+    stateful stage), exploded to one (band bucket, doc) row per band.
+    Stage 2 keys by bucket hash and keeps, per bucket, the ids already
+    seen (``applyInPandasWithState``): each arrival emits a candidate
+    pair against every remembered member, so every cross-batch near-dup
+    is reported exactly once per band.
+
+    State is bounded by ``max_bucket`` ids per bucket — a bucket larger
+    than that is a stop-shingle artifact, not a duplicate cluster (the
+    batch path's ``max_shingle_freq`` guard, restated for streams);
+    arrivals beyond the cap still pair against the remembered members
+    but are not themselves remembered.  Sharding is by bucket hash, so
+    a 1000-executor cluster splits state horizontally.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from emiproc_spark.operators.dedup import minhash_signature_array
+
+    rows_per_band = k // bands
+    sigs = minhash_signature_array(docs, text_col, n, k).withColumnsRenamed(
+        {"doc_id": id_col} if id_col != "doc_id" else {}
+    )
+    banded = sigs.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(b),
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bucket"),
+    )
+
+    if not banded.isStreaming:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (
+            a.join(b, "bucket")
+            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("doc_a"),
+                F.col(f"b.{id_col}").alias("doc_b"),
+            )
+            .distinct()
+        )
+
+    out_schema = "doc_a long, doc_b long, bucket string"
+    state_schema = "ids string"
+
+    def fn(key, pdfs, state):
+        (bucket,) = key
+        seen: list[int] = []
+        if state.exists:
+            (packed,) = state.get
+            seen = [int(x) for x in packed.split(",") if x]
+        new_ids = sorted(
+            {int(i) for pdf in pdfs for i in pdf[id_col]} - set(seen)
+        )
+        pairs = []
+        for nid in new_ids:
+            for old in seen:
+                lo, hi = (old, nid) if old < nid else (nid, old)
+                pairs.append((lo, hi))
+            if len(seen) < max_bucket:
+                seen.append(nid)
+        state.update((",".join(str(x) for x in seen),))
+        if pairs:
+            yield pd.DataFrame(
+                {
+                    "doc_a": [p[0] for p in pairs],
+                    "doc_b": [p[1] for p in pairs],
+                    "bucket": bucket,
+                }
+            )
+
+    return banded.groupBy("bucket").applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
