@@ -237,3 +237,41 @@ def test_connected_components_100k_edges(spark):
     # 99k pair-components + 1 chain component
     assert n_comp == 99_000 + 1
     assert dt < 180, f"CC too slow: {dt:.1f}s"
+
+
+def test_decontaminate_million_docs(spark):
+    """1M-doc corpus vs 1k-doc eval set: the n-gram dictionary stays on
+    the broadcast side, the corpus never shuffles; planted overlaps are
+    all found."""
+    from emiproc_spark.operators.packing import decontaminate
+
+    words = F.array(*[F.lit(f"w{i}") for i in range(50)])
+    text = F.concat_ws(
+        " ",
+        *[
+            F.element_at(words, ((F.col("id") * (i + 3) + i) % 50 + 1).cast("int"))
+            for i in range(12)
+        ],
+    )
+    corpus = spark.range(1_000_000).select(F.col("id").alias("doc_id"), text.alias("text"))
+    # eval set = 1k docs drawn from the same generator (ids shifted by
+    # an exact multiple so texts repeat: generator is periodic in id)
+    ev = spark.range(1_000).select(
+        (F.col("id") + 2_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            *[
+                F.element_at(
+                    words, (((F.col("id") + 1_000_000) * (i + 3) + i) % 50 + 1).cast("int")
+                )
+                for i in range(12)
+            ],
+        ).alias("text"),
+    )
+    t0 = time.time()
+    flagged = decontaminate(corpus, ev, n=5, keep=False).count()
+    dt = time.time() - t0
+    # ids congruent mod 50 share the full word sequence; 1k eval rows
+    # cover ≤50 residues → ≥ 1M/50 · covered residues flagged
+    assert flagged >= 20_000
+    assert dt < 120, f"decontaminate too slow: {dt:.1f}s"
