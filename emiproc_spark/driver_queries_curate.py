@@ -395,3 +395,34 @@ ORACLES_CURATE: dict[str, str] = {
     "seq_pack": SQL_SEQ_PACK,
     "shard_plan": SQL_SHARD_PLAN,
 }
+
+
+# ======================================================================
+# sub-document (passage) exact dedup — C4-style fixed token windows
+# ======================================================================
+PASSAGE_WIN = 20
+
+
+def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return dd.passage_duplicates(d, win=PASSAGE_WIN)
+
+
+SQL_PASSAGE_DEDUP = f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+        SELECT doc_id,
+               md5(array_to_string(
+                   toks[u.i * {PASSAGE_WIN} + 1 : (u.i + 1) * {PASSAGE_WIN}],
+                   ' ')) AS passage_hash
+        FROM t, UNNEST(range(0,
+            CAST(CEIL(len(toks) / {PASSAGE_WIN}.0) AS BIGINT))) u(i)
+    )
+    SELECT passage_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
+    FROM s GROUP BY passage_hash HAVING COUNT(*) > 1
+"""
+
+QUERIES_CURATE["passage_dedup"] = q_passage_dedup
+ORACLES_CURATE["passage_dedup"] = SQL_PASSAGE_DEDUP

@@ -292,3 +292,48 @@ def dedup_keep_first(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     keep-lowest, the common single-pass policy)."""
     drop = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     return docs.join(drop, "doc_id", "anti")
+
+
+def passage_spans(
+    docs: DataFrame, text_col: str = "text", win: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixed-size token windows per document with a content hash —
+    the span granularity for sub-document (C4 / "Deduplicating
+    Training Data" style) exact dedup.
+
+    One generator + projection per doc (map-only): spans =
+    ⌈n_tokens/win⌉, each hashed md5 over its space-joined tokens.
+    Returns (id, p_idx, passage_hash).
+    """
+    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    n_spans = F.ceil(F.size("__toks") / F.lit(float(win))).cast("int")
+    spans = tok.select(
+        id_col,
+        "__toks",
+        F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("p_idx"),
+    )
+    return spans.select(
+        id_col,
+        "p_idx",
+        F.md5(
+            F.concat_ws(" ", F.slice("__toks", F.col("p_idx") * win + 1, win))
+        ).alias("passage_hash"),
+    )
+
+
+def passage_duplicates(
+    docs: DataFrame, text_col: str = "text", win: int = 20, id_col: str = "doc_id"
+) -> DataFrame:
+    """Cross-corpus duplicated spans: (passage_hash, n_copies, keep_doc)
+    for spans occurring more than once — one hash-shuffle on the span
+    digest (the scale shape of exact span dedup; removal is a semi-join
+    of (doc, p_idx) against the losers)."""
+    return (
+        passage_spans(docs, text_col, win, id_col)
+        .groupBy("passage_hash")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min(id_col).alias("keep_doc"),
+        )
+        .where(F.col("n_copies") > 1)
+    )
