@@ -84,7 +84,12 @@ def main() -> None:
 
     t0 = time.perf_counter()
     poly_refine_bench(spark, n=50_000, grid_n=100)
-    timings["ubench_poly_refine_50k"] = round(time.perf_counter() - t0, 4)
+    t_ub = time.perf_counter() - t0
+    if t_ub > max(3 * med, 2.0):  # same host-noise guard as the queries
+        t0 = time.perf_counter()
+        poly_refine_bench(spark, n=50_000, grid_n=100)
+        t_ub = min(t_ub, time.perf_counter() - t0)
+    timings["ubench_poly_refine_50k"] = round(t_ub, 4)
     del t_all  # total = sum of per-query times (not loop wall: outlier
     # re-runs would otherwise count twice)
     total = round(sum(timings.values()), 4)
