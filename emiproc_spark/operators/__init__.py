@@ -12,3 +12,18 @@ from emiproc_spark.operators.speciation import (  # noqa: F401
     speciate,
     speciate_nox,
 )
+from emiproc_spark.operators.cluster import (  # noqa: F401
+    connected_components,
+    dedup_keep_representative,
+)
+from emiproc_spark.operators.packing import (  # noqa: F401
+    decontaminate,
+    pack_sequences,
+    shard_manifest,
+)
+from emiproc_spark.operators.sampling import (  # noqa: F401
+    apply_mixture,
+    mixture_rates,
+    sample_fraction,
+    stratified_sample,
+)
