@@ -19,7 +19,7 @@ from emiproc_spark.operators import dedup as dd
 from emiproc_spark.operators import packing as pk
 from emiproc_spark.operators import sampling as sp
 from emiproc_spark.operators import text as tx
-from emiproc_spark.driver_queries_text import DOCS2_SQL, SQL_MINHASH_LSH, _docs2
+from emiproc_spark.driver_queries_text import SQL_MINHASH_LSH, _docs2
 from emiproc_spark.qhelpers import qd, sql_qd
 
 

@@ -100,3 +100,12 @@ def test_sampling_is_map_only(spark):
     p = plan_of(spark, df)
     assert "SortMergeJoin" not in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_session_enables_adaptive_execution(spark):
+    """AQE + skew-join splitting are the cluster-scale levers (runtime
+    re-planning, hot-key splitting); pin them so a session refactor
+    can't silently drop them."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
