@@ -292,3 +292,140 @@ ORACLES_R3: dict[str, str] = {
     "profile_weights": SQL_PROFILE_WEIGHTS,
     "fluxie_export": SQL_FLUXIE_EXPORT,
 }
+
+
+# ======================================================================
+# CRS transform as a query: swisstopo WGS84→LV95 polynomial on plain
+# coordinate columns (reference regrid.py:473-483 CRS reconciliation +
+# functions/crs.py kernels).  mm-level quantization absorbs pow()-vs-
+# repeated-multiplication ulp differences across engines.
+# ======================================================================
+def q_crs_lv95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.functions.crs import LV95, WGS84, transform_columns
+
+    pts = fx.load(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        (6.0 + (F.col("s_suppkey") % 50) / 12.5).alias("lon"),
+        (46.0 + (F.col("s_suppkey") % 11) / 10.0).alias("lat"),
+    )
+    out = transform_columns(pts, WGS84, LV95, out_x="e", out_y="n")
+    return out.select(
+        "s_suppkey", qd("e", 1000.0).alias("e"), qd("n", 1000.0).alias("n")
+    )
+
+
+SQL_CRS_LV95 = f"""
+    WITH p AS (
+        SELECT s_suppkey,
+               ((6.0 + (s_suppkey % 50) / 12.5) * 3600.0 - 26782.5) / 10000.0
+                   AS lam,
+               ((46.0 + (s_suppkey % 11) / 10.0) * 3600.0 - 169028.66) / 10000.0
+                   AS phi
+        FROM supplier
+    )
+    SELECT s_suppkey,
+           {sql_qd('2600072.37 + 211455.93 * lam - 10938.51 * lam * phi'
+                   ' - 0.36 * lam * phi * phi - 44.54 * lam * lam * lam',
+                   1000.0)} AS e,
+           {sql_qd('1200147.07 + 308807.95 * phi + 3745.25 * lam * lam'
+                   ' + 76.63 * phi * phi - 194.56 * lam * lam * phi'
+                   ' + 119.79 * phi * phi * phi', 1000.0)} AS n
+    FROM p
+"""
+
+
+# ======================================================================
+# add_gdf pattern: shaped sources appended with missing-column zero-fill
+# (reference Inventory.add_gdf, inventories/__init__.py:339-367)
+# ======================================================================
+def q_add_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gridded = fx.emissions(spark, sf_dir).withColumn(
+        "source_id", F.lit(None).cast("long")
+    )
+    shaped = fx.load(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("source_id"),
+        F.lit("pts").alias("category"),
+        F.lit("F").alias("substance"),
+        (F.floor(F.abs(F.col("s_acctbal"))) + 1.0).alias("value_kg_y"),
+    )
+    combined = gridded.unionByName(shaped, allowMissingColumns=True).fillna(
+        {"cell_id": -1}
+    )
+    return combined.groupBy("category", "substance").agg(
+        sumd("value_kg_y").alias("total"),
+        F.count("*").alias("n_rows"),
+        F.sum(F.when(F.col("cell_id") == -1, 1).otherwise(0)).alias("n_shaped"),
+    )
+
+
+SQL_ADD_SHAPED = f"""
+    WITH g AS (
+        SELECT cell_id, category, substance, value_kg_y
+        FROM ({fx.EMISSIONS_SQL})
+    ),
+    s AS (
+        SELECT -1 AS cell_id, 'pts' AS category, 'F' AS substance,
+               FLOOR(ABS(s_acctbal)) + 1.0 AS value_kg_y
+        FROM supplier
+    ),
+    u AS (SELECT * FROM g UNION ALL SELECT * FROM s)
+    SELECT category, substance, {sql_sumd('value_kg_y')} AS total,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN cell_id = -1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shaped
+    FROM u GROUP BY 1, 2
+"""
+
+
+# ======================================================================
+# normalize_ratios incl. the all-zero → uniform rule (reference
+# rescale_ratios, composite.py:29-45)
+# ======================================================================
+def q_normalize_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.profiles import normalize_ratios
+
+    base = fx.load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("profile_id"),
+        F.array(
+            (F.col("n_nationkey") % 5).cast("double"),
+            (F.col("n_nationkey") % 3).cast("double"),
+            F.lit(0.0),
+            (F.col("n_nationkey") % 7).cast("double"),
+        ).alias("ratios"),
+    )
+    out = base.select(
+        "profile_id", F.posexplode(normalize_ratios(F.col("ratios"))).alias("pos", "ratio")
+    )
+    return out.select("profile_id", "pos", qd("ratio").alias("ratio"))
+
+
+SQL_NORMALIZE_RATIOS = f"""
+    WITH base AS (
+        SELECT n_nationkey AS profile_id,
+               [CAST(n_nationkey % 5 AS DOUBLE), CAST(n_nationkey % 3 AS DOUBLE),
+                0.0, CAST(n_nationkey % 7 AS DOUBLE)] AS ratios,
+               CAST(n_nationkey % 5 AS DOUBLE) + CAST(n_nationkey % 3 AS DOUBLE)
+                   + 0.0 + CAST(n_nationkey % 7 AS DOUBLE) AS total
+        FROM nation
+    )
+    SELECT profile_id, CAST(u.i - 1 AS INT) AS pos,
+           {sql_qd('CASE WHEN total = 0.0 THEN 0.25 ELSE ratios[u.i] / total END')}
+               AS ratio
+    FROM base, UNNEST(range(1, 5)) u(i)
+"""
+
+
+QUERIES_R3.update(
+    {
+        "crs_lv95": q_crs_lv95,
+        "add_shaped": q_add_shaped,
+        "normalize_ratios": q_normalize_ratios,
+    }
+)
+ORACLES_R3.update(
+    {
+        "crs_lv95": SQL_CRS_LV95,
+        "add_shaped": SQL_ADD_SHAPED,
+        "normalize_ratios": SQL_NORMALIZE_RATIOS,
+    }
+)

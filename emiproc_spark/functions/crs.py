@@ -173,3 +173,37 @@ def transform_geometries(
             yield pdf
 
     return df.mapInPandas(run, schema=schema)
+
+
+def transform_columns(
+    df: DataFrame,
+    src_crs: str,
+    dst_crs: str,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    out_x: str = "x",
+    out_y: str = "y",
+) -> DataFrame:
+    """Apply a registered CRS transform to plain coordinate columns —
+    the column-level sibling of :func:`transform_geometries` for tables
+    that carry (lon, lat) rather than WKB.  Arrow-vectorized pandas UDF,
+    map-only."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    key = (src_crs, dst_crs)
+    if key not in TRANSFORMS:
+        raise ValueError(f"No coordinate transform registered for {key}")
+    fn = TRANSFORMS[key]
+
+    @pandas_udf("x double, y double")
+    def _tx(x: pd.Series, y: pd.Series) -> pd.DataFrame:
+        e, n = fn(x.to_numpy(np.float64), y.to_numpy(np.float64))
+        return pd.DataFrame({"x": e, "y": n})
+
+    out = df.withColumn("__xy", _tx(F.col(x_col), F.col(y_col)))
+    return out.select(
+        *[c for c in df.columns],
+        F.col("__xy.x").alias(out_x),
+        F.col("__xy.y").alias(out_y),
+    )
