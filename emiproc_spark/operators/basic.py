@@ -81,14 +81,32 @@ def group_categories(
     )
 
 
-def group_substances(emissions: DataFrame, mapping: dict[str, list[str]]) -> DataFrame:
-    """Same rollup over the substance key
+def group_substances(
+    emissions: DataFrame,
+    mapping: dict[str, list[str]],
+    strict: bool = False,
+) -> DataFrame:
+    """Same rollup over the substance key, with the same ``strict``
+    coverage check as :func:`group_categories`
     (reference group_substances, emiproc/inventories/utils.py:378-474)."""
     member_to_group = validate_group(mapping)
     mdf = _mapping_df(emissions.sparkSession, member_to_group, "substance")
+    joined = emissions.join(F.broadcast(mdf), "substance", "left")
+    if strict:
+        joined = joined.withColumn(
+            "value_kg_y",
+            F.when(
+                F.col("__group").isNull(),
+                F.raise_error(
+                    F.concat(
+                        F.lit("group_substances: substance not covered by mapping: "),
+                        F.col("substance"),
+                    )
+                ).cast("double"),
+            ).otherwise(F.col("value_kg_y")),
+        )
     return (
-        emissions.join(F.broadcast(mdf), "substance", "left")
-        .withColumn("__group", F.coalesce(F.col("__group"), F.col("substance")))
+        joined.withColumn("__group", F.coalesce(F.col("__group"), F.col("substance")))
         .groupBy("cell_id", "category", F.col("__group").alias("substance"))
         .agg(F.sum("value_kg_y").alias("value_kg_y"))
     )

@@ -103,3 +103,24 @@ def test_merge_substances(emissions):
     m = merge_substances(emissions, {"CO2eq": ["CO2", "CH4"]})
     t = {(r["substance"], r["category"]): r["total_kg_y"] for r in get_total_emissions(m).collect()}
     assert t[("CO2eq", "adf")] == sum(range(5)) + sum(c + 1 for c in range(5))
+
+
+def test_group_substances_strict_raises_on_uncovered(spark):
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.sql.utils import PythonException
+
+    from emiproc_spark.operators.basic import group_substances
+
+    e = spark.createDataFrame(
+        [(0, "A", "F", 1.0), (0, "A", "XX", 2.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    with pytest.raises(Exception, match="not covered"):
+        group_substances(e, {"ALL": ["F", "O"]}, strict=True).collect()
+    # non-strict: uncovered substance passes through unchanged
+    rows = {
+        r["substance"]: r["value_kg_y"]
+        for r in group_substances(e, {"ALL": ["F", "O"]}).collect()
+    }
+    assert rows == {"ALL": 1.0, "XX": 2.0}
