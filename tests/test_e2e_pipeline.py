@@ -133,3 +133,80 @@ def test_ep3_hourly_expansion_conserves(spark, ingested, tprofiles):
     day_mass = hourly.agg(F.sum("value_kg_h")).collect()[0][0]
     assert day_mass == pytest.approx(annual / 8784 * 24, rel=1e-9)
     assert hourly.select("hour_index").distinct().count() == 24
+
+
+def test_ep1_point_sources_chain_conserves(spark, tno_path):
+    """Shaped-source pathway: TNO point sources → boundary-halving crop
+    → 1/n point remap onto the coarse grid → add into the gridded
+    inventory; mass conserved at every step (reference
+    remap_inventory gdfs branch, regrid.py:522-552)."""
+    from emiproc_spark.functions.geometry import wkb_point
+    from emiproc_spark.operators.basic import add_inventories
+    from emiproc_spark.operators.regrid import (
+        crop_point_sources,
+        weights_poly_rect,
+        weights_remap,
+    )
+    from emiproc_spark.sources.tno import tno_point_sources
+
+    pts = tno_point_sources(spark, tno_path).cache()
+    total0 = pts.agg(F.sum("value_kg_y")).collect()[0][0]
+
+    # crop to a box covering everything → nothing lost, boundary rule inert
+    cropped = crop_point_sources(
+        pts, -200.0, -100.0, 200.0, 100.0, x_col="lon", y_col="lat"
+    )
+    assert cropped.agg(F.sum("value_kg_y")).collect()[0][0] == pytest.approx(
+        total0, rel=1e-9
+    )
+
+    # remap points onto the coarse grid via the 1/n kernel — global
+    # lon/lat folded into the grid's [0,10]² extent (off-grid offsets so
+    # no point lands exactly on a cell edge; the 1/n edge rule has its
+    # own tests in test_degenerate_rules.py)
+    to_wkb = spark.createDataFrame(
+        [
+            (
+                r["source_id"],
+                wkb_point((r["lon"] + 180.0) % 9.9 + 0.05,
+                          (r["lat"] + 90.0) % 9.9 + 0.05),
+                (r["lon"] + 180.0) % 9.9 + 0.05,
+                (r["lat"] + 90.0) % 9.9 + 0.05,
+                r["category"], r["substance"], r["value_kg_y"],
+            )
+            for r in pts.collect()
+        ],
+        "source_id long, geometry binary, xmin double, ymin double, "
+        "category string, substance string, value_kg_y double",
+    ).withColumns({"xmax": F.col("xmin"), "ymax": F.col("ymin")})
+    w = weights_poly_rect(
+        to_wkb.select("source_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+        fx.coarse_grid(spark),
+        tile=5.0,
+    )
+    total_inside = to_wkb.agg(F.sum("value_kg_y")).collect()[0][0]
+    remapped = weights_remap(
+        to_wkb.select(
+            F.col("source_id").alias("cell_id"), "category", "substance",
+            "value_kg_y",
+        ),
+        w,
+    )
+    assert remapped.agg(F.sum("value_kg_y")).collect()[0][0] == pytest.approx(
+        total_inside, rel=1e-9
+    )
+
+    # add the remapped points into the gridded inventory: per-substance
+    # totals add up exactly
+    from emiproc_spark.sources.tno import tno_area_emissions
+
+    gridded = tno_area_emissions(spark, tno_path)
+    combined = add_inventories(
+        remap_inventory(gridded, fx.fine_grid(spark), fx.coarse_grid(spark), tile=5.0),
+        remapped,
+    )
+    lhs = combined.agg(F.sum("value_kg_y")).collect()[0][0]
+    rhs = (
+        gridded.agg(F.sum("value_kg_y")).collect()[0][0] + total_inside
+    )
+    assert lhs == pytest.approx(rhs, rel=1e-9)
