@@ -353,8 +353,10 @@ SQL_SEQ_PACK = f"""
     )
     SELECT doc_id, shard_id, start_offset,
            CAST(FLOOR(start_offset / {PACK_CTX}.0) AS INT) AS seq_first,
-           CAST(FLOOR((start_offset + n_chars - 1) / {PACK_CTX}.0) AS INT)
-               AS seq_last
+           GREATEST(
+               CAST(FLOOR(start_offset / {PACK_CTX}.0) AS INT),
+               CAST(FLOOR((start_offset + n_chars - 1) / {PACK_CTX}.0) AS INT)
+           ) AS seq_last
     FROM o
 """
 

@@ -28,10 +28,15 @@ NS_PER_DAY = 86_400 * 10**9
 
 
 def _ntz(ev: DataFrame) -> DataFrame:
-    """epoch-nanos ``ts`` → ``ts_ntz`` via integer day/second splitting
-    (exact: ns-of-day < 2**53, no double rounding on the big value)."""
+    """epoch-nanos ``ts`` → ``ts_ntz`` via integer day/second splitting.
+
+    Day extraction uses integral ``div`` — a double division of the
+    ~1e18 nanos value carries ~1e-12 relative error, enough to land one
+    ulp below an exact day boundary and truncate to the previous day for
+    some date ranges.  ns-of-day < 2**53 so its double path is exact.
+    """
     ns_of_day = F.col("ts") % F.lit(NS_PER_DAY)
-    epoch_day = ((F.col("ts") - ns_of_day) / F.lit(NS_PER_DAY)).cast("int")
+    epoch_day = F.expr(f"ts div {NS_PER_DAY}L").cast("int")
     sec_of_day = (ns_of_day / F.lit(10**9)).cast("long")
     return ev.withColumn(
         "ts_ntz",
@@ -217,7 +222,8 @@ def q_fluxie_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     for sub in sorted(os.listdir(base)):
         ds = read_netcdf(
             os.path.join(base, sub, f"emiproc_{sub}_yearly.nc")
-        )
+        )  # files are read eagerly below, so the tree can be removed
+        # before returning (repeated sweeps must not accumulate /tmp)
         flux = np.asarray(ds.variables["flux_total_prior"].data)[0]
         cflux = np.asarray(ds.variables["country_flux_total_prior"].data)[0]
         countries = list(ds.variables["country"].data)
@@ -235,6 +241,9 @@ def q_fluxie_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             elif isinstance(c, bytes):
                 c = c.decode()
             rows.append((sub, "country:" + c, -1.0, -1.0, float(cflux[ci])))
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
     # cell fluxes are byte-identical µ-multiples (qd at 1e9 is exact on
     # identical inputs); country sums are float dots in engine-specific
     # order, so quantize those to 1e-2 (≫ the ~1e-8 order noise)

@@ -36,10 +36,23 @@ def connected_components(
     in ``pairs``.  Isolated docs (no pair) are absent; join back to the
     corpus with a left join + ``coalesce(component, doc_id)``.
     """
-    edges = pairs.select(
-        F.col(a_col).cast("long").alias("src"),
-        F.col(b_col).cast("long").alias("dst"),
-    )
+    def _as_id(c: str) -> F.Column:
+        # a failed cast yields NULL silently; on string/UUID ids that
+        # would collapse the graph to one (NULL, NULL) edge and make the
+        # downstream dedup a no-op — raise instead (hash such ids to
+        # int64 before calling)
+        cast = F.col(c).cast("long")
+        return F.when(
+            F.col(c).isNotNull() & cast.isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"connected_components: non-numeric {c} id: "),
+                    F.col(c).cast("string"),
+                )
+            ).cast("long"),
+        ).otherwise(cast)
+
+    edges = pairs.select(_as_id(a_col).alias("src"), _as_id(b_col).alias("dst"))
     # undirected: propagate both ways
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))

@@ -117,9 +117,15 @@ def pack_sequences(
         .withColumn("seq_first", F.floor(F.col("start_offset") / ctx_len).cast("int"))
         .withColumn(
             "seq_last",
-            F.floor(
-                (F.col("start_offset") + F.col(size_col) - 1) / ctx_len
-            ).cast("int"),
+            # a zero-token doc would get seq_last = seq_first - 1 from
+            # the (offset + size - 1) formula; clamp so the range is
+            # always well-formed (empty docs occupy their start sequence)
+            F.greatest(
+                F.col("seq_first"),
+                F.floor(
+                    (F.col("start_offset") + F.col(size_col) - 1) / ctx_len
+                ).cast("int"),
+            ),
         )
         .select(key_col, "shard_id", "start_offset", "seq_first", "seq_last")
     )

@@ -73,14 +73,17 @@ def stratified_sample(
     itself is map-only, so the whole op adds zero shuffles to the scan.
     """
     spark = df.sparkSession
+    # internal name: a business column called "rate" on df must not
+    # collide with the broadcast rate table
     rate_df = spark.createDataFrame(
-        [(k, float(v)) for k, v in rates.items()], f"{stratum_col} string, rate double"
+        [(k, float(v)) for k, v in rates.items()],
+        f"{stratum_col} string, __rate double",
     )
     return (
         df.join(F.broadcast(rate_df), stratum_col, "left")
-        .withColumn("rate", F.coalesce("rate", F.lit(float(default_rate))))
-        .where(hash_fraction(F.col(key_col), salt) < F.col("rate"))
-        .drop("rate")
+        .withColumn("__rate", F.coalesce("__rate", F.lit(float(default_rate))))
+        .where(hash_fraction(F.col(key_col), salt) < F.col("__rate"))
+        .drop("__rate")
     )
 
 
@@ -131,7 +134,11 @@ def apply_mixture(
     two filters correlate and the kept fraction is ``min(r1, r2)``
     instead of ``r1·r2`` (mixture budget badly overshot)."""
     return (
-        df.join(F.broadcast(rates), stratum_col, "inner")
-        .where(hash_fraction(F.col(key_col), salt) < F.col("rate"))
-        .drop("rate")
+        df.join(
+            F.broadcast(rates.withColumnRenamed("rate", "__rate")),
+            stratum_col,
+            "inner",
+        )
+        .where(hash_fraction(F.col(key_col), salt) < F.col("__rate"))
+        .drop("__rate")
     )

@@ -121,7 +121,11 @@ def sessionize_stream(
                 start, n, s = None, 0, 0.0
             if start is None:
                 start = tms
-            last = tms
+            # late-but-within-watermark events may predate the session's
+            # current bounds: never move last (or start) backwards, or
+            # session_end and the event-time timeout would regress
+            start = min(start, tms)
+            last = tms if last is None else max(last, tms)
             n += 1
             s += float(v)
         state.update((start, last, n, s))
@@ -171,13 +175,14 @@ def hourly_emission_stream(
     rate = spark.readStream.format("rate").option(
         "rowsPerSecond", rows_per_second
     ).load()
-    hours = rate.select(
+    hours = rate.where(F.col("value") < year_hours).select(
         F.col("value").alias("hour_index"),
         (
             F.lit(start).cast("timestamp_ntz")
             + F.make_interval(hours=F.col("value").cast("int"))
         ).alias("sim_ts"),
-    )
+    )  # ticks beyond the inventory year are dropped — the annual values
+    # and the /year_hours divisor only describe this year
     static = attach_profiles(emissions, tprofile_index, tprofiles)
     sf = composite_scaling_factor(
         F.col("sim_ts"), F.col("__profs"), F.col("__guard")
@@ -200,6 +205,7 @@ def near_dup_stream(
     k: int = 8,
     bands: int = 4,
     max_bucket: int = 64,
+    state_ttl: str = "1 hour",
 ) -> DataFrame:
     """Streaming near-duplicate candidate pairs: MinHash-LSH banding as
     a custom stateful operator (streaming counterpart of
@@ -219,16 +225,29 @@ def near_dup_stream(
     arrivals beyond the cap still pair against the remembered members
     but are not themselves remembered.  Sharding is by bucket hash, so
     a 1000-executor cluster splits state horizontally.
+
+    The *number* of bucket keys grows with every distinct document
+    (``bands`` hashes per doc), so idle buckets are evicted after
+    ``state_ttl`` of processing time — the streaming dedup horizon:
+    duplicates arriving further apart than the TTL are not paired, the
+    same trade a watermarked ``dropDuplicatesWithinWatermark`` makes.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from emiproc_spark.operators.dedup import minhash_signature_array
 
+    if k % bands != 0:
+        raise ValueError(
+            f"bands={bands} must divide k={k}: every band needs the same "
+            "number of signature rows (a remainder would silently weaken "
+            "or void the bucketing)"
+        )
     rows_per_band = k // bands
-    sigs = minhash_signature_array(docs, text_col, n, k).withColumnsRenamed(
-        {"doc_id": id_col} if id_col != "doc_id" else {}
-    )
+    ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    sigs = minhash_signature_array(
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col, n, k
+    ).withColumnsRenamed({"doc_id": id_col} if id_col != "doc_id" else {})
     banded = sigs.select(
         F.col(id_col),
         F.explode(
@@ -267,6 +286,9 @@ def near_dup_stream(
 
     def fn(key, pdfs, state):
         (bucket,) = key
+        if state.hasTimedOut:
+            state.remove()  # idle bucket: evict, emit nothing
+            return
         seen: list[int] = []
         if state.exists:
             (packed,) = state.get
@@ -282,6 +304,7 @@ def near_dup_stream(
             if len(seen) < max_bucket:
                 seen.append(nid)
         state.update((",".join(str(x) for x in seen),))
+        state.setTimeoutDuration(ttl_ms)
         if pairs:
             yield pd.DataFrame(
                 {
@@ -296,5 +319,5 @@ def near_dup_stream(
         out_schema,
         state_schema,
         "append",
-        GroupStateTimeout.NoTimeout,
+        GroupStateTimeout.ProcessingTimeTimeout,
     )
