@@ -206,20 +206,25 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 SQL_PII_SCRUB = (
     "WITH d AS ("
     + AUGMENTED_SQL
-    + """)
+    + """),
+    e AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '"""
+    + tx.EMAIL_RE
+    + """', '<EMAIL>', 'g') AS after_email
+        FROM d
+    )
     SELECT doc_id,
            CAST(len(regexp_extract_all(text, '"""
     + tx.EMAIL_RE
     + """')) AS INT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '"""
+           CAST(len(regexp_extract_all(after_email, '"""
     + tx.PHONE_RE
     + """')) AS INT) AS n_phones,
-           md5(regexp_replace(regexp_replace(text, '"""
-    + tx.EMAIL_RE
-    + """', '<EMAIL>', 'g'), '"""
+           md5(regexp_replace(after_email, '"""
     + tx.PHONE_RE
     + """', '<PHONE>', 'g')) AS scrub_hash
-    FROM d
+    FROM e
 """
 )
 

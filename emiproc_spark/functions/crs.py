@@ -191,6 +191,11 @@ def transform_columns(
     from pyspark.sql import functions as F
     from pyspark.sql.functions import pandas_udf
 
+    keep = [c for c in df.columns if c not in (out_x, out_y)]
+    if src_crs == dst_crs:  # identity, like reconcile_crs's None
+        return df.select(
+            *keep, F.col(x_col).alias(out_x), F.col(y_col).alias(out_y)
+        )
     key = (src_crs, dst_crs)
     if key not in TRANSFORMS:
         raise ValueError(f"No coordinate transform registered for {key}")
@@ -202,8 +207,10 @@ def transform_columns(
         return pd.DataFrame({"x": e, "y": n})
 
     out = df.withColumn("__xy", _tx(F.col(x_col), F.col(y_col)))
+    # colliding input columns are replaced, not duplicated (a second
+    # "x" column would make every downstream reference ambiguous)
     return out.select(
-        *[c for c in df.columns],
+        *keep,
         F.col("__xy.x").alias(out_x),
         F.col("__xy.y").alias(out_y),
     )

@@ -102,17 +102,18 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Within-document repetition signals (Gopher-style repetition
     filters): duplicate-token fraction and top-bigram share.
 
-    Everything stays inside one projection — ``array_distinct`` /
-    ``aggregate`` over the token array, no explode, no shuffle: at
-    100 TB this is a map-only scan."""
-    t = tokens(F.col(text_col))
-    big = shingles(t, 2)
+    Map-only (no explode, no shuffle) across three stacked projections:
+    tokens and bigrams are *materialized columns* so the split/shingle
+    expressions evaluate once per doc (inlining them re-derives the
+    split per downstream expression — the shingles() docstring rule).
+    Docs with < 2 tokens have no bigrams; their ``top_bigram_share`` is
+    NULL (not a division crash — Spark 4's ANSI mode makes x/0 an
+    error) and ``dup_token_frac`` is NULL for empty token arrays."""
     # most-frequent-bigram count without explode: sort the array, then
     # one linear fold tracking the longest equal-run — O(n log n) per
     # doc vs the quadratic distinct×count scan, still pure JVM exprs
-    srt = F.array_sort(big)
     top_bigram = F.aggregate(
-        srt,
+        F.array_sort(F.col("_bigrams")),
         F.struct(
             F.lit("").alias("prev"), F.lit(0).alias("cur"), F.lit(0).alias("best")
         ),
@@ -127,15 +128,18 @@ def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc: acc.best,
     )
     return (
-        docs.withColumn("_toks", t)
-        .withColumn("_bigrams", big)
+        docs.withColumn("_toks", tokens(F.col(text_col)))
+        .withColumn("_bigrams", shingles(F.col("_toks"), 2))
         .withColumns(
             {
-                "dup_token_frac": (
-                    F.size("_toks") - F.size(F.array_distinct("_toks"))
-                )
-                / F.size("_toks"),
-                "top_bigram_share": top_bigram / F.size("_bigrams"),
+                "dup_token_frac": F.when(
+                    F.size("_toks") > 0,
+                    (F.size("_toks") - F.size(F.array_distinct("_toks")))
+                    / F.size("_toks"),
+                ),
+                "top_bigram_share": F.when(
+                    F.size("_bigrams") > 0, top_bigram / F.size("_bigrams")
+                ),
             }
         )
         .drop("_toks", "_bigrams")
@@ -157,17 +161,20 @@ def scrub_pii(
     """Mask emails and phone numbers, keeping match counts for audit.
 
     Map-only ``regexp_replace``/``regexp_count`` (JVM-side) — the shape
-    of every large-scale PII pass; swap in richer patterns per policy."""
+    of every large-scale PII pass; swap in richer patterns per policy.
+
+    The audit counts mirror the replacement *cascade*: ``n_phones`` is
+    counted on the email-scrubbed intermediate, so digits consumed by
+    the email mask (e.g. ``415-555-0123@mail.com``) are not double-
+    reported as a phone that was never masked — ``n_emails + n_phones``
+    always equals the number of substitution tokens in ``scrubbed``."""
     c = F.col(text_col)
+    after_email = F.regexp_replace(c, EMAIL_RE, email_token)
     return docs.withColumns(
         {
             "n_emails": F.regexp_count(c, F.lit(EMAIL_RE)),
-            "n_phones": F.regexp_count(c, F.lit(PHONE_RE)),
-            "scrubbed": F.regexp_replace(
-                F.regexp_replace(c, EMAIL_RE, email_token),
-                PHONE_RE,
-                phone_token,
-            ),
+            "n_phones": F.regexp_count(after_email, F.lit(PHONE_RE)),
+            "scrubbed": F.regexp_replace(after_email, PHONE_RE, phone_token),
         }
     )
 
@@ -195,14 +202,17 @@ def tfidf_topk(
     ).where(F.col("term") != "")
     tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     df_counts = tf.groupBy("term").agg(F.count("*").alias("df"))
-    n_docs = docs.select(F.countDistinct(id_col).alias("n")).collect()[0][0]
+    # N stays in the lazy plan as a broadcast scalar — a collect() here
+    # would run a full corpus scan at plan-construction time
+    n_docs = F.broadcast(docs.select(F.countDistinct(id_col).alias("__n")))
     if log_idf:
-        score = F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df"))
+        score = F.col("tf") * F.log(F.col("__n").cast("double") / F.col("df"))
     else:
-        score = (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df")
+        score = (F.col("tf") * F.col("__n")).cast("double") / F.col("df")
     w = Window.partitionBy(id_col).orderBy(F.desc("score_q"), F.asc("term"))
     return (
         tf.join(df_counts, "term")
+        .crossJoin(n_docs)
         .withColumn("score_q", F.floor(score * 1e9 + 0.5) / 1e9)
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

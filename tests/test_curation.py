@@ -172,3 +172,33 @@ def test_shard_manifest_conserves_totals(spark):
     assert sum(r["n_docs"] for r in rows) == 1000
     assert sum(r["total_tokens"] for r in rows) == 10000
     assert len(rows) == 8  # all shards populated at this size
+
+
+def test_repetition_features_short_docs_null_not_crash(spark):
+    docs = spark.createDataFrame(
+        [(1, "solo"), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in tx.repetition_features(docs).collect()}
+    assert out[1]["top_bigram_share"] is None  # 1 token, no bigram
+    assert out[3]["top_bigram_share"] == 1.0  # its single bigram is the top one
+
+
+def test_scrub_pii_email_consumes_phone_digits(spark):
+    docs = spark.createDataFrame(
+        [(1, "call 415-555-0123@mail.com now")], "doc_id long, text string"
+    )
+    r = tx.scrub_pii(docs).collect()[0]
+    # the digits are part of the email match: one email, zero phones,
+    # and the audit agrees with the substitutions actually made
+    assert r["n_emails"] == 1 and r["n_phones"] == 0
+    assert r["scrubbed"] == "call <EMAIL> now"
+
+
+def test_transform_columns_identity_and_collision(spark):
+    from emiproc_spark.functions.crs import WGS84, transform_columns
+
+    df = spark.createDataFrame([(7.0, 47.0, 9.9)], "lon double, lat double, x double")
+    out = transform_columns(df, WGS84, WGS84)
+    assert out.columns.count("x") == 1  # pre-existing x replaced, not duplicated
+    row = out.collect()[0]
+    assert row["x"] == 7.0 and row["y"] == 47.0
