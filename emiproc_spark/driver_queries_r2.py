@@ -654,7 +654,7 @@ SQL_ICON_OEM_SF = """
     SELECT 'traffic' AS category, 'NOx' AS substance,
            CAST(r.r AS INT) AS region_id, CAST(r.r % 3 AS INT) AS profile_id,
            CAST(p.pos AS INT) AS pos,
-           ((((p.pos - (r.r - 2)) % 24 + 24) % 24) + 1 + (r.r % 3))
+           ((((p.pos + (r.r - 2)) % 24 + 24) % 24) + 1 + (r.r % 3))
                / (300.0 + 24 * (r.r % 3)) * 24 AS sf
     FROM range(6) r(r), range(24) p(pos)
 """

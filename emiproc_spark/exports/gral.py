@@ -122,7 +122,14 @@ def _format_lines(
                             f"{rate},0,0,0,0"
                         )
                 else:
-                    area = sum(geom.shoelace_area(r) for r in rings)
+                    # ring 0 is the exterior; further rings are holes
+                    # and subtract from both the area and the per-cell
+                    # intersection (a cell inside a courtyard gets 0)
+                    ring_sign = [1.0] + [-1.0] * (len(rings) - 1)
+                    area = sum(
+                        sgn * geom.shoelace_area(r)
+                        for sgn, r in zip(ring_sign, rings)
+                    )
                     if area <= 0:
                         continue
                     xmin, ymin, xmax, ymax = geom.bounds(np.vstack(rings))
@@ -142,7 +149,9 @@ def _format_lines(
                             P[ri][np.newaxis, ...], len(boxes), axis=0
                         )
                         cnt = np.full(len(boxes), counts[ri])
-                        inter += geom.batch_rect_clip_area(rep, cnt, boxes)
+                        inter += ring_sign[ri] * geom.batch_rect_clip_area(
+                            rep, cnt, boxes
+                        )
                     nz = np.flatnonzero(inter)
                     for k in nz:
                         cell_v = v * inter[k] / area
@@ -205,9 +214,11 @@ def write_gral_emissions(
             "Generated: emiproc_spark\n" + "Generated:\n" * 3 + LINE_HEADER + "\n"
         )
         files["c"].write(CADASTRE_HEADER + "\n")
-        # single-partition stream: the write is serial file IO anyway,
-        # and toLocalIterator over N shuffle partitions runs N jobs
-        for row in formatted.coalesce(1).toLocalIterator():
+        # repartition(1), not coalesce(1): coalesce is a narrow
+        # dependency that would drag the expensive formatting (polygon
+        # rasterization) into the single writer task; the shuffle keeps
+        # fmt parallel and only the serial file IO runs in one task
+        for row in formatted.repartition(1).toLocalIterator():
             files[row["kind"]].write(row["line"] + "\n")
     finally:
         for f in files.values():

@@ -52,8 +52,10 @@ def region_scaling_factors(
 
     sf = ratio × cycle_size (reference scaling_factors,
     profiles/temporal/composite.py:205-212); the daily cycle rolls by
-    −tz_shift so local-time profiles apply in UTC
-    (icon.py:505-526): out[i] = in[(i − shift) mod n].
+    −tz_shift so local-time profiles apply in UTC (np.roll(sf, −shift),
+    icon.py:505-526): out[i] = in[(i + shift) mod n] — a UTC+1 region's
+    local hour 8 peak lands at UTC hour 7 (same direction as
+    writers.tz_shifted_ratios).
     """
     joined = (
         index.join(F.broadcast(tprofiles), ["ptype", "profile_id"], "inner")
@@ -64,7 +66,7 @@ def region_scaling_factors(
     shift = F.col("tz_shift")
     rolled = F.transform(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.element_at("ratios", (((i - shift) % n + n) % n) + 1) * n,
+        lambda i: F.element_at("ratios", (((i + shift) % n + n) % n) + 1) * n,
     )
     return joined.select(
         "category",
@@ -99,7 +101,13 @@ def make_icon_time_profiles(
 
     os.makedirs(out_dir, exist_ok=True)
     sf = region_scaling_factors(index, tprofiles, regions, correct_tz_shift)
-    rows = sf.collect()  # dimension-sized: regions × catsubs × cycles
+    # dimension-sized: regions × catsubs × cycles; sorted so that the
+    # temporal_profile_id coordinate (last write per region below) is
+    # deterministic — collect() order after a shuffle is not
+    rows = sorted(
+        sf.collect(),
+        key=lambda r: (r["ptype"], r["category"], r["substance"], r["region_id"]),
+    )
     reg_rows = sorted(
         regions.select("region_id", "region_key", "tz_shift").collect(),
         key=lambda r: r["region_id"],

@@ -45,11 +45,22 @@ def wkb_linestring(coords: Iterable[tuple[float, float]]) -> bytes:
 
 def wkb_polygon(ring: Iterable[tuple[float, float]]) -> bytes:
     """Single-ring polygon; ring auto-closed."""
-    pts = list(ring)
-    if pts[0] != pts[-1]:
-        pts = pts + [pts[0]]
-    out = [struct.pack("<BIII", 1, WKB_POLYGON, 1, len(pts))]
-    out += [struct.pack("<dd", x, y) for x, y in pts]
+    return wkb_polygon_rings([list(ring)])
+
+
+def wkb_polygon_rings(rings: Iterable[Iterable[tuple[float, float]]]) -> bytes:
+    """Polygon with exterior + optional interior (hole) rings, each
+    auto-closed — ring 0 is the exterior per WKB convention."""
+    closed = []
+    for ring in rings:
+        pts = list(ring)
+        if pts[0] != pts[-1]:
+            pts = pts + [pts[0]]
+        closed.append(pts)
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(closed))]
+    for pts in closed:
+        out.append(struct.pack("<I", len(pts)))
+        out += [struct.pack("<dd", x, y) for x, y in pts]
     return b"".join(out)
 
 

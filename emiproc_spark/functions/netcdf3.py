@@ -288,6 +288,12 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
     for v in var_list:
         arr = np.asarray(v.data)
         if arr.dtype.kind == "S" or arr.dtype == np.dtype("S1"):
+            if arr.dtype.itemsize > 1:
+                raise TypeError(
+                    f"variable {v.name}: bytes dtype {arr.dtype} would be "
+                    "silently truncated to 1 char — split into an S1 char "
+                    "matrix along a string-length dimension first"
+                )
             nc_type = NC_CHAR
             arr = arr.astype("S1")
         else:
@@ -295,6 +301,14 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
             if key not in _DTYPE_TO_NC:
                 raise TypeError(f"unsupported variable dtype {arr.dtype} for {v.name}")
             nc_type = _DTYPE_TO_NC[key]
+            if key == "int64" and arr.size and (
+                arr.max() > 2**31 - 1 or arr.min() < -(2**31)
+            ):
+                # classic NetCDF has no 64-bit int; astype would wrap
+                raise OverflowError(
+                    f"variable {v.name}: int64 values exceed NC_INT range "
+                    "(would wrap on write) — rescale or use float64"
+                )
             dt, _ = _TYPEMAP[nc_type]
             arr = arr.astype(dt)
         prepared.append((v, nc_type, arr))

@@ -131,9 +131,24 @@ def swiss_rasters(
     )
     t = totals.select("category", "substance", "total").where(F.col("total") > 0)
 
+    # route to the per-substance branch only when the suffix is a KNOWN
+    # substance: a category whose *name* contains an underscore (suffix
+    # matching no substance) must stay a plain raster — the reference
+    # keys this on its known per-substance family (swiss.py:286-294),
+    # and an inner join on a bogus suffix would silently drop the file
+    known = (
+        t.select(F.col("substance").alias("sub_norm"))
+        .distinct()
+        .withColumn("__known_sub", F.lit(True))
+    )
+    scan = scan.join(F.broadcast(known), "sub_norm", "left")
+    is_per_sub = F.col("sub_file").isNotNull() & F.coalesce(
+        F.col("__known_sub"), F.lit(False)
+    )
+
     plain = (
-        scan.where(F.col("sub_file").isNull())
-        .join(F.broadcast(t), scan["cat"] == t["category"], "inner")
+        scan.where(~is_per_sub)
+        .join(F.broadcast(t), scan["raster_key"] == t["category"], "inner")
         .select(
             "cell_id",
             "category",
@@ -142,7 +157,7 @@ def swiss_rasters(
         )
     )
     per_sub = (
-        scan.where(F.col("sub_file").isNotNull())
+        scan.where(is_per_sub)
         .join(
             F.broadcast(t),
             (scan["cat"] == t["category"]) & (scan["sub_norm"] == t["substance"]),

@@ -17,8 +17,9 @@ Layout semantics mirrored from the reference:
 - point sources keep their coordinates and become shaped sources per
   category (tno.py:221-252);
 - ``substances_mapping`` merges file substances many-to-one into
-  emiproc substances by summation (tno.py:174-198, 241-247), raising
-  when a mapped substance is absent from the file.
+  emiproc substances by summation (tno.py:174-198, 241-247);
+  ``strict_mapping=True`` raises when a mapped substance is absent
+  from the file (the reference's error; default stays lazy).
 
 Spark plan: ``binaryFile`` → per-file ``mapInPandas`` decode with the
 pure-numpy NetCDF-3 codec emitting one long row per (source, substance)
@@ -61,7 +62,8 @@ def scan_tno(
 ) -> DataFrame:
     """Raw distributed scan of TNO-layout NetCDF file(s): one row per
     (source, file substance) with the area-source target ``cell_id``
-    precomputed (NULL for point sources) and category codes resolved.
+    precomputed (sentinel −1 for point sources — the long column holds
+    no NULLs) and category codes resolved.
     """
     from emiproc_spark.functions.netcdf3 import read_netcdf
 
@@ -139,13 +141,28 @@ def scan_tno(
 
 
 def _apply_substance_mapping(
-    scan: DataFrame, substances_mapping: dict[str, str] | None
+    scan: DataFrame,
+    substances_mapping: dict[str, str] | None,
+    strict: bool = False,
 ) -> DataFrame:
     """Many-to-one file-substance → substance merge (tno.py:174-198).
     Unmapped file substances are dropped with the reference's warning
-    semantics (here: silently filtered — the scan exposes them)."""
+    semantics (here: silently filtered — the scan exposes them).
+    ``strict=True`` additionally raises when a mapping KEY matches no
+    file substance (a typo'd key would otherwise silently drop a
+    substance from the inventory); the check is one tiny distinct
+    collect over the scan's substance column."""
     if substances_mapping is None:
         return scan.withColumnRenamed("file_substance", "substance")
+    if strict:
+        present = {
+            r[0] for r in scan.select("file_substance").distinct().collect()
+        }
+        missing = set(substances_mapping) - present
+        if missing:
+            raise ValueError(
+                f"substances_mapping keys absent from file: {sorted(missing)}"
+            )
     spark = scan.sparkSession
     mapping = spark.createDataFrame(
         list(substances_mapping.items()), "file_substance string, substance string"
@@ -157,6 +174,7 @@ def tno_area_emissions(
     spark: SparkSession,
     path: str,
     substances_mapping: dict[str, str] | None = None,
+    strict_mapping: bool = False,
     **scan_kwargs,
 ) -> DataFrame:
     """Area sources → canonical long emissions
@@ -164,7 +182,8 @@ def tno_area_emissions(
     scatter-add (tno.py:208-218) as a hash aggregation."""
     scan = scan_tno(spark, path, **scan_kwargs)
     mapped = _apply_substance_mapping(
-        scan.where(F.col("source_type") == "area"), substances_mapping
+        scan.where(F.col("source_type") == "area"), substances_mapping,
+        strict=strict_mapping,
     )
     return mapped.groupBy("cell_id", "category", "substance").agg(
         F.sum("value_kg_y").alias("value_kg_y")
@@ -175,6 +194,7 @@ def tno_point_sources(
     spark: SparkSession,
     path: str,
     substances_mapping: dict[str, str] | None = None,
+    strict_mapping: bool = False,
     **scan_kwargs,
 ) -> DataFrame:
     """Point sources → shaped-source table
@@ -182,7 +202,8 @@ def tno_point_sources(
     file substances merged per source (tno.py:221-252)."""
     scan = scan_tno(spark, path, **scan_kwargs)
     mapped = _apply_substance_mapping(
-        scan.where(F.col("source_type") == "point"), substances_mapping
+        scan.where(F.col("source_type") == "point"), substances_mapping,
+        strict=strict_mapping,
     )
     return mapped.groupBy("source_id", "lon", "lat", "category", "substance").agg(
         F.sum("value_kg_y").alias("value_kg_y")
@@ -318,7 +339,9 @@ def tno_gridded_profiles(
     dedup = keyed.groupBy(
         "cell_id", F.col("GNFR").alias("category"), F.col("POLL").alias("substance"),
         (F.col("day") - 1).alias("pos"),
-    ).agg(F.first("Factor").alias("factor"))
+    ).agg(F.min("Factor").alias("factor"))  # deterministic duplicate
+    # collapse (the reference's drop_duplicates keeps CSV file order,
+    # which has no stable Spark analogue; min is order-free)
     w = Window.partitionBy("cell_id", "category", "substance")
     ratios = (
         dedup.withColumn("__tot", F.sum("factor").over(w))

@@ -51,9 +51,10 @@ def test_icon_time_profiles(spark, tmp_path):
     daily_sf = np.array([(h + 1) / 300.0 * 24 for h in range(24)])
     # region 0: no shift
     assert np.allclose(sf[:, 0], daily_sf)
-    # region 1 (tz_shift=1): rolled by -1 → out[i] = in[(i-1) mod 24]
-    assert np.allclose(sf[:, 1], np.roll(daily_sf, 1))
-    assert np.allclose(sf[:, 2], np.roll(daily_sf, 2))
+    # region 1 (tz_shift=1): np.roll(sf, -1) → out[i] = in[(i+1) mod 24]
+    # (reference icon.py:515-518; local-morning peaks land EARLIER in UTC)
+    assert np.allclose(sf[:, 1], np.roll(daily_sf, -1))
+    assert np.allclose(sf[:, 2], np.roll(daily_sf, -2))
     # coords
     assert list(ds.variables["country"].data) == [0, 1, 2]
     assert list(ds.variables["timezone_of_country"].data) == [0, 1, 2]

@@ -172,3 +172,38 @@ def test_gral_unknown_source_group(spark, tmp_path):
         # validation is distributed (raise_error in the executors), so it
         # fires at action time
         gral_inventory(spark, str(d), source_group_mapping={1: ("NOx", "x")}).collect()
+
+
+def test_gral_cadastre_polygon_hole_excluded(spark, tmp_path):
+    """A courtyard polygon (exterior with a hole) must put zero mass in
+    cells inside the hole and normalize by the net ring area."""
+    import numpy as np
+
+    from emiproc_spark.exports.gral import HOUR_PER_YR, write_gral_emissions
+    from emiproc_spark.functions import geometry as geom
+
+    # exterior 0..30 square, hole 10..20 → net area 900-100=800
+    ext = [(0.0, 0.0), (30.0, 0.0), (30.0, 30.0), (0.0, 30.0), (0.0, 0.0)]
+    hole = [(10.0, 10.0), (20.0, 10.0), (20.0, 20.0), (10.0, 20.0), (10.0, 10.0)]
+    wkb = geom.wkb_polygon_rings([ext, hole])
+    shaped = spark.createDataFrame(
+        [("cad", wkb, "NOx", 800.0 * HOUR_PER_YR)],
+        "category string, geometry binary, substance string, value_kg_y double",
+    )
+    d = str(tmp_path / "gral")
+    write_gral_emissions(
+        d, shaped, emission_infos={"cad": {}}, source_groups={("NOx", "cad"): 0},
+        polygon_raster_size=10.0,
+    )
+    rows = []
+    with open(f"{d}/cadastre.dat") as f:
+        next(f)
+        for line in f:
+            fields = line.split(",")
+            rows.append((float(fields[0]), float(fields[1]), float(fields[6])))
+    by_cell = {(x, y): v for x, y, v in rows}
+    # 9 cells of the 3×3 coarse raster; the center cell is the hole
+    assert by_cell.get((10.0, 10.0), 0.0) == 0.0 or (10.0, 10.0) not in by_cell
+    total = sum(v for _, _, v in rows)
+    # emission rate per hour sums to value/HOUR_PER_YR = 800 over cells
+    assert np.isclose(total, 800.0, rtol=1e-9)

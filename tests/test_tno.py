@@ -107,3 +107,18 @@ def test_unknown_source_type_raises(spark, tmp_path):
     write_netcdf(path, ds)
     with pytest.raises(Exception, match="source_type"):
         scan_tno(spark, path).collect()
+
+
+def test_substance_mapping_strict_raises_on_absent_key(spark, tno_file):
+    import pytest
+
+    from emiproc_spark.sources.tno import tno_area_emissions
+
+    with pytest.raises(ValueError, match="absent from file"):
+        tno_area_emissions(
+            spark, tno_file, {"co2_ff": "ALL", "co2_typo": "ALL"},
+            strict_mapping=True,
+        )
+    # non-strict: typo'd key silently ignored (scan exposes unmapped)
+    out = tno_area_emissions(spark, tno_file, {"co2_ff": "ALL", "co2_typo": "ALL"})
+    assert {r["substance"] for r in out.select("substance").distinct().collect()} == {"ALL"}
