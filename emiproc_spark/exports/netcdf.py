@@ -359,58 +359,68 @@ def export_hourly_netcdf(
     the timestamp.
 
     ``hourly``: (cell_id, category, substance, hour_index, value_kg_h)
-    from ``operators.temporal.temporally_scaled`` — the expansion stays
-    distributed; each dense per-hour raster is the single-node file
-    boundary (the same chunked loop the reference runs).
+    from ``operators.temporal.temporally_scaled``.
+
+    Scale posture: the hourly expansion is NEVER materialized on the
+    driver.  Each hour's dense raster is assembled and written
+    executor-side (``groupBy(hour_index).applyInPandas``) — the only
+    driver-side data are the grid coordinate arrays (raster-sized, the
+    file's own coordinate system, shipped as a Spark broadcast) and the
+    returned path list (one row per hour).  8784 h × 1M cells therefore
+    streams through 8784 independent tasks, each bounded by one raster.
+    ``out_dir`` must be a shared filesystem on a real cluster (the same
+    contract the reference's single-node writer implies).
     """
     import datetime
 
     import numpy as np
-
-    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
     gpdf = grid.select("cell_id", "lon", "lat", "area_m2").toPandas()
     lons = np.sort(gpdf["lon"].unique())
     lats = np.sort(gpdf["lat"].unique())
+    # vectorized cell_id → (lat_i, lon_i): sorted-id arrays + searchsorted
+    ids = gpdf["cell_id"].to_numpy()
+    order = np.argsort(ids)
+    ids_sorted = ids[order]
+    lat_pos = np.searchsorted(lats, gpdf["lat"].to_numpy()[order])
+    lon_pos = np.searchsorted(lons, gpdf["lon"].to_numpy()[order])
     area = np.zeros((lats.size, lons.size))
-    li = {v: i for i, v in enumerate(lats)}
-    lo = {v: i for i, v in enumerate(lons)}
-    cell_pos = {}
-    for r in gpdf.itertuples():
-        cell_pos[int(r.cell_id)] = (li[r.lat], lo[r.lon])
-        area[li[r.lat], lo[r.lon]] = r.area_m2
+    area[lat_pos, lon_pos] = gpdf["area_m2"].to_numpy()[order]
 
-    pdf = hourly.select(
-        "hour_index", "category", "substance", "cell_id", "value_kg_h"
-    ).toPandas()
-    paths = []
-    for hour in sorted(pdf["hour_index"].unique()):
-        at = pdf[pdf["hour_index"] == hour]
-        dt = t0 + datetime.timedelta(hours=int(hour))
+    lookup = hourly.sparkSession.sparkContext.broadcast(
+        (ids_sorted, lat_pos, lon_pos, lats, lons, area)
+    )
+
+    def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
+        from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+        ids_s, lat_p, lon_p, lats_, lons_, area_ = lookup.value
+        hour = int(pdf["hour_index"].iloc[0])
+        dt = t0 + datetime.timedelta(hours=hour)
         ds = NCDataset()
-        ds.dims = {"lat": lats.size, "lon": lons.size, "time": 1}
+        ds.dims = {"lat": lats_.size, "lon": lons_.size, "time": 1}
         ds.variables["lat"] = NCVariable(
-            "lat", ("lat",), lats, {"units": "degrees_north"}
+            "lat", ("lat",), lats_, {"units": "degrees_north"}
         )
         ds.variables["lon"] = NCVariable(
-            "lon", ("lon",), lons, {"units": "degrees_east"}
+            "lon", ("lon",), lons_, {"units": "degrees_east"}
         )
         ds.variables["time"] = NCVariable(
             "time", ("time",), np.array([hour], dtype=np.int32),
             {"units": f"hours since {start}"},
         )
         ds.variables["cell_area"] = NCVariable(
-            "cell_area", ("lat", "lon"), area,
+            "cell_area", ("lat", "lon"), area_,
             {"standard_name": "cell_area", "long_name": "cell_area",
              "units": "m2", "comment": "area of the cell"},
         )
-        for (cat, sub), g in at.groupby(["category", "substance"]):
-            arr = np.zeros((lats.size, lons.size, 1))
-            for r in g.itertuples():
-                la, lon_i = cell_pos[int(r.cell_id)]
-                arr[la, lon_i, 0] = r.value_kg_h
+        for (cat, sub), g in pdf.groupby(["category", "substance"]):
+            arr = np.zeros((lats_.size, lons_.size, 1))
+            pos = np.searchsorted(ids_s, g["cell_id"].to_numpy())
+            arr[lat_p[pos], lon_p[pos], 0] = g["value_kg_h"].to_numpy()
             name = var_name_format.format(substance=sub, category=cat)
             ds.variables[name] = NCVariable(
                 name, ("lat", "lon", "time"), arr,
@@ -419,5 +429,13 @@ def export_hourly_netcdf(
             )
         path = os.path.join(out_dir, dt.strftime(filename_format))
         write_netcdf(path, ds)
-        paths.append(path)
-    return paths
+        return pd.DataFrame({"hour_index": [hour], "path": [path]})
+
+    written = (
+        hourly.select("hour_index", "category", "substance", "cell_id", "value_kg_h")
+        .groupBy("hour_index")
+        .applyInPandas(write_hour, "hour_index long, path string")
+        .orderBy("hour_index")
+        .collect()
+    )
+    return [r["path"] for r in written]

@@ -14,8 +14,8 @@ Layout pinned to the reference:
 
 Spark shape: the hourly expansion and unit conversion stay distributed
 (temporally_scaled → one arithmetic select); per-hour dense rasters are
-the single-node file boundary, assembled from a partition-pruned
-collect per output file.
+assembled and written executor-side (one ``applyInPandas`` group per
+``hour_index``), so the full hourly tensor never touches the driver.
 """
 
 from __future__ import annotations
@@ -78,29 +78,32 @@ def export_wrf_hourly_emissions(
     ``operators.temporal.temporally_scaled``.  ``start``: timestamp of
     hour 0 (``YYYY-MM-DD HH:MM:SS``).
     """
-    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
-    pdf = hourly_flux.select(
-        "hour_index", "category", "substance", "cell_id", "value_mole_km2_h"
-    ).toPandas()
-    paths = []
-    for hour in sorted(pdf["hour_index"].unique()):
-        at = pdf[pdf["hour_index"] == hour]
-        stamp = (t0 + datetime.timedelta(hours=int(hour))).strftime(
-            "%Y-%m-%d_%H:%M:%S"
-        )
+    attrs = dict(grid_attrs or {})
+
+    # Scale posture: the hourly flux tensor is never collected.  Each
+    # hour writes its own wrfchemi file executor-side (one applyInPandas
+    # group per hour_index, bounded by one nx×ny raster per cat×sub);
+    # the driver sees only the path list.  out_dir must be a shared
+    # filesystem on a real cluster.
+    def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
+        from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+        hour = int(pdf["hour_index"].iloc[0])
+        stamp = (t0 + datetime.timedelta(hours=hour)).strftime("%Y-%m-%d_%H:%M:%S")
         ds = NCDataset()
         ds.dims = {
             "Time": 1, "emissions_zdim": 1,
             "south_north": ny, "west_east": nx, "DateStrLen": len(stamp),
         }
-        ds.attrs = dict(grid_attrs or {})
+        ds.attrs = dict(attrs)
         ds.attrs["unit"] = "moles/km2/h"
         times = np.frombuffer(stamp.encode(), dtype="S1").reshape(1, -1)
         ds.variables["Times"] = NCVariable("Times", ("Time", "DateStrLen"), times)
-        for (cat, sub), g in at.groupby(["category", "substance"]):
+        for (cat, sub), g in pdf.groupby(["category", "substance"]):
             arr = np.zeros((ny, nx))
             cell = g["cell_id"].to_numpy()
             arr[cell % ny, cell // ny] = g["value_mole_km2_h"].to_numpy()
@@ -113,5 +116,15 @@ def export_wrf_hourly_emissions(
             )
         path = os.path.join(out_dir, f"wrfchemi_d01_{stamp}")
         write_netcdf(path, ds)
-        paths.append(path)
-    return paths
+        return pd.DataFrame({"hour_index": [hour], "path": [path]})
+
+    written = (
+        hourly_flux.select(
+            "hour_index", "category", "substance", "cell_id", "value_mole_km2_h"
+        )
+        .groupBy("hour_index")
+        .applyInPandas(write_hour, "hour_index long, path string")
+        .orderBy("hour_index")
+        .collect()
+    )
+    return [r["path"] for r in written]

@@ -275,3 +275,47 @@ def test_decontaminate_million_docs(spark):
     # cover ≤50 residues → ≥ 1M/50 · covered residues flagged
     assert flagged >= 20_000
     assert dt < 120, f"decontaminate too slow: {dt:.1f}s"
+
+
+def test_hourly_export_year_100k_cells(spark, tmp_path):
+    """Full leap year (8784 h) × 100k cells through the executor-side
+    hourly NetCDF writer: the driver never materializes the expansion
+    (only the grid broadcast + the 8784-row path list), each hour is one
+    bounded applyInPandas group.  This is the 100×-fatal pattern the
+    round-2 review flagged — pinned fixed here."""
+    import shutil
+
+    from emiproc_spark.exports.netcdf import export_hourly_netcdf
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    nlon, nlat = 500, 200
+    n_cells = nlon * nlat
+    hours = 8784
+    grid = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") / nlat).cast("long").cast("double").alias("lon"),
+        (F.col("id") % nlat).cast("double").alias("lat"),
+        F.lit(1.0e6).alias("area_m2"),
+    )
+    hourly = spark.range(hours * n_cells).select(
+        (F.col("id") % n_cells).alias("cell_id"),
+        F.lit("traffic").alias("category"),
+        F.lit("CO2").alias("substance"),
+        (F.col("id") / n_cells).cast("long").cast("int").alias("hour_index"),
+        (F.col("id") % 97 + 1.0).alias("value_kg_h"),
+    )
+    out_dir = tmp_path / "hourly"
+    t0 = time.time()
+    paths = export_hourly_netcdf(
+        hourly, grid, nx=nlon, ny=nlat, start="2024-01-01 00:00:00",
+        out_dir=str(out_dir),
+    )
+    dt = time.time() - t0
+    assert len(paths) == hours
+    ds = read_netcdf(paths[0])
+    v = ds.variables["CO2_traffic"]
+    assert v.data.shape == (nlat, nlon, 1)
+    # cell 0 → lat 0, lon 0 carries value (0 % 97) + 1 = 1.0 at hour 0
+    assert v.data[0, 0, 0] == 1.0
+    shutil.rmtree(out_dir)
+    print(f"\n8784h x 100k-cell hourly export wall: {dt:.1f}s")
