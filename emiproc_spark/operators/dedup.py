@@ -220,31 +220,71 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
 
     The bits are extracted JVM-side — ``conv`` turns each 8-hex-digit
     half into a 32-bit int, ``shiftright``+mask reads each position — so
-    the aggregation input is ONE row per (doc, distinct token) carrying
-    64 vote columns (map-side partial sums), not a 64-way row explode.
+    the aggregation input is ONE row per (doc, distinct token), not a
+    64-way row explode.  The per-position one-counts are packed four to
+    a long in 16-bit lanes, so the shuffle/agg carries 16 long columns
+    (+ the token count) instead of 64: lane l of column c accumulates
+    ones at position ``4c + l``; the vote at p is positive iff
+    ``2·ones(p) > n_tokens``.  Lanes cannot overflow below 65 536
+    distinct tokens per doc — guarded with an execution-time error
+    (truncate/shingle such documents first).
 
     Bit-string (not BIGINT) output keeps it engine-portable; Hamming
     distance is a cheap zip-count on the string or a later cast.
     """
     assert bits == 64, "md5-based simhash is 64-bit (16 hex digits)"
+    # per-doc token dedup happens map-side (array_distinct) — no extra
+    # distinct shuffle; the groupBy below is then the only exchange.
+    # The md5+vote map work runs at input-partition parallelism (a real
+    # corpus has many scan partitions; tiny single-file test inputs pay
+    # a serial map stage, which is the right trade at scale).
     tok = (
-        docs.select("doc_id", F.explode(tokens(F.col(text_col))).alias("tok"))
-        .distinct()
+        docs.select(
+            "doc_id",
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"),
+        )
         .withColumn("h", F.md5("tok"))
         .withColumn("hi", F.conv(F.substring("h", 1, 8), 16, 10).cast("long"))
         .withColumn("lo", F.conv(F.substring("h", 9, 8), 16, 10).cast("long"))
     )
 
-    def vote(pos: int):
+    def bit(pos: int):
         half, shift = ("hi", 31 - pos) if pos < 32 else ("lo", 63 - pos)
-        bit = F.shiftright(F.col(half), shift).bitwiseAND(F.lit(1))
-        return F.sum(bit * 2 - 1).alias(f"v{pos}")
+        return F.shiftright(F.col(half), shift).bitwiseAND(F.lit(1))
 
-    votes = tok.groupBy("doc_id").agg(*[vote(i) for i in range(64)])
-    return votes.select(
+    def lane_pack(col: int):
+        packed = bit(4 * col)
+        for lane in range(1, 4):
+            packed = packed + F.shiftleft(bit(4 * col + lane), 16 * lane)
+        return F.sum(packed).alias(f"c{col}")
+
+    counts = tok.groupBy("doc_id").agg(
+        F.count("*").alias("__n"), *[lane_pack(c) for c in range(16)]
+    )
+    guard = F.when(
+        F.col("__n") >= 65536,
+        F.raise_error(
+            F.concat(
+                F.lit("simhash: doc "),
+                F.col("doc_id").cast("string"),
+                F.lit(" has >= 65536 distinct tokens — lane counters "
+                      "would overflow; truncate or shingle first"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col("__n"))
+
+    def ones(pos: int):
+        return F.shiftright(F.col(f"c{pos // 4}"), 16 * (pos % 4)).bitwiseAND(
+            F.lit(0xFFFF)
+        )
+
+    return counts.select(
         "doc_id",
         F.concat(
-            *[F.when(F.col(f"v{i}") > 0, F.lit("1")).otherwise(F.lit("0")) for i in range(64)]
+            *[
+                F.when(ones(p) * 2 > guard, F.lit("1")).otherwise(F.lit("0"))
+                for p in range(64)
+            ]
         ).alias("simhash_bits"),
     )
 
