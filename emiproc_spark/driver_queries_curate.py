@@ -415,17 +415,24 @@ def q_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.passage_duplicates(d, win=PASSAGE_WIN)
 
 
+# tail folded into the last span (spans = max(1, floor(n/win)); the
+# last slice runs to the document end) — mirrors passage_spans
 SQL_PASSAGE_DEDUP = f"""
     WITH t AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               GREATEST(1, CAST(FLOOR(len(string_split(text, ' '))
+                   / {PASSAGE_WIN}.0) AS BIGINT)) AS n_spans
+        FROM documents
     ),
     s AS (
         SELECT doc_id,
                md5(array_to_string(
-                   toks[u.i * {PASSAGE_WIN} + 1 : (u.i + 1) * {PASSAGE_WIN}],
+                   CASE WHEN u.i = n_spans - 1
+                        THEN toks[u.i * {PASSAGE_WIN} + 1 : len(toks)]
+                        ELSE toks[u.i * {PASSAGE_WIN} + 1 : (u.i + 1) * {PASSAGE_WIN}]
+                   END,
                    ' ')) AS passage_hash
-        FROM t, UNNEST(range(0,
-            CAST(CEIL(len(toks) / {PASSAGE_WIN}.0) AS BIGINT))) u(i)
+        FROM t, UNNEST(range(0, n_spans)) u(i)
     )
     SELECT passage_hash, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc
     FROM s GROUP BY passage_hash HAVING COUNT(*) > 1

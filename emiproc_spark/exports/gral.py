@@ -152,6 +152,11 @@ def _format_lines(
                         inter += ring_sign[ri] * geom.batch_rect_clip_area(
                             rep, cnt, boxes
                         )
+                    # hole-ring subtraction can leave tiny negative
+                    # float residues for cells fully inside a courtyard
+                    # — clamp before selecting nonzero cells so no
+                    # cadastre line carries a minuscule negative mass
+                    inter = np.where(inter > 1e-12 * s * s, inter, 0.0)
                     nz = np.flatnonzero(inter)
                     for k in nz:
                         cell_v = v * inter[k] / area
@@ -217,8 +222,11 @@ def write_gral_emissions(
         # repartition(1), not coalesce(1): coalesce is a narrow
         # dependency that would drag the expensive formatting (polygon
         # rasterization) into the single writer task; the shuffle keeps
-        # fmt parallel and only the serial file IO runs in one task
-        for row in formatted.repartition(1).toLocalIterator():
+        # fmt parallel and only the serial file IO runs in one task.
+        # The post-shuffle sort pins a deterministic .dat line order
+        # (round-robin shuffle order is plan-dependent otherwise).
+        ordered = formatted.repartition(1).sortWithinPartitions("kind", "line")
+        for row in ordered.toLocalIterator():
             files[row["kind"]].write(row["line"] + "\n")
     finally:
         for f in files.values():

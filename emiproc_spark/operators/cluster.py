@@ -40,8 +40,9 @@ def connected_components(
         # a failed cast yields NULL silently; on string/UUID ids that
         # would collapse the graph to one (NULL, NULL) edge and make the
         # downstream dedup a no-op — raise instead (hash such ids to
-        # int64 before calling)
-        cast = F.col(c).cast("long")
+        # int64 before calling).  try_cast, not cast: under ANSI a plain
+        # cast throws its own error before this guard can explain.
+        cast = F.col(c).try_cast("long")
         return F.when(
             F.col(c).isNotNull() & cast.isNull(),
             F.raise_error(

@@ -342,21 +342,33 @@ def passage_spans(
     Training Data" style) exact dedup.
 
     One generator + projection per doc (map-only): spans =
-    ⌈n_tokens/win⌉, each hashed md5 over its space-joined tokens.
-    Returns (id, p_idx, passage_hash).
+    max(1, ⌊n_tokens/win⌋), each hashed md5 over its space-joined
+    tokens.  The sub-window tail is folded into the LAST span (it runs
+    to the end of the document) rather than emitted on its own — a bare
+    few-token tail span would hash-collide across unrelated documents
+    ending in the same short token run, inflating false-positive
+    duplicates.  Returns (id, p_idx, passage_hash).
     """
     tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
-    n_spans = F.ceil(F.size("__toks") / F.lit(float(win))).cast("int")
+    n_spans = F.greatest(
+        F.lit(1), F.floor(F.size("__toks") / F.lit(float(win))).cast("int")
+    )
     spans = tok.select(
         id_col,
         "__toks",
+        n_spans.alias("__n_spans"),
         F.explode(F.sequence(F.lit(0), n_spans - 1)).alias("p_idx"),
     )
+    # last span absorbs the tail: slice length win + (win - 1) covers it
+    # (slice truncates at the array end)
+    span_len = F.when(
+        F.col("p_idx") == F.col("__n_spans") - 1, F.lit(2 * win - 1)
+    ).otherwise(F.lit(win))
     return spans.select(
         id_col,
         "p_idx",
         F.md5(
-            F.concat_ws(" ", F.slice("__toks", F.col("p_idx") * win + 1, win))
+            F.concat_ws(" ", F.slice("__toks", F.col("p_idx") * win + 1, span_len))
         ).alias("passage_hash"),
     )
 

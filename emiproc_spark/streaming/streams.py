@@ -245,8 +245,22 @@ def near_dup_stream(
         )
     rows_per_band = k // bands
     ttl_ms = int(pd.Timedelta(state_ttl).total_seconds() * 1000)
+    # ids must be numeric (the state packs them as int64); a silent
+    # cast-to-NULL on string/UUID ids would collapse buckets — raise
+    # with a clear message instead (same contract as
+    # cluster.connected_components: hash such ids to int64 first)
+    id_cast = F.col(id_col).try_cast("long")
+    id_checked = F.when(
+        F.col(id_col).isNotNull() & id_cast.isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"near_dup_stream: non-numeric {id_col} id: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(id_cast)
     sigs = minhash_signature_array(
-        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col)), text_col, n, k
+        docs.select(id_checked.alias("doc_id"), F.col(text_col)), text_col, n, k
     ).withColumnsRenamed({"doc_id": id_col} if id_col != "doc_id" else {})
     banded = sigs.select(
         F.col(id_col),
@@ -270,6 +284,8 @@ def near_dup_stream(
     )
 
     if not banded.isStreaming:
+        # same schema and duplicate semantics as the streaming path:
+        # one (doc_a, doc_b, bucket) row per shared band bucket
         a, b = banded.alias("a"), banded.alias("b")
         return (
             a.join(b, "bucket")
@@ -277,6 +293,7 @@ def near_dup_stream(
             .select(
                 F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
+                "bucket",
             )
             .distinct()
         )

@@ -196,3 +196,37 @@ def test_bpe_token_count(spark):
     # spaces is one token and 'world' carries no leading space)
     assert out[1][0] == ["hello", "   ", "world"]
     assert out[1][1] == 3
+
+
+def test_passage_spans_fold_tail(spark):
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.dedup import passage_duplicates, passage_spans
+
+    # 25 tokens at win=10 → 2 spans: [0..9], [10..24] (tail folded)
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(25)))], "doc_id long, text string"
+    )
+    spans = passage_spans(docs, win=10).orderBy("p_idx").collect()
+    assert [r["p_idx"] for r in spans] == [0, 1]
+
+    # two docs sharing only a 5-token tail must NOT collide: doc 2's
+    # tail is folded into its (longer) final span
+    base = " ".join(f"a{i}" for i in range(10))
+    tail = "x1 x2 x3 x4 x5"
+    d2 = spark.createDataFrame(
+        [(1, tail), (2, base + " " + tail)], "doc_id long, text string"
+    )
+    dup = passage_duplicates(d2, win=10)
+    assert dup.count() == 0
+
+    # full-window copies are still caught across docs (both docs have
+    # two spans; span 0 is the shared window)
+    mid1 = " ".join(f"b{i}" for i in range(12))
+    mid2 = " ".join(f"c{i}" for i in range(12))
+    d3 = spark.createDataFrame(
+        [(1, base + " " + mid1), (2, base + " " + mid2)],
+        "doc_id long, text string",
+    )
+    hits = passage_duplicates(d3, win=10).collect()
+    assert len(hits) == 1 and hits[0]["n_copies"] == 2

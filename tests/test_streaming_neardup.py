@@ -55,9 +55,10 @@ def test_near_dup_batch_path_matches_lsh(spark):
         [(i, f"alpha w{i % 3} beta gamma x{i % 3} delta epsilon zeta") for i in range(9)],
         "doc_id long, text string",
     )
-    got = {
-        (r["doc_a"], r["doc_b"]) for r in near_dup_stream(docs).collect()
-    }
+    out = near_dup_stream(docs)
+    # batch fallback emits the same columns as the streaming path
+    assert out.columns == ["doc_a", "doc_b", "bucket"]
+    got = {(r["doc_a"], r["doc_b"]) for r in out.collect()}
     expected = {
         (a, b)
         for a in range(9)
@@ -65,3 +66,17 @@ def test_near_dup_batch_path_matches_lsh(spark):
         if a % 3 == b % 3
     }
     assert got == expected
+
+
+def test_near_dup_non_numeric_ids_raise(spark):
+    import pytest
+
+    docs = spark.createDataFrame(
+        [
+            ("u-1", "alpha beta gamma delta epsilon zeta eta theta"),
+            ("u-2", "alpha beta gamma delta epsilon zeta eta theta"),
+        ],
+        "doc_id string, text string",
+    )
+    with pytest.raises(Exception, match="non-numeric doc_id|CAST_INVALID_INPUT"):
+        near_dup_stream(docs).collect()
