@@ -128,6 +128,87 @@ SCAN_SCHEMA = (
     "substance string, value_kg_y double"
 )
 
+_HDF5_MAGIC = b"\x89HDF\r\n\x1a\n"
+
+
+def read_netcdf4_bytes(content: bytes):
+    """NetCDF-4/HDF5 container → in-memory :class:`NCDataset` via h5py
+    (executor-side import, gated with an actionable error — the same
+    pluggable-decode pattern as sources/gfed.py:35).
+
+    Root-level datasets become variables; dimension names resolve from
+    attached HDF5 dimension scales (how the netCDF-4 library stores
+    them), falling back to ``phony_dim_<axis>``.  Dimension-scale
+    coordinate variables (lon/lat/time vectors) are kept as variables
+    too, which is all the generic raster ingest needs.  Reference reads
+    both container formats through xarray (netcdf_raster.py:112-295).
+    """
+    try:
+        import h5py
+    except ImportError as e:
+        raise ImportError(
+            "this NetCDF file is an HDF5 (NetCDF-4) container; decoding "
+            "requires h5py in the Spark executors (pip install h5py), or "
+            "pass container_decoder= with your own bytes->NCDataset "
+            "decode. Classic NetCDF-3 files need no extra library."
+        ) from e
+    import io
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset()
+    with h5py.File(io.BytesIO(content), "r") as f:
+        ds.attrs = {
+            k: (v.decode() if isinstance(v, bytes) else v)
+            for k, v in f.attrs.items()
+        }
+        for name, d in f.items():
+            if not isinstance(d, h5py.Dataset):
+                continue  # generic raster layout is flat (no groups)
+            dims = []
+            for axis in range(d.ndim):
+                scales = list(d.dims[axis])
+                if scales:
+                    dims.append(scales[0].name.lstrip("/"))
+                elif d.attrs.get("CLASS") == b"DIMENSION_SCALE":
+                    dims.append(name)
+                else:
+                    dims.append(f"phony_dim_{axis}")
+            data = np.asarray(d)
+            attrs = {}
+            for k, v in d.attrs.items():
+                if k in ("DIMENSION_LIST", "CLASS", "NAME", "REFERENCE_LIST",
+                         "_Netcdf4Dimid", "_Netcdf4Coordinates"):
+                    continue
+                if isinstance(v, bytes):
+                    v = v.decode()
+                elif isinstance(v, np.ndarray) and v.size == 1:
+                    v = v.item()
+                attrs[k] = v
+            fill = attrs.get("_FillValue")
+            if fill is not None and data.dtype.kind == "f":
+                data = np.where(data == fill, np.nan, data)
+            ds.variables[name] = NCVariable(name, tuple(dims), data, attrs)
+            for dim, size in zip(dims, d.shape):
+                ds.dims.setdefault(dim, size)
+    return ds
+
+
+def default_container_decoder(content: bytes):
+    """Sniff the container magic: classic NetCDF-3 decodes with the
+    pure-numpy codec; HDF5 (NetCDF-4) routes through
+    :func:`read_netcdf4_bytes`."""
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    if content[:3] == b"CDF":
+        return read_netcdf(content)
+    if content[: len(_HDF5_MAGIC)] == _HDF5_MAGIC:
+        return read_netcdf4_bytes(content)
+    raise ValueError(
+        "unrecognized NetCDF container (neither classic CDF magic nor "
+        "HDF5 signature)"
+    )
+
 
 def scan_netcdf(
     spark: SparkSession,
@@ -138,22 +219,28 @@ def scan_netcdf(
     time_name: str = "time",
     unit: str | None = None,
     drop_zero: bool = True,
+    container_decoder=None,
 ) -> DataFrame:
     """Raw distributed scan: one row per (file, t, cell, category,
     substance) with values converted to kg/year/cell.  Files without a
     time dimension emit ``t_index = 0``.
 
+    ``container_decoder``: bytes → NCDataset-like (``dims`` dict +
+    ``variables`` of (dims, data, attrs)).  Defaults to magic-byte
+    dispatch between the built-in NetCDF-3 codec and the h5py-gated
+    NetCDF-4 reader; inject a custom decoder for exotic containers.
+
     Building block for :func:`from_netcdf_rasters` (time-mean inventory)
     and :func:`netcdf_temporal_ratios` (per-cell profile ratios).
     """
-    from emiproc_spark.functions.netcdf3 import read_netcdf
+    decoder = container_decoder or default_container_decoder
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                ds = read_netcdf(bytes(content))
+                ds = decoder(bytes(content))
                 nlat = ds.dims[lat_name]
                 nlon = ds.dims[lon_name]
                 for var, cat, sub in _resolve_mapping(
@@ -226,6 +313,7 @@ def from_netcdf_rasters(
     lat_name: str = "lat",
     time_name: str = "time",
     unit: str | None = None,
+    container_decoder=None,
 ) -> DataFrame:
     """NetCDF raster(s) → canonical long emissions
     ``(cell_id, category, substance, value_kg_y)``.
@@ -237,7 +325,7 @@ def from_netcdf_rasters(
     """
     scan = scan_netcdf(
         spark, path, var_to_catsub, lon_name, lat_name, time_name, unit,
-        drop_zero=True,
+        drop_zero=True, container_decoder=container_decoder,
     )
     per_file = scan.groupBy("file", "cell_id", "category", "substance").agg(
         F.sum("value_kg_y").alias("v_sum"),
@@ -260,6 +348,7 @@ def netcdf_temporal_ratios(
     lat_name: str = "lat",
     time_name: str = "time",
     unit: str | None = None,
+    container_decoder=None,
 ) -> DataFrame:
     """Per-cell temporal-profile ratios from a time-resolved raster:
     ``ratio = value_t / Σ_t value`` per (cell, category, substance),
@@ -267,7 +356,7 @@ def netcdf_temporal_ratios(
     mask_zero + normalize in float64)."""
     scan = scan_netcdf(
         spark, path, var_to_catsub, lon_name, lat_name, time_name, unit,
-        drop_zero=False,
+        drop_zero=False, container_decoder=container_decoder,
     )
     w = Window.partitionBy("file", "cell_id", "category", "substance")
     return (
