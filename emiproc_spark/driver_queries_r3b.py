@@ -101,12 +101,125 @@ SQL_SPECIATE_COUNTRY = f"""
 
 
 # ======================================================================
+# ICON triangular-mesh ingest + remap (reference ICONGrid,
+# emiproc/grids.py:837-1013)
+# ======================================================================
+# Mesh: the 10×10 fixture extent tiled by 2×2 squares, each split along
+# the main diagonal into a lower and an upper triangle → 50 cells, id =
+# (tx*5 + ty)*2 + (0 lower | 1 upper).  Unit fine cells land exactly on
+# triangle interiors (weight 1) or on the diagonal (weight 0.5 each),
+# so the oracle is closed-form integer arithmetic.
+
+
+def _icon_mesh_file(spark: SparkSession) -> str:
+    import numpy as np
+
+    from emiproc_spark.sources.icon_grid import make_icon_grid_file
+
+    lon, lat = [], []
+    for tx in range(5):
+        for ty in range(5):
+            x0, y0 = tx * 2.0, ty * 2.0
+            lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
+            lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
+    import os
+    import tempfile
+
+    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_icon_"), "grid.nc")
+    return make_icon_grid_file(path, np.array(lon), np.array(lat))
+
+
+def q_icon_mesh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.grids import regular_grid
+    from emiproc_spark.operators.regrid import weights_poly_poly
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid
+
+    mesh = icon_mesh_grid(spark, _icon_mesh_file(spark))
+    fine = regular_grid(spark, 0.0, 0.0, fx.FINE_NX, fx.FINE_NY, 1.0, 1.0)
+    w = weights_poly_poly(
+        fine.select(
+            F.col("cell_id").alias("source_id"), "geometry",
+            "xmin", "ymin", "xmax", "ymax",
+        ),
+        mesh,
+        tile=2.0,
+    )
+    e = fx.emissions(spark, sf_dir)
+    return (
+        e.join(F.broadcast(w), e["cell_id"] == w["src_id"])
+        .groupBy(F.col("dst_id").alias("cell_id"), "category", "substance")
+        .agg(sumd(F.col("value_kg_y") * F.col("weight")).alias("value_kg_y"))
+    )
+
+
+# fine cell c: i = c // 10 (x), j = c % 10 (y); tile (i//2, j//2);
+# in-tile (i%2, j%2): (1,0) → lower only, (0,1) → upper only,
+# (0,0)/(1,1) → half each
+SQL_ICON_MESH = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    m AS (
+        SELECT cell_id, category, substance, value_kg_y,
+               ((cell_id // 10) // 2) * 5 + ((cell_id % 10) // 2) AS tile,
+               (cell_id // 10) % 2 AS ui, (cell_id % 10) % 2 AS uj
+        FROM e
+    ),
+    x AS (
+        SELECT tile * 2 AS mesh_cell, category, substance,
+               value_kg_y * 1.0 AS value_kg_y
+        FROM m WHERE ui = 1 AND uj = 0
+        UNION ALL
+        SELECT tile * 2 + 1, category, substance, value_kg_y * 1.0
+        FROM m WHERE ui = 0 AND uj = 1
+        UNION ALL
+        SELECT tile * 2, category, substance, value_kg_y * 0.5
+        FROM m WHERE ui = uj
+        UNION ALL
+        SELECT tile * 2 + 1, category, substance, value_kg_y * 0.5
+        FROM m WHERE ui = uj
+    )
+    SELECT mesh_cell AS cell_id, category, substance,
+           {sql_sumd('value_kg_y')} AS value_kg_y
+    FROM x GROUP BY 1, 2, 3
+"""
+
+
+# ======================================================================
+# midpoint-stamped profile series (reference get_profile_da,
+# profiles/temporal/operators.py:152-235)
+# ======================================================================
+def q_profile_da(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.interpolation import profile_da
+
+    prof = spark.createDataFrame(
+        [(0, [(h + 1) / 300.0 for h in range(24)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    return profile_da(prof, 2024, "daily")
+
+
+# daily profile over leap 2024: stamps k = −1 .. 8784 (prepended point
+# + inclusive year-end), pos = hour of the UN-offset stamp, emitted ts
+# carries the +30 min midpoint offset
+SQL_PROFILE_DA = """
+    SELECT 0 AS profile_id,
+           TIMESTAMP '2024-01-01' + k * INTERVAL 1 HOUR + INTERVAL 30 MINUTE AS ts,
+           CAST(EXTRACT(hour FROM TIMESTAMP '2024-01-01' + k * INTERVAL 1 HOUR) AS INT) AS pos,
+           (CAST(EXTRACT(hour FROM TIMESTAMP '2024-01-01' + k * INTERVAL 1 HOUR) AS INT) + 1) / 300.0 AS ratio
+    FROM range(-1, 8785) t(k)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "speciate_country": q_speciate_country,
+    "icon_mesh": q_icon_mesh,
+    "profile_da": q_profile_da,
 }
 
 ORACLES_R3B: dict[str, str] = {
     "speciate_country": SQL_SPECIATE_COUNTRY,
+    "icon_mesh": SQL_ICON_MESH,
+    "profile_da": SQL_PROFILE_DA,
 }

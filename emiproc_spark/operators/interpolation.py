@@ -81,6 +81,81 @@ def profile_to_hour_of_year(
     return out.select("profile_id", "hour", "sf")
 
 
+def profile_da(
+    tprofiles: DataFrame,
+    year: int,
+    ptype: str,
+    use_offset: bool = True,
+) -> DataFrame:
+    """Profiles as a midpoint-stamped native-frequency time series over
+    one year (reference get_profile_da, operators.py:152-235): sampling
+    stamps run from ``year-01-01`` through ``year+1-01-01`` inclusive at
+    the profile's native frequency, one extra stamp is prepended at
+    ``ts[0] − 2·offset`` so the whole year is covered, and the emitted
+    ``ts`` is shifted by half a period (the midpoint offset) — hourly
+    types +30 min, day types +12 h, monthly +15 d, 3-hourly +1 h 30 m.
+    Non-cyclic year-length types (hour_of_year / day_of_year and their
+    leap variants) drop the prepended and trailing stamps instead
+    (operators.py:199-209).
+
+    ``tprofiles``: (profile_id, ratios) of one ``ptype``.  Returns
+    (profile_id, ts timestamp_ntz, pos int, ratio double); ``pos`` is
+    the cyclic index the ratio was gathered at (before the offset).
+    This is the same midpoint convention ``profile_to_hour_of_year``
+    applies in closed form when interpolating.
+    """
+    from emiproc_spark.operators.temporal import position_in_profile
+
+    hourly = ("daily", "hour_of_year", "hour_of_leap_year",
+              "hour_of_week", "hour_of_week_per_month")
+    daily_freq = ("weekly", "day_of_year", "day_of_leap_year")
+    leap = (year % 4 == 0 and year % 100 != 0) or year % 400 == 0
+    days = 366 if leap else 365
+    if ptype in hourly:
+        n_steps, step_min, off_min = days * 24, 60, 30
+    elif ptype in daily_freq:
+        n_steps, step_min, off_min = days, 1440, 720
+    elif ptype == "monthly":
+        n_steps, step_min, off_min = 12, None, 15 * 1440
+    elif ptype in ("hour3_of_day", "hour3_of_day_per_month"):
+        n_steps, step_min, off_min = days * 8, 180, 90
+    else:
+        raise NotImplementedError(f"profile_da: unsupported ptype {ptype!r}")
+
+    non_cyclic = ptype in (
+        "hour_of_year", "hour_of_leap_year", "day_of_year", "day_of_leap_year"
+    )
+    # k = −1 is the prepended pre-year stamp; k = n_steps the inclusive
+    # year+1-01-01 endpoint.  Non-cyclic types trim both.
+    k0, k1 = (0, n_steps - 1) if non_cyclic else (-1, n_steps)
+    start = F.lit(f"{year}-01-01 00:00:00").cast("timestamp_ntz")
+    base = tprofiles.select(
+        "profile_id",
+        "ratios",
+        F.explode(F.sequence(F.lit(k0), F.lit(k1))).alias("k"),
+    )
+    if ptype == "monthly":
+        ts = F.when(
+            F.col("k") >= 0, F.to_timestamp_ntz(F.add_months(start, F.col("k")))
+        ).otherwise(start - F.make_interval(mins=F.lit(2 * off_min)))
+    else:
+        ts = start + F.make_interval(mins=F.col("k") * step_min)
+    out = base.withColumn("__ts", ts).withColumn(
+        "pos", position_in_profile(F.col("__ts"), ptype).cast("int")
+    )
+    stamp = (
+        F.col("__ts") + F.make_interval(mins=F.lit(off_min))
+        if use_offset
+        else F.col("__ts")
+    )
+    return out.select(
+        "profile_id",
+        stamp.alias("ts"),
+        "pos",
+        F.element_at("ratios", F.col("pos") + 1).alias("ratio"),
+    )
+
+
 def hour_of_year_to_cycles(
     series: DataFrame,
     year_start_weekday: int = 0,

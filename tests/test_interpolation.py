@@ -83,3 +83,46 @@ def test_resolve_daytype(spark):
     # Saturday morning (day 5, hour 0) is zero; Monday is uniform
     assert r[5 * 24 + 0] == 0.0
     assert r[0] == pytest.approx((1.0 / 24) / 7.0)
+
+
+def test_profile_da_monthly_midpoints(spark):
+    from emiproc_spark.operators.interpolation import profile_da
+
+    prof = spark.createDataFrame(
+        [(0, [(m + 1) / 78.0 for m in range(12)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    rows = profile_da(prof, 2023, "monthly").orderBy("ts").collect()
+    # prepended stamp + 12 month starts + inclusive next-year start
+    assert len(rows) == 14
+    # first stamp: Jan 1 − 30 d = Dec 2 2022, +15 d offset → Dec 17
+    assert str(rows[0]["ts"]).startswith("2022-12-17")
+    assert rows[0]["pos"] == 11 and rows[0]["ratio"] == 12 / 78.0
+    # Feb start + 15 d offset → Feb 16, pos = 1
+    assert str(rows[2]["ts"]).startswith("2023-02-16")
+    assert rows[2]["pos"] == 1
+
+
+def test_profile_da_weekly_and_noncyclic(spark):
+    from emiproc_spark.operators.interpolation import profile_da
+
+    wk = spark.createDataFrame(
+        [(0, [(d + 1) / 28.0 for d in range(7)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    rows = profile_da(wk, 2024, "weekly").orderBy("ts").collect()
+    assert len(rows) == 368  # prepended + 366 + inclusive end
+    # 2024-01-01 is a Monday; first (prepended) stamp is Sunday Dec 31
+    assert rows[0]["pos"] == 6
+    assert str(rows[0]["ts"]).startswith("2023-12-31 12:00")
+    assert rows[1]["pos"] == 0 and rows[1]["ratio"] == 1 / 28.0
+
+    hoy = spark.createDataFrame(
+        [(0, [float(h) for h in range(8784)])],
+        schema="profile_id int, ratios array<double>",
+    )
+    rows = profile_da(hoy, 2024, "hour_of_leap_year").orderBy("ts").collect()
+    # non-cyclic: no prepended stamp, no year+1 endpoint
+    assert len(rows) == 8784
+    assert str(rows[0]["ts"]).startswith("2024-01-01 00:30")
+    assert rows[0]["pos"] == 0 and rows[-1]["pos"] == 8783
