@@ -210,16 +210,89 @@ SQL_PROFILE_DA = """
 
 
 # ======================================================================
+# calendar rule (reference get_day_per_year, emiproc/utilities.py:38-46)
+# ======================================================================
+def q_days_in_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.temporal import days_in_year
+
+    return spark.range(1896, 2125).select(
+        F.col("id").cast("int").alias("year"),
+        days_in_year(F.col("id")).alias("days"),
+    )
+
+
+# span includes the 1900/2000/2100 century cases of the Gregorian rule
+SQL_DAYS_IN_YEAR = """
+    SELECT CAST(y AS INT) AS year,
+           CASE WHEN (y % 4 = 0 AND y % 100 <> 0) OR y % 400 = 0
+                THEN 366 ELSE 365 END AS days
+    FROM range(1896, 2125) t(y)
+"""
+
+
+# ======================================================================
+# totals invariant checker (reference total_emissions_almost_equal,
+# emiproc/utilities.py:545-578) — distributed per-key comparison
+# ======================================================================
+def q_totals_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators import basic as ops
+
+    e = fx.emissions(spark, sf_dir)
+    factors = spark.createDataFrame(
+        [("A", "F", 1.1), ("R", "O", 1.0000001)],
+        schema="category string, substance string, factor double",
+    )
+    scaled = ops.scale_inventory(e, factors)
+    diff = ops.total_emissions_diff(
+        ops.get_total_emissions(e), ops.get_total_emissions(scaled)
+    )
+    # totals themselves are plain double sums (fold-order wobble across
+    # engines) — compare only the tolerance verdicts, whose thresholds
+    # (0.1 and 1e-7 vs rtol 1e-5) sit far from any ulp boundary
+    return diff.select("substance", "category", "within_tol")
+
+
+_SCALE_TOT = (
+    "CASE WHEN category = 'A' AND substance = 'F' THEN 1.1 "
+    "WHEN category = 'R' AND substance = 'O' THEN 1.0000001 ELSE 1.0 END"
+)
+SQL_TOTALS_EQUAL = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    ta AS (
+        SELECT substance, category, SUM(value_kg_y) AS v FROM e GROUP BY 1, 2
+        UNION ALL
+        SELECT substance, '__total__', SUM(value_kg_y) FROM e GROUP BY substance
+    ),
+    tb AS (
+        SELECT substance, category, SUM(value_kg_y * ({_SCALE_TOT})) AS v
+        FROM e GROUP BY 1, 2
+        UNION ALL
+        SELECT substance, '__total__', SUM(value_kg_y * ({_SCALE_TOT}))
+        FROM e GROUP BY substance
+    )
+    SELECT ta.substance, ta.category,
+           (ta.v = tb.v OR GREATEST(ABS(ta.v), ABS(tb.v)) = 0.0
+            OR ABS(ta.v - tb.v) / GREATEST(ABS(ta.v), ABS(tb.v)) <= 1e-5)
+               AS within_tol
+    FROM ta JOIN tb USING (substance, category)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "speciate_country": q_speciate_country,
     "icon_mesh": q_icon_mesh,
     "profile_da": q_profile_da,
+    "days_in_year": q_days_in_year,
+    "totals_equal": q_totals_equal,
 }
 
 ORACLES_R3B: dict[str, str] = {
     "speciate_country": SQL_SPECIATE_COUNTRY,
     "icon_mesh": SQL_ICON_MESH,
     "profile_da": SQL_PROFILE_DA,
+    "days_in_year": SQL_DAYS_IN_YEAR,
+    "totals_equal": SQL_TOTALS_EQUAL,
 }

@@ -183,26 +183,42 @@ def get_total_emissions(
     )
 
 
+def total_emissions_diff(
+    a: DataFrame,
+    b: DataFrame,
+    rtol: float = 1e-5,
+) -> DataFrame:
+    """Per-key relative comparison of two totals tables as a DataFrame
+    (the distributed core of the reference's invariant checker,
+    total_emissions_almost_equal, emiproc/utilities.py:545-578).
+
+    Full-outer join on (substance, category); ``within_tol`` is false
+    for keys present on only one side or whose relative difference
+    exceeds ``rtol``.  Returns (substance, category, total_a, total_b,
+    within_tol).
+    """
+    ta = a.select("substance", "category", F.col("total_kg_y").alias("total_a"))
+    tb = b.select("substance", "category", F.col("total_kg_y").alias("total_b"))
+    j = ta.join(tb, ["substance", "category"], "full")
+    va, vb = F.col("total_a"), F.col("total_b")
+    denom = F.greatest(F.abs(va), F.abs(vb))
+    ok = (
+        F.when(va.isNull() | vb.isNull(), F.lit(False))
+        .when(va == vb, F.lit(True))
+        .when(denom == 0.0, F.lit(True))
+        .otherwise(F.abs(va - vb) / denom <= F.lit(rtol))
+    )
+    return j.withColumn("within_tol", ok)
+
+
 def total_emissions_almost_equal(
     a: DataFrame,
     b: DataFrame,
     rtol: float = 1e-5,
 ) -> bool:
-    """Relative-tolerance comparison of two totals tables — the invariant
-    checker (reference total_emissions_almost_equal,
-    emiproc/utilities.py:545-578).  Collects O(cats × subs) rows only.
-    """
-    ta = {(r["substance"], r["category"]): r["total_kg_y"] for r in a.collect()}
-    tb = {(r["substance"], r["category"]): r["total_kg_y"] for r in b.collect()}
-    if set(ta) != set(tb):
-        return False
-    for k, va in ta.items():
-        vb = tb[k]
-        if va == vb:
-            continue
-        denom = max(abs(va), abs(vb))
-        if denom == 0:
-            continue
-        if abs(va - vb) / denom > rtol:
-            return False
-    return True
+    """Boolean wrapper over :func:`total_emissions_diff` — one
+    distributed count of violations (O(1) rows to the driver)."""
+    return (
+        total_emissions_diff(a, b, rtol).where(~F.col("within_tol")).limit(1).count()
+        == 0
+    )

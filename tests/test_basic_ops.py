@@ -124,3 +124,36 @@ def test_group_substances_strict_raises_on_uncovered(spark):
         for r in group_substances(e, {"ALL": ["F", "O"]}).collect()
     }
     assert rows == {"ALL": 1.0, "XX": 2.0}
+
+
+def test_total_emissions_diff_and_almost_equal(spark):
+    from emiproc_spark.operators.basic import (
+        total_emissions_almost_equal,
+        total_emissions_diff,
+    )
+
+    a = spark.createDataFrame(
+        [("CO2", "traffic", 100.0), ("CO2", "__total__", 100.0)],
+        "substance string, category string, total_kg_y double",
+    )
+    b_ok = spark.createDataFrame(
+        [("CO2", "traffic", 100.0000001), ("CO2", "__total__", 100.0000001)],
+        "substance string, category string, total_kg_y double",
+    )
+    b_bad = spark.createDataFrame(
+        [("CO2", "traffic", 101.0), ("CO2", "__total__", 101.0)],
+        "substance string, category string, total_kg_y double",
+    )
+    b_miss = spark.createDataFrame(
+        [("CH4", "traffic", 100.0)],
+        "substance string, category string, total_kg_y double",
+    )
+    assert total_emissions_almost_equal(a, b_ok)
+    assert not total_emissions_almost_equal(a, b_bad)
+    assert not total_emissions_almost_equal(a, b_miss)
+    rows = {
+        (r["substance"], r["category"]): r["within_tol"]
+        for r in total_emissions_diff(a, b_miss).collect()
+    }
+    assert rows[("CO2", "traffic")] is False  # only in a
+    assert rows[("CH4", "traffic")] is False  # only in b
