@@ -279,6 +279,67 @@ SQL_TOTALS_EQUAL = f"""
 
 
 # ======================================================================
+# k-NN majority-vote classification over the embeddings table (uses the
+# label column; broadcast query side, same determinism contract as the
+# knn_join query: quantized per-element products in the oracle land on
+# the same ranking as the engine's raw-double fold)
+# ======================================================================
+DIM = 64
+DOT_SCALE = 1e12
+
+
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.similarity import knn_classify
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 10)
+    corpus = emb.where(F.col("vec_id") >= 10)
+    return knn_classify(q, corpus, k=5)
+
+
+SQL_KNN_CLASSIFY = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding AS qe
+        FROM embeddings WHERE vec_id < 10
+    ),
+    terms AS (
+        SELECT q.query_id, e.vec_id AS neighbor_id, e.label,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS v,
+               CAST(q.qe[t.i + 1] AS DOUBLE) AS qv
+        FROM embeddings e CROSS JOIN q, UNNEST(range({DIM})) AS t(i)
+        WHERE e.vec_id >= 10
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, ANY_VALUE(label) AS label,
+               CAST(SUM(CAST(FLOOR(v * qv * {DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {DOT_SCALE} AS dp,
+               CAST(SUM(CAST(FLOOR(v * v * {DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {DOT_SCALE} AS na,
+               CAST(SUM(CAST(FLOOR(qv * qv * {DOT_SCALE} + 0.5) AS BIGINT)) AS DOUBLE) / {DOT_SCALE} AS nq
+        FROM terms GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT query_id, label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dp / (SQRT(na) * SQRT(nq)) DESC, neighbor_id
+               ) AS rk
+        FROM scored
+    ),
+    votes AS (
+        SELECT query_id, label, COUNT(*) AS votes
+        FROM ranked WHERE rk <= 5 GROUP BY 1, 2
+    ),
+    best AS (
+        SELECT query_id, label AS pred_label, votes,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY votes DESC, label ASC
+               ) AS vk
+        FROM votes
+    )
+    SELECT query_id, pred_label, votes FROM best WHERE vk = 1
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -287,6 +348,7 @@ QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_da": q_profile_da,
     "days_in_year": q_days_in_year,
     "totals_equal": q_totals_equal,
+    "knn_classify": q_knn_classify,
 }
 
 ORACLES_R3B: dict[str, str] = {
@@ -295,4 +357,5 @@ ORACLES_R3B: dict[str, str] = {
     "profile_da": SQL_PROFILE_DA,
     "days_in_year": SQL_DAYS_IN_YEAR,
     "totals_equal": SQL_TOTALS_EQUAL,
+    "knn_classify": SQL_KNN_CLASSIFY,
 }

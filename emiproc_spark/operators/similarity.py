@@ -90,6 +90,42 @@ def knn_join(
     )
 
 
+def knn_classify(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Majority-vote k-NN classification over an embedding corpus:
+    :func:`knn_join` for the neighbors, then per-query argmax of
+    neighbor-label counts (ties break to the smaller label).  Returns
+    (query_id, pred_label, votes).
+
+    Scale shape inherits from knn_join — broadcast query side, map-only
+    scoring, per-query window rank; the vote aggregation is one hash agg
+    over (query, label) (k rows per query)."""
+    from pyspark.sql import Window
+
+    nn = knn_join(queries, corpus, k, id_col, vec_col)
+    labeled = nn.join(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
+        ),
+        "neighbor_id",
+    )
+    votes = labeled.groupBy("query_id", "__lab").agg(F.count("*").alias("votes"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("__lab").asc()
+    )
+    return (
+        votes.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") == 1)
+        .select("query_id", F.col("__lab").alias("pred_label"), "votes")
+    )
+
+
 def hyperplane(dim: int, plane: int) -> list[float]:
     """Deterministic pseudo-random hyperplane: component d is ±1 by the
     parity of a hex digit of md5('p{plane}d{d}') — engine-portable, no

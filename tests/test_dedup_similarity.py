@@ -230,3 +230,28 @@ def test_passage_spans_fold_tail(spark):
     )
     hits = passage_duplicates(d3, win=10).collect()
     assert len(hits) == 1 and hits[0]["n_copies"] == 2
+
+
+def test_knn_classify_majority_vote(spark):
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.similarity import knn_classify
+
+    # corpus: label 0 clustered near +x, label 1 near +y; one noisy
+    # label-1 point near +x makes the vote 4:1, not unanimous
+    corpus = spark.createDataFrame(
+        [
+            (10, [1.0, 0.0], 0), (11, [0.9, 0.1], 0), (12, [1.0, 0.1], 0),
+            (13, [0.95, 0.0], 0), (14, [0.9, 0.2], 1),
+            (20, [0.0, 1.0], 1), (21, [0.1, 0.9], 1), (22, [0.0, 0.9], 1),
+            (23, [0.1, 1.0], 1), (24, [0.2, 0.9], 0),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    q = spark.createDataFrame(
+        [(0, [1.0, 0.05]), (1, [0.05, 1.0])], "vec_id long, embedding array<float>"
+    )
+    out = {r["query_id"]: (r["pred_label"], r["votes"])
+           for r in knn_classify(q, corpus, k=5).collect()}
+    assert out[0] == (0, 4)
+    assert out[1] == (1, 4)

@@ -109,3 +109,41 @@ def test_session_enables_adaptive_execution(spark):
     assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
     assert spark.conf.get("spark.sql.adaptive.coalescePartitions.enabled") == "true"
+
+
+def test_bucketed_store_join_has_no_exchange(spark, tmp_path):
+    """Two inventories bucketed on cell_id join without any shuffle —
+    the bucketing spec is recognized by the planner (the 100 TB reuse
+    path of exports/store.py)."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.exports.store import (
+        read_inventory_table,
+        save_inventory_bucketed,
+    )
+
+    e = spark.range(10_000).select(
+        F.col("id").alias("cell_id"),
+        F.lit("cat").alias("category"),
+        F.lit("CO2").alias("substance"),
+        (F.col("id") % 7 + 1.0).alias("value_kg_y"),
+    )
+    save_inventory_bucketed(e, "inv_a_bkt", buckets=8, path=str(tmp_path / "a"))
+    save_inventory_bucketed(e, "inv_b_bkt", buckets=8, path=str(tmp_path / "b"))
+    try:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            a = read_inventory_table(spark, "inv_a_bkt")
+            b = read_inventory_table(spark, "inv_b_bkt").withColumnsRenamed(
+                {"value_kg_y": "v2"}
+            )
+            joined = a.join(b.select("cell_id", "v2"), "cell_id")
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
+            assert joined.count() == 10_000
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS inv_a_bkt")
+        spark.sql("DROP TABLE IF EXISTS inv_b_bkt")
