@@ -175,6 +175,19 @@ def speciate(
             .groupBy("cell_id", "src_substance", "dst_substance")
             .agg(F.sum(F.col("__frac_n") * F.col("ratio")).alias("__ratio_blend"))
         )
+        # Σ over dst of the blended ratios per (cell, src) — the
+        # reference's mask_zero_ratios test (speciation.py:238-246) —
+        # is folded INTO the blend dimension (a window over the
+        # cell×pairs-sized table), so the fact fan-out takes exactly one
+        # join against a complete per-cell ratio dimension instead of a
+        # window (sort+shuffle of |facts|·|dst| rows) or two separate
+        # shuffle joins.  The dimension is cell_country-sized — the same
+        # in-memory assumption the reference's xarray blend makes — and
+        # is broadcast like the cc table's sibling joins.
+        rsum_win = Window.partitionBy("cell_id", "src_substance")
+        blended = blended.withColumn(
+            "__rsum_b", F.sum("__ratio_blend").over(rsum_win)
+        )
         # fan the fact table out to every dst substance, LEFT-join the
         # per-cell blend: uncovered cells keep their rows and resolve
         # through the zero-sum fallback below instead of being dropped
@@ -183,15 +196,14 @@ def speciate(
             emissions["substance"] == pairs["src_substance"],
             "inner",
         )
-        j = fan.join(
-            blended, ["cell_id", "src_substance", "dst_substance"], "left"
-        ).join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
-        # Σ over dst of the blended ratios for this (cell, category, src):
-        # every dst row of the pair fan-out is present, so a window sum
-        # over them reconstructs the reference's mask_zero_ratios test
-        rsum_win = Window.partitionBy("cell_id", "category", "src_substance")
-        j = j.withColumn(
-            "__rsum", F.sum(F.coalesce("__ratio_blend", F.lit(0.0))).over(rsum_win)
+        j = (
+            fan.join(
+                F.broadcast(blended),
+                ["cell_id", "src_substance", "dst_substance"],
+                "left",
+            )
+            .join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
+            .withColumn("__rsum", F.coalesce("__rsum_b", F.lit(0.0)))
         )
         no_default_err = F.raise_error(
             F.concat(
