@@ -419,7 +419,16 @@ def export_hourly_netcdf(
         )
         for (cat, sub), g in pdf.groupby(["category", "substance"]):
             arr = np.zeros((lats_.size, lons_.size, 1))
-            pos = np.searchsorted(ids_s, g["cell_id"].to_numpy())
+            cells = g["cell_id"].to_numpy()
+            pos = np.searchsorted(ids_s, cells)
+            # searchsorted returns an insertion point for unknown ids —
+            # validate instead of silently writing into a neighbor cell
+            bad = (pos >= ids_s.size) | (ids_s[np.minimum(pos, ids_s.size - 1)] != cells)
+            if bad.any():
+                raise ValueError(
+                    f"hourly rows reference cell_ids absent from the grid: "
+                    f"{np.unique(cells[bad])[:5].tolist()} ..."
+                )
             arr[lat_p[pos], lon_p[pos], 0] = g["value_kg_h"].to_numpy()
             name = var_name_format.format(substance=sub, category=cat)
             ds.variables[name] = NCVariable(

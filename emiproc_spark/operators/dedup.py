@@ -221,13 +221,17 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     The bits are extracted JVM-side — ``conv`` turns each 8-hex-digit
     half into a 32-bit int, ``shiftright``+mask reads each position — so
     the aggregation input is ONE row per (doc, distinct token), not a
-    64-way row explode.  The per-position one-counts are packed four to
-    a long in 16-bit lanes, so the shuffle/agg carries 16 long columns
-    (+ the token count) instead of 64: lane l of column c accumulates
-    ones at position ``4c + l``; the vote at p is positive iff
-    ``2·ones(p) > n_tokens``.  Lanes cannot overflow below 65 536
-    distinct tokens per doc — guarded with an execution-time error
-    (truncate/shingle such documents first).
+    64-way row explode.  The per-position one-counts are packed three
+    to a long in 16-bit lanes, so the shuffle/agg carries 22 long
+    columns (+ the token count) instead of 64: lane l of column c
+    accumulates ones at position ``3c + l``; the vote at p is positive
+    iff ``2·ones(p) > n_tokens``.  Three lanes (not four) keep the
+    highest lane at bit 32, so the int64 sum cannot overflow for any
+    document the 65 536-distinct-token guard admits (a fourth lane at
+    bit 48 would overflow the signed sum at 32 768 tokens *before* the
+    guard could fire); above the guard, lane carries corrupt the counts
+    and the execution-time error fires (truncate/shingle such documents
+    first).
 
     Bit-string (not BIGINT) output keeps it engine-portable; Hamming
     distance is a cheap zip-count on the string or a later cast.
@@ -253,13 +257,15 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
         return F.shiftright(F.col(half), shift).bitwiseAND(F.lit(1))
 
     def lane_pack(col: int):
-        packed = bit(4 * col)
-        for lane in range(1, 4):
-            packed = packed + F.shiftleft(bit(4 * col + lane), 16 * lane)
+        packed = bit(3 * col)
+        for lane in range(1, 3):
+            if 3 * col + lane < 64:
+                packed = packed + F.shiftleft(bit(3 * col + lane), 16 * lane)
         return F.sum(packed).alias(f"c{col}")
 
+    n_cols = 22  # ceil(64 / 3)
     counts = tok.groupBy("doc_id").agg(
-        F.count("*").alias("__n"), *[lane_pack(c) for c in range(16)]
+        F.count("*").alias("__n"), *[lane_pack(c) for c in range(n_cols)]
     )
     guard = F.when(
         F.col("__n") >= 65536,
@@ -274,7 +280,7 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     ).otherwise(F.col("__n"))
 
     def ones(pos: int):
-        return F.shiftright(F.col(f"c{pos // 4}"), 16 * (pos % 4)).bitwiseAND(
+        return F.shiftright(F.col(f"c{pos // 3}"), 16 * (pos % 3)).bitwiseAND(
             F.lit(0xFFFF)
         )
 

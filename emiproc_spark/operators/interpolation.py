@@ -106,11 +106,12 @@ def profile_da(
     """
     from emiproc_spark.operators.temporal import position_in_profile
 
+    import calendar
+
     hourly = ("daily", "hour_of_year", "hour_of_leap_year",
               "hour_of_week", "hour_of_week_per_month")
     daily_freq = ("weekly", "day_of_year", "day_of_leap_year")
-    leap = (year % 4 == 0 and year % 100 != 0) or year % 400 == 0
-    days = 366 if leap else 365
+    days = 366 if calendar.isleap(year) else 365
     if ptype in hourly:
         n_steps, step_min, off_min = days * 24, 60, 30
     elif ptype in daily_freq:

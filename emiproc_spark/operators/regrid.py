@@ -236,38 +236,44 @@ def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        src_cache: dict[int, tuple[list, float]] = {}
-        dst_cache: dict[int, np.ndarray] = {}
+        # caches key on the WKB bytes, NOT the cell id: a dst cell may
+        # legitimately appear with several geometries (antimeridian
+        # parts from icon_mesh_grid emit one row per part under the same
+        # cell_id; their per-part weights sum in the remap aggregation)
+        src_cache: dict[bytes, tuple[list, float]] = {}
+        dst_cache: dict[bytes, np.ndarray] = {}
 
         for pdf in batches:
             if pdf.empty:
                 continue
             src_ids = pdf["s_cell_id"].to_numpy()
             dst_ids = pdf["d_cell_id"].to_numpy()
-            for sid, buf in zip(src_ids, pdf["s_geometry"]):
-                if sid not in src_cache:
-                    _, rings = geom.parse_wkb(bytes(buf))
-                    src_cache[sid] = (rings, sum(geom.shoelace_area(r) for r in rings))
-            for did, buf in zip(dst_ids, pdf["d_geometry"]):
-                if did not in dst_cache:
-                    ring = geom.parse_wkb(bytes(buf))[1][0]
+            s_bufs = [bytes(b) for b in pdf["s_geometry"]]
+            d_bufs = [bytes(b) for b in pdf["d_geometry"]]
+            for buf in s_bufs:
+                if buf not in src_cache:
+                    _, rings = geom.parse_wkb(buf)
+                    src_cache[buf] = (rings, sum(geom.shoelace_area(r) for r in rings))
+            for buf in d_bufs:
+                if buf not in dst_cache:
+                    ring = geom.parse_wkb(buf)[1][0]
                     if len(ring) > 1 and (ring[0] == ring[-1]).all():
                         ring = ring[:-1]
-                    dst_cache[did] = geom.ensure_ccw(ring)
+                    dst_cache[buf] = geom.ensure_ccw(ring)
 
             # one padded stack over every (subject ring, clip ring) pair
             rings_flat, owner, clip_rings = [], [], []
-            for k, (sid, did) in enumerate(zip(src_ids, dst_ids)):
-                for r in src_cache[sid][0]:
+            for k, (sb, db) in enumerate(zip(s_bufs, d_bufs)):
+                for r in src_cache[sb][0]:
                     rings_flat.append(r)
                     owner.append(k)
-                    clip_rings.append(dst_cache[did])
+                    clip_rings.append(dst_cache[db])
             owner = np.array(owner)
             P, counts = geom.stack_rings(rings_flat)
             C, ccounts = geom.stack_rings(clip_rings)
             inter = geom.batch_convex_clip_area(P, counts, C, ccounts)
             per_row = np.bincount(owner, weights=inter, minlength=len(pdf))
-            areas = np.array([src_cache[s][1] for s in src_ids])
+            areas = np.array([src_cache[s][1] for s in s_bufs])
             w = np.divide(per_row, areas, out=np.zeros_like(per_row), where=areas > 0)
 
             keep = w > 0

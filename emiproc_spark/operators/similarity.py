@@ -68,10 +68,15 @@ def knn_join(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact k-NN join (small query side × large corpus): broadcast the
     queries, window-rank per query.  For large query sides, LSH-bucket
-    both sides first (``lsh_buckets``) and re-rank within buckets."""
+    both sides first (``lsh_buckets``) and re-rank within buckets.
+
+    ``carry_cols``: extra corpus columns to carry onto the neighbor rows
+    inside the single scoring scan (so callers don't rescan the corpus
+    to re-attach metadata like labels)."""
     from pyspark.sql import Window
 
     q = queries.select(
@@ -81,6 +86,7 @@ def knn_join(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("qvec")).alias("cos"),
+        *carry_cols,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
@@ -104,17 +110,13 @@ def knn_classify(
     (query_id, pred_label, votes).
 
     Scale shape inherits from knn_join — broadcast query side, map-only
-    scoring, per-query window rank; the vote aggregation is one hash agg
+    scoring with the label carried in the same scan (no second corpus
+    scan), per-query window rank; the vote aggregation is one hash agg
     over (query, label) (k rows per query)."""
     from pyspark.sql import Window
 
-    nn = knn_join(queries, corpus, k, id_col, vec_col)
-    labeled = nn.join(
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"), F.col(label_col).alias("__lab")
-        ),
-        "neighbor_id",
-    )
+    nn = knn_join(queries, corpus, k, id_col, vec_col, carry_cols=(label_col,))
+    labeled = nn.withColumnRenamed(label_col, "__lab")
     votes = labeled.groupBy("query_id", "__lab").agg(F.count("*").alias("votes"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("votes").desc(), F.col("__lab").asc()

@@ -177,16 +177,17 @@ def speciate(
         )
         # Σ over dst of the blended ratios per (cell, src) — the
         # reference's mask_zero_ratios test (speciation.py:238-246) —
-        # is folded INTO the blend dimension (a window over the
-        # cell×pairs-sized table), so the fact fan-out takes exactly one
-        # join against a complete per-cell ratio dimension instead of a
-        # window (sort+shuffle of |facts|·|dst| rows) or two separate
-        # shuffle joins.  The dimension is cell_country-sized — the same
-        # in-memory assumption the reference's xarray blend makes — and
-        # is broadcast like the cc table's sibling joins.
-        rsum_win = Window.partitionBy("cell_id", "src_substance")
-        blended = blended.withColumn(
-            "__rsum_b", F.sum("__ratio_blend").over(rsum_win)
+        # computed on the DIMENSION side and joined back on (cell, src),
+        # NOT folded into the per-(cell, src, dst) blend rows: a fan row
+        # whose (cell, src, dst) is absent from the blend (a dst only
+        # covered by countries that don't touch this cell) must still
+        # see the group's nonzero sum and resolve to ratio 0, not fall
+        # back to the -99 default and inflate mass.  Both dimensions are
+        # cell_country-sized (the reference's in-memory xarray blend
+        # makes the same assumption) and broadcast, so the fact fan-out
+        # takes two broadcast hash joins and never shuffles.
+        rsum = blended.groupBy("cell_id", "src_substance").agg(
+            F.sum("__ratio_blend").alias("__rsum_b")
         )
         # fan the fact table out to every dst substance, LEFT-join the
         # per-cell blend: uncovered cells keep their rows and resolve
@@ -203,6 +204,7 @@ def speciate(
                 "left",
             )
             .join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
+            .join(F.broadcast(rsum), ["cell_id", "src_substance"], "left")
             .withColumn("__rsum", F.coalesce("__rsum_b", F.lit(0.0)))
         )
         no_default_err = F.raise_error(

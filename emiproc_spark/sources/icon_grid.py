@@ -73,12 +73,25 @@ def icon_mesh_grid(
 
     ``container_decoder`` as in :func:`sources.netcdf.scan_netcdf`
     (magic-dispatched NetCDF-3 / h5py-gated NetCDF-4 by default).
+
+    ``path`` must resolve to exactly ONE grid file: ICON cell ids are
+    per-file triangle indexes, so concatenating several grids would
+    silently collide ids — load each grid separately and offset ids
+    yourself if you really need a multi-domain union.
     """
     from emiproc_spark.functions import geometry as geom
     from emiproc_spark.sources.netcdf import default_container_decoder
 
     decoder = container_decoder or default_container_decoder
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+    n_files = files.select("path").distinct().count()
+    if n_files != 1:
+        raise ValueError(
+            f"icon_mesh_grid: {path!r} matched {n_files} files; ICON cell "
+            "ids are per-file — pass a single grid file (load multiple "
+            "domains separately and offset cell_ids before unioning)"
+        )
+    files = files.select("content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

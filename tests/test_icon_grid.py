@@ -94,3 +94,39 @@ def test_remap_rect_inventory_onto_icon_mesh(spark, tmp_path):
     vals = sorted(round(r["weight"], 9) for r in rows)
     assert set(vals) == {0.5, 1.0}
     assert vals.count(0.5) == 16  # 2 diagonal cells × 2 halves × 4 tiles
+
+
+def test_remap_through_wrapped_cell_sums_both_parts(spark, tmp_path):
+    """A mesh cell split at ±180° emits two parts under one cell_id; the
+    poly-poly refine must clip against EACH part's own geometry (caches
+    key on geometry, not id) so the remap counts both sides."""
+    from emiproc_spark.grids import regular_grid
+    from emiproc_spark.operators.regrid import weights_poly_poly
+
+    # triangle straddling the antimeridian: (179,0) (-179,0) (179,2)
+    # → west part near lon 179..180, east part near -180..-179
+    p = make_icon_grid_file(
+        str(tmp_path / "wrap.nc"),
+        np.array([[179.0, -179.0, 179.0]]),
+        np.array([[0.0, 0.0, 2.0]]),
+    )
+    mesh = icon_mesh_grid(spark, p)
+    # two source squares, one on each side of the meridian, fully
+    # inside the triangle's bbox span
+    src = regular_grid(spark, 179.0, 0.0, 1, 1, 0.5, 0.5).unionByName(
+        regular_grid(spark, -180.0, 0.0, 1, 1, 0.5, 0.5).withColumn(
+            "cell_id", F.col("cell_id") + 100
+        )
+    )
+    w = weights_poly_poly(
+        src.select(F.col("cell_id").alias("source_id"), "geometry",
+                   "xmin", "ymin", "xmax", "ymax"),
+        mesh,
+        tile=1.0,
+    ).collect()
+    got = {}
+    for r in w:
+        got[r["src_id"]] = got.get(r["src_id"], 0.0) + r["weight"]
+    # both sides found the (single) mesh cell with nonzero overlap
+    assert set(got) == {0, 100}
+    assert all(v > 0.1 for v in got.values())

@@ -228,3 +228,34 @@ def test_temporal_composite_product(spark):
     assert len(rows) == 1  # no fan-out
     # sf = (1.0·24) · (1/7·7) = 24
     assert rows[0]["value_kg_h"] == pytest.approx(24.0)
+
+
+def test_country_blend_missing_dst_resolves_to_zero_not_default(spark):
+    """A dst substance only covered by countries that don't touch this
+    cell must get ratio 0 (the cell's blend sum is nonzero), NOT the
+    -99 default — otherwise mass inflates (review finding r3)."""
+    from emiproc_spark.core.schemas import SPECIATION
+    from emiproc_spark.operators.speciation import speciate
+
+    e = spark.createDataFrame(
+        [(0, "cat", "F", 100.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    spec = spark.createDataFrame(
+        [
+            (None, "C0", None, None, "F", "F1", 1.0),   # covers cell 0
+            (None, "C1", None, None, "F", "F2", 1.0),   # does NOT cover cell 0
+            (None, "-99", None, None, "F", "F1", 0.5),
+            (None, "-99", None, None, "F", "F2", 0.5),
+        ],
+        schema=SPECIATION,
+    )
+    cc = spark.createDataFrame(
+        [(0, "C0", 1.0)], "cell_id long, country string, fraction double"
+    )
+    out = {
+        r["substance"]: r["value_kg_y"]
+        for r in speciate(e, spec, cell_country=cc).collect()
+    }
+    assert out["F1"] == 100.0
+    assert out.get("F2", 0.0) == 0.0  # NOT 50 from the -99 default
