@@ -340,6 +340,110 @@ SQL_KNN_CLASSIFY = f"""
 
 
 # ======================================================================
+# Structured Streaming end-to-end: a real stream (file source →
+# availableNow trigger → memory sink) whose finished result equals the
+# batch aggregation — which gives streaming a true DuckDB oracle
+# instead of the rows-only check.  Values are pre-quantized to int64 so
+# the window sums are exact on both engines.
+# ======================================================================
+NS_PER_HOUR_R3B = 3_600_000_000_000
+
+
+def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    import os
+    import tempfile
+
+    from emiproc_spark.driver_queries import _events
+    from emiproc_spark.qhelpers import QSCALE
+
+    ev = _events(spark, sf_dir)
+    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_stream_"), "in")
+    (
+        ev.select(
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "event_type",
+            "user_id",
+            F.floor(F.col("value") * F.lit(QSCALE) + F.lit(0.5))
+            .cast("long")
+            .alias("value"),
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
+def _run_stream(out_df: DataFrame, name: str, mode: str) -> DataFrame:
+    import uuid
+
+    name = f"{name}_{uuid.uuid4().hex[:8]}"  # unique per invocation
+    q = (
+        out_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return out_df.sparkSession.table(name)
+
+
+def q_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-hour aggregation executed as an actual
+    Structured Streaming query (streams.windowed_event_stats), complete
+    output mode so every window reaches the sink."""
+    from emiproc_spark.streaming.streams import windowed_event_stats
+
+    src = _stream_events_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, user_id long, value long"
+    ).parquet(src)
+    out = windowed_event_stats(stream, "1 hour", "2 hours")
+    res = _run_stream(out, "r3b_stream_stats", "complete")
+    return res.select(
+        F.unix_seconds("window_start").alias("epoch_s"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+SQL_STREAM_WINDOW_STATS = f"""
+    SELECT (epoch_ns(ts) // {NS_PER_HOUR_R3B}) * 3600 AS epoch_s,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+"""
+
+
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark) run to
+    completion; only the key columns are returned, so the result is the
+    distinct key set regardless of which arrival was kept."""
+    from emiproc_spark.streaming.streams import dedup_stream
+
+    src = _stream_events_dir(spark, sf_dir)
+    stream = spark.readStream.schema(
+        "ts timestamp, event_type string, user_id long, value long"
+    ).parquet(src)
+    out = dedup_stream(stream, ["user_id", "event_type"], "24 hours").select(
+        "user_id", "event_type"
+    )
+    return _run_stream(out, "r3b_stream_dedup", "append").select(
+        "user_id", "event_type"
+    )
+
+
+SQL_STREAM_DEDUP = """
+    SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -349,6 +453,8 @@ QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "days_in_year": q_days_in_year,
     "totals_equal": q_totals_equal,
     "knn_classify": q_knn_classify,
+    "stream_window_stats": q_stream_window_stats,
+    "stream_dedup": q_stream_dedup,
 }
 
 ORACLES_R3B: dict[str, str] = {
@@ -358,4 +464,6 @@ ORACLES_R3B: dict[str, str] = {
     "days_in_year": SQL_DAYS_IN_YEAR,
     "totals_equal": SQL_TOTALS_EQUAL,
     "knn_classify": SQL_KNN_CLASSIFY,
+    "stream_window_stats": SQL_STREAM_WINDOW_STATS,
+    "stream_dedup": SQL_STREAM_DEDUP,
 }
