@@ -147,3 +147,13 @@ def test_bucketed_store_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS inv_a_bkt")
         spark.sql("DROP TABLE IF EXISTS inv_b_bkt")
+
+
+@pytest.mark.parametrize("name", ["temporal_expand", "speciate_country"])
+def test_dimension_folds_leave_no_sortmergejoin(spark, name):
+    """Round-3 dimension-side folds: profile-index wildcard resolution
+    and the country-blend ratio dimension resolve before broadcast, so
+    the whole query plans without any SortMergeJoin — the fact table
+    never shuffles for a dimension."""
+    df = QUERIES[name](spark, SF_DIR)
+    assert "SortMergeJoin" not in plan_of(spark, df)
