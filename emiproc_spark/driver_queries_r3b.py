@@ -444,6 +444,48 @@ SQL_STREAM_DEDUP = """
 
 
 # ======================================================================
+# YAML profile definitions (reference profiles/temporal/io.py:211-306):
+# write → read → normalized dedup store.  Ratios are dyadic rationals
+# ((k+1)/16, /8, /4) whose double sums are exact in ANY fold order, so
+# normalization is bit-identical with no quantizer.
+# ======================================================================
+def q_profiles_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from emiproc_spark.sources.profiles_io import profiles_from_yaml
+
+    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_yaml_"), "prof.yaml")
+    daily = ", ".join(repr((h + 1) / 16.0) for h in range(24))
+    weekly = ", ".join(repr((d + 1) / 8.0) for d in range(7))
+    monthly = ", ".join(repr((m + 1) / 4.0) for m in range(12))
+    with open(path, "w") as f:
+        f.write(
+            f"name: fixture\ndaily: [{daily}]\nweekly: [{weekly}]\n"
+            f"monthly: [{monthly}]\n"
+        )
+    store, _index = profiles_from_yaml(spark, path)
+    return store.select(
+        "profile_id", "ptype", F.posexplode("ratios").alias("pos", "ratio")
+    )
+
+
+# ids are the lexicographic rank of (ptype, ratios): daily < monthly <
+# weekly.  Sums: 24 terms/16 → 18.75, 12/4 → 19.5, 7/8 → 3.5 (exact).
+SQL_PROFILES_YAML = """
+    SELECT 0 AS profile_id, 'daily' AS ptype, CAST(p.pos AS INT) AS pos,
+           ((p.pos + 1) / 16.0) / 18.75 AS ratio
+    FROM range(24) p(pos)
+    UNION ALL
+    SELECT 1, 'monthly', CAST(p.pos AS INT), ((p.pos + 1) / 4.0) / 19.5
+    FROM range(12) p(pos)
+    UNION ALL
+    SELECT 2, 'weekly', CAST(p.pos AS INT), ((p.pos + 1) / 8.0) / 3.5
+    FROM range(7) p(pos)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -455,6 +497,7 @@ QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "stream_window_stats": q_stream_window_stats,
     "stream_dedup": q_stream_dedup,
+    "profiles_yaml": q_profiles_yaml,
 }
 
 ORACLES_R3B: dict[str, str] = {
@@ -466,4 +509,5 @@ ORACLES_R3B: dict[str, str] = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "stream_window_stats": SQL_STREAM_WINDOW_STATS,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "profiles_yaml": SQL_PROFILES_YAML,
 }
