@@ -346,10 +346,18 @@ SQL_KNN_CLASSIFY = f"""
 # instead of the rows-only check.  Values are pre-quantized to int64 so
 # the window sums are exact on both engines.
 # ======================================================================
-NS_PER_HOUR_R3B = 3_600_000_000_000
+from emiproc_spark.driver_queries import NS_PER_HOUR as NS_PER_HOUR_R3B
+
+_STREAM_DIR_CACHE: dict[str, str] = {}
 
 
 def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events rewritten once per sf_dir as ONE parquet file: a single
+    input file ⇒ the availableNow run is a single micro-batch, so
+    within-watermark dedup state is never evicted mid-run and the
+    finished stream equals the batch aggregation exactly."""
+    if sf_dir in _STREAM_DIR_CACHE:
+        return _STREAM_DIR_CACHE[sf_dir]
     import os
     import tempfile
 
@@ -367,10 +375,11 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
             .cast("long")
             .alias("value"),
         )
-        .coalesce(4)
+        .coalesce(1)
         .write.mode("overwrite")
         .parquet(out)
     )
+    _STREAM_DIR_CACHE[sf_dir] = out
     return out
 
 
@@ -430,12 +439,12 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "ts timestamp, event_type string, user_id long, value long"
     ).parquet(src)
-    out = dedup_stream(stream, ["user_id", "event_type"], "24 hours").select(
+    # watermark horizon >> data span: dedup is global even if the file
+    # source ever split the run into several micro-batches
+    out = dedup_stream(stream, ["user_id", "event_type"], "3650 days").select(
         "user_id", "event_type"
     )
-    return _run_stream(out, "r3b_stream_dedup", "append").select(
-        "user_id", "event_type"
-    )
+    return _run_stream(out, "r3b_stream_dedup", "append")
 
 
 SQL_STREAM_DEDUP = """
@@ -497,8 +506,15 @@ QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "stream_window_stats": q_stream_window_stats,
     "stream_dedup": q_stream_dedup,
-    "profiles_yaml": q_profiles_yaml,
 }
+
+try:  # pyyaml is an optional dependency (pyproject [yaml]/[dev]); the
+    # registry must import cleanly without it
+    import yaml as _yaml  # noqa: F401
+
+    QUERIES_R3B["profiles_yaml"] = q_profiles_yaml
+except ImportError:  # pragma: no cover
+    pass
 
 ORACLES_R3B: dict[str, str] = {
     "speciate_country": SQL_SPECIATE_COUNTRY,
@@ -509,5 +525,7 @@ ORACLES_R3B: dict[str, str] = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "stream_window_stats": SQL_STREAM_WINDOW_STATS,
     "stream_dedup": SQL_STREAM_DEDUP,
-    "profiles_yaml": SQL_PROFILES_YAML,
 }
+
+if "profiles_yaml" in QUERIES_R3B:
+    ORACLES_R3B["profiles_yaml"] = SQL_PROFILES_YAML

@@ -3,8 +3,6 @@ pure function of the token SET, passage spans must partition the token
 stream, and profile_da must agree with the cyclic position expression.
 One Spark job per example — example counts stay low."""
 
-import numpy as np
-import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -36,23 +34,23 @@ def test_simhash_is_token_set_invariant(spark, toks, rnd):
 def test_passage_spans_partition_tokens(spark, n_tokens, win):
     """Spans reconstruct the full token stream exactly once, in order —
     the tail fold never drops or duplicates a token."""
-    from emiproc_spark.operators.dedup import tokens as tok_fn
+    import hashlib
+
+    from emiproc_spark.operators.dedup import passage_spans
 
     toks = [f"t{i}" for i in range(n_tokens)]
     docs = spark.createDataFrame([(0, " ".join(toks))], "doc_id long, text string")
-    # reconstruct using the same slicing rule passage_spans hashes
+    # expected spans: fixed windows, tail folded into the last one; the
+    # slices must partition the token stream exactly
     n_spans = max(1, n_tokens // win)
-    rebuilt = []
+    expected, rebuilt = [], []
     for p in range(n_spans):
-        length = (2 * win - 1) if p == n_spans - 1 else win
-        rebuilt.extend(toks[p * win : p * win + length])
+        sl = toks[p * win : n_tokens] if p == n_spans - 1 else toks[p * win : (p + 1) * win]
+        rebuilt.extend(sl)
+        expected.append(hashlib.md5(" ".join(sl).encode()).hexdigest())
     assert rebuilt == toks
-    # and the operator emits exactly n_spans distinct hashes per doc
-    from emiproc_spark.operators.dedup import passage_spans
-
-    spans = passage_spans(docs, win=win).collect()
-    assert len(spans) == n_spans
-    assert len({r["p_idx"] for r in spans}) == n_spans
+    got = {r["p_idx"]: r["passage_hash"] for r in passage_spans(docs, win=win).collect()}
+    assert got == dict(enumerate(expected))
 
 
 @given(st.sampled_from(["daily", "weekly", "monthly"]), st.integers(2019, 2025))
