@@ -210,3 +210,83 @@ def test_ep1_point_sources_chain_conserves(spark, tno_path):
         gridded.agg(F.sum("value_kg_y")).collect()[0][0] + total_inside
     )
     assert lhs == pytest.approx(rhs, rel=1e-9)
+
+
+def test_ep4_icon_mesh_chain_conserves(spark, tmp_path):
+    """EP4 — the reference's main ICON workflow end-to-end: inventory on
+    a regular grid → remap onto a triangular ICON mesh (grid file →
+    ingest → poly-poly weights) with mass conserved → regionize by
+    (timezone, profile) → OEM scaling-factor files written and read
+    back (scripts/tno_2_icon.py analogue over the new mesh ingest)."""
+    import numpy as np
+
+    from emiproc_spark.exports.icon import make_icon_time_profiles
+    from emiproc_spark.exports.writers import regionize
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+    from emiproc_spark.grids import regular_grid
+    from emiproc_spark.operators.regrid import weights_poly_poly
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = fx.emissions(spark, sf_dir)
+
+    # mesh covering the 10x10 fixture extent: 2x2 tiles split diagonally
+    lon, lat = [], []
+    for tx in range(5):
+        for ty in range(5):
+            x0, y0 = tx * 2.0, ty * 2.0
+            lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
+            lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
+    mesh = icon_mesh_grid(
+        spark,
+        make_icon_grid_file(str(tmp_path / "grid.nc"), np.array(lon), np.array(lat)),
+    )
+    fine = regular_grid(spark, 0.0, 0.0, 10, 10, 1.0, 1.0)
+    w = weights_poly_poly(
+        fine.select(F.col("cell_id").alias("source_id"), "geometry",
+                    "xmin", "ymin", "xmax", "ymax"),
+        mesh, tile=2.0,
+    )
+    remapped = (
+        e.join(F.broadcast(w), e["cell_id"] == w["src_id"])
+        .groupBy(F.col("dst_id").alias("cell_id"), "category", "substance")
+        .agg(F.sum(F.col("value_kg_y") * F.col("weight")).alias("value_kg_y"))
+    )
+    assert total_emissions_almost_equal(
+        get_total_emissions(e), get_total_emissions(remapped), rtol=1e-9
+    )
+
+    # regionize mesh cells by (tz, profile) and write the OEM files
+    cell_tz = mesh.select(
+        "cell_id",
+        F.when(F.col("cell_id") % 2 == 0, "UTC").otherwise("CET").alias("tzid"),
+    ).distinct()
+    cell_prof = mesh.select("cell_id").distinct().withColumn(
+        "profile_id", F.lit(0)
+    )
+    regions = regionize(cell_tz, cell_prof)
+    daily = [(h + 1) / 300.0 for h in range(24)]
+    store = spark.createDataFrame(
+        [(0, "daily", daily)], "profile_id int, ptype string, ratios array<double>"
+    )
+    index = (
+        regions.select("region_id")
+        .distinct()
+        .select(
+            F.lit("A").alias("category"), F.lit("F").alias("substance"),
+            "region_id", F.lit("daily").alias("ptype"),
+            F.lit(0).alias("profile_id"),
+        )
+    )
+    reg_dim = (
+        regions.select("region_id", "tzid")
+        .distinct()
+        .select(
+            "region_id",
+            F.col("tzid").alias("region_key"),
+            F.when(F.col("tzid") == "CET", 1).otherwise(0).alias("tz_shift"),
+        )
+    )
+    out = make_icon_time_profiles(index, store, reg_dim, str(tmp_path))
+    ds = read_netcdf(out["hourofday"])
+    assert ds.variables["A_F"].data.shape[0] == 24

@@ -319,3 +319,44 @@ def test_hourly_export_year_100k_cells(spark, tmp_path):
     assert v.data[0, 0, 0] == 1.0
     shutil.rmtree(out_dir)
     print(f"\n8784h x 100k-cell hourly export wall: {dt:.1f}s")
+
+
+def test_icon_mesh_remap_50k_triangles(spark, tmp_path):
+    """250k-cell regular grid remapped onto a 50k-triangle ICON mesh:
+    the mesh ingest (executor-side decode, vectorized WKB) and the
+    poly-poly tile join must stay sub-quadratic and conserve area
+    weights for interior cells."""
+    import numpy as np
+
+    from emiproc_spark.grids import regular_grid
+    from emiproc_spark.operators.regrid import weights_poly_poly
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+
+    # 500x500 extent tiled by 158x158 squares of ~3.16 → ~50k triangles
+    nt = 158
+    d = 500.0 / nt
+    lon, lat = [], []
+    for tx in range(nt):
+        for ty in range(nt):
+            x0, y0 = tx * d, ty * d
+            lon.append([x0, x0 + d, x0 + d]); lat.append([y0, y0, y0 + d])
+            lon.append([x0, x0 + d, x0]); lat.append([y0, y0 + d, y0 + d])
+    path = make_icon_grid_file(
+        str(tmp_path / "big.nc"), np.array(lon), np.array(lat)
+    )
+    t0 = time.time()
+    mesh = icon_mesh_grid(spark, path)
+    fine = regular_grid(spark, 0.0, 0.0, 500, 500, 1.0, 1.0)
+    w = weights_poly_poly(
+        fine.select(F.col("cell_id").alias("source_id"), "geometry",
+                    "xmin", "ymin", "xmax", "ymax"),
+        mesh, tile=d,
+    )
+    sums = w.groupBy("src_id").agg(F.sum("weight").alias("s"))
+    bad = sums.where(F.abs(F.col("s") - 1.0) > 1e-7).count()
+    n_src = sums.count()
+    dt = time.time() - t0
+    print(f"\n50k-triangle mesh remap wall: {dt:.1f}s")
+    assert bad == 0
+    assert n_src == 250_000
+    assert dt < 300
