@@ -63,12 +63,17 @@ def q_speciate_country(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.core.schemas import SPECIATION
     from emiproc_spark.operators.speciation import speciate
 
-    e = fx.emissions(spark, sf_dir)
+    # pre-aggregate to the canonical one-row-per-(cell, cat, sub)
+    # inventory before speciating: the dst fan-out multiplies keys, not
+    # raw scan rows (same pattern as q_temporal_expand)
+    e = (
+        fx.emissions(spark, sf_dir)
+        .groupBy("cell_id", "category", "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
     spec = spark.createDataFrame(_SPEC_ROWS, schema=SPECIATION)
     out = speciate(e, spec, cell_country=_cell_country(spark))
-    return out.groupBy("cell_id", "category", "substance").agg(
-        sumd("value_kg_y").alias("value_kg_y")
-    )
+    return out.select("cell_id", "category", "substance", "value_kg_y")
 
 
 # blend arithmetic mirrored term-by-term (two-term double addition is
@@ -82,7 +87,12 @@ _BLEND_F2 = (
     "WHEN 1 THEN (0.5 / 0.5) * 0.3 ELSE 0.55 END"
 )
 SQL_SPECIATE_COUNTRY = f"""
-    WITH e AS ({fx.EMISSIONS_SQL}),
+    WITH e0 AS ({fx.EMISSIONS_SQL}),
+    e AS (
+        SELECT cell_id, category, substance,
+               {sql_sumd('value_kg_y')} AS value_kg_y
+        FROM e0 GROUP BY 1, 2, 3
+    ),
     sp AS (
         SELECT cell_id, category, 'F1' AS substance,
                value_kg_y * ({_BLEND_F1}) AS value_kg_y
@@ -95,8 +105,7 @@ SQL_SPECIATE_COUNTRY = f"""
         SELECT cell_id, category, substance, value_kg_y
         FROM e WHERE substance <> 'F'
     )
-    SELECT cell_id, category, substance, {sql_sumd('value_kg_y')} AS value_kg_y
-    FROM sp GROUP BY 1, 2, 3
+    SELECT cell_id, category, substance, value_kg_y FROM sp
 """
 
 
