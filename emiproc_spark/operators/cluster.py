@@ -35,7 +35,21 @@ def connected_components(
     Returns ``(node, component)`` — one row per distinct node appearing
     in ``pairs``.  Isolated docs (no pair) are absent; join back to the
     corpus with a left join + ``coalesce(component, doc_id)``.
+
+    Lineage is truncated per round with ``localCheckpoint`` (executor
+    block storage) — fast, but rounds are recomputed from scratch if an
+    executor dies.  On a long-running cluster job, call
+    ``spark.sparkContext.setCheckpointDir(hdfs_path)`` first: when a
+    checkpoint dir is configured, the loop upgrades to RELIABLE
+    checkpoints so a lost executor costs one round, not the whole
+    iteration history.
     """
+    sc = pairs.sparkSession.sparkContext
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        if sc._jsc.sc().getCheckpointDir().isDefined():
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
     def _as_id(c: str) -> F.Column:
         # a failed cast yields NULL silently; on string/UUID ids that
         # would collapse the graph to one (NULL, NULL) edge and make the
@@ -58,7 +72,7 @@ def connected_components(
     edges = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).distinct()
-    edges = edges.localCheckpoint(eager=False)
+    edges = _truncate(edges)
 
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
 
@@ -104,7 +118,7 @@ def connected_components(
         # that materializes it, so each round costs ONE distributed job
         # (plus the probe's reuse of the checkpointed partitions), not
         # two separate materializations
-        new_labels = jumped.localCheckpoint(eager=False)
+        new_labels = _truncate(jumped)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "src")

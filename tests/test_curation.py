@@ -202,3 +202,31 @@ def test_transform_columns_identity_and_collision(spark):
     assert out.columns.count("x") == 1  # pre-existing x replaced, not duplicated
     row = out.collect()[0]
     assert row["x"] == 7.0 and row["y"] == 47.0
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, the CC loop uses reliable
+    checkpoints (files under the dir) instead of localCheckpoint."""
+    import os
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(tmp_path / "ck"))
+    try:
+        from emiproc_spark.operators.cluster import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
+        )
+        comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        ck_files = [
+            os.path.join(r, f)
+            for r, _d, fs in os.walk(tmp_path / "ck")
+            for f in fs
+        ]
+        assert ck_files, "no reliable checkpoint files written"
+    finally:
+        # reset so other tests keep the localCheckpoint fast path
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.empty()
+        )
