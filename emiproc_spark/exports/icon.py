@@ -215,3 +215,94 @@ def make_icon_vertical_profiles(
     path = os.path.join(out_dir, "vertical_profiles.nc")
     write_netcdf(path, ds)
     return path
+
+
+def export_inventory_profiles(
+    tprofile_index: DataFrame,
+    tprofiles: DataFrame,
+    cell_tz: DataFrame,
+    grid: DataFrame,
+    out_dir: str,
+    vprofiles: DataFrame | None = None,
+    tz_shifts: dict[str, int] | None = None,
+    var_name: str = "{category}_{substance}",
+    nc_attrs: dict | None = None,
+) -> dict[str, str]:
+    """Named composition mirroring the reference's
+    ``export_inventory_profiles`` (emiproc/exports/profiles.py:22-130):
+    OEM per-cycle time-profile files + optional vertical_profiles.nc +
+    a ``tz_mask.nc`` raster mapping every grid cell to its timezone
+    region index.
+
+    ``tprofile_index``: (category, substance, ptype, profile_id) —
+    profiles varying only on category/substance, like the reference
+    (it raises for cell-varying indexes; resolve those first).
+    ``cell_tz``: (cell_id, tzid); ``grid``: regular raster dimension
+    table (cell_id, lon, lat).  ``tz_shifts``: tzid → UTC offset hours
+    (the reference derives these from the tz database at a given year;
+    inject them here).  Returns {file stem: path} incl. ``tz_mask``.
+    """
+    import pandas as pd
+
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    shifts = tz_shifts or {}
+    spark = tprofile_index.sparkSession
+
+    # regions = distinct timezones (profiles vary on cat/sub only, so
+    # the (tz, profile) pair degenerates to tz — reference's unique_tz)
+    tz_rows = sorted(
+        r["tzid"] for r in cell_tz.select("tzid").distinct().collect()
+    )
+    regions = spark.createDataFrame(
+        [(i, tz, int(shifts.get(tz, 0))) for i, tz in enumerate(tz_rows)],
+        "region_id int, region_key string, tz_shift int",
+    )
+    index = tprofile_index.crossJoin(
+        F.broadcast(regions.select("region_id"))
+    ).select("category", "substance", "region_id", "ptype", "profile_id")
+    out = make_icon_time_profiles(
+        index, tprofiles, regions, out_dir, var_name=var_name, nc_attrs=nc_attrs
+    )
+    if vprofiles is not None:
+        out["vertical_profiles"] = make_icon_vertical_profiles(
+            vprofiles, out_dir, nc_attrs=nc_attrs
+        )
+
+    # tz_mask.nc: dense (lat, lon) int raster of region indexes — the
+    # raster is the file's own payload, so the bounded driver-side
+    # assembly is the single-file boundary (same as export_raster)
+    tzm = {t: i for i, t in enumerate(tz_rows)}
+    gpdf = (
+        grid.select("cell_id", "lon", "lat")
+        .join(cell_tz, "cell_id", "left")
+        .toPandas()
+    )
+    lons = np.sort(gpdf["lon"].unique())
+    lats = np.sort(gpdf["lat"].unique())
+    mask = np.full((lats.size, lons.size), -1, dtype=np.int32)
+    la = np.searchsorted(lats, gpdf["lat"].to_numpy())
+    lo = np.searchsorted(lons, gpdf["lon"].to_numpy())
+    vals = gpdf["tzid"].map(lambda t: tzm.get(t, -1)).to_numpy(dtype=np.int32)
+    mask[la, lo] = vals
+    ds = NCDataset()
+    ds.dims = {"lat": lats.size, "lon": lons.size,
+               "country_id": len(tz_rows),
+               "tz_str_len": max((len(t) for t in tz_rows), default=1)}
+    ds.attrs = dict(nc_attrs or DEFAULT_NC_ATTRIBUTES)
+    ds.variables["lat"] = NCVariable("lat", ("lat",), lats, {"units": "degrees_north"})
+    ds.variables["lon"] = NCVariable("lon", ("lon",), lons, {"units": "degrees_east"})
+    ds.variables["tz_mask"] = NCVariable(
+        "tz_mask", ("lat", "lon"), mask,
+        {"long_name": "timezone region index per cell"},
+    )
+    strlen = ds.dims["tz_str_len"]
+    ds.variables["timezones"] = NCVariable(
+        "timezones", ("country_id", "tz_str_len"),
+        np.array([list(t.ljust(strlen)) for t in tz_rows], dtype="S1"),
+    )
+    path = os.path.join(out_dir, "tz_mask.nc")
+    write_netcdf(path, ds)
+    out["tz_mask"] = path
+    return out

@@ -117,3 +117,38 @@ def test_wrf_hourly_files(spark, tmp_path):
     times = b"".join(ds.variables["Times"].data[0]).decode()
     assert times == "2024-01-01_00:00:00"
     assert ds.attrs["unit"] == "moles/km2/h"
+
+
+def test_export_inventory_profiles_composition(spark, tmp_path):
+    """Named composition (reference exports/profiles.py:22-130): OEM
+    time files + vertical file + tz_mask raster in one call."""
+    from emiproc_spark.exports.icon import export_inventory_profiles
+    from emiproc_spark.grids import regular_grid
+
+    index = spark.createDataFrame(
+        [("traffic", "NOx", "daily", 0)],
+        "category string, substance string, ptype string, profile_id int",
+    )
+    grid = regular_grid(spark, 0.0, 0.0, 2, 2, 1.0, 1.0, with_geometry=False)
+    cell_tz = spark.createDataFrame(
+        [(0, "UTC"), (1, "UTC"), (2, "CET"), (3, "CET")],
+        "cell_id long, tzid string",
+    )
+    vp = spark.createDataFrame(
+        [("traffic", 20.0, 0.7), ("traffic", 100.0, 0.3)],
+        "category string, height_top double, ratio double",
+    )
+    out = export_inventory_profiles(
+        index, _store(spark), cell_tz, grid, str(tmp_path),
+        vprofiles=vp, tz_shifts={"CET": 1},
+    )
+    assert {"hourofday", "vertical_profiles", "tz_mask"} <= set(out)
+    ds = read_netcdf(out["tz_mask"])
+    mask = ds.variables["tz_mask"].data
+    assert mask.shape == (2, 2)
+    tzs = [b"".join(r).decode().rstrip() for r in ds.variables["timezones"].data]
+    assert tzs == ["CET", "UTC"]
+    # cells 0,1 (x=0) are UTC → index 1; cells 2,3 (x=1) are CET → 0
+    assert mask[0, 0] == 1 and mask[0, 1] == 0
+    dsq = read_netcdf(out["hourofday"])
+    assert dsq.dims["country"] == 2  # one region per tz
