@@ -242,13 +242,35 @@ def export_inventory_profiles(
     (the reference derives these from the tz database at a given year;
     inject them here).  Returns {file stem: path} incl. ``tz_mask``.
     """
-    import pandas as pd
-
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
 
     os.makedirs(out_dir, exist_ok=True)
     shifts = tz_shifts or {}
     spark = tprofile_index.sparkSession
+
+    # the reference raises for indexes varying on anything beyond
+    # (category, substance) (profiles.py:52-57); mirror that contract —
+    # cell/country columns or duplicate (cat, sub, ptype) rows would
+    # otherwise produce silently nondeterministic OEM files
+    extra = [c for c in ("cell_id", "country") if c in tprofile_index.columns]
+    if extra:
+        raise NotImplementedError(
+            f"export_inventory_profiles: index varies on {extra}; only "
+            "(category, substance) profiles can be exported — remap or "
+            "resolve the index first (reference exports/profiles.py:52)"
+        )
+    n_dup = (
+        tprofile_index.groupBy("category", "substance", "ptype")
+        .count()
+        .where(F.col("count") > 1)
+        .limit(1)
+        .count()
+    )
+    if n_dup:
+        raise ValueError(
+            "export_inventory_profiles: duplicate (category, substance, "
+            "ptype) index rows — collapse them before exporting"
+        )
 
     # regions = distinct timezones (profiles vary on cat/sub only, so
     # the (tz, profile) pair degenerates to tz — reference's unique_tz)
@@ -288,8 +310,7 @@ def export_inventory_profiles(
     mask[la, lo] = vals
     ds = NCDataset()
     ds.dims = {"lat": lats.size, "lon": lons.size,
-               "country_id": len(tz_rows),
-               "tz_str_len": max((len(t) for t in tz_rows), default=1)}
+               "country_id": len(tz_rows)}
     ds.attrs = dict(nc_attrs or DEFAULT_NC_ATTRIBUTES)
     ds.variables["lat"] = NCVariable("lat", ("lat",), lats, {"units": "degrees_north"})
     ds.variables["lon"] = NCVariable("lon", ("lon",), lons, {"units": "degrees_east"})
@@ -297,10 +318,18 @@ def export_inventory_profiles(
         "tz_mask", ("lat", "lon"), mask,
         {"long_name": "timezone region index per cell"},
     )
-    strlen = ds.dims["tz_str_len"]
+    # byte-safe label matrix (same construction as the region_key
+    # variable in make_icon_time_profiles): encode, then copy into a
+    # zeroed S1 buffer so non-ASCII zone names cannot crash or misalign
+    enc = [t.encode() for t in tz_rows]
+    strlen = max((len(b) for b in enc), default=1)
+    ds.dims["tz_str_len"] = strlen
+    buf = np.zeros((len(enc), strlen), dtype="S1")
+    for i, b in enumerate(enc):
+        row = np.frombuffer(b[:strlen], dtype="S1")
+        buf[i, : row.size] = row
     ds.variables["timezones"] = NCVariable(
-        "timezones", ("country_id", "tz_str_len"),
-        np.array([list(t.ljust(strlen)) for t in tz_rows], dtype="S1"),
+        "timezones", ("country_id", "tz_str_len"), buf
     )
     path = os.path.join(out_dir, "tz_mask.nc")
     write_netcdf(path, ds)

@@ -28,6 +28,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    reliable_checkpoints: bool = False,
 ) -> DataFrame:
     """Label every node of the pair graph with its component id (the
     minimum node id reachable from it).
@@ -37,17 +38,23 @@ def connected_components(
     corpus with a left join + ``coalesce(component, doc_id)``.
 
     Lineage is truncated per round with ``localCheckpoint`` (executor
-    block storage) — fast, but rounds are recomputed from scratch if an
-    executor dies.  On a long-running cluster job, call
-    ``spark.sparkContext.setCheckpointDir(hdfs_path)`` first: when a
-    checkpoint dir is configured, the loop upgrades to RELIABLE
-    checkpoints so a lost executor costs one round, not the whole
-    iteration history.
+    block storage) — fast, but rounds recompute from scratch if an
+    executor dies.  For long cluster jobs pass
+    ``reliable_checkpoints=True`` (requires
+    ``spark.sparkContext.setCheckpointDir(dfs_path)``): each round is
+    persisted, reliably checkpointed (the write job reads the cache,
+    not the lineage), and the previous round's cache is released.  Set
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` to have
+    superseded checkpoint files garbage-collected with their RDDs.
     """
-    sc = pairs.sparkSession.sparkContext
+    cached: list[DataFrame] = []
 
     def _truncate(df: DataFrame) -> DataFrame:
-        if sc._jsc.sc().getCheckpointDir().isDefined():
+        if reliable_checkpoints:
+            df = df.persist()
+            while len(cached) > 1:  # keep current + one predecessor
+                cached.pop(0).unpersist()
+            cached.append(df)
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
     def _as_id(c: str) -> F.Column:

@@ -217,7 +217,12 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         pairs = spark.createDataFrame(
             [(1, 2), (2, 3), (10, 11)], "doc_a long, doc_b long"
         )
-        comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        comp = {
+            r["node"]: r["component"]
+            for r in connected_components(
+                pairs, reliable_checkpoints=True
+            ).collect()
+        }
         assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
         ck_files = [
             os.path.join(r, f)

@@ -152,3 +152,25 @@ def test_export_inventory_profiles_composition(spark, tmp_path):
     assert mask[0, 0] == 1 and mask[0, 1] == 0
     dsq = read_netcdf(out["hourofday"])
     assert dsq.dims["country"] == 2  # one region per tz
+
+
+def test_export_inventory_profiles_rejects_bad_index(spark, tmp_path):
+    import pytest as _pytest
+
+    from emiproc_spark.exports.icon import export_inventory_profiles
+    from emiproc_spark.grids import regular_grid
+
+    grid = regular_grid(spark, 0.0, 0.0, 2, 2, 1.0, 1.0, with_geometry=False)
+    cell_tz = spark.createDataFrame([(0, "UTC")], "cell_id long, tzid string")
+    dup = spark.createDataFrame(
+        [("traffic", "NOx", "daily", 0), ("traffic", "NOx", "daily", 7)],
+        "category string, substance string, ptype string, profile_id int",
+    )
+    with _pytest.raises(ValueError, match="duplicate"):
+        export_inventory_profiles(dup, _store(spark), cell_tz, grid, str(tmp_path))
+    cellvar = spark.createDataFrame(
+        [("traffic", "NOx", 0, "daily", 0)],
+        "category string, substance string, cell_id long, ptype string, profile_id int",
+    )
+    with _pytest.raises(NotImplementedError, match="cell_id"):
+        export_inventory_profiles(cellvar, _store(spark), cell_tz, grid, str(tmp_path))
