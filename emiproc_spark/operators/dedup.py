@@ -202,6 +202,10 @@ def lsh_candidate_pairs(
             ).alias("band_hash")
         )
     )
+    # truncate before the self-join: the banded aggregation (and the
+    # whole signature plan under it) materializes once, not once per
+    # join side (exchange reuse does not survive AQE broadcasting)
+    banded = banded.localCheckpoint(eager=False)
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "band_hash"])
@@ -295,11 +299,25 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     )
 
 
-def hamming_pairs(fingerprints: DataFrame, max_distance: int = 3) -> DataFrame:
+def hamming_pairs(
+    fingerprints: DataFrame,
+    max_distance: int = 3,
+    reuse_fingerprints: bool = True,
+) -> DataFrame:
     """Near-dup pairs by Hamming distance over simhash bit-strings,
     LSH-blocked on 16-bit quarters: two 64-bit hashes within distance 3
     must agree on at least one quarter — only same-quarter docs join.
+
+    ``reuse_fingerprints`` truncates the input lineage with a lazy
+    ``localCheckpoint`` so the (usually expensive) fingerprint plan —
+    e.g. a full :func:`simhash` aggregation — materializes ONCE instead
+    of once per self-join side (Catalyst does not reuse the exchange
+    when AQE broadcasts one side).  Costs one fingerprint-table copy in
+    executor block storage; pass ``False`` if the input is already a
+    materialized table.
     """
+    if reuse_fingerprints:
+        fingerprints = fingerprints.localCheckpoint(eager=False)
     quarters = fingerprints.select(
         "doc_id",
         "simhash_bits",
