@@ -26,24 +26,10 @@ from emiproc_spark.operators import speciation as spn
 from emiproc_spark.qhelpers import QSCALE, qd, sql_qd, sql_sumd, sumd  # noqa: F401,E402
 
 
-def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` normalized to epoch-nanoseconds BIGINT.
-
-    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (readable
-    only as long via nanosAsLong) and as timestamp[us]; downstream
-    queries do integer nanos arithmetic, so normalize here.  Session
-    timezone is UTC (session.py), so the NTZ→instant cast matches
-    DuckDB's ``epoch_ns`` on naive timestamps.
-    """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    from pyspark.sql.types import LongType
-
-    if not isinstance(ev.schema["ts"].dataType, LongType):
-        ev = ev.withColumn(
-            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
-        )
-    return ev
+# events normalization + time constants live in fixtures (a leaf
+# module) so the per-round query modules can import them without a
+# circular import through this aggregating module
+_events = fx.events
 
 
 # ======================================================================
@@ -453,8 +439,8 @@ SQL_TOP_EMITTERS = f"""
 # ======================================================================
 # Events (time-series)
 # ======================================================================
-NS_PER_DAY = 86_400_000_000_000
-NS_PER_HOUR = 3_600_000_000_000
+NS_PER_DAY = fx.NS_PER_DAY
+NS_PER_HOUR = fx.NS_PER_HOUR
 
 
 def q_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
-from emiproc_spark.driver_queries import _events
+from emiproc_spark.fixtures import events as _events
 from emiproc_spark.operators import temporal as tp
 from emiproc_spark.operators.profiles import get_weights_of_profiles
 from emiproc_spark.qhelpers import qd, sql_qd, sumd, sql_sumd

@@ -355,7 +355,7 @@ SQL_KNN_CLASSIFY = f"""
 # instead of the rows-only check.  Values are pre-quantized to int64 so
 # the window sums are exact on both engines.
 # ======================================================================
-from emiproc_spark.driver_queries import NS_PER_HOUR as NS_PER_HOUR_R3B
+from emiproc_spark.fixtures import NS_PER_HOUR as NS_PER_HOUR_R3B
 
 _STREAM_DIR_CACHE: dict[str, str] = {}
 
@@ -370,7 +370,7 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     import os
     import tempfile
 
-    from emiproc_spark.driver_queries import _events
+    from emiproc_spark.fixtures import events as _events
     from emiproc_spark.qhelpers import QSCALE
 
     ev = _events(spark, sf_dir)

@@ -26,8 +26,32 @@ CROP = (1.25, 1.25, 6.25, 8.75)  # fractional-boundary crop rectangle
 CLIP = (2.0, 2.0, 7.0, 7.0)
 
 
+NS_PER_DAY = 86_400_000_000_000
+NS_PER_HOUR = 3_600_000_000_000
+
+
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` normalized to epoch-nanoseconds BIGINT.
+
+    The testdata has shipped ``ts`` both as TIMESTAMP(NANOS) (readable
+    only as long via nanosAsLong) and as timestamp[us]; downstream
+    queries do integer nanos arithmetic, so normalize here.  Session
+    timezone is UTC (session.py), so the NTZ→instant cast matches
+    DuckDB's ``epoch_ns`` on naive timestamps.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql.types import LongType
+
+    if not isinstance(ev.schema["ts"].dataType, LongType):
+        ev = ev.withColumn(
+            "ts", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+        )
+    return ev
 
 
 def emissions(spark: SparkSession, sf_dir: str) -> DataFrame:
