@@ -503,6 +503,37 @@ SQL_PROFILES_YAML = """
 """
 
 
+
+
+# ======================================================================
+# cluster-collapse corpus materialization (dedup_keep_representative):
+# every near-dup component keeps only its min-id representative — the
+# corpus-level effect of dup_clusters, checked against the recursive-CTE
+# component oracle
+# ======================================================================
+def q_dedup_representative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import _docs2
+    from emiproc_spark.operators import cluster as cl
+    from emiproc_spark.operators import dedup as dd
+
+    docs = _docs2(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, k=8)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return cl.dedup_keep_representative(docs, pairs).select("doc_id")
+
+
+def _sql_dedup_representative() -> str:
+    from emiproc_spark.driver_queries_curate import SQL_DUP_CLUSTERS
+    from emiproc_spark.driver_queries_text import DOCS2_SQL
+
+    return f"""
+    SELECT doc_id FROM ({DOCS2_SQL}) d
+    WHERE doc_id NOT IN (
+        SELECT node FROM ({SQL_DUP_CLUSTERS}) c WHERE node <> component
+    )
+    """
+
+
 # ======================================================================
 # registry
 # ======================================================================
@@ -515,6 +546,7 @@ QUERIES_R3B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_classify": q_knn_classify,
     "stream_window_stats": q_stream_window_stats,
     "stream_dedup": q_stream_dedup,
+    "dedup_representative": q_dedup_representative,
 }
 
 try:  # pyyaml is an optional dependency (pyproject [yaml]/[dev]); the
@@ -534,6 +566,7 @@ ORACLES_R3B: dict[str, str] = {
     "knn_classify": SQL_KNN_CLASSIFY,
     "stream_window_stats": SQL_STREAM_WINDOW_STATS,
     "stream_dedup": SQL_STREAM_DEDUP,
+    "dedup_representative": _sql_dedup_representative(),
 }
 
 if "profiles_yaml" in QUERIES_R3B:
