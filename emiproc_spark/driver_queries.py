@@ -1404,9 +1404,13 @@ ORACLES.update(ORACLES_CURATE)
 ORACLES.update(ORACLES_R3)
 
 from emiproc_spark.driver_queries_r3b import ORACLES_R3B, QUERIES_R3B  # noqa: E402
+from emiproc_spark.driver_queries_r3c import ORACLES_R3C, QUERIES_R3C  # noqa: E402
 
 QUERIES.update(QUERIES_R3B)
 ORACLES.update(ORACLES_R3B)
+QUERIES.update(QUERIES_R3C)
+ORACLES.update(ORACLES_R3C)
 
-QUERIES = _rotate(QUERIES, QUERIES_R3B)
-ORACLES = _rotate(ORACLES, ORACLES_R3B)
+_FRONT = {**QUERIES_R3C, **QUERIES_R3B}
+QUERIES = _rotate(QUERIES, _FRONT)
+ORACLES = _rotate(ORACLES, {**ORACLES_R3C, **ORACLES_R3B})

@@ -1,0 +1,125 @@
+"""Round-3c driver-contract queries (registered first in the rotation).
+
+Same contract as driver_queries.py: each query takes (spark, sf_dir) and
+returns a DataFrame whose row multiset a DuckDB oracle reproduces.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark.qhelpers import qd, sql_qd
+
+
+# ======================================================================
+# edgar_profiles — EDGAR auxiliary weekly + hour-of-week-per-month
+# composite profiles (reference emiproc/inventories/edgar/temporal.py)
+# ======================================================================
+def _write_edgar_aux(d: str) -> None:
+    """Reference-format fixture: AAA uses weekend type 0 (Sat/Sun),
+    SEA type 2 (Fri/Sat); hourly value = daytype*48 + hour so the
+    oracle recomputes every position in closed form."""
+    with open(os.path.join(d, "weekly_profiles.csv"), "w") as f:
+        f.write("Country_code_A3,activity_code,Weekday_id,daily_factor\n")
+        for c in ("AAA", "SEA"):
+            for cat in ("ENE", "IND"):
+                for w in range(1, 8):
+                    f.write(f"{c},{cat},{w},{w if cat == 'ENE' else 1}\n")
+    with open(os.path.join(d, "hourly_profiles.csv"), "w") as f:
+        f.write(
+            "Country_code_A3,activity_code,month_id,Daytype_id,"
+            + ",".join(f"h{i}" for i in range(1, 25))
+            + "\n"
+        )
+        for c in ("AAA", "SEA"):
+            for cat in ("ENE", "IND"):
+                for m in range(1, 13):
+                    for dt in (1, 2, 3):
+                        vals = ",".join(str(dt * 48 + h) for h in range(1, 25))
+                        f.write(f"{c},{cat},{m},{dt},{vals}\n")
+    with open(os.path.join(d, "weekenddays.csv"), "w") as f:
+        f.write("Weekend_type_id;Country_code_A3\n0;AAA\n2;SEA\n")
+    with open(os.path.join(d, "weekdays.csv"), "w") as f:
+        f.write("Weekend_type_id;weekday_name;Weekday_id;Daytype_id\n")
+        for wt, dts in ((0, [1, 1, 1, 1, 1, 2, 3]), (2, [1, 1, 1, 1, 2, 3, 3])):
+            for w, dt in enumerate(dts, start=1):
+                f.write(f"{wt};day{w};{w};{dt}\n")
+
+
+def q_edgar_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EDGAR auxiliary tables → composite profile store + index, long
+    form.  Exercises the weekend-type day-type placement, SEA → -99,
+    the country alias fan-out and the 3-letter category-prefix
+    fallback (reference emiproc/inventories/edgar/temporal.py:62-259)."""
+    from emiproc_spark.sources.edgar_profiles import edgar_auxiliary_profiles
+
+    d = tempfile.mkdtemp(prefix="emiproc_edgar_aux_")
+    _write_edgar_aux(d)
+    store, index = edgar_auxiliary_profiles(
+        spark,
+        d,
+        inv_categories=["ENE", "INDZZZ"],
+        country_aliases={"BBB": "AAA"},
+    )
+    return (
+        index.join(store, "profile_id")
+        .select(
+            "country",
+            "category",
+            "ptype",
+            F.posexplode("ratios").alias("pos", "ratio"),
+        )
+        .withColumn("ratio", qd("ratio"))
+    )
+
+
+SQL_EDGAR_PROFILES = """
+    WITH c(country, wt) AS (VALUES ('AAA', 0), ('-99', 2), ('BBB', 0)),
+    cat(category) AS (VALUES ('ENE'), ('INDZZZ')),
+    wk AS (
+        SELECT country, category, 'weekly' AS ptype, t.pos,
+               CASE WHEN category = 'ENE'
+                    THEN CAST(t.pos + 1 AS DOUBLE) / 28.0
+                    ELSE 1.0 / 7.0 END AS ratio
+        FROM c, cat, UNNEST(range(7)) AS t(pos)
+    ),
+    hp_raw AS (
+        SELECT country, category, t.pos,
+               CASE WHEN wt = 0
+                    THEN CASE WHEN (t.pos % 168) // 24 <= 4 THEN 1
+                              WHEN (t.pos % 168) // 24 = 5 THEN 2
+                              ELSE 3 END
+                    ELSE CASE WHEN (t.pos % 168) // 24 <= 3 THEN 1
+                              WHEN (t.pos % 168) // 24 = 4 THEN 2
+                              ELSE 3 END
+               END * 48 + (t.pos % 24) + 1 AS v
+        FROM c, cat, UNNEST(range(2016)) AS t(pos)
+    ),
+    hp AS (
+        SELECT country, category, 'hour_of_week_per_month' AS ptype, pos,
+               CAST(v AS DOUBLE)
+               / SUM(CAST(v AS DOUBLE)) OVER (PARTITION BY country, category)
+               AS ratio
+        FROM hp_raw
+    )
+    SELECT country, category, ptype, CAST(pos AS INT) AS pos,
+           {qd} AS ratio
+    FROM (SELECT * FROM wk UNION ALL SELECT * FROM hp)
+""".format(qd=sql_qd("ratio"))
+
+
+# ======================================================================
+# registry
+# ======================================================================
+QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "edgar_profiles": q_edgar_profiles,
+}
+
+ORACLES_R3C: dict[str, str] = {
+    "edgar_profiles": SQL_EDGAR_PROFILES,
+}
