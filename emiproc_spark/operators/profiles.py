@@ -144,6 +144,11 @@ def dedup_profiles(profiles: DataFrame) -> tuple[DataFrame, DataFrame]:
     store = spark.createDataFrame(
         ranked, schema="profile_id int, ptype string, ratios array<double>"
     )
+    # The store is the deduped dictionary — small by construction — but
+    # its lineage runs through a Python-RDD zipWithIndex; materialize it
+    # once so the index join and every downstream consumer do not each
+    # replay the sort + Python round-trip.
+    store = store.localCheckpoint(eager=False)
     index = profiles.join(store, ["ptype", "ratios"], "left").select(
         *key_cols, "ptype", "profile_id"
     )

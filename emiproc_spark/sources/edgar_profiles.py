@@ -55,8 +55,29 @@ DEFAULT_COUNTRY_ALIASES = {
 }
 
 
-def _read_csv(spark: SparkSession, path: str, sep: str) -> DataFrame:
-    return spark.read.options(header=True, inferSchema=True, sep=sep).csv(path)
+def _read_csv(
+    spark: SparkSession, path: str, sep: str, schema: str | None = None
+) -> DataFrame:
+    reader = spark.read.options(header=True, sep=sep)
+    if schema is None:
+        reader = reader.options(inferSchema=True)
+    else:
+        reader = reader.schema(schema)
+    return reader.csv(path)
+
+
+WEEKLY_SCHEMA = (
+    "Country_code_A3 string, activity_code string, Weekday_id int, "
+    "daily_factor double"
+)
+HOURLY_SCHEMA = (
+    "Country_code_A3 string, activity_code string, month_id int, Daytype_id int, "
+    + ", ".join(f"h{i} double" for i in range(1, 25))
+)
+WEEKENDDAYS_SCHEMA = "Weekend_type_id int, Country_code_A3 string"
+WEEKDAYS_SCHEMA = (
+    "Weekend_type_id int, weekday_name string, Weekday_id int, Daytype_id int"
+)
 
 
 def read_edgar_weekly(spark: SparkSession, path: str) -> DataFrame:
@@ -66,7 +87,7 @@ def read_edgar_weekly(spark: SparkSession, path: str) -> DataFrame:
     row-normalized to sum 1 (the published factors are day shares).
     A group with a missing or duplicated weekday raises.
     """
-    raw = _read_csv(spark, path, ",").select(
+    raw = _read_csv(spark, path, ",", WEEKLY_SCHEMA).select(
         F.col("Country_code_A3").alias("country"),
         F.col("activity_code").alias("category"),
         F.col("Weekday_id").cast("int").alias("weekday"),
@@ -103,11 +124,13 @@ def country_daytypes(spark: SparkSession, aux_dir: str) -> DataFrame:
     each country uses on each weekday (temporal.py:113-126: country →
     weekend type via ``weekenddays.csv``, weekend type × weekday →
     day-type via ``weekdays.csv``)."""
-    weekend_of_country = _read_csv(spark, f"{aux_dir}/weekenddays.csv", ";").select(
+    weekend_of_country = _read_csv(
+        spark, f"{aux_dir}/weekenddays.csv", ";", WEEKENDDAYS_SCHEMA
+    ).select(
         F.col("Country_code_A3").alias("country"),
         F.col("Weekend_type_id").cast("int").alias("weekend_type"),
     )
-    day_defs = _read_csv(spark, f"{aux_dir}/weekdays.csv", ";").select(
+    day_defs = _read_csv(spark, f"{aux_dir}/weekdays.csv", ";", WEEKDAYS_SCHEMA).select(
         F.col("Weekend_type_id").cast("int").alias("weekend_type"),
         F.col("Weekday_id").cast("int").alias("weekday"),
         F.col("Daytype_id").cast("int").alias("daytype"),
@@ -125,7 +148,7 @@ def read_edgar_hourly(spark: SparkSession, aux_dir: str) -> DataFrame:
     (temporal.py:136-140): pos = 168·(month−1) + 24·(weekday−1) +
     (hour−1); normalized over the whole cycle (temporal.py:165-167).
     """
-    raw = _read_csv(spark, f"{aux_dir}/hourly_profiles.csv", ",")
+    raw = _read_csv(spark, f"{aux_dir}/hourly_profiles.csv", ",", HOURLY_SCHEMA)
     hour_cols = [f"h{i}" for i in range(1, 25)]
     long = raw.select(
         F.col("Country_code_A3").alias("country"),
@@ -207,6 +230,10 @@ def edgar_auxiliary_profiles(
         weekly.join(hourly, ["country", "category"], "full")
         .withColumn("wratios", F.coalesce("wratios", uniform_w))
         .withColumn("hratios", F.coalesce("hratios", uniform_h))
+        # Dimension-sized (country × category); materialize once so the
+        # dedup, the index branches and the category probe below do not
+        # each re-run the CSV scan + groupBy lineage.
+        .localCheckpoint(eager=False)
     )
 
     combined = both.select(
@@ -249,9 +276,11 @@ def edgar_auxiliary_profiles(
         index = index.unionByName(aliased)
 
     if inv_categories is not None:
+        # Fix-ups above change countries only, so the table's category
+        # set equals the pre-dedup one — probe the materialized input.
         present = {
             r["category"]
-            for r in index.select("category").distinct().collect()
+            for r in both.select("category").distinct().collect()
         }
         missing = [c for c in inv_categories if c not in present]
         bad = sorted({c[:3] for c in missing} - present)
