@@ -114,12 +114,104 @@ SQL_EDGAR_PROFILES = """
 
 
 # ======================================================================
+# doc_chunks — overlapping token-window chunking (RAG indexing prep)
+# ======================================================================
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-only overlapping chunking of the documents corpus."""
+    from emiproc_spark.operators.packing import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(docs, size=32, stride=24)
+
+
+SQL_DOC_CHUNKS = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS arr
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(s.i // 24 AS INT) AS chunk_idx,
+           CAST(s.i AS INT) AS start,
+           CAST(LEAST(s.i + 32, len(arr)) - s.i AS INT) AS chunk_tokens,
+           array_to_string(arr[s.i + 1 : LEAST(s.i + 32, len(arr))], ' ')
+               AS chunk_text
+    FROM toks, UNNEST(generate_series(0, len(arr) - 1, 24)) AS s(i)
+"""
+
+
+# ======================================================================
+# unigram_logprob — corpus-self-scored fluency/quality signal
+# ======================================================================
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import unigram_logprob
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob(docs).withColumn("mean_logprob", qd("mean_logprob"))
+
+
+SQL_UNIGRAM_LOGPROB = """
+    WITH toks AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM toks WHERE term <> '' GROUP BY doc_id, term
+    ),
+    corpus AS (SELECT term, SUM(tf) AS gc FROM tf GROUP BY term),
+    tot AS (SELECT SUM(gc) AS total, COUNT(*) AS vocab FROM corpus)
+    SELECT doc_id,
+           CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           {qd} AS mean_logprob
+    FROM tf JOIN corpus USING (term), tot
+    GROUP BY doc_id
+""".format(
+    qd=sql_qd(
+        "CAST(SUM(tf * CAST(FLOOR(ln((gc + 1.0) / (total + 1.0 * vocab)) * 1000000.0"
+        " + 0.5) AS BIGINT)) AS DOUBLE) / SUM(tf) / 1000000.0"
+    )
+)
+
+
+# ======================================================================
+# length_percentiles — exact corpus token-count percentiles via the
+# histogram reduction (validated against DuckDB's quantile_cont)
+# ======================================================================
+def q_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import length_percentiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return length_percentiles(docs).withColumn("value", qd("value"))
+
+
+SQL_LENGTH_PERCENTILES = """
+    WITH lens AS (
+        SELECT len(string_split(text, ' ')) AS n FROM documents
+    )
+    SELECT q, {qd} AS value
+    FROM (
+        SELECT 0.25 AS q, quantile_cont(n, 0.25) AS v FROM lens
+        UNION ALL SELECT 0.5, quantile_cont(n, 0.5) FROM lens
+        UNION ALL SELECT 0.75, quantile_cont(n, 0.75) FROM lens
+        UNION ALL SELECT 0.9, quantile_cont(n, 0.9) FROM lens
+        UNION ALL SELECT 0.99, quantile_cont(n, 0.99) FROM lens
+    )
+""".format(qd=sql_qd("v"))
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "edgar_profiles": q_edgar_profiles,
+    "doc_chunks": q_doc_chunks,
+    "unigram_logprob": q_unigram_logprob,
+    "length_percentiles": q_length_percentiles,
 }
 
 ORACLES_R3C: dict[str, str] = {
     "edgar_profiles": SQL_EDGAR_PROFILES,
+    "doc_chunks": SQL_DOC_CHUNKS,
+    "unigram_logprob": SQL_UNIGRAM_LOGPROB,
+    "length_percentiles": SQL_LENGTH_PERCENTILES,
 }

@@ -149,3 +149,45 @@ def shard_manifest(
             F.sum(size_col).cast("long").alias("total_tokens"),
         )
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    size: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Overlapping token-window chunks — retrieval/RAG indexing prep.
+
+    Each document becomes ⌈n/stride⌉ chunks of up to ``size`` tokens
+    starting every ``stride`` tokens (``stride < size`` ⇒ overlap of
+    ``size - stride``).  The tail chunk is shorter, never dropped.
+
+    Map-only: ``sequence``/``slice``/``array_join`` on the token array,
+    no shuffle, no UDF — a 100 TB corpus chunks at scan speed and the
+    output inherits the input partitioning (good for writing alongside
+    the source shards).
+    """
+    if stride < 1 or size < 1:
+        raise ValueError("size and stride must be >= 1")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    n = F.size("__toks")
+    starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))
+    return (
+        toks.select(
+            F.col(id_col),
+            F.col("__toks"),
+            F.posexplode(starts).alias("chunk_idx", "start"),
+        )
+        .withColumn("chunk", F.slice("__toks", F.col("start") + 1, size))
+        .select(
+            id_col,
+            "chunk_idx",
+            "start",
+            F.size("chunk").alias("chunk_tokens"),
+            F.array_join("chunk", " ").alias("chunk_text"),
+        )
+    )

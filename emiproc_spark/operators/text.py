@@ -218,3 +218,119 @@ def tfidf_topk(
         .where(F.col("rank") <= k)
         .select(id_col, "term", "tf", "df", "score_q", "rank")
     )
+
+
+def unigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    qscale: float = 1e6,
+) -> DataFrame:
+    """Per-document mean token log-probability under the corpus's own
+    add-``alpha``-smoothed unigram distribution — the degenerate-order
+    KenLM-style fluency score used as a cheap quality signal (documents
+    full of rare/garbled tokens score low).
+
+    Plan: one explode → per-(doc, term) counts (map-side partials) →
+    corpus term counts as a second aggregate on the SAME shuffled data
+    (reuses the (doc, term) partitioning, like ``tfidf_topk``) → join on
+    term weighted by tf.  Corpus totals ride along as a lazy broadcast
+    scalar — no driver collect.  The join key is the term, so hot terms
+    skew; AQE skew-join handles it (the tf pre-aggregation already cut
+    the join input from one row per token to one per (doc, term)).
+
+    Per-term log-probs are quantized to ``1/qscale`` before the exact
+    integer sum (the ``sumd`` convention) so the per-doc mean is
+    fold-order-independent — and engine-independent up to a ulp of
+    ``ln`` at a quantization boundary.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+    ).where(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    corpus = tf.groupBy("term").agg(F.sum("tf").alias("gc"))
+    totals = F.broadcast(
+        corpus.agg(
+            F.sum("gc").alias("__total"), F.count("*").alias("__vocab")
+        )
+    )
+    logp = F.log(
+        (F.col("gc") + F.lit(alpha))
+        / (F.col("__total") + F.lit(alpha) * F.col("__vocab"))
+    )
+    lq = F.floor(logp * F.lit(qscale) + F.lit(0.5)).cast("long")
+    return (
+        tf.join(corpus, "term")
+        .crossJoin(totals)
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * lq).cast("double")
+                / F.sum("tf")
+                / F.lit(qscale)
+            ).alias("mean_logprob"),
+        )
+    )
+
+
+def length_percentiles(
+    docs: DataFrame,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact token-count percentiles (type-7 linear interpolation) of a
+    corpus — scale-safely.
+
+    ``percentile``/``array_sort`` aggregates buffer every value; instead
+    the distribution is reduced to a HISTOGRAM first (token counts have
+    bounded cardinality — one row per distinct length), then the
+    interpolation runs on that dimension-sized table: cumulative counts
+    via a window over the tiny histogram, the 0-based rank positions
+    ``(N−1)·q`` located with two min-joins.  One shuffle over the corpus
+    (map-side partial counts), everything after is broadcast-sized.
+    Returns (q, value).
+    """
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    hist = (
+        docs.select(token_count(F.col(text_col)).alias("len"))
+        .groupBy("len")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # global window over the histogram only: bounded distinct lengths
+    w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = F.broadcast(cum.agg(F.max("cum").alias("__n")))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    pos = qdf.crossJoin(totals).select(
+        "q",
+        (F.lit(1.0) * (F.col("__n") - 1) * F.col("q")).alias("p"),
+    )
+    pos = pos.select(
+        "q",
+        "p",
+        F.floor("p").cast("long").alias("lo"),
+        F.ceil("p").cast("long").alias("hi"),
+    )
+    cumb = F.broadcast(cum.select("len", "cum"))
+    # value at 0-based sorted position i = min len with cum >= i+1
+    vlo = (
+        pos.join(cumb, F.col("cum") >= F.col("lo") + 1)
+        .groupBy("q", "p", "lo", "hi")
+        .agg(F.min("len").alias("vlo"))
+    )
+    vhi = (
+        pos.join(cumb, F.col("cum") >= F.col("hi") + 1)
+        .groupBy("q")
+        .agg(F.min("len").alias("vhi"))
+    )
+    return vlo.join(vhi, "q").select(
+        "q",
+        (
+            F.col("vlo")
+            + (F.col("vhi") - F.col("vlo")) * (F.col("p") - F.col("lo"))
+        ).alias("value"),
+    )

@@ -1,0 +1,89 @@
+"""chunk_documents / unigram_logprob / length_percentiles edge cases."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.packing import chunk_documents
+from emiproc_spark.operators.text import length_percentiles, unigram_logprob
+
+
+def test_chunk_documents_overlap_and_tail(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "x")], "doc_id long, text string"
+    )
+    rows = chunk_documents(docs, size=3, stride=2).orderBy("doc_id", "start").collect()
+    got = [(r["doc_id"], r["chunk_idx"], r["start"], r["chunk_tokens"], r["chunk_text"]) for r in rows]
+    assert got == [
+        (1, 0, 0, 3, "a b c"),
+        (1, 1, 2, 3, "c d e"),
+        (1, 2, 4, 3, "e f g"),
+        (1, 3, 6, 1, "g"),
+        (2, 0, 0, 1, "x"),
+    ]
+
+
+def test_chunk_documents_no_overlap_covers_everything(spark):
+    docs = spark.createDataFrame([(1, " ".join(str(i) for i in range(10)))],
+                                 "doc_id long, text string")
+    rows = chunk_documents(docs, size=4, stride=4).collect()
+    # disjoint cover: concatenation of chunks reproduces the doc
+    joined = " ".join(r["chunk_text"] for r in sorted(rows, key=lambda r: r["start"]))
+    assert joined == " ".join(str(i) for i in range(10))
+
+
+def test_chunk_documents_rejects_bad_params(spark):
+    docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, size=4, stride=0)
+
+
+def test_unigram_logprob_prefers_common_tokens(spark):
+    # doc 1 repeats the corpus-dominant token; doc 2 is all hapaxes
+    docs = spark.createDataFrame(
+        [(1, "the the the the"), (2, "zq xv wk pj")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_logprob(docs).collect()}
+    assert rows[1]["n_tokens"] == 4 and rows[2]["n_tokens"] == 4
+    assert rows[1]["mean_logprob"] > rows[2]["mean_logprob"]
+    # hand-check doc 1: p(the) = (4+1)/(8+1*5) = 5/13
+    expect = math.log(5 / 13)
+    assert rows[1]["mean_logprob"] == pytest.approx(expect, abs=1e-6)
+
+
+def test_unigram_logprob_ignores_multispace_empties(spark):
+    docs = spark.createDataFrame([(1, "a  a")], "doc_id long, text string")
+    row = unigram_logprob(docs).collect()[0]
+    assert row["n_tokens"] == 2  # the empty split token is dropped
+
+
+def test_length_percentiles_matches_numpy(spark):
+    import numpy as np
+
+    lengths = [1, 2, 2, 3, 5, 8, 13, 21, 34, 55]
+    docs = spark.createDataFrame(
+        [(i, " ".join(["t"] * n)) for i, n in enumerate(lengths)],
+        "doc_id long, text string",
+    )
+    qs = (0.25, 0.5, 0.75, 0.9)
+    got = {r["q"]: r["value"] for r in length_percentiles(docs, qs).collect()}
+    for q in qs:
+        assert got[q] == pytest.approx(
+            float(np.quantile(lengths, q, method="linear")), abs=1e-9
+        )
+
+
+def test_length_percentiles_single_doc(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    got = {r["q"]: r["value"] for r in length_percentiles(docs, (0.0, 0.5, 1.0)).collect()}
+    assert got == {0.0: 3.0, 0.5: 3.0, 1.0: 3.0}
+
+
+def test_chunk_plan_is_map_only(spark):
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = chunk_documents(docs, 4, 4)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
