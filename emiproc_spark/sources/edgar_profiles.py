@@ -276,35 +276,46 @@ def edgar_auxiliary_profiles(
         index = index.unionByName(aliased)
 
     if inv_categories is not None:
-        # Fix-ups above change countries only, so the table's category
-        # set equals the pre-dedup one — probe the materialized input.
-        present = {
-            r["category"]
-            for r in both.select("category").distinct().collect()
-        }
-        missing = [c for c in inv_categories if c not in present]
-        bad = sorted({c[:3] for c in missing} - present)
-        if bad:
-            raise ValueError(
-                f"categories not available in the auxiliary profiles: {bad}; "
-                "load the inventory with short category names"
+        # Resolve each inventory category to a table category — itself,
+        # else its 3-letter prefix (temporal.py:206-222) — lazily: no
+        # driver-side probe of the category set.  An unresolvable
+        # category raises at execution time via the guard column.
+        inv = F.broadcast(
+            spark.createDataFrame(
+                [(c, c[:3]) for c in inv_categories],
+                "inv_category string, prefix string",
             )
-        keep = index.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(c,) for c in inv_categories if c in present], "category string"
-                )
-            ),
-            "category",
         )
-        remapped = index.join(
-            F.broadcast(
-                spark.createDataFrame(
-                    [(c, c[:3]) for c in missing], "inv_category string, category string"
+        # Fix-ups above change countries only, so the table's category
+        # set equals the pre-dedup one.
+        cats = F.broadcast(
+            both.select("category").distinct().withColumn("__hit", F.lit(1))
+        )
+        resolved = (
+            inv.join(cats, inv["inv_category"] == cats["category"], "left")
+            .select("inv_category", "prefix", F.col("__hit").alias("__exact"))
+            .join(cats, F.col("prefix") == cats["category"], "left")
+            .select(
+                "inv_category",
+                F.when(F.col("__exact").isNotNull(), F.col("inv_category"))
+                .when(
+                    F.col("__hit").isNotNull(), F.col("prefix")
                 )
-            ),
-            "category",
-        ).select("country", F.col("inv_category").alias("category"), "profile_id")
-        index = keep.unionByName(remapped)
+                .otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit("category not available in the auxiliary "),
+                            F.lit("profiles (even as 3-letter prefix): "),
+                            F.col("inv_category"),
+                            F.lit("; load the inventory with short category names"),
+                        )
+                    )
+                )
+                .alias("category"),
+            )
+        )
+        index = index.join(F.broadcast(resolved), "category").select(
+            "country", F.col("inv_category").alias("category"), "profile_id"
+        )
 
     return store, index.select("country", "category", "profile_id")

@@ -129,8 +129,10 @@ def test_uniform_fill_for_one_sided_combo(spark, tmp_path):
 
 def test_unknown_category_prefix_raises(spark, tmp_path):
     _write_aux(tmp_path)
-    with pytest.raises(ValueError, match="XYZ"):
-        edgar_auxiliary_profiles(spark, str(tmp_path), inv_categories=["XYZqqq"])
+    # lazy guard: the unresolvable category raises at execution time
+    _, index = edgar_auxiliary_profiles(spark, str(tmp_path), inv_categories=["XYZqqq"])
+    with pytest.raises(Exception, match="XYZ"):
+        index.collect()
 
 
 def test_incomplete_weekly_raises(spark, tmp_path):
