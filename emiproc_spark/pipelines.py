@@ -1,0 +1,258 @@
+"""Named end-to-end pipelines mirroring the reference's example scripts.
+
+The reference ships its workflows as scripts (``scripts/tno_2_icon.py``,
+``tno_2_hourly.py``, ``tno_2_raster.py``, ``zh_2_gral.py``) — a user
+runs "TNO → ICON OEM" as one unit.  These functions are the same units
+over the Spark-first operators: each is a pure composition (no new
+semantics), so every stage keeps its own oracle-checked behavior, and
+the lazy DataFrame chain means Catalyst optimizes across stage
+boundaries (e.g. the category-group broadcast join fuses into the remap
+aggregation's map side).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.basic import add_inventories, group_categories
+from emiproc_spark.operators.regrid import (
+    remap_inventory,
+    weights_poly_poly,
+    weights_poly_rect,
+    weights_remap,
+)
+from emiproc_spark.sources.tno import tno_area_emissions, tno_point_sources
+
+
+def rasterize_points(
+    points: DataFrame,
+    dst_grid: DataFrame,
+    tile: float,
+    id_col: str = "source_id",
+    x_col: str = "lon",
+    y_col: str = "lat",
+) -> DataFrame:
+    """Shaped point sources → gridded long emissions via the 1/n point
+    kernel (the reference's gdfs branch of remap_inventory,
+    emiproc/regrid.py:522-552).  Cell-edge points split equally between
+    the touching cells (weights_poly_rect's point rule)."""
+    from emiproc_spark.sources.osm import _point_wkb
+
+    shaped = points.select(
+        F.col(id_col).alias("source_id"),
+        _point_wkb(F.col(x_col), F.col(y_col)).alias("geometry"),
+        F.col(x_col).alias("xmin"),
+        F.col(y_col).alias("ymin"),
+        F.col(x_col).alias("xmax"),
+        F.col(y_col).alias("ymax"),
+        "category",
+        "substance",
+        "value_kg_y",
+    )
+    w = weights_poly_rect(
+        shaped.select("source_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+        dst_grid,
+        tile=tile,
+    )
+    return weights_remap(
+        shaped.select(
+            F.col("source_id").alias("cell_id"), "category", "substance",
+            "value_kg_y",
+        ),
+        w,
+    )
+
+
+def tno_to_raster(
+    spark: SparkSession,
+    tno_file: str,
+    src_grid: DataFrame,
+    dst_grid: DataFrame,
+    out_path: str,
+    tile: float = 5.0,
+    categories_group: dict[str, list[str]] | None = None,
+    substances_mapping: dict[str, str] | None = None,
+    include_points: bool = True,
+    **raster_kwargs,
+) -> str:
+    """TNO → (optionally grouped) → regular raster NetCDF.
+
+    Mirrors ``scripts/tno_2_raster.py``: load the TNO inventory (area +
+    point sources), rasterize the point sources onto the TNO grid, remap
+    everything onto ``dst_grid``, group categories, export as a NetCDF
+    raster.  Returns the written path.
+    """
+    e = tno_area_emissions(spark, tno_file, substances_mapping)
+    if include_points:
+        pts = tno_point_sources(spark, tno_file, substances_mapping)
+        e = add_inventories(e, rasterize_points(pts, src_grid, tile))
+    remapped = remap_inventory(e, src_grid, dst_grid, tile=tile)
+    if categories_group:
+        remapped = group_categories(remapped, categories_group)
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+
+    return export_raster_netcdf(remapped, dst_grid, out_path, **raster_kwargs)
+
+
+def tno_to_icon(
+    spark: SparkSession,
+    tno_file: str,
+    src_grid: DataFrame,
+    icon_grid_file: str,
+    out_dir: str,
+    tile: float = 2.0,
+    categories_group: dict[str, list[str]] | None = None,
+    substances_mapping: dict[str, str] | None = None,
+    include_points: bool = True,
+    tprofile_index: DataFrame | None = None,
+    tprofiles: DataFrame | None = None,
+    cell_tz: DataFrame | None = None,
+    tz_shifts: dict[str, int] | None = None,
+) -> dict[str, str]:
+    """TNO → ICON triangular mesh → OEM exports.
+
+    Mirrors ``scripts/tno_2_icon.py``: ingest, remap onto the ICON mesh
+    read from ``icon_grid_file`` (poly-poly surface-conserving weights),
+    group categories, write the remapped inventory as parquet, and —
+    when temporal profiles are supplied — the OEM per-cycle
+    scaling-factor files regionized by (timezone, profile) like
+    ``export_icon_oem`` (reference exports/icon.py:141-430).
+
+    Returns {artifact name: path}; the remapped inventory is
+    ``out["emissions"]``.
+    """
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid
+
+    mesh = icon_mesh_grid(spark, icon_grid_file)
+    e = tno_area_emissions(spark, tno_file, substances_mapping)
+    if include_points:
+        pts = tno_point_sources(spark, tno_file, substances_mapping)
+        e = add_inventories(e, rasterize_points(pts, src_grid, tile))
+    w = weights_poly_poly(
+        src_grid.select(
+            F.col("cell_id").alias("source_id"), "geometry",
+            "xmin", "ymin", "xmax", "ymax",
+        ),
+        mesh,
+        tile=tile,
+    )
+    remapped = weights_remap(e, w)
+    if categories_group:
+        remapped = group_categories(remapped, categories_group)
+
+    os.makedirs(out_dir, exist_ok=True)
+    emissions_path = os.path.join(out_dir, "icon_emissions.parquet")
+    remapped.write.mode("overwrite").parquet(emissions_path)
+    out = {"emissions": emissions_path}
+
+    if tprofile_index is not None and tprofiles is not None and cell_tz is not None:
+        # THREE_CYCLES OEM layout (reference export_icon_oem,
+        # exports/icon.py:141-430): regions = timezones, every
+        # (category, substance) profile repeated per region with the
+        # region's UTC shift applied by make_icon_time_profiles.
+        from pyspark.sql import Window
+
+        from emiproc_spark.exports.icon import make_icon_time_profiles
+
+        shifts = tz_shifts or {}
+        # dimension-sized global window: one row per timezone
+        regions = (
+            cell_tz.select("tzid")
+            .distinct()
+            .withColumn(
+                "region_id",
+                (F.row_number().over(Window.orderBy("tzid")) - 1).cast("int"),
+            )
+        )
+        shift_rows = spark.createDataFrame(
+            [(tz, int(h)) for tz, h in shifts.items()] or [("", 0)],
+            "tzid string, tz_shift int",
+        )
+        reg_dim = (
+            regions.join(F.broadcast(shift_rows), "tzid", "left")
+            .select(
+                "region_id",
+                F.col("tzid").alias("region_key"),
+                F.coalesce("tz_shift", F.lit(0)).alias("tz_shift"),
+            )
+        )
+        index = tprofile_index.crossJoin(
+            F.broadcast(regions.select("region_id"))
+        )
+        out.update(make_icon_time_profiles(index, tprofiles, reg_dim, out_dir))
+        cell_regions_path = os.path.join(out_dir, "cell_regions.parquet")
+        cell_tz.join(F.broadcast(regions), "tzid").select(
+            "cell_id", "region_id"
+        ).write.mode("overwrite").parquet(cell_regions_path)
+        out["cell_regions"] = cell_regions_path
+    return out
+
+
+def tno_to_hourly(
+    spark: SparkSession,
+    tno_file: str,
+    tprofile_index: DataFrame,
+    tprofiles: DataFrame,
+    grid: DataFrame,
+    nx: int,
+    ny: int,
+    start: str,
+    hours: int,
+    out_dir: str,
+    substances_mapping: dict[str, str] | None = None,
+    year_hours: int = 8760,
+) -> list[str]:
+    """TNO → per-hour NetCDF files.
+
+    Mirrors ``scripts/tno_2_hourly.py``: annual inventory × temporal
+    profiles → hourly rates (kg/h), one file per hour written
+    EXECUTOR-side (no driver materialization of the hourly tensor —
+    exports/netcdf.export_hourly_netcdf).  Returns the written paths.
+    """
+    from emiproc_spark.exports.netcdf import export_hourly_netcdf
+    from emiproc_spark.operators.temporal import temporally_scaled
+
+    e = tno_area_emissions(spark, tno_file, substances_mapping)
+    hourly = temporally_scaled(
+        e, tprofile_index, tprofiles, start, hours, year_hours=year_hours
+    )
+    return export_hourly_netcdf(hourly, grid, nx, ny, start, out_dir)
+
+
+def zurich_to_gral(
+    spark: SparkSession,
+    gpkg_path: str,
+    out_dir: str,
+    categories_group: dict[str, list[str]] | None = None,
+    emission_infos: dict[str, dict] | None = None,
+    substances: list[str] | None = None,
+    **gpkg_kwargs,
+) -> dict[tuple[str, str], int]:
+    """MapLuftZurich GPKG → GRAL emission files.
+
+    Mirrors ``scripts/zh_2_gral.py``: read the shaped sources from the
+    GeoPackage, optionally regroup categories (a rename join on the
+    shaped table — shapes keep their identity, the reference's gdfs
+    branch of group_categories), write point.dat / line.dat /
+    cadastre.dat / source_groups.json.  Returns the source-group map.
+    """
+    from emiproc_spark.exports.gral import write_gral_emissions
+    from emiproc_spark.sources.geopackage import from_geopackage
+
+    shaped = from_geopackage(spark, gpkg_path, substances=substances, **gpkg_kwargs)
+    if categories_group:
+        pairs = [(m, g) for g, members in categories_group.items() for m in members]
+        mapping = F.broadcast(
+            spark.createDataFrame(pairs, "category string, category_group string")
+        )
+        shaped = (
+            shaped.join(mapping, "category", "left")
+            .withColumn(
+                "category", F.coalesce("category_group", "category")
+            )
+            .drop("category_group")
+        )
+    return write_gral_emissions(out_dir, shaped, emission_infos=emission_infos)

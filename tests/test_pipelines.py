@@ -1,0 +1,193 @@
+"""End-to-end named pipelines (reference scripts/tno_2_raster.py,
+tno_2_icon.py, tno_2_hourly.py, zh_2_gral.py)."""
+
+import os
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark import pipelines as pl
+from emiproc_spark.grids import regular_grid
+from emiproc_spark.operators.basic import get_total_emissions
+from emiproc_spark.sources.tno import tno_area_emissions, tno_point_sources
+
+
+@pytest.fixture(scope="module")
+def tno_path(spark):
+    from emiproc_spark.driver_queries_io import _tno_fixture
+
+    return _tno_fixture(spark, "/root/testdata/sf0.001")
+
+
+def _src_grid(spark):
+    return regular_grid(spark, 0.0, 0.0, fx.FINE_NX, fx.FINE_NY, 1.0, 1.0)
+
+
+def _expected_total(spark, tno_path):
+    """area total + the point mass that lands inside the 10x10 grid."""
+    area = tno_area_emissions(spark, tno_path).agg(F.sum("value_kg_y")).collect()[0][0]
+    pts_inside = (
+        tno_point_sources(spark, tno_path)
+        .where(
+            (F.col("lon") >= 0.0) & (F.col("lon") <= 10.0)
+            & (F.col("lat") >= 0.0) & (F.col("lat") <= 10.0)
+        )
+        .agg(F.sum("value_kg_y"))
+        .collect()[0][0]
+    ) or 0.0
+    return area + pts_inside
+
+
+def test_tno_to_raster_conserves(spark, tno_path, tmp_path):
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    out = pl.tno_to_raster(
+        spark,
+        tno_path,
+        _src_grid(spark),
+        fx.coarse_grid(spark).withColumns(
+            {
+                "lon": (F.col("xmin") + F.col("xmax")) / 2,
+                "lat": (F.col("ymin") + F.col("ymax")) / 2,
+                "area_m2": (F.col("xmax") - F.col("xmin"))
+                * (F.col("ymax") - F.col("ymin")),
+            }
+        ),
+        str(tmp_path / "tno_raster.nc"),
+    )
+    back = from_netcdf_rasters(spark, out)
+    got = (
+        back.where(~F.col("category").startswith("__"))
+        .agg(F.sum("value_kg_y"))
+        .collect()[0][0]
+    )
+    assert got == pytest.approx(_expected_total(spark, tno_path), rel=1e-9)
+
+
+def test_tno_to_icon_with_oem_profiles(spark, tno_path, tmp_path):
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+
+    # mesh covering the fixture extent: 5x5 tiles split diagonally
+    lon, lat = [], []
+    for tx in range(5):
+        for ty in range(5):
+            x0, y0 = tx * 2.0, ty * 2.0
+            lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
+            lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
+    grid_file = make_icon_grid_file(
+        str(tmp_path / "grid.nc"), np.array(lon), np.array(lat)
+    )
+
+    cats = ["grp_an", "grp_r", "P0", "P1"]
+    index = spark.createDataFrame(
+        [(c, s, "daily", 0) for c in cats for s in ("F", "O")],
+        "category string, substance string, ptype string, profile_id int",
+    )
+    store = spark.createDataFrame(
+        [(0, "daily", [(h + 1) / 300.0 for h in range(24)])],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    mesh = icon_mesh_grid(spark, grid_file)
+    cell_tz = mesh.select(
+        "cell_id",
+        F.when(F.col("cell_id") % 2 == 0, "UTC").otherwise("CET").alias("tzid"),
+    ).distinct()
+
+    out = pl.tno_to_icon(
+        spark,
+        tno_path,
+        _src_grid(spark),
+        grid_file,
+        str(tmp_path / "oem"),
+        categories_group={"grp_an": ["A", "N"], "grp_r": ["R"], "P0": ["P0"], "P1": ["P1"]},
+        tprofile_index=index,
+        tprofiles=store,
+        cell_tz=cell_tz,
+        tz_shifts={"CET": 1},
+    )
+    remapped = spark.read.parquet(out["emissions"])
+    got = remapped.agg(F.sum("value_kg_y")).collect()[0][0]
+    assert got == pytest.approx(_expected_total(spark, tno_path), rel=1e-9)
+    assert set(r["category"] for r in remapped.select("category").distinct().collect()) <= set(cats)
+
+    ds = read_netcdf(out["hourofday"])
+    assert ds.variables["grp_an_F"].data.shape == (24, 2)  # 2 tz regions
+    # CET column is the UTC one rolled by +1 hour
+    utc_col = ds.variables["grp_an_F"].data[:, 1]
+    cet_col = ds.variables["grp_an_F"].data[:, 0]
+    assert np.allclose(np.roll(utc_col, -1), cet_col) or np.allclose(
+        np.roll(utc_col, 1), cet_col
+    )
+    cell_regions = spark.read.parquet(out["cell_regions"])
+    assert cell_regions.count() == 50
+
+
+def test_tno_to_hourly_rates(spark, tno_path, tmp_path):
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    # uniform daily profile => every hourly file holds annual/8760
+    store = spark.createDataFrame(
+        [(0, "daily", [1.0 / 24] * 24)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("A", "F", 0), ("A", "O", 0)],
+        "category string, substance string, profile_id int",
+    )
+    grid = _src_grid(spark)
+    files = pl.tno_to_hourly(
+        spark,
+        tno_path,
+        index,
+        store,
+        grid,
+        fx.FINE_NX,
+        fx.FINE_NY,
+        "2024-01-02 00:00:00",
+        3,
+        str(tmp_path / "hourly"),
+    )
+    assert len(files) == 3
+    annual = (
+        tno_area_emissions(spark, tno_path).agg(F.sum("value_kg_y")).collect()[0][0]
+    )
+    ds = read_netcdf(sorted(files)[0])
+    total_rate = sum(
+        float(v.data.sum())
+        for name, v in ds.variables.items()
+        if name not in ("lon", "lat", "time", "cell_area") and not name.endswith("bnds")
+    )
+    assert total_rate == pytest.approx(annual / 8760, rel=1e-9)
+
+
+def test_zurich_to_gral(spark, tmp_path):
+    import pandas as pd
+
+    from emiproc_spark.functions.geometry import wkb_point
+    from emiproc_spark.sources.geopackage import export_to_geopackage
+
+    pdf = pd.DataFrame(
+        {
+            "geometry": [wkb_point(float(i), float(i % 5)) for i in range(12)],
+            "Emission_CO2": [float(i + 1) for i in range(12)],
+        }
+    )
+    layer = spark.createDataFrame(pdf)
+    gpkg = str(tmp_path / "zh.gpkg")
+    export_to_geopackage({"c21_heating": layer, "c31_industry": layer}, gpkg)
+
+    out_dir = str(tmp_path / "gral")
+    groups = pl.zurich_to_gral(
+        spark,
+        gpkg,
+        out_dir,
+        categories_group={"stationary": ["c21_heating", "c31_industry"]},
+    )
+    assert all(cat == "stationary" for _, cat in groups)
+    with open(os.path.join(out_dir, "point.dat")) as f:
+        lines = [ln for ln in f.read().strip().splitlines() if ln]
+    # 24 point sources (12 per layer), one line each + 2 header lines
+    assert len(lines) == 26
