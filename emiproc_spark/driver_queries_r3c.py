@@ -200,6 +200,87 @@ SQL_LENGTH_PERCENTILES = """
 
 
 # ======================================================================
+# winnow_fp — MOSS winnowing fingerprints (k=3-gram, w=4 windows)
+# ======================================================================
+def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_fingerprints(docs, k=3, w=4)
+
+
+SQL_WINNOW_FP = """
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, CAST(t.i AS INT) AS pos,
+               md5(toks[t.i + 1] || ' ' || toks[t.i + 2] || ' ' || toks[t.i + 3]) AS h
+        FROM toks, UNNEST(range(GREATEST(len(toks) - 2, 0))) AS t(i)
+    ),
+    cnt AS (SELECT doc_id, COUNT(*) AS nsh FROM sh GROUP BY doc_id),
+    wins AS (
+        SELECT doc_id, CAST(s.s AS INT) AS s
+        FROM cnt, UNNEST(range(CASE WHEN nsh >= 4 THEN nsh - 3 ELSE 1 END)) AS s(s)
+    ),
+    wmin AS (
+        SELECT w.doc_id, w.s, MIN(sh.h) AS mh
+        FROM wins w
+        JOIN sh ON sh.doc_id = w.doc_id AND sh.pos BETWEEN w.s AND w.s + 3
+        GROUP BY w.doc_id, w.s
+    ),
+    fp AS (
+        SELECT w.doc_id, w.mh, MIN(sh.pos) AS pos
+        FROM wmin w
+        JOIN sh ON sh.doc_id = w.doc_id AND sh.pos BETWEEN w.s AND w.s + 3
+               AND sh.h = w.mh
+        GROUP BY w.doc_id, w.s, w.mh
+    )
+    SELECT DISTINCT doc_id, mh AS fingerprint, CAST(pos AS INT) AS pos FROM fp
+"""
+
+
+# ======================================================================
+# quality_filter — composed C4/Gopher-style quality gate with audit
+# ======================================================================
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(
+        docs,
+        min_tokens=30,
+        max_tokens=80,
+        max_mean_word_len=5.6,
+        max_dup_token_frac=0.6,
+    ).select("doc_id", "lang", "source", "reason", "keep")
+
+
+SQL_QUALITY_FILTER = """
+    WITH f AS (
+        SELECT doc_id, lang, source, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, lang, source,
+               CASE
+                   WHEN NOT (n >= 30) THEN 'min_tokens'
+                   WHEN NOT (n <= 80) THEN 'max_tokens'
+                   WHEN NOT (n > 0 AND CAST(length(text) AS DOUBLE) / n <= 5.6)
+                       THEN 'mean_word_len'
+                   WHEN NOT (n > 0 AND CAST(n - nd AS DOUBLE) / n <= 0.6)
+                       THEN 'dup_token_frac'
+                   ELSE 'ok'
+               END AS reason
+        FROM f
+    )
+    SELECT doc_id, lang, source, reason, reason = 'ok' AS keep FROM r
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -207,6 +288,8 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "doc_chunks": q_doc_chunks,
     "unigram_logprob": q_unigram_logprob,
     "length_percentiles": q_length_percentiles,
+    "winnow_fp": q_winnow_fp,
+    "quality_filter": q_quality_filter,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -214,4 +297,6 @@ ORACLES_R3C: dict[str, str] = {
     "doc_chunks": SQL_DOC_CHUNKS,
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "length_percentiles": SQL_LENGTH_PERCENTILES,
+    "winnow_fp": SQL_WINNOW_FP,
+    "quality_filter": SQL_QUALITY_FILTER,
 }

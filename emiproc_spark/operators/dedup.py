@@ -413,3 +413,52 @@ def passage_duplicates(
         )
         .where(F.col("n_copies") > 1)
     )
+
+
+def winnow_fingerprints(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken's MOSS
+    scheme): hash every k-gram, slide a w-wide window, keep each
+    window's minimal hash — guarantees any shared substring of
+    ``w + k - 1`` tokens contributes at least one common fingerprint,
+    with ~2/(w+1) selection density.
+
+    Ties break to the LEFTMOST minimal hash (deterministic across
+    engines: the (hash, pos) struct ordering).  Docs with fewer than w
+    k-grams get one window over all of them; docs shorter than k tokens
+    produce no fingerprints.
+
+    Plan: map-only array expressions (shingle → md5 → windowed
+    struct-min) then ONE shuffle for the distinct fingerprint set —
+    no self-join, no UDF; output is the join key for plagiarism-style
+    overlap detection at corpus scale.
+    """
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    toks = docs.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    sh = toks.select(id_col, shingles(F.col("__toks"), k).alias("__sh"))
+    hs = sh.select(
+        F.col(id_col),
+        F.transform(
+            "__sh", lambda x, i: F.struct(F.md5(x).alias("h"), i.alias("pos"))
+        ).alias("__hs"),
+    )
+    n = F.size("__hs")
+    n_win = F.when(n >= w, n - w + 1).otherwise(F.least(n, F.lit(1)))
+    return (
+        hs.where(n > 0)
+        .select(F.col(id_col), F.col("__hs"), F.explode(F.sequence(F.lit(0), n_win - 1)).alias("s"))
+        .select(
+            id_col,
+            F.array_min(F.slice("__hs", F.col("s") + 1, w)).alias("fp"),
+        )
+        .select(id_col, F.col("fp.h").alias("fingerprint"), F.col("fp.pos").alias("pos"))
+        .distinct()
+    )

@@ -334,3 +334,67 @@ def length_percentiles(
             + (F.col("vhi") - F.col("vlo")) * (F.col("p") - F.col("lo"))
         ).alias("value"),
     )
+
+
+def quality_filter(
+    docs: DataFrame,
+    min_tokens: int | None = 20,
+    max_tokens: int | None = None,
+    max_mean_word_len: float | None = 12.0,
+    min_stopword_ratio: float | None = None,
+    max_dup_token_frac: float | None = 0.9,
+    text_col: str = "text",
+) -> DataFrame:
+    """C4/Gopher-style composed quality gate: every document gets a
+    ``keep`` flag and the FIRST failing rule's name in ``reason``
+    (``'ok'`` when kept) — the audit column a curation pipeline reports
+    before dropping rows.
+
+    Rules evaluate in a fixed order (min_tokens, max_tokens,
+    mean_word_len, stopword_ratio, dup_token_frac); pass ``None`` to
+    disable one.  Map-only: token/bigram features are materialized
+    columns shared across rules — one projection chain, no shuffle, no
+    UDF, so the gate runs at scan speed over 100 TB and Catalyst prunes
+    it to the columns the caller keeps.
+    """
+    staged = docs.withColumn("__toks", tokens(F.col(text_col)))
+    n = F.size("__toks")
+    checks: list[tuple[str, Column]] = []
+    if min_tokens is not None:
+        checks.append(("min_tokens", n >= min_tokens))
+    if max_tokens is not None:
+        checks.append(("max_tokens", n <= max_tokens))
+    if max_mean_word_len is not None:
+        checks.append(
+            (
+                "mean_word_len",
+                (n > 0) & (F.length(text_col) / n <= max_mean_word_len),
+            )
+        )
+    if min_stopword_ratio is not None:
+        checks.append(
+            (
+                "stopword_ratio",
+                (n > 0)
+                & (stopword_count(F.col("__toks")) / n >= min_stopword_ratio),
+            )
+        )
+    if max_dup_token_frac is not None:
+        checks.append(
+            (
+                "dup_token_frac",
+                (n > 0)
+                & (
+                    (n - F.size(F.array_distinct("__toks"))) / n
+                    <= max_dup_token_frac
+                ),
+            )
+        )
+    reason = F.lit("ok")
+    for name, ok in reversed(checks):
+        reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    return (
+        staged.withColumn("reason", reason)
+        .withColumn("keep", F.col("reason") == "ok")
+        .drop("__toks")
+    )

@@ -87,3 +87,76 @@ def test_chunk_plan_is_map_only(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = chunk_documents(docs, 4, 4)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_winnow_guarantee_and_short_docs(spark):
+    from emiproc_spark.operators.dedup import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta"
+    docs = spark.createDataFrame(
+        [
+            (1, "one two " + shared + " x y z"),
+            (2, shared + " p q r s"),
+            (3, "ab cd"),          # shorter than k: no fingerprints
+            (4, "a b c"),          # exactly one shingle: one window
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    # winnowing guarantee: any shared run of >= w+k-1 tokens yields at
+    # least one common fingerprint hash
+    assert by_doc[1] & by_doc[2]
+    assert 3 not in by_doc
+    assert len(by_doc[4]) == 1
+    # density: far fewer fingerprints than shingles
+    n_sh_1 = len("one two ".split() + shared.split() + "x y z".split()) - 2
+    assert len(by_doc[1]) < n_sh_1
+
+
+def test_winnow_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from emiproc_spark.operators.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(docs, k=0)
+
+
+def test_quality_filter_reason_order_and_disable(spark):
+    from emiproc_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short doc"),                      # min_tokens
+            (2, " ".join(["tok"] * 50)),           # dup_token_frac (all dup)
+            (3, " ".join(f"w{i}" for i in range(50))),  # ok
+            (4, " ".join(["superlongword" * 3] * 30)),  # mean_word_len
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(
+        docs, min_tokens=10, max_tokens=100, max_mean_word_len=12.0,
+        max_dup_token_frac=0.5,
+    ).collect()}
+    assert out[1] == (False, "min_tokens")
+    assert out[2] == (False, "dup_token_frac")
+    assert out[3] == (True, "ok")
+    assert out[4] == (False, "mean_word_len")
+    # disabling every rule keeps everything
+    all_keep = quality_filter(
+        docs, min_tokens=None, max_tokens=None, max_mean_word_len=None,
+        max_dup_token_frac=None,
+    )
+    assert all(r["keep"] for r in all_keep.collect())
+
+
+def test_quality_filter_is_map_only(spark):
+    from emiproc_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
