@@ -209,9 +209,9 @@ def q_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(docs, k=3, w=4)
 
 
-SQL_WINNOW_FP = """
+_WINNOW_FP_TMPL = """
     WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        SELECT doc_id, string_split(text, ' ') AS toks FROM ({docs})
     ),
     sh AS (
         SELECT doc_id, CAST(t.i AS INT) AS pos,
@@ -238,6 +238,38 @@ SQL_WINNOW_FP = """
     )
     SELECT DISTINCT doc_id, mh AS fingerprint, CAST(pos AS INT) AS pos FROM fp
 """
+
+SQL_WINNOW_FP = _WINNOW_FP_TMPL.format(docs="SELECT doc_id, text FROM documents")
+
+
+# ======================================================================
+# winnow_overlap — MOSS overlap pairs over shared fingerprints
+# ======================================================================
+def q_winnow_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import _docs2
+    from emiproc_spark.operators.dedup import winnow_overlap_pairs
+
+    return winnow_overlap_pairs(
+        _docs2(spark, sf_dir), k=3, w=4, min_shared=2, max_fp_freq=50
+    )
+
+
+def _sql_winnow_overlap() -> str:
+    from emiproc_spark.driver_queries_text import DOCS2_SQL
+
+    fp = _WINNOW_FP_TMPL.format(docs=DOCS2_SQL)
+    return f"""
+    WITH wfp AS ({fp}),
+    dfp AS (SELECT DISTINCT doc_id, fingerprint FROM wfp),
+    keepable AS (
+        SELECT fingerprint FROM dfp GROUP BY fingerprint HAVING COUNT(*) <= 50
+    ),
+    j AS (SELECT doc_id, fingerprint FROM dfp JOIN keepable USING (fingerprint))
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM j a JOIN j b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """
 
 
 # ======================================================================
@@ -289,6 +321,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unigram_logprob": q_unigram_logprob,
     "length_percentiles": q_length_percentiles,
     "winnow_fp": q_winnow_fp,
+    "winnow_overlap": q_winnow_overlap,
     "quality_filter": q_quality_filter,
 }
 
@@ -298,5 +331,6 @@ ORACLES_R3C: dict[str, str] = {
     "unigram_logprob": SQL_UNIGRAM_LOGPROB,
     "length_percentiles": SQL_LENGTH_PERCENTILES,
     "winnow_fp": SQL_WINNOW_FP,
+    "winnow_overlap": _sql_winnow_overlap(),
     "quality_filter": SQL_QUALITY_FILTER,
 }

@@ -462,3 +462,49 @@ def winnow_fingerprints(
         .select(id_col, F.col("fp.h").alias("fingerprint"), F.col("fp.pos").alias("pos"))
         .distinct()
     )
+
+
+def winnow_overlap_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 2,
+    max_fp_freq: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowing fingerprints —
+    the MOSS overlap detector: robust to reordering/insertion because a
+    common run of ``w + k − 1`` tokens always contributes a shared
+    fingerprint, and far cheaper than a shingle self-join because only
+    the ~2/(w+1)-dense fingerprint set joins.
+
+    ``max_fp_freq`` drops fingerprints present in more than N docs
+    before the self-join (the same stop-shingle skew guard as
+    ``ngram_jaccard_pairs`` — a boilerplate-header fingerprint shared by
+    a million docs must not fan out a 10¹²-row join).
+    """
+    fp = winnow_fingerprints(docs, k, w, text_col, id_col).select(
+        F.col(id_col).alias("doc_id"), "fingerprint"
+    ).distinct()
+    # one self-join input, materialized once (same rationale as the
+    # other near-dup kernels: both join sides share the lineage)
+    fp = fp.localCheckpoint(eager=False)
+    joinable = fp
+    if max_fp_freq is not None:
+        freq = fp.groupBy("fingerprint").agg(F.count("*").alias("df"))
+        joinable = fp.join(
+            F.broadcast(freq.where(F.col("df") > max_fp_freq)),
+            "fingerprint",
+            "anti",
+        )
+    a, b = joinable.alias("a"), joinable.alias("b")
+    return (
+        a.join(b, "fingerprint")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )

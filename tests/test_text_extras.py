@@ -160,3 +160,24 @@ def test_quality_filter_is_map_only(spark):
     docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
     plan = quality_filter(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_winnow_overlap_pairs_and_guard(spark):
+    from emiproc_spark.operators.dedup import winnow_overlap_pairs
+
+    base = " ".join(f"tok{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base + " extra trailing words here"),   # heavy overlap
+            (3, " ".join(f"other{i}" for i in range(30))),  # disjoint
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["doc_a"], r["doc_b"]): r["n_shared"]
+             for r in winnow_overlap_pairs(docs, min_shared=2).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert all(3 not in p for p in pairs)
+    # hot-fingerprint guard: freq cap 1 kills every shared fingerprint
+    guarded = winnow_overlap_pairs(docs, min_shared=1, max_fp_freq=1)
+    assert guarded.count() == 0
