@@ -313,6 +313,49 @@ SQL_QUALITY_FILTER = """
 
 
 # ======================================================================
+# temp_mix — temperature-scaled source mixing (p_s ∝ share_s^τ)
+# ======================================================================
+TEMP_TAU = 0.5
+TEMP_BUDGET = 50_000.0
+
+
+def q_temp_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.operators import sampling as sp
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    rates = sp.temperature_rates(
+        d, TEMP_TAU, TEMP_BUDGET, stratum_col="source", size_col="n_chars"
+    )
+    return sp.apply_mixture(d, rates, stratum_col="source").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+def _sql_temp_mix() -> str:
+    from emiproc_spark.operators.sampling import sql_hash_fraction
+
+    return f"""
+    WITH totals AS (
+        SELECT source, SUM(n_chars) AS st FROM documents GROUP BY source
+    ),
+    powed AS (
+        SELECT source, st, pow(CAST(st AS DOUBLE), {TEMP_TAU!r}) AS pp
+        FROM totals
+    ),
+    rates AS (
+        SELECT source,
+               LEAST(1.0, {TEMP_BUDGET!r} * (pp / SUM(pp) OVER ())
+                          / CAST(st AS DOUBLE)) AS rate
+        FROM powed
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d JOIN rates r USING (source)
+    WHERE {sql_hash_fraction('d.doc_id', 'mix')} < r.rate
+    """
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -323,6 +366,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fp": q_winnow_fp,
     "winnow_overlap": q_winnow_overlap,
     "quality_filter": q_quality_filter,
+    "temp_mix": q_temp_mix,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -333,4 +377,5 @@ ORACLES_R3C: dict[str, str] = {
     "winnow_fp": SQL_WINNOW_FP,
     "winnow_overlap": _sql_winnow_overlap(),
     "quality_filter": SQL_QUALITY_FILTER,
+    "temp_mix": _sql_temp_mix(),
 }

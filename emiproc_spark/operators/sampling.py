@@ -142,3 +142,39 @@ def apply_mixture(
         .where(hash_fraction(F.col(key_col), salt) < F.col("__rate"))
         .drop("__rate")
     )
+
+
+def temperature_rates(
+    df: DataFrame,
+    temperature: float,
+    token_budget: float,
+    stratum_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-scaled mixture weights from the corpus itself —
+    the multilingual-sampling rule (p_s ∝ share_s^τ): τ=1 keeps natural
+    proportions, τ→0 approaches uniform over sources, boosting the tail.
+
+    One hash-agg over the corpus; the exponentiation and normalization
+    run on the dimension-sized per-source table (window over strata —
+    bounded by the number of sources).  Feed to :func:`apply_mixture`.
+    """
+    from pyspark.sql import Window
+
+    if temperature < 0:
+        raise ValueError("temperature must be >= 0")
+    totals = df.groupBy(stratum_col).agg(F.sum(size_col).alias("stratum_tokens"))
+    # dimension-sized global window: one row per source
+    w = Window.partitionBy()
+    powed = totals.withColumn(
+        "__p", F.pow(F.col("stratum_tokens").cast("double"), float(temperature))
+    )
+    return powed.select(
+        stratum_col,
+        F.least(
+            F.lit(1.0),
+            F.lit(float(token_budget))
+            * (F.col("__p") / F.sum("__p").over(w))
+            / F.col("stratum_tokens"),
+        ).alias("rate"),
+    )

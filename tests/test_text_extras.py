@@ -181,3 +181,23 @@ def test_winnow_overlap_pairs_and_guard(spark):
     # hot-fingerprint guard: freq cap 1 kills every shared fingerprint
     guarded = winnow_overlap_pairs(docs, min_shared=1, max_fp_freq=1)
     assert guarded.count() == 0
+
+
+def test_temperature_rates_boost_tail(spark):
+    from emiproc_spark.operators.sampling import temperature_rates
+
+    docs = spark.createDataFrame(
+        [(i, "big" if i < 90 else "small", 100) for i in range(100)],
+        "doc_id long, source string, n_tokens long",
+    )
+    # τ=1: natural shares; τ=0: uniform over sources
+    nat = {r["source"]: r["rate"] for r in temperature_rates(docs, 1.0, 5000).collect()}
+    uni = {r["source"]: r["rate"] for r in temperature_rates(docs, 0.0, 5000).collect()}
+    assert nat["big"] == nat["small"]  # τ=1: rate = budget/total, same for all
+    # τ=0 splits budget equally: small source gets a much higher rate
+    assert uni["small"] > uni["big"]
+    assert uni["small"] == pytest.approx(min(1.0, 2500 / 1000))
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        temperature_rates(docs, -1.0, 10)
