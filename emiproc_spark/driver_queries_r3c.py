@@ -313,6 +313,85 @@ SQL_QUALITY_FILTER = """
 
 
 # ======================================================================
+# decon_spans — span-level decontamination (C4-style surgical removal)
+# ======================================================================
+def q_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same planted-contamination fixture as `decontaminate`, but only
+    the matching spans are removed; clean remainders survive."""
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.operators import packing as pk
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 41 == 0)
+    ev = eval_docs.select(
+        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "ev_id",
+            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
+        )
+        .join(F.broadcast(ev), "ev_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
+        )
+    )
+    return pk.decontaminate_spans(corpus, eval_docs, n=5)
+
+
+def _sql_decon_spans() -> str:
+    from emiproc_spark.driver_queries_curate import (
+        SQL_CORPUS_PLANTED,
+        _sql_ngrams,
+    )
+
+    return f"""
+    WITH ev AS (
+        SELECT DISTINCT ngram
+        FROM ({_sql_ngrams('(SELECT * FROM documents WHERE doc_id % 41 = 0)', 5)})
+    ),
+    cp AS ({SQL_CORPUS_PLANTED}),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS toks FROM cp),
+    cg AS (
+        SELECT doc_id, CAST(t.i - 1 AS INT) AS pos,
+               toks[t.i] || ' ' || toks[t.i + 1] || ' ' || toks[t.i + 2]
+               || ' ' || toks[t.i + 3] || ' ' || toks[t.i + 4] AS ngram
+        FROM toks, UNNEST(range(1, len(toks) - 3)) AS t(i)
+    ),
+    hits AS (SELECT DISTINCT cg.doc_id, cg.pos FROM cg JOIN ev USING (ngram)),
+    tokpos AS (
+        SELECT doc_id, CAST(t.i - 1 AS INT) AS p, toks[t.i] AS tok
+        FROM toks, UNNEST(range(1, len(toks) + 1)) AS t(i)
+    ),
+    removed AS (
+        SELECT DISTINCT tokpos.doc_id, tokpos.p
+        FROM tokpos JOIN hits ON hits.doc_id = tokpos.doc_id
+                             AND tokpos.p BETWEEN hits.pos AND hits.pos + 4
+    ),
+    kept AS (
+        SELECT tokpos.doc_id, tokpos.p, tokpos.tok
+        FROM tokpos ANTI JOIN removed
+        ON removed.doc_id = tokpos.doc_id AND removed.p = tokpos.p
+    ),
+    agg AS (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ),
+    nh AS (SELECT doc_id, COUNT(*) AS n_hits FROM hits GROUP BY doc_id)
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(nh.n_hits, 0) AS INT) AS n_hits,
+           CAST(len(t.toks) - COALESCE(a.n_kept, 0) AS INT) AS n_tokens_removed
+    FROM toks t
+    LEFT JOIN agg a ON a.doc_id = t.doc_id
+    LEFT JOIN nh ON nh.doc_id = t.doc_id
+    """
+
+
+# ======================================================================
 # temp_mix — temperature-scaled source mixing (p_s ∝ share_s^τ)
 # ======================================================================
 TEMP_TAU = 0.5
@@ -367,6 +446,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_overlap": q_winnow_overlap,
     "quality_filter": q_quality_filter,
     "temp_mix": q_temp_mix,
+    "decon_spans": q_decon_spans,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -378,4 +458,5 @@ ORACLES_R3C: dict[str, str] = {
     "winnow_overlap": _sql_winnow_overlap(),
     "quality_filter": SQL_QUALITY_FILTER,
     "temp_mix": _sql_temp_mix(),
+    "decon_spans": _sql_decon_spans(),
 }

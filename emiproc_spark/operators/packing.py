@@ -191,3 +191,53 @@ def chunk_documents(
             F.array_join("chunk", " ").alias("chunk_text"),
         )
     )
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Span-level decontamination: instead of dropping whole documents
+    (:func:`decontaminate`), remove only the tokens covered by an
+    eval-set n-gram match — the C4-style surgical variant that keeps the
+    clean remainder of a long document.
+
+    A match at token position p removes positions [p, p+n-1]; runs of
+    overlapping matches merge naturally because removal is evaluated
+    per token.  Returns (doc_id, clean_text, n_hits, n_tokens_removed);
+    untouched docs pass through with n_hits = 0.
+
+    Plan: corpus n-grams (map-only explode) semi-join the broadcast
+    eval dictionary → per-doc hit-position list (one shuffle, hits only
+    — clean docs never shuffle) → broadcast-size join back onto the
+    corpus scan → token filtering as array expressions.  No UDF.
+    """
+    grams = F.broadcast(eval_ngrams(eval_docs, text_col, n))
+    tok = corpus.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
+    hits = (
+        tok.select(
+            "doc_id",
+            F.posexplode(shingles(F.col("__toks"), n)).alias("pos", "ngram"),
+        )
+        .join(grams, "ngram", "semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("pos").alias("__hits"))
+    )
+    joined = tok.join(hits, "doc_id", "left").withColumn(
+        "__hits", F.coalesce("__hits", F.array())
+    )
+    covered = lambda i: F.exists(  # noqa: E731
+        "__hits", lambda h: (i >= h) & (i <= h + F.lit(n - 1))
+    )
+    kept = F.filter(
+        F.transform("__toks", lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+        lambda s: ~covered(s["i"]),
+    )
+    return joined.select(
+        "doc_id",
+        F.array_join(F.transform(kept, lambda s: s["t"]), " ").alias("clean_text"),
+        F.size("__hits").alias("n_hits"),
+        (F.size("__toks") - F.size(kept)).alias("n_tokens_removed"),
+    )

@@ -201,3 +201,41 @@ def test_temperature_rates_boost_tail(spark):
 
     with _p.raises(ValueError):
         temperature_rates(docs, -1.0, 10)
+
+
+def test_decontaminate_spans_surgical(spark):
+    from emiproc_spark.operators.packing import decontaminate_spans
+
+    evals = spark.createDataFrame(
+        [(100, "one two three four five")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "clean words only here with nothing shared at all"),
+            (2, "prefix stays one two three four five suffix stays too"),
+            (3, "one two three four five"),  # fully removed
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in decontaminate_spans(docs, evals, n=5).collect()}
+    assert out[1]["n_hits"] == 0 and out[1]["n_tokens_removed"] == 0
+    assert out[1]["clean_text"] == "clean words only here with nothing shared at all"
+    assert out[2]["clean_text"] == "prefix stays suffix stays too"
+    assert out[2]["n_tokens_removed"] == 5
+    assert out[3]["clean_text"] == "" and out[3]["n_tokens_removed"] == 5
+
+
+def test_decontaminate_spans_overlapping_matches_merge(spark):
+    from emiproc_spark.operators.packing import decontaminate_spans
+
+    evals = spark.createDataFrame(
+        [(100, "a b c d e f")], "doc_id long, text string"
+    )
+    # doc shares the 6-token run => two overlapping 5-gram hits covering 6 tokens
+    docs = spark.createDataFrame(
+        [(1, "x a b c d e f y")], "doc_id long, text string"
+    )
+    row = decontaminate_spans(docs, evals, n=5).collect()[0]
+    assert row["n_hits"] == 2
+    assert row["n_tokens_removed"] == 6
+    assert row["clean_text"] == "x y"
