@@ -360,3 +360,58 @@ def test_icon_mesh_remap_50k_triangles(spark, tmp_path):
     assert bad == 0
     assert n_src == 250_000
     assert dt < 300
+
+
+def test_chunk_and_winnow_million_docs(spark):
+    """1M synthetic docs through map-only chunking and the winnowing
+    fingerprint path (one distinct shuffle): chunk counts are closed-form
+    and the fingerprint density stays ~2/(w+1)."""
+    from emiproc_spark.operators.dedup import winnow_fingerprints
+    from emiproc_spark.operators.packing import chunk_documents
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda i: F.concat(F.lit("t"), ((F.col("id") + i) % 997).cast("string")),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    n_chunks = chunk_documents(docs, size=32, stride=32).count()
+    assert n_chunks == 2_000_000  # 64 tokens, stride 32 → 2 chunks/doc
+    # winnow a 100k slice (the fingerprint distinct is the only shuffle)
+    fp = winnow_fingerprints(docs.where(F.col("doc_id") < 100_000), k=3, w=8)
+    n_fp = fp.count()
+    n_sh = 100_000 * (64 - 2)
+    assert n_fp < n_sh * 0.5  # far sparser than the shingle set
+    dt = time.time() - t0
+    assert dt < 120, f"chunk+winnow too slow: {dt:.1f}s"
+
+
+def test_quality_gate_million_docs(spark):
+    """1M docs through the composed quality gate: map-only, so wall time
+    is scan-bound."""
+    from emiproc_spark.operators.text import quality_filter
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.array_join(
+            F.array_repeat(
+                F.concat(F.lit("w"), (F.col("id") % 7919).cast("string")),
+                (F.col("id") % 200 + 1).cast("int"),
+            ),
+            " ",
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = quality_filter(docs, min_tokens=50, max_tokens=150, max_dup_token_frac=0.5)
+    counts = {r["reason"]: r["n"] for r in
+              out.groupBy("reason").agg(F.count("*").alias("n")).collect()}
+    # every doc repeats one token => dup_token_frac kills all with n>=2 kept by min_tokens
+    assert counts.get("min_tokens", 0) > 0 and counts.get("dup_token_frac", 0) > 0
+    assert sum(counts.values()) == 1_000_000
+    dt = time.time() - t0
+    assert dt < 60, f"quality gate too slow: {dt:.1f}s"
