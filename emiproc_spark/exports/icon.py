@@ -335,3 +335,92 @@ def export_inventory_profiles(
     write_netcdf(path, ds)
     out["tz_mask"] = path
     return out
+
+
+def export_oem_gridded_emissions(
+    mesh: DataFrame,
+    emissions: DataFrame,
+    path: str,
+    var_name: str = "{category}-{substance}",
+    nc_attrs: dict | None = None,
+    group_dict: dict[str, list[str]] | None = None,
+) -> str:
+    """Write ``oem_gridded_emissions.nc`` — the emission half of the
+    reference's ``export_icon_oem`` (exports/icon.py:92-206): one
+    ``{category}-{substance}`` variable over the ``cell`` dimension in
+    OEM units kg/m²/s (converted with the mesh cell areas and 365.25
+    days/year, icon.py:125-128,189-192), plus ``clon``/``clat`` cell
+    coordinates so OEM can match the dynamics grid.
+
+    ``mesh``: the ICON mesh table (cell_id, lon, lat, area_m2) from
+    ``sources.icon_grid.icon_mesh_grid``; a cell count mismatch between
+    mesh and emissions raises like the reference (icon.py:176-181).
+    Spark side reduces to one value per (cell, category, substance);
+    only the final dense rasters — one float per mesh cell per
+    (category, substance) — are collected into the NetCDF writer (the
+    single-file export boundary shared with ``export_raster_netcdf``).
+    """
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    from emiproc_spark.sources.netcdf import SEC_PER_YR
+
+    # antimeridian-split cells appear as several parts; the OEM file has
+    # one row per cell — areas add, the centroid is per-cell constant
+    cells = (
+        mesh.groupBy("cell_id")
+        .agg(
+            F.first("lon").alias("lon"),
+            F.first("lat").alias("lat"),
+            F.sum("area_m2").alias("area_m2"),
+        )
+        .toPandas()
+        .sort_values("cell_id")
+        .reset_index(drop=True)
+    )
+    n_cells = len(cells)
+    agg = (
+        emissions.groupBy("cell_id", "category", "substance")
+        .agg(F.sum("value_kg_y").alias("value_kg_y"))
+        .toPandas()
+    )
+    bad = set(agg["cell_id"]) - set(cells["cell_id"])
+    if bad:
+        raise ValueError(
+            f"emissions reference {len(bad)} cell ids absent from the mesh "
+            f"({sorted(bad)[:5]}…); remap onto the ICON grid first"
+        )
+    pos = {c: i for i, c in enumerate(cells["cell_id"])}
+    area = cells["area_m2"].to_numpy()
+
+    ds = NCDataset(
+        dims={"cell": n_cells},
+        attrs=dict(nc_attrs or DEFAULT_NC_ATTRIBUTES),
+        variables={
+            "clon": NCVariable(
+                "clon", ("cell",), cells["lon"].to_numpy().astype("f8"),
+                {"units": "degrees_east"},
+            ),
+            "clat": NCVariable(
+                "clat", ("cell",), cells["lat"].to_numpy().astype("f8"),
+                {"units": "degrees_north"},
+            ),
+            "cell_area": NCVariable(
+                "cell_area", ("cell",), area.astype("f8"), {"units": "m2"}
+            ),
+        },
+    )
+    for (cat, sub), part in agg.groupby(["category", "substance"]):
+        raster = np.zeros(n_cells)
+        idx = part["cell_id"].map(pos).to_numpy()
+        raster[idx] = part["value_kg_y"].to_numpy()
+        raster = raster / area / SEC_PER_YR
+        name = var_name.format(category=cat, substance=sub)
+        attrs = {
+            "units": "kg/m2/s",
+            "standard_name": name,
+            "long_name": f"Emission of {sub} from {cat}",
+        }
+        if group_dict and cat in group_dict:
+            attrs["group_made_from"] = str(group_dict[cat])
+        ds.variables[name] = NCVariable(name, ("cell",), raster, attrs)
+    write_netcdf(path, ds)
+    return path

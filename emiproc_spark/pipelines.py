@@ -148,6 +148,15 @@ def tno_to_icon(
     remapped.write.mode("overwrite").parquet(emissions_path)
     out = {"emissions": emissions_path}
 
+    from emiproc_spark.exports.icon import export_oem_gridded_emissions
+
+    out["oem_gridded_emissions"] = export_oem_gridded_emissions(
+        mesh,
+        spark.read.parquet(emissions_path),
+        os.path.join(out_dir, "oem_gridded_emissions.nc"),
+        group_dict=categories_group,
+    )
+
     if tprofile_index is not None and tprofiles is not None and cell_tz is not None:
         # THREE_CYCLES OEM layout (reference export_icon_oem,
         # exports/icon.py:141-430): regions = timezones, every

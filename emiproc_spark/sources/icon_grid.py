@@ -103,14 +103,22 @@ def icon_mesh_grid(
                 vlat = np.rad2deg(np.asarray(ds.variables["vlat"].data, dtype=np.float64))
                 voc = np.asarray(ds.variables["vertex_of_cell"].data, dtype=np.int64)
                 ncell = clon.size
+                tri_lon = vlon[voc - 1].T  # (ncell, 3)
+                tri_lat = vlat[voc - 1].T
                 if "cell_area" in ds.variables:
                     area = np.asarray(
                         ds.variables["cell_area"].data, dtype=np.float64
                     )
                 else:
-                    area = np.full(ncell, np.nan)
-                tri_lon = vlon[voc - 1].T  # (ncell, 3)
-                tri_lat = vlat[voc - 1].T
+                    # grid file without cell_area (synthetic/trimmed
+                    # files): planar shoelace area in CRS units — the
+                    # regular_grid convention (grids.py docstring)
+                    area = 0.5 * np.abs(
+                        (tri_lon[:, 1] - tri_lon[:, 0])
+                        * (tri_lat[:, 2] - tri_lat[:, 0])
+                        - (tri_lat[:, 1] - tri_lat[:, 0])
+                        * (tri_lon[:, 2] - tri_lon[:, 0])
+                    )
 
                 # orient CCW so downstream shoelace areas are positive
                 cross = (tri_lon[:, 1] - tri_lon[:, 0]) * (

@@ -191,3 +191,51 @@ def test_zurich_to_gral(spark, tmp_path):
         lines = [ln for ln in f.read().strip().splitlines() if ln]
     # 24 point sources (12 per layer), one line each + 2 header lines
     assert len(lines) == 26
+
+
+def test_oem_gridded_emissions_file(spark, tno_path, tmp_path):
+    """The OEM gridded-emissions NetCDF: kg/m2/s conversion round-trips
+    to the remapped kg/y totals; cell-count mismatch raises."""
+    import numpy as np
+
+    from emiproc_spark.exports.icon import export_oem_gridded_emissions
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+    from emiproc_spark.sources.netcdf import SEC_PER_YR
+
+    lon, lat = [], []
+    for tx in range(5):
+        for ty in range(5):
+            x0, y0 = tx * 2.0, ty * 2.0
+            lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
+            lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
+    grid_file = make_icon_grid_file(
+        str(tmp_path / "grid.nc"), np.array(lon), np.array(lat)
+    )
+    out = pl.tno_to_icon(
+        spark, tno_path, _src_grid(spark), grid_file, str(tmp_path / "oem2"),
+    )
+    assert "oem_gridded_emissions" in out
+    ds = read_netcdf(out["oem_gridded_emissions"])
+    assert ds.dims["cell"] == 50
+    mesh = icon_mesh_grid(spark, grid_file)
+    areas = {
+        r["cell_id"]: r["a"]
+        for r in mesh.groupBy("cell_id").agg(F.sum("area_m2").alias("a")).collect()
+    }
+    area_vec = np.array([areas[i] for i in range(50)])
+    total = 0.0
+    for name, v in ds.variables.items():
+        if name in ("clon", "clat", "cell_area"):
+            continue
+        assert v.attrs["units"] == "kg/m2/s"
+        total += float((v.data * area_vec * SEC_PER_YR).sum())
+    want = spark.read.parquet(out["emissions"]).agg(F.sum("value_kg_y")).collect()[0][0]
+    assert total == pytest.approx(want, rel=1e-6)
+
+    # mismatched cells raise
+    bad = spark.createDataFrame(
+        [(999, "A", "F", 1.0)], "cell_id long, category string, substance string, value_kg_y double"
+    )
+    with pytest.raises(ValueError, match="absent from the mesh"):
+        export_oem_gridded_emissions(mesh, bad, str(tmp_path / "bad.nc"))
