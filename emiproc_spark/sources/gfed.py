@@ -39,12 +39,29 @@ def default_h5_decoder(use_variable: str) -> Callable[[bytes], Iterator[MonthDat
     def decode(content: bytes) -> Iterator[MonthData]:
         try:
             import h5py
-        except ImportError as e:
-            raise ImportError(
-                "GFED4 files are HDF5; decoding requires h5py in the Spark "
-                "executors (pip install h5py). The emission algebra itself "
-                "is available via gfed4_month_frames on pre-decoded arrays."
-            ) from e
+        except ImportError:
+            # built-in minimal HDF5 codec fallback (functions/hdf5.py);
+            # GFED4's nested groups arrive as "emissions/01/DM"-style
+            # prefixed variable names
+            from emiproc_spark.functions.hdf5 import read_hdf5
+
+            ds = read_hdf5(content)
+            area = np.asarray(
+                ds.variables["ancill/grid_cell_area"].data, dtype=np.float64
+            )
+            for month in range(1, 13):
+                dm = np.asarray(
+                    ds.variables[f"emissions/{month:02}/DM"].data,
+                    dtype=np.float64,
+                )
+                prefix = f"emissions/{month:02}/partitioning/{use_variable}_"
+                for name, v in ds.variables.items():
+                    if not name.startswith(prefix):
+                        continue
+                    cat = name.split("_")[-1]
+                    frac = np.asarray(v.data, dtype=np.float64)
+                    yield month, cat, np.nan_to_num(dm * frac * area, nan=0.0)
+            return
         import io
 
         with h5py.File(io.BytesIO(content), "r") as f:

@@ -145,13 +145,21 @@ def read_netcdf4_bytes(content: bytes):
     """
     try:
         import h5py
-    except ImportError as e:
-        raise ImportError(
-            "this NetCDF file is an HDF5 (NetCDF-4) container; decoding "
-            "requires h5py in the Spark executors (pip install h5py), or "
-            "pass container_decoder= with your own bytes->NCDataset "
-            "decode. Classic NetCDF-3 files need no extra library."
-        ) from e
+    except ImportError:
+        # no h5py: the built-in minimal pure-numpy HDF5 codec handles
+        # the subset netcdf-c writes for ordinary data files
+        # (functions/hdf5.py); it raises an actionable HDF5Error naming
+        # h5py for the exotic features it does not cover
+        from emiproc_spark.functions.hdf5 import read_hdf5
+
+        ds = read_hdf5(content)
+        for v in ds.variables.values():
+            fill = v.attrs.get("_FillValue")
+            if fill is not None and getattr(v.data, "dtype", None) is not None:
+                if v.data.dtype.kind == "f":
+                    fv = fill[0] if isinstance(fill, (list, np.ndarray)) else fill
+                    v.data = np.where(v.data == fv, np.nan, v.data)
+        return ds
     import io
 
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable

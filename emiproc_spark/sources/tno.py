@@ -65,14 +65,17 @@ def scan_tno(
     precomputed (sentinel −1 for point sources — the long column holds
     no NULLs) and category codes resolved.
     """
-    from emiproc_spark.functions.netcdf3 import read_netcdf
+    # magic-dispatched: classic NetCDF-3 via the pure-numpy codec, real
+    # TNO NetCDF-4/HDF5 distributions via h5py or the built-in minimal
+    # HDF5 codec (functions/hdf5.py)
+    from emiproc_spark.sources.netcdf import default_container_decoder
 
     files = spark.read.format("binaryFile").load(path).select("path", "content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
-                ds = read_netcdf(bytes(content))
+                ds = default_container_decoder(bytes(content))
                 ny = ds.dims[lat_dim]
                 type_codes = _char_list(ds.variables["source_type_code"].data)
                 cat_codes = _char_list(ds.variables["emis_cat_code"].data)

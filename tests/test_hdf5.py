@@ -1,0 +1,117 @@
+"""Minimal pure-numpy HDF5/NetCDF-4 codec (functions/hdf5.py), validated
+against REAL NetCDF-4 files shipped with the reference repo's test data
+(written by netcdf-c/h5py — genuine ground truth for the format):
+
+- tno_test_minimal.nc: superblock v2, dense (fractal-heap + B-tree v2)
+  root links, contiguous layouts, vlen DIMENSION_LIST attrs;
+- wrfinput_for_testing.nc: chunked layouts with shuffle + deflate
+  filters, unlimited Time dimension.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+TNO_NC4 = "/root/reference/files/test/tno/tno_test_minimal.nc"
+WRF_NC4 = "/root/reference/files/test/wrf/wrfinput_for_testing.nc"
+
+needs_tno = pytest.mark.skipif(
+    not os.path.exists(TNO_NC4), reason="reference NetCDF-4 sample not present"
+)
+needs_wrf = pytest.mark.skipif(
+    not os.path.exists(WRF_NC4), reason="reference NetCDF-4 sample not present"
+)
+
+
+@needs_tno
+def test_tno_netcdf4_structure_and_values():
+    from emiproc_spark.functions.hdf5 import read_netcdf4
+
+    ds = read_netcdf4(TNO_NC4)
+    assert ds.dims["source"] == 30
+    assert ds.dims["latitude"] == 7 and ds.dims["longitude"] == 4
+    lat = ds.variables["latitude"].data
+    lon = ds.variables["longitude"].data
+    assert lat.min() >= -90 and lat.max() <= 90
+    assert lon.min() >= -180 and lon.max() <= 180
+    assert np.all(np.diff(lat) > 0) and np.all(np.diff(lon) > 0)
+    # dimension names resolved through vlen DIMENSION_LIST references
+    assert ds.variables["area"].dims == ("latitude", "longitude")
+    assert ds.variables["co2_ff"].dims == ("source",)
+    st = np.asarray(ds.variables["source_type_index"].data)
+    assert set(np.unique(st)) <= {1, 2}
+    # category index within the emis_cat dimension
+    ci = np.asarray(ds.variables["emission_category_index"].data)
+    assert ci.min() >= 0 and ci.max() < ds.dims["emis_cat"]
+    for sub in ("co2_ff", "co2_bf", "ch4", "nox"):
+        v = np.asarray(ds.variables[sub].data)
+        assert v.shape == (30,) and np.isfinite(v).all() and (v >= 0).all()
+
+
+@needs_wrf
+def test_wrf_netcdf4_chunked_shuffle_deflate():
+    from emiproc_spark.functions.hdf5 import read_netcdf4
+
+    ds = read_netcdf4(WRF_NC4)
+    xlat = np.asarray(ds.variables["XLAT"].data)
+    xlong = np.asarray(ds.variables["XLONG"].data)
+    assert xlat.shape == (1, 6, 3) and xlong.shape == (1, 6, 3)
+    # genuine coordinates decoded through shuffle+deflate chunks —
+    # filter bugs would produce garbage magnitudes
+    assert 30.0 < xlat.min() < xlat.max() < 32.0
+    assert -10.0 < xlong.min() < xlong.max() < -8.0
+    # latitudes increase northward, staggered grids one larger
+    assert np.all(np.diff(xlat[0, :, 0]) > 0)
+    assert ds.variables["XLAT_U"].data.shape == (1, 6, 4)
+    assert ds.variables["XLAT_V"].data.shape == (1, 7, 3)
+    times = ds.variables["Times"].data
+    assert times.shape == (1, 19)
+
+
+@needs_tno
+def test_scan_tno_reads_real_netcdf4(spark):
+    """The distributed TNO scan ingests the reference's own NetCDF-4
+    test file through the built-in codec; totals cross-checked against
+    an independent numpy computation on the parsed arrays."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.functions.hdf5 import read_netcdf4
+    from emiproc_spark.sources.tno import tno_area_emissions, tno_point_sources
+
+    ds = read_netcdf4(TNO_NC4)
+    st = np.asarray(ds.variables["source_type_index"].data)
+    subs = ["co2_ff", "co2_bf", "ch4"]
+    want_area = {s: float(ds.variables[s].data[st == 1].sum()) for s in subs}
+    want_point = {s: float(ds.variables[s].data[st == 2].sum()) for s in subs}
+
+    area = tno_area_emissions(spark, TNO_NC4)
+    got_area = {
+        r["substance"]: r["v"]
+        for r in area.groupBy("substance").agg(F.sum("value_kg_y").alias("v")).collect()
+    }
+    pts = tno_point_sources(spark, TNO_NC4)
+    got_point = {
+        r["substance"]: r["v"]
+        for r in pts.groupBy("substance").agg(F.sum("value_kg_y").alias("v")).collect()
+    }
+    for s in subs:
+        assert got_area[s] == pytest.approx(want_area[s], rel=1e-12)
+        assert got_point[s] == pytest.approx(want_point[s], rel=1e-12)
+
+
+@needs_tno
+def test_generic_raster_ingest_dispatches_netcdf4(spark):
+    """default_container_decoder sniffs the HDF5 magic and decodes with
+    the built-in codec when h5py is absent."""
+    from emiproc_spark.sources.netcdf import default_container_decoder
+
+    ds = default_container_decoder(open(TNO_NC4, "rb").read())
+    assert "area" in ds.variables and ds.dims["source"] == 30
+
+
+def test_unsupported_features_raise_actionable():
+    from emiproc_spark.functions.hdf5 import HDF5Error, read_hdf5
+
+    with pytest.raises(HDF5Error, match="signature"):
+        read_hdf5(b"not an hdf5 file at all........")

@@ -186,14 +186,15 @@ def test_default_decoder_magic_dispatch(tmp_path):
     ds = default_container_decoder(open(p, "rb").read())
     assert "v" in ds.variables
 
-    # HDF5 magic without h5py installed → actionable gate
+    # HDF5 magic without h5py: routed to the built-in minimal codec,
+    # which rejects a truncated/bogus container with a clear error
     hdf5_blob = b"\x89HDF\r\n\x1a\n" + b"\x00" * 64
     try:
         import h5py  # noqa: F401
-        pytest.skip("h5py present: gate does not trigger")
+        pytest.skip("h5py present: built-in codec path does not trigger")
     except ImportError:
         pass
-    with pytest.raises(ImportError, match="h5py"):
+    with pytest.raises(Exception, match="superblock|signature|hdf5"):
         default_container_decoder(hdf5_blob)
 
     with pytest.raises(ValueError, match="unrecognized"):
