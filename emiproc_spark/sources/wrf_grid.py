@@ -1,0 +1,146 @@
+"""WRF grid ingest: wrfinput NetCDF → distributed grid table.
+
+Reference ``WRF_Grid`` (emiproc/exports/wrf.py:23-128): the WRF grid is
+regular only under the model's projection; the wrfinput file carries
+WGS84 centers (``XLONG``/``XLAT``) and staggered edge coordinates
+(``XLONG_U``/``XLAT_U`` between x-neighbors, ``XLONG_V``/``XLAT_V``
+between y-neighbors).  Cell corners are reconstructed from the center
+plus the left/right/top/bottom edge offsets exactly like the reference
+(wrf.py:66-117), vectorized end-to-end.
+
+Spark shape: the wrfinput file decodes executor-side (``mapInPandas``
+over ``binaryFile``, magic-dispatched to the NetCDF-3 or built-in HDF5
+codec), corner algebra and WKB encoding are numpy-batched, and the
+output schema matches the ICON mesh table — (cell_id, geometry, bbox,
+lon, lat, area_m2) — so ``weights_poly_poly``/``weights_poly_rect``
+remap onto it unchanged.  ``cell_id = x·ny + y`` (the reference's
+``.T.reshape(-1)`` lon-major convention, shared with
+``exports/wrf.py``'s unstack).
+"""
+
+from __future__ import annotations
+
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+R_EARTH = 6371000.0
+
+WRF_GRID_SCHEMA = (
+    "cell_id long, geometry binary, xmin double, ymin double, "
+    "xmax double, ymax double, lon double, lat double, area_m2 double"
+)
+
+
+def quad_wkb_batch(qlon: np.ndarray, qlat: np.ndarray) -> list[bytes]:
+    """(n, 4) corner arrays → n single-ring polygon WKBs (closed)."""
+    n = qlon.shape[0]
+    dt = np.dtype(
+        [
+            ("byte_order", "u1"),
+            ("wkb_type", "<u4"),
+            ("n_rings", "<u4"),
+            ("n_points", "<u4"),
+            ("xy", "<f8", (5, 2)),
+        ]
+    )
+    arr = np.empty(n, dtype=dt)
+    arr["byte_order"] = 1
+    arr["wkb_type"] = 3
+    arr["n_rings"] = 1
+    arr["n_points"] = 5
+    arr["xy"][:, :4, 0] = qlon
+    arr["xy"][:, :4, 1] = qlat
+    arr["xy"][:, 4, 0] = qlon[:, 0]
+    arr["xy"][:, 4, 1] = qlat[:, 0]
+    return [row.tobytes() for row in arr]
+
+
+def spherical_polygon_areas(qlon: np.ndarray, qlat: np.ndarray) -> np.ndarray:
+    """(n, k) closed-ring lon/lat (degrees) → areas in m² via the
+    sinusoidal-shoelace rule ``R²·|Σ Δλ·(sin φᵢ + sin φᵢ₊₁)/2|`` —
+    exact in the small-cell limit (the scale WRF cells live at)."""
+    lam = np.deg2rad(qlon)
+    phi = np.deg2rad(qlat)
+    lam_next = np.roll(lam, -1, axis=1)
+    phi_next = np.roll(phi, -1, axis=1)
+    dlam = lam_next - lam
+    # wrap antimeridian steps into (-pi, pi]
+    dlam = (dlam + np.pi) % (2 * np.pi) - np.pi
+    s = np.sum(dlam * (np.sin(phi) + np.sin(phi_next)) / 2.0, axis=1)
+    return R_EARTH * R_EARTH * np.abs(s)
+
+
+def wrf_grid(spark: SparkSession, path: str, batch_rows: int = 65536) -> DataFrame:
+    """wrfinput file(s) → grid table (see module docstring)."""
+    from emiproc_spark.sources.netcdf import default_container_decoder
+
+    files = spark.read.format("binaryFile").load(path).select("content")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for content in pdf["content"]:
+                ds = default_container_decoder(bytes(content))
+
+                def first_time(name: str) -> np.ndarray:
+                    d = np.asarray(ds.variables[name].data, dtype=np.float64)
+                    return d[0] if d.ndim == 3 else d
+
+                center_lon2 = first_time("XLONG")  # (ny, nx)
+                center_lat2 = first_time("XLAT")
+                lon_u = first_time("XLONG_U")  # (ny, nx+1)
+                lat_u = first_time("XLAT_U")
+                lon_v = first_time("XLONG_V")  # (ny+1, nx)
+                lat_v = first_time("XLAT_V")
+                ny, nx = center_lon2.shape
+
+                # reference's lon-major flattening (wrf.py:55-57)
+                rs = lambda a: a.T.reshape(-1)  # noqa: E731
+                c_lon, c_lat = rs(center_lon2), rs(center_lat2)
+                left_lon, right_lon = rs(lon_u[:, :-1]), rs(lon_u[:, 1:])
+                left_lat, right_lat = rs(lat_u[:, :-1]), rs(lat_u[:, 1:])
+                bot_lon, top_lon = rs(lon_v[:-1, :]), rs(lon_v[1:, :])
+                bot_lat, top_lat = rs(lat_v[:-1, :]), rs(lat_v[1:, :])
+
+                # corner = center + edge offsets (wrf.py:83-117):
+                # BL, BR, TR, TL
+                qlon = np.stack(
+                    [
+                        c_lon + (left_lon - c_lon) + (bot_lon - c_lon),
+                        c_lon + (right_lon - c_lon) + (bot_lon - c_lon),
+                        c_lon + (right_lon - c_lon) + (top_lon - c_lon),
+                        c_lon + (left_lon - c_lon) + (top_lon - c_lon),
+                    ],
+                    axis=1,
+                )
+                qlat = np.stack(
+                    [
+                        c_lat + (left_lat - c_lat) + (bot_lat - c_lat),
+                        c_lat + (right_lat - c_lat) + (bot_lat - c_lat),
+                        c_lat + (right_lat - c_lat) + (top_lat - c_lat),
+                        c_lat + (left_lat - c_lat) + (top_lat - c_lat),
+                    ],
+                    axis=1,
+                )
+                n = nx * ny
+                areas = spherical_polygon_areas(qlon, qlat)
+                for lo in range(0, n, batch_rows):
+                    sl = slice(lo, min(lo + batch_rows, n))
+                    yield pd.DataFrame(
+                        {
+                            "cell_id": np.arange(sl.start, sl.stop, dtype=np.int64),
+                            "geometry": quad_wkb_batch(qlon[sl], qlat[sl]),
+                            "xmin": qlon[sl].min(axis=1),
+                            "ymin": qlat[sl].min(axis=1),
+                            "xmax": qlon[sl].max(axis=1),
+                            "ymax": qlat[sl].max(axis=1),
+                            "lon": c_lon[sl],
+                            "lat": c_lat[sl],
+                            "area_m2": areas[sl],
+                        }
+                    )
+
+    return files.mapInPandas(decode, schema=WRF_GRID_SCHEMA)

@@ -115,3 +115,28 @@ def test_unsupported_features_raise_actionable():
 
     with pytest.raises(HDF5Error, match="signature"):
         read_hdf5(b"not an hdf5 file at all........")
+
+
+@needs_wrf
+def test_wrf_grid_from_real_wrfinput(spark):
+    """WRF grid ingest over the reference's real wrfinput file: corner
+    reconstruction, lon-major ids, plausible spherical areas."""
+    from emiproc_spark.functions.geometry import parse_wkb
+    from emiproc_spark.sources.wrf_grid import wrf_grid
+
+    g = wrf_grid(spark, WRF_NC4)
+    rows = {r["cell_id"]: r for r in g.collect()}
+    assert len(rows) == 3 * 6  # west_east=3, south_north=6
+    # lon-major: cell x*ny + y; consecutive y share x → same lon column
+    for cid, r in rows.items():
+        assert r["xmin"] < r["lon"] < r["xmax"]
+        assert r["ymin"] < r["lat"] < r["ymax"]
+        gtype, rings = parse_wkb(bytes(r["geometry"]))
+        assert gtype == 3 and len(rings[0]) == 5
+        # ~10 km WRF cells: O(1e8) m2
+        assert 1e7 < r["area_m2"] < 1e9
+    # neighboring cells in y share an edge: the quads are skewed under
+    # the model projection, so the bboxes overlap by up to ~cell/4
+    r0, r1 = rows[0], rows[1]
+    assert r0["ymax"] == pytest.approx(r1["ymin"], abs=0.1)
+    assert r0["ymax"] > r1["ymin"]  # overlapping, not disjoint
