@@ -313,6 +313,35 @@ SQL_QUALITY_FILTER = """
 
 
 # ======================================================================
+# netcdf4_ingest — raster export → re-ingest through the NetCDF-4/HDF5
+# container (minimal pure-numpy writer + reader, functions/hdf5*.py)
+# ======================================================================
+def q_netcdf4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.driver_queries_io import _raster_grid
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+    from emiproc_spark.qhelpers import sumd
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    agg = (
+        fx.emissions(spark, sf_dir)
+        .groupBy("cell_id", "category", "substance")
+        .agg(sumd("value_kg_y").alias("value_kg_y"))
+    )
+    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_nc4_"), "inv.nc")
+    export_raster_netcdf(
+        agg, _raster_grid(spark), out, add_totals=False, container="hdf5"
+    )
+    return from_netcdf_rasters(spark, out)
+
+
+def _sql_netcdf4_ingest() -> str:
+    from emiproc_spark.driver_queries_io import SQL_NETCDF_INGEST
+
+    return SQL_NETCDF_INGEST
+
+
+# ======================================================================
 # decon_spans — span-level decontamination (C4-style surgical removal)
 # ======================================================================
 def q_decon_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -447,6 +476,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quality_filter": q_quality_filter,
     "temp_mix": q_temp_mix,
     "decon_spans": q_decon_spans,
+    "netcdf4_ingest": q_netcdf4_ingest,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -459,4 +489,5 @@ ORACLES_R3C: dict[str, str] = {
     "quality_filter": SQL_QUALITY_FILTER,
     "temp_mix": _sql_temp_mix(),
     "decon_spans": _sql_decon_spans(),
+    "netcdf4_ingest": _sql_netcdf4_ingest(),
 }

@@ -130,6 +130,7 @@ def export_raster_netcdf(
     categories_description: dict[str, str] | None = None,
     lon_name: str = "lon",
     lat_name: str = "lat",
+    container: str = "netcdf3",
 ) -> str:
     """Write the inventory as a NetCDF raster.
 
@@ -338,7 +339,13 @@ def export_raster_netcdf(
         )
 
     out = path if path.endswith(".nc") else path + ".nc"
-    write_netcdf(out, ds)
+    if container == "hdf5":
+        # NetCDF-4 container via the minimal pure-numpy HDF5 writer
+        from emiproc_spark.functions.hdf5_write import write_netcdf4
+
+        write_netcdf4(out, ds)
+    else:
+        write_netcdf(out, ds)
     return out
 
 

@@ -140,3 +140,60 @@ def test_wrf_grid_from_real_wrfinput(spark):
     r0, r1 = rows[0], rows[1]
     assert r0["ymax"] == pytest.approx(r1["ymin"], abs=0.1)
     assert r0["ymax"] > r1["ymin"]  # overlapping, not disjoint
+
+
+def test_write_read_roundtrip_old_format(spark):
+    """The minimal writer emits the OLD layout (superblock v0, v1
+    headers, symbol-table groups) — the reader path the real reference
+    samples (superblock v2, dense links) do NOT exercise."""
+    from emiproc_spark.functions.hdf5 import read_hdf5
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    v = np.arange(12, dtype="f8").reshape(4, 3) * 0.25
+    ds = NCDataset(
+        dims={"y": 4, "x": 3, "z": 4},  # y and z share extent: names must
+        attrs={"title": "rt", "n": 7},  # come from DIMENSION_LIST refs
+        variables={
+            "y": NCVariable("y", ("y",), np.arange(4.0), {}),
+            "x": NCVariable("x", ("x",), np.arange(3.0), {}),
+            "v": NCVariable("v", ("y", "x"), v, {"units": "kg", "f": 1.5}),
+            "w": NCVariable("w", ("z",), np.arange(4, dtype="i8"), {}),
+            "s": NCVariable("s", ("x",), np.array([b"a", b"b", b"c"], dtype="S1"), {}),
+        },
+    )
+    blob = write_netcdf4(None, ds)
+    assert blob[1:4] == b"HDF" and blob[8] == 0  # superblock v0
+    back = read_hdf5(blob)
+    assert back.dims == {"y": 4, "x": 3, "z": 4}
+    assert np.allclose(back.variables["v"].data, v)
+    assert back.variables["v"].dims == ("y", "x")
+    assert back.variables["w"].dims == ("z",)  # not confused with y
+    assert back.variables["v"].attrs["units"] == "kg"
+    assert back.variables["v"].attrs["f"] == 1.5
+    assert back.attrs == {"title": "rt", "n": 7}
+    assert list(back.variables["s"].data) == [b"a", b"b", b"c"]
+
+
+def test_raster_export_netcdf4_container_roundtrip(spark):
+    """export_raster_netcdf(container='hdf5') → from_netcdf_rasters
+    through the built-in codec conserves every value."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.driver_queries_io import _raster_grid
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    e = spark.createDataFrame(
+        [(i, "A", "CO2", float(i + 1)) for i in range(20)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    out = export_raster_netcdf(
+        e, _raster_grid(spark), tempfile.mktemp(suffix=".nc"),
+        add_totals=False, container="hdf5",
+    )
+    back = from_netcdf_rasters(spark, out)
+    got = {r["cell_id"]: r["value_kg_y"] for r in back.collect()}
+    assert got == {i: float(i + 1) for i in range(20)}
