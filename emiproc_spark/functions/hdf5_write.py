@@ -157,9 +157,11 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
     arrays: dict[str, np.ndarray] = {}
     for name in var_order:
         if name in ds.variables:
-            arr = np.ascontiguousarray(ds.variables[name].data)
+            arr = np.asarray(ds.variables[name].data)
             if arr.dtype.kind in ("i", "u", "f"):
                 arr = arr.astype(arr.dtype.newbyteorder("<"))
+            if arr.ndim:  # ascontiguousarray would promote 0-d to 1-d
+                arr = np.ascontiguousarray(arr)
         else:
             arr = np.zeros(ds.dims[name], dtype="<f4")
         arrays[name] = arr
