@@ -11,7 +11,8 @@ def poly_refine_bench(spark: SparkSession, n: int = 50_000, grid_n: int = 100) -
     """Star-polygon sources refined onto a ``grid_n``²-cell grid through
     the batched clip kernel (the weights_poly_rect hot path).  Returns
     the weight-row count; wall time is the caller's to measure."""
-    from emiproc_spark.functions import geometry as geom
+    import pandas as pd
+
     from emiproc_spark.grids import regular_grid
     from emiproc_spark.operators.regrid import weights_poly_rect
 
@@ -23,26 +24,42 @@ def poly_refine_bench(spark: SparkSession, n: int = 50_000, grid_n: int = 100) -
     scale = rng.uniform(0.3, 1.0, n)
     base_ang = np.arange(6) * np.pi / 3
     base_rad = np.array([3.0, 2.0, 3.0, 2.0, 3.0, 2.0])
-    rows = []
-    for i in range(n):
-        ang = base_ang + rot[i]
-        rad = base_rad * scale[i]
-        ring = np.column_stack((cx[i] + rad * np.cos(ang), cy[i] + rad * np.sin(ang)))
-        rows.append(
-            (
-                i,
-                bytearray(geom.wkb_polygon([tuple(p) for p in ring])),
-                float(ring[:, 0].min()),
-                float(ring[:, 1].min()),
-                float(ring[:, 0].max()),
-                float(ring[:, 1].max()),
-            )
-        )
-    src = spark.createDataFrame(
-        rows,
-        "source_id long, geometry binary, xmin double, ymin double, "
-        "xmax double, ymax double",
+    # vectorized fixture: (n, 6) corner arrays → batched WKB via one
+    # structured array; rows ship through Arrow, so fixture-building
+    # noise stays out of what this microbench tracks (the clip kernel)
+    ang = base_ang[None, :] + rot[:, None]
+    rad = base_rad[None, :] * scale[:, None]
+    xs = cx[:, None] + rad * np.cos(ang)
+    ys = cy[:, None] + rad * np.sin(ang)
+    wkb_dt = np.dtype(
+        [
+            ("byte_order", "u1"),
+            ("wkb_type", "<u4"),
+            ("n_rings", "<u4"),
+            ("n_points", "<u4"),
+            ("xy", "<f8", (7, 2)),
+        ]
     )
+    arr = np.empty(n, dtype=wkb_dt)
+    arr["byte_order"] = 1
+    arr["wkb_type"] = 3
+    arr["n_rings"] = 1
+    arr["n_points"] = 7
+    arr["xy"][:, :6, 0] = xs
+    arr["xy"][:, :6, 1] = ys
+    arr["xy"][:, 6, 0] = xs[:, 0]
+    arr["xy"][:, 6, 1] = ys[:, 0]
+    pdf = pd.DataFrame(
+        {
+            "source_id": np.arange(n, dtype=np.int64),
+            "geometry": [row.tobytes() for row in arr],
+            "xmin": xs.min(axis=1),
+            "ymin": ys.min(axis=1),
+            "xmax": xs.max(axis=1),
+            "ymax": ys.max(axis=1),
+        }
+    )
+    src = spark.createDataFrame(pdf)
     grid = regular_grid(spark, 0.0, 0.0, grid_n, grid_n, 10.0, 10.0, with_geometry=False)
     w = weights_poly_rect(src, grid, tile=10.0)
     return w.where(F.col("weight") > 0).count()
