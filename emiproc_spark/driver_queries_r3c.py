@@ -421,6 +421,59 @@ def _sql_decon_spans() -> str:
 
 
 # ======================================================================
+# antimeridian_remap — dateline-straddling ICON triangle remapped from
+# ±180-adjacent cells; weights are closed-form (the split halves)
+# ======================================================================
+def q_antimeridian_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle (179,0)-(-179,0)-(179,2) splits at ±180 into two parts;
+    1° source cells on both sides overlap it with hand-derivable
+    fractions (hypotenuse slope −1): east cells 1 and 0.5, west lower
+    cell 0.5, west upper cell 0 (dropped)."""
+    import numpy as np
+
+    from emiproc_spark.functions.geometry import wkb_box
+    from emiproc_spark.operators.regrid import weights_poly_poly
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+
+    d = tempfile.mkdtemp(prefix="emiproc_wrap_")
+    p = make_icon_grid_file(
+        os.path.join(d, "wrap.nc"),
+        np.array([[179.0, -179.0, 179.0]]),
+        np.array([[0.0, 0.0, 2.0]]),
+    )
+    mesh = icon_mesh_grid(spark, p)
+    cells = [
+        (0, 179.0, 0.0, 180.0, 1.0),
+        (1, 179.0, 1.0, 180.0, 2.0),
+        (2, -180.0, 0.0, -179.0, 1.0),
+        (3, -180.0, 1.0, -179.0, 2.0),
+    ]
+    src = spark.createDataFrame(
+        [
+            (i, bytearray(wkb_box(x0, y0, x1, y1)), x0, y0, x1, y1)
+            for i, x0, y0, x1, y1 in cells
+        ],
+        "source_id long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    w = weights_poly_poly(src, mesh, tile=2.0)
+    return (
+        w.groupBy(F.col("src_id"), F.col("dst_id"))
+        .agg(F.sum("weight").alias("weight"))
+        .withColumn("weight", qd("weight"))
+    )
+
+
+SQL_ANTIMERIDIAN_REMAP = """
+    SELECT * FROM (VALUES
+        (CAST(0 AS BIGINT), CAST(0 AS BIGINT), 1.0),
+        (CAST(1 AS BIGINT), CAST(0 AS BIGINT), 0.5),
+        (CAST(2 AS BIGINT), CAST(0 AS BIGINT), 0.5)
+    ) AS t(src_id, dst_id, weight)
+"""
+
+
+# ======================================================================
 # temp_mix — temperature-scaled source mixing (p_s ∝ share_s^τ)
 # ======================================================================
 TEMP_TAU = 0.5
@@ -477,6 +530,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "temp_mix": q_temp_mix,
     "decon_spans": q_decon_spans,
     "netcdf4_ingest": q_netcdf4_ingest,
+    "antimeridian_remap": q_antimeridian_remap,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -490,4 +544,5 @@ ORACLES_R3C: dict[str, str] = {
     "temp_mix": _sql_temp_mix(),
     "decon_spans": _sql_decon_spans(),
     "netcdf4_ingest": _sql_netcdf4_ingest(),
+    "antimeridian_remap": SQL_ANTIMERIDIAN_REMAP,
 }
