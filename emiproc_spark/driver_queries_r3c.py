@@ -421,6 +421,71 @@ def _sql_decon_spans() -> str:
 
 
 # ======================================================================
+# gfed4_ingest — GFED4 HDF5 layout (nested emissions/MM/partitioning
+# groups) written by the minimal writer, scanned by the distributed
+# GFED4 reader through the built-in HDF5 codec
+# ======================================================================
+GFED_NLAT, GFED_NLON = 3, 4
+
+
+def _write_gfed4_fixture(d: str) -> None:
+    """DM(month) = month, frac_SAVA = (lat+1)/10, frac_TEMF = (lon+1)/20,
+    area = 100 — annual kg = Σ_m month·frac·100 = 7800·frac."""
+    import numpy as np
+
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    lat_i = np.arange(GFED_NLAT)[:, None] * np.ones((1, GFED_NLON))
+    lon_i = np.ones((GFED_NLAT, 1)) * np.arange(GFED_NLON)[None, :]
+    vs = {
+        "ancill/grid_cell_area": NCVariable(
+            "a", ("lat", "lon"), np.full((GFED_NLAT, GFED_NLON), 100.0), {}
+        )
+    }
+    for m in range(1, 13):
+        vs[f"emissions/{m:02}/DM"] = NCVariable(
+            "dm", ("lat", "lon"), np.full((GFED_NLAT, GFED_NLON), float(m)), {}
+        )
+        vs[f"emissions/{m:02}/partitioning/DM_SAVA"] = NCVariable(
+            "p", ("lat", "lon"), (lat_i + 1) / 10.0, {}
+        )
+        vs[f"emissions/{m:02}/partitioning/DM_TEMF"] = NCVariable(
+            "p", ("lat", "lon"), (lon_i + 1) / 20.0, {}
+        )
+    ds = NCDataset(dims={"lat": GFED_NLAT, "lon": GFED_NLON}, variables=vs)
+    write_netcdf4(os.path.join(d, "GFED4.1s_2020.hdf5"), ds)
+
+
+def q_gfed4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.sources.gfed import gfed4_emissions
+
+    d = tempfile.mkdtemp(prefix="emiproc_gfed4_")
+    _write_gfed4_fixture(d)
+    return gfed4_emissions(spark, d).withColumn("value_kg_y", qd("value_kg_y"))
+
+
+SQL_GFED4_INGEST = """
+    WITH cells AS (
+        SELECT CAST(lon.i * {nlat} + lat.i AS BIGINT) AS cell_id,
+               lat.i AS lat_i, lon.i AS lon_i
+        FROM UNNEST(range({nlat})) AS lat(i), UNNEST(range({nlon})) AS lon(i)
+    )
+    SELECT cell_id, 'SAVA' AS category, 'DM' AS substance,
+           {qd_sava} AS value_kg_y
+    FROM cells
+    UNION ALL
+    SELECT cell_id, 'TEMF', 'DM', {qd_temf}
+    FROM cells
+""".format(
+    nlat=GFED_NLAT,
+    nlon=GFED_NLON,
+    qd_sava=sql_qd("7800.0 * (lat_i + 1) / 10.0"),
+    qd_temf=sql_qd("7800.0 * (lon_i + 1) / 20.0"),
+)
+
+
+# ======================================================================
 # antimeridian_remap — dateline-straddling ICON triangle remapped from
 # ±180-adjacent cells; weights are closed-form (the split halves)
 # ======================================================================
@@ -531,6 +596,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decon_spans": q_decon_spans,
     "netcdf4_ingest": q_netcdf4_ingest,
     "antimeridian_remap": q_antimeridian_remap,
+    "gfed4_ingest": q_gfed4_ingest,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -545,4 +611,5 @@ ORACLES_R3C: dict[str, str] = {
     "decon_spans": _sql_decon_spans(),
     "netcdf4_ingest": _sql_netcdf4_ingest(),
     "antimeridian_remap": SQL_ANTIMERIDIAN_REMAP,
+    "gfed4_ingest": SQL_GFED4_INGEST,
 }

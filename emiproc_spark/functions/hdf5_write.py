@@ -258,44 +258,59 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
             hdr = build_header(name, with_refs=True)
             w.patch(header_addr[name], hdr)
 
-    # ------------------------------------------------- root group
-    # local heap with all link names
-    name_off: dict[str, int] = {}
-    heap_data = bytearray(b"\x00" * 8)  # offset 0: empty string slot
+    # ------------------------------------------------- group tree
+    # variable names may be "a/b/c" paths (the reader's nested-group
+    # prefix convention, e.g. GFED4's emissions/MM/partitioning/...);
+    # build each group as a symbol-table (local heap + SNOD + B-tree v1)
+    def write_group(links: dict[str, int], attrs: dict | None = None) -> int:
+        name_off: dict[str, int] = {}
+        heap_data = bytearray(b"\x00" * 8)  # offset 0: empty string slot
+        for name in links:
+            name_off[name] = len(heap_data)
+            heap_data += _pad8(name.encode() + b"\x00")
+        heap_data_addr = w.append(bytes(heap_data))
+        heap_addr = w.append(
+            b"HEAP"
+            + struct.pack("<BBH", 0, 0, 0)
+            + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+        )
+        sorted_names = sorted(links)
+        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(sorted_names))
+        for name in sorted_names:
+            snod += struct.pack(
+                "<QQII", name_off[name], links[name], 0, 0
+            ) + b"\x00" * 16
+        snod_addr = w.append(snod)
+        btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+        btree += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
+        btree += struct.pack("<Q", 0)  # key 0: empty-string offset
+        btree += struct.pack("<Q", snod_addr)
+        btree += struct.pack("<Q", name_off[sorted_names[-1]])  # key 1
+        btree_addr = w.append(btree)
+        msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
+        for k, v in (attrs or {}).items():
+            dt_msg, shape, raw = _encode_attr_value(v)
+            msgs.append((0x000C, _attr_message(k, dt_msg, shape, raw)))
+        return w.append(_object_header_v1(msgs))
+
+    # nested dict: leaf name -> dataset addr, subgroup name -> dict
+    tree: dict = {}
     for name in var_order:
-        name_off[name] = len(heap_data)
-        heap_data += _pad8(name.encode() + b"\x00")
-    heap_data_addr = w.reserve(len(heap_data))
-    w.patch(heap_data_addr, bytes(heap_data))
-    heap_hdr = (
-        b"HEAP"
-        + struct.pack("<BBH", 0, 0, 0)
-        + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
-    )
-    heap_addr = w.append(heap_hdr)
+        parts = name.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"hdf5 writer: {name!r} nests under a dataset")
+        node[parts[-1]] = header_addr[name]
 
-    # one SNOD with every symbol, sorted by name (B-tree leaf contract)
-    sorted_names = sorted(var_order)
-    snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(sorted_names))
-    for name in sorted_names:
-        snod += struct.pack(
-            "<QQII", name_off[name], header_addr[name], 0, 0
-        ) + b"\x00" * 16
-    snod_addr = w.append(snod)
+    def emit(node: dict, attrs: dict | None = None) -> int:
+        links = {
+            k: (emit(v) if isinstance(v, dict) else v) for k, v in node.items()
+        }
+        return write_group(links, attrs)
 
-    # B-tree v1: one leaf entry pointing at the SNOD
-    btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
-    btree += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
-    btree += struct.pack("<Q", 0)  # key 0: empty-string offset
-    btree += struct.pack("<Q", snod_addr)
-    btree += struct.pack("<Q", name_off[sorted_names[-1]])  # key 1
-    btree_addr = w.append(btree)
-
-    root_msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
-    for k, v in (ds.attrs or {}).items():
-        dt_msg, shape, raw = _encode_attr_value(v)
-        root_msgs.append((0x000C, _attr_message(k, dt_msg, shape, raw)))
-    root_addr = w.append(_object_header_v1(root_msgs))
+    root_addr = emit(tree, ds.attrs or {})
 
     # ------------------------------------------------- superblock
     sb = b"\x89HDF\r\n\x1a\n"

@@ -72,3 +72,37 @@ def test_gfed4_h5_gate(spark, tmp_path):
 def test_gfed4_bad_variable(spark):
     with pytest.raises(ValueError, match="use_variable"):
         gfed4_scan(None, "x", use_variable="XX")
+
+
+def test_gfed4_builtin_codec_end_to_end(spark, tmp_path):
+    """GFED4 nested-group HDF5 (written by the minimal writer) scans
+    through the built-in codec fallback with exact closed-form values."""
+    import pytest as _p
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.driver_queries_r3c import (
+        GFED_NLAT,
+        _write_gfed4_fixture,
+    )
+    from emiproc_spark.sources.gfed import gfed4_emissions, gfed4_monthly_ratios
+
+    _write_gfed4_fixture(str(tmp_path))
+    rows = {
+        (r["cell_id"], r["category"]): r["value_kg_y"]
+        for r in gfed4_emissions(spark, str(tmp_path)).collect()
+    }
+    # annual = sum(month)*frac*area = 78*frac*100
+    for (cid, cat), v in rows.items():
+        lat_i, lon_i = cid % GFED_NLAT, cid // GFED_NLAT
+        frac = (lat_i + 1) / 10.0 if cat == "SAVA" else (lon_i + 1) / 20.0
+        assert v == _p.approx(7800.0 * frac, rel=1e-12)
+    # monthly ratios: DM linear in month => ratio at pos m-1 is m/78
+    ratios = gfed4_monthly_ratios(spark, str(tmp_path))
+    got = {
+        r["pos"]: r["ratio"]
+        for r in ratios.where(
+            (F.col("cell_id") == 0) & (F.col("category") == "SAVA")
+        ).collect()
+    }
+    assert len(got) == 12
+    assert got[2] == _p.approx(3 / 78.0, rel=1e-12)
