@@ -421,6 +421,66 @@ def _sql_decon_spans() -> str:
 
 
 # ======================================================================
+# oem_profiles_export — the full export_inventory_profiles composition
+# (OEM per-cycle files + tz_mask raster) read back from disk
+# ======================================================================
+def q_oem_profiles_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4×4 grid, UTC/CET checkerboard by latitude row, one daily
+    profile: the hourofday matrix carries the tz-rolled scaling factors
+    (regions sorted by tzid: CET=0 shift +1, UTC=1 shift 0) and tz_mask
+    holds the region index per raster cell."""
+    from emiproc_spark.exports.icon import export_inventory_profiles
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+    from emiproc_spark.grids import regular_grid
+
+    index = spark.createDataFrame(
+        [("A", "F", "daily", 0)],
+        "category string, substance string, ptype string, profile_id int",
+    )
+    store = spark.createDataFrame(
+        [(0, "daily", [(h + 1) / 300.0 for h in range(24)])],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    grid = regular_grid(spark, 0.0, 0.0, 4, 4, 1.0, 1.0, with_geometry=False)
+    cell_tz = grid.select(
+        "cell_id",
+        F.when(F.col("cell_id") % 2 == 0, "UTC").otherwise("CET").alias("tzid"),
+    )
+    d = tempfile.mkdtemp(prefix="emiproc_oem_")
+    out = export_inventory_profiles(
+        index, store, cell_tz, grid, d, tz_shifts={"CET": 1}
+    )
+    hod = read_netcdf(out["hourofday"]).variables["A_F"].data
+    tzm = read_netcdf(out["tz_mask"]).variables["tz_mask"].data
+    rows = [
+        ("sf", int(r), int(h), float(hod[h, r]))
+        for h in range(hod.shape[0])
+        for r in range(hod.shape[1])
+    ] + [
+        ("tz", -1, int(p), float(v))
+        for p, v in enumerate(tzm.reshape(-1))
+    ]
+    return spark.createDataFrame(
+        rows, "kind string, region int, pos int, value double"
+    ).withColumn("value", qd("value"))
+
+
+SQL_OEM_PROFILES_EXPORT = """
+    SELECT 'sf' AS kind, CAST(r.r AS INT) AS region, CAST(p.pos AS INT) AS pos,
+           {qd_sf} AS value
+    FROM range(2) r(r), range(24) p(pos)
+    UNION ALL
+    SELECT 'tz', -1, CAST(t.p AS INT),
+           CASE WHEN (t.p // 4) % 2 = 0 THEN 1.0 ELSE 0.0 END
+    FROM range(16) t(p)
+""".format(
+    qd_sf=sql_qd(
+        "((p.pos + CASE WHEN r.r = 0 THEN 1 ELSE 0 END) % 24 + 1) / 300.0 * 24"
+    )
+)
+
+
+# ======================================================================
 # gfed4_ingest — GFED4 HDF5 layout (nested emissions/MM/partitioning
 # groups) written by the minimal writer, scanned by the distributed
 # GFED4 reader through the built-in HDF5 codec
@@ -597,6 +657,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "netcdf4_ingest": q_netcdf4_ingest,
     "antimeridian_remap": q_antimeridian_remap,
     "gfed4_ingest": q_gfed4_ingest,
+    "oem_profiles_export": q_oem_profiles_export,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -612,4 +673,5 @@ ORACLES_R3C: dict[str, str] = {
     "netcdf4_ingest": _sql_netcdf4_ingest(),
     "antimeridian_remap": SQL_ANTIMERIDIAN_REMAP,
     "gfed4_ingest": SQL_GFED4_INGEST,
+    "oem_profiles_export": SQL_OEM_PROFILES_EXPORT,
 }
