@@ -31,28 +31,12 @@ def poly_refine_bench(spark: SparkSession, n: int = 50_000, grid_n: int = 100) -
     rad = base_rad[None, :] * scale[:, None]
     xs = cx[:, None] + rad * np.cos(ang)
     ys = cy[:, None] + rad * np.sin(ang)
-    wkb_dt = np.dtype(
-        [
-            ("byte_order", "u1"),
-            ("wkb_type", "<u4"),
-            ("n_rings", "<u4"),
-            ("n_points", "<u4"),
-            ("xy", "<f8", (7, 2)),
-        ]
-    )
-    arr = np.empty(n, dtype=wkb_dt)
-    arr["byte_order"] = 1
-    arr["wkb_type"] = 3
-    arr["n_rings"] = 1
-    arr["n_points"] = 7
-    arr["xy"][:, :6, 0] = xs
-    arr["xy"][:, :6, 1] = ys
-    arr["xy"][:, 6, 0] = xs[:, 0]
-    arr["xy"][:, 6, 1] = ys[:, 0]
+    from emiproc_spark.functions.geometry import ring_wkb_batch
+
     pdf = pd.DataFrame(
         {
             "source_id": np.arange(n, dtype=np.int64),
-            "geometry": [row.tobytes() for row in arr],
+            "geometry": ring_wkb_batch(xs, ys),
             "xmin": xs.min(axis=1),
             "ymin": ys.min(axis=1),
             "xmax": xs.max(axis=1),

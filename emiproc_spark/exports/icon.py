@@ -364,13 +364,15 @@ def export_oem_gridded_emissions(
     from emiproc_spark.sources.netcdf import SEC_PER_YR
 
     # antimeridian-split cells appear as several parts; the OEM file has
-    # one row per cell — areas add, the centroid is per-cell constant
+    # one row per cell.  icon_mesh_grid stores the FULL cell area on
+    # every part row (sources/icon_grid.py decode), so take it once —
+    # summing would double-count wrap cells and halve their flux.
     cells = (
         mesh.groupBy("cell_id")
         .agg(
             F.first("lon").alias("lon"),
             F.first("lat").alias("lat"),
-            F.sum("area_m2").alias("area_m2"),
+            F.first("area_m2").alias("area_m2"),
         )
         .toPandas()
         .sort_values("cell_id")

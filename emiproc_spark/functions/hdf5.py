@@ -100,13 +100,21 @@ class _Obj:
 
 class _Reader:
     def __init__(self, data: bytes):
-        self.data = data
-        off = data.find(SIGNATURE)
-        if off != 0:
-            if off < 0:
+        # Userblock support: the signature may sit at any power-of-two
+        # offset >= 512; stored file addresses are then relative to that
+        # base — slicing re-bases them so every absolute dereference in
+        # the parser stays correct.  A signature at a non-conforming
+        # offset is content coincidence, not a userblock.
+        off = 0
+        while data[off : off + 8] != SIGNATURE:
+            off = 512 if off == 0 else off * 2
+            if off + 8 > len(data):
                 raise HDF5Error("not an HDF5 file (signature missing)")
+        self.data = data[off:] if off else data
         self.base = off
-        sb = data[off:]
+        if len(self.data) < 56:
+            raise HDF5Error("truncated HDF5 file (shorter than a superblock)")
+        sb = self.data
         self.sb_version = sb[8]
         if self.sb_version in (0, 1):
             if sb[13] != 8 or sb[14] != 8:
@@ -679,6 +687,17 @@ _DIM_PLACEHOLDER = "This is a netCDF dimension but not a netCDF variable"
 
 def read_hdf5(data: bytes) -> NCDataset:
     """Parse an HDF5 / NetCDF-4 byte buffer into an :class:`NCDataset`."""
+    try:
+        return _read_hdf5(data)
+    except HDF5Error:
+        raise
+    except (struct.error, IndexError, ValueError) as e:
+        # truncated/corrupt containers surface as the module's own
+        # actionable error, not a bare struct/index error mid-parse
+        raise HDF5Error(f"corrupt or truncated HDF5 file: {e}") from e
+
+
+def _read_hdf5(data: bytes) -> NCDataset:
     r = _Reader(data)
     root = r.obj(r.root_addr)
 

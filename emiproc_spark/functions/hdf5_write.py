@@ -191,11 +191,11 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
         ]
         if name in ds.dims:
             msgs.append(
-                (0x000C, _attr_message("CLASS", *_wrap_str("DIMENSION_SCALE")))
+                (0x000C, _attr_message("CLASS", *_encode_attr_value("DIMENSION_SCALE")))
             )
             if name not in ds.variables:
                 msgs.append(
-                    (0x000C, _attr_message("NAME", *_wrap_str(_DIM_PLACEHOLDER)))
+                    (0x000C, _attr_message("NAME", *_encode_attr_value(_DIM_PLACEHOLDER)))
                 )
         var = ds.variables.get(name)
         if var is not None:
@@ -216,10 +216,6 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
                     (0x000C, _attr_message("DIMENSION_LIST", _dt_vlen_ref(), (n,), raw))
                 )
         return _object_header_v1(msgs)
-
-    def _wrap_str(s: str):
-        b = s.encode() + b"\x00"
-        return struct.pack("<BBBBI", 0x13, 0, 0, 0, len(b)), (), b
 
     # global-heap object index bookkeeping for DIMENSION_LIST entries
     ref_base: dict[str, int] = {}
@@ -274,19 +270,24 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
             + struct.pack("<BBH", 0, 0, 0)
             + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
         )
-        sorted_names = sorted(links)
-        snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(sorted_names))
-        for name in sorted_names:
-            snod += struct.pack(
-                "<QQII", name_off[name], links[name], 0, 0
-            ) + b"\x00" * 16
-        snod_addr = w.append(snod)
-        btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
-        btree += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
-        btree += struct.pack("<Q", 0)  # key 0: empty-string offset
-        btree += struct.pack("<Q", snod_addr)
-        btree += struct.pack("<Q", name_off[sorted_names[-1]])  # key 1
-        btree_addr = w.append(btree)
+        if links:
+            sorted_names = sorted(links)
+            snod = b"SNOD" + struct.pack("<BBH", 1, 0, len(sorted_names))
+            for name in sorted_names:
+                snod += struct.pack(
+                    "<QQII", name_off[name], links[name], 0, 0
+                ) + b"\x00" * 16
+            snod_addr = w.append(snod)
+            btree = b"TREE" + struct.pack("<BBH", 0, 0, 1)
+            btree += struct.pack("<QQ", UNDEF, UNDEF)  # siblings
+            btree += struct.pack("<Q", 0)  # key 0: empty-string offset
+            btree += struct.pack("<Q", snod_addr)
+            btree += struct.pack("<Q", name_off[sorted_names[-1]])  # key 1
+            btree_addr = w.append(btree)
+        else:
+            # empty group (attrs-only dataset): undefined B-tree — the
+            # reader's symbol-table walk treats it as "no links"
+            btree_addr = UNDEF
         msgs = [(0x0011, struct.pack("<QQ", btree_addr, heap_addr))]
         for k, v in (attrs or {}).items():
             dt_msg, shape, raw = _encode_attr_value(v)
@@ -302,6 +303,11 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
             node = node.setdefault(p, {})
             if not isinstance(node, dict):
                 raise ValueError(f"hdf5 writer: {name!r} nests under a dataset")
+        if isinstance(node.get(parts[-1]), dict):
+            raise ValueError(
+                f"hdf5 writer: {name!r} collides with a group of the same "
+                "name — a path cannot be both a dataset and a group"
+            )
         node[parts[-1]] = header_addr[name]
 
     def emit(node: dict, attrs: dict | None = None) -> int:

@@ -52,8 +52,14 @@ def rasterize_points(
         "substance",
         "value_kg_y",
     )
+    # ONE geometry row per source: the long table repeats each point per
+    # (category, substance), which would multiply the clip kernel's work
+    # and the remap join fan-out by that count (and the 1/n edge rule
+    # would then normalize over duplicates, not cells)
     w = weights_poly_rect(
-        shaped.select("source_id", "geometry", "xmin", "ymin", "xmax", "ymax"),
+        shaped.select(
+            "source_id", "geometry", "xmin", "ymin", "xmax", "ymax"
+        ).dropDuplicates(["source_id"]),
         dst_grid,
         tile=tile,
     )

@@ -34,33 +34,12 @@ ICON_GRID_SCHEMA = (
     "xmax double, ymax double, lon double, lat double, area_m2 double"
 )
 
-# fixed-layout WKB for a closed 4-point (triangle) polygon ring:
-# byte order + type + nrings + npoints + 4×(x, y)
-_TRI_WKB_DT = np.dtype(
-    {
-        "names": ["bo", "typ", "nrings", "npts", "xy"],
-        "formats": [np.uint8, "<u4", "<u4", "<u4", "(4,2)<f8"],
-        "offsets": [0, 1, 5, 9, 13],
-        "itemsize": 77,
-    }
-)
-
-
 def triangle_wkb_batch(tri_lon: np.ndarray, tri_lat: np.ndarray) -> list[bytes]:
     """(n, 3) lon/lat corner arrays → n single-ring polygon WKBs,
-    vectorized (one structured-array fill + one tobytes)."""
-    n = tri_lon.shape[0]
-    arr = np.zeros(n, dtype=_TRI_WKB_DT)
-    arr["bo"] = 1
-    arr["typ"] = 3
-    arr["nrings"] = 1
-    arr["npts"] = 4
-    arr["xy"][:, :3, 0] = tri_lon
-    arr["xy"][:, :3, 1] = tri_lat
-    arr["xy"][:, 3, 0] = tri_lon[:, 0]
-    arr["xy"][:, 3, 1] = tri_lat[:, 0]
-    raw = arr.tobytes()
-    return [raw[i * 77 : (i + 1) * 77] for i in range(n)]
+    vectorized (shared kernel: geometry.ring_wkb_batch)."""
+    from emiproc_spark.functions.geometry import ring_wkb_batch
+
+    return ring_wkb_batch(tri_lon, tri_lat)
 
 
 def icon_mesh_grid(

@@ -20,43 +20,19 @@ remap onto it unchanged.  ``cell_id = x·ny + y`` (the reference's
 
 from __future__ import annotations
 
-import struct
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
-R_EARTH = 6371000.0
+from emiproc_spark.functions.geometry import ring_wkb_batch
+from emiproc_spark.sources.netcdf import R_EARTH
 
 WRF_GRID_SCHEMA = (
     "cell_id long, geometry binary, xmin double, ymin double, "
     "xmax double, ymax double, lon double, lat double, area_m2 double"
 )
-
-
-def quad_wkb_batch(qlon: np.ndarray, qlat: np.ndarray) -> list[bytes]:
-    """(n, 4) corner arrays → n single-ring polygon WKBs (closed)."""
-    n = qlon.shape[0]
-    dt = np.dtype(
-        [
-            ("byte_order", "u1"),
-            ("wkb_type", "<u4"),
-            ("n_rings", "<u4"),
-            ("n_points", "<u4"),
-            ("xy", "<f8", (5, 2)),
-        ]
-    )
-    arr = np.empty(n, dtype=dt)
-    arr["byte_order"] = 1
-    arr["wkb_type"] = 3
-    arr["n_rings"] = 1
-    arr["n_points"] = 5
-    arr["xy"][:, :4, 0] = qlon
-    arr["xy"][:, :4, 1] = qlat
-    arr["xy"][:, 4, 0] = qlon[:, 0]
-    arr["xy"][:, 4, 1] = qlat[:, 0]
-    return [row.tobytes() for row in arr]
 
 
 def spherical_polygon_areas(qlon: np.ndarray, qlat: np.ndarray) -> np.ndarray:
@@ -78,7 +54,15 @@ def wrf_grid(spark: SparkSession, path: str, batch_rows: int = 65536) -> DataFra
     """wrfinput file(s) → grid table (see module docstring)."""
     from emiproc_spark.sources.netcdf import default_container_decoder
 
-    files = spark.read.format("binaryFile").load(path).select("content")
+    files = spark.read.format("binaryFile").load(path)
+    n_files = files.select("path").distinct().count()
+    if n_files != 1:
+        raise ValueError(
+            f"wrf_grid: {path!r} matched {n_files} files; WRF cell ids are "
+            "per-domain — load each wrfinput separately and offset "
+            "cell_ids before unioning (same contract as icon_mesh_grid)"
+        )
+    files = files.select("content")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -132,7 +116,7 @@ def wrf_grid(spark: SparkSession, path: str, batch_rows: int = 65536) -> DataFra
                     yield pd.DataFrame(
                         {
                             "cell_id": np.arange(sl.start, sl.stop, dtype=np.int64),
-                            "geometry": quad_wkb_batch(qlon[sl], qlat[sl]),
+                            "geometry": ring_wkb_batch(qlon[sl], qlat[sl]),
                             "xmin": qlon[sl].min(axis=1),
                             "ymin": qlat[sl].min(axis=1),
                             "xmax": qlon[sl].max(axis=1),

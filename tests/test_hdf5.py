@@ -197,3 +197,52 @@ def test_raster_export_netcdf4_container_roundtrip(spark):
     back = from_netcdf_rasters(spark, out)
     got = {r["cell_id"]: r["value_kg_y"] for r in back.collect()}
     assert got == {i: float(i + 1) for i in range(20)}
+
+
+def test_userblock_and_truncation_and_empty():
+    """Review regressions: userblock offsets re-base addresses; a
+    signature-only blob raises HDF5Error (not IndexError); empty and
+    colliding datasets are handled."""
+    from emiproc_spark.functions.hdf5 import HDF5Error, read_hdf5
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset(
+        dims={"x": 2},
+        attrs={"t": "ub"},
+        variables={"v": NCVariable("v", ("x",), np.array([1.0, 2.0]), {})},
+    )
+    blob = write_netcdf4(None, ds)
+    # 512-byte userblock: legal HDF5, addresses relative to the base
+    back = read_hdf5(b"\x00" * 512 + blob)
+    assert list(back.variables["v"].data) == [1.0, 2.0]
+    assert back.attrs["t"] == "ub"
+
+    with pytest.raises(HDF5Error, match="truncated|signature"):
+        read_hdf5(b"\x89HDF\r\n\x1a\n")
+
+    # attrs-only file: empty root group round-trips
+    empty = read_hdf5(write_netcdf4(None, NCDataset(attrs={"only": "attrs"})))
+    assert empty.variables == {} and empty.attrs["only"] == "attrs"
+
+    # dataset name colliding with a group prefix is rejected, not dropped
+    bad = NCDataset(
+        variables={
+            "a/b": NCVariable("b", (), np.array(1.0), {}),
+            "a": NCVariable("a", (), np.array(2.0), {}),
+        }
+    )
+    with pytest.raises(ValueError, match="collides|nests"):
+        write_netcdf4(None, bad)
+
+
+@needs_wrf
+def test_wrf_grid_rejects_multiple_files(spark, tmp_path):
+    import shutil
+
+    shutil.copy(WRF_NC4, tmp_path / "a.nc")
+    shutil.copy(WRF_NC4, tmp_path / "b.nc")
+    from emiproc_spark.sources.wrf_grid import wrf_grid
+
+    with pytest.raises(ValueError, match="matched 2 files"):
+        wrf_grid(spark, str(tmp_path))

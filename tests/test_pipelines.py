@@ -221,7 +221,7 @@ def test_oem_gridded_emissions_file(spark, tno_path, tmp_path):
     mesh = icon_mesh_grid(spark, grid_file)
     areas = {
         r["cell_id"]: r["a"]
-        for r in mesh.groupBy("cell_id").agg(F.sum("area_m2").alias("a")).collect()
+        for r in mesh.groupBy("cell_id").agg(F.first("area_m2").alias("a")).collect()
     }
     area_vec = np.array([areas[i] for i in range(50)])
     total = 0.0
@@ -239,3 +239,35 @@ def test_oem_gridded_emissions_file(spark, tno_path, tmp_path):
     )
     with pytest.raises(ValueError, match="absent from the mesh"):
         export_oem_gridded_emissions(mesh, bad, str(tmp_path / "bad.nc"))
+
+
+def test_oem_export_wrap_cell_area_counted_once(spark, tmp_path):
+    """Review regression: an antimeridian-split mesh cell appears as two
+    part rows each carrying the FULL cell area — the OEM export must not
+    sum them (which would halve the cell's flux)."""
+    import numpy as np
+
+    from emiproc_spark.exports.icon import export_oem_gridded_emissions
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+    from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
+    from emiproc_spark.sources.netcdf import SEC_PER_YR
+
+    grid_file = make_icon_grid_file(
+        str(tmp_path / "wrap.nc"),
+        np.array([[179.0, -179.0, 179.0]]),
+        np.array([[0.0, 0.0, 2.0]]),
+    )
+    mesh = icon_mesh_grid(spark, grid_file)
+    assert mesh.count() == 2  # split into two part rows
+    area = mesh.select("area_m2").distinct().collect()[0][0]
+    e = spark.createDataFrame(
+        [(0, "A", "CO2", 1000.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    out = export_oem_gridded_emissions(mesh, e, str(tmp_path / "oem.nc"))
+    ds = read_netcdf(out)
+    got_kg_y = float(ds.variables["A-CO2"].data[0]) * float(
+        ds.variables["cell_area"].data[0]
+    ) * SEC_PER_YR
+    assert got_kg_y == pytest.approx(1000.0, rel=1e-9)
+    assert float(ds.variables["cell_area"].data[0]) == pytest.approx(area)
