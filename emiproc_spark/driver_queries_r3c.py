@@ -421,6 +421,102 @@ def _sql_decon_spans() -> str:
 
 
 # ======================================================================
+# stream_sessionize — the custom STATEFUL streaming operator
+# (applyInPandasWithState gap sessionizer) run as a real Structured
+# Streaming job and compared to the batch lag+cumsum sessionization
+# ======================================================================
+_SESS_GAP_NS = 30 * 60 * 1_000_000_000
+
+
+def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every real session closes IN-BATCH: the source is one parquet
+    file (single availableNow micro-batch) and each user gets a sentinel
+    event one gap+hour after the global max timestamp, which forces the
+    user's final real session shut when the sentinel is processed.
+    Sentinel-only sessions stay open and are filtered by timestamp, so
+    the emitted set is exactly the batch sessionization."""
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.driver_queries_r3b import _run_stream
+    from emiproc_spark.qhelpers import QSCALE
+    from emiproc_spark.streaming.streams import sessionize_stream
+
+    # whole-millisecond stamps: the stateful operator compares gaps at
+    # ms resolution while the oracle compares µs — truncating aligns
+    # the two exactly (µs diff = 1000 × ms diff)
+    ev = fx.events(spark, sf_dir).select(
+        F.timestamp_micros(F.expr("ts div 1000000") * F.lit(1000)).alias("ts"),
+        "user_id",
+        (F.floor(F.col("value") * F.lit(QSCALE) + F.lit(0.5)))
+        .cast("double")
+        .alias("value"),
+    )
+    max_ts = F.broadcast(ev.agg(F.max("ts").alias("__mx")))
+    sentinel = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(max_ts)
+        .select(
+            F.timestamp_micros(
+                F.unix_micros("__mx") + F.lit((_SESS_GAP_NS // 1000) + 3_600_000_000)
+            ).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="emiproc_sess_stream_")
+    src = os.path.join(d, "in")
+    ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "ts timestamp, user_id long, value double"
+    ).parquet(src)
+    out = sessionize_stream(
+        stream, gap="30 minutes", watermark_delay="1 minute",
+        ts_col="ts", key_col="user_id", value_col="value",
+    )
+    res = _run_stream(out, "r3c_stream_sessionize", "append")
+    # drop any sentinel-session leakage (a trailing timeout batch)
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
+    return res.where(F.col("session_start") <= F.lit(cutoff)).select(
+        "user_id",
+        F.unix_micros("session_start").alias("start_us"),
+        F.unix_micros("session_end").alias("end_us"),
+        "n_events",
+        (F.col("sum_value") / F.lit(QSCALE)).alias("sum_value"),
+    )
+
+
+SQL_STREAM_SESSIONIZE = f"""
+    WITH ev AS (
+        -- same whole-millisecond truncation as the Spark fixture
+        SELECT user_id, (epoch_ns(ts) // 1000000) * 1000 AS ts_us,
+               CAST(FLOOR(value * {1_000_000.0} + 0.5) AS BIGINT) AS qv
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, ts_us, qv,
+               CASE WHEN LAG(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us)
+                         IS NULL THEN 1
+                    WHEN (ts_us - LAG(ts_us) OVER (PARTITION BY user_id
+                                                   ORDER BY ts_us))
+                         > {_SESS_GAP_NS // 1000} THEN 1
+                    ELSE 0 END AS new_session
+        FROM ev
+    ),
+    s AS (
+        SELECT user_id, ts_us, qv,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM w
+    )
+    SELECT user_id, MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(qv) AS DOUBLE) / {1_000_000.0} AS sum_value
+    FROM s GROUP BY user_id, sid
+"""
+
+
+# ======================================================================
 # oem_profiles_export — the full export_inventory_profiles composition
 # (OEM per-cycle files + tz_mask raster) read back from disk
 # ======================================================================
@@ -658,6 +754,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "antimeridian_remap": q_antimeridian_remap,
     "gfed4_ingest": q_gfed4_ingest,
     "oem_profiles_export": q_oem_profiles_export,
+    "stream_sessionize": q_stream_sessionize,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -674,4 +771,5 @@ ORACLES_R3C: dict[str, str] = {
     "antimeridian_remap": SQL_ANTIMERIDIAN_REMAP,
     "gfed4_ingest": SQL_GFED4_INGEST,
     "oem_profiles_export": SQL_OEM_PROFILES_EXPORT,
+    "stream_sessionize": SQL_STREAM_SESSIONIZE,
 }
