@@ -517,6 +517,95 @@ SQL_STREAM_SESSIONIZE = f"""
 
 
 # ======================================================================
+# stream_neardup — the stateful streaming MinHash-LSH pair detector
+# compared against the rank-capped banded self-join it implements
+# ======================================================================
+_ND_MAX_BUCKET = 8
+
+
+def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-file source ⇒ one micro-batch; per bucket the operator
+    pairs each (sorted) arrival against the ≤ max_bucket remembered
+    members, i.e. pair (a, b) with a < b is emitted iff rank(a) within
+    its bucket ≤ max_bucket — exactly the oracle's window rule."""
+    import uuid
+
+    from emiproc_spark.driver_queries_text import _docs2
+    from emiproc_spark.streaming.streams import near_dup_stream
+
+    d = tempfile.mkdtemp(prefix="emiproc_nd_stream_")
+    src = os.path.join(d, "in")
+    _docs2(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = near_dup_stream(
+        stream, n=3, k=8, bands=4, max_bucket=_ND_MAX_BUCKET, state_ttl="1 hour"
+    )
+    # processing-time timers keep an availableNow run alive indefinitely
+    # (unlike the event-time sessionizer): after the data batches, Spark
+    # cycles "no new data but cleaning up state" batches until the 1 h
+    # TTL evicts everything.  All pair rows come from the data batches
+    # (the timeout path emits nothing), so stop as soon as the source is
+    # drained and the sink is stable — deterministic output either way.
+    import time
+
+    name = f"r3c_stream_neardup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    last = -1
+    for _ in range(1200):
+        time.sleep(0.5)
+        if not q.isActive:
+            break
+        lp = q.lastProgress
+        n = spark.table(name).count()
+        drained = lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0
+        if drained and n == last:
+            break
+        last = n
+    if q.isActive:
+        q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def _sql_stream_neardup() -> str:
+    from emiproc_spark.driver_queries_text import DOCS2_SQL, SHINGLES_SQL
+
+    return f"""
+    WITH sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    hashed AS (
+        SELECT doc_id, CAST(t.seed AS INT) AS seed,
+               MIN(substr(md5(shingle || '#0') || md5(shingle || '#1'),
+                          CAST(t.seed * 8 + 1 AS INT), 8)) AS minhash
+        FROM sh, UNNEST(range(8)) AS t(seed)
+        GROUP BY doc_id, t.seed
+    ),
+    banded AS (
+        SELECT h1.doc_id,
+               md5(CAST(b.b AS VARCHAR) || '|' || h1.minhash || '|'
+                   || h2.minhash) AS bucket
+        FROM UNNEST(range(4)) AS b(b)
+        JOIN hashed h1 ON h1.seed = b.b * 2
+        JOIN hashed h2 ON h2.seed = b.b * 2 + 1 AND h2.doc_id = h1.doc_id
+    ),
+    ranked AS (
+        SELECT doc_id, bucket,
+               ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY doc_id) AS rk
+        FROM banded
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.bucket
+    FROM ranked a
+    JOIN ranked b ON a.bucket = b.bucket AND a.rk < b.rk
+    WHERE a.rk <= {_ND_MAX_BUCKET}
+    """
+
+
+# ======================================================================
 # oem_profiles_export — the full export_inventory_profiles composition
 # (OEM per-cycle files + tz_mask raster) read back from disk
 # ======================================================================
@@ -755,6 +844,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gfed4_ingest": q_gfed4_ingest,
     "oem_profiles_export": q_oem_profiles_export,
     "stream_sessionize": q_stream_sessionize,
+    "stream_neardup": q_stream_neardup,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -772,4 +862,5 @@ ORACLES_R3C: dict[str, str] = {
     "gfed4_ingest": SQL_GFED4_INGEST,
     "oem_profiles_export": SQL_OEM_PROFILES_EXPORT,
     "stream_sessionize": SQL_STREAM_SESSIONIZE,
+    "stream_neardup": _sql_stream_neardup(),
 }
