@@ -174,7 +174,6 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
     # DIMENSION_LIST can reference them — two-pass: reserve a global
     # heap AFTER headers.  Simplest correct order: compute header
     # addresses by writing headers into a staging list first.
-    staged: list[tuple[str, bytes]] = []
     header_addr: dict[str, int] = {}
 
     # pass 1: build headers WITHOUT DIMENSION_LIST to learn sizes, then
@@ -227,9 +226,7 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
             nrefs += len(var.dims)
 
     for name in var_order:
-        hdr = build_header(name, with_refs=False)
-        header_addr[name] = w.append(hdr)
-        staged.append((name, hdr))
+        header_addr[name] = w.append(build_header(name, with_refs=False))
 
     # ------------------------------------------------- global heap
     if nrefs:
