@@ -415,3 +415,43 @@ def test_quality_gate_million_docs(spark):
     assert sum(counts.values()) == 1_000_000
     dt = time.time() - t0
     assert dt < 60, f"quality gate too slow: {dt:.1f}s"
+
+
+def test_netcdf4_roundtrip_million_cells(spark, tmp_path):
+    """1M-cell raster through the pure-numpy HDF5 writer → distributed
+    re-ingest via the built-in codec: exact values, bounded wall time."""
+    import numpy as np
+
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+    from emiproc_spark.sources.netcdf import from_netcdf_rasters
+
+    nlat, nlon = 1000, 1000
+    lat = np.linspace(-89.9, 89.9, nlat)
+    lon = np.linspace(-179.9, 179.9, nlon)
+    v = (np.arange(nlat)[:, None] * 7 + np.arange(nlon)[None, :] % 13).astype(
+        "f8"
+    )
+    ds = NCDataset(
+        dims={"lat": nlat, "lon": nlon},
+        variables={
+            "lat": NCVariable("lat", ("lat",), lat, {}),
+            "lon": NCVariable("lon", ("lon",), lon, {}),
+            "CO2_total": NCVariable(
+                "CO2_total", ("lat", "lon"), v,
+                {"units": "kg/year/cell", "substance": "CO2", "category": "total"},
+            ),
+        },
+    )
+    p = str(tmp_path / "big.nc")
+    t0 = time.time()
+    write_netcdf4(p, ds)
+    back = from_netcdf_rasters(spark, p)
+    got = back.agg(
+        F.count("*").alias("n"), F.sum("value_kg_y").alias("s")
+    ).collect()[0]
+    dt = time.time() - t0
+    # zero-valued cells are dropped by the ingest; count the non-zeros
+    assert got["n"] == int((v != 0).sum())
+    assert got["s"] == float(v.sum())
+    assert dt < 90, f"netcdf4 1M-cell roundtrip too slow: {dt:.1f}s"
