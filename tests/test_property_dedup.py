@@ -79,3 +79,31 @@ def test_profile_da_pos_matches_position_expr(spark, ptype, year):
         position_in_profile(F.col("ts"), ptype).cast("int") != F.col("pos")
     ).count()
     assert bad == 0
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=6
+    ),
+    st.integers(2, 4),
+    st.integers(2, 5),
+)
+@settings(max_examples=40, deadline=None)
+def test_winnowing_guarantee_property(spark, texts, k, w):
+    """The MOSS guarantee on arbitrary docs: two docs sharing a token
+    run of >= w + k - 1 tokens share at least one fingerprint hash; and
+    fingerprints are never denser than the shingle count."""
+    from emiproc_spark.operators.dedup import winnow_fingerprints
+
+    shared = " ".join(f"s{i}" for i in range(w + k - 1))
+    docs = [(i, (t.strip() + " " + shared).strip()) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    fps = winnow_fingerprints(df, k=k, w=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    common = set.intersection(*(by_doc.get(i, set()) for i in range(len(docs))))
+    assert common, "shared w+k-1 run must yield a common fingerprint"
+    for i, text in docs:
+        n_sh = max(len(text.split()) - k + 1, 0)
+        assert len(by_doc.get(i, ())) <= max(n_sh, 0) or n_sh == 0
