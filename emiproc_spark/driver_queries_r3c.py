@@ -421,6 +421,85 @@ def _sql_decon_spans() -> str:
 
 
 # ======================================================================
+# temporal_expand_cell — annual→hourly with CELL-keyed profiles (the
+# post-country_to_cells path the dimension-indexed expansion rejects)
+# ======================================================================
+def q_temporal_expand_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """country profiles → per-cell blend (0.6/0.4 fractions, same
+    fixture as `country_to_cells`) → cell-wise hourly expansion of the
+    emissions table, aggregated per (category, substance, hour)."""
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.driver_queries import _daily_ratios
+    from emiproc_spark.operators.profiles import country_to_cells
+    from emiproc_spark.operators.temporal import temporally_scaled_cellwise
+    from emiproc_spark.qhelpers import sumd
+
+    cidx = spark.createDataFrame(
+        [("C0", 0), ("C1", 1), ("C2", 2)], schema="country string, profile_id int"
+    )
+    store = spark.createDataFrame(
+        [(k, "daily", _daily_ratios(k)) for k in range(3)],
+        schema="profile_id int, ptype string, ratios array<double>",
+    )
+    cc = (
+        spark.range(fx.N_CELLS)
+        .select(
+            F.col("id").alias("cell_id"),
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.concat(F.lit("C"), (F.col("id") % 3)).alias("country"),
+                        F.lit(0.6).alias("fraction"),
+                    ),
+                    F.struct(
+                        F.concat(F.lit("C"), ((F.col("id") + 1) % 3)).alias("country"),
+                        F.lit(0.4).alias("fraction"),
+                    ),
+                )
+            ).alias("cf"),
+        )
+        .select("cell_id", "cf.country", "cf.fraction")
+    )
+    cell_profiles = country_to_cells(cidx, store, cc)
+    hourly = temporally_scaled_cellwise(
+        fx.emissions(spark, sf_dir), cell_profiles,
+        "2024-01-02 00:00:00", 24, year_hours=8760,
+    )
+    return hourly.groupBy("category", "substance", "hour_index").agg(
+        sumd("value_kg_h").alias("value_kg_h")
+    )
+
+
+def _sql_temporal_expand_cell() -> str:
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.qhelpers import sql_sumd
+
+    return f"""
+    WITH e AS ({fx.EMISSIONS_SQL}),
+    cells AS (SELECT c AS cell_id FROM range({fx.N_CELLS}) t(c)),
+    blend AS (
+        SELECT cell_id, p.pos,
+               0.6 * ((p.pos + 1 + (cell_id % 3)) / (300.0 + 24 * (cell_id % 3)))
+             + 0.4 * ((p.pos + 1 + ((cell_id + 1) % 3)) / (300.0 + 24 * ((cell_id + 1) % 3)))
+               AS wr
+        FROM cells CROSS JOIN range(24) p(pos)
+    ),
+    tot AS (SELECT cell_id, SUM(wr) AS total FROM blend GROUP BY 1),
+    cellsf AS (
+        SELECT b.cell_id, b.pos, (b.wr / t.total) * 24 AS sf
+        FROM blend b JOIN tot t USING (cell_id)
+    ),
+    h AS (SELECT hh AS hour_index, hh % 24 AS pos FROM range(24) t(hh))
+    SELECT e.category, e.substance, h.hour_index,
+           {sql_sumd('e.value_kg_y / 8760.0 * cf.sf')} AS value_kg_h
+    FROM e
+    JOIN h ON TRUE
+    JOIN cellsf cf ON cf.cell_id = e.cell_id AND cf.pos = h.pos
+    GROUP BY 1, 2, 3
+    """
+
+
+# ======================================================================
 # stream_sessionize — the custom STATEFUL streaming operator
 # (applyInPandasWithState gap sessionizer) run as a real Structured
 # Streaming job and compared to the batch lag+cumsum sessionization
@@ -852,6 +931,7 @@ QUERIES_R3C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "oem_profiles_export": q_oem_profiles_export,
     "stream_sessionize": q_stream_sessionize,
     "stream_neardup": q_stream_neardup,
+    "temporal_expand_cell": q_temporal_expand_cell,
 }
 
 ORACLES_R3C: dict[str, str] = {
@@ -870,4 +950,5 @@ ORACLES_R3C: dict[str, str] = {
     "oem_profiles_export": SQL_OEM_PROFILES_EXPORT,
     "stream_sessionize": SQL_STREAM_SESSIONIZE,
     "stream_neardup": _sql_stream_neardup(),
+    "temporal_expand_cell": _sql_temporal_expand_cell(),
 }

@@ -96,3 +96,39 @@ def test_local_scaling_series_tz_wall_clock(spark):
     assert out["Europe/Zurich"]["pos_local"] == 14
     assert out["UTC"]["pos_local"] == 12
     assert abs(out["UTC"]["sf"] - 13 / 300.0 * 24) < 1e-12
+
+
+def test_temporally_scaled_cellwise_miss_and_composite(spark):
+    from emiproc_spark.operators.temporal import temporally_scaled_cellwise
+
+    e = spark.createDataFrame(
+        [(0, "A", "F", 8760.0), (1, "A", "F", 8760.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    # cell 0: daily profile doubling hour 0; cell 1: no profile → sf 1
+    daily = [0.0] * 24
+    daily[0] = 2.0 / 24
+    for h in range(1, 24):
+        daily[h] = (1.0 - 2.0 / 24) / 23
+    profs = spark.createDataFrame(
+        [(0, "daily", daily)], "cell_id long, ptype string, ratios array<double>"
+    )
+    out = temporally_scaled_cellwise(e, profs, "2024-01-02 00:00:00", 2)
+    rows = {(r["cell_id"], r["hour_index"]): r["value_kg_h"] for r in out.collect()}
+    assert rows[(1, 0)] == pytest.approx(1.0)  # join miss → constant
+    assert rows[(1, 1)] == pytest.approx(1.0)
+    assert rows[(0, 0)] == pytest.approx(2.0)  # ratio*24 at hour 0
+    # composite: add a weekly type for cell 0 → factors multiply
+    wk = [0.0] * 7
+    wk[1] = 3.0 / 7  # 2024-01-02 is a Tuesday (weekday index 1)
+    for d in range(7):
+        if d != 1:
+            wk[d] = (1.0 - 3.0 / 7) / 6
+    profs2 = profs.union(
+        spark.createDataFrame(
+            [(0, "weekly", wk)], "cell_id long, ptype string, ratios array<double>"
+        )
+    )
+    out2 = temporally_scaled_cellwise(e, profs2, "2024-01-02 00:00:00", 1)
+    rows2 = {(r["cell_id"], r["hour_index"]): r["value_kg_h"] for r in out2.collect()}
+    assert rows2[(0, 0)] == pytest.approx(2.0 * 3.0)
