@@ -271,3 +271,51 @@ def zurich_to_gral(
             .drop("category_group")
         )
     return write_gral_emissions(out_dir, shaped, emission_infos=emission_infos)
+
+
+def edgar_to_hourly(
+    spark: SparkSession,
+    edgar_path: str,
+    aux_dir: str,
+    cell_country: DataFrame,
+    grid: DataFrame,
+    nx: int,
+    ny: int,
+    start: str,
+    hours: int,
+    out_dir: str,
+    year: int | None = None,
+    year_hours: int = 8760,
+    country_aliases: dict[str, str] | None = None,
+) -> list[str]:
+    """EDGAR v8 → country-aware hourly NetCDF files.
+
+    The reference's EDGAR temporal workflow end-to-end: gridmap ingest
+    (``edgar_v8``, short category names so the auxiliary tables match),
+    the auxiliary weekly ⊕ hour-of-week-per-month profiles keyed by
+    country (``edgar_auxiliary_profiles``), country→cell fraction
+    blending (``country_to_cells``), the CELL-keyed hourly expansion,
+    and one NetCDF file per hour written executor-side.
+
+    ``cell_country``: (cell_id, country, fraction) from
+    ``operators.masks.cell_region_fractions`` over Natural Earth
+    country polygons (ISO-A3 ids matching the EDGAR tables).
+    """
+    from emiproc_spark.exports.netcdf import export_hourly_netcdf
+    from emiproc_spark.operators.profiles import country_to_cells
+    from emiproc_spark.operators.temporal import temporally_scaled_cellwise
+    from emiproc_spark.sources.edgar_profiles import edgar_auxiliary_profiles
+    from emiproc_spark.sources.formats import edgar_v8
+
+    e = edgar_v8(spark, edgar_path, year=year, use_short_category_names=True)
+    cats = [r["category"] for r in e.select("category").distinct().collect()]
+    store, index = edgar_auxiliary_profiles(
+        spark, aux_dir, inv_categories=cats, country_aliases=country_aliases
+    )
+    # (country, category, profile_id) → per-cell blended ratios per
+    # category; substance never varies in the EDGAR tables
+    cell_profiles = country_to_cells(index, store, cell_country)
+    hourly = temporally_scaled_cellwise(
+        e, cell_profiles, start, hours, year_hours=year_hours
+    )
+    return export_hourly_netcdf(hourly, grid, nx, ny, start, out_dir)

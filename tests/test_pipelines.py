@@ -271,3 +271,62 @@ def test_oem_export_wrap_cell_area_counted_once(spark, tmp_path):
     ) * SEC_PER_YR
     assert got_kg_y == pytest.approx(1000.0, rel=1e-9)
     assert float(ds.variables["cell_area"].data[0]) == pytest.approx(area)
+
+
+def test_edgar_to_hourly_country_profiles(spark, tmp_path):
+    """EDGAR v8 → auxiliary country profiles → cell blending → cell-wise
+    hourly export, end-to-end; the hourly rate equals annual/8760 times
+    the composite (weekly × hour-of-week-per-month) factor."""
+    import numpy as np
+
+    from emiproc_spark.driver_queries_r3c import _write_edgar_aux
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, read_netcdf, write_netcdf
+    from emiproc_spark.sources.edgar_profiles import edgar_auxiliary_profiles
+
+    # EDGAR file: 4x4 grid, category ENE (present in the aux tables)
+    nx = ny = 4
+    edgar_dir = tmp_path / "edgar"
+    edgar_dir.mkdir()
+    arr = np.arange(ny * nx, dtype="f8").reshape(ny, nx) + 1.0
+    ds = NCDataset(
+        dims={"lat": ny, "lon": nx},
+        variables={
+            "lon": NCVariable("lon", ("lon",), np.arange(nx) + 0.5, {}),
+            "lat": NCVariable("lat", ("lat",), np.arange(ny) + 0.5, {}),
+            "emissions": NCVariable(
+                "emissions", ("lat", "lon"), arr,
+                {"units": "Tonnes", "substance": "CO2", "long_name": "x", "year": 2024},
+            ),
+        },
+    )
+    write_netcdf(str(edgar_dir / "v8.0_FT2024_GHG_CO2_2024_ENE_emi.nc"), ds)
+
+    aux = tmp_path / "aux"
+    aux.mkdir()
+    _write_edgar_aux(aux)
+    grid = regular_grid(spark, 0.0, 0.0, nx, ny, 1.0, 1.0, with_geometry=False)
+    cell_country = grid.select(
+        "cell_id", F.lit("AAA").alias("country"), F.lit(1.0).alias("fraction")
+    )
+    files = pl.edgar_to_hourly(
+        spark, str(edgar_dir), str(aux), cell_country, grid, nx, ny,
+        "2024-01-02 00:00:00", 2, str(tmp_path / "hourly"), year=2024,
+        year_hours=8784,
+    )
+    assert len(files) == 2
+
+    # expected composite factor for AAA/ENE at Tue 2024-01-02 00:00
+    store, index = edgar_auxiliary_profiles(spark, str(aux))
+    pid = {
+        (r["country"], r["category"]): r["profile_id"] for r in index.collect()
+    }[("AAA", "ENE")]
+    parts = {r["ptype"]: r["ratios"] for r in store.collect() if r["profile_id"] == pid}
+    sf0 = parts["weekly"][1] * 7 * parts["hour_of_week_per_month"][24] * 2016
+    annual_kg = float(arr.sum()) * 1000.0
+    out = read_netcdf(sorted(files)[0])
+    total_rate = sum(
+        float(v.data.sum())
+        for name, v in out.variables.items()
+        if name not in ("lon", "lat", "time", "cell_area") and not name.endswith("bnds")
+    )
+    assert total_rate == pytest.approx(annual_kg / 8784 * sf0, rel=1e-9)
