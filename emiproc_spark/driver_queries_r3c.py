@@ -536,14 +536,16 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value"),
         )
     )
-    max_ts = F.broadcast(ev.agg(F.max("ts").alias("__mx")))
+    # one aggregation serves both the sentinel stamps and the final
+    # cutoff filter (re-deriving it later would rescan the events table)
+    cutoff = ev.agg(F.max("ts")).collect()[0][0]
     sentinel = (
         ev.select("user_id")
         .distinct()
-        .crossJoin(max_ts)
         .select(
             F.timestamp_micros(
-                F.unix_micros("__mx") + F.lit((_SESS_GAP_NS // 1000) + 3_600_000_000)
+                F.unix_micros(F.lit(cutoff).cast("timestamp"))
+                + F.lit((_SESS_GAP_NS // 1000) + 3_600_000_000)
             ).alias("ts"),
             "user_id",
             F.lit(0.0).alias("value"),
@@ -562,7 +564,6 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     res = _run_stream(out, "r3c_stream_sessionize", "append")
     # drop any sentinel-session leakage (a trailing timeout batch)
-    cutoff = ev.agg(F.max("ts")).collect()[0][0]
     return res.where(F.col("session_start") <= F.lit(cutoff)).select(
         "user_id",
         F.unix_micros("session_start").alias("start_us"),

@@ -170,10 +170,10 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
     }
 
     # ----------------------------------------------- dimension refs
-    # object header addresses are assigned later; write headers last so
-    # DIMENSION_LIST can reference them — two-pass: reserve a global
-    # heap AFTER headers.  Simplest correct order: compute header
-    # addresses by writing headers into a staging list first.
+    # two-pass header emission: pass 1 writes headers with a zeroed
+    # DIMENSION_LIST so their addresses are known, the global heap is
+    # appended, then pass 2 patches each header in place (same size)
+    # with the real heap ids.
     header_addr: dict[str, int] = {}
 
     # pass 1: build headers WITHOUT DIMENSION_LIST to learn sizes, then

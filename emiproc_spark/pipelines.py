@@ -285,7 +285,7 @@ def edgar_to_hourly(
     hours: int,
     out_dir: str,
     year: int | None = None,
-    year_hours: int = 8760,
+    year_hours: int | None = None,
     country_aliases: dict[str, str] | None = None,
 ) -> list[str]:
     """EDGAR v8 → country-aware hourly NetCDF files.
@@ -307,8 +307,29 @@ def edgar_to_hourly(
     from emiproc_spark.sources.edgar_profiles import edgar_auxiliary_profiles
     from emiproc_spark.sources.formats import edgar_v8
 
+    if year_hours is None:
+        # derive from the inventory year (leap rule): a mismatched
+        # default would silently scale every hourly rate by 8784/8760
+        if year is None:
+            year_hours = 8760
+        else:
+            leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+            year_hours = 8784 if leap else 8760
+
     e = edgar_v8(spark, edgar_path, year=year, use_short_category_names=True)
-    cats = [r["category"] for r in e.select("category").distinct().collect()]
+    # with short names the category is a pure function of the FILE NAME
+    # (stem fields 5..-1) — probe the listing, never the file contents
+    # (decoding 10k NetCDFs twice would double the dominant stage)
+    paths = [
+        r["path"]
+        for r in spark.read.format("binaryFile").load(edgar_path).select("path").collect()
+    ]
+    stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
+    if year is not None:
+        # EDGAR names embed the year as stem field 4 (matching the file
+        # attr edgar_v8 filters on) — keep decoy years out of the probe
+        stems = [st for st in stems if st.split("_")[4:5] == [str(year)]]
+    cats = sorted({"_".join(st.split("_")[5:-1]) for st in stems} - {""})
     store, index = edgar_auxiliary_profiles(
         spark, aux_dir, inv_categories=cats, country_aliases=country_aliases
     )

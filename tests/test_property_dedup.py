@@ -105,5 +105,6 @@ def test_winnowing_guarantee_property(spark, texts, k, w):
     common = set.intersection(*(by_doc.get(i, set()) for i in range(len(docs))))
     assert common, "shared w+k-1 run must yield a common fingerprint"
     for i, text in docs:
-        n_sh = max(len(text.split()) - k + 1, 0)
+        # Spark's split(text, ' ') keeps empty tokens — mirror it here
+        n_sh = max(len(text.split(" ")) - k + 1, 0)
         assert len(by_doc.get(i, ())) <= max(n_sh, 0) or n_sh == 0
