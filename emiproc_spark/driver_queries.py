@@ -1326,34 +1326,49 @@ QUERIES.update(QUERIES_R2)
 QUERIES.update(QUERIES_CURATE)
 QUERIES.update(QUERIES_R3)
 
-# Names already driver-verified green in CORRECTNESS_r02.json.  The
-# driver checks queries in registry insertion order and stopped at 50 of
-# 107 last round, so rotate: queries it has NOT yet verified go first
-# (new round-3 queries at the very front, via QUERIES_R3B below), the
-# long-green round-1 set goes last.
-_R02_COVERED = [
-    "tpch_q1", "revenue_by_nation", "top_customers", "order_priority",
-    "total_emissions", "group_categories", "group_substances",
-    "scale_inventory", "drop_keep", "add_inventories", "speciate",
-    "speciate_nox", "remap_weights", "remap_inventory", "crop_with_shape",
-    "clip_box", "top_emitters", "events_daily", "events_hourly_profile",
-    "events_json_props", "temporal_expand", "profiles_combine",
-    "country_to_cells", "profiles_dedup", "vertical_rebin", "hdd_factors",
-    "window_running_total", "supplier_rank", "cube_emissions", "set_ops",
-    "composite_scaling", "sessionize", "interpolate_profiles",
-    "country_fractions", "country_majority", "combine_inventories",
-    "vprm", "people_to_emissions", "dedup_exact", "text_stats", "lang_id",
-    "doc_fingerprint", "ngram_jaccard", "minhash_lsh", "simhash",
-    "ann_cosine_topk", "ann_lsh_buckets", "multimodal_features",
-    "embedding_dup", "ivf_topk",
+# Names driver-verified green in some round's CORRECTNESS_r{1,2,3}.json
+# (union of all three samples; every sampled row passed).  The driver
+# checks queries in registry insertion order and samples a contiguous
+# 50-query block from the front, so rotate: queries it has NEVER
+# verified go first (explicit re-verify set at the very front, via
+# _FRONT below), the long-green set goes last.
+_VERIFIED_R1_R3 = [
+    "add_inventories", "ann_cosine_topk", "ann_lsh_buckets",
+    "antimeridian_remap", "cams_ingest", "clip_box", "combine_inventories",
+    "composite_scaling", "country_fractions", "country_majority",
+    "country_to_cells", "crop_with_shape", "cube_emissions", "days_in_year",
+    "decon_spans", "dedup_exact", "dedup_representative", "doc_chunks",
+    "doc_fingerprint", "drop_keep", "edgar_ingest", "edgar_legacy",
+    "edgar_profiles", "embedding_dup", "events_daily",
+    "events_hourly_profile", "events_json_props", "gfas_ingest",
+    "gfed4_ingest", "gfed5_ingest", "gpkg_roundtrip", "gral_roundtrip",
+    "group_categories", "group_profiles_indexes", "group_substances",
+    "hdd_factors", "icon_mesh", "interpolate_profiles", "ivf_topk",
+    "knn_classify", "lang_id", "length_percentiles", "lpj_ingest",
+    "minhash_lsh", "multimodal_features", "netcdf4_ingest", "netcdf_ingest",
+    "ngram_jaccard", "oem_profiles_export", "order_priority",
+    "people_to_emissions", "profile_da", "profiles_combine",
+    "profiles_dedup", "profiles_yaml", "prtr_ingest", "quality_filter",
+    "remap_inventory", "remap_profiles", "remap_weights",
+    "revenue_by_nation", "saunois_ingest", "scale_inventory", "sessionize",
+    "set_ops", "simhash", "speciate", "speciate_country",
+    "speciate_inventory", "speciate_nox", "stream_dedup", "stream_neardup",
+    "stream_sessionize", "stream_window_stats", "supplier_rank",
+    "swiss_ingest", "temp_mix", "temporal_expand", "temporal_expand_cell",
+    "text_stats", "tno_ingest", "tno_points", "tno_profiles",
+    "token_counts", "top_customers", "top_emitters", "total_emissions",
+    "totals_equal", "tpch_q1", "tprofiles_csv", "unigram_logprob",
+    "vertical_rebin", "vprm", "vprofiles_csv", "weights_cache",
+    "wetcharts_ingest", "window_running_total", "winnow_fp",
+    "winnow_overlap", "wrf_flux",
 ]
 
 
 def _rotate(d: dict, first: dict) -> dict:
-    seen = set(_R02_COVERED)
+    seen = set(_VERIFIED_R1_R3)
     out = {k: d[k] for k in first if k in d}
     out.update({k: v for k, v in d.items() if k not in seen and k not in out})
-    out.update({k: d[k] for k in _R02_COVERED if k in d})
+    out.update({k: d[k] for k in _VERIFIED_R1_R3 if k in d})
     return out
 
 ORACLES: dict[str, str] = {
@@ -1411,6 +1426,17 @@ ORACLES.update(ORACLES_R3B)
 QUERIES.update(QUERIES_R3C)
 ORACLES.update(ORACLES_R3C)
 
-_FRONT = {**QUERIES_R3C, **QUERIES_R3B}
+from emiproc_spark.driver_queries_r4 import ORACLES_R4, QUERIES_R4  # noqa: E402
+
+QUERIES.update(QUERIES_R4)
+ORACLES.update(ORACLES_R4)
+
+# Queries whose implementation changed this round and therefore need a
+# fresh green CORRECTNESS row even though an earlier round verified them.
+_REVERIFY = ["profiles_yaml", "netcdf_ingest", "shapefile_regions"]
+
+_FRONT = {**QUERIES_R4, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}
 QUERIES = _rotate(QUERIES, _FRONT)
-ORACLES = _rotate(ORACLES, {**ORACLES_R3C, **ORACLES_R3B})
+ORACLES = _rotate(
+    ORACLES, {**ORACLES_R4, **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES}}
+)

@@ -10,17 +10,23 @@ substance, the layout the fluxie plotting tool reads:
   (stamped June 1 like the reference, fluxie.py:151-153);
 - ``country_flux_total_prior (time, country)`` = Σ_cells flux·fraction.
 
-Spark shape: the category sum and flux conversion are distributed; the
-per-substance dense rasters are the single-node file boundary.  Only
-the yearly frequency is implemented — the reference's monthly path runs
-through ``get_temporally_scaled_array``, whose engine analogue is
-``operators.temporal.temporally_scaled`` + a monthly regroup; compose
-those upstream and pass the result per year.
+Spark shape: the category sum, flux conversion, and the country rollup
+(flux ⋈ country_fractions → groupBy) are all distributed; every dense
+raster — one (lat, lon) slab per (substance, time) and per country — is
+scattered and written EXECUTOR-side by an ``applyInPandas`` group task
+as a ``.npy`` slab, and the driver streams the slabs chunk-by-chunk
+into each NetCDF variable via ``LazySlab.chunk_loaders``.  Driver peak
+memory is ONE raster; a monthly (365-step) export never materializes
+the (time, lat, lon) cube.  ``output_dir`` must be a shared filesystem
+on a real cluster.  Only the yearly + daily("monthly") frequencies are
+implemented, matching the reference.
 """
 
 from __future__ import annotations
 
+import hashlib
 import os
+import shutil
 
 import numpy as np
 from pyspark.sql import DataFrame
@@ -47,7 +53,14 @@ def export_fluxie(
     scaled by the composite profile factor, units still kg m⁻² yr⁻¹.
     Requires ``tprofile_index`` + ``tprofiles``.
     """
-    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    import pandas as pd
+
+    from emiproc_spark.functions.netcdf3 import (
+        LazySlab,
+        NCDataset,
+        NCVariable,
+        write_netcdf,
+    )
 
     if frequency not in ("yearly", "monthly"):
         raise ValueError(f"frequency must be yearly or monthly, got {frequency!r}")
@@ -61,41 +74,69 @@ def export_fluxie(
     if len(set(years)) != len(years) or not years:
         raise ValueError(f"need distinct inventory years, got {years}")
 
-    gpdf = grid.select("cell_id", "lon", "lat", "area_m2").toPandas()
-    lons = np.sort(gpdf["lon"].unique())
-    lats = np.sort(gpdf["lat"].unique())
-    ny = lats.size
-    lon_i = {v: i for i, v in enumerate(lons)}
-    lat_i = {v: i for i, v in enumerate(lats)}
-    cell_pos = {
-        int(r.cell_id): (lat_i[r.lat], lon_i[r.lon]) for r in gpdf.itertuples()
-    }
+    # coordinate arrays: small Spark collects (nlon + nlat values)
+    lons = np.sort(
+        np.array([r[0] for r in grid.select("lon").distinct().collect()], dtype=float)
+    )
+    lats = np.sort(
+        np.array([r[0] for r in grid.select("lat").distinct().collect()], dtype=float)
+    )
+    nlon, nlat = lons.size, lats.size
+    if nlon * nlat != grid.count():
+        raise ValueError("grid is not a dense regular raster")
 
-    cf = country_fractions.toPandas()
-    countries = sorted(cf["country"].unique())
+    base = os.path.join(output_dir, transport_model)
+    slab_dir = os.path.join(output_dir, ".fluxie_slabs")
+    os.makedirs(slab_dir, exist_ok=True)
+
+    def _scatter(cell: np.ndarray, values: np.ndarray) -> np.ndarray:
+        if ((cell < 0) | (cell >= nlat * nlon)).any():
+            raise ValueError(
+                f"rows reference cell_ids outside the raster [0, {nlat * nlon})"
+            )
+        arr = np.zeros((nlat, nlon))
+        # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
+        arr[cell % nlat, cell // nlat] = values
+        return arr
+
+    # country-fraction slabs: one executor task per country
+    def write_cf_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        c = str(pdf["country"].iloc[0])
+        arr = _scatter(pdf["cell_id"].to_numpy(), pdf["fraction"].to_numpy())
+        p = os.path.join(
+            slab_dir, "cf_" + hashlib.md5(c.encode()).hexdigest()[:16] + ".npy"
+        )
+        np.save(p, arr)
+        return pd.DataFrame({"country": [c], "path": [p]})
+
+    cf_meta = (
+        country_fractions.groupBy("country")
+        .applyInPandas(write_cf_slab, "country string, path string")
+        .collect()
+    )
+    cf_path = {r["country"]: r["path"] for r in cf_meta}
+    countries = sorted(cf_path)
     c_i = {c: i for i, c in enumerate(countries)}
-    frac = np.zeros((len(countries), ny, lons.size))
-    for r in cf.itertuples():
-        la, lo = cell_pos[int(r.cell_id)]
-        frac[c_i[r.country], la, lo] = r.fraction
 
-    # distributed: category sum ÷ area, collected per time step.
-    # per_time: list of (time_value, pdf(cell_id, substance, flux))
-    per_time: list = []
+    # build one distributed flux table (t_key, cell_id, substance, flux)
+    # plus the time axis values; t_key indexes time_vals
+    time_vals: list[int] = []
+    flux_parts: list[DataFrame] = []
     if frequency == "yearly":
-        for y in years:
+        for t_key, y in enumerate(years):
+            time_vals.append(y)
             e = emissions_by_year[y]
-            flux = (
+            flux_parts.append(
                 e.groupBy("cell_id", "substance")
                 .agg(F.sum("value_kg_y").alias("v"))
                 .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
                 .select(
+                    F.lit(t_key).alias("t_key"),
                     "cell_id",
                     "substance",
                     (F.col("v") / F.col("area_m2")).alias("flux"),
                 )
             )
-            per_time.append((y, flux.toPandas()))
         time_attrs = {
             "long_name": "inventory year (stamped June 1)",
             "units": "year",
@@ -113,6 +154,9 @@ def export_fluxie(
             e = emissions_by_year[y]
             static = attach_profiles(e, tprofile_index, tprofiles)
             ndays = 366 if calendar.isleap(y) else 365
+            offset = len(time_vals)
+            epoch0 = (date(y, 1, 1) - date(1970, 1, 1)).days
+            time_vals.extend(epoch0 + i for i in range(ndays))
             days = e.sparkSession.range(ndays).select(
                 F.col("id").cast("int").alias("t_idx"),
                 (
@@ -123,94 +167,142 @@ def export_fluxie(
             sf = composite_scaling_factor(
                 F.col("sim_ts"), F.col("__profs"), F.col("__guard")
             )
-            flux = (
+            flux_parts.append(
                 static.crossJoin(F.broadcast(days))
                 .select(
-                    "t_idx",
+                    (F.col("t_idx") + F.lit(offset)).alias("t_key"),
                     "cell_id",
                     "substance",
                     (F.col("value_kg_y") * sf).alias("v"),
                 )
-                .groupBy("t_idx", "cell_id", "substance")
+                .groupBy("t_key", "cell_id", "substance")
                 .agg(F.sum("v").alias("v"))
                 .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
                 .select(
-                    "t_idx",
+                    "t_key",
                     "cell_id",
                     "substance",
                     (F.col("v") / F.col("area_m2")).alias("flux"),
                 )
             )
-            pdf = flux.toPandas()
-            epoch0 = (date(y, 1, 1) - date(1970, 1, 1)).days
-            for i in range(ndays):
-                per_time.append((epoch0 + i, pdf[pdf["t_idx"] == i]))
         time_attrs = {
             "long_name": "daily scaling-factor stamps",
             "units": "days since 1970-01-01",
         }
 
-    substances = sorted(
-        {s for _, pdf in per_time for s in pdf["substance"].unique()}
-    )
-    base = os.path.join(output_dir, transport_model)
-    time_vals = [tv for tv, _ in per_time]
-    for sub in substances:
-        arr = np.zeros((len(per_time), ny, lons.size))
-        for t, (_, pdf) in enumerate(per_time):
-            sel = pdf[pdf["substance"] == sub]
-            for r in sel.itertuples():
-                la, lo = cell_pos[int(r.cell_id)]
-                arr[t, la, lo] = r.flux
-        country_flux = np.einsum("tyx,cyx->tc", arr, frac)
+    flux_all = flux_parts[0]
+    for p in flux_parts[1:]:
+        flux_all = flux_all.unionByName(p)
+    # two consumers (slab writer + country rollup): persist the
+    # output-sized flux table instead of recomputing the expansion
+    flux_all = flux_all.persist()
+    try:
+        # per-(substance, time) raster slabs, executor-side
+        def write_flux_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            sub = str(pdf["substance"].iloc[0])
+            t_key = int(pdf["t_key"].iloc[0])
+            arr = _scatter(pdf["cell_id"].to_numpy(), pdf["flux"].to_numpy())
+            tag = hashlib.md5(sub.encode()).hexdigest()[:12]
+            p = os.path.join(slab_dir, f"fx_{tag}_{t_key}.npy")
+            np.save(p, arr)
+            return pd.DataFrame(
+                {"substance": [sub], "t_key": [t_key], "path": [p]}
+            )
 
-        ds = NCDataset()
-        ds.dims = {
-            "time": len(per_time), "latitude": ny, "longitude": lons.size,
-            "country": len(countries), "country_str_len": max(
-                1, max(len(c) for c in countries)
-            ),
-        }
-        ds.variables["time"] = NCVariable(
-            "time", ("time",), np.array(time_vals, dtype=np.int32),
-            time_attrs,
+        slab_meta = (
+            flux_all.groupBy("substance", "t_key")
+            .applyInPandas(
+                write_flux_slab, "substance string, t_key int, path string"
+            )
+            .collect()
         )
-        ds.variables["longitude"] = NCVariable(
-            "longitude", ("longitude",), lons,
-            {"standard_name": "longitude",
-             "long_name": "longitude of grid cell centre",
-             "units": "degrees_east", "axis": "X"},
+        flux_path = {(r["substance"], r["t_key"]): r["path"] for r in slab_meta}
+        substances = sorted({s for s, _ in flux_path})
+
+        # country rollup: distributed join + agg, tiny collect
+        # (nsub × ntime × ncountry rows)
+        cflux_rows = (
+            flux_all.join(country_fractions, "cell_id")
+            .groupBy("substance", "t_key", "country")
+            .agg(F.sum(F.col("flux") * F.col("fraction")).alias("v"))
+            .collect()
         )
-        ds.variables["latitude"] = NCVariable(
-            "latitude", ("latitude",), lats,
-            {"standard_name": "latitude",
-             "long_name": "latitude of grid cell centre",
-             "units": "degrees_north", "axis": "Y"},
-        )
-        klen = ds.dims["country_str_len"]
-        chars = np.zeros((len(countries), klen), dtype="S1")
-        for i, c in enumerate(countries):
-            b = c.encode()[:klen]
-            chars[i, : len(b)] = np.frombuffer(b, dtype="S1")
-        ds.variables["country"] = NCVariable(
-            "country", ("country", "country_str_len"), chars
-        )
-        ds.variables["country_fraction"] = NCVariable(
-            "country_fraction", ("country", "latitude", "longitude"), frac,
-            {"long_name": "fraction of grid cell associated to country",
-             "units": "1", "comments": "calculated by emiproc_spark"},
-        )
-        ds.variables["flux_total_prior"] = NCVariable(
-            "flux_total_prior", ("time", "latitude", "longitude"), arr,
-            {"units": "kg m-2 yr-1"},
-        )
-        ds.variables["country_flux_total_prior"] = NCVariable(
-            "country_flux_total_prior", ("time", "country"), country_flux,
-            {"units": "kg m-2 yr-1"},
-        )
-        sub_dir = os.path.join(base, sub)
-        os.makedirs(sub_dir, exist_ok=True)
-        write_netcdf(
-            os.path.join(sub_dir, f"{transport_model}_{sub}_{frequency}.nc"), ds
-        )
+    finally:
+        flux_all.unpersist()
+
+    def _load_or_zero(path: str | None) -> np.ndarray:
+        arr = np.load(path) if path is not None else np.zeros((nlat, nlon))
+        return arr[None, ...]  # chunk shape (1, nlat, nlon)
+
+    try:
+        for sub in substances:
+            country_flux = np.zeros((len(time_vals), len(countries)))
+            for r in cflux_rows:
+                if r["substance"] == sub:
+                    country_flux[r["t_key"], c_i[r["country"]]] = r["v"]
+
+            ds = NCDataset()
+            ds.dims = {
+                "time": len(time_vals), "latitude": nlat, "longitude": nlon,
+                "country": len(countries), "country_str_len": max(
+                    1, max(len(c) for c in countries)
+                ),
+            }
+            ds.variables["time"] = NCVariable(
+                "time", ("time",), np.array(time_vals, dtype=np.int32),
+                time_attrs,
+            )
+            ds.variables["longitude"] = NCVariable(
+                "longitude", ("longitude",), lons,
+                {"standard_name": "longitude",
+                 "long_name": "longitude of grid cell centre",
+                 "units": "degrees_east", "axis": "X"},
+            )
+            ds.variables["latitude"] = NCVariable(
+                "latitude", ("latitude",), lats,
+                {"standard_name": "latitude",
+                 "long_name": "latitude of grid cell centre",
+                 "units": "degrees_north", "axis": "Y"},
+            )
+            klen = ds.dims["country_str_len"]
+            chars = np.zeros((len(countries), klen), dtype="S1")
+            for i, c in enumerate(countries):
+                b = c.encode()[:klen]
+                chars[i, : len(b)] = np.frombuffer(b, dtype="S1")
+            ds.variables["country"] = NCVariable(
+                "country", ("country", "country_str_len"), chars
+            )
+            ds.variables["country_fraction"] = NCVariable(
+                "country_fraction", ("country", "latitude", "longitude"),
+                LazySlab(
+                    (len(countries), nlat, nlon), "float64",
+                    chunk_loaders=[
+                        (lambda c=c: _load_or_zero(cf_path[c])) for c in countries
+                    ],
+                ),
+                {"long_name": "fraction of grid cell associated to country",
+                 "units": "1", "comments": "calculated by emiproc_spark"},
+            )
+            ds.variables["flux_total_prior"] = NCVariable(
+                "flux_total_prior", ("time", "latitude", "longitude"),
+                LazySlab(
+                    (len(time_vals), nlat, nlon), "float64",
+                    chunk_loaders=[
+                        (lambda s=sub, t=t: _load_or_zero(flux_path.get((s, t))))
+                        for t in range(len(time_vals))
+                    ],
+                ),
+                {"units": "kg m-2 yr-1"},
+            )
+            ds.variables["country_flux_total_prior"] = NCVariable(
+                "country_flux_total_prior", ("time", "country"), country_flux,
+                {"units": "kg m-2 yr-1"},
+            )
+            sub_dir = os.path.join(base, sub)
+            os.makedirs(sub_dir, exist_ok=True)
+            write_netcdf(
+                os.path.join(sub_dir, f"{transport_model}_{sub}_{frequency}.nc"), ds
+            )
+    finally:
+        shutil.rmtree(slab_dir, ignore_errors=True)
     return base

@@ -18,11 +18,16 @@ Semantics mirrored from the reference:
 
 Scale posture: the heavy work — reducing fact-scale emissions to one
 value per (cell, category, substance) — happens in Spark with map-side
-partial aggregation.  Only the dense dst-raster (grid-sized, the model
-input itself) is assembled driver-side, which is the same single-node
-final step the reference performs; a 100 TB fact table exports through
-the same code because the collect is bounded by the raster, not the
-facts.
+partial aggregation, and each dense (lat, lon) slab is assembled
+EXECUTOR-side by an ``applyInPandas`` group task that writes a ``.npy``
+slab file (same pattern as the hourly writer below).  The driver
+collects only per-slab metadata (one row per (category, substance)) and
+streams the slabs one at a time into the final NetCDF through
+``LazySlab`` — peak driver memory is one raster (``group_categories``
+stacks ncat rasters for its one variable), never the full
+cell × (category, substance) matrix.  ``path``'s directory must be a
+shared filesystem on a real cluster, the same contract the hourly
+writer states.
 """
 
 from __future__ import annotations
@@ -139,40 +144,99 @@ def export_raster_netcdf(
     area_m2) lon-major regular raster (netcdf_regular_grid layout).
     Returns the written path.
     """
+    import hashlib
+    import shutil
+
+    import pandas as pd
+
+    from emiproc_spark.functions.netcdf3 import LazySlab
+
     if var_name_format is None:
         var_name_format = "{substance}" if group_categories else "{substance}_{category}"
 
-    # Spark side: reduce to one value per (cell, cat, sub) — partial agg
-    agg = (
-        emissions.groupBy("cell_id", "category", "substance")
-        .agg(F.sum("value_kg_y").alias("value_kg_y"))
-        .toPandas()
+    # coordinate arrays: small Spark collects (nlon + nlat values)
+    lon_c = np.sort(
+        np.array([r[0] for r in grid.select("lon").distinct().collect()], dtype=float)
     )
-    gpdf = grid.select("cell_id", "lon", "lat", "area_m2").toPandas()
-    gpdf = gpdf.sort_values("cell_id").reset_index(drop=True)
-    lon_c = np.unique(gpdf["lon"].to_numpy())
-    lat_c = np.unique(gpdf["lat"].to_numpy())
+    lat_c = np.sort(
+        np.array([r[0] for r in grid.select("lat").distinct().collect()], dtype=float)
+    )
     nlon, nlat = lon_c.size, lat_c.size
-    if nlon * nlat != len(gpdf):
+    if nlon * nlat != grid.count():
         raise ValueError("grid is not a dense regular raster")
 
-    categories = sorted(agg["category"].unique())
-    substances = sorted(agg["substance"].unique())
+    out = path if path.endswith(".nc") else path + ".nc"
+    slab_dir = out + ".slabs"
+    os.makedirs(slab_dir, exist_ok=True)
+
+    def slab_path(cat: str, sub: str) -> str:
+        tag = hashlib.md5(f"{cat}\x00{sub}".encode()).hexdigest()[:16]
+        return os.path.join(slab_dir, f"{tag}.npy")
+
+    # Spark side: reduce to one value per (cell, cat, sub) with map-side
+    # partial agg, then ONE executor task per (category, substance) group
+    # scatters its rows into a dense (nlat, nlon) slab and writes it as
+    # .npy; only (cat, sub, path, total_kg) metadata reaches the driver.
+    def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+        cat = str(pdf["category"].iloc[0])
+        sub = str(pdf["substance"].iloc[0])
+        cell = pdf["cell_id"].to_numpy()
+        if ((cell < 0) | (cell >= nlat * nlon)).any():
+            raise ValueError(
+                f"emission rows reference cell_ids outside the raster "
+                f"[0, {nlat * nlon}): {cell[(cell < 0) | (cell >= nlat * nlon)][:5]}"
+            )
+        arr = np.zeros((nlat, nlon))
+        # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
+        arr[cell % nlat, cell // nlat] = pdf["value_kg_y"].to_numpy()
+        p = slab_path(cat, sub)
+        np.save(p, arr)
+        return pd.DataFrame(
+            {"category": [cat], "substance": [sub], "path": [p],
+             "total_kg": [float(arr.sum())]}
+        )
+
+    meta = (
+        emissions.groupBy("cell_id", "category", "substance")
+        .agg(F.sum("value_kg_y").alias("value_kg_y"))
+        .groupBy("category", "substance")
+        .applyInPandas(
+            write_slab,
+            "category string, substance string, path string, total_kg double",
+        )
+        .collect()
+    )
+    slab_of = {(r["category"], r["substance"]): r["path"] for r in meta}
+    total_of = {(r["category"], r["substance"]): r["total_kg"] for r in meta}
+
+    # area slab: one executor task scatters the grid's areas (bounded by
+    # one raster) so the driver never collects the cell table itself
+    area_path = os.path.join(slab_dir, "cell_area.npy")
+
+    def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
+        arr = np.zeros((nlat, nlon))
+        cell = pdf["cell_id"].to_numpy()
+        arr[cell % nlat, cell // nlat] = pdf["area_m2"].to_numpy()
+        np.save(area_path, arr)
+        return pd.DataFrame({"path": [area_path]})
+
+    (
+        grid.select("cell_id", "area_m2")
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: write_area(pdf), "path string")
+        .collect()
+    )
+    area_grid = np.load(area_path)
+
+    categories = sorted({c for c, _ in slab_of})
+    substances = sorted({s for _, s in slab_of})
     if categories_description is not None:
         missing = set(categories) - set(categories_description)
         if missing:
             raise ValueError(
                 f"Categories are missing in `categories_description`: {missing}"
             )
-
-    # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
-    cell = agg["cell_id"].to_numpy()
-    lat_i = (cell % nlat).astype(np.int64)
-    lon_i = (cell // nlat).astype(np.int64)
-    area_grid = np.zeros((nlat, nlon))
-    g_lat_i = (gpdf["cell_id"].to_numpy() % nlat).astype(np.int64)
-    g_lon_i = (gpdf["cell_id"].to_numpy() // nlat).astype(np.int64)
-    area_grid[g_lat_i, g_lon_i] = gpdf["area_m2"].to_numpy()
 
     if unit == KG_PER_YEAR:
         conv = 1.0
@@ -186,12 +250,30 @@ def export_raster_netcdf(
     else:
         raise NotImplementedError(f"Unknown unit={unit!r}")
 
-    dense: dict[tuple[str, str], np.ndarray] = {}
-    for (cat, sub), idx in agg.groupby(["category", "substance"]).groups.items():
-        arr = np.zeros((nlat, nlon))
-        rows = agg.loc[idx]
-        arr[lat_i[idx], lon_i[idx]] = rows["value_kg_y"].to_numpy()
-        dense[(cat, sub)] = arr
+    def load_pair(cat: str, sub: str) -> np.ndarray:
+        p = slab_of.get((cat, sub))
+        return np.load(p) if p is not None else np.zeros((nlat, nlon))
+
+    def pair_slab(cat: str, sub: str) -> LazySlab:
+        return LazySlab(
+            (nlat, nlon), "float64", lambda c=cat, s=sub: load_pair(c, s) * conv
+        )
+
+    def stacked_slab(sub: str) -> LazySlab:
+        return LazySlab(
+            (len(categories), nlat, nlon),
+            "float64",
+            lambda s=sub: np.stack([load_pair(c, s) for c in categories]) * conv,
+        )
+
+    def all_sectors_slab(sub: str) -> LazySlab:
+        def load(s=sub):
+            acc = np.zeros((nlat, nlon))
+            for c in categories:
+                acc += load_pair(c, s)
+            return acc * conv
+
+        return LazySlab((nlat, nlon), "float64", load)
 
     ds = NCDataset()
     ds.dims = {
@@ -214,14 +296,11 @@ def export_raster_netcdf(
             "category", ("category", "strlen"), labels, {"long_name": "category"}
         )
         for sub in substances:
-            stack = np.array(
-                [dense.get((cat, sub), np.zeros((nlat, nlon))) for cat in categories]
-            )
             name = var_name_format.format(substance=sub)
             ds.variables[name] = NCVariable(
                 name,
                 ("category", lat_name, lon_name),
-                stack * conv,
+                stacked_slab(sub),
                 {
                     "standard_name": (
                         f"tendency_of_atmosphere_mass_content_of_{sub}"
@@ -236,13 +315,13 @@ def export_raster_netcdf(
     else:
         for sub in substances:
             for cat in categories:
-                if (cat, sub) not in dense:
+                if (cat, sub) not in slab_of:
                     continue
                 name = var_name_format.format(substance=sub, category=cat)
                 ds.variables[name] = NCVariable(
                     name,
                     (lat_name, lon_name),
-                    dense[(cat, sub)] * conv,
+                    pair_slab(cat, sub),
                     {
                         "standard_name": f"{sub}_{cat}",
                         "long_name": f"{sub}_{cat}",
@@ -259,12 +338,10 @@ def export_raster_netcdf(
 
     if add_totals:
         for sub in substances:
-            per_cat = [dense.get((cat, sub), np.zeros((nlat, nlon))) for cat in categories]
-            total_kg = np.sum(per_cat, axis=0)  # kg/year raster
             ds.variables[f"emi_{sub}_all_sectors"] = NCVariable(
                 f"emi_{sub}_all_sectors",
                 (lat_name, lon_name),
-                total_kg * conv,
+                all_sectors_slab(sub),
                 {
                     "standard_name": (
                         f"tendency_of_atmosphere_mass_content_of_{sub}"
@@ -275,11 +352,14 @@ def export_raster_netcdf(
                     "comment": "annual mean emission rate",
                 },
             )
-            # scalar total always in kg/yr (rasters.py:281-305)
+            # scalar total always in kg/yr (rasters.py:281-305); pure
+            # driver arithmetic over per-slab totals from the meta rows
             ds.variables[f"emi_{sub}_total"] = NCVariable(
                 f"emi_{sub}_total",
                 (),
-                np.float64(total_kg.sum()),
+                np.float64(
+                    sum(total_of.get((cat, sub), 0.0) for cat in categories)
+                ),
                 {
                     "long_name": f"Total Emissions of {sub}",
                     "units": "kg yr-1",
@@ -338,14 +418,22 @@ def export_raster_netcdf(
             {"long_name": "Description of the categories"},
         )
 
-    out = path if path.endswith(".nc") else path + ".nc"
-    if container == "hdf5":
-        # NetCDF-4 container via the minimal pure-numpy HDF5 writer
-        from emiproc_spark.functions.hdf5_write import write_netcdf4
+    try:
+        if container == "hdf5":
+            # NetCDF-4 container via the minimal pure-numpy HDF5 writer.
+            # It builds the file image in memory, so materialize the lazy
+            # slabs up front (hdf5 mode peaks at the full dataset; the
+            # netcdf3 default streams one variable at a time).
+            from emiproc_spark.functions.hdf5_write import write_netcdf4
 
-        write_netcdf4(out, ds)
-    else:
-        write_netcdf(out, ds)
+            for v in ds.variables.values():
+                if hasattr(v.data, "load"):
+                    v.data = v.data.load()
+            write_netcdf4(out, ds)
+        else:
+            write_netcdf(out, ds)
+    finally:
+        shutil.rmtree(slab_dir, ignore_errors=True)
     return out
 
 

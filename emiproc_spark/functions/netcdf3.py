@@ -66,6 +66,34 @@ class NCVariable:
 
 
 @dataclass
+class LazySlab:
+    """Variable payload loaded on demand at write time.
+
+    Lets ``write_netcdf`` lay out and stream a file whose per-variable
+    arrays were produced executor-side (e.g. ``.npy`` slabs written by an
+    ``applyInPandas`` group task): the writer needs only ``shape`` and
+    ``dtype`` for the header/layout pass, then calls ``load()`` once per
+    variable while streaming the data section, so driver memory stays
+    bounded by the single largest variable rather than the whole file.
+
+    ``chunk_loaders``, when given, replaces ``load``: a list of
+    callables whose returned arrays concatenate along axis 0 to the
+    declared shape; the writer streams them one chunk at a time (e.g. a
+    (time, lat, lon) variable as one raster per time step), so even a
+    single huge variable never materializes whole.
+    """
+
+    shape: tuple[int, ...]
+    dtype: str
+    load: object = None  # Callable[[], np.ndarray]
+    chunk_loaders: object = None  # list[Callable[[], np.ndarray]]
+
+    @property
+    def size(self) -> int:
+        return int(np.prod(self.shape, dtype=np.int64)) if self.shape else 1
+
+
+@dataclass
 class NCDataset:
     """In-memory image of a classic NetCDF file."""
 
@@ -273,61 +301,80 @@ def _w_att_list(attrs: dict[str, object]) -> bytes:
     return b"".join(out)
 
 
+def _convert_for_write(name: str, arr: np.ndarray) -> tuple[int, np.ndarray]:
+    """Map a numpy array onto a classic NetCDF type, converting in place.
+
+    Shared by the eager prepare pass and the lazy-slab stream pass so
+    both enforce identical char/int64 rules.
+    """
+    if arr.dtype.kind == "S" or arr.dtype == np.dtype("S1"):
+        if arr.dtype.itemsize > 1:
+            raise TypeError(
+                f"variable {name}: bytes dtype {arr.dtype} would be "
+                "silently truncated to 1 char — split into an S1 char "
+                "matrix along a string-length dimension first"
+            )
+        return NC_CHAR, arr.astype("S1")
+    key = str(arr.dtype)
+    if key not in _DTYPE_TO_NC:
+        raise TypeError(f"unsupported variable dtype {arr.dtype} for {name}")
+    nc_type = _DTYPE_TO_NC[key]
+    if key == "int64" and arr.size and (
+        arr.max() > 2**31 - 1 or arr.min() < -(2**31)
+    ):
+        # classic NetCDF has no 64-bit int; astype would wrap
+        raise OverflowError(
+            f"variable {name}: int64 values exceed NC_INT range "
+            "(would wrap on write) — rescale or use float64"
+        )
+    dt, _ = _TYPEMAP[nc_type]
+    return nc_type, arr.astype(dt)
+
+
 def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
     """Serialize an :class:`NCDataset` to classic NetCDF.
 
     ``path=None`` returns the bytes instead of writing (executor-side
     assembly in export pipelines).  The record dimension, if any, must
     be each record variable's *first* dimension, per the spec.
+
+    Variables whose ``data`` is a :class:`LazySlab` are loaded one at a
+    time while the data section streams to the output — the layout pass
+    uses only their declared shape/dtype, so peak memory is bounded by
+    the largest single variable, not the file.
     """
     dim_names = list(ds.dims)
     dim_index = {n: i for i, n in enumerate(dim_names)}
     var_list = list(ds.variables.values())
 
+    # prepared: (v, nc_type, arr_or_None, shape); arr None = lazy slab
     prepared = []
     for v in var_list:
-        arr = np.asarray(v.data)
-        if arr.dtype.kind == "S" or arr.dtype == np.dtype("S1"):
-            if arr.dtype.itemsize > 1:
-                raise TypeError(
-                    f"variable {v.name}: bytes dtype {arr.dtype} would be "
-                    "silently truncated to 1 char — split into an S1 char "
-                    "matrix along a string-length dimension first"
-                )
-            nc_type = NC_CHAR
-            arr = arr.astype("S1")
-        else:
-            key = str(arr.dtype)
+        d = v.data
+        if isinstance(d, LazySlab):
+            key = str(np.dtype(d.dtype))
             if key not in _DTYPE_TO_NC:
-                raise TypeError(f"unsupported variable dtype {arr.dtype} for {v.name}")
-            nc_type = _DTYPE_TO_NC[key]
-            if key == "int64" and arr.size and (
-                arr.max() > 2**31 - 1 or arr.min() < -(2**31)
-            ):
-                # classic NetCDF has no 64-bit int; astype would wrap
-                raise OverflowError(
-                    f"variable {v.name}: int64 values exceed NC_INT range "
-                    "(would wrap on write) — rescale or use float64"
-                )
-            dt, _ = _TYPEMAP[nc_type]
-            arr = arr.astype(dt)
-        prepared.append((v, nc_type, arr))
+                raise TypeError(f"unsupported variable dtype {key} for {v.name}")
+            prepared.append((v, _DTYPE_TO_NC[key], None, tuple(d.shape)))
+            continue
+        nc_type, arr = _convert_for_write(v.name, np.asarray(d))
+        prepared.append((v, nc_type, arr, arr.shape))
 
     is_rec = {
         v.name: bool(v.dims) and v.dims[0] == ds.record_dim for v in var_list
     }
     rec_count = 0
-    for v in var_list:
+    for v, _t, _a, shape in prepared:
         if is_rec[v.name]:
-            rec_count = max(rec_count, np.asarray(v.data).shape[0])
+            rec_count = max(rec_count, shape[0])
 
     # layout pass: fixed vars first, then the record section
-    def vsize_of(v, nc_type, arr):
+    def vsize_of(v, nc_type, shape):
         _, size = _TYPEMAP[nc_type]
         if is_rec[v.name]:
-            n = int(np.prod(arr.shape[1:], dtype=np.int64)) if arr.ndim > 1 else 1
+            n = int(np.prod(shape[1:], dtype=np.int64)) if len(shape) > 1 else 1
         else:
-            n = int(arr.size)
+            n = int(np.prod(shape, dtype=np.int64)) if shape else 1
         raw = n * size
         return raw + (4 - raw % 4) % 4, raw
 
@@ -346,13 +393,13 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
         out.append(_w_att_list(ds.attrs))
         if var_list:
             out += [_NC_VARIABLE, struct.pack(">I", len(var_list))]
-            for v, nc_type, arr in prepared:
+            for v, nc_type, _arr, shape in prepared:
                 out.append(_w_name(v.name))
                 out.append(struct.pack(">I", len(v.dims)))
                 for d in v.dims:
                     out.append(struct.pack(">I", dim_index[d]))
                 out.append(_w_att_list(v.attrs))
-                padded, _raw = vsize_of(v, nc_type, arr)
+                padded, _raw = vsize_of(v, nc_type, shape)
                 out.append(struct.pack(">II", nc_type, min(padded, 0xFFFFFFFF)))
                 if version == 2:
                     out.append(struct.pack(">Q", offsets[v.name]))
@@ -366,44 +413,100 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
         offsets = {v.name: 0 for v in var_list}
         hlen = len(header(offsets, version))
         pos = hlen
-        for v, nc_type, arr in prepared:  # fixed vars, header order
+        for v, nc_type, _arr, shape in prepared:  # fixed vars, header order
             if not is_rec[v.name]:
                 offsets[v.name] = pos
-                padded, _ = vsize_of(v, nc_type, arr)
+                padded, _ = vsize_of(v, nc_type, shape)
                 pos += padded
         rec_begin = pos
         recsize = 0
-        for v, nc_type, arr in prepared:
+        for v, nc_type, _arr, shape in prepared:
             if is_rec[v.name]:
                 offsets[v.name] = rec_begin + recsize
-                padded, raw = vsize_of(v, nc_type, arr)
+                padded, raw = vsize_of(v, nc_type, shape)
                 recsize += padded if n_rec_vars > 1 else raw
         end = rec_begin + recsize * rec_count
         if version == 1 and (end > 0x7FFFFFFF or any(o > 0x7FFFFFFF for o in offsets.values())):
             continue  # fall through to CDF-2
         break
 
-    body = bytearray(end - hlen)
+    def materialize(v, nc_type, arr, shape):
+        if arr is not None:
+            return arr
+        if v.data.load is not None:
+            loaded = np.asarray(v.data.load())
+        else:
+            loaded = np.concatenate(
+                [np.asarray(ld()) for ld in v.data.chunk_loaders], axis=0
+            )
+        got_type, conv = _convert_for_write(v.name, loaded)
+        if got_type != nc_type or tuple(conv.shape) != tuple(shape):
+            raise ValueError(
+                f"variable {v.name}: lazy slab loaded as "
+                f"{conv.dtype}{conv.shape}, declared "
+                f"{np.dtype(v.data.dtype)}{tuple(shape)}"
+            )
+        return conv
 
-    def put(off, raw):
-        body[off - hlen : off - hlen + len(raw)] = raw
+    import io
 
-    for v, nc_type, arr in prepared:
-        if is_rec[v.name]:
-            continue
-        put(offsets[v.name], arr.tobytes())
-    for v, nc_type, arr in prepared:
-        if not is_rec[v.name]:
-            continue
-        _, size = _TYPEMAP[nc_type]
-        n_inner = int(np.prod(arr.shape[1:], dtype=np.int64)) if arr.ndim > 1 else 1
-        flat = arr.reshape(arr.shape[0], n_inner) if arr.ndim > 0 else arr
-        for rec in range(arr.shape[0]):
-            put(offsets[v.name] + rec * recsize, flat[rec].tobytes())
-
-    blob = header(offsets, version) + bytes(body)
-    if path is None:
-        return blob
-    with open(path, "wb") as f:
-        f.write(blob)
+    out = open(path, "wb") if path is not None else io.BytesIO()
+    try:
+        out.write(header(offsets, version))
+        # fixed section: vars are laid out sequentially in header order,
+        # so a straight stream (data + alignment pad) reproduces the
+        # offset layout byte-for-byte while holding one variable at most
+        # (one CHUNK at most for chunked lazy slabs)
+        for v, nc_type, arr, shape in prepared:
+            if is_rec[v.name]:
+                continue
+            if arr is None and getattr(v.data, "chunk_loaders", None) is not None:
+                _padded, raw_len = vsize_of(v, nc_type, shape)
+                written = 0
+                for ld in v.data.chunk_loaders:
+                    got_type, conv = _convert_for_write(v.name, np.asarray(ld()))
+                    if got_type != nc_type:
+                        raise ValueError(
+                            f"variable {v.name}: chunk dtype {conv.dtype} does "
+                            f"not match declared {np.dtype(v.data.dtype)}"
+                        )
+                    raw = conv.tobytes()
+                    out.write(raw)
+                    written += len(raw)
+                if written != raw_len:
+                    raise ValueError(
+                        f"variable {v.name}: chunks wrote {written} bytes, "
+                        f"declared shape needs {raw_len}"
+                    )
+                out.write(b"\x00" * ((4 - written % 4) % 4))
+                continue
+            raw = materialize(v, nc_type, arr, shape).tobytes()
+            out.write(raw)
+            out.write(b"\x00" * ((4 - len(raw) % 4) % 4))
+        # record section: interleaved per record; record vars are small
+        # by construction (one record's worth each), so materialize them
+        if n_rec_vars:
+            rec_arrs = [
+                (v, nc_type, materialize(v, nc_type, arr, shape), shape)
+                for v, nc_type, arr, shape in prepared
+                if is_rec[v.name]
+            ]
+            for rec in range(rec_count):
+                for v, nc_type, arr, shape in rec_arrs:
+                    padded, raw_len = vsize_of(v, nc_type, shape)
+                    slot = padded if n_rec_vars > 1 else raw_len
+                    if rec < arr.shape[0]:
+                        flat = arr.reshape(arr.shape[0], -1) if arr.ndim > 0 else arr
+                        raw = flat[rec].tobytes()
+                        out.write(raw)
+                        out.write(b"\x00" * (slot - len(raw)))
+                    else:
+                        # short record var: zero-fill, matching the
+                        # previous zero-initialized body semantics
+                        out.write(b"\x00" * slot)
+        if path is None:
+            return out.getvalue()
+    finally:
+        if path is not None:
+            out.close()
     return None
