@@ -46,6 +46,22 @@ class HDF5Error(ValueError):
     pass
 
 
+class HDF5UnsupportedDatatype(HDF5Error):
+    """A datatype class the minimal reader does not decode (compound,
+    enum, …).  Separated from :class:`HDF5Error` so the attribute
+    handler can drop only these, not e.g. version-mismatch failures."""
+
+
+# netCDF-4 bookkeeping attributes: losing one silently mislabels
+# dimensions (extent-matched / phony fallback), so never drop them.
+# REFERENCE_LIST is deliberately absent: it is a compound-typed
+# BACK-pointer (dim → datasets) the dimension resolution never reads,
+# and real netcdf-c files carry it on every dimension variable.
+_NC4_BOOKKEEPING = frozenset(
+    {"DIMENSION_LIST", "CLASS", "NAME", "_Netcdf4Dimid", "_Netcdf4Coordinates"}
+)
+
+
 def _unsupported(what: str) -> HDF5Error:
     return HDF5Error(
         f"hdf5 codec: {what} is not supported by the minimal reader; "
@@ -235,10 +251,14 @@ class _Reader:
         elif mtype == 0x000C:
             try:
                 name, value = self._attribute(body)
-            except HDF5Error:
+            except HDF5UnsupportedDatatype as e:
                 # exotic attribute datatype (compound/enum/…): drop the
-                # attribute rather than fail the file — data and the
-                # netCDF-4 dimension bookkeeping never use those classes
+                # attribute rather than fail the file — but never a
+                # netCDF-4 bookkeeping attribute (DIMENSION_LIST/CLASS/…)
+                # whose silent loss would mislabel same-size dimensions,
+                # and never a version-mismatch (not this exception type)
+                if getattr(e, "attr_name", None) in _NC4_BOOKKEEPING:
+                    raise
                 return
             o.attrs[name] = value
         elif mtype == 0x0011:
@@ -285,9 +305,11 @@ class _Reader:
             elif base.cls == 7:
                 dt.is_vlen_ref = True
             else:
-                raise _unsupported("vlen of non-reference non-string")
+                raise HDF5UnsupportedDatatype(
+                    str(_unsupported("vlen of non-reference non-string"))
+                )
         else:
-            raise _unsupported(f"datatype class {cls}")
+            raise HDF5UnsupportedDatatype(str(_unsupported(f"datatype class {cls}")))
         return dt
 
     def _layout(self, body: bytes) -> _Layout:
@@ -373,7 +395,11 @@ class _Reader:
             pad = lambda n: (n + 7) & ~7  # noqa: E731
             name = body[pos : pos + name_size].split(b"\x00")[0].decode()
             pos += pad(name_size)
-            dt = self._datatype(body[pos : pos + dt_size])
+            try:
+                dt = self._datatype(body[pos : pos + dt_size])
+            except HDF5UnsupportedDatatype as e:
+                e.attr_name = name
+                raise
             pos += pad(dt_size)
             sp = self._dataspace(body[pos : pos + sp_size])
             pos += pad(sp_size)
@@ -382,7 +408,11 @@ class _Reader:
             pos = 9  # +1 name charset
             name = body[pos : pos + name_size].split(b"\x00")[0].decode()
             pos += name_size
-            dt = self._datatype(body[pos : pos + dt_size])
+            try:
+                dt = self._datatype(body[pos : pos + dt_size])
+            except HDF5UnsupportedDatatype as e:
+                e.attr_name = name
+                raise
             pos += dt_size
             sp = self._dataspace(body[pos : pos + sp_size])
             pos += sp_size
@@ -777,4 +807,15 @@ def read_netcdf4(path_or_bytes) -> NCDataset:
 
 
 def is_hdf5(data: bytes) -> bool:
-    return data[:8] == SIGNATURE
+    """Signature probe matching ``_Reader``'s userblock rule: offset 0,
+    then every power-of-two offset >= 512 (bounded by the buffer), so a
+    userblocked NetCDF-4 file routes to ``read_hdf5`` instead of being
+    rejected as an unrecognized container."""
+    if data[:8] == SIGNATURE:
+        return True
+    off = 512
+    while off + 8 <= len(data):
+        if data[off : off + 8] == SIGNATURE:
+            return True
+        off *= 2
+    return False

@@ -262,10 +262,12 @@ def write_netcdf4(path: str | None, ds: NCDataset) -> bytes | None:
             name_off[name] = len(heap_data)
             heap_data += _pad8(name.encode() + b"\x00")
         heap_data_addr = w.append(bytes(heap_data))
+        # free-list head 1 = H5HL_FREE_NULL (no free blocks); 0 would
+        # declare a free block at heap offset 0 and break libhdf5 readers
         heap_addr = w.append(
             b"HEAP"
             + struct.pack("<BBH", 0, 0, 0)
-            + struct.pack("<QQQ", len(heap_data), 0, heap_data_addr)
+            + struct.pack("<QQQ", len(heap_data), 1, heap_data_addr)
         )
         if links:
             sorted_names = sorted(links)

@@ -316,20 +316,15 @@ def edgar_to_hourly(
             leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
             year_hours = 8784 if leap else 8760
 
+    from emiproc_spark.sources.formats import edgar_v8_categories
+
     e = edgar_v8(spark, edgar_path, year=year, use_short_category_names=True)
-    # with short names the category is a pure function of the FILE NAME
-    # (stem fields 5..-1) — probe the listing, never the file contents
-    # (decoding 10k NetCDFs twice would double the dominant stage)
-    paths = [
-        r["path"]
-        for r in spark.read.format("binaryFile").load(edgar_path).select("path").collect()
-    ]
-    stems = [os.path.splitext(os.path.basename(p))[0] for p in paths]
-    if year is not None:
-        # EDGAR names embed the year as stem field 4 (matching the file
-        # attr edgar_v8 filters on) — keep decoy years out of the probe
-        stems = [st for st in stems if st.split("_")[4:5] == [str(year)]]
-    cats = sorted({"_".join(st.split("_")[5:-1]) for st in stems} - {""})
+    # category set via the SAME admission rule edgar_v8 applies (file
+    # 'year' attribute, not the filename stem) — a stem-only probe would
+    # drop a file whose stem lacks the year but whose attribute matches,
+    # silently handing its category the constant sf=1.0 profile.  The
+    # probe is a distributed header-level pass (no array decode).
+    cats = [c for c in edgar_v8_categories(spark, edgar_path, year=year) if c]
     store, index = edgar_auxiliary_profiles(
         spark, aux_dir, inv_categories=cats, country_aliases=country_aliases
     )

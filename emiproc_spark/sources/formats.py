@@ -124,6 +124,58 @@ def _to_tlalo(v, time_name: str, lat_name: str, lon_name: str) -> np.ndarray:
 # with substance/long_name/year/units attrs; Tonnes → kg (×1e3)
 # (reference edgarv8.py:190-235)
 # ======================================================================
+def _edgar_v8_admit(
+    fpath: str, ds, year: int | None, use_short_category_names: bool
+) -> str | None:
+    """The edgar_v8 file-admission gate: ``None`` if the file is
+    skipped, else its category name.  Single source of truth so the
+    ingest and the category probe (``edgar_v8_categories``) cannot
+    drift — a file admitted by one is admitted by the other."""
+    if "emissions" not in ds.variables:
+        return None
+    v = ds.variables["emissions"]
+    if year is not None and int(v.attrs.get("year", year)) != year:
+        return None
+    if use_short_category_names:
+        stem = os.path.splitext(os.path.basename(fpath))[0]
+        return "_".join(stem.split("_")[5:-1])
+    return v.attrs["long_name"]
+
+
+def edgar_v8_categories(
+    spark: SparkSession,
+    path: str,
+    year: int | None = None,
+    use_short_category_names: bool = True,
+) -> list[str]:
+    """Distinct categories the ``edgar_v8`` scan would ingest — a
+    distributed header-level probe applying the exact same admission
+    rule (``emissions`` variable present, ``year`` attribute match),
+    so a file whose stem does not carry the year but whose attribute
+    matches is still counted (a stem-only probe would silently hand
+    its category the constant sf=1.0 profile downstream)."""
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    files = spark.read.format("binaryFile").load(path).select("path", "content")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            cats = set()
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                c = _edgar_v8_admit(
+                    fpath, read_netcdf(bytes(content)), year,
+                    use_short_category_names,
+                )
+                if c:
+                    cats.add(c)
+            yield pd.DataFrame({"category": sorted(cats)})
+
+    return sorted(
+        r["category"]
+        for r in files.mapInPandas(run, "category string").distinct().collect()
+    )
+
+
 def edgar_v8(
     spark: SparkSession,
     path: str,
@@ -144,20 +196,14 @@ def edgar_v8(
     """
 
     def decode(fpath: str, ds) -> Iterator[pd.DataFrame]:
-        if "emissions" not in ds.variables:
+        cat = _edgar_v8_admit(fpath, ds, year, use_short_category_names)
+        if cat is None:
             return
         v = ds.variables["emissions"]
         units = v.attrs.get("units")
         if units != "Tonnes":
             raise ValueError(f"{fpath}: units {units!r}, expected 'Tonnes'")
-        if year is not None and int(v.attrs.get("year", year)) != year:
-            return
         sub = v.attrs["substance"]
-        if use_short_category_names:
-            stem = os.path.splitext(os.path.basename(fpath))[0]
-            cat = "_".join(stem.split("_")[5:-1])
-        else:
-            cat = v.attrs["long_name"]
         arr = _to_tlalo(v, "time", lat_name, lon_name) * 1e3  # Tonnes → kg
         yield _lonmajor_frame(arr, cat, sub)
 

@@ -232,3 +232,44 @@ def test_lpj_guess(spark, tmp_path):
     got = out.set_index("cell_id")["value_kg_y"]
     want = a[:, 0, 0].sum() * 1e-6 * AREAS[0]
     assert got[0] == pytest.approx(want, rel=1e-12)
+
+
+def test_edgar_v8_categories_follows_attribute_rule(spark, tmp_path):
+    """edgar_v8_categories applies edgar_v8's admission rule (the file
+    'year' ATTRIBUTE), so a file whose stem lacks the year but whose
+    attribute matches is counted — a stem-only probe would drop it and
+    hand its category the constant profile downstream."""
+    from emiproc_spark.sources.formats import edgar_v8_categories
+
+    arr = np.ones((LAT.size, LON.size))
+
+    def write(name, cat, year=None):
+        ds = _base_ds()
+        attrs = {"units": "Tonnes", "substance": "CO2", "long_name": cat}
+        if year is not None:
+            attrs["year"] = year
+        ds.variables["emissions"] = NCVariable(
+            "emissions", ("lat", "lon"), arr, attrs
+        )
+        write_netcdf(str(tmp_path / name), ds)
+
+    write("v8.0_FT2022_GHG_CO2_2022_ENE_emi.nc", "Energy", 2022)
+    write("v8.0_FT2022_GHG_CO2_2021_TRO_emi.nc", "Transport", 2021)  # wrong year
+    # stem field 4 is NOT the year, but the attribute matches → admitted
+    write("v8.0_FT2022_GHG_CO2_oddstem_AGR_emi.nc", "Agriculture", 2022)
+    # no year attribute at all → admitted (edgar_v8 admits those too)
+    write("v8.0_FT2022_GHG_CO2_2022_IND_emi.nc", "Industry")
+
+    cats = edgar_v8_categories(spark, str(tmp_path), year=2022)
+    assert cats == ["AGR", "ENE", "IND"]
+    long_cats = edgar_v8_categories(
+        spark, str(tmp_path), year=2022, use_short_category_names=False
+    )
+    assert long_cats == ["Agriculture", "Energy", "Industry"]
+    # admission parity with the ingest itself
+    got = {
+        r["category"]
+        for r in edgar_v8(spark, str(tmp_path), year=2022, use_short_category_names=True)
+        .select("category").distinct().collect()
+    }
+    assert got == set(cats)

@@ -246,3 +246,36 @@ def test_wrf_grid_rejects_multiple_files(spark, tmp_path):
 
     with pytest.raises(ValueError, match="matched 2 files"):
         wrf_grid(spark, str(tmp_path))
+
+
+def test_local_heap_free_list_sentinel_and_userblock_probe():
+    """Round-4 ADVICE regressions: (1) the writer's local heaps declare
+    an EMPTY free list with the H5HL_FREE_NULL sentinel 1 (0 would
+    declare a free block at heap offset 0 and break libhdf5 readers);
+    (2) is_hdf5 probes power-of-two userblock offsets like the reader."""
+    import struct
+
+    from emiproc_spark.functions.hdf5 import is_hdf5
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset(
+        dims={"x": 2},
+        variables={"v": NCVariable("v", ("x",), np.array([1.0, 2.0]), {})},
+    )
+    blob = write_netcdf4(None, ds)
+    heaps = 0
+    pos = blob.find(b"HEAP")
+    while pos != -1:
+        # HEAP sig(4) version+reserved(4) size(8) free-list-head(8) addr(8)
+        free_head = struct.unpack_from("<Q", blob, pos + 16)[0]
+        assert free_head == 1, f"heap at {pos}: free-list head {free_head}, want 1"
+        heaps += 1
+        pos = blob.find(b"HEAP", pos + 4)
+    assert heaps >= 1  # at least the root group heap
+
+    assert is_hdf5(blob)
+    assert is_hdf5(b"\x00" * 512 + blob)  # userblocked file recognized
+    assert is_hdf5(b"\x00" * 1024 + blob)
+    assert not is_hdf5(b"\x00" * 600 + blob)  # non-power-of-two: content
+    assert not is_hdf5(b"CDF\x01" + b"\x00" * 2048)
