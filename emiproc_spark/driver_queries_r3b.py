@@ -468,20 +468,27 @@ SQL_STREAM_DEDUP = """
 # normalization is bit-identical with no quantizer.
 # ======================================================================
 def q_profiles_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full write→read round-trip: profiles_to_yaml dumps the raw ratio
+    lists (reference to_yaml dumps profile.ratios verbatim), then
+    profiles_from_yaml reads + normalizes them into the dedup store."""
     import os
     import tempfile
 
-    from emiproc_spark.sources.profiles_io import profiles_from_yaml
+    from emiproc_spark.sources.profiles_io import (
+        profiles_from_yaml,
+        profiles_to_yaml,
+    )
 
     path = os.path.join(tempfile.mkdtemp(prefix="emiproc_yaml_"), "prof.yaml")
-    daily = ", ".join(repr((h + 1) / 16.0) for h in range(24))
-    weekly = ", ".join(repr((d + 1) / 8.0) for d in range(7))
-    monthly = ", ".join(repr((m + 1) / 4.0) for m in range(12))
-    with open(path, "w") as f:
-        f.write(
-            f"name: fixture\ndaily: [{daily}]\nweekly: [{weekly}]\n"
-            f"monthly: [{monthly}]\n"
-        )
+    prof = spark.createDataFrame(
+        [
+            ("daily", [(h + 1) / 16.0 for h in range(24)]),
+            ("weekly", [(d + 1) / 8.0 for d in range(7)]),
+            ("monthly", [(m + 1) / 4.0 for m in range(12)]),
+        ],
+        schema="ptype string, ratios array<double>",
+    )
+    profiles_to_yaml(prof, path)
     store, _index = profiles_from_yaml(spark, path)
     return store.select(
         "profile_id", "ptype", F.posexplode("ratios").alias("pos", "ratio")

@@ -182,11 +182,28 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, bands: int = 4, rows_per_band: int = 2
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = None,
+    oversize_policy: str = "star",
 ) -> DataFrame:
     """Band the signature and emit distinct candidate pairs sharing at
     least one band — the LSH bucket join.  ``signatures`` is the long
-    (doc_id, seed, minhash) form with bands·rows_per_band seeds."""
+    (doc_id, seed, minhash) form with bands·rows_per_band seeds.
+
+    ``max_bucket_size`` is the skew guard for 100 TB corpora: a bucket
+    dominated by a stop-shingle (thousands of docs sharing one band
+    hash) would go quadratic in the self-join.  Buckets larger than the
+    cap are handled per ``oversize_policy``:
+
+    - ``"star"`` (default): link every member to the bucket's min
+      doc_id instead of all-pairs — the connected components (and thus
+      any CC-based dedup collapse) are IDENTICAL, with linear output;
+    - ``"drop"``: skip the bucket entirely (candidates may be lost).
+    """
+    if oversize_policy not in ("star", "drop"):
+        raise ValueError(f"oversize_policy must be star or drop, got {oversize_policy!r}")
     banded = (
         signatures.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
         .groupBy("doc_id", "band")
@@ -206,6 +223,30 @@ def lsh_candidate_pairs(
     # whole signature plan under it) materializes once, not once per
     # join side (exchange reuse does not survive AQE broadcasting)
     banded = banded.localCheckpoint(eager=False)
+    if max_bucket_size is not None:
+        stats = banded.groupBy("band", "band_hash").agg(
+            F.count("*").alias("__sz"), F.min("doc_id").alias("__rep")
+        )
+        banded = banded.join(stats, ["band", "band_hash"])
+        small = banded.where(F.col("__sz") <= max_bucket_size).drop("__sz", "__rep")
+        a, b = small.alias("a"), small.alias("b")
+        pairs = (
+            a.join(b, ["band", "band_hash"])
+            .where(F.col("a.doc_id") < F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        if oversize_policy == "star":
+            star = (
+                banded.where(
+                    (F.col("__sz") > max_bucket_size)
+                    & (F.col("doc_id") != F.col("__rep"))
+                )
+                .select(
+                    F.col("__rep").alias("doc_a"), F.col("doc_id").alias("doc_b")
+                )
+            )
+            pairs = pairs.unionByName(star)
+        return pairs.distinct()
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(b, ["band", "band_hash"])

@@ -14,6 +14,8 @@ profiles/vertical_profiles.py:254-399):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -102,17 +104,82 @@ def read_vertical_profiles_csv(
     ), index
 
 
+# reference from_yaml key aliases (io.py:230-239): several names map to
+# the same profile class; diurn_<day> keys carry a specific day
+_YAML_KEY_PTYPE = {
+    **{k: "daily" for k in ("diurn", "daily", "day")},
+    **{k: "weekly" for k in ("weekly", "week")},
+    **{k: "monthly" for k in ("season", "year", "monthly", "month")},
+}
+_SPECIFIC_DAYS = (
+    "mon", "tue", "wed", "thu", "fri", "sat", "sun", "weekday", "weekend"
+)
+
+
 def profiles_from_yaml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
-    """YAML profile definitions (reference io.py:211-306): keys
-    ``daily``/``weekly``/``monthly`` each hold a ratio list."""
+    """YAML profile definitions (reference io.py:211-281): the alias
+    keys above plus ``diurn_<day>`` (SpecificDayProfile) each hold a
+    ratio list.  Divergence from the reference: non-normalized ratios
+    are normalized rather than rejected (the reference raises when a
+    list does not sum to 1); like the reference, two keys mapping to
+    the same profile type raise."""
     import yaml  # gated: pyyaml may be absent
 
     with open(path) as f:
         spec = yaml.safe_load(f)
     rows = []
-    for key, ptype in (("diurn", "daily"), ("daily", "daily"), ("weekly", "weekly"), ("monthly", "monthly")):
-        if key in spec:
-            rows.append((spec.get("name", path), ptype, [float(x) for x in spec[key]]))
+    seen: set[str] = set()
+    for key, value in (spec or {}).items():
+        if key in _YAML_KEY_PTYPE:
+            ptype = _YAML_KEY_PTYPE[key]
+        elif key.startswith("diurn_") and key[6:] in _SPECIFIC_DAYS:
+            # specific-day diurnal cycle: encoded as ptype daily_<day>;
+            # split for ensure_specific_days_consistency downstream
+            ptype = f"daily_{key[6:]}"
+        else:
+            continue  # unknown key: warn+skip in the reference
+        if ptype in seen:
+            raise ValueError(
+                f"{path}: key {key!r} maps to profile type {ptype!r} "
+                "which was already added (reference io.py:249-253)"
+            )
+        seen.add(ptype)
+        rows.append((spec.get("name", path), ptype, [float(x) for x in value]))
     prof = spark.createDataFrame(rows, schema="name string, ptype string, ratios array<double>")
     prof = prof.withColumn("ratios", normalize_ratios(F.col("ratios")))
     return dedup_profiles(prof)
+
+
+def profiles_to_yaml(profiles: DataFrame, path: str) -> str:
+    """Write temporal profiles to the reference's YAML layout
+    (reference to_yaml, io.py:284-306): one key per profile type —
+    ``daily`` / ``diurn_<day>`` / ``weekly`` / ``monthly`` — each a
+    plain ratio list, dumped verbatim (the reference dumps
+    ``profile.ratios`` as-is).  ``profiles``: (ptype, ratios) with
+    ptype in {daily, weekly, monthly, daily_<day>}; other types raise
+    ``NotImplementedError`` like the reference.  Divergence: duplicate
+    types raise instead of last-wins (silent overwrite loses data).
+    The store is profile-count-sized, so the collect is bounded."""
+    import yaml  # gated: pyyaml may be absent
+
+    key_of = {"daily": "daily", "weekly": "weekly", "monthly": "monthly"}
+    data: dict[str, list[float]] = {}
+    for r in profiles.select("ptype", "ratios").collect():
+        ptype = r["ptype"]
+        if ptype in key_of:
+            key = key_of[ptype]
+        elif ptype.startswith("daily_") and ptype[6:] in _SPECIFIC_DAYS:
+            key = f"diurn_{ptype[6:]}"
+        else:
+            raise NotImplementedError(
+                f"Cannot write profile type {ptype!r} to yaml "
+                "(reference to_yaml supports daily/specific-day/weekly/"
+                "monthly, io.py:289-301)"
+            )
+        if key in data:
+            raise ValueError(f"duplicate profile type {ptype!r} for yaml key {key!r}")
+        data[key] = [float(x) for x in r["ratios"]]
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    with open(path, "w") as f:
+        yaml.safe_dump(data, f)
+    return path

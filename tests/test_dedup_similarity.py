@@ -255,3 +255,41 @@ def test_knn_classify_majority_vote(spark):
            for r in knn_classify(q, corpus, k=5).collect()}
     assert out[0] == (0, 4)
     assert out[1] == (1, 4)
+
+
+def test_lsh_bucket_cap_star_preserves_components(spark):
+    """The max_bucket_size skew guard: with the star policy, oversize
+    buckets produce linear star edges whose connected components match
+    the uncapped all-pairs components exactly; drop removes them."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.cluster import connected_components
+    from emiproc_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    # 40 identical docs (one fat bucket) + 3 small clone pairs + noise
+    docs = spark.range(60).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") < 40, F.lit("all these documents are the same text"))
+        .when(F.col("id") < 46, F.concat(F.lit("pair text number "), ((F.col("id") - 40) / 2).cast("int").cast("string")))
+        .otherwise(F.concat(F.lit("unique "), F.md5(F.col("id").cast("string"))))
+        .alias("text"),
+    )
+    sigs = minhash_signatures(docs, k=8).localCheckpoint()
+    full = lsh_candidate_pairs(sigs)
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=10)
+    n_full, n_capped = full.count(), capped.count()
+    assert n_capped < n_full  # 40-doc bucket: 780 pairs → 39 star edges
+
+    def comps(pairs):
+        return {
+            (r["node"], r["component"])
+            for r in connected_components(pairs).collect()
+        }
+
+    assert comps(full) == comps(capped)
+
+    dropped = lsh_candidate_pairs(sigs, max_bucket_size=10, oversize_policy="drop")
+    assert dropped.count() < n_capped  # fat bucket contributes nothing
+
+    with pytest.raises(ValueError, match="oversize_policy"):
+        lsh_candidate_pairs(sigs, max_bucket_size=10, oversize_policy="sample")

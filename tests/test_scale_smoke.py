@@ -455,3 +455,116 @@ def test_netcdf4_roundtrip_million_cells(spark, tmp_path):
     assert got["n"] == int((v != 0).sum())
     assert got["s"] == float(v.sum())
     assert dt < 90, f"netcdf4 1M-cell roundtrip too slow: {dt:.1f}s"
+
+
+def test_raster_export_edgar_size(spark, tmp_path):
+    """EDGAR-scale raster export: 3600×1810 = 6.52M cells × 4
+    (category, substance) slabs through the executor-side slab writer —
+    the driver must never hold more than one raster (the old toPandas
+    path materialized the whole cell×pair matrix and OOM'd here)."""
+    import numpy as np
+
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    nlon, nlat = 3600, 1810  # > 6.5M cells (EDGAR 0.1° is 3600×1800)
+    n = nlon * nlat
+    grid = spark.range(n).select(
+        F.col("id").alias("cell_id"),
+        (F.floor(F.col("id") / nlat) * 0.1 - 179.95).alias("lon"),
+        ((F.col("id") % nlat) * 0.1 - 90.45).alias("lat"),
+        F.lit(1.0e8).alias("area_m2"),
+    )
+    # sparse facts: every 37th cell emits, 2 categories × 2 substances
+    emissions = (
+        spark.range(0, n, 37)
+        .select(F.col("id").alias("cell_id"))
+        .crossJoin(
+            spark.createDataFrame(
+                [("A", "CO2"), ("A", "CH4"), ("B", "CO2"), ("B", "CH4")],
+                "category string, substance string",
+            )
+        )
+        .select(
+            "cell_id", "category", "substance",
+            (F.col("cell_id") % 11 + 1.0).alias("value_kg_y"),
+        )
+    )
+    t0 = time.time()
+    out = export_raster_netcdf(
+        emissions, grid, str(tmp_path / "edgar_size.nc"), add_totals=True
+    )
+    dt = time.time() - t0
+    ds = read_netcdf(out)
+    assert ds.dims["lat"] == nlat and ds.dims["lon"] == nlon
+    v = ds.variables["CO2_A"].data
+    assert v.shape == (nlat, nlon)
+    # spot-check one emitting cell: cell 37 → lat_i 37, lon_i 0
+    assert v[37, 0] == 37 % 11 + 1.0
+    total = ds.variables["emi_CO2_total"].data
+    # emi_CO2_total sums over both categories (A and B emit alike)
+    expected = 2 * sum((c % 11 + 1.0) for c in range(0, n, 37))
+    assert float(total) == pytest.approx(expected, rel=1e-12)
+    assert dt < 240, f"EDGAR-size raster export too slow: {dt:.1f}s"
+
+
+def test_dedup_family_skewed_shingles(spark):
+    """Dedup family under adversarial skew at millions of docs: a
+    stop-shingle present in ~30% of documents must NOT quadratically
+    blow up candidate generation — the frequency guards drop it.
+    Covers ngram-jaccard, minhash-LSH, and the connected-components
+    collapse over the resulting pairs."""
+    from emiproc_spark.operators.cluster import connected_components
+    from emiproc_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+        ngram_jaccard_pairs,
+    )
+
+    n = 2_000_000
+    # text: mostly unique words; every 3rd doc shares the hot token
+    # sequence "common common common" (a hot shingle family); every
+    # 1000th doc is an exact clone family of size ~2000/1000... i.e.
+    # doc i clones doc i % 5000 when i % 400 == 0 → dup families
+    h = F.md5(F.col("id").cast("string"))
+    clone_src = F.when(F.col("id") % 400 == 0, F.col("id") % 5000).otherwise(F.col("id"))
+    hc = F.md5(clone_src.cast("string"))
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.substring(hc, 1, 8), F.substring(hc, 9, 8), F.substring(hc, 17, 8),
+            F.when(F.col("id") % 3 == 0, F.lit("common common common"))
+            .otherwise(F.concat(F.lit("u"), h)),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    # ngram path: the max_shingle_freq guard must keep the hot shingle
+    # ("common common common" in ~666k docs) out of the self-join
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.2, max_shingle_freq=1000)
+    n_pairs = pairs.count()
+    t1 = time.time()
+    assert n_pairs < 5_000_000, f"skew guard failed: {n_pairs} candidate pairs"
+    assert n_pairs > 0
+
+    # minhash path: the banding itself is skew-prone here (a band hash
+    # dominated by the stop-shingle collects ~10k docs), so the bucket
+    # cap + star policy must bound the output while preserving the
+    # connected components
+    sigs = minhash_signatures(docs, k=8)
+    cand = lsh_candidate_pairs(sigs, max_bucket_size=64)
+    n_cand = cand.count()
+    t2 = time.time()
+    assert 0 < n_cand < 10_000_000, f"LSH candidates exploded: {n_cand}"
+
+    # CC collapse over the minhash candidates stays logarithmic
+    comps = connected_components(cand)
+    n_comp = comps.select("component").distinct().count()
+    t3 = time.time()
+    assert n_comp > 0
+    print(
+        f"\n2M-doc skewed dedup: ngram {t1 - t0:.1f}s ({n_pairs} pairs), "
+        f"minhash {t2 - t1:.1f}s ({n_cand} cands), cc {t3 - t2:.1f}s "
+        f"({n_comp} components)"
+    )
+    assert t3 - t0 < 600

@@ -82,3 +82,69 @@ def test_osm_json(spark, tmp_path):
     assert (pts[0][0] == [8.5, 47.4]).all()
     t, line = parse_wkb(bytes(rows[("way", 10)]["geometry"]))
     assert line[0].shape == (2, 2)
+
+
+def test_profiles_yaml_write_read_roundtrip(spark, tmp_path):
+    """profiles_to_yaml (reference to_yaml, io.py:284-306) dumps raw
+    ratio lists per profile-type key, including specific-day diurnal
+    cycles; profiles_from_yaml reads them back (with normalization and
+    the reference's duplicate-type rejection)."""
+    pytest.importorskip("yaml")
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.sources.profiles_io import (
+        profiles_from_yaml,
+        profiles_to_yaml,
+    )
+
+    prof = spark.createDataFrame(
+        [
+            ("daily", [1.0 / 24] * 24),
+            ("daily_sat", [0.5 / 12] * 12 + [1.5 / 12] * 12),
+            ("weekly", [2.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5]),
+        ],
+        schema="ptype string, ratios array<double>",
+    )
+    path = str(tmp_path / "sub" / "prof.yaml")
+    profiles_to_yaml(prof, path)
+
+    import yaml
+
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    assert set(data) == {"daily", "diurn_sat", "weekly"}
+    assert data["weekly"] == [2.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5]  # verbatim
+
+    store, _ = profiles_from_yaml(spark, path)
+    back = {r["ptype"]: r["ratios"] for r in store.collect()}
+    assert set(back) == {"daily", "daily_sat", "weekly"}
+    assert back["weekly"][0] == pytest.approx(2.0 / 7.0)  # normalized
+    assert sum(back["daily_sat"]) == pytest.approx(1.0)
+
+    # unsupported profile type raises like the reference
+    bad = spark.createDataFrame(
+        [("hour_of_year", [1.0] * 3)], schema="ptype string, ratios array<double>"
+    )
+    with pytest.raises(NotImplementedError, match="hour_of_year"):
+        profiles_to_yaml(bad, str(tmp_path / "bad.yaml"))
+
+    # duplicate profile type raises (divergence: reference silently
+    # overwrites; we refuse to lose data)
+    dup = spark.createDataFrame(
+        [("daily", [1.0] * 24), ("daily", [2.0] * 24)],
+        schema="ptype string, ratios array<double>",
+    )
+    with pytest.raises(ValueError, match="duplicate"):
+        profiles_to_yaml(dup, str(tmp_path / "dup.yaml"))
+
+    # reader: alias keys + duplicate-type rejection (io.py:249-253)
+    p2 = str(tmp_path / "alias.yaml")
+    with open(p2, "w") as f:
+        f.write("season: [1.0, 1.0]\nday: [1.0]\n")
+    store2, _ = profiles_from_yaml(spark, p2)
+    assert {r["ptype"] for r in store2.collect()} == {"monthly", "daily"}
+    p3 = str(tmp_path / "clash.yaml")
+    with open(p3, "w") as f:
+        f.write("season: [1.0]\nmonthly: [1.0]\n")
+    with pytest.raises(ValueError, match="already added"):
+        profiles_from_yaml(spark, p3)
