@@ -25,6 +25,23 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# driver-collect guard: the ICON exports collect REGION-sized matrices
+# (regions × catsubs × cycles).  A mis-regionized input (e.g. cell-level
+# ids passed as region_ids) would OOM the driver — fail loudly instead.
+MAX_COLLECT_ROWS = 2_000_000
+
+
+def _bounded_collect(df: DataFrame, what: str, limit: int = MAX_COLLECT_ROWS):
+    rows = df.limit(limit + 1).collect()
+    if len(rows) > limit:
+        raise ValueError(
+            f"{what}: more than {limit} rows would be collected to the "
+            "driver — this input does not look region-sized (did you "
+            "pass cell-level ids as regions? regionize first)"
+        )
+    return rows
+
+
 CYCLE_FILES = {
     "daily": ("hourofday", 24),
     "weekly": ("dayofweek", 7),
@@ -105,11 +122,14 @@ def make_icon_time_profiles(
     # temporal_profile_id coordinate (last write per region below) is
     # deterministic — collect() order after a shuffle is not
     rows = sorted(
-        sf.collect(),
+        _bounded_collect(sf, "make_icon_time_profiles scaling factors"),
         key=lambda r: (r["ptype"], r["category"], r["substance"], r["region_id"]),
     )
     reg_rows = sorted(
-        regions.select("region_id", "region_key", "tz_shift").collect(),
+        _bounded_collect(
+            regions.select("region_id", "region_key", "tz_shift"),
+            "make_icon_time_profiles regions",
+        ),
         key=lambda r: r["region_id"],
     )
     region_ids = [r["region_id"] for r in reg_rows]
@@ -188,7 +208,7 @@ def make_icon_vertical_profiles(
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
 
     os.makedirs(out_dir, exist_ok=True)
-    rows = vprofiles.collect()
+    rows = _bounded_collect(vprofiles, "make_icon_vertical_profiles")
     heights = sorted({float(r["height_top"]) for r in rows})
     hpos = {h: i for i, h in enumerate(heights)}
     cats = sorted({r["category"] for r in rows})
@@ -275,7 +295,11 @@ def export_inventory_profiles(
     # regions = distinct timezones (profiles vary on cat/sub only, so
     # the (tz, profile) pair degenerates to tz — reference's unique_tz)
     tz_rows = sorted(
-        r["tzid"] for r in cell_tz.select("tzid").distinct().collect()
+        r["tzid"]
+        for r in _bounded_collect(
+            cell_tz.select("tzid").distinct(),
+            "export_inventory_profiles distinct timezones",
+        )
     )
     regions = spark.createDataFrame(
         [(i, tz, int(shifts.get(tz, 0))) for i, tz in enumerate(tz_rows)],

@@ -33,16 +33,32 @@ def attach_binary(docs: DataFrame, src_col: str = "text") -> DataFrame:
 
 
 def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
-    """Decode an image payload to an array.  STUB: real decode needs an
-    image library not present in this environment."""
-    if not fake:
+    """Decode an image payload to a uint8 array.
+
+    Real decode path: PNG through the built-in pure-numpy codec
+    (``functions.png``, no dependency needed); any other format through
+    Pillow when it is importable (optional dependency, gated like
+    h5py/pyyaml elsewhere).  ``fake=True`` keeps the deterministic
+    byte-statistics stand-in for oracle-stable fixtures."""
+    if fake:
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        side = max(1, int(len(arr) ** 0.5))
+        return arr[: side * side].reshape(side, side)
+
+    from emiproc_spark.functions.png import is_png, read_png
+
+    if is_png(payload):
+        return read_png(payload)
+    try:  # optional dependency for non-PNG formats
+        import io
+
+        from PIL import Image
+    except ImportError as e:
         raise NotImplementedError(
-            "image decode requires an imaging library; pass fake=True for "
-            "the deterministic byte-statistics stand-in"
-        )
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    side = max(1, int(len(arr) ** 0.5))
-    return arr[: side * side].reshape(side, side)
+            "image decode: payload is not PNG (built-in codec) and "
+            "Pillow is not installed for other formats"
+        ) from e
+    return np.asarray(Image.open(io.BytesIO(payload)))
 
 
 def extract_features(

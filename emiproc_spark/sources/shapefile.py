@@ -179,6 +179,144 @@ def shapefile_to_regions(
     )
 
 
+# ------------------------------------------------ cached reference data
+def _files_dir(files_dir: str | None) -> str:
+    import os
+
+    return files_dir or os.environ.get(
+        "EMIPROC_SPARK_FILES_DIR",
+        os.path.join(os.path.expanduser("~"), ".emiproc_spark_files"),
+    )
+
+
+def _ensure_extracted(
+    dest_dir: str,
+    shp_name: str,
+    archive: str | None,
+    download_url: str | None,
+    what: str,
+) -> str:
+    """Cache-or-populate a reference shapefile directory (the engine
+    analogue of the reference's FILES_DIR caching + FileLock download,
+    utilities.py:129-143,263-303).  Cache hit = the .shp already
+    extracted under ``dest_dir``; otherwise populate from ``archive``
+    (a pre-downloaded .zip — the offline path) or, with a URL given,
+    download it (network-bound by design; untested in this repo's CI).
+    Extraction goes to a temp sibling then renames into place, so a
+    concurrent or killed populate never leaves a half cache."""
+    import os
+    import shutil
+    import tempfile
+    import zipfile
+
+    shp = os.path.join(dest_dir, shp_name)
+    if os.path.exists(shp):
+        return shp  # cache hit: no archive/network touched
+    if archive is not None:
+        with open(archive, "rb") as f:
+            payload = f.read()
+    elif download_url is not None:
+        from urllib.request import urlopen
+
+        with urlopen(download_url) as resp:
+            payload = resp.read()
+    else:
+        raise FileNotFoundError(
+            f"{what}: {shp} is not cached; pass archive=<pre-downloaded "
+            ".zip> (offline path) or download=True (needs network)"
+        )
+    os.makedirs(os.path.dirname(dest_dir) or ".", exist_ok=True)
+    tmp = tempfile.mkdtemp(prefix=".extract_", dir=os.path.dirname(dest_dir) or ".")
+    try:
+        import io
+
+        with zipfile.ZipFile(io.BytesIO(payload)) as zf:
+            for member in zf.namelist():
+                # no path traversal out of the cache dir
+                target = os.path.normpath(os.path.join(tmp, member))
+                if not target.startswith(os.path.normpath(tmp)):
+                    raise ValueError(f"{what}: archive member escapes dir: {member}")
+            zf.extractall(tmp)
+        if os.path.isdir(dest_dir):
+            shutil.rmtree(dest_dir)
+        os.replace(tmp, dest_dir)
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    if not os.path.exists(shp):
+        raise FileNotFoundError(f"{what}: archive did not contain {shp_name}")
+    return shp
+
+
+def get_natural_earth(
+    spark: SparkSession,
+    resolution: str = "10m",
+    category: str = "cultural",
+    name: str = "admin_0_countries",
+    label_field: str = "ISO_A3",
+    region_col: str = "country",
+    files_dir: str | None = None,
+    archive: str | None = None,
+    download: bool = False,
+) -> DataFrame:
+    """Natural Earth shapefile → regions table, with the reference's
+    cache layout (``<files>/natural_earth/ne_{res}_{cat}_{name}``,
+    utilities.py:263-314).  Offline-first: a pre-downloaded release
+    ``.zip`` passes via ``archive``; ``download=True`` fetches the
+    public S3 URL the reference uses."""
+    import os
+
+    dest = os.path.join(
+        _files_dir(files_dir), "natural_earth", f"ne_{resolution}_{category}_{name}"
+    )
+    url = (
+        f"https://naturalearth.s3.amazonaws.com/{resolution}_{category}/"
+        f"ne_{resolution}_{name}.zip"
+        if download
+        else None
+    )
+    shp = _ensure_extracted(
+        dest, f"ne_{resolution}_{name}.shp", archive, url, "get_natural_earth"
+    )
+    return shapefile_to_regions(spark, shp, label_field, region_col)
+
+
+def get_timezones(
+    spark: SparkSession,
+    version: str = "latest",
+    label_field: str = "tzid",
+    region_col: str = "tzid",
+    files_dir: str | None = None,
+    archive: str | None = None,
+    download: bool = False,
+) -> DataFrame:
+    """timezone-boundary-builder shapefile → regions table, with the
+    reference's cache layout (``<files>/timezones/<version>``,
+    utilities.py:103-183).  ``archive``: a pre-downloaded
+    ``timezones-with-oceans.shapefile.zip`` release asset;
+    ``download=True`` fetches the pinned GitHub release (``version``
+    must then name a release tag, not ``latest``)."""
+    import os
+
+    dest = os.path.join(_files_dir(files_dir), "timezones", version)
+    url = None
+    cached = os.path.exists(os.path.join(dest, "combined-shapefile-with-oceans.shp"))
+    if download and not cached:
+        if version == "latest":
+            raise ValueError(
+                "get_timezones(download=True) needs an explicit release "
+                "tag as version= (resolving 'latest' needs the GitHub API)"
+            )
+        url = (
+            "https://github.com/evansiroky/timezone-boundary-builder/"
+            f"releases/download/{version}/timezones-with-oceans.shapefile.zip"
+        )
+    shp = _ensure_extracted(
+        dest, "combined-shapefile-with-oceans.shp", archive, url, "get_timezones"
+    )
+    return shapefile_to_regions(spark, shp, label_field, region_col)
+
+
 # ----------------------------------------------------------------- write
 def write_shapefile(
     path_base: str,

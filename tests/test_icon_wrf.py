@@ -174,3 +174,23 @@ def test_export_inventory_profiles_rejects_bad_index(spark, tmp_path):
     )
     with _pytest.raises(NotImplementedError, match="cell_id"):
         export_inventory_profiles(cellvar, _store(spark), cell_tz, grid, str(tmp_path))
+
+
+def test_icon_export_collect_guard(spark, tmp_path):
+    """_bounded_collect fails loudly (no driver OOM) when an ICON
+    export input is not region-sized — e.g. cell-level ids passed as
+    regions."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.exports import icon as icon_mod
+
+    big = spark.range(50).select(
+        F.col("id").cast("int").alias("region_id"),
+        F.concat(F.lit("tz"), F.col("id")).alias("region_key"),
+        F.lit(0).alias("tz_shift"),
+    )
+    with _pytest.raises(ValueError, match="region-sized"):
+        icon_mod._bounded_collect(big, "test input", limit=10)
+    # under the limit: passes through all rows
+    assert len(icon_mod._bounded_collect(big, "test input", limit=50)) == 50

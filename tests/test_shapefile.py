@@ -71,3 +71,54 @@ def test_regions_feed_masks(spark, tmp_path):
     assert maj[0] == "CHE" and maj[1] == "CHE"
     assert maj[2] == "ITA"
     assert maj[3] == "-99"
+
+
+def test_get_natural_earth_archive_and_cache_hit(spark, tmp_path):
+    """get_natural_earth populates the reference cache layout from a
+    pre-downloaded release .zip, and a second call is a pure cache hit
+    (the archive is not touched again)."""
+    import zipfile
+
+    from emiproc_spark.sources.shapefile import get_natural_earth, get_timezones
+
+    # build a fake Natural-Earth release archive
+    shp, dbf = write_shapefile(str(tmp_path / "ne_10m_admin_0_countries"), SQUARES, ATTRS)
+    ne_zip = str(tmp_path / "ne.zip")
+    with zipfile.ZipFile(ne_zip, "w") as zf:
+        zf.write(shp, "ne_10m_admin_0_countries.shp")
+        zf.write(dbf, "ne_10m_admin_0_countries.dbf")
+
+    files = str(tmp_path / "files")
+    regions = get_natural_earth(spark, files_dir=files, archive=ne_zip)
+    assert {r["country"] for r in regions.select("country").collect()} == {"CHE", "ITA"}
+
+    # cache hit: delete the archive; the call must still succeed
+    import os
+
+    os.remove(ne_zip)
+    again = get_natural_earth(spark, files_dir=files, archive=ne_zip)
+    assert again.count() == 2
+    # and also with no archive at all (pure cache)
+    assert get_natural_earth(spark, files_dir=files).count() == 2
+
+    # cold cache without archive/download: actionable error
+    with pytest.raises(FileNotFoundError, match="archive=|download"):
+        get_natural_earth(spark, files_dir=str(tmp_path / "empty"))
+
+    # timezones variant: its own layout + label field
+    tz_attrs = pd.DataFrame({"tzid": ["Europe/Zurich", "Europe/Rome"]})
+    shp2, dbf2 = write_shapefile(str(tmp_path / "combined-shapefile-with-oceans"), SQUARES, tz_attrs)
+    tz_zip = str(tmp_path / "tz.zip")
+    with zipfile.ZipFile(tz_zip, "w") as zf:
+        zf.write(shp2, "combined-shapefile-with-oceans.shp")
+        zf.write(dbf2, "combined-shapefile-with-oceans.dbf")
+    tz = get_timezones(spark, files_dir=files, archive=tz_zip)
+    assert {r["tzid"] for r in tz.select("tzid").collect()} == {
+        "Europe/Zurich", "Europe/Rome",
+    }
+    # warm cache serves even with download=True + latest
+    assert get_timezones(spark, files_dir=files, download=True).count() == 2
+    with pytest.raises(ValueError, match="release"):
+        get_timezones(
+            spark, files_dir=str(tmp_path / "cold"), version="latest", download=True
+        )
