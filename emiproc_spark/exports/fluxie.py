@@ -84,10 +84,19 @@ def export_fluxie(
     nlon, nlat = lons.size, lats.size
     if nlon * nlat != grid.count():
         raise ValueError("grid is not a dense regular raster")
+    # the scatter below assumes cell_id = lon_i*nlat + lat_i, axes
+    # ascending — verify instead of silently mirroring other layouts
+    from emiproc_spark.exports.netcdf import validate_lonmajor_grid
+
+    validate_lonmajor_grid(grid, lats, lons)
+
+    import tempfile
 
     base = os.path.join(output_dir, transport_model)
-    slab_dir = os.path.join(output_dir, ".fluxie_slabs")
-    os.makedirs(slab_dir, exist_ok=True)
+    os.makedirs(output_dir, exist_ok=True)
+    # per-call scratch dir: concurrent exports into the same output_dir
+    # must not share (or delete) each other's slabs
+    slab_dir = tempfile.mkdtemp(prefix=".fluxie_slabs_", dir=output_dir)
 
     def _scatter(cell: np.ndarray, values: np.ndarray) -> np.ndarray:
         if ((cell < 0) | (cell >= nlat * nlon)).any():

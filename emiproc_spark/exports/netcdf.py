@@ -122,6 +122,42 @@ def _coord_vars(lon_c: np.ndarray, lat_c: np.ndarray, lon_name: str, lat_name: s
     ]
 
 
+def validate_lonmajor_grid(grid: DataFrame, lats, lons) -> None:
+    """Distributed check that ``cell_id == lon_i * nlat + lat_i`` with
+    ascending sorted axes — the layout the executor-side slab scatter
+    assumes.  A grid whose ids follow another convention (e.g. built
+    north-to-south) would otherwise silently mirror every raster
+    against its coordinate variables.  One cheap scan of the
+    dimension-sized grid with two broadcast joins; raises with an
+    actionable message on the first mismatch."""
+    import numpy as np
+
+    spark = grid.sparkSession
+    nlat = len(lats)
+    lat_dim = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(np.asarray(lats))], "lat double, lat_i int"
+    )
+    lon_dim = spark.createDataFrame(
+        [(float(v), i) for i, v in enumerate(np.asarray(lons))], "lon double, lon_i int"
+    )
+    bad = (
+        grid.select("cell_id", "lat", "lon")
+        .join(F.broadcast(lat_dim), "lat")
+        .join(F.broadcast(lon_dim), "lon")
+        .where(F.col("cell_id") != F.col("lon_i").cast("long") * nlat + F.col("lat_i"))
+        .limit(1)
+        .collect()
+    )
+    if bad:
+        r = bad[0]
+        raise ValueError(
+            f"grid is not lon-major ascending: cell_id {r['cell_id']} sits at "
+            f"(lat {r['lat']}, lon {r['lon']}) = index {r['lon_i'] * nlat + r['lat_i']}"
+            " — renumber the grid (cell_id = lon_i*nlat + lat_i, axes ascending)"
+            " before exporting"
+        )
+
+
 def export_raster_netcdf(
     emissions: DataFrame,
     grid: DataFrame,
@@ -164,6 +200,7 @@ def export_raster_netcdf(
     nlon, nlat = lon_c.size, lat_c.size
     if nlon * nlat != grid.count():
         raise ValueError("grid is not a dense regular raster")
+    validate_lonmajor_grid(grid, lat_c, lon_c)
 
     out = path if path.endswith(".nc") else path + ".nc"
     slab_dir = out + ".slabs"
@@ -427,8 +464,12 @@ def export_raster_netcdf(
             from emiproc_spark.functions.hdf5_write import write_netcdf4
 
             for v in ds.variables.values():
-                if hasattr(v.data, "load"):
+                if getattr(v.data, "load", None) is not None:
                     v.data = v.data.load()
+                elif getattr(v.data, "chunk_loaders", None) is not None:
+                    v.data = np.concatenate(
+                        [np.asarray(ld()) for ld in v.data.chunk_loaders], axis=0
+                    )
             write_netcdf4(out, ds)
         else:
             write_netcdf(out, ds)

@@ -155,11 +155,16 @@ class _Reader:
         return {self.name(): self.att_values() for _ in range(nelems)}
 
 
-def read_netcdf(path_or_bytes) -> NCDataset:
+def read_netcdf(path_or_bytes, header_only: bool = False) -> NCDataset:
     """Parse a classic NetCDF file into an :class:`NCDataset`.
 
     Accepts a filesystem path or raw ``bytes`` (the latter suits Spark's
     ``binaryFile`` datasource / ``sc.binaryFiles`` in executors).
+
+    ``header_only=True`` skips materializing variable data (every
+    ``NCVariable.data`` is ``None``): dims + attributes only, for
+    admission probes (e.g. ``edgar_v8_categories``) that must not pay
+    the array decode twice.
     """
     if isinstance(path_or_bytes, (bytes, bytearray)):
         buf = bytes(path_or_bytes)
@@ -242,6 +247,9 @@ def read_netcdf(path_or_bytes) -> NCDataset:
         shape = tuple(ds.dims[d] for d in dims)
         dt, size = _TYPEMAP[nc_type]
         is_rec = bool(dims) and dims[0] == ds.record_dim
+        if header_only:
+            ds.variables[nm] = NCVariable(nm, dims, None, vattrs)
+            continue
         if not is_rec:
             count = int(np.prod(shape, dtype=np.int64)) if shape else 1
             raw = buf[begin : begin + count * size]
@@ -449,8 +457,19 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
         return conv
 
     import io
+    import os
 
-    out = open(path, "wb") if path is not None else io.BytesIO()
+    # stream to a temp sibling and rename at the end: a lazy loader
+    # failing mid-stream must not leave a truncated file with a
+    # valid-looking header at `path` (the pre-streaming writer built
+    # the blob in memory and had this property implicitly)
+    tmp_path = None
+    if path is not None:
+        tmp_path = path + ".tmp_write"
+        out = open(tmp_path, "wb")
+    else:
+        out = io.BytesIO()
+    ok = False
     try:
         out.write(header(offsets, version))
         # fixed section: vars are laid out sequentially in header order,
@@ -504,9 +523,17 @@ def write_netcdf(path: str | None, ds: NCDataset) -> bytes | None:
                         # short record var: zero-fill, matching the
                         # previous zero-initialized body semantics
                         out.write(b"\x00" * slot)
+        ok = True
         if path is None:
             return out.getvalue()
     finally:
         if path is not None:
             out.close()
+            if ok:
+                os.replace(tmp_path, path)
+            else:
+                try:
+                    os.remove(tmp_path)
+                except OSError:
+                    pass
     return None

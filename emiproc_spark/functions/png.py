@@ -14,6 +14,15 @@ only.  16-bit depths and Adam7 interlacing raise with a clear message
 (install Pillow for those).  The encoder writes 8-bit grey/RGB/RGBA
 with filter 0 — enough to round-trip fixtures and thumbnails.
 
+Performance note: None/Sub/Up scanlines reconstruct vectorized;
+Average/Paeth depend on the left-neighbor pixel, which is inherently
+sequential along x, so those rows fall back to a per-byte Python loop
+(~µs/px).  Thumbnails and fixture images decode in milliseconds; for
+large libpng-encoded corpora (mostly Paeth rows) install Pillow —
+``operators.multimodal.decode_image`` prefers this codec only for PNG
+payloads and will use Pillow when the per-image cost matters to you
+(pass the payloads through Pillow by re-encoding, or decode outside).
+
 Dependency-free (numpy + stdlib) so it runs inside Spark executors
 (mapInPandas over binary payloads) without shipping extra packages.
 """

@@ -45,20 +45,23 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
         side = max(1, int(len(arr) ** 0.5))
         return arr[: side * side].reshape(side, side)
 
-    from emiproc_spark.functions.png import is_png, read_png
-
-    if is_png(payload):
-        return read_png(payload)
-    try:  # optional dependency for non-PNG formats
+    try:  # optional dependency: C-speed decode for every format
         import io
 
         from PIL import Image
-    except ImportError as e:
-        raise NotImplementedError(
-            "image decode: payload is not PNG (built-in codec) and "
-            "Pillow is not installed for other formats"
-        ) from e
-    return np.asarray(Image.open(io.BytesIO(payload)))
+
+        return np.asarray(Image.open(io.BytesIO(payload)))
+    except ImportError:
+        pass
+
+    from emiproc_spark.functions.png import is_png, read_png
+
+    if is_png(payload):
+        return read_png(payload)  # lossless: same pixels Pillow yields
+    raise NotImplementedError(
+        "image decode: payload is not PNG (built-in codec) and "
+        "Pillow is not installed for other formats"
+    )
 
 
 def extract_features(

@@ -163,7 +163,7 @@ def edgar_v8_categories(
             cats = set()
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 c = _edgar_v8_admit(
-                    fpath, read_netcdf(bytes(content)), year,
+                    fpath, read_netcdf(bytes(content), header_only=True), year,
                     use_short_category_names,
                 )
                 if c:

@@ -232,14 +232,28 @@ def _ensure_extracted(
 
         with zipfile.ZipFile(io.BytesIO(payload)) as zf:
             for member in zf.namelist():
-                # no path traversal out of the cache dir
+                # no path traversal out of the cache dir (prefix check
+                # must include the separator — "/cache/x" is not inside
+                # "/cache/" just because it starts with "/cache")
                 target = os.path.normpath(os.path.join(tmp, member))
-                if not target.startswith(os.path.normpath(tmp)):
+                root = os.path.normpath(tmp)
+                if target != root and not target.startswith(root + os.sep):
                     raise ValueError(f"{what}: archive member escapes dir: {member}")
             zf.extractall(tmp)
-        if os.path.isdir(dest_dir):
-            shutil.rmtree(dest_dir)
-        os.replace(tmp, dest_dir)
+        try:
+            os.replace(tmp, dest_dir)
+        except OSError:
+            # dest_dir appeared (concurrent populate won the race) or a
+            # stale half-cache exists.  Never rmtree a directory another
+            # process may be reading: if the shapefile is now there, use
+            # it; otherwise surface the stale cache to the operator.
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(shp):
+                raise FileNotFoundError(
+                    f"{what}: {dest_dir} exists but lacks {shp_name} "
+                    "(stale or concurrent half-populated cache) — remove "
+                    "the directory and retry"
+                ) from None
     except BaseException:
         shutil.rmtree(tmp, ignore_errors=True)
         raise

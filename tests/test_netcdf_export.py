@@ -170,3 +170,28 @@ def test_export_hourly_netcdf(spark, tmp_path):
     assert v.attrs["units"] == "kg h-1"
     ds1 = read_netcdf(paths[1])
     assert ds1.variables["CO_traffic"].data[0, 0, 0] == 2.0
+
+
+def test_raster_export_rejects_non_lonmajor_grid(spark, tmp_path):
+    """The slab scatter assumes cell_id = lon_i*nlat + lat_i with
+    ascending axes; a grid numbered differently (e.g. north-to-south)
+    must be rejected loudly, not silently latitude-mirrored."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
+
+    nlat, nlon = 3, 4
+    # lat DESCENDING in the cell index: lat = 2 - (id % nlat)
+    grid = spark.range(nlat * nlon).select(
+        F.col("id").alias("cell_id"),
+        (F.floor(F.col("id") / nlat) * 1.0).alias("lon"),
+        (F.lit(nlat - 1) - F.col("id") % nlat).cast("double").alias("lat"),
+        F.lit(1.0).alias("area_m2"),
+    )
+    e = spark.createDataFrame(
+        [(0, "A", "CO2", 1.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    with _pytest.raises(ValueError, match="lon-major"):
+        export_raster_netcdf(e, grid, str(tmp_path / "bad.nc"))
