@@ -74,15 +74,16 @@ def export_fluxie(
     if len(set(years)) != len(years) or not years:
         raise ValueError(f"need distinct inventory years, got {years}")
 
-    # coordinate arrays: small Spark collects (nlon + nlat values)
-    lons = np.sort(
-        np.array([r[0] for r in grid.select("lon").distinct().collect()], dtype=float)
-    )
-    lats = np.sort(
-        np.array([r[0] for r in grid.select("lat").distinct().collect()], dtype=float)
-    )
+    # coordinate arrays + density check in ONE aggregate job
+    row = grid.agg(
+        F.count("*").alias("n"),
+        F.collect_set("lon").alias("lons"),
+        F.collect_set("lat").alias("lats"),
+    ).collect()[0]
+    lons = np.sort(np.array(row["lons"], dtype=float))
+    lats = np.sort(np.array(row["lats"], dtype=float))
     nlon, nlat = lons.size, lats.size
-    if nlon * nlat != grid.count():
+    if nlon * nlat != row["n"]:
         raise ValueError("grid is not a dense regular raster")
     # the scatter below assumes cell_id = lon_i*nlat + lat_i, axes
     # ascending — verify instead of silently mirroring other layouts

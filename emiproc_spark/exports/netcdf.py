@@ -127,32 +127,38 @@ def validate_lonmajor_grid(grid: DataFrame, lats, lons) -> None:
     ascending sorted axes — the layout the executor-side slab scatter
     assumes.  A grid whose ids follow another convention (e.g. built
     north-to-south) would otherwise silently mirror every raster
-    against its coordinate variables.  One cheap scan of the
-    dimension-sized grid with two broadcast joins; raises with an
-    actionable message on the first mismatch."""
-    import numpy as np
+    against its coordinate variables.  One map-only scan of the
+    dimension-sized grid (searchsorted against the broadcast axes, no
+    join, no shuffle); raises with an actionable message on the first
+    mismatch."""
+    import pandas as pd
 
-    spark = grid.sparkSession
-    nlat = len(lats)
-    lat_dim = spark.createDataFrame(
-        [(float(v), i) for i, v in enumerate(np.asarray(lats))], "lat double, lat_i int"
-    )
-    lon_dim = spark.createDataFrame(
-        [(float(v), i) for i, v in enumerate(np.asarray(lons))], "lon double, lon_i int"
-    )
-    bad = (
+    lat_c = np.sort(np.asarray(lats, dtype=float))
+    lon_c = np.sort(np.asarray(lons, dtype=float))
+    nlat = lat_c.size
+
+    def check(batches):
+        for pdf in batches:
+            lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
+            lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
+            expect = lon_i.astype(np.int64) * nlat + lat_i
+            bad = pdf["cell_id"].to_numpy() != expect
+            if bad.any():
+                out = pdf.loc[bad, ["cell_id", "lat", "lon"]].head(1).copy()
+                out["expect"] = expect[bad][:1]
+                yield out
+
+    hit = (
         grid.select("cell_id", "lat", "lon")
-        .join(F.broadcast(lat_dim), "lat")
-        .join(F.broadcast(lon_dim), "lon")
-        .where(F.col("cell_id") != F.col("lon_i").cast("long") * nlat + F.col("lat_i"))
+        .mapInPandas(check, "cell_id long, lat double, lon double, expect long")
         .limit(1)
         .collect()
     )
-    if bad:
-        r = bad[0]
+    if hit:
+        r = hit[0]
         raise ValueError(
             f"grid is not lon-major ascending: cell_id {r['cell_id']} sits at "
-            f"(lat {r['lat']}, lon {r['lon']}) = index {r['lon_i'] * nlat + r['lat_i']}"
+            f"(lat {r['lat']}, lon {r['lon']}) = index {r['expect']}"
             " — renumber the grid (cell_id = lon_i*nlat + lat_i, axes ascending)"
             " before exporting"
         )
@@ -190,17 +196,20 @@ def export_raster_netcdf(
     if var_name_format is None:
         var_name_format = "{substance}" if group_categories else "{substance}_{category}"
 
-    # coordinate arrays: small Spark collects (nlon + nlat values)
-    lon_c = np.sort(
-        np.array([r[0] for r in grid.select("lon").distinct().collect()], dtype=float)
-    )
-    lat_c = np.sort(
-        np.array([r[0] for r in grid.select("lat").distinct().collect()], dtype=float)
-    )
+    # coordinate arrays + density check in ONE aggregate job (axes are
+    # nlon/nlat values — dimension-sized)
+    row = grid.agg(
+        F.count("*").alias("n"),
+        F.collect_set("lon").alias("lons"),
+        F.collect_set("lat").alias("lats"),
+    ).collect()[0]
+    lon_c = np.sort(np.array(row["lons"], dtype=float))
+    lat_c = np.sort(np.array(row["lats"], dtype=float))
     nlon, nlat = lon_c.size, lat_c.size
-    if nlon * nlat != grid.count():
+    if nlon * nlat != row["n"]:
         raise ValueError("grid is not a dense regular raster")
-    validate_lonmajor_grid(grid, lat_c, lon_c)
+    # the lon-major layout check rides the area-slab task below (it sees
+    # every grid row), so no separate validation scan is needed
 
     out = path if path.endswith(".nc") else path + ".nc"
     slab_dir = out + ".slabs"
@@ -247,18 +256,34 @@ def export_raster_netcdf(
     total_of = {(r["category"], r["substance"]): r["total_kg"] for r in meta}
 
     # area slab: one executor task scatters the grid's areas (bounded by
-    # one raster) so the driver never collects the cell table itself
+    # one raster) so the driver never collects the cell table itself.
+    # The same pass VALIDATES the lon-major ascending layout the slab
+    # scatter assumes — it sees every grid row, so a grid numbered
+    # differently (e.g. north-to-south) fails loudly here instead of
+    # silently mirroring every raster.
     area_path = os.path.join(slab_dir, "cell_area.npy")
 
     def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
-        arr = np.zeros((nlat, nlon))
+        lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
+        lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
         cell = pdf["cell_id"].to_numpy()
-        arr[cell % nlat, cell // nlat] = pdf["area_m2"].to_numpy()
+        expect = lon_i.astype(np.int64) * nlat + lat_i
+        bad = cell != expect
+        if bad.any():
+            k = int(np.argmax(bad))
+            raise ValueError(
+                f"grid is not lon-major ascending: cell_id {cell[k]} sits at "
+                f"(lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) = index "
+                f"{expect[k]} — renumber the grid (cell_id = lon_i*nlat + "
+                "lat_i, axes ascending) before exporting"
+            )
+        arr = np.zeros((nlat, nlon))
+        arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
         np.save(area_path, arr)
         return pd.DataFrame({"path": [area_path]})
 
     (
-        grid.select("cell_id", "area_m2")
+        grid.select("cell_id", "lon", "lat", "area_m2")
         .withColumn("_g", F.lit(0))
         .groupBy("_g")
         .applyInPandas(lambda pdf: write_area(pdf), "path string")

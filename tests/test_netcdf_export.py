@@ -193,5 +193,16 @@ def test_raster_export_rejects_non_lonmajor_grid(spark, tmp_path):
         [(0, "A", "CO2", 1.0)],
         "cell_id long, category string, substance string, value_kg_y double",
     )
-    with _pytest.raises(ValueError, match="lon-major"):
+    # raised inside the area-slab executor task → surfaces wrapped
+    with _pytest.raises(Exception, match="lon-major"):
         export_raster_netcdf(e, grid, str(tmp_path / "bad.nc"))
+
+    # and the standalone validator (fluxie path) rejects it too
+    import numpy as np
+
+    from emiproc_spark.exports.netcdf import validate_lonmajor_grid
+
+    lats = np.arange(nlat, dtype=float)
+    lons = np.arange(nlon, dtype=float)
+    with _pytest.raises(ValueError, match="lon-major"):
+        validate_lonmajor_grid(grid, lats, lons)
