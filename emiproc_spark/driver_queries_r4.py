@@ -144,11 +144,92 @@ SQL_LSH_CAPPED = f"""
 """
 
 
+# ======================================================================
+# boilerplate_strip — per-source boilerplate n-gram removal (CCNet-style
+# repeated header/footer detection reduced to the relational core).
+# The fixture corpus is random words with no natural boilerplate, so the
+# query injects a deterministic per-source header every doc of a source
+# shares; the operator must find exactly those n-grams and strip them.
+# ======================================================================
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.operators.text import strip_boilerplate
+
+    d = (
+        fx.load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 600)
+        .select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("hdr"), F.col("source")),
+                F.lit("visit our site now"),
+                F.col("text"),
+            ).alias("text"),
+        )
+    )
+    return strip_boilerplate(d, group_col="source").select(
+        "doc_id", "source", "n_tokens", "n_removed", "text_clean"
+    )
+
+
+SQL_BOILERPLATE_STRIP = """
+    WITH d AS (
+        SELECT doc_id, source,
+               'hdr' || source || ' visit our site now ' || text AS text
+        FROM documents WHERE doc_id < 600
+    ),
+    toks AS (SELECT doc_id, source, string_split(text, ' ') AS toks FROM d),
+    sh AS (
+        SELECT doc_id, source, CAST(t.i AS INT) AS pos,
+               toks[t.i + 1] || ' ' || toks[t.i + 2] || ' ' || toks[t.i + 3] AS shingle
+        FROM toks, UNNEST(range(GREATEST(len(toks) - 2, 0))) AS t(i)
+    ),
+    gs AS (SELECT source, COUNT(*) AS group_docs FROM d GROUP BY source),
+    bp AS (
+        SELECT f.source, f.shingle
+        FROM (SELECT source, shingle, COUNT(*) AS df
+              FROM (SELECT DISTINCT doc_id, source, shingle FROM sh)
+              GROUP BY source, shingle) f
+        JOIN gs USING (source)
+        WHERE f.df >= gs.group_docs * 0.5 AND f.df >= 2
+    ),
+    cov AS (
+        SELECT DISTINCT sh.doc_id, sh.pos + o.o AS cpos
+        FROM sh JOIN bp ON sh.source = bp.source AND sh.shingle = bp.shingle,
+             UNNEST(range(3)) AS o(o)
+    ),
+    tokpos AS (
+        SELECT doc_id, CAST(t.i AS INT) AS pos, toks[t.i + 1] AS tok
+        FROM toks, UNNEST(range(len(toks))) AS t(i)
+    ),
+    clean AS (
+        SELECT tokpos.doc_id,
+               string_agg(tok, ' ' ORDER BY pos)
+                   FILTER (WHERE cov.cpos IS NULL) AS text_clean,
+               COUNT(*) FILTER (WHERE cov.cpos IS NOT NULL) AS n_removed
+        FROM tokpos
+        LEFT JOIN cov ON tokpos.doc_id = cov.doc_id AND tokpos.pos = cov.cpos
+        GROUP BY tokpos.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           CAST(len(toks.toks) AS INT) AS n_tokens,
+           CAST(COALESCE(clean.n_removed, 0) AS INT) AS n_removed,
+           COALESCE(clean.text_clean, '') AS text_clean
+    FROM d
+    JOIN toks USING (doc_id)
+    LEFT JOIN clean ON clean.doc_id = d.doc_id
+"""
+
+
 QUERIES_R4: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "png_cycle": q_png_cycle,
     "lsh_capped": q_lsh_capped,
+    "boilerplate_strip": q_boilerplate_strip,
 }
 ORACLES_R4: dict[str, str] = {
     "png_cycle": SQL_PNG_CYCLE,
     "lsh_capped": SQL_LSH_CAPPED,
+    "boilerplate_strip": SQL_BOILERPLATE_STRIP,
 }

@@ -398,3 +398,97 @@ def quality_filter(
         .withColumn("keep", F.col("reason") == "ok")
         .drop("__toks")
     )
+
+
+def boilerplate_ngrams(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    min_doc_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-group boilerplate n-grams — word n-grams present in at least
+    ``min_doc_frac`` of a group's documents (and ``min_docs`` absolute).
+
+    The CCNet-style boilerplate detector reduced to the relational
+    core: repeated headers/footers/navigation within one source
+    (domain) appear in most of its documents, while real content does
+    not.  Returns ``(group, shingle, doc_freq, group_docs)``.
+
+    Plan shape: one shingle explode + two hash aggregations (per-group
+    doc counts are a tiny dimension joined back broadcast); no join
+    touches the fact table twice.
+    """
+    sh = (
+        docs.select(F.col(group_col).alias("__grp"), "doc_id", tokens(F.col(text_col)).alias("toks"))
+        .select("__grp", "doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle"))
+        .distinct()
+    )
+    group_sizes = docs.groupBy(F.col(group_col).alias("__grp")).agg(
+        F.count("*").alias("group_docs")
+    )
+    return (
+        sh.groupBy("__grp", "shingle")
+        .agg(F.count("*").alias("doc_freq"))
+        .join(F.broadcast(group_sizes), "__grp")
+        .where(
+            (F.col("doc_freq") >= F.col("group_docs") * F.lit(min_doc_frac))
+            & (F.col("doc_freq") >= min_docs)
+        )
+        .select(F.col("__grp").alias(group_col), "shingle", "doc_freq", "group_docs")
+    )
+
+
+def strip_boilerplate(
+    docs: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+    n: int = 3,
+    min_doc_frac: float = 0.5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Remove boilerplate spans from each document: every token covered
+    by an occurrence of one of its group's boilerplate n-grams
+    (:func:`boilerplate_ngrams`) is dropped; the rest re-joins in
+    order.  Returns ``(doc_id, <group>, n_tokens, n_removed,
+    text_clean)``.
+
+    Plan shape: positioned shingles explode once; the boilerplate
+    relation joins on (group, shingle) — a shuffle equi-join, both
+    sides pre-aggregated — and covered positions collapse per doc with
+    a map-side-combinable collect_set.  The fact table is scanned
+    twice (shingle pass + final strip) but never crosses itself.
+    """
+    bp = boilerplate_ngrams(docs, text_col, group_col, n, min_doc_frac, min_docs)
+    toks = docs.select(
+        "doc_id", F.col(group_col), tokens(F.col(text_col)).alias("toks")
+    )
+    positioned = toks.select(
+        "doc_id",
+        group_col,
+        F.posexplode(shingles(F.col("toks"), n)).alias("pos", "shingle"),
+    )
+    covered = (
+        positioned.join(bp.select(group_col, "shingle"), [group_col, "shingle"])
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("cpos").alias("__covered"))
+    )
+    joined = toks.join(covered, "doc_id", "left")
+    kept = F.filter(
+        F.transform(F.col("toks"), lambda t, i: F.struct(i.alias("i"), t.alias("t"))),
+        lambda s: ~F.coalesce(
+            F.array_contains(F.col("__covered"), s["i"]), F.lit(False)
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        group_col,
+        F.size("toks").alias("n_tokens"),
+        F.coalesce(F.size("__covered"), F.lit(0)).alias("n_removed"),
+        F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+    )

@@ -239,3 +239,41 @@ def test_decontaminate_spans_overlapping_matches_merge(spark):
     assert row["n_hits"] == 2
     assert row["n_tokens_removed"] == 6
     assert row["clean_text"] == "x y"
+
+
+def test_boilerplate_strip_semantics(spark):
+    """Per-source boilerplate n-grams (>=50% of the group's docs) are
+    detected and every covered token is removed; content shared across
+    groups but not frequent WITHIN a group survives."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.text import boilerplate_ngrams, strip_boilerplate
+
+    rows = [
+        # source A: 3 docs share the header "join our newsletter today"
+        (0, "A", "join our newsletter today alpha beta gamma"),
+        (1, "A", "join our newsletter today delta epsilon"),
+        (2, "A", "join our newsletter today zeta eta theta iota"),
+        # one A doc without the header
+        (3, "A", "completely original content here"),
+        # source B: same words exist but never frequently within B
+        (4, "B", "join our newsletter maybe later sometime"),
+        (5, "B", "unrelated text entirely different words"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    bp = boilerplate_ngrams(docs, group_col="source", min_doc_frac=0.5, min_docs=2)
+    got = {(r["source"], r["shingle"]) for r in bp.collect()}
+    assert ("A", "join our newsletter") in got
+    assert ("A", "our newsletter today") in got
+    assert all(s != "B" for s, _ in got)  # B has no frequent shingles
+
+    out = {r["doc_id"]: r for r in strip_boilerplate(docs, group_col="source").collect()}
+    assert out[0]["text_clean"] == "alpha beta gamma"
+    assert out[0]["n_removed"] == 4
+    assert out[1]["text_clean"] == "delta epsilon"
+    assert out[3]["text_clean"] == rows[3][2]  # untouched, n_removed 0
+    assert out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == rows[4][2]  # B keeps everything
+    # n_tokens is the pre-strip count
+    assert out[0]["n_tokens"] == 7
