@@ -98,153 +98,153 @@ def export_fluxie(
     # per-call scratch dir: concurrent exports into the same output_dir
     # must not share (or delete) each other's slabs
     slab_dir = tempfile.mkdtemp(prefix=".fluxie_slabs_", dir=output_dir)
-
-    def _scatter(cell: np.ndarray, values: np.ndarray) -> np.ndarray:
-        if ((cell < 0) | (cell >= nlat * nlon)).any():
-            raise ValueError(
-                f"rows reference cell_ids outside the raster [0, {nlat * nlon})"
-            )
-        arr = np.zeros((nlat, nlon))
-        # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
-        arr[cell % nlat, cell // nlat] = values
-        return arr
-
-    # country-fraction slabs: one executor task per country
-    def write_cf_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-        c = str(pdf["country"].iloc[0])
-        arr = _scatter(pdf["cell_id"].to_numpy(), pdf["fraction"].to_numpy())
-        p = os.path.join(
-            slab_dir, "cf_" + hashlib.md5(c.encode()).hexdigest()[:16] + ".npy"
-        )
-        np.save(p, arr)
-        return pd.DataFrame({"country": [c], "path": [p]})
-
-    cf_meta = (
-        country_fractions.groupBy("country")
-        .applyInPandas(write_cf_slab, "country string, path string")
-        .collect()
-    )
-    cf_path = {r["country"]: r["path"] for r in cf_meta}
-    countries = sorted(cf_path)
-    c_i = {c: i for i, c in enumerate(countries)}
-
-    # build one distributed flux table (t_key, cell_id, substance, flux)
-    # plus the time axis values; t_key indexes time_vals
-    time_vals: list[int] = []
-    flux_parts: list[DataFrame] = []
-    if frequency == "yearly":
-        for t_key, y in enumerate(years):
-            time_vals.append(y)
-            e = emissions_by_year[y]
-            flux_parts.append(
-                e.groupBy("cell_id", "substance")
-                .agg(F.sum("value_kg_y").alias("v"))
-                .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
-                .select(
-                    F.lit(t_key).alias("t_key"),
-                    "cell_id",
-                    "substance",
-                    (F.col("v") / F.col("area_m2")).alias("flux"),
-                )
-            )
-        time_attrs = {
-            "long_name": "inventory year (stamped June 1)",
-            "units": "year",
-        }
-    else:
-        import calendar
-        from datetime import date
-
-        from emiproc_spark.operators.temporal import (
-            attach_profiles,
-            composite_scaling_factor,
-        )
-
-        for y in years:
-            e = emissions_by_year[y]
-            static = attach_profiles(e, tprofile_index, tprofiles)
-            ndays = 366 if calendar.isleap(y) else 365
-            offset = len(time_vals)
-            epoch0 = (date(y, 1, 1) - date(1970, 1, 1)).days
-            time_vals.extend(epoch0 + i for i in range(ndays))
-            days = e.sparkSession.range(ndays).select(
-                F.col("id").cast("int").alias("t_idx"),
-                (
-                    F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz")
-                    + F.make_interval(days=F.col("id").cast("int"))
-                ).alias("sim_ts"),
-            )
-            sf = composite_scaling_factor(
-                F.col("sim_ts"), F.col("__profs"), F.col("__guard")
-            )
-            flux_parts.append(
-                static.crossJoin(F.broadcast(days))
-                .select(
-                    (F.col("t_idx") + F.lit(offset)).alias("t_key"),
-                    "cell_id",
-                    "substance",
-                    (F.col("value_kg_y") * sf).alias("v"),
-                )
-                .groupBy("t_key", "cell_id", "substance")
-                .agg(F.sum("v").alias("v"))
-                .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
-                .select(
-                    "t_key",
-                    "cell_id",
-                    "substance",
-                    (F.col("v") / F.col("area_m2")).alias("flux"),
-                )
-            )
-        time_attrs = {
-            "long_name": "daily scaling-factor stamps",
-            "units": "days since 1970-01-01",
-        }
-
-    flux_all = flux_parts[0]
-    for p in flux_parts[1:]:
-        flux_all = flux_all.unionByName(p)
-    # two consumers (slab writer + country rollup): persist the
-    # output-sized flux table instead of recomputing the expansion
-    flux_all = flux_all.persist()
     try:
-        # per-(substance, time) raster slabs, executor-side
-        def write_flux_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-            sub = str(pdf["substance"].iloc[0])
-            t_key = int(pdf["t_key"].iloc[0])
-            arr = _scatter(pdf["cell_id"].to_numpy(), pdf["flux"].to_numpy())
-            tag = hashlib.md5(sub.encode()).hexdigest()[:12]
-            p = os.path.join(slab_dir, f"fx_{tag}_{t_key}.npy")
+
+        def _scatter(cell: np.ndarray, values: np.ndarray) -> np.ndarray:
+            if ((cell < 0) | (cell >= nlat * nlon)).any():
+                raise ValueError(
+                    f"rows reference cell_ids outside the raster [0, {nlat * nlon})"
+                )
+            arr = np.zeros((nlat, nlon))
+            # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
+            arr[cell % nlat, cell // nlat] = values
+            return arr
+
+        # country-fraction slabs: one executor task per country
+        def write_cf_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            c = str(pdf["country"].iloc[0])
+            arr = _scatter(pdf["cell_id"].to_numpy(), pdf["fraction"].to_numpy())
+            p = os.path.join(
+                slab_dir, "cf_" + hashlib.md5(c.encode()).hexdigest()[:16] + ".npy"
+            )
             np.save(p, arr)
-            return pd.DataFrame(
-                {"substance": [sub], "t_key": [t_key], "path": [p]}
-            )
+            return pd.DataFrame({"country": [c], "path": [p]})
 
-        slab_meta = (
-            flux_all.groupBy("substance", "t_key")
-            .applyInPandas(
-                write_flux_slab, "substance string, t_key int, path string"
-            )
+        cf_meta = (
+            country_fractions.groupBy("country")
+            .applyInPandas(write_cf_slab, "country string, path string")
             .collect()
         )
-        flux_path = {(r["substance"], r["t_key"]): r["path"] for r in slab_meta}
-        substances = sorted({s for s, _ in flux_path})
+        cf_path = {r["country"]: r["path"] for r in cf_meta}
+        countries = sorted(cf_path)
+        c_i = {c: i for i, c in enumerate(countries)}
 
-        # country rollup: distributed join + agg, tiny collect
-        # (nsub × ntime × ncountry rows)
-        cflux_rows = (
-            flux_all.join(country_fractions, "cell_id")
-            .groupBy("substance", "t_key", "country")
-            .agg(F.sum(F.col("flux") * F.col("fraction")).alias("v"))
-            .collect()
-        )
-    finally:
-        flux_all.unpersist()
+        # build one distributed flux table (t_key, cell_id, substance, flux)
+        # plus the time axis values; t_key indexes time_vals
+        time_vals: list[int] = []
+        flux_parts: list[DataFrame] = []
+        if frequency == "yearly":
+            for t_key, y in enumerate(years):
+                time_vals.append(y)
+                e = emissions_by_year[y]
+                flux_parts.append(
+                    e.groupBy("cell_id", "substance")
+                    .agg(F.sum("value_kg_y").alias("v"))
+                    .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
+                    .select(
+                        F.lit(t_key).alias("t_key"),
+                        "cell_id",
+                        "substance",
+                        (F.col("v") / F.col("area_m2")).alias("flux"),
+                    )
+                )
+            time_attrs = {
+                "long_name": "inventory year (stamped June 1)",
+                "units": "year",
+            }
+        else:
+            import calendar
+            from datetime import date
 
-    def _load_or_zero(path: str | None) -> np.ndarray:
-        arr = np.load(path) if path is not None else np.zeros((nlat, nlon))
-        return arr[None, ...]  # chunk shape (1, nlat, nlon)
+            from emiproc_spark.operators.temporal import (
+                attach_profiles,
+                composite_scaling_factor,
+            )
 
-    try:
+            for y in years:
+                e = emissions_by_year[y]
+                static = attach_profiles(e, tprofile_index, tprofiles)
+                ndays = 366 if calendar.isleap(y) else 365
+                offset = len(time_vals)
+                epoch0 = (date(y, 1, 1) - date(1970, 1, 1)).days
+                time_vals.extend(epoch0 + i for i in range(ndays))
+                days = e.sparkSession.range(ndays).select(
+                    F.col("id").cast("int").alias("t_idx"),
+                    (
+                        F.lit(f"{y}-01-01 00:00:00").cast("timestamp_ntz")
+                        + F.make_interval(days=F.col("id").cast("int"))
+                    ).alias("sim_ts"),
+                )
+                sf = composite_scaling_factor(
+                    F.col("sim_ts"), F.col("__profs"), F.col("__guard")
+                )
+                flux_parts.append(
+                    static.crossJoin(F.broadcast(days))
+                    .select(
+                        (F.col("t_idx") + F.lit(offset)).alias("t_key"),
+                        "cell_id",
+                        "substance",
+                        (F.col("value_kg_y") * sf).alias("v"),
+                    )
+                    .groupBy("t_key", "cell_id", "substance")
+                    .agg(F.sum("v").alias("v"))
+                    .join(F.broadcast(grid.select("cell_id", "area_m2")), "cell_id")
+                    .select(
+                        "t_key",
+                        "cell_id",
+                        "substance",
+                        (F.col("v") / F.col("area_m2")).alias("flux"),
+                    )
+                )
+            time_attrs = {
+                "long_name": "daily scaling-factor stamps",
+                "units": "days since 1970-01-01",
+            }
+
+        flux_all = flux_parts[0]
+        for p in flux_parts[1:]:
+            flux_all = flux_all.unionByName(p)
+        # two consumers (slab writer + country rollup): persist the
+        # output-sized flux table instead of recomputing the expansion
+        flux_all = flux_all.persist()
+        try:
+            # per-(substance, time) raster slabs, executor-side
+            def write_flux_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+                sub = str(pdf["substance"].iloc[0])
+                t_key = int(pdf["t_key"].iloc[0])
+                arr = _scatter(pdf["cell_id"].to_numpy(), pdf["flux"].to_numpy())
+                tag = hashlib.md5(sub.encode()).hexdigest()[:12]
+                p = os.path.join(slab_dir, f"fx_{tag}_{t_key}.npy")
+                np.save(p, arr)
+                return pd.DataFrame(
+                    {"substance": [sub], "t_key": [t_key], "path": [p]}
+                )
+
+            slab_meta = (
+                flux_all.groupBy("substance", "t_key")
+                .applyInPandas(
+                    write_flux_slab, "substance string, t_key int, path string"
+                )
+                .collect()
+            )
+            flux_path = {(r["substance"], r["t_key"]): r["path"] for r in slab_meta}
+            substances = sorted({s for s, _ in flux_path})
+
+            # country rollup: distributed join + agg, tiny collect
+            # (nsub × ntime × ncountry rows)
+            cflux_rows = (
+                flux_all.join(country_fractions, "cell_id")
+                .groupBy("substance", "t_key", "country")
+                .agg(F.sum(F.col("flux") * F.col("fraction")).alias("v"))
+                .collect()
+            )
+        finally:
+            flux_all.unpersist()
+
+        def _load_or_zero(path: str | None) -> np.ndarray:
+            arr = np.load(path) if path is not None else np.zeros((nlat, nlon))
+            return arr[None, ...]  # chunk shape (1, nlat, nlon)
+
         for sub in substances:
             country_flux = np.zeros((len(time_vals), len(countries)))
             for r in cflux_rows:

@@ -214,273 +214,273 @@ def export_raster_netcdf(
     out = path if path.endswith(".nc") else path + ".nc"
     slab_dir = out + ".slabs"
     os.makedirs(slab_dir, exist_ok=True)
+    try:
 
-    def slab_path(cat: str, sub: str) -> str:
-        tag = hashlib.md5(f"{cat}\x00{sub}".encode()).hexdigest()[:16]
-        return os.path.join(slab_dir, f"{tag}.npy")
+        def slab_path(cat: str, sub: str) -> str:
+            tag = hashlib.md5(f"{cat}\x00{sub}".encode()).hexdigest()[:16]
+            return os.path.join(slab_dir, f"{tag}.npy")
 
-    # Spark side: reduce to one value per (cell, cat, sub) with map-side
-    # partial agg, then ONE executor task per (category, substance) group
-    # scatters its rows into a dense (nlat, nlon) slab and writes it as
-    # .npy; only (cat, sub, path, total_kg) metadata reaches the driver.
-    def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-        cat = str(pdf["category"].iloc[0])
-        sub = str(pdf["substance"].iloc[0])
-        cell = pdf["cell_id"].to_numpy()
-        if ((cell < 0) | (cell >= nlat * nlon)).any():
-            raise ValueError(
-                f"emission rows reference cell_ids outside the raster "
-                f"[0, {nlat * nlon}): {cell[(cell < 0) | (cell >= nlat * nlon)][:5]}"
-            )
-        arr = np.zeros((nlat, nlon))
-        # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
-        arr[cell % nlat, cell // nlat] = pdf["value_kg_y"].to_numpy()
-        p = slab_path(cat, sub)
-        np.save(p, arr)
-        return pd.DataFrame(
-            {"category": [cat], "substance": [sub], "path": [p],
-             "total_kg": [float(arr.sum())]}
-        )
-
-    meta = (
-        emissions.groupBy("cell_id", "category", "substance")
-        .agg(F.sum("value_kg_y").alias("value_kg_y"))
-        .groupBy("category", "substance")
-        .applyInPandas(
-            write_slab,
-            "category string, substance string, path string, total_kg double",
-        )
-        .collect()
-    )
-    slab_of = {(r["category"], r["substance"]): r["path"] for r in meta}
-    total_of = {(r["category"], r["substance"]): r["total_kg"] for r in meta}
-
-    # area slab: one executor task scatters the grid's areas (bounded by
-    # one raster) so the driver never collects the cell table itself.
-    # The same pass VALIDATES the lon-major ascending layout the slab
-    # scatter assumes — it sees every grid row, so a grid numbered
-    # differently (e.g. north-to-south) fails loudly here instead of
-    # silently mirroring every raster.
-    area_path = os.path.join(slab_dir, "cell_area.npy")
-
-    def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
-        lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
-        lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
-        cell = pdf["cell_id"].to_numpy()
-        expect = lon_i.astype(np.int64) * nlat + lat_i
-        bad = cell != expect
-        if bad.any():
-            k = int(np.argmax(bad))
-            raise ValueError(
-                f"grid is not lon-major ascending: cell_id {cell[k]} sits at "
-                f"(lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) = index "
-                f"{expect[k]} — renumber the grid (cell_id = lon_i*nlat + "
-                "lat_i, axes ascending) before exporting"
-            )
-        arr = np.zeros((nlat, nlon))
-        arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
-        np.save(area_path, arr)
-        return pd.DataFrame({"path": [area_path]})
-
-    (
-        grid.select("cell_id", "lon", "lat", "area_m2")
-        .withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(lambda pdf: write_area(pdf), "path string")
-        .collect()
-    )
-    area_grid = np.load(area_path)
-
-    categories = sorted({c for c, _ in slab_of})
-    substances = sorted({s for _, s in slab_of})
-    if categories_description is not None:
-        missing = set(categories) - set(categories_description)
-        if missing:
-            raise ValueError(
-                f"Categories are missing in `categories_description`: {missing}"
+        # Spark side: reduce to one value per (cell, cat, sub) with map-side
+        # partial agg, then ONE executor task per (category, substance) group
+        # scatters its rows into a dense (nlat, nlon) slab and writes it as
+        # .npy; only (cat, sub, path, total_kg) metadata reaches the driver.
+        def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            cat = str(pdf["category"].iloc[0])
+            sub = str(pdf["substance"].iloc[0])
+            cell = pdf["cell_id"].to_numpy()
+            if ((cell < 0) | (cell >= nlat * nlon)).any():
+                raise ValueError(
+                    f"emission rows reference cell_ids outside the raster "
+                    f"[0, {nlat * nlon}): {cell[(cell < 0) | (cell >= nlat * nlon)][:5]}"
+                )
+            arr = np.zeros((nlat, nlon))
+            # cell_id is lon-major: lat_i = cell % nlat, lon_i = cell // nlat
+            arr[cell % nlat, cell // nlat] = pdf["value_kg_y"].to_numpy()
+            p = slab_path(cat, sub)
+            np.save(p, arr)
+            return pd.DataFrame(
+                {"category": [cat], "substance": [sub], "path": [p],
+                 "total_kg": [float(arr.sum())]}
             )
 
-    if unit == KG_PER_YEAR:
-        conv = 1.0
-        unit_str = "kg year-1 cell-1"
-    elif unit == KG_PER_M2_PER_S:
-        conv = 1.0 / SEC_PER_YR / area_grid
-        unit_str = "kg m-2 s-1"
-    elif unit == MUG_PER_M2_PER_S:
-        conv = 1e9 / SEC_PER_YR / area_grid
-        unit_str = "ug m-2 s-1"
-    else:
-        raise NotImplementedError(f"Unknown unit={unit!r}")
-
-    def load_pair(cat: str, sub: str) -> np.ndarray:
-        p = slab_of.get((cat, sub))
-        return np.load(p) if p is not None else np.zeros((nlat, nlon))
-
-    def pair_slab(cat: str, sub: str) -> LazySlab:
-        return LazySlab(
-            (nlat, nlon), "float64", lambda c=cat, s=sub: load_pair(c, s) * conv
-        )
-
-    def stacked_slab(sub: str) -> LazySlab:
-        return LazySlab(
-            (len(categories), nlat, nlon),
-            "float64",
-            lambda s=sub: np.stack([load_pair(c, s) for c in categories]) * conv,
-        )
-
-    def all_sectors_slab(sub: str) -> LazySlab:
-        def load(s=sub):
-            acc = np.zeros((nlat, nlon))
-            for c in categories:
-                acc += load_pair(c, s)
-            return acc * conv
-
-        return LazySlab((nlat, nlon), "float64", load)
-
-    ds = NCDataset()
-    ds.dims = {
-        lat_name: nlat,
-        lon_name: nlon,
-        f"{lat_name}_bnds": nlat + 1,
-        f"{lon_name}_bnds": nlon + 1,
-    }
-    for v in _coord_vars(lon_c, lat_c, lon_name, lat_name):
-        ds.variables[v.name] = v
-
-    if group_categories:
-        strlen = max(max((len(c) for c in categories), default=1), 1)
-        ds.dims["category"] = len(categories)
-        ds.dims["strlen"] = strlen
-        labels = np.array(
-            [list(c.ljust(strlen)) for c in categories], dtype="S1"
-        ).reshape(len(categories), strlen)
-        ds.variables["category"] = NCVariable(
-            "category", ("category", "strlen"), labels, {"long_name": "category"}
-        )
-        for sub in substances:
-            name = var_name_format.format(substance=sub)
-            ds.variables[name] = NCVariable(
-                name,
-                ("category", lat_name, lon_name),
-                stacked_slab(sub),
-                {
-                    "standard_name": (
-                        f"tendency_of_atmosphere_mass_content_of_{sub}"
-                        "_due_to_emission"
-                    ),
-                    "long_name": sub,
-                    "units": unit_str,
-                    "comment": f"emissions of {sub}",
-                    "substance": sub,
-                },
+        meta = (
+            emissions.groupBy("cell_id", "category", "substance")
+            .agg(F.sum("value_kg_y").alias("value_kg_y"))
+            .groupBy("category", "substance")
+            .applyInPandas(
+                write_slab,
+                "category string, substance string, path string, total_kg double",
             )
-    else:
-        for sub in substances:
-            for cat in categories:
-                if (cat, sub) not in slab_of:
-                    continue
-                name = var_name_format.format(substance=sub, category=cat)
+            .collect()
+        )
+        slab_of = {(r["category"], r["substance"]): r["path"] for r in meta}
+        total_of = {(r["category"], r["substance"]): r["total_kg"] for r in meta}
+
+        # area slab: one executor task scatters the grid's areas (bounded by
+        # one raster) so the driver never collects the cell table itself.
+        # The same pass VALIDATES the lon-major ascending layout the slab
+        # scatter assumes — it sees every grid row, so a grid numbered
+        # differently (e.g. north-to-south) fails loudly here instead of
+        # silently mirroring every raster.
+        area_path = os.path.join(slab_dir, "cell_area.npy")
+
+        def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
+            lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
+            lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
+            cell = pdf["cell_id"].to_numpy()
+            expect = lon_i.astype(np.int64) * nlat + lat_i
+            bad = cell != expect
+            if bad.any():
+                k = int(np.argmax(bad))
+                raise ValueError(
+                    f"grid is not lon-major ascending: cell_id {cell[k]} sits at "
+                    f"(lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) = index "
+                    f"{expect[k]} — renumber the grid (cell_id = lon_i*nlat + "
+                    "lat_i, axes ascending) before exporting"
+                )
+            arr = np.zeros((nlat, nlon))
+            arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
+            np.save(area_path, arr)
+            return pd.DataFrame({"path": [area_path]})
+
+        (
+            grid.select("cell_id", "lon", "lat", "area_m2")
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: write_area(pdf), "path string")
+            .collect()
+        )
+        area_grid = np.load(area_path)
+
+        categories = sorted({c for c, _ in slab_of})
+        substances = sorted({s for _, s in slab_of})
+        if categories_description is not None:
+            missing = set(categories) - set(categories_description)
+            if missing:
+                raise ValueError(
+                    f"Categories are missing in `categories_description`: {missing}"
+                )
+
+        if unit == KG_PER_YEAR:
+            conv = 1.0
+            unit_str = "kg year-1 cell-1"
+        elif unit == KG_PER_M2_PER_S:
+            conv = 1.0 / SEC_PER_YR / area_grid
+            unit_str = "kg m-2 s-1"
+        elif unit == MUG_PER_M2_PER_S:
+            conv = 1e9 / SEC_PER_YR / area_grid
+            unit_str = "ug m-2 s-1"
+        else:
+            raise NotImplementedError(f"Unknown unit={unit!r}")
+
+        def load_pair(cat: str, sub: str) -> np.ndarray:
+            p = slab_of.get((cat, sub))
+            return np.load(p) if p is not None else np.zeros((nlat, nlon))
+
+        def pair_slab(cat: str, sub: str) -> LazySlab:
+            return LazySlab(
+                (nlat, nlon), "float64", lambda c=cat, s=sub: load_pair(c, s) * conv
+            )
+
+        def stacked_slab(sub: str) -> LazySlab:
+            return LazySlab(
+                (len(categories), nlat, nlon),
+                "float64",
+                lambda s=sub: np.stack([load_pair(c, s) for c in categories]) * conv,
+            )
+
+        def all_sectors_slab(sub: str) -> LazySlab:
+            def load(s=sub):
+                acc = np.zeros((nlat, nlon))
+                for c in categories:
+                    acc += load_pair(c, s)
+                return acc * conv
+
+            return LazySlab((nlat, nlon), "float64", load)
+
+        ds = NCDataset()
+        ds.dims = {
+            lat_name: nlat,
+            lon_name: nlon,
+            f"{lat_name}_bnds": nlat + 1,
+            f"{lon_name}_bnds": nlon + 1,
+        }
+        for v in _coord_vars(lon_c, lat_c, lon_name, lat_name):
+            ds.variables[v.name] = v
+
+        if group_categories:
+            strlen = max(max((len(c) for c in categories), default=1), 1)
+            ds.dims["category"] = len(categories)
+            ds.dims["strlen"] = strlen
+            labels = np.array(
+                [list(c.ljust(strlen)) for c in categories], dtype="S1"
+            ).reshape(len(categories), strlen)
+            ds.variables["category"] = NCVariable(
+                "category", ("category", "strlen"), labels, {"long_name": "category"}
+            )
+            for sub in substances:
+                name = var_name_format.format(substance=sub)
                 ds.variables[name] = NCVariable(
                     name,
-                    (lat_name, lon_name),
-                    pair_slab(cat, sub),
+                    ("category", lat_name, lon_name),
+                    stacked_slab(sub),
                     {
-                        "standard_name": f"{sub}_{cat}",
-                        "long_name": f"{sub}_{cat}",
-                        "units": unit_str,
-                        "comment": (
-                            categories_description[cat]
-                            if categories_description
-                            else f"emissions of {sub} from {cat}"
+                        "standard_name": (
+                            f"tendency_of_atmosphere_mass_content_of_{sub}"
+                            "_due_to_emission"
                         ),
+                        "long_name": sub,
+                        "units": unit_str,
+                        "comment": f"emissions of {sub}",
                         "substance": sub,
-                        "category": cat,
+                    },
+                )
+        else:
+            for sub in substances:
+                for cat in categories:
+                    if (cat, sub) not in slab_of:
+                        continue
+                    name = var_name_format.format(substance=sub, category=cat)
+                    ds.variables[name] = NCVariable(
+                        name,
+                        (lat_name, lon_name),
+                        pair_slab(cat, sub),
+                        {
+                            "standard_name": f"{sub}_{cat}",
+                            "long_name": f"{sub}_{cat}",
+                            "units": unit_str,
+                            "comment": (
+                                categories_description[cat]
+                                if categories_description
+                                else f"emissions of {sub} from {cat}"
+                            ),
+                            "substance": sub,
+                            "category": cat,
+                        },
+                    )
+
+        if add_totals:
+            for sub in substances:
+                ds.variables[f"emi_{sub}_all_sectors"] = NCVariable(
+                    f"emi_{sub}_all_sectors",
+                    (lat_name, lon_name),
+                    all_sectors_slab(sub),
+                    {
+                        "standard_name": (
+                            f"tendency_of_atmosphere_mass_content_of_{sub}"
+                            "_due_to_emission"
+                        ),
+                        "long_name": f"Aggregated Emissions of {sub} from all sectors",
+                        "units": unit_str,
+                        "comment": "annual mean emission rate",
+                    },
+                )
+                # scalar total always in kg/yr (rasters.py:281-305); pure
+                # driver arithmetic over per-slab totals from the meta rows
+                ds.variables[f"emi_{sub}_total"] = NCVariable(
+                    f"emi_{sub}_total",
+                    (),
+                    np.float64(
+                        sum(total_of.get((cat, sub), 0.0) for cat in categories)
+                    ),
+                    {
+                        "long_name": f"Total Emissions of {sub}",
+                        "units": "kg yr-1",
+                        "comment": "annual total emission",
                     },
                 )
 
-    if add_totals:
-        for sub in substances:
-            ds.variables[f"emi_{sub}_all_sectors"] = NCVariable(
-                f"emi_{sub}_all_sectors",
-                (lat_name, lon_name),
-                all_sectors_slab(sub),
-                {
-                    "standard_name": (
-                        f"tendency_of_atmosphere_mass_content_of_{sub}"
-                        "_due_to_emission"
-                    ),
-                    "long_name": f"Aggregated Emissions of {sub} from all sectors",
-                    "units": unit_str,
-                    "comment": "annual mean emission rate",
-                },
-            )
-            # scalar total always in kg/yr (rasters.py:281-305); pure
-            # driver arithmetic over per-slab totals from the meta rows
-            ds.variables[f"emi_{sub}_total"] = NCVariable(
-                f"emi_{sub}_total",
-                (),
-                np.float64(
-                    sum(total_of.get((cat, sub), 0.0) for cat in categories)
-                ),
-                {
-                    "long_name": f"Total Emissions of {sub}",
-                    "units": "kg yr-1",
-                    "comment": "annual total emission",
-                },
-            )
-
-    ds.variables["cell_area"] = NCVariable(
-        "cell_area",
-        (lat_name, lon_name),
-        area_grid,
-        {
-            "standard_name": "cell_area",
-            "long_name": "cell_area",
-            "units": "m2",
-            "comment": "area of the cell",
-        },
-    )
-
-    attrs = cf_global_attributes()
-    attrs.update(netcdf_attributes or {})
-    if year is not None:
-        # year midpoint stamp (rasters.py:220-234), days since epoch
-        midpoint = (datetime.date(year, 7, 1) - datetime.date(1970, 1, 1)).days
-        ds.dims["time"] = 1
-        ds.variables["time"] = NCVariable(
-            "time",
-            ("time",),
-            np.array([midpoint], dtype=np.int32),
+        ds.variables["cell_area"] = NCVariable(
+            "cell_area",
+            (lat_name, lon_name),
+            area_grid,
             {
-                "axis": "T",
-                "standard_name": "time",
-                "long_name": "Inventory year",
-                "units": "days since 1970-01-01",
-                "comment": "Midpoint of the year",
+                "standard_name": "cell_area",
+                "long_name": "cell_area",
+                "units": "m2",
+                "comment": "area of the cell",
             },
         )
-        attrs["year"] = year
-    else:
-        attrs["year"] = "not specified in inventory.year"
-    ds.attrs = attrs
 
-    if categories_description is not None and not group_categories:
-        # description variable needs the category dim even ungrouped
-        strlen = max(len(categories_description[c]) for c in categories)
-        ds.dims["category"] = len(categories)
-        ds.dims["desc_strlen"] = strlen
-        labels = np.array(
-            [list(categories_description[c].ljust(strlen)) for c in categories],
-            dtype="S1",
-        ).reshape(len(categories), strlen)
-        ds.variables["categories_description"] = NCVariable(
-            "categories_description",
-            ("category", "desc_strlen"),
-            labels,
-            {"long_name": "Description of the categories"},
-        )
+        attrs = cf_global_attributes()
+        attrs.update(netcdf_attributes or {})
+        if year is not None:
+            # year midpoint stamp (rasters.py:220-234), days since epoch
+            midpoint = (datetime.date(year, 7, 1) - datetime.date(1970, 1, 1)).days
+            ds.dims["time"] = 1
+            ds.variables["time"] = NCVariable(
+                "time",
+                ("time",),
+                np.array([midpoint], dtype=np.int32),
+                {
+                    "axis": "T",
+                    "standard_name": "time",
+                    "long_name": "Inventory year",
+                    "units": "days since 1970-01-01",
+                    "comment": "Midpoint of the year",
+                },
+            )
+            attrs["year"] = year
+        else:
+            attrs["year"] = "not specified in inventory.year"
+        ds.attrs = attrs
 
-    try:
+        if categories_description is not None and not group_categories:
+            # description variable needs the category dim even ungrouped
+            strlen = max(len(categories_description[c]) for c in categories)
+            ds.dims["category"] = len(categories)
+            ds.dims["desc_strlen"] = strlen
+            labels = np.array(
+                [list(categories_description[c].ljust(strlen)) for c in categories],
+                dtype="S1",
+            ).reshape(len(categories), strlen)
+            ds.variables["categories_description"] = NCVariable(
+                "categories_description",
+                ("category", "desc_strlen"),
+                labels,
+                {"long_name": "Description of the categories"},
+            )
+
         if container == "hdf5":
             # NetCDF-4 container via the minimal pure-numpy HDF5 writer.
             # It builds the file image in memory, so materialize the lazy

@@ -19,9 +19,10 @@ Average/Paeth depend on the left-neighbor pixel, which is inherently
 sequential along x, so those rows fall back to a per-byte Python loop
 (~µs/px).  Thumbnails and fixture images decode in milliseconds; for
 large libpng-encoded corpora (mostly Paeth rows) install Pillow —
-``operators.multimodal.decode_image`` prefers this codec only for PNG
-payloads and will use Pillow when the per-image cost matters to you
-(pass the payloads through Pillow by re-encoding, or decode outside).
+``operators.multimodal.decode_image`` tries Pillow first for every
+payload (C-speed for all formats, PNG included) and falls back to
+this codec only when Pillow is absent, so installing it is the whole
+fix when the per-image cost matters.
 
 Dependency-free (numpy + stdlib) so it runs inside Spark executors
 (mapInPandas over binary payloads) without shipping extra packages.

@@ -91,22 +91,32 @@ def ensure_specific_days_consistency(
     filling gaps with the general daily profile (reference
     ensure_specific_days_consistency, temporal/utils.py:36-97).
 
-    ``day_profiles``: (profile_id, day_type, ratios) with day_type in
-    {mon..sun, weekday, weekend}; ``general``: (profile_id, ratios)
+    ``day_profiles``: (profile_id, day_type, ratios) with day_type one
+    of the reference SpecificDay enum values (monday..sunday, weekday,
+    weekday_4, weekend — specific_days.py:12-27; the mon..sun
+    abbreviations are also accepted); ``general``: (profile_id, ratios)
     fallback.  Returns (profile_id, dow, ratios) for dow 0..6.
     """
     spark = day_profiles.sparkSession
     expand = {
         "weekday": [0, 1, 2, 3, 4],
+        "weekday_4": [0, 1, 2, 3],
         "weekend": [5, 6],
+        "monday": [0], "tuesday": [1], "wednesday": [2], "thursday": [3],
+        "friday": [4], "saturday": [5], "sunday": [6],
         "mon": [0], "tue": [1], "wed": [2], "thu": [3],
         "fri": [4], "sat": [5], "sun": [6],
     }
     rows = [(dt, d) for dt, days in expand.items() for d in days]
     mapping = spark.createDataFrame(rows, schema="day_type string, dow int")
-    # most specific wins when e.g. 'sat' and 'weekend' both cover dow 5:
-    # single-day types take precedence over ranges
-    rank = F.when(F.col("day_type").isin("weekday", "weekend"), 1).otherwise(0)
+    # most specific wins when several types cover the same dow: a single
+    # day beats weekday_4 beats weekday/weekend (reference only fills a
+    # range day "if not already defined", temporal/utils.py:68-74)
+    rank = (
+        F.when(F.col("day_type").isin("weekday", "weekend"), 2)
+        .when(F.col("day_type") == "weekday_4", 1)
+        .otherwise(0)
+    )
     specific = (
         day_profiles.join(F.broadcast(mapping), "day_type")
         .withColumn("prio", rank)

@@ -199,7 +199,16 @@ def lsh_candidate_pairs(
 
     - ``"star"`` (default): link every member to the bucket's min
       doc_id instead of all-pairs — the connected components (and thus
-      any CC-based dedup collapse) are IDENTICAL, with linear output;
+      any CC-based dedup collapse) are IDENTICAL, with linear output.
+      CAUTION: star pairs are only safe when they feed connected
+      components directly.  The emitted edges pair the representative
+      with members it may not actually resemble, and omit real
+      member–member pairs — so a downstream stage that verifies each
+      candidate pair by true similarity (e.g. Jaccard on the shingle
+      sets) before clustering will both waste verification on synthetic
+      edges and lose true duplicates whose only shared bucket was
+      oversize.  For verify-then-cluster pipelines use
+      ``oversize_policy="drop"`` (accepting lost candidates) or no cap;
     - ``"drop"``: skip the bucket entirely (candidates may be lost).
     """
     if oversize_policy not in ("star", "drop"):

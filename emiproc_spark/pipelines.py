@@ -324,7 +324,8 @@ def edgar_to_hourly(
     # drop a file whose stem lacks the year but whose attribute matches,
     # silently handing its category the constant sf=1.0 profile.  The
     # probe is a distributed header-level pass (no array decode).
-    cats = [c for c in edgar_v8_categories(spark, edgar_path, year=year) if c]
+    # (_edgar_v8_admit already rejects empty short-name categories)
+    cats = edgar_v8_categories(spark, edgar_path, year=year)
     store, index = edgar_auxiliary_profiles(
         spark, aux_dir, inv_categories=cats, country_aliases=country_aliases
     )

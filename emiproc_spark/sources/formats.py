@@ -138,7 +138,12 @@ def _edgar_v8_admit(
         return None
     if use_short_category_names:
         stem = os.path.splitext(os.path.basename(fpath))[0]
-        return "_".join(stem.split("_")[5:-1])
+        cat = "_".join(stem.split("_")[5:-1])
+        # a malformed stem yields an empty short name: reject the file in
+        # BOTH the ingest and the probe, so it cannot be ingested under
+        # category "" yet vanish from the probed list (and then silently
+        # receive the constant sf=1.0 profile downstream)
+        return cat if cat else None
     return v.attrs["long_name"]
 
 
@@ -166,7 +171,7 @@ def edgar_v8_categories(
                     fpath, read_netcdf(bytes(content), header_only=True), year,
                     use_short_category_names,
                 )
-                if c:
+                if c is not None:
                     cats.add(c)
             yield pd.DataFrame({"category": sorted(cats)})
 

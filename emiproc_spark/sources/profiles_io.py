@@ -111,8 +111,12 @@ _YAML_KEY_PTYPE = {
     **{k: "weekly" for k in ("weekly", "week")},
     **{k: "monthly" for k in ("season", "year", "monthly", "month")},
 }
+# the reference SpecificDay enum VALUES (specific_days.py:12-27): full
+# lowercase day names plus the three range types — a reference-authored
+# YAML key like ``diurn_monday`` or ``diurn_weekday_4`` must round-trip
 _SPECIFIC_DAYS = (
-    "mon", "tue", "wed", "thu", "fri", "sat", "sun", "weekday", "weekend"
+    "monday", "tuesday", "wednesday", "thursday", "friday",
+    "saturday", "sunday", "weekday", "weekday_4", "weekend",
 )
 
 
