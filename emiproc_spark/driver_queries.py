@@ -1427,16 +1427,24 @@ QUERIES.update(QUERIES_R3C)
 ORACLES.update(ORACLES_R3C)
 
 from emiproc_spark.driver_queries_r4 import ORACLES_R4, QUERIES_R4  # noqa: E402
+from emiproc_spark.driver_queries_r5 import ORACLES_R5, QUERIES_R5  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
+QUERIES.update(QUERIES_R5)
+ORACLES.update(ORACLES_R5)
 
 # Queries whose implementation changed this round and therefore need a
-# fresh green CORRECTNESS row even though an earlier round verified them.
-_REVERIFY = ["profiles_yaml", "netcdf_ingest", "shapefile_regions"]
+# fresh green CORRECTNESS row even though an earlier round verified them:
+# r5 touched the YAML specific-day names, the specific-day expansion, the
+# EDGAR admission rule, and the fluxie/raster exporter scratch handling.
+_REVERIFY = [
+    "profiles_yaml", "resolve_daytype", "edgar_ingest", "edgar_legacy",
+    "edgar_profiles", "fluxie_export", "netcdf_ingest",
+]
 
-_FRONT = {**QUERIES_R4, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}
+_FRONT = {**QUERIES_R5, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}
 QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
-    ORACLES, {**ORACLES_R4, **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES}}
+    ORACLES, {**ORACLES_R5, **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES}}
 )

@@ -523,89 +523,131 @@ def export_hourly_netcdf(
     from ``operators.temporal.temporally_scaled``.
 
     Scale posture: the hourly expansion is NEVER materialized on the
-    driver.  Each hour's dense raster is assembled and written
-    executor-side (``groupBy(hour_index).applyInPandas``) — the only
-    driver-side data are the grid coordinate arrays (raster-sized, the
-    file's own coordinate system, shipped as a Spark broadcast) and the
-    returned path list (one row per hour).  8784 h × 1M cells therefore
-    streams through 8784 independent tasks, each bounded by one raster.
-    ``out_dir`` must be a shared filesystem on a real cluster (the same
-    contract the reference's single-node writer implies).
+    driver (and neither is the grid — same pattern as
+    ``export_raster_netcdf``): the axes come from ONE aggregate, the
+    ``cell_area`` raster is scattered and written executor-side as a
+    ``.npy`` slab (the same pass validates the lon-major ascending
+    ``cell_id = lon_i·nlat + lat_i`` layout), and each hour's dense
+    raster is assembled and written executor-side
+    (``groupBy(hour_index).applyInPandas``).  The only driver-side data
+    are the two axis arrays and the returned path list (one row per
+    hour).  8784 h × 1M cells therefore streams through 8784
+    independent tasks, each bounded by one raster.  ``out_dir`` must be
+    a shared filesystem on a real cluster (the same contract the
+    reference's single-node writer implies).
     """
     import datetime
+    import shutil
+    import tempfile
 
     import numpy as np
     import pandas as pd
 
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
-    gpdf = grid.select("cell_id", "lon", "lat", "area_m2").toPandas()
-    lons = np.sort(gpdf["lon"].unique())
-    lats = np.sort(gpdf["lat"].unique())
-    # vectorized cell_id → (lat_i, lon_i): sorted-id arrays + searchsorted
-    ids = gpdf["cell_id"].to_numpy()
-    order = np.argsort(ids)
-    ids_sorted = ids[order]
-    lat_pos = np.searchsorted(lats, gpdf["lat"].to_numpy()[order])
-    lon_pos = np.searchsorted(lons, gpdf["lon"].to_numpy()[order])
-    area = np.zeros((lats.size, lons.size))
-    area[lat_pos, lon_pos] = gpdf["area_m2"].to_numpy()[order]
+    # axes + density check in ONE aggregate job — no grid.toPandas
+    row = grid.agg(
+        F.count("*").alias("n"),
+        F.collect_set("lon").alias("lons"),
+        F.collect_set("lat").alias("lats"),
+    ).collect()[0]
+    lons = np.sort(np.array(row["lons"], dtype=float))
+    lats = np.sort(np.array(row["lats"], dtype=float))
+    nlon, nlat = lons.size, lats.size
+    if nlon * nlat != row["n"]:
+        raise ValueError("grid is not a dense regular raster")
+    if (nx, ny) != (nlon, nlat):
+        raise ValueError(
+            f"grid axes are {nlon}×{nlat} (lon×lat) but nx={nx}, ny={ny}"
+        )
 
-    lookup = hourly.sparkSession.sparkContext.broadcast(
-        (ids_sorted, lat_pos, lon_pos, lats, lons, area)
-    )
-
-    def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
-        from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
-
-        ids_s, lat_p, lon_p, lats_, lons_, area_ = lookup.value
-        hour = int(pdf["hour_index"].iloc[0])
-        dt = t0 + datetime.timedelta(hours=hour)
-        ds = NCDataset()
-        ds.dims = {"lat": lats_.size, "lon": lons_.size, "time": 1}
-        ds.variables["lat"] = NCVariable(
-            "lat", ("lat",), lats_, {"units": "degrees_north"}
-        )
-        ds.variables["lon"] = NCVariable(
-            "lon", ("lon",), lons_, {"units": "degrees_east"}
-        )
-        ds.variables["time"] = NCVariable(
-            "time", ("time",), np.array([hour], dtype=np.int32),
-            {"units": f"hours since {start}"},
-        )
-        ds.variables["cell_area"] = NCVariable(
-            "cell_area", ("lat", "lon"), area_,
-            {"standard_name": "cell_area", "long_name": "cell_area",
-             "units": "m2", "comment": "area of the cell"},
-        )
-        for (cat, sub), g in pdf.groupby(["category", "substance"]):
-            arr = np.zeros((lats_.size, lons_.size, 1))
-            cells = g["cell_id"].to_numpy()
-            pos = np.searchsorted(ids_s, cells)
-            # searchsorted returns an insertion point for unknown ids —
-            # validate instead of silently writing into a neighbor cell
-            bad = (pos >= ids_s.size) | (ids_s[np.minimum(pos, ids_s.size - 1)] != cells)
+    slab_dir = tempfile.mkdtemp(prefix=".hourly_slabs_", dir=out_dir)
+    area_path = os.path.join(slab_dir, "cell_area.npy")
+    try:
+        # area slab: one executor task scatters the grid's areas; the
+        # same pass validates the lon-major layout (it sees every row)
+        def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
+            lat_i = np.searchsorted(lats, pdf["lat"].to_numpy())
+            lon_i = np.searchsorted(lons, pdf["lon"].to_numpy())
+            cell = pdf["cell_id"].to_numpy()
+            expect = lon_i.astype(np.int64) * nlat + lat_i
+            bad = cell != expect
             if bad.any():
+                k = int(np.argmax(bad))
                 raise ValueError(
-                    f"hourly rows reference cell_ids absent from the grid: "
-                    f"{np.unique(cells[bad])[:5].tolist()} ..."
+                    f"grid is not lon-major ascending: cell_id {cell[k]} sits "
+                    f"at (lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) "
+                    f"= index {expect[k]} — renumber the grid (cell_id = "
+                    "lon_i*nlat + lat_i, axes ascending) before exporting"
                 )
-            arr[lat_p[pos], lon_p[pos], 0] = g["value_kg_h"].to_numpy()
-            name = var_name_format.format(substance=sub, category=cat)
-            ds.variables[name] = NCVariable(
-                name, ("lat", "lon", "time"), arr,
-                {"standard_name": f"{sub}_{cat}", "long_name": f"{sub}_{cat}",
-                 "units": unit, "comment": f"emissions of {sub} from {cat}"},
-            )
-        path = os.path.join(out_dir, dt.strftime(filename_format))
-        write_netcdf(path, ds)
-        return pd.DataFrame({"hour_index": [hour], "path": [path]})
+            arr = np.zeros((nlat, nlon))
+            arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
+            np.save(area_path, arr)
+            return pd.DataFrame({"path": [area_path]})
 
-    written = (
-        hourly.select("hour_index", "category", "substance", "cell_id", "value_kg_h")
-        .groupBy("hour_index")
-        .applyInPandas(write_hour, "hour_index long, path string")
-        .orderBy("hour_index")
-        .collect()
-    )
+        (
+            grid.select("cell_id", "lon", "lat", "area_m2")
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: write_area(pdf), "path string")
+            .collect()
+        )
+
+        def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
+            from emiproc_spark.functions.netcdf3 import (
+                NCDataset,
+                NCVariable,
+                write_netcdf,
+            )
+
+            hour = int(pdf["hour_index"].iloc[0])
+            dt = t0 + datetime.timedelta(hours=hour)
+            ds = NCDataset()
+            ds.dims = {"lat": nlat, "lon": nlon, "time": 1}
+            ds.variables["lat"] = NCVariable(
+                "lat", ("lat",), lats, {"units": "degrees_north"}
+            )
+            ds.variables["lon"] = NCVariable(
+                "lon", ("lon",), lons, {"units": "degrees_east"}
+            )
+            ds.variables["time"] = NCVariable(
+                "time", ("time",), np.array([hour], dtype=np.int32),
+                {"units": f"hours since {start}"},
+            )
+            ds.variables["cell_area"] = NCVariable(
+                "cell_area", ("lat", "lon"), np.load(area_path),
+                {"standard_name": "cell_area", "long_name": "cell_area",
+                 "units": "m2", "comment": "area of the cell"},
+            )
+            for (cat, sub), g in pdf.groupby(["category", "substance"]):
+                arr = np.zeros((nlat, nlon, 1))
+                cells = g["cell_id"].to_numpy()
+                if ((cells < 0) | (cells >= nlat * nlon)).any():
+                    raise ValueError(
+                        "hourly rows reference cell_ids outside the raster "
+                        f"[0, {nlat * nlon})"
+                    )
+                # lon-major ids: lat_i = cell % nlat, lon_i = cell // nlat
+                arr[cells % nlat, cells // nlat, 0] = g["value_kg_h"].to_numpy()
+                name = var_name_format.format(substance=sub, category=cat)
+                ds.variables[name] = NCVariable(
+                    name, ("lat", "lon", "time"), arr,
+                    {"standard_name": f"{sub}_{cat}", "long_name": f"{sub}_{cat}",
+                     "units": unit, "comment": f"emissions of {sub} from {cat}"},
+                )
+            path = os.path.join(out_dir, dt.strftime(filename_format))
+            write_netcdf(path, ds)
+            return pd.DataFrame({"hour_index": [hour], "path": [path]})
+
+        written = (
+            hourly.select(
+                "hour_index", "category", "substance", "cell_id", "value_kg_h"
+            )
+            .groupBy("hour_index")
+            .applyInPandas(write_hour, "hour_index long, path string")
+            .orderBy("hour_index")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(slab_dir, ignore_errors=True)
     return [r["path"] for r in written]

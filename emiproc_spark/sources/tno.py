@@ -315,9 +315,16 @@ def tno_gridded_profiles(
         .csv(path)
         .where(F.col("year") == year)
     )
-    lons = [r[0] for r in df.select("longitude").distinct().orderBy("longitude").collect()]
-    lats = [r[0] for r in df.select("latitude").distinct().orderBy("latitude").collect()]
+    # both axes in ONE aggregate job (same shape as the raster
+    # exporter); the axis sets are dimension-sized
     import numpy as np
+
+    axes = df.agg(
+        F.collect_set("longitude").alias("lons"),
+        F.collect_set("latitude").alias("lats"),
+    ).collect()[0]
+    lons = sorted(float(v) for v in axes["lons"])
+    lats = sorted(float(v) for v in axes["lats"])
 
     def spacing(vals, dim):
         diffs = np.diff(np.asarray(vals))

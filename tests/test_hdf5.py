@@ -279,3 +279,195 @@ def test_local_heap_free_list_sentinel_and_userblock_probe():
     assert is_hdf5(b"\x00" * 1024 + blob)
     assert not is_hdf5(b"\x00" * 600 + blob)  # non-power-of-two: content
     assert not is_hdf5(b"CDF\x01" + b"\x00" * 2048)
+
+
+# ----------------------------------------------------------------------
+# Golden byte-layout: the exact superblock / symbol-table fields libhdf5
+# validates on open (H5Fsuper.c / H5Gnode.c decode paths), cross-checked
+# against the reference repo's real netcdf-c fixture where the layouts
+# share fields.  The sandbox has no libhdf5, so this pins the on-disk
+# contract those readers check; the importorskip test below lights up
+# the real round-trip wherever h5py is installed.
+# ----------------------------------------------------------------------
+UNDEF = 0xFFFFFFFFFFFFFFFF
+
+
+def _golden_blob():
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset(
+        dims={"x": 3, "y": 2},
+        variables={
+            "x": NCVariable("x", ("x",), np.arange(3.0), {"units": "m"}),
+            "v": NCVariable(
+                "v", ("x", "y"),
+                np.arange(6, dtype="<f8").reshape(3, 2),
+                {"units": "kg"},
+            ),
+            "grp/w": NCVariable("grp/w", ("y",), np.arange(2.0), {}),
+        },
+        attrs={"title": "golden"},
+    )
+    return write_netcdf4(None, ds)
+
+
+def _v1_header_messages(blob, addr):
+    """Walk a version-1 object header; return [(type, body_bytes)]."""
+    import struct
+
+    version, reserved, nmsgs, refcnt, hdrsize = struct.unpack_from(
+        "<BBHII", blob, addr
+    )
+    assert version == 1 and reserved == 0, (version, reserved)
+    assert refcnt >= 1
+    pos = addr + 16  # 12-byte prefix + 4 alignment pad
+    end = pos + hdrsize
+    out = []
+    for _ in range(nmsgs):
+        assert pos + 8 <= end <= len(blob)
+        mtype, msize, mflags = struct.unpack_from("<HHB", blob, pos)
+        out.append((mtype, blob[pos + 8 : pos + 8 + msize]))
+        pos += 8 + msize
+    assert pos == end, "header size must cover exactly nmsgs messages"
+    return out
+
+
+def _check_symbol_table_group(blob, hdr_addr, leaf_k):
+    """Assert the HEAP/TREE/SNOD fields libhdf5 checks; return the SNOD
+    entries' object-header addresses."""
+    import struct
+
+    msgs = _v1_header_messages(blob, hdr_addr)
+    stab = [b for t, b in msgs if t == 0x0011]
+    assert len(stab) == 1, "group header needs exactly one symbol-table msg"
+    btree_addr, heap_addr = struct.unpack_from("<QQ", stab[0], 0)
+
+    assert blob[heap_addr : heap_addr + 4] == b"HEAP"
+    h_ver = blob[heap_addr + 4]
+    seg_size, free_head, seg_addr = struct.unpack_from("<QQQ", blob, heap_addr + 8)
+    assert h_ver == 0
+    assert free_head == 1  # H5HL_FREE_NULL: empty free list
+    assert seg_size >= 8 and seg_addr + seg_size <= len(blob)
+    assert blob[seg_addr : seg_addr + 8] == b"\x00" * 8  # empty-string slot
+
+    if btree_addr == UNDEF:
+        return []
+    assert blob[btree_addr : btree_addr + 4] == b"TREE"
+    node_type, level, entries = struct.unpack_from("<BBH", blob, btree_addr + 4)
+    assert node_type == 0 and level == 0  # group leaf node
+    assert 0 < entries <= 2 * leaf_k
+    left, right = struct.unpack_from("<QQ", blob, btree_addr + 8)
+    assert left == UNDEF and right == UNDEF
+
+    (snod_addr,) = struct.unpack_from("<Q", blob, btree_addr + 32)
+    assert blob[snod_addr : snod_addr + 4] == b"SNOD"
+    s_ver, _, nsyms = struct.unpack_from("<BBH", blob, snod_addr + 4)
+    assert s_ver == 1 and nsyms >= 1
+    addrs = []
+    prev_name = b""
+    for i in range(nsyms):
+        off = snod_addr + 8 + 40 * i
+        name_off, obj_addr, cache, _ = struct.unpack_from("<QQII", blob, off)
+        assert 0 < name_off < seg_size and obj_addr < len(blob)
+        assert cache == 0  # no cached B-tree pointers
+        name_end = blob.index(b"\x00", seg_addr + name_off)
+        name = blob[seg_addr + name_off : name_end]
+        assert name > prev_name, "SNOD entries must sort by link name"
+        prev_name = name
+        addrs.append(obj_addr)
+    return addrs
+
+
+def test_hdf5_writer_superblock_golden_layout():
+    import struct
+
+    blob = _golden_blob()
+    assert blob[:8] == b"\x89HDF\r\n\x1a\n"
+    # v0 superblock fixed fields (H5Fsuper.c rejects any other values):
+    # versions all 0, sizeof(offsets)=sizeof(lengths)=8
+    assert struct.unpack_from("<BBBBBBBB", blob, 8) == (0, 0, 0, 0, 0, 8, 8, 0)
+    leaf_k, intern_k, flags = struct.unpack_from("<HHI", blob, 16)
+    assert leaf_k > 0 and intern_k > 0  # libhdf5: "bad symbol table k"
+    assert flags == 0
+    base, fsa, eof, dib = struct.unpack_from("<QQQQ", blob, 24)
+    assert base == 0
+    assert fsa == UNDEF and dib == UNDEF
+    # the "file is truncated" check: stored EOF must not exceed the real
+    # file size; the writer stamps it exactly
+    assert eof == len(blob)
+    name_off, root_hdr, cache, _ = struct.unpack_from("<QQII", blob, 56)
+    assert name_off == 0 and cache == 0 and root_hdr < len(blob)
+
+    # root group: symbol-table walk with the node-level invariants
+    entry_addrs = _check_symbol_table_group(blob, root_hdr, leaf_k)
+    assert len(entry_addrs) == 4  # x, y, v, grp
+    # every linked object parses as a v1 header; the subgroup nests
+    ds_like = grp_like = 0
+    for a in entry_addrs:
+        types = {t for t, _ in _v1_header_messages(blob, a)}
+        if 0x0011 in types:
+            grp_like += 1
+            sub = _check_symbol_table_group(blob, a, leaf_k)
+            assert len(sub) == 1  # grp/w
+        else:
+            ds_like += 1
+            # datasets carry dataspace + datatype + layout
+            assert {0x0001, 0x0003, 0x0008} <= types
+    assert ds_like == 3 and grp_like == 1
+
+    # root attrs present as 0x000C messages (title + _NCProperties-style)
+    root_types = [t for t, _ in _v1_header_messages(blob, root_hdr)]
+    assert root_types.count(0x000C) >= 1
+
+
+def test_hdf5_writer_shared_invariants_match_netcdf_c_fixture():
+    """The fields common to all superblock versions — checked by libhdf5
+    regardless of version — must hold for BOTH the real netcdf-c file
+    (superblock v2) and our v0 output: 8-byte offsets/lengths, base
+    address 0, stored EOF == file size."""
+    import struct
+
+    real = open(WRF_NC4, "rb").read()
+    assert real[:8] == b"\x89HDF\r\n\x1a\n"
+    assert real[8] == 2  # netcdf-c writes v2
+    assert real[9] == 8 and real[10] == 8  # sizeof offsets / lengths
+    r_base, r_ext, r_eof, r_root = struct.unpack_from("<QQQQ", real, 12)
+    assert r_base == 0 and r_eof == len(real)
+
+    blob = _golden_blob()
+    assert blob[13] == 8 and blob[14] == 8
+    base, _, eof, _ = struct.unpack_from("<QQQQ", blob, 24)
+    assert base == r_base == 0
+    assert eof == len(blob)
+
+
+def test_hdf5_writer_h5py_roundtrip(tmp_path):
+    """Full external-toolchain round-trip — runs wherever h5py (libhdf5)
+    is installed; skipped in sandboxes without it."""
+    h5py = pytest.importorskip("h5py")
+
+    from emiproc_spark.functions.hdf5_write import write_netcdf4
+    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable
+
+    ds = NCDataset(
+        dims={"x": 3, "y": 2},
+        variables={
+            "x": NCVariable("x", ("x",), np.arange(3.0), {"units": "m"}),
+            "v": NCVariable(
+                "v", ("x", "y"),
+                np.arange(6, dtype="<f8").reshape(3, 2),
+                {"units": "kg"},
+            ),
+            "grp/w": NCVariable("grp/w", ("y",), np.arange(2.0), {}),
+        },
+        attrs={"title": "golden"},
+    )
+    p = str(tmp_path / "golden.nc")
+    write_netcdf4(p, ds)
+    with h5py.File(p, "r") as f:
+        assert f.attrs["title"] in ("golden", b"golden")
+        np.testing.assert_array_equal(f["v"][...], ds.variables["v"].data)
+        np.testing.assert_array_equal(f["x"][...], np.arange(3.0))
+        np.testing.assert_array_equal(f["grp"]["w"][...], np.arange(2.0))
+        assert f["v"].attrs["units"] in ("kg", b"kg")

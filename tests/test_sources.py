@@ -100,7 +100,7 @@ def test_profiles_yaml_write_read_roundtrip(spark, tmp_path):
     prof = spark.createDataFrame(
         [
             ("daily", [1.0 / 24] * 24),
-            ("daily_sat", [0.5 / 12] * 12 + [1.5 / 12] * 12),
+            ("daily_saturday", [0.5 / 12] * 12 + [1.5 / 12] * 12),
             ("weekly", [2.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5]),
         ],
         schema="ptype string, ratios array<double>",
@@ -112,14 +112,14 @@ def test_profiles_yaml_write_read_roundtrip(spark, tmp_path):
 
     with open(path) as f:
         data = yaml.safe_load(f)
-    assert set(data) == {"daily", "diurn_sat", "weekly"}
+    assert set(data) == {"daily", "diurn_saturday", "weekly"}
     assert data["weekly"] == [2.0, 1.0, 1.0, 1.0, 1.0, 0.5, 0.5]  # verbatim
 
     store, _ = profiles_from_yaml(spark, path)
     back = {r["ptype"]: r["ratios"] for r in store.collect()}
-    assert set(back) == {"daily", "daily_sat", "weekly"}
+    assert set(back) == {"daily", "daily_saturday", "weekly"}
     assert back["weekly"][0] == pytest.approx(2.0 / 7.0)  # normalized
-    assert sum(back["daily_sat"]) == pytest.approx(1.0)
+    assert sum(back["daily_saturday"]) == pytest.approx(1.0)
 
     # unsupported profile type raises like the reference
     bad = spark.createDataFrame(
