@@ -58,9 +58,23 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
 
     if is_png(payload):
         return read_png(payload)  # lossless: same pixels Pillow yields
+    # sniff common magics so the error names the actual format instead
+    # of a generic "not PNG"
+    magics = (
+        (b"\xff\xd8\xff", "JPEG"),
+        (b"GIF8", "GIF"),
+        (b"BM", "BMP"),
+        (b"II*\x00", "TIFF"),
+        (b"MM\x00*", "TIFF"),
+        (b"RIFF", "WEBP/RIFF"),
+    )
+    kind = next(
+        (name for magic, name in magics if payload[: len(magic)] == magic),
+        "an unrecognized format",
+    )
     raise NotImplementedError(
-        "image decode: payload is not PNG (built-in codec) and "
-        "Pillow is not installed for other formats"
+        f"image decode: payload is {kind}; the built-in codec handles "
+        "PNG only — install Pillow to decode other formats"
     )
 
 

@@ -203,11 +203,16 @@ def gral_inventory(
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 skip, decode = DAT_DECODERS[os.path.basename(fpath)]
-                df = pd.read_csv(
-                    io.BytesIO(bytes(content)), header=skip, index_col=False
-                )
-                if len(df):
-                    yield decode(df)
+                # a malformed .dat must name ITSELF, not surface as an
+                # anonymous task failure in a multi-file scan
+                try:
+                    df = pd.read_csv(
+                        io.BytesIO(bytes(content)), header=skip, index_col=False
+                    )
+                    if len(df):
+                        yield decode(df)
+                except (ValueError, KeyError) as e:
+                    raise ValueError(f"{fpath}: malformed GRAL .dat: {e}") from e
 
     scan = files.mapInPandas(run, schema=_SCHEMA)
     mdf = spark.createDataFrame(

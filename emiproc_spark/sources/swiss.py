@@ -52,9 +52,22 @@ def parse_ascii_grid(text: str) -> tuple[dict, np.ndarray]:
             i += 1
         else:
             break
-    arr = np.loadtxt(lines[i:], dtype=np.float64, ndmin=2)
+    if "nrows" not in header or "ncols" not in header:
+        raise ValueError(
+            "not an ESRI ASCII grid: header must declare ncols/nrows "
+            f"(got keys {sorted(header) or 'none'})"
+        )
+    try:
+        arr = np.loadtxt(lines[i:], dtype=np.float64, ndmin=2)
+    except ValueError as e:
+        raise ValueError(f"ESRI ASCII grid has non-numeric data rows: {e}") from e
     nrows, ncols = int(header["nrows"]), int(header["ncols"])
     if arr.shape != (nrows, ncols):
+        if arr.size != nrows * ncols:
+            raise ValueError(
+                f"ESRI ASCII grid declares {nrows}×{ncols} cells but the "
+                f"data section holds {arr.size}"
+            )
         arr = arr.reshape(nrows, ncols)
     nodata = header.get("nodata_value")
     if nodata is not None:
@@ -83,7 +96,14 @@ def scan_swiss_rasters(
         for pdf in batches:
             for fpath, content in zip(pdf["path"], pdf["content"]):
                 stem = os.path.splitext(os.path.basename(fpath))[0]
-                _, arr = parse_ascii_grid(bytes(content).decode("ascii"))
+                # a corrupt file in a directory scan must name ITSELF,
+                # not surface as an anonymous task failure
+                try:
+                    _, arr = parse_ascii_grid(
+                        bytes(content).decode("ascii")
+                    )
+                except (ValueError, UnicodeDecodeError) as e:
+                    raise ValueError(f"{fpath}: {e}") from e
                 flat = arr.T[:, ::-1].reshape(-1)
                 nz = np.flatnonzero(flat)
                 yield pd.DataFrame(

@@ -130,3 +130,24 @@ def test_extract_features_real_png_payloads(spark):
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(b"\xff\xd8\xff\xe0 fake jpeg")
+
+
+def test_decode_image_sniffs_foreign_magic():
+    """Non-PNG payloads name the sniffed format in the error so a user
+    knows Pillow (not a different payload) is the fix."""
+    import pytest
+
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("Pillow installed: foreign formats decode for real")
+    except ImportError:
+        pass
+    from emiproc_spark.operators.multimodal import decode_image
+
+    with pytest.raises(NotImplementedError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 16, fake=False)
+    with pytest.raises(NotImplementedError, match="TIFF"):
+        decode_image(b"II*\x00" + b"\x00" * 16, fake=False)
+    with pytest.raises(NotImplementedError, match="unrecognized"):
+        decode_image(b"\x01\x02\x03\x04", fake=False)

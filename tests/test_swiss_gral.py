@@ -207,3 +207,39 @@ def test_gral_cadastre_polygon_hole_excluded(spark, tmp_path):
     total = sum(v for _, _, v in rows)
     # emission rate per hour sums to value/HOUR_PER_YR = 800 over cells
     assert np.isclose(total, 800.0, rtol=1e-9)
+
+
+def test_ascii_grid_corrupt_raises_actionable():
+    """Corrupt .asc inputs fail loudly with the specific defect, and
+    the directory scan names the offending file (round-5 polish)."""
+    from emiproc_spark.sources.swiss import parse_ascii_grid
+
+    with pytest.raises(ValueError, match="ncols/nrows"):
+        parse_ascii_grid("not a header\n1 2 3\n")
+    with pytest.raises(ValueError, match="non-numeric"):
+        parse_ascii_grid("ncols 2\nnrows 1\n1 banana\n")
+    with pytest.raises(ValueError, match="declares 2×2 cells .* holds 3"):
+        parse_ascii_grid("ncols 2\nnrows 2\n1 2 3\n")
+
+
+def test_swiss_scan_names_corrupt_file(spark, tmp_path):
+    from emiproc_spark.sources.swiss import scan_swiss_rasters
+
+    good = tmp_path / "good.asc"
+    good.write_text("ncols 2\nnrows 1\nxllcorner 0\nyllcorner 0\ncellsize 1\n3 4\n")
+    bad = tmp_path / "bad.asc"
+    bad.write_text("ncols 2\nnrows 2\n1 2 3\n")
+    with pytest.raises(Exception, match="bad.asc"):
+        scan_swiss_rasters(spark, str(tmp_path)).collect()
+
+
+def test_gral_scan_names_corrupt_dat(spark, tmp_path):
+    import json
+
+    from emiproc_spark.sources.gral import gral_inventory
+
+    (tmp_path / "source_groups.json").write_text(json.dumps({"1": ["CO2", "traffic"]}))
+    # a point.dat whose data section cannot parse as CSV numerics
+    (tmp_path / "point.dat").write_bytes(b"hdr\nhdr2\n\x00\xff garbage \x00\n" * 3)
+    with pytest.raises(Exception, match="point.dat"):
+        gral_inventory(spark, str(tmp_path)).collect()
