@@ -316,22 +316,43 @@ def export_inventory_profiles(
             vprofiles, out_dir, nc_attrs=nc_attrs
         )
 
-    # tz_mask.nc: dense (lat, lon) int raster of region indexes — the
-    # raster is the file's own payload, so the bounded driver-side
-    # assembly is the single-file boundary (same as export_raster)
+    # tz_mask.nc: dense (lat, lon) int raster of region indexes.  Axes
+    # come from ONE aggregate and the raster is scattered and written
+    # executor-side as a .npy slab (same pattern as export_raster) — no
+    # grid.toPandas on the driver.
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
     tzm = {t: i for i, t in enumerate(tz_rows)}
-    gpdf = (
+    arow = grid.agg(
+        F.collect_set("lon").alias("lons"), F.collect_set("lat").alias("lats")
+    ).collect()[0]
+    lons = np.sort(np.array(arow["lons"], dtype=float))
+    lats = np.sort(np.array(arow["lats"], dtype=float))
+    slab_dir = tempfile.mkdtemp(prefix=".tzmask_slab_", dir=out_dir)
+    mask_path = os.path.join(slab_dir, "tz_mask.npy")
+
+    def write_mask(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.full((lats.size, lons.size), -1, dtype=np.int32)
+        la = np.searchsorted(lats, pdf["lat"].to_numpy())
+        lo = np.searchsorted(lons, pdf["lon"].to_numpy())
+        vals = pdf["tzid"].map(lambda t: tzm.get(t, -1)).to_numpy(dtype=np.int32)
+        m[la, lo] = vals
+        np.save(mask_path, m)
+        return pd.DataFrame({"path": [mask_path]})
+
+    (
         grid.select("cell_id", "lon", "lat")
         .join(cell_tz, "cell_id", "left")
-        .toPandas()
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: write_mask(pdf), "path string")
+        .collect()
     )
-    lons = np.sort(gpdf["lon"].unique())
-    lats = np.sort(gpdf["lat"].unique())
-    mask = np.full((lats.size, lons.size), -1, dtype=np.int32)
-    la = np.searchsorted(lats, gpdf["lat"].to_numpy())
-    lo = np.searchsorted(lons, gpdf["lon"].to_numpy())
-    vals = gpdf["tzid"].map(lambda t: tzm.get(t, -1)).to_numpy(dtype=np.int32)
-    mask[la, lo] = vals
+    mask = np.load(mask_path)  # driver peak: the one raster the file holds
+    shutil.rmtree(slab_dir, ignore_errors=True)
     ds = NCDataset()
     ds.dims = {"lat": lats.size, "lon": lons.size,
                "country_id": len(tz_rows)}
@@ -377,76 +398,152 @@ def export_oem_gridded_emissions(
     coordinates so OEM can match the dynamics grid.
 
     ``mesh``: the ICON mesh table (cell_id, lon, lat, area_m2) from
-    ``sources.icon_grid.icon_mesh_grid``; a cell count mismatch between
-    mesh and emissions raises like the reference (icon.py:176-181).
-    Spark side reduces to one value per (cell, category, substance);
-    only the final dense rasters — one float per mesh cell per
-    (category, substance) — are collected into the NetCDF writer (the
-    single-file export boundary shared with ``export_raster_netcdf``).
+    ``sources.icon_grid.icon_mesh_grid``; cell ids must be the dense
+    0..n_cells−1 index icon_mesh_grid assigns (emission rows outside
+    that range raise — the "remap onto the ICON grid first" check,
+    reference icon.py:176-181).
+
+    Scale posture (same as ``export_raster_netcdf``): the Spark side
+    reduces to one value per (cell, category, substance), then each
+    (category, substance) raster — and the coordinate triple — is
+    scattered and written as an executor-side ``.npy`` slab; the driver
+    streams them into the file one variable at a time via ``LazySlab``,
+    so driver memory stays ONE mesh-length array even for multi-million
+    -cell meshes with dozens of variables.
     """
-    from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
+    import hashlib
+    import shutil
+    import tempfile
+
+    import pandas as pd
+
+    from emiproc_spark.functions.netcdf3 import (
+        LazySlab,
+        NCDataset,
+        NCVariable,
+        write_netcdf,
+    )
     from emiproc_spark.sources.netcdf import SEC_PER_YR
 
-    # antimeridian-split cells appear as several parts; the OEM file has
-    # one row per cell.  icon_mesh_grid stores the FULL cell area on
-    # every part row (sources/icon_grid.py decode), so take it once —
-    # summing would double-count wrap cells and halve their flux.
-    cells = (
-        mesh.groupBy("cell_id")
-        .agg(
-            F.first("lon").alias("lon"),
-            F.first("lat").alias("lat"),
-            F.first("area_m2").alias("area_m2"),
-        )
-        .toPandas()
-        .sort_values("cell_id")
-        .reset_index(drop=True)
-    )
-    n_cells = len(cells)
-    agg = (
-        emissions.groupBy("cell_id", "category", "substance")
-        .agg(F.sum("value_kg_y").alias("value_kg_y"))
-        .toPandas()
-    )
-    bad = set(agg["cell_id"]) - set(cells["cell_id"])
-    if bad:
+    row = mesh.agg(
+        F.countDistinct("cell_id").alias("n"),
+        F.min("cell_id").alias("lo"),
+        F.max("cell_id").alias("hi"),
+    ).collect()[0]
+    n_cells = int(row["n"])
+    if n_cells == 0:
+        raise ValueError("mesh is empty")
+    if row["lo"] != 0 or row["hi"] != n_cells - 1:
         raise ValueError(
-            f"emissions reference {len(bad)} cell ids absent from the mesh "
-            f"({sorted(bad)[:5]}…); remap onto the ICON grid first"
+            f"mesh cell_ids must be dense 0..{n_cells - 1} "
+            f"(got [{row['lo']}, {row['hi']}] over {n_cells} distinct ids)"
         )
-    pos = {c: i for i, c in enumerate(cells["cell_id"])}
-    area = cells["area_m2"].to_numpy()
 
-    ds = NCDataset(
-        dims={"cell": n_cells},
-        attrs=dict(nc_attrs or DEFAULT_NC_ATTRIBUTES),
-        variables={
-            "clon": NCVariable(
-                "clon", ("cell",), cells["lon"].to_numpy().astype("f8"),
-                {"units": "degrees_east"},
-            ),
-            "clat": NCVariable(
-                "clat", ("cell",), cells["lat"].to_numpy().astype("f8"),
-                {"units": "degrees_north"},
-            ),
-            "cell_area": NCVariable(
-                "cell_area", ("cell",), area.astype("f8"), {"units": "m2"}
-            ),
-        },
-    )
-    for (cat, sub), part in agg.groupby(["category", "substance"]):
-        raster = np.zeros(n_cells)
-        idx = part["cell_id"].map(pos).to_numpy()
-        raster[idx] = part["value_kg_y"].to_numpy()
-        raster = raster / area / SEC_PER_YR
-        name = var_name.format(category=cat, substance=sub)
-        attrs = {
-            "units": "kg/m2/s",
-            "standard_name": name,
-            "long_name": f"Emission of {sub} from {cat}",
-        }
-        if group_dict and cat in group_dict:
-            attrs["group_made_from"] = str(group_dict[cat])
-        ds.variables[name] = NCVariable(name, ("cell",), raster, attrs)
-    write_netcdf(path, ds)
+    out_parent = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(out_parent, exist_ok=True)
+    slab_dir = tempfile.mkdtemp(prefix=".oem_slabs_", dir=out_parent)
+    try:
+        # coordinate slab: one executor task scatters (lon, lat, area)
+        # by cell_id.  antimeridian-split cells appear as several parts
+        # carrying the FULL cell area (sources/icon_grid.py decode), so
+        # first() per cell — summing would double-count wrap cells.
+        coords_path = os.path.join(slab_dir, "coords.npy")
+
+        def write_coords(pdf: pd.DataFrame) -> pd.DataFrame:
+            arr = np.zeros((3, n_cells))
+            idx = pdf["cell_id"].to_numpy()
+            arr[0, idx] = pdf["lon"].to_numpy()
+            arr[1, idx] = pdf["lat"].to_numpy()
+            arr[2, idx] = pdf["area_m2"].to_numpy()
+            np.save(coords_path, arr)
+            return pd.DataFrame({"path": [coords_path]})
+
+        (
+            mesh.groupBy("cell_id")
+            .agg(
+                F.first("lon").alias("lon"),
+                F.first("lat").alias("lat"),
+                F.first("area_m2").alias("area_m2"),
+            )
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: write_coords(pdf), "path string")
+            .collect()
+        )
+
+        # per-(category, substance) raster slabs, one executor task each
+        def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
+            cat = str(pdf["category"].iloc[0])
+            sub = str(pdf["substance"].iloc[0])
+            cell = pdf["cell_id"].to_numpy()
+            bad = (cell < 0) | (cell >= n_cells)
+            if bad.any():
+                raise ValueError(
+                    f"emissions for ({cat}, {sub}) reference cell ids "
+                    f"outside the mesh range [0, {n_cells}) "
+                    f"({np.unique(cell[bad])[:5].tolist()}…); remap onto "
+                    "the ICON grid first"
+                )
+            raster = np.zeros(n_cells)
+            raster[cell] = pdf["value_kg_y"].to_numpy()
+            tag = hashlib.md5(f"{cat}\x00{sub}".encode()).hexdigest()[:16]
+            p = os.path.join(slab_dir, f"oem_{tag}.npy")
+            np.save(p, raster)
+            return pd.DataFrame(
+                {"category": [cat], "substance": [sub], "path": [p]}
+            )
+
+        slab_meta = (
+            emissions.groupBy("cell_id", "category", "substance")
+            .agg(F.sum("value_kg_y").alias("value_kg_y"))
+            .groupBy("category", "substance")
+            .applyInPandas(
+                write_slab, "category string, substance string, path string"
+            )
+            .collect()
+        )
+        slab_of = {(r["category"], r["substance"]): r["path"] for r in slab_meta}
+
+        coords = np.load(coords_path)  # driver peak: one (3, n) array
+        area = coords[2]
+
+        def flux_loader(p: str):
+            return np.load(p) / area / SEC_PER_YR
+
+        ds = NCDataset(
+            dims={"cell": n_cells},
+            attrs=dict(nc_attrs or DEFAULT_NC_ATTRIBUTES),
+            variables={
+                "clon": NCVariable(
+                    "clon", ("cell",), coords[0], {"units": "degrees_east"}
+                ),
+                "clat": NCVariable(
+                    "clat", ("cell",), coords[1], {"units": "degrees_north"}
+                ),
+                "cell_area": NCVariable(
+                    "cell_area", ("cell",), area, {"units": "m2"}
+                ),
+            },
+        )
+        for (cat, sub) in sorted(slab_of):
+            name = var_name.format(category=cat, substance=sub)
+            attrs = {
+                "units": "kg/m2/s",
+                "standard_name": name,
+                "long_name": f"Emission of {sub} from {cat}",
+            }
+            if group_dict and cat in group_dict:
+                attrs["group_made_from"] = str(group_dict[cat])
+            ds.variables[name] = NCVariable(
+                name,
+                ("cell",),
+                LazySlab(
+                    (n_cells,), "float64",
+                    lambda p=slab_of[(cat, sub)]: flux_loader(p),
+                ),
+                attrs,
+            )
+        write_netcdf(path, ds)
+    finally:
+        shutil.rmtree(slab_dir, ignore_errors=True)
     return path
