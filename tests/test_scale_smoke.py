@@ -584,3 +584,53 @@ def test_dedup_family_skewed_shingles(spark):
         f"({n_comp} components)"
     )
     assert t3 - t0 < 600
+
+
+@scale
+def test_icon_oem_export_million_cells(spark, tmp_path):
+    """1M-cell ICON mesh x 12 (category, substance) variables through
+    the slab-streamed OEM export (round-5 rewrite): driver memory is
+    bounded by ONE mesh-length array — the old toPandas of the full
+    cube would hold 12M rows."""
+    import numpy as np
+
+    from emiproc_spark.exports.icon import export_oem_gridded_emissions
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    n_cells = 1_000_000
+    mesh = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % 1000).cast("double").alias("lon"),
+        (F.col("id") / 1000).cast("long").cast("double").alias("lat"),
+        F.lit(2.0).alias("area_m2"),
+    )
+    emissions = (
+        spark.range(n_cells * 3)
+        .select(
+            (F.col("id") % n_cells).alias("cell_id"),
+            F.element_at(
+                F.array(F.lit("traffic"), F.lit("heat"), F.lit("industry"), F.lit("ship")),
+                (F.col("id") % 4 + 1).cast("int"),
+            ).alias("category"),
+            F.element_at(
+                F.array(F.lit("CO2"), F.lit("CH4"), F.lit("NOx")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("substance"),
+            (F.col("id") % 11 + 1.0).alias("value_kg_y"),
+        )
+    )
+    out = str(tmp_path / "oem_gridded_emissions.nc")
+    t0 = time.time()
+    export_oem_gridded_emissions(mesh, emissions, out)
+    dt = time.time() - t0
+    ds = read_netcdf(out, header_only=False)
+    assert ds.dims["cell"] == n_cells
+    names = [n for n in ds.variables if "-" in n]
+    assert len(names) == 12
+    # cell 0 gets id=0 (traffic, CO2, 1.0): flux = 1 / 2 m2 / SEC_PER_YR
+    from emiproc_spark.sources.netcdf import SEC_PER_YR
+
+    v = ds.variables["traffic-CO2"].data
+    assert v.shape == (n_cells,)
+    assert v[0] == 1.0 / 2.0 / SEC_PER_YR
+    print(f"\n1M-cell x 12-var OEM export wall: {dt:.1f}s")
