@@ -86,3 +86,52 @@ def test_quantization_roundtrip(n, exp):
     q = np.floor(v * QSCALE + 0.5)
     # half-quantum bound, with one float ulp of slack at the boundary
     assert abs(q / QSCALE - v) <= 0.5 / QSCALE * (1 + 1e-12) + 1e-15
+
+
+# ----------------------------------------------------------------------
+# buffer_line (GPKG line-buffer ingest, round-5 oracle coverage): the
+# square-cap miter-join offset polygon must contain at least the exact
+# rectangle area of each segment and stay bounded by the miter limit.
+# ----------------------------------------------------------------------
+def _polyline():
+    step = st.tuples(
+        st.floats(-20, 20, allow_nan=False), st.floats(-20, 20, allow_nan=False)
+    ).filter(lambda t: abs(t[0]) + abs(t[1]) > 0.5)
+    return st.lists(step, min_size=1, max_size=5).map(
+        lambda steps: np.cumsum(np.array([(0.0, 0.0)] + list(steps)), axis=0)
+    )
+
+
+@given(_polyline(), st.floats(0.5, 5.0))
+@settings(max_examples=150, deadline=None)
+def test_buffer_line_area_bounds(coords, width):
+    from emiproc_spark.sources.geopackage import buffer_line
+
+    ring = buffer_line(coords, width)
+    area = abs(g.shoelace_area(ring))
+    seg = np.diff(coords, axis=0)
+    length = float(np.hypot(seg[:, 0], seg[:, 1]).sum())
+    # square caps add exactly (2w)^2; joins can only add (miter) or
+    # remove (concave overlap) bounded slivers.  Lower bound: a single
+    # straight segment's exact rectangle; upper: miter-limit fattening.
+    lower = (length + 2 * width) * 2 * width
+    upper = lower * 6.0  # miter_limit=5 caps any join spike
+    if len(coords) == 2:
+        assert abs(area - lower) < 1e-6 * lower
+    else:
+        assert 0 < area <= upper
+
+
+@given(st.floats(0.5, 5.0), st.floats(1.0, 50.0), st.floats(-180, 180))
+@settings(max_examples=150, deadline=None)
+def test_buffer_line_rotation_invariant(width, length, angle_deg):
+    """A rotated straight segment buffers to the same area as the
+    axis-aligned one — no hidden axis dependence in cap/offset math."""
+    from emiproc_spark.sources.geopackage import buffer_line
+
+    a = np.deg2rad(angle_deg)
+    d = np.array([np.cos(a), np.sin(a)])
+    ring = buffer_line(np.array([[0.0, 0.0], d * length]), width)
+    area = abs(g.shoelace_area(ring))
+    expect = (length + 2 * width) * 2 * width
+    assert abs(area - expect) < 1e-9 * max(1.0, expect) + 1e-9

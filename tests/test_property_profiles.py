@@ -94,3 +94,53 @@ def test_vertical_rebin_conserves_mass(spark, raw_ratios, extra_tops):
     out = resample_vertical_profiles(vp, target).collect()
     assert len(out) == 1
     assert sum(out[0]["ratios"]) == pytest.approx(1.0, abs=1e-9)
+
+
+# ----------------------------------------------------------------------
+# ensure_specific_days_consistency precedence lattice (round 5): for ANY
+# subset of specific-day types, each dow resolves to the most specific
+# covering type, else the general profile — and all 7 days are emitted.
+# ----------------------------------------------------------------------
+_DAY_COVER = {
+    "monday": [0], "tuesday": [1], "wednesday": [2], "thursday": [3],
+    "friday": [4], "saturday": [5], "sunday": [6],
+    "weekday_4": [0, 1, 2, 3], "weekday": [0, 1, 2, 3, 4], "weekend": [5, 6],
+}
+_PRIO = {t: (0 if len(c) == 1 else (1 if t == "weekday_4" else 2))
+         for t, c in _DAY_COVER.items()}
+
+
+@given(
+    st.lists(
+        st.sampled_from(sorted(_DAY_COVER)), min_size=0, max_size=5, unique=True
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_specific_days_precedence_lattice(spark, types):
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.composite import ensure_specific_days_consistency
+
+    marker = {t: float(i + 1) for i, t in enumerate(sorted(types))}
+    general_val = 99.0
+    prof = spark.createDataFrame(
+        [(0, t, [marker[t]]) for t in types] or [(0, "weekday", [0.0])],
+        schema="profile_id int, day_type string, ratios array<double>",
+    )
+    if not types:
+        prof = prof.limit(0)
+    general = spark.createDataFrame(
+        [(0, [general_val])], schema="profile_id int, ratios array<double>"
+    )
+    out = {
+        r["dow"]: r["ratios"][0]
+        for r in ensure_specific_days_consistency(prof, general).collect()
+    }
+    assert set(out) == set(range(7))
+    for dow in range(7):
+        covering = [t for t in types if dow in _DAY_COVER[t]]
+        if covering:
+            best = min(covering, key=lambda t: _PRIO[t])
+            assert out[dow] == marker[best], (dow, covering, out[dow])
+        else:
+            assert out[dow] == general_val
