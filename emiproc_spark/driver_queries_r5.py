@@ -36,6 +36,7 @@ import os
 import tempfile
 from collections.abc import Callable, Iterator
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -194,8 +195,6 @@ _LINE_WIDTH = 10.0
 
 
 def q_gpkg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
     from emiproc_spark import fixtures as fx
     from emiproc_spark.functions.geometry import wkb_linestring
     from emiproc_spark.sources.geopackage import (
@@ -233,8 +232,8 @@ def q_gpkg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_to_geopackage({"traffic_lines": layer}, path)
     out = from_geopackage(spark, path, line_width=_LINE_WIDTH)
 
-    @F.pandas_udf("double", F.PandasUDFType.SCALAR)
-    def poly_area(geoms):
+    @F.pandas_udf("double")
+    def poly_area(geoms: pd.Series) -> pd.Series:
         import numpy as np
 
         from emiproc_spark.functions import geometry as geom

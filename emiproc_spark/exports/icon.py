@@ -333,26 +333,34 @@ def export_inventory_profiles(
     lats = np.sort(np.array(arow["lats"], dtype=float))
     slab_dir = tempfile.mkdtemp(prefix=".tzmask_slab_", dir=out_dir)
     mask_path = os.path.join(slab_dir, "tz_mask.npy")
+    try:
 
-    def write_mask(pdf: pd.DataFrame) -> pd.DataFrame:
-        m = np.full((lats.size, lons.size), -1, dtype=np.int32)
-        la = np.searchsorted(lats, pdf["lat"].to_numpy())
-        lo = np.searchsorted(lons, pdf["lon"].to_numpy())
-        vals = pdf["tzid"].map(lambda t: tzm.get(t, -1)).to_numpy(dtype=np.int32)
-        m[la, lo] = vals
-        np.save(mask_path, m)
-        return pd.DataFrame({"path": [mask_path]})
+        def write_mask(pdf: pd.DataFrame) -> pd.DataFrame:
+            m = np.full((lats.size, lons.size), -1, dtype=np.int32)
+            la = np.searchsorted(lats, pdf["lat"].to_numpy())
+            lo = np.searchsorted(lons, pdf["lon"].to_numpy())
+            vals = pdf["tzid"].map(lambda t: tzm.get(t, -1)).to_numpy(dtype=np.int32)
+            m[la, lo] = vals
+            np.save(mask_path, m)
+            return pd.DataFrame({"path": [mask_path]})
 
-    (
-        grid.select("cell_id", "lon", "lat")
-        .join(cell_tz, "cell_id", "left")
-        .withColumn("_g", F.lit(0))
-        .groupBy("_g")
-        .applyInPandas(lambda pdf: write_mask(pdf), "path string")
-        .collect()
-    )
-    mask = np.load(mask_path)  # driver peak: the one raster the file holds
-    shutil.rmtree(slab_dir, ignore_errors=True)
+        (
+            grid.select("cell_id", "lon", "lat")
+            .join(cell_tz, "cell_id", "left")
+            .withColumn("_g", F.lit(0))
+            .groupBy("_g")
+            .applyInPandas(lambda pdf: write_mask(pdf), "path string")
+            .collect()
+        )
+        if os.path.exists(mask_path):
+            # driver peak: the one raster the file holds
+            mask = np.load(mask_path)
+        else:
+            # empty grid → zero groups, no slab written: emit the empty
+            # mask like the old driver-side path did
+            mask = np.full((lats.size, lons.size), -1, dtype=np.int32)
+    finally:
+        shutil.rmtree(slab_dir, ignore_errors=True)
     ds = NCDataset()
     ds.dims = {"lat": lats.size, "lon": lons.size,
                "country_id": len(tz_rows)}

@@ -164,6 +164,66 @@ def validate_lonmajor_grid(grid: DataFrame, lats, lons) -> None:
         )
 
 
+def write_area_slab(grid: DataFrame, lats, lons, dest_path: str) -> None:
+    """Scatter the grid's ``area_m2`` into a dense (nlat, nlon) ``.npy``
+    slab in ONE executor task (bounded by one raster, so the driver
+    never collects the cell table).  The same pass VALIDATES the
+    lon-major ascending layout the slab scatter assumes — it sees every
+    grid row, so a grid numbered differently (e.g. north-to-south)
+    fails loudly instead of silently mirroring every raster.  Shared by
+    the raster and hourly exporters."""
+    import pandas as pd
+
+    lat_c = np.sort(np.asarray(lats, dtype=float))
+    lon_c = np.sort(np.asarray(lons, dtype=float))
+    nlat, nlon = lat_c.size, lon_c.size
+
+    def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
+        lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
+        lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
+        cell = pdf["cell_id"].to_numpy()
+        expect = lon_i.astype(np.int64) * nlat + lat_i
+        bad = cell != expect
+        if bad.any():
+            k = int(np.argmax(bad))
+            raise ValueError(
+                f"grid is not lon-major ascending: cell_id {cell[k]} sits at "
+                f"(lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) = index "
+                f"{expect[k]} — renumber the grid (cell_id = lon_i*nlat + "
+                "lat_i, axes ascending) before exporting"
+            )
+        arr = np.zeros((nlat, nlon))
+        arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
+        np.save(dest_path, arr)
+        return pd.DataFrame({"path": [dest_path]})
+
+    (
+        grid.select("cell_id", "lon", "lat", "area_m2")
+        .withColumn("_g", F.lit(0))
+        .groupBy("_g")
+        .applyInPandas(lambda pdf: write_area(pdf), "path string")
+        .collect()
+    )
+
+
+_SLAB_CACHE: dict = {}
+
+
+def _load_npy_cached(path: str):
+    """Per-process memoized ``np.load`` for slab files re-read by many
+    tasks (the hourly exporter's cell_area: 8784 per-hour tasks would
+    otherwise each re-fetch the same raster from the shared
+    filesystem).  Python workers are reused across tasks, so each
+    worker fetches once.  Keyed by (path, mtime) so a rewritten slab
+    invalidates; only ONE entry is kept — slabs are per-export scratch,
+    not a long-lived cache."""
+    key = (path, os.path.getmtime(path))
+    if key not in _SLAB_CACHE:
+        _SLAB_CACHE.clear()
+        _SLAB_CACHE[key] = np.load(path)
+    return _SLAB_CACHE[key]
+
+
 def export_raster_netcdf(
     emissions: DataFrame,
     grid: DataFrame,
@@ -256,40 +316,9 @@ def export_raster_netcdf(
         slab_of = {(r["category"], r["substance"]): r["path"] for r in meta}
         total_of = {(r["category"], r["substance"]): r["total_kg"] for r in meta}
 
-        # area slab: one executor task scatters the grid's areas (bounded by
-        # one raster) so the driver never collects the cell table itself.
-        # The same pass VALIDATES the lon-major ascending layout the slab
-        # scatter assumes — it sees every grid row, so a grid numbered
-        # differently (e.g. north-to-south) fails loudly here instead of
-        # silently mirroring every raster.
+        # area slab + lon-major validation in one executor pass
         area_path = os.path.join(slab_dir, "cell_area.npy")
-
-        def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
-            lat_i = np.searchsorted(lat_c, pdf["lat"].to_numpy())
-            lon_i = np.searchsorted(lon_c, pdf["lon"].to_numpy())
-            cell = pdf["cell_id"].to_numpy()
-            expect = lon_i.astype(np.int64) * nlat + lat_i
-            bad = cell != expect
-            if bad.any():
-                k = int(np.argmax(bad))
-                raise ValueError(
-                    f"grid is not lon-major ascending: cell_id {cell[k]} sits at "
-                    f"(lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) = index "
-                    f"{expect[k]} — renumber the grid (cell_id = lon_i*nlat + "
-                    "lat_i, axes ascending) before exporting"
-                )
-            arr = np.zeros((nlat, nlon))
-            arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
-            np.save(area_path, arr)
-            return pd.DataFrame({"path": [area_path]})
-
-        (
-            grid.select("cell_id", "lon", "lat", "area_m2")
-            .withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInPandas(lambda pdf: write_area(pdf), "path string")
-            .collect()
-        )
+        write_area_slab(grid, lat_c, lon_c, area_path)
         area_grid = np.load(area_path)
 
         categories = sorted({c for c, _ in slab_of})
@@ -564,34 +593,8 @@ def export_hourly_netcdf(
     slab_dir = tempfile.mkdtemp(prefix=".hourly_slabs_", dir=out_dir)
     area_path = os.path.join(slab_dir, "cell_area.npy")
     try:
-        # area slab: one executor task scatters the grid's areas; the
-        # same pass validates the lon-major layout (it sees every row)
-        def write_area(pdf: pd.DataFrame) -> pd.DataFrame:
-            lat_i = np.searchsorted(lats, pdf["lat"].to_numpy())
-            lon_i = np.searchsorted(lons, pdf["lon"].to_numpy())
-            cell = pdf["cell_id"].to_numpy()
-            expect = lon_i.astype(np.int64) * nlat + lat_i
-            bad = cell != expect
-            if bad.any():
-                k = int(np.argmax(bad))
-                raise ValueError(
-                    f"grid is not lon-major ascending: cell_id {cell[k]} sits "
-                    f"at (lat {pdf['lat'].iloc[k]}, lon {pdf['lon'].iloc[k]}) "
-                    f"= index {expect[k]} — renumber the grid (cell_id = "
-                    "lon_i*nlat + lat_i, axes ascending) before exporting"
-                )
-            arr = np.zeros((nlat, nlon))
-            arr[lat_i, lon_i] = pdf["area_m2"].to_numpy()
-            np.save(area_path, arr)
-            return pd.DataFrame({"path": [area_path]})
-
-        (
-            grid.select("cell_id", "lon", "lat", "area_m2")
-            .withColumn("_g", F.lit(0))
-            .groupBy("_g")
-            .applyInPandas(lambda pdf: write_area(pdf), "path string")
-            .collect()
-        )
+        # area slab + lon-major validation in one executor pass
+        write_area_slab(grid, lats, lons, area_path)
 
         def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
             from emiproc_spark.functions.netcdf3 import (
@@ -615,7 +618,7 @@ def export_hourly_netcdf(
                 {"units": f"hours since {start}"},
             )
             ds.variables["cell_area"] = NCVariable(
-                "cell_area", ("lat", "lon"), np.load(area_path),
+                "cell_area", ("lat", "lon"), _load_npy_cached(area_path),
                 {"standard_name": "cell_area", "long_name": "cell_area",
                  "units": "m2", "comment": "area of the cell"},
             )

@@ -118,6 +118,18 @@ _SPECIFIC_DAYS = (
     "monday", "tuesday", "wednesday", "thursday", "friday",
     "saturday", "sunday", "weekday", "weekday_4", "weekend",
 )
+# mon..sun abbreviations: accepted on READ (files written by earlier
+# releases of this package used them) and canonicalized to the full
+# reference names, so to_yaml always emits reference-parseable keys
+_DAY_ALIASES = {
+    "mon": "monday", "tue": "tuesday", "wed": "wednesday",
+    "thu": "thursday", "fri": "friday", "sat": "saturday", "sun": "sunday",
+}
+
+
+def _canonical_day(day: str) -> str | None:
+    day = _DAY_ALIASES.get(day, day)
+    return day if day in _SPECIFIC_DAYS else None
 
 
 def profiles_from_yaml(spark: SparkSession, path: str) -> tuple[DataFrame, DataFrame]:
@@ -136,10 +148,11 @@ def profiles_from_yaml(spark: SparkSession, path: str) -> tuple[DataFrame, DataF
     for key, value in (spec or {}).items():
         if key in _YAML_KEY_PTYPE:
             ptype = _YAML_KEY_PTYPE[key]
-        elif key.startswith("diurn_") and key[6:] in _SPECIFIC_DAYS:
-            # specific-day diurnal cycle: encoded as ptype daily_<day>;
+        elif key.startswith("diurn_") and _canonical_day(key[6:]) is not None:
+            # specific-day diurnal cycle: encoded as ptype daily_<day>
+            # (full reference day name, abbreviations canonicalized);
             # split for ensure_specific_days_consistency downstream
-            ptype = f"daily_{key[6:]}"
+            ptype = f"daily_{_canonical_day(key[6:])}"
         else:
             continue  # unknown key: warn+skip in the reference
         if ptype in seen:
@@ -172,8 +185,10 @@ def profiles_to_yaml(profiles: DataFrame, path: str) -> str:
         ptype = r["ptype"]
         if ptype in key_of:
             key = key_of[ptype]
-        elif ptype.startswith("daily_") and ptype[6:] in _SPECIFIC_DAYS:
-            key = f"diurn_{ptype[6:]}"
+        elif ptype.startswith("daily_") and _canonical_day(ptype[6:]) is not None:
+            # abbreviations from stores written by earlier releases are
+            # canonicalized so the emitted key parses in the reference
+            key = f"diurn_{_canonical_day(ptype[6:])}"
         else:
             raise NotImplementedError(
                 f"Cannot write profile type {ptype!r} to yaml "

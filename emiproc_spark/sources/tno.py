@@ -316,13 +316,24 @@ def tno_gridded_profiles(
         .where(F.col("year") == year)
     )
     # both axes in ONE aggregate job (same shape as the raster
-    # exporter); the axis sets are dimension-sized
+    # exporter); the axis sets are dimension-sized.  collect_set drops
+    # nulls, so count them explicitly — a malformed CSV row (empty or
+    # unparsable coordinate under the strict schema) must fail loudly,
+    # not silently vanish from the equi-join below and lose mass
     import numpy as np
 
     axes = df.agg(
         F.collect_set("longitude").alias("lons"),
         F.collect_set("latitude").alias("lats"),
+        F.sum(
+            (F.col("longitude").isNull() | F.col("latitude").isNull()).cast("long")
+        ).alias("n_null"),
     ).collect()[0]
+    if axes["n_null"]:
+        raise ValueError(
+            f"{path}: {axes['n_null']} rows have null longitude/latitude "
+            "(malformed coordinate fields in the CSV)"
+        )
     lons = sorted(float(v) for v in axes["lons"])
     lats = sorted(float(v) for v in axes["lats"])
 

@@ -148,3 +148,31 @@ def test_profiles_yaml_write_read_roundtrip(spark, tmp_path):
         f.write("season: [1.0]\nmonthly: [1.0]\n")
     with pytest.raises(ValueError, match="already added"):
         profiles_from_yaml(spark, p3)
+
+
+def test_profiles_yaml_reads_abbreviated_day_aliases(spark, tmp_path):
+    """Files written by earlier releases used diurn_sat-style keys and
+    stores carried ptype daily_sat; both must still read/write, now
+    canonicalized to the full reference day names."""
+    pytest.importorskip("yaml")
+    from emiproc_spark.sources.profiles_io import (
+        profiles_from_yaml,
+        profiles_to_yaml,
+    )
+
+    p = str(tmp_path / "old.yaml")
+    with open(p, "w") as f:
+        f.write("diurn_sat: [" + ", ".join(["0.5"] * 24) + "]\n")
+    store, _ = profiles_from_yaml(spark, p)
+    rows = store.collect()
+    assert [r["ptype"] for r in rows] == ["daily_saturday"]
+
+    out = str(tmp_path / "rewritten.yaml")
+    prof = spark.createDataFrame(
+        [("daily_sat", [1.0 / 24] * 24)], schema="ptype string, ratios array<double>"
+    )
+    profiles_to_yaml(prof, out)
+    import yaml
+
+    with open(out) as f:
+        assert set(yaml.safe_load(f)) == {"diurn_saturday"}
