@@ -644,8 +644,12 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     last = -1
-    for _ in range(1200):
-        time.sleep(0.5)
+    # 0.2 s poll: the drain detector needs two consecutive stable polls
+    # after the data batches finish, so the poll interval is pure added
+    # wall time (the memory-sink count is a local job) — 0.5 s polling
+    # was ~1.5 s of idle sleep per run
+    for _ in range(3000):
+        time.sleep(0.2)
         if not q.isActive:
             break
         lp = q.lastProgress
