@@ -237,7 +237,9 @@ def test_oem_gridded_emissions_file(spark, tno_path, tmp_path):
     bad = spark.createDataFrame(
         [(999, "A", "F", 1.0)], "cell_id long, category string, substance string, value_kg_y double"
     )
-    with pytest.raises(ValueError, match="absent from the mesh"):
+    # the slab writer validates executor-side now, so the error surfaces
+    # as a PythonException wrapping the ValueError
+    with pytest.raises(Exception, match="outside the mesh range"):
         export_oem_gridded_emissions(mesh, bad, str(tmp_path / "bad.nc"))
 
 
