@@ -356,6 +356,64 @@ def _sql_cf_attrs() -> str:
 
 
 # ======================================================================
+# url_dedup — canonical-URL dedup (beyond reference: crawl-pipeline op).
+# Four surface forms per page, each exercising different rules; the
+# oracle computes the CANONICAL form in closed form (it does not mirror
+# the normalization code), so every rule must fire exactly.
+# ======================================================================
+def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.urls import dedup_by_url
+    from emiproc_spark.qhelpers import qd  # noqa: F401  (kept for parity kit)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
+        "doc_id"
+    )
+    g = (F.col("doc_id") / 4).cast("long")  # page id: 4 doc variants each
+    h = (g % 7).cast("string")
+    page = F.concat(F.lit("/page/"), g.cast("string"))
+    variants = F.array(
+        # www + mixed-case host
+        F.concat(F.lit("https://www.Example"), h, F.lit(".com"), page),
+        # default port + trailing slash + fragment
+        F.concat(
+            F.lit("https://example"), h, F.lit(".com:443"), page, F.lit("/#top")
+        ),
+        # unsorted real params + a tracking param
+        F.concat(
+            F.lit("https://example"), h, F.lit(".com"), page,
+            F.lit("?b=2&a=1&utm_source=feed"),
+        ),
+        # uppercase scheme/host + sorted params
+        F.concat(
+            F.lit("HTTPS://EXAMPLE"), h, F.lit(".com"), page, F.lit("?a=1&b=2")
+        ),
+    )
+    urls = docs.select(
+        "doc_id",
+        F.element_at(variants, (F.col("doc_id") % 4 + 1).cast("int")).alias("url"),
+    )
+    return dedup_by_url(urls)
+
+
+# variants {0,1} → bare canonical, {2,3} → ?a=1&b=2; keeper = first
+# doc_id of the pair; the last page may be partial (doc count % 4)
+SQL_URL_DEDUP = """
+    WITH docs AS (SELECT doc_id FROM documents),
+    v AS (
+        SELECT doc_id, doc_id // 4 AS g, doc_id % 4 AS k FROM docs
+    ),
+    canon AS (
+        SELECT doc_id,
+               'https://example' || (g % 7) || '.com/page/' || g
+               || CASE WHEN k >= 2 THEN '?a=1&b=2' ELSE '' END AS canon_url
+        FROM v
+    )
+    SELECT canon_url, MIN(doc_id) AS keeper, COUNT(*) AS n_docs
+    FROM canon GROUP BY canon_url
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -364,6 +422,7 @@ QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_validity": q_profile_validity,
     "gpkg_lines": q_gpkg_lines,
     "cf_attrs": q_cf_attrs,
+    "url_dedup": q_url_dedup,
 }
 
 ORACLES_R5: dict[str, str] = {
@@ -372,4 +431,5 @@ ORACLES_R5: dict[str, str] = {
     "profile_validity": _sql_profile_validity(),
     "gpkg_lines": SQL_GPKG_LINES,
     "cf_attrs": _sql_cf_attrs(),
+    "url_dedup": SQL_URL_DEDUP,
 }

@@ -277,3 +277,38 @@ def test_boilerplate_strip_semantics(spark):
     assert out[4]["text_clean"] == rows[4][2]  # B keeps everything
     # n_tokens is the pre-strip count
     assert out[0]["n_tokens"] == 7
+
+
+def test_canonical_url_rules(spark):
+    from emiproc_spark.operators.urls import canonical_url
+
+    cases = [
+        # (input, expected canonical)
+        ("https://www.Example.com:443/a/b/#frag", "https://example.com/a/b"),
+        ("HTTP://Host.org:80/", "http://host.org/"),
+        ("http://host.org:8080/x", "http://host.org:8080/x"),  # non-default kept
+        ("https://h.io/p?utm_source=a&b=2&a=1&fbclid=z", "https://h.io/p?a=1&b=2"),
+        ("https://h.io/p?utm_source=a", "https://h.io/p"),  # tracking-only
+        ("https://h.io", "https://h.io/"),  # empty path → root
+        ("https://h.io/p/?gclid=1&ref=x#s", "https://h.io/p"),
+        ("https://h.io/p?refresh=1", "https://h.io/p?refresh=1"),  # not 'ref'
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in df.select(canonical_url("url")).collect()]
+    for (inp, want), out in zip(cases, got):
+        assert out == want, (inp, out, want)
+
+
+def test_dedup_by_url_keeps_min_id(spark):
+    from emiproc_spark.operators.urls import dedup_by_url
+
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.A.com/x"),
+            (2, "https://a.com/x/"),
+            (3, "https://a.com/y"),
+        ],
+        "doc_id long, url string",
+    )
+    out = {r["canon_url"]: (r["keeper"], r["n_docs"]) for r in dedup_by_url(docs).collect()}
+    assert out == {"https://a.com/x": (1, 2), "https://a.com/y": (3, 1)}
