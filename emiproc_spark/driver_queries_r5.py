@@ -414,6 +414,31 @@ SQL_URL_DEDUP = """
 
 
 # ======================================================================
+# diversity_sample — one representative per hyperplane-LSH bucket (the
+# semantic-diversity down-sampler; operators/sampling.diversity_sample).
+# The bucket bits reuse the parity-exact quantized-dot path of
+# ann_lsh_buckets (per-term quantization keeps the sign bit identical
+# across engines); the oracle wraps that query's SQL with the group.
+# ======================================================================
+def q_diversity_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import q_ann_lsh_buckets
+
+    bits = q_ann_lsh_buckets(spark, sf_dir)
+    return bits.groupBy("bucket").agg(
+        F.min("vec_id").alias("keeper"), F.count("*").alias("n_members")
+    )
+
+
+def _sql_diversity_sample() -> str:
+    from emiproc_spark.driver_queries_text import SQL_ANN_LSH_BUCKETS
+
+    return f"""
+        SELECT bucket, MIN(vec_id) AS keeper, COUNT(*) AS n_members
+        FROM ({SQL_ANN_LSH_BUCKETS}) GROUP BY bucket
+    """
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -423,6 +448,7 @@ QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gpkg_lines": q_gpkg_lines,
     "cf_attrs": q_cf_attrs,
     "url_dedup": q_url_dedup,
+    "diversity_sample": q_diversity_sample,
 }
 
 ORACLES_R5: dict[str, str] = {
@@ -432,4 +458,5 @@ ORACLES_R5: dict[str, str] = {
     "gpkg_lines": SQL_GPKG_LINES,
     "cf_attrs": _sql_cf_attrs(),
     "url_dedup": SQL_URL_DEDUP,
+    "diversity_sample": _sql_diversity_sample(),
 }

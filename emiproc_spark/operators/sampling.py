@@ -178,3 +178,33 @@ def temperature_rates(
             / F.col("stratum_tokens"),
         ).alias("rate"),
     )
+
+
+def diversity_sample(
+    embeddings: DataFrame,
+    dim: int,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Coverage-preserving down-sample: one representative per
+    hyperplane-LSH bucket (beyond reference — the semantic-diversity
+    sampler a pretraining mix uses to thin over-represented content
+    while keeping every region of embedding space populated).
+
+    Composition of :func:`operators.similarity.lsh_buckets` (sign-bit
+    bucket over ``planes`` deterministic hyperplanes) with a min-id
+    keep.  Returns (bucket, keeper, n_members).  Plan: map-only bucket
+    assignment + ONE shuffle on the bucket key with map-side combine —
+    scales like a word count regardless of corpus size.
+    """
+    from emiproc_spark.operators.similarity import lsh_buckets
+
+    return (
+        lsh_buckets(embeddings, dim, planes, vec_col)
+        .groupBy("bucket")
+        .agg(
+            F.min(id_col).alias("keeper"),
+            F.count("*").alias("n_members"),
+        )
+    )

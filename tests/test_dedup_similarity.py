@@ -293,3 +293,26 @@ def test_lsh_bucket_cap_star_preserves_components(spark):
 
     with pytest.raises(ValueError, match="oversize_policy"):
         lsh_candidate_pairs(sigs, max_bucket_size=10, oversize_policy="sample")
+
+
+def test_diversity_sample_one_rep_per_bucket(spark):
+    from emiproc_spark.operators.sampling import diversity_sample
+    from emiproc_spark.operators.similarity import lsh_buckets
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 3 == 0) * 2 - 1.0, float(i % 2) * 2 - 1.0, 0.5])
+         for i in range(30)],
+        "vec_id long, embedding array<double>",
+    )
+    out = diversity_sample(emb, dim=3, planes=4).collect()
+    buckets = lsh_buckets(emb, 3, 4).select("bucket").distinct().count()
+    assert len(out) == buckets
+    assert sum(r["n_members"] for r in out) == 30
+    # keeper is the min id of its bucket
+    assign = {
+        r["vec_id"]: r["bucket"]
+        for r in lsh_buckets(emb, 3, 4).select("vec_id", "bucket").collect()
+    }
+    for r in out:
+        members = [v for v, b in assign.items() if b == r["bucket"]]
+        assert r["keeper"] == min(members)
