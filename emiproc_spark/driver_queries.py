@@ -1437,10 +1437,14 @@ ORACLES.update(ORACLES_R5)
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
 # r5 touched the YAML specific-day names, the specific-day expansion, the
-# EDGAR admission rule, and the fluxie/raster exporter scratch handling.
+# EDGAR admission rule, the fluxie/raster/hourly/ICON exporter slab
+# handling, the TNO axis aggregate, the Swiss/GRAL corrupt-file guards,
+# and the near-dup stream drain poll.
 _REVERIFY = [
     "profiles_yaml", "resolve_daytype", "edgar_ingest", "edgar_legacy",
-    "edgar_profiles", "fluxie_export", "netcdf_ingest",
+    "edgar_profiles", "fluxie_export", "netcdf_ingest", "tno_profiles",
+    "swiss_ingest", "gral_roundtrip", "multimodal_features",
+    "stream_neardup", "oem_profiles_export",
 ]
 
 _FRONT = {**QUERIES_R5, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}
