@@ -363,7 +363,6 @@ def _sql_cf_attrs() -> str:
 # ======================================================================
 def q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.urls import dedup_by_url
-    from emiproc_spark.qhelpers import qd  # noqa: F401  (kept for parity kit)
 
     docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).select(
         "doc_id"

@@ -349,7 +349,7 @@ def export_inventory_profiles(
             .join(cell_tz, "cell_id", "left")
             .withColumn("_g", F.lit(0))
             .groupBy("_g")
-            .applyInPandas(lambda pdf: write_mask(pdf), "path string")
+            .applyInPandas(write_mask, "path string")
             .collect()
         )
         if os.path.exists(mask_path):
@@ -475,7 +475,7 @@ def export_oem_gridded_emissions(
             )
             .withColumn("_g", F.lit(0))
             .groupBy("_g")
-            .applyInPandas(lambda pdf: write_coords(pdf), "path string")
+            .applyInPandas(write_coords, "path string")
             .collect()
         )
 

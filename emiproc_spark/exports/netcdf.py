@@ -201,7 +201,7 @@ def write_area_slab(grid: DataFrame, lats, lons, dest_path: str) -> None:
         grid.select("cell_id", "lon", "lat", "area_m2")
         .withColumn("_g", F.lit(0))
         .groupBy("_g")
-        .applyInPandas(lambda pdf: write_area(pdf), "path string")
+        .applyInPandas(write_area, "path string")
         .collect()
     )
 
