@@ -438,6 +438,46 @@ def _sql_diversity_sample() -> str:
 
 
 # ======================================================================
+# specific_day_sf — SpecificDayProfile in a composite product: off-days
+# contribute factor 1.0, the profile's own days ratio·24 (reference
+# get_scaling_factors_at_time, temporal/operators.py:120-144, the
+# where(index≠−1, 1.0)).  Same exp(Σlog)+quantize convention as
+# composite_scaling.
+# ======================================================================
+def q_specific_day_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries import WEEKLY_RATIOS, _daily_ratios
+    from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
+
+    subs = spark.createDataFrame(
+        [
+            (0, "daily_saturday", _daily_ratios(0)),
+            (0, "weekly", WEEKLY_RATIOS),
+        ],
+        schema="comp_id int, ptype string, ratios array<double>",
+    )
+    hours = time_scaffold(subs, "2024-01-01 00:00:00", 168)  # Monday start
+    per_type = hours.crossJoin(F.broadcast(subs)).withColumn(
+        "sf1", scaling_factor_at(F.col("ts"), F.col("ptype"), F.col("ratios"))
+    )
+    return (
+        per_type.groupBy("comp_id", "hour_index")
+        .agg(F.exp(F.sum(F.log("sf1"))).alias("sf"))
+        .select("comp_id", "hour_index", qd("sf").alias("sf"))
+    )
+
+
+SQL_SPECIFIC_DAY_SF = f"""
+    SELECT 0 AS comp_id, h AS hour_index,
+           {sql_qd(
+               "EXP(CASE WHEN (h // 24) % 7 = 5 "
+               "THEN LN(((h % 24) + 1) / 300.0 * 24) ELSE 0 END "
+               "+ LN((((h // 24) % 7) + 1) / 28.0 * 7))"
+           )} AS sf
+    FROM range(168) t(h)
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -448,6 +488,7 @@ QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cf_attrs": q_cf_attrs,
     "url_dedup": q_url_dedup,
     "diversity_sample": q_diversity_sample,
+    "specific_day_sf": q_specific_day_sf,
 }
 
 ORACLES_R5: dict[str, str] = {
@@ -458,4 +499,5 @@ ORACLES_R5: dict[str, str] = {
     "cf_attrs": _sql_cf_attrs(),
     "url_dedup": SQL_URL_DEDUP,
     "diversity_sample": _sql_diversity_sample(),
+    "specific_day_sf": SQL_SPECIFIC_DAY_SF,
 }

@@ -132,3 +132,27 @@ def test_temporally_scaled_cellwise_miss_and_composite(spark):
     out2 = temporally_scaled_cellwise(e, profs2, "2024-01-02 00:00:00", 1)
     rows2 = {(r["cell_id"], r["hour_index"]): r["value_kg_h"] for r in out2.collect()}
     assert rows2[(0, 0)] == pytest.approx(2.0 * 3.0)
+
+
+def test_specific_day_profile_scaling(spark):
+    """SpecificDayProfile semantics (reference temporal/operators.py:
+    71-75,139-144): ratio*24 on the profile's days, factor 1.0 (no
+    scaling) on off-days — including the range types."""
+    from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
+
+    rat = [(h + 1) / 300.0 for h in range(24)]
+    subs = spark.createDataFrame(
+        [("daily_saturday", rat), ("daily_weekday_4", rat)],
+        "ptype string, ratios array<double>",
+    )
+    # 2024-01-01 is a Monday
+    hours = time_scaffold(subs, "2024-01-01 00:00:00", 168)
+    out = hours.crossJoin(subs).select(
+        "hour_index", "ptype",
+        scaling_factor_at(F.col("ts"), F.col("ptype"), F.col("ratios")).alias("sf"),
+    ).collect()
+    for r in out:
+        dow, hour = r["hour_index"] // 24, r["hour_index"] % 24
+        on = (dow == 5) if r["ptype"] == "daily_saturday" else (dow <= 3)
+        want = rat[hour] * 24 if on else 1.0
+        assert r["sf"] == pytest.approx(want), (r["ptype"], dow, hour)
