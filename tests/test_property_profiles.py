@@ -144,3 +144,32 @@ def test_specific_days_precedence_lattice(spark, types):
             assert out[dow] == marker[best], (dow, covering, out[dow])
         else:
             assert out[dow] == general_val
+
+
+# ----------------------------------------------------------------------
+# scaling_factor_at: over one full cycle of hourly stamps, the mean of
+# sf(t) for a normalized profile is 1 — the invariant that makes
+# temporal expansion mass-conserving for daily/weekly cycles.
+# ----------------------------------------------------------------------
+@given(
+    st.sampled_from(["daily", "weekly"]),
+    st.lists(st.floats(0.01, 10.0), min_size=24, max_size=24),
+)
+@settings(max_examples=20, deadline=None)
+def test_scaling_factor_cycle_mean_is_one(spark, ptype, raw):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
+
+    n = {"daily": 24, "weekly": 7}[ptype]
+    vals = raw[:n]
+    total = sum(vals)
+    ratios = [v / total for v in vals]
+    subs = spark.createDataFrame([(ptype, ratios)], "ptype string, ratios array<double>")
+    # one full cycle of hourly stamps: 24 h (daily) / 168 h (weekly)
+    hours = time_scaffold(subs, "2024-01-01 00:00:00", n * (1 if ptype == "daily" else 24))
+    out = hours.crossJoin(subs).agg(
+        F.avg(scaling_factor_at(F.col("ts"), F.col("ptype"), F.col("ratios"))).alias("m")
+    ).collect()[0]["m"]
+    assert out == _pytest.approx(1.0, rel=1e-9)
