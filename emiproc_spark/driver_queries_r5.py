@@ -478,6 +478,99 @@ SQL_SPECIFIC_DAY_SF = f"""
 
 
 # ======================================================================
+# ann_multiprobe — multi-probe LSH ANN: candidates are the query
+# vector's bucket plus every bucket at Hamming distance 1 (one flipped
+# sign bit), exact cosine re-rank inside.  Buckets and cosines both use
+# the parity-exact quantized-dot machinery shared with ann_lsh_buckets
+# / ann_cosine_topk.
+# ======================================================================
+def q_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.driver_queries_text import _dotq, q_ann_lsh_buckets
+
+    bits = q_ann_lsh_buckets(spark, sf_dir)
+    qb = bits.where(F.col("vec_id") == 0).select(F.col("bucket").alias("qb"))
+    cand = (
+        bits.crossJoin(F.broadcast(qb))
+        .where(
+            F.bit_count(
+                F.conv("bucket", 2, 10)
+                .cast("long")
+                .bitwiseXOR(F.conv("qb", 2, 10).cast("long"))
+            )
+            <= 1
+        )
+        .select("vec_id")
+    )
+    emb = fx.load(spark, sf_dir, "embeddings")
+    qpos = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("i", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    terms = (
+        emb.join(cand, "vec_id", "left_semi")
+        .select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(qpos), "i")
+    )
+    scored = (
+        terms.groupBy("vec_id")
+        .agg(
+            _dotq(F.col("v") * F.col("qv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nq")))
+    )
+    return (
+        scored.select("vec_id", qd("cos").alias("cos"))
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _sql_ann_multiprobe() -> str:
+    from emiproc_spark.driver_queries_text import (
+        DIM,
+        SQL_ANN_LSH_BUCKETS,
+        sql_dotq,
+    )
+
+    return f"""
+    WITH buckets AS ({SQL_ANN_LSH_BUCKETS}),
+    qb AS (SELECT bucket FROM buckets WHERE vec_id = 0),
+    cand AS (
+        SELECT b.vec_id FROM buckets b, qb
+        WHERE (
+            SELECT COUNT(*) FROM range(8) p(i)
+            WHERE substr(b.bucket, CAST(p.i + 1 AS INT), 1)
+                  <> substr(qb.bucket, CAST(p.i + 1 AS INT), 1)
+        ) <= 1
+    ),
+    q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    terms AS (
+        SELECT e.vec_id,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS v,
+               CAST(q.qe[t.i + 1] AS DOUBLE) AS qv
+        FROM embeddings e CROSS JOIN q, UNNEST(range({DIM})) AS t(i)
+        WHERE e.vec_id IN (SELECT vec_id FROM cand)
+    ),
+    scored AS (
+        SELECT vec_id,
+               {sql_dotq('v * qv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('qv * qv')} AS nq
+        FROM terms GROUP BY vec_id
+    )
+    SELECT vec_id, {sql_qd('dp / (SQRT(na) * SQRT(nq))')} AS cos
+    FROM scored
+    ORDER BY {sql_qd('dp / (SQRT(na) * SQRT(nq))')} DESC, vec_id
+    LIMIT 10
+    """
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -489,6 +582,7 @@ QUERIES_R5: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_dedup": q_url_dedup,
     "diversity_sample": q_diversity_sample,
     "specific_day_sf": q_specific_day_sf,
+    "ann_multiprobe": q_ann_multiprobe,
 }
 
 ORACLES_R5: dict[str, str] = {
@@ -500,4 +594,5 @@ ORACLES_R5: dict[str, str] = {
     "url_dedup": SQL_URL_DEDUP,
     "diversity_sample": _sql_diversity_sample(),
     "specific_day_sf": SQL_SPECIFIC_DAY_SF,
+    "ann_multiprobe": _sql_ann_multiprobe(),
 }

@@ -164,18 +164,30 @@ def ann_topk(
     planes: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    probe_bits: int = 0,
 ) -> DataFrame:
-    """Approximate top-k: scan only the query's LSH bucket, exact
-    re-rank inside.  Recall improves with multi-probe (flip one bit) —
-    here the single-probe baseline."""
+    """Approximate top-k: scan the query's LSH bucket (plus, with
+    ``probe_bits=1``, every bucket at Hamming distance 1 — multi-probe,
+    which recovers most of the recall single-probe loses to near-zero
+    dot products flipping a sign bit) and exact-re-rank inside.  The
+    probe set is tiny (1 + planes bucket strings) and pushes down as an
+    IN filter on the bucket column."""
+    if probe_bits not in (0, 1):
+        raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
     bucketed = lsh_buckets(embeddings, dim, planes, vec_col)
     qbits = "".join(
         "1" if sum(a * b for a, b in zip(query_vec, hyperplane(dim, p))) > 0 else "0"
         for p in range(planes)
     )
+    probes = [qbits]
+    if probe_bits == 1:
+        probes += [
+            qbits[:i] + ("0" if qbits[i] == "1" else "1") + qbits[i + 1:]
+            for i in range(planes)
+        ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        bucketed.where(F.col("bucket") == qbits)
+        bucketed.where(F.col("bucket").isin(probes))
         .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)

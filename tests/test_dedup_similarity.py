@@ -316,3 +316,30 @@ def test_diversity_sample_one_rep_per_bucket(spark):
     for r in out:
         members = [v for v, b in assign.items() if b == r["bucket"]]
         assert r["keeper"] == min(members)
+
+
+def test_ann_topk_multiprobe_recall(spark):
+    """probe_bits=1 scans the query bucket plus all 1-bit-flip buckets:
+    its candidate set strictly contains single-probe's, so recall vs the
+    brute-force top-k can only improve."""
+    import numpy as np
+
+    from emiproc_spark.operators.similarity import ann_topk, cosine
+
+    rng = [(i, [((i * 31 + j * 7) % 19 - 9) / 9.0 for j in range(8)])
+           for i in range(200)]
+    emb = spark.createDataFrame(rng, "vec_id long, embedding array<double>")
+    q = rng[0][1]
+    brute = [
+        r["vec_id"]
+        for r in emb.select(
+            "vec_id",
+            cosine(F.col("embedding"), F.array(*[F.lit(v) for v in q])).alias("cos"),
+        ).orderBy(F.col("cos").desc(), "vec_id").limit(10).collect()
+    ]
+    single = {r["vec_id"] for r in ann_topk(emb, q, dim=8, k=10).collect()}
+    multi = {r["vec_id"] for r in ann_topk(emb, q, dim=8, k=10, probe_bits=1).collect()}
+    r_single = len(single & set(brute))
+    r_multi = len(multi & set(brute))
+    assert r_multi >= r_single
+    assert 0 in multi  # the query vector itself always survives
