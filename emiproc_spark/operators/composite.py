@@ -97,15 +97,14 @@ def ensure_specific_days_consistency(
     abbreviations are also accepted); ``general``: (profile_id, ratios)
     fallback.  Returns (profile_id, dow, ratios) for dow 0..6.
     """
+    from emiproc_spark.operators.temporal import SPECIFIC_DAY_DOWS
+    from emiproc_spark.sources.profiles_io import _DAY_ALIASES
+
     spark = day_profiles.sparkSession
+    # canonical reference day types plus the mon..sun abbreviations
     expand = {
-        "weekday": [0, 1, 2, 3, 4],
-        "weekday_4": [0, 1, 2, 3],
-        "weekend": [5, 6],
-        "monday": [0], "tuesday": [1], "wednesday": [2], "thursday": [3],
-        "friday": [4], "saturday": [5], "sunday": [6],
-        "mon": [0], "tue": [1], "wed": [2], "thu": [3],
-        "fri": [4], "sat": [5], "sun": [6],
+        **SPECIFIC_DAY_DOWS,
+        **{abbr: SPECIFIC_DAY_DOWS[full] for abbr, full in _DAY_ALIASES.items()},
     }
     rows = [(dt, d) for dt, days in expand.items() for d in days]
     mapping = spark.createDataFrame(rows, schema="day_type string, dow int")
