@@ -68,12 +68,29 @@ def wkb_box(xmin: float, ymin: float, xmax: float, ymax: float) -> bytes:
     return wkb_polygon([(xmin, ymin), (xmax, ymin), (xmax, ymax), (xmin, ymax)])
 
 
+def wkb_multipolygon(parts: list[np.ndarray]) -> bytes:
+    """MULTIPOLYGON WKB from a list of exterior rings (one single-ring
+    polygon per part; auto-closed).  The encoder the antimeridian split
+    emits — keeping WKB layout knowledge in this module."""
+    out = [struct.pack("<BII", 1, WKB_MULTIPOLYGON, len(parts))]
+    for ring in parts:
+        r = np.asarray(ring, dtype=np.float64)
+        if len(r) and not (r[0] == r[-1]).all():
+            r = np.vstack([r, r[:1]])
+        out.append(struct.pack("<BII", 1, WKB_POLYGON, 1))
+        out.append(struct.pack("<I", len(r)))
+        out.append(r.astype("<f8").tobytes())
+    return b"".join(out)
+
+
 def parse_wkb(buf: bytes) -> tuple[int, list[np.ndarray]]:
     """Return (geom_type, rings).
 
     Point -> [array([[x, y]])]; LineString -> [array Nx2];
-    Polygon -> [exterior, hole...]; MultiPolygon -> list of exteriors
-    (holes ignored — grids/sources in scope have none).
+    Polygon -> [exterior, hole...] in WKB ring order (callers that
+    measure area must SUBTRACT rings[1:], see weights_poly_rect);
+    MultiPolygon -> one exterior per part (part holes dropped —
+    grids/sources in scope have none).
     """
     geom_type, off = _hdr(buf, 0)
     if geom_type == WKB_POINT:
@@ -100,8 +117,15 @@ def parse_wkb(buf: bytes) -> tuple[int, list[np.ndarray]]:
 
 def _hdr(buf: bytes, off: int) -> tuple[int, int]:
     byte_order = buf[off]
-    fmt = "<I" if byte_order == 1 else ">I"
-    geom_type = struct.unpack_from(fmt, buf, off + 1)[0] & 0xFF
+    if byte_order != 1:
+        # the body parsers below read counts/coordinates little-endian;
+        # half-parsing a big-endian buffer would yield byte-swapped
+        # garbage coordinates with no error — reject it loudly instead
+        raise ValueError(
+            "big-endian WKB (byte order 0) is not supported — re-export "
+            "the source as little-endian (NDR) WKB"
+        )
+    geom_type = struct.unpack_from("<I", buf, off + 1)[0] & 0xFF
     return geom_type, off + 5
 
 

@@ -32,27 +32,39 @@ from emiproc_spark.functions import geometry as geom
 BBOX = ["xmin", "ymin", "xmax", "ymax"]
 
 
+_MAX_TILES_PER_ROW = 1_000_000
+
+
 def _tiles(df: DataFrame, prefix: str, tile: float) -> DataFrame:
-    """Explode each row to the integer tiles its bbox covers."""
+    """Explode each row to the integer tiles its bbox covers.
+
+    Guarded: an inverted bbox (xmin > xmax) or one oversized row (a
+    near-global bbox at a fine tile size, e.g. an unsplit antimeridian
+    wrap) would otherwise generate a silently-descending or
+    multi-million-element sequence — fail fast with the offending
+    extent instead of OOMing the explode."""
+    tx0 = F.floor(F.col(f"{prefix}xmin") / F.lit(tile))
+    tx1 = F.floor(F.col(f"{prefix}xmax") / F.lit(tile))
+    ty0 = F.floor(F.col(f"{prefix}ymin") / F.lit(tile))
+    ty1 = F.floor(F.col(f"{prefix}ymax") / F.lit(tile))
+    n_tiles = (tx1 - tx0 + 1) * (ty1 - ty0 + 1)
+    guard = F.when(
+        (tx1 < tx0) | (ty1 < ty0) | (n_tiles > _MAX_TILES_PER_ROW),
+        F.raise_error(
+            F.concat(
+                F.lit("bbox exceeds the tile-join guard (inverted or > "
+                      f"{_MAX_TILES_PER_ROW} tiles at tile={tile}): ["),
+                F.col(f"{prefix}xmin"), F.lit(", "), F.col(f"{prefix}ymin"),
+                F.lit(", "), F.col(f"{prefix}xmax"), F.lit(", "),
+                F.col(f"{prefix}ymax"),
+                F.lit("] — split wrap geometries / fix the bbox, or use a "
+                      "coarser tile"),
+            )
+        ).cast("long"),
+    ).otherwise(F.lit(0))
     return (
-        df.withColumn(
-            "tx",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{prefix}xmin") / F.lit(tile)),
-                    F.floor(F.col(f"{prefix}xmax") / F.lit(tile)),
-                )
-            ),
-        )
-        .withColumn(
-            "ty",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(f"{prefix}ymin") / F.lit(tile)),
-                    F.floor(F.col(f"{prefix}ymax") / F.lit(tile)),
-                )
-            ),
-        )
+        df.withColumn("tx", F.explode(F.sequence(tx0 + guard, tx1)))
+        .withColumn("ty", F.explode(F.sequence(ty0, ty1)))
     )
 
 
@@ -122,32 +134,47 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
     def refine(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
-        # geometry parse + measure cache: one decode per source per task,
-        # not per candidate pair
-        cache: dict[int, tuple[int, list, float]] = {}
+        # geometry parse + measure cache keyed on the WKB BYTES, not the
+        # id: a source id may legitimately appear with several geometries
+        # (one-row-per-part conventions); an id-keyed cache would refine
+        # every later row against the first-seen geometry.
+        # POLYGON rings after the exterior are WKB holes and SUBTRACT
+        # (sign −1) from both the measure and the per-cell clipped area;
+        # MULTIPOLYGON parts are additive.
+        cache: dict[bytes, tuple[int, list, np.ndarray, float]] = {}
 
         for pdf in batches:
             if pdf.empty:
                 continue
             n = len(pdf)
             src_ids = pdf["s_cell_id"].to_numpy()
-            for sid, buf in zip(src_ids, pdf["s_geometry"]):
-                if sid not in cache:
-                    gtype, rings = geom.parse_wkb(bytes(buf))
+            bufs = [bytes(b) for b in pdf["s_geometry"]]
+            for buf in bufs:
+                if buf not in cache:
+                    gtype, rings = geom.parse_wkb(buf)
                     if gtype == geom.WKB_POINT:
+                        signs = np.ones(1)
                         measure = 1.0
                     elif gtype == geom.WKB_LINESTRING:
+                        signs = np.ones(1)
                         measure = geom.line_length(rings[0])
                     else:
-                        measure = sum(geom.shoelace_area(r) for r in rings)
-                    cache[sid] = (gtype, rings, measure)
-            gtypes = np.array([cache[s][0] for s in src_ids])
+                        if gtype == geom.WKB_POLYGON and len(rings) > 1:
+                            signs = np.array([1.0] + [-1.0] * (len(rings) - 1))
+                        else:
+                            signs = np.ones(len(rings))
+                        measure = sum(
+                            s * geom.shoelace_area(r)
+                            for s, r in zip(signs, rings)
+                        )
+                    cache[buf] = (gtype, rings, signs, measure)
+            gtypes = np.array([cache[b][0] for b in bufs])
             boxes = pdf[["d_xmin", "d_ymin", "d_xmax", "d_ymax"]].to_numpy()
             w = np.zeros(n)
 
             pt = np.flatnonzero(gtypes == geom.WKB_POINT)
             if pt.size:
-                xy = np.array([cache[src_ids[i]][1][0][0] for i in pt])
+                xy = np.array([cache[bufs[i]][1][0][0] for i in pt])
                 b = boxes[pt]
                 inside = (
                     (b[:, 0] <= xy[:, 0]) & (xy[:, 0] <= b[:, 2])
@@ -157,8 +184,8 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
 
             ln = np.flatnonzero(gtypes == geom.WKB_LINESTRING)
             if ln.size:
-                coords = [cache[src_ids[i]][1][0] for i in ln]
-                totals = np.array([cache[src_ids[i]][2] for i in ln])
+                coords = [cache[bufs[i]][1][0] for i in ln]
+                totals = np.array([cache[bufs[i]][3] for i in ln])
                 clipped = geom.batch_box_clipped_length(coords, boxes[ln])
                 w[ln] = np.divide(
                     clipped, totals, out=np.zeros_like(clipped), where=totals > 0
@@ -166,16 +193,22 @@ def weights_poly_rect(src: DataFrame, dst_grid: DataFrame, tile: float) -> DataF
 
             pg = np.flatnonzero((gtypes != geom.WKB_POINT) & (gtypes != geom.WKB_LINESTRING))
             if pg.size:
-                rings_flat, owner = [], []
+                rings_flat, owner, ring_sign = [], [], []
                 for k, i in enumerate(pg):
-                    for r in cache[src_ids[i]][1]:
+                    _, rings, signs, _ = cache[bufs[i]]
+                    for r, s in zip(rings, signs):
                         rings_flat.append(r)
                         owner.append(k)
+                        ring_sign.append(s)
                 owner = np.array(owner)
+                ring_sign = np.array(ring_sign)
                 P, counts = geom.stack_rings(rings_flat)
                 inter = geom.batch_rect_clip_area(P, counts, boxes[pg][owner])
-                per_row = np.bincount(owner, weights=inter, minlength=pg.size)
-                areas = np.array([cache[src_ids[i]][2] for i in pg])
+                per_row = np.bincount(
+                    owner, weights=inter * ring_sign, minlength=pg.size
+                )
+                per_row = np.maximum(per_row, 0.0)  # numeric noise on holes
+                areas = np.array([cache[bufs[i]][3] for i in pg])
                 w[pg] = np.divide(
                     per_row, areas, out=np.zeros_like(per_row), where=areas > 0
                 )
@@ -239,9 +272,14 @@ def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
         # caches key on the WKB bytes, NOT the cell id: a dst cell may
         # legitimately appear with several geometries (antimeridian
         # parts from icon_mesh_grid emit one row per part under the same
-        # cell_id; their per-part weights sum in the remap aggregation)
-        src_cache: dict[bytes, tuple[list, float]] = {}
-        dst_cache: dict[bytes, np.ndarray] = {}
+        # cell_id; their per-part weights sum in the remap aggregation).
+        # src POLYGON holes subtract (sign −1); MULTIPOLYGON parts add.
+        # A MULTIPOLYGON dst (normalize_antimeridian output) clips by
+        # each part and sums; a dst POLYGON uses its exterior only
+        # (Sutherland–Hodgman needs a convex clip — grid cells carry no
+        # holes).
+        src_cache: dict[bytes, tuple[list, np.ndarray, float]] = {}
+        dst_cache: dict[bytes, list[np.ndarray]] = {}
 
         for pdf in batches:
             if pdf.empty:
@@ -252,28 +290,47 @@ def weights_poly_poly(src: DataFrame, dst: DataFrame, tile: float) -> DataFrame:
             d_bufs = [bytes(b) for b in pdf["d_geometry"]]
             for buf in s_bufs:
                 if buf not in src_cache:
-                    _, rings = geom.parse_wkb(buf)
-                    src_cache[buf] = (rings, sum(geom.shoelace_area(r) for r in rings))
+                    gtype, rings = geom.parse_wkb(buf)
+                    if gtype == geom.WKB_POLYGON and len(rings) > 1:
+                        signs = np.array([1.0] + [-1.0] * (len(rings) - 1))
+                    else:
+                        signs = np.ones(len(rings))
+                    measure = sum(
+                        s * geom.shoelace_area(r) for s, r in zip(signs, rings)
+                    )
+                    src_cache[buf] = (rings, signs, measure)
             for buf in d_bufs:
                 if buf not in dst_cache:
-                    ring = geom.parse_wkb(buf)[1][0]
-                    if len(ring) > 1 and (ring[0] == ring[-1]).all():
-                        ring = ring[:-1]
-                    dst_cache[buf] = geom.ensure_ccw(ring)
+                    gtype, rings = geom.parse_wkb(buf)
+                    if gtype == geom.WKB_POLYGON:
+                        rings = rings[:1]
+                    parts = []
+                    for ring in rings:
+                        if len(ring) > 1 and (ring[0] == ring[-1]).all():
+                            ring = ring[:-1]
+                        parts.append(geom.ensure_ccw(ring))
+                    dst_cache[buf] = parts
 
-            # one padded stack over every (subject ring, clip ring) pair
-            rings_flat, owner, clip_rings = [], [], []
+            # one padded stack over every (subject ring, clip part) pair
+            rings_flat, owner, sign_flat, clip_rings = [], [], [], []
             for k, (sb, db) in enumerate(zip(s_bufs, d_bufs)):
-                for r in src_cache[sb][0]:
-                    rings_flat.append(r)
-                    owner.append(k)
-                    clip_rings.append(dst_cache[db])
+                rs, signs, _ = src_cache[sb]
+                for part in dst_cache[db]:
+                    for r, s in zip(rs, signs):
+                        rings_flat.append(r)
+                        owner.append(k)
+                        sign_flat.append(s)
+                        clip_rings.append(part)
             owner = np.array(owner)
+            sign_flat = np.array(sign_flat)
             P, counts = geom.stack_rings(rings_flat)
             C, ccounts = geom.stack_rings(clip_rings)
             inter = geom.batch_convex_clip_area(P, counts, C, ccounts)
-            per_row = np.bincount(owner, weights=inter, minlength=len(pdf))
-            areas = np.array([src_cache[s][1] for s in s_bufs])
+            per_row = np.bincount(
+                owner, weights=inter * sign_flat, minlength=len(pdf)
+            )
+            per_row = np.maximum(per_row, 0.0)  # numeric noise on holes
+            areas = np.array([src_cache[s][2] for s in s_bufs])
             w = np.divide(per_row, areas, out=np.zeros_like(per_row), where=areas > 0)
 
             keep = w > 0
@@ -402,18 +459,22 @@ def crop_point_sources(
 
 
 def normalize_antimeridian(df: DataFrame, geometry_col: str = "geometry") -> DataFrame:
-    """Split polygon geometries crossing the ±180° meridian into
-    multi-ring WKB with every vertex in [−180, 180], updating the bbox
-    columns (reference ICONGrid.process_overlap_antimeridian,
-    emiproc/grids.py:931-1013).
+    """Split polygon geometries crossing the ±180° meridian into a
+    MULTIPOLYGON (one part per side) with every vertex in [−180, 180],
+    updating the bbox columns (reference
+    ICONGrid.process_overlap_antimeridian, emiproc/grids.py:931-1013).
+
+    Points/LineStrings pass through untouched (geometry AND bbox);
+    MULTIPOLYGON inputs split part-by-part; a geometry that does not
+    cross the wrap is returned byte-identical.  Polygons with interior
+    rings that cross the wrap raise (the split handles exterior rings;
+    real wrap cells are simple).
 
     Scale note: split cells get a bbox spanning both hemisphere edges,
     so they join against more tiles — acceptable for the handful of
     mesh cells touching the wrap (same trade the reference makes with
     its MultiPolygon split).
     """
-    import struct as _struct
-
     from collections.abc import Iterator as _Iterator
 
     cols = df.columns
@@ -427,22 +488,41 @@ def normalize_antimeridian(df: DataFrame, geometry_col: str = "geometry") -> Dat
         for pdf in batches:
             geoms, xmins, ymins, xmaxs, ymaxs = [], [], [], [], []
             for buf in pdf[geometry_col]:
-                gtype, rings = geom.parse_wkb(bytes(buf))
-                if gtype not in (geom.WKB_POLYGON,):
-                    parts = rings
+                buf = bytes(buf)
+                gtype, rings = geom.parse_wkb(buf)
+                if gtype == geom.WKB_POLYGON:
+                    exteriors = rings[:1]
+                    holes = rings[1:]
+                elif gtype == geom.WKB_MULTIPOLYGON:
+                    exteriors = rings
+                    holes = []
                 else:
-                    parts = []
-                    for r in rings:
-                        parts.extend(geom.split_antimeridian(r))
-                out = [_struct.pack("<BII", 1, 3, len(parts))]
-                for r in parts:
-                    r = np.asarray(r, dtype=np.float64)
-                    if len(r) and not (r[0] == r[-1]).all():
-                        r = np.vstack([r, r[:1]])
-                    out.append(_struct.pack("<I", len(r)))
-                    out.append(r.astype("<f8").tobytes())
+                    # point/line: nothing to split — pass through
+                    geoms.append(buf)
+                    xmins.append(None)
+                    ymins.append(None)
+                    xmaxs.append(None)
+                    ymaxs.append(None)
+                    continue
+                parts = []
+                for r in exteriors:
+                    parts.extend(geom.split_antimeridian(r))
+                if len(parts) == len(exteriors):
+                    # no ring crossed: keep the original bytes and bbox
+                    geoms.append(buf)
+                    xmins.append(None)
+                    ymins.append(None)
+                    xmaxs.append(None)
+                    ymaxs.append(None)
+                    continue
+                if holes:
+                    raise NotImplementedError(
+                        "antimeridian split of a polygon with interior "
+                        "rings is not supported — split the exterior/"
+                        "holes upstream (wrap grid cells are simple)"
+                    )
                 allp = np.vstack([np.asarray(p) for p in parts])
-                geoms.append(b"".join(out))
+                geoms.append(geom.wkb_multipolygon(parts))
                 xmins.append(float(allp[:, 0].min()))
                 ymins.append(float(allp[:, 1].min()))
                 xmaxs.append(float(allp[:, 0].max()))
@@ -453,7 +533,10 @@ def normalize_antimeridian(df: DataFrame, geometry_col: str = "geometry") -> Dat
                 ("xmin", xmins), ("ymin", ymins), ("xmax", xmaxs), ("ymax", ymaxs)
             ):
                 if name in cols:
-                    pdf[name] = vals
+                    old = pdf[name].to_numpy()
+                    pdf[name] = [
+                        o if v is None else v for o, v in zip(old, vals)
+                    ]
             yield pdf
 
     return df.mapInPandas(fix, schema=schema)

@@ -123,3 +123,104 @@ def test_normalize_antimeridian_df(spark):
     assert out.loc[0, "xmax"] == pytest.approx(180.0)
     area = sum(geom.shoelace_area(r[:-1]) for r in rings)
     assert area == pytest.approx(2.0)
+
+
+def test_normalize_antimeridian_passthrough_and_multipolygon(spark):
+    """Round-5 review regressions: non-polygons pass through untouched
+    (the old code re-headered them as polygons, silently zeroing their
+    weights), an uncrossed polygon keeps its exact bytes/bbox, and a
+    MULTIPOLYGON input is split part-by-part."""
+    pt = geom.wkb_point(-179.5, 10.0)
+    ln = geom.wkb_linestring([(178.0, 0.0), (-178.0, 1.0)])
+    plain = geom.wkb_polygon([(0.0, 0.0), (1.0, 0.0), (0.0, 1.0)])
+    wrap_mp = geom.wkb_multipolygon(
+        [np.array([[179.0, 0.0], [-179.0, 0.0], [179.0, 2.0]])]
+    )
+    rows = [
+        (0, bytearray(pt), 7.0, 7.0, 7.0, 7.0),
+        (1, bytearray(ln), 1.0, 2.0, 3.0, 4.0),
+        (2, bytearray(plain), 0.0, 0.0, 1.0, 1.0),
+        (3, bytearray(wrap_mp), 0.0, 0.0, 0.0, 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "cell_id long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    out = normalize_antimeridian(df).orderBy("cell_id").toPandas()
+    assert bytes(out.loc[0, "geometry"]) == pt        # untouched
+    assert out.loc[0, "xmin"] == 7.0                   # bbox untouched
+    assert bytes(out.loc[1, "geometry"]) == ln
+    assert bytes(out.loc[2, "geometry"]) == plain      # uncrossed: identical
+    gtype, rings = geom.parse_wkb(bytes(out.loc[3, "geometry"]))
+    assert gtype == geom.WKB_MULTIPOLYGON and len(rings) == 2
+    assert out.loc[3, "xmin"] == pytest.approx(-180.0)
+    assert out.loc[3, "xmax"] == pytest.approx(180.0)
+
+
+def test_polygon_hole_subtracts_from_weights(spark):
+    """A 4x4 polygon with a 1x1 interior ring has measure 15 and its
+    per-cell weights exclude the hole (the old additive-ring behavior
+    counted it as 17 and over-weighted the hole's cell)."""
+    from emiproc_spark.operators.regrid import weights_poly_rect
+
+    holed = geom.wkb_polygon_rings(
+        [
+            [(0.0, 0.0), (4.0, 0.0), (4.0, 4.0), (0.0, 4.0)],
+            [(1.0, 1.0), (2.0, 1.0), (2.0, 2.0), (1.0, 2.0)],
+        ]
+    )
+    src = spark.createDataFrame(
+        [(0, bytearray(holed), 0.0, 0.0, 4.0, 4.0)],
+        "source_id long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    # 2x2 destination cells of size 2
+    dst = spark.createDataFrame(
+        [
+            (i * 2 + j, 2.0 * i, 2.0 * j, 2.0 * i + 2, 2.0 * j + 2)
+            for i in range(2)
+            for j in range(2)
+        ],
+        "cell_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    w = {r["dst_id"]: r["weight"] for r in weights_poly_rect(src, dst, tile=2.0).collect()}
+    # hole (1..2)x(1..2) sits fully in cell 0: (4-1)/15; others 4/15 each
+    assert w[0] == pytest.approx(3.0 / 15.0)
+    for c in (1, 2, 3):
+        assert w[c] == pytest.approx(4.0 / 15.0)
+    assert sum(w.values()) == pytest.approx(1.0)
+
+
+def test_parse_wkb_rejects_big_endian():
+    import struct
+
+    big_endian_point = b"\x00" + struct.pack(">I", 1) + struct.pack(">dd", 5.0, 6.0)
+    with pytest.raises(ValueError, match="big-endian"):
+        geom.parse_wkb(big_endian_point)
+
+
+def test_tile_join_guard_rejects_oversized_bbox(spark):
+    """One near-global bbox at a fine tile (e.g. an unsplit wrap ring)
+    must fail fast with the offending extent, not OOM the explode; an
+    inverted bbox likewise."""
+    from emiproc_spark.operators.regrid import weights_poly_rect
+
+    box = geom.wkb_box(-179.0, 0.0, 179.0, 1.0)
+    src = spark.createDataFrame(
+        [(0, bytearray(box), -179.0, 0.0, 179.0, 1.0)],
+        "source_id long, geometry binary, xmin double, ymin double, "
+        "xmax double, ymax double",
+    )
+    dst = spark.createDataFrame(
+        [(0, 0.0, 0.0, 1.0, 1.0)],
+        "cell_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with pytest.raises(Exception, match="tile-join guard"):
+        weights_poly_rect(src, dst, tile=0.0001).collect()
+    inv = spark.createDataFrame(
+        [(0, 5.0, 0.0, 1.0, 1.0)],
+        "cell_id long, xmin double, ymin double, xmax double, ymax double",
+    )
+    with pytest.raises(Exception, match="tile-join guard"):
+        weights_poly_rect(src.limit(0).unionByName(src), inv, tile=1.0).collect()
