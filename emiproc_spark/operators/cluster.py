@@ -136,8 +136,25 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # silent partial convergence would leave non-minimal component
+        # ids — dedup_keep_representative would then retain several
+        # "representatives" per duplicate cluster with no way to notice
+        raise RuntimeError(
+            f"connected_components did not converge in max_iter={max_iter} "
+            "pointer-jumping rounds (reach doubles per round, so this "
+            "graph's diameter exceeds ~2^max_iter) — raise max_iter"
+        )
 
-    return labels.select(F.col("src").alias("node"), "component")
+    result = labels.select(F.col("src").alias("node"), "component")
+    if reliable_checkpoints:
+        # every remaining round cache was already reliably checkpointed
+        # (the convergence probe materialized it), so the result reads
+        # checkpoint files — release the executor storage instead of
+        # leaking two cached frames per invocation
+        while cached:
+            cached.pop().unpersist()
+    return result
 
 
 def dedup_keep_representative(

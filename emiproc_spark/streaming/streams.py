@@ -82,9 +82,42 @@ def sessionize_stream(
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     gap_ms = int(pd.Timedelta(gap).total_seconds() * 1000)
+
+    if not events.isStreaming:
+        # batch fallback (the module contract): lag + cumulative-sum
+        # sessionization — identical session boundaries
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(key_col).orderBy(ts_col)
+        ms = F.unix_millis(F.col(ts_col))
+        new_s = F.when(
+            (ms - F.lag(ms).over(w)).isNull() | ((ms - F.lag(ms).over(w)) > gap_ms),
+            1,
+        ).otherwise(0)
+        sid = F.sum(new_s).over(
+            Window.partitionBy(key_col).orderBy(ts_col).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        return (
+            events.withColumn("__sid", sid)
+            .groupBy(key_col, "__sid")
+            .agg(
+                F.min(ts_col).alias("session_start"),
+                F.max(ts_col).alias("session_end"),
+                F.count("*").alias("n_events"),
+                F.sum(F.col(value_col).cast("double")).alias("sum_value"),
+            )
+            .drop("__sid")
+        )
+
+    # the key passes through untouched, so its output type is whatever
+    # the input column carries (a hardcoded long would fail mid-stream
+    # at Arrow conversion for string/decimal keys)
+    key_type = dict(events.dtypes)[key_col]
     out_schema = (
-        f"{key_col} long, session_start timestamp, session_end timestamp, "
-        "n_events long, sum_value double"
+        f"{key_col} {key_type}, session_start timestamp, "
+        "session_end timestamp, n_events long, sum_value double"
     )
     state_schema = "start long, last long, n long, s double"
 
@@ -107,29 +140,35 @@ def sessionize_stream(
             yield _close(k, start, last, n, s)
             return
         rows = pd.concat(list(pdfs))
-        rows = rows.sort_values(ts_col)
+        # interval-merge sessionization: the open state session is an
+        # interval [start, last]; every event is a 1-point interval.
+        # Sorting by start and merging neighbors within ``gap`` gives
+        # exactly the batch session boundaries — in particular a
+        # late-but-within-watermark event that predates the open
+        # session's start by MORE than the gap forms its own (closed)
+        # session instead of being silently absorbed (the old min(start)
+        # merge produced a session with an internal super-gap).
+        segs: list[list] = []
         if state.exists:
-            start, last, n, s = state.get
-        else:
-            start = last = None
-            n, s = 0, 0.0
-        closed = []
+            segs.append(list(state.get))
         for ts, v in zip(rows[ts_col], rows[value_col]):
             tms = int(pd.Timestamp(ts).value // 10**6)
-            if last is not None and tms - last > gap_ms:
-                closed.append((start, last, n, s))
-                start, n, s = None, 0, 0.0
-            if start is None:
-                start = tms
-            # late-but-within-watermark events may predate the session's
-            # current bounds: never move last (or start) backwards, or
-            # session_end and the event-time timeout would regress
-            start = min(start, tms)
-            last = tms if last is None else max(last, tms)
-            n += 1
-            s += float(v)
-        state.update((start, last, n, s))
-        state.setTimeoutTimestamp(last + gap_ms)
+            segs.append([tms, tms, 1, float(v)])
+        segs.sort(key=lambda g: (g[0], g[1]))
+        merged = [segs[0]]
+        for g in segs[1:]:
+            m = merged[-1]
+            if g[0] - m[1] <= gap_ms:
+                m[1] = max(m[1], g[1])
+                m[2] += g[2]
+                m[3] += g[3]
+            else:
+                merged.append(g)
+        # segments are disjoint by > gap and start-ordered, so the final
+        # one holds the latest events: it stays open, the rest close
+        *closed, open_seg = merged
+        state.update(tuple(open_seg))
+        state.setTimeoutTimestamp(open_seg[1] + gap_ms)
         for c in closed:
             yield _close(k, *c)
 
@@ -183,7 +222,10 @@ def hourly_emission_stream(
         ).alias("sim_ts"),
     )  # ticks beyond the inventory year are dropped — the annual values
     # and the /year_hours divisor only describe this year
-    static = attach_profiles(emissions, tprofile_index, tprofiles)
+    # persist the static side: without it every micro-batch (one per
+    # rate tick) would rescan the inventory and rebuild the profile
+    # broadcasts — inventory-sized work per tick
+    static = attach_profiles(emissions, tprofile_index, tprofiles).persist()
     sf = composite_scaling_factor(
         F.col("sim_ts"), F.col("__profs"), F.col("__guard")
     )
@@ -219,12 +261,16 @@ def near_dup_stream(
     pair against every remembered member, so every cross-batch near-dup
     is reported exactly once per band.
 
-    State is bounded by ``max_bucket`` ids per bucket — a bucket larger
-    than that is a stop-shingle artifact, not a duplicate cluster (the
-    batch path's ``max_shingle_freq`` guard, restated for streams);
-    arrivals beyond the cap still pair against the remembered members
-    but are not themselves remembered.  Sharding is by bucket hash, so
-    a 1000-executor cluster splits state horizontally.
+    State is bounded per bucket: the first ``max_bucket`` ids are the
+    pairing members — a bucket larger than that is a stop-shingle
+    artifact, not a duplicate cluster (the batch path's
+    ``max_shingle_freq`` guard, restated for streams).  Arrivals beyond
+    the cap pair against the members and are remembered as processed in
+    an overflow list bounded at 16·``max_bucket`` (so an at-least-once
+    source redelivering them does not re-emit their pairs; past that
+    bound the overflow FIFO-evicts and a very late redelivery may
+    duplicate).  Sharding is by bucket hash, so a 1000-executor cluster
+    splits state horizontally.
 
     The *number* of bucket keys grows with every distinct document
     (``bands`` hashes per doc), so idle buckets are evicted after
@@ -259,8 +305,14 @@ def near_dup_stream(
             )
         ).cast("long"),
     ).otherwise(id_cast)
+    # NULL ids carry no identity to pair on: drop them explicitly (the
+    # batch self-join drops them silently via the < comparison; without
+    # this the stateful operator would crash on int(NaN))
     sigs = minhash_signature_array(
-        docs.select(id_checked.alias("doc_id"), F.col(text_col)), text_col, n, k
+        docs.select(id_checked.alias("doc_id"), F.col(text_col)).where(
+            F.col("doc_id").isNotNull()
+        ),
+        text_col, n, k,
     ).withColumnsRenamed({"doc_id": id_col} if id_col != "doc_id" else {})
     banded = sigs.select(
         F.col(id_col),
@@ -284,12 +336,25 @@ def near_dup_stream(
     )
 
     if not banded.isStreaming:
-        # same schema and duplicate semantics as the streaming path:
-        # one (doc_a, doc_b, bucket) row per shared band bucket
-        a, b = banded.alias("a"), banded.alias("b")
+        # same schema and duplicate semantics as the streaming path —
+        # INCLUDING the max_bucket cap: pair (a, b), a < b, is emitted
+        # iff a's id-rank within the bucket is ≤ max_bucket (in a single
+        # batch the streaming operator remembers the first max_bucket
+        # sorted ids, so this is exactly its output); an unguarded
+        # self-join would go quadratic on a stop-shingle bucket
+        from pyspark.sql import Window
+
+        ranked = banded.withColumn(
+            "__rk",
+            F.row_number().over(Window.partitionBy("bucket").orderBy(id_col)),
+        )
+        a, b = ranked.alias("a"), banded.alias("b")
         return (
             a.join(b, "bucket")
-            .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .where(
+                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                & (F.col("a.__rk") <= max_bucket)
+            )
             .select(
                 F.col(f"a.{id_col}").alias("doc_a"),
                 F.col(f"b.{id_col}").alias("doc_b"),
@@ -310,17 +375,27 @@ def near_dup_stream(
         if state.exists:
             (packed,) = state.get
             seen = [int(x) for x in packed.split(",") if x]
+        # the first max_bucket ids are the pairing members; later ids
+        # live in a bounded overflow so an at-least-once source
+        # redelivering an over-cap doc does not re-emit its pairs
+        # (beyond 16x max_bucket the overflow FIFO-evicts and a very
+        # late redelivery may duplicate — the documented bound)
+        members = seen[:max_bucket]
+        overflow = seen[max_bucket:]
         new_ids = sorted(
             {int(i) for pdf in pdfs for i in pdf[id_col]} - set(seen)
         )
         pairs = []
         for nid in new_ids:
-            for old in seen:
+            for old in members:
                 lo, hi = (old, nid) if old < nid else (nid, old)
                 pairs.append((lo, hi))
-            if len(seen) < max_bucket:
-                seen.append(nid)
-        state.update((",".join(str(x) for x in seen),))
+            if len(members) < max_bucket:
+                members.append(nid)
+            else:
+                overflow.append(nid)
+        overflow = overflow[-(max_bucket * 15):]
+        state.update((",".join(str(x) for x in members + overflow),))
         state.setTimeoutDuration(ttl_ms)
         if pairs:
             yield pd.DataFrame(

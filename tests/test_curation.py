@@ -235,3 +235,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         getattr(sc._jsc.sc(), "checkpointDir_$eq")(
             sc._jvm.scala.Option.empty()
         )
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest
+
+    from emiproc_spark.operators.cluster import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=1)
+    # enough rounds: one component labeled 0
+    out = connected_components(chain, max_iter=10).collect()
+    assert {r["component"] for r in out} == {0}

@@ -80,3 +80,59 @@ def test_near_dup_non_numeric_ids_raise(spark):
     )
     with pytest.raises(Exception, match="non-numeric doc_id|CAST_INVALID_INPUT"):
         near_dup_stream(docs).collect()
+
+
+def test_near_dup_null_ids_dropped_both_paths(spark, tmp_path):
+    """A NULL doc_id must not crash the stateful operator (int(NaN))
+    nor differ between the batch and streaming paths — both drop it."""
+    import uuid
+
+    from emiproc_spark.streaming.streams import near_dup_stream
+
+    rows = [(None, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    batch = near_dup_stream(docs, n=3, k=8, bands=4).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in batch} == {(1, 2)}
+
+    src = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    out = near_dup_stream(stream, n=3, k=8, bands=4, state_ttl="1 hour")
+    name = f"nd_null_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    import time
+
+    for _ in range(60):
+        time.sleep(0.5)
+        if not q.isActive:
+            break
+        lp = q.lastProgress
+        if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
+            break
+    if q.isActive:
+        q.stop()
+    q.awaitTermination()
+    assert {(r["doc_a"], r["doc_b"]) for r in spark.table(name).collect()} == {(1, 2)}
+
+
+def test_near_dup_batch_fallback_honors_max_bucket(spark):
+    """The batch fallback applies the same rank-cap as the stream: pair
+    (a, b) only when a's in-bucket id-rank is <= max_bucket (an
+    unguarded self-join would go quadratic on stop-shingle buckets)."""
+    from emiproc_spark.streaming.streams import near_dup_stream
+
+    docs = spark.createDataFrame(
+        [(i, "same same same text everywhere") for i in range(6)],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in near_dup_stream(docs, n=3, k=8, bands=4, max_bucket=2).collect()
+    }
+    # members are ids 0 and 1; every later id pairs only against them
+    want = {(0, 1)} | {(0, i) for i in range(2, 6)} | {(1, i) for i in range(2, 6)}
+    assert pairs == want

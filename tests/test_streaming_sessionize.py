@@ -49,3 +49,69 @@ def test_sessionize_stream(spark):
         assert {r["user_id"] for r in rows} <= {0, 1, 2}
     finally:
         q.stop()
+
+
+def test_sessionize_batch_fallback_matches_window_semantics(spark):
+    """Round-5 review: the module contract says batch frames work too;
+    sessionize_stream on a batch frame now runs the lag/cumsum path."""
+    import datetime as dt
+
+    from emiproc_spark.streaming.streams import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    rows = [
+        (t0, 1, 1.0),
+        (t0 + dt.timedelta(minutes=10), 1, 2.0),
+        (t0 + dt.timedelta(hours=2), 1, 4.0),     # new session
+        (t0, 2, 8.0),
+    ]
+    ev = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    out = sessionize_stream(ev, gap="30 minutes").collect()
+    got = {(r["user_id"], r["n_events"], r["sum_value"]) for r in out}
+    assert got == {(1, 2, 3.0), (1, 1, 4.0), (2, 1, 8.0)}
+
+
+def test_sessionize_stream_late_event_not_absorbed(spark, tmp_path):
+    """A late event predating the open session's start by more than the
+    gap must form its own session — the old min(start) merge produced
+    one session spanning an internal super-gap."""
+    import datetime as dt
+    import uuid
+
+    from emiproc_spark.streaming.streams import sessionize_stream
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    # batch 1: open session 10:00-10:10; batch 2: late 08:30 + sentinel
+    b1 = [(t0, 1, 1.0), (t0 + dt.timedelta(minutes=10), 1, 2.0)]
+    b2 = [
+        (t0 - dt.timedelta(minutes=90), 1, 4.0),          # late, > gap before start
+        (t0 + dt.timedelta(hours=6), 1, 0.0),             # sentinel closes all
+    ]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(b1, "ts timestamp, user_id long, value double").coalesce(
+        1
+    ).write.mode("overwrite").parquet(src)
+    name = f"late_sess_{uuid.uuid4().hex[:8]}"
+    stream = spark.readStream.schema("ts timestamp, user_id long, value double").parquet(src)
+    out = sessionize_stream(stream, gap="30 minutes", watermark_delay="4 hours")
+    q = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    spark.createDataFrame(b2, "ts timestamp, user_id long, value double").coalesce(
+        1
+    ).write.mode("append").parquet(src)
+    q2 = (
+        out.writeStream.format("memory").queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True).start()
+    )
+    q2.awaitTermination()
+    rows = spark.table(name).collect()
+    sessions = {(r["n_events"], r["sum_value"]) for r in rows}
+    # the late 08:30 event is its own 1-event session, NOT merged into
+    # the 10:00 session
+    assert (1, 4.0) in sessions
+    assert (3, 7.0) not in sessions
