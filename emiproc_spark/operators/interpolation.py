@@ -24,7 +24,7 @@ from emiproc_spark.core.schemas import PROFILE_SIZES
 # hours per full cycle of each profile type: daily repeats every 24 h,
 # weekly every 168 h, monthly/day_of_year span the year
 def _cycle_hours(ptype: str, year_hours: int) -> int:
-    return {
+    table = {
         "daily": 24,
         "weekly": 168,
         "hour_of_week": 168,
@@ -33,7 +33,13 @@ def _cycle_hours(ptype: str, year_hours: int) -> int:
         "day_of_leap_year": year_hours,
         "hour_of_year": year_hours,
         "hour_of_leap_year": year_hours,
-    }[ptype]
+    }
+    if ptype not in table:
+        raise NotImplementedError(
+            f"profile_to_hour_of_year: unsupported profile type {ptype!r} "
+            f"(supported: {sorted(table)})"
+        )
+    return table[ptype]
 
 
 def profile_to_hour_of_year(
@@ -41,6 +47,7 @@ def profile_to_hour_of_year(
     ptype: str,
     year_hours: int = 8760,
     interpolate: bool = True,
+    year_start_weekday: int = 0,
 ) -> DataFrame:
     """Resample profiles of one type to an hour-of-year scaling-factor
     series (reference interpolate_profiles → hourly,
@@ -53,16 +60,22 @@ def profile_to_hour_of_year(
     from the reference's true-calendar midpoints; totals are unaffected
     because factors renormalize over the cycle.
 
+    ``year_start_weekday`` (Monday = 0, the pandas convention) anchors
+    the 168-hour cycles: hour 0 of the series belongs to that weekday —
+    the same parameter ``hour_of_year_to_cycles`` takes, so a
+    round-trip through a non-Monday year start is symmetric.
+
     Returns (profile_id, hour, sf); mean(sf) ≈ 1 per profile.
     """
     cyc = _cycle_hours(ptype, year_hours)
+    week_shift = (year_start_weekday % 7) * 24 if cyc == 168 else 0
     hours = F.explode(F.sequence(F.lit(0), F.lit(year_hours - 1))).alias("hour")
     base = tprofiles.select("profile_id", "ratios", hours)
     n = F.size("ratios")
     period_h = F.lit(float(cyc)) / n
     # position of this hour's midpoint within the current cycle, in
     # period units
-    pos = ((F.col("hour") % cyc) + F.lit(0.5)) / period_h
+    pos = (((F.col("hour") + F.lit(week_shift)) % cyc) + F.lit(0.5)) / period_h
     if interpolate:
         # period k's midpoint sits at position k+0.5
         frac = pos - 0.5
@@ -126,6 +139,23 @@ def profile_da(
     non_cyclic = ptype in (
         "hour_of_year", "hour_of_leap_year", "day_of_year", "day_of_leap_year"
     )
+    if non_cyclic:
+        # year-length types must match the year's leap-ness, or the
+        # Dec-31 gathers run past the array (null ratios / ANSI error)
+        expected = PROFILE_SIZES[ptype]
+        year_len = days * 24 if ptype.startswith("hour") else days
+        if expected != year_len:
+            other = {
+                "hour_of_year": "hour_of_leap_year",
+                "hour_of_leap_year": "hour_of_year",
+                "day_of_year": "day_of_leap_year",
+                "day_of_leap_year": "day_of_year",
+            }[ptype]
+            raise ValueError(
+                f"profile_da: year {year} has {year_len} "
+                f"{'hours' if ptype.startswith('hour') else 'days'} but "
+                f"ptype {ptype!r} carries {expected} values — use {other!r}"
+            )
     # k = −1 is the prepended pre-year stamp; k = n_steps the inclusive
     # year+1-01-01 endpoint.  Non-cyclic types trim both.
     k0, k1 = (0, n_steps - 1) if non_cyclic else (-1, n_steps)
@@ -224,10 +254,19 @@ def resolve_daytype(
     operators.py:345-437): each weekday takes its day_type's 24 ratios.
 
     ``day_profiles``: (profile_id, day_type, ratios ARRAY<24 DOUBLE>).
-    Default sets: weekday = Mon..Fri, weekend = Sat+Sun.
+    Default sets: weekday = Mon..Fri, weekend = Sat+Sun.  The sets must
+    partition {0..6} exactly — a gap or overlap would silently produce
+    a compacted (<168) or shifted (>168) array that downstream
+    hour-of-week indexing reads out of position.
     Returns (profile_id, ptype='hour_of_week', ratios ARRAY<168>).
     """
     sets = day_type_sets or {"weekday": [0, 1, 2, 3, 4], "weekend": [5, 6]}
+    all_days = [d for days_ in sets.values() for d in days_]
+    if sorted(all_days) != list(range(7)):
+        raise ValueError(
+            f"day_type_sets must cover each weekday 0..6 exactly once, "
+            f"got {dict(sets)}"
+        )
     spark = day_profiles.sparkSession
     rows = [(dt, d) for dt, days in sets.items() for d in days]
     days = spark.createDataFrame(rows, schema="day_type string, dow int")

@@ -126,3 +126,52 @@ def test_profile_da_weekly_and_noncyclic(spark):
     assert len(rows) == 8784
     assert str(rows[0]["ts"]).startswith("2024-01-01 00:30")
     assert rows[0]["pos"] == 0 and rows[-1]["pos"] == 8783
+
+
+def test_profile_da_leap_mismatch_raises(spark):
+    from emiproc_spark.operators.interpolation import profile_da
+
+    prof = spark.createDataFrame(
+        [(0, [1.0 / 8760] * 8760)], "profile_id int, ratios array<double>"
+    )
+    with pytest.raises(ValueError, match="hour_of_leap_year"):
+        profile_da(prof, 2024, "hour_of_year")  # 2024 is leap
+
+
+def test_resolve_daytype_rejects_partial_cover(spark):
+    prof = spark.createDataFrame(
+        [(0, "weekday", [1.0 / 24] * 24)],
+        "profile_id int, day_type string, ratios array<double>",
+    )
+    with pytest.raises(ValueError, match="exactly once"):
+        resolve_daytype(prof, {"weekday": [0, 1, 2, 3, 4]})
+
+
+def test_hour_of_year_weekly_anchor_roundtrip(spark):
+    """profile_to_hour_of_year(year_start_weekday=2) then
+    hour_of_year_to_cycles(year_start_weekday=2) recovers the weekly
+    ratios — the anchored round-trip that was previously asymmetric."""
+    from emiproc_spark.operators.interpolation import (
+        hour_of_year_to_cycles,
+        profile_to_hour_of_year,
+    )
+
+    wk = [(d + 1) / 28.0 for d in range(7)]
+    prof = spark.createDataFrame(
+        [(0, wk)], "profile_id int, ratios array<double>"
+    )
+    hourly = profile_to_hour_of_year(
+        prof, "weekly", year_hours=8760, interpolate=False, year_start_weekday=2
+    )
+    back = hour_of_year_to_cycles(
+        hourly.select("profile_id", "hour", "sf"), year_start_weekday=2
+    )
+    got = {
+        r["pos"]: r["ratio"]
+        for r in back.where(F.col("ptype") == "weekly").collect()
+    }
+    # the trailing partial week biases the plain mean slightly; the
+    # anchored cycles must still put the LARGEST share on Sunday (pos 6)
+    # and preserve strict ordering — a 2-day shift would rotate it
+    order = [got[p] for p in range(7)]
+    assert order == sorted(order)

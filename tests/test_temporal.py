@@ -156,3 +156,88 @@ def test_specific_day_profile_scaling(spark):
         on = (dow == 5) if r["ptype"] == "daily_saturday" else (dow <= 3)
         want = rat[hour] * 24 if on else 1.0
         assert r["sf"] == pytest.approx(want), (r["ptype"], dow, hour)
+
+
+def test_scaling_factor_unknown_ptype_raises(spark):
+    """A typo'd ptype must not silently become the constant profile."""
+    from emiproc_spark.operators.temporal import scaling_factor_at
+
+    df = spark.createDataFrame(
+        [("hour_of_day", [1.0] * 24)], "ptype string, ratios array<double>"
+    )
+    ts = F.lit("2024-01-01 13:00:00").cast("timestamp_ntz")
+    bad = df.select(scaling_factor_at(ts, F.col("ptype"), F.col("ratios")).alias("sf"))
+    with pytest.raises(Exception, match="unknown profile type"):
+        bad.collect()
+    # null ptype / null ratios stay the 1.0 convention
+    ok = spark.createDataFrame(
+        [(None, [1.0] * 24), ("daily", None)], "ptype string, ratios array<double>"
+    ).select(scaling_factor_at(ts, F.col("ptype"), F.col("ratios")).alias("sf"))
+    assert [r["sf"] for r in ok.collect()] == [1.0, 1.0]
+
+
+def test_local_scaling_series_specific_day_off_days(spark):
+    """local_scaling_series on a specific-day ptype: off-days yield
+    sf 1.0 instead of crashing on element_at(ratios, 0)."""
+    from emiproc_spark.operators.temporal import local_scaling_series
+
+    df = spark.createDataFrame(
+        [  # Monday and Saturday 13:00 UTC wall times
+            ("2024-01-01 13:00:00", "UTC"),
+            ("2024-01-06 13:00:00", "UTC"),
+        ],
+        "ts_raw string, tz string",
+    ).select(F.col("ts_raw").cast("timestamp_ntz").alias("ts_ntz"), "tz")
+    rat = F.array(*[F.lit((h + 1) / 300.0) for h in range(24)])
+    out = local_scaling_series(df, rat, "daily_saturday").orderBy("ts_ntz").collect()
+    assert out[0]["sf"] == pytest.approx(1.0)                # Monday: off-day
+    assert out[1]["sf"] == pytest.approx(14 / 300.0 * 24)    # Saturday 13h
+
+
+def test_attach_profiles_dangling_pid_raises(spark):
+    from emiproc_spark.operators.temporal import (
+        attach_profiles,
+        composite_scaling_factor,
+    )
+
+    facts = spark.createDataFrame(
+        [("heat", "CO2", 1.0)], "category string, substance string, value_kg_y double"
+    )
+    idx = spark.createDataFrame(
+        [("heat", "CO2", 42)], "category string, substance string, profile_id int"
+    )
+    store = spark.createDataFrame(
+        [(0, "daily", [1.0 / 24] * 24)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    att = attach_profiles(facts, idx, store)
+    ts = F.lit("2024-01-01 13:00:00").cast("timestamp_ntz")
+    out = att.select(
+        composite_scaling_factor(ts, F.col("__profs"), F.col("__guard")).alias("sf")
+    )
+    with pytest.raises(Exception, match="missing from the profile store"):
+        out.collect()
+    # pid -1 is the constant-profile convention: sf 1.0, no raise
+    idx_const = spark.createDataFrame(
+        [("heat", "CO2", -1)], "category string, substance string, profile_id int"
+    )
+    att2 = attach_profiles(facts, idx_const, store)
+    got = att2.select(
+        composite_scaling_factor(ts, F.col("__profs"), F.col("__guard")).alias("sf")
+    ).collect()
+    assert got[0]["sf"] == 1.0
+
+
+def test_cellwise_duplicate_profile_row_raises(spark):
+    from emiproc_spark.operators.temporal import temporally_scaled_cellwise
+
+    e = spark.createDataFrame(
+        [(0, "traffic", "CO2", 8760.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    dup = spark.createDataFrame(
+        [(0, "daily", [1.0 / 24] * 24), (0, "daily", [2.0 / 24] * 24)],
+        "cell_id long, ptype string, ratios array<double>",
+    )
+    with pytest.raises(Exception, match="several rows per"):
+        temporally_scaled_cellwise(e, dup, "2024-01-01 00:00:00", 2).collect()
