@@ -1445,6 +1445,12 @@ _REVERIFY = [
     "edgar_profiles", "fluxie_export", "netcdf_ingest", "tno_profiles",
     "swiss_ingest", "gral_roundtrip", "multimodal_features",
     "stream_neardup", "oem_profiles_export",
+    # round-5 kernel/semantics fixes (geometry, temporal guards,
+    # speciation per-category blend, streaming sessionize)
+    "remap_weights", "remap_inventory", "antimeridian_remap",
+    "speciate", "speciate_country", "speciate_inventory", "speciate_nox",
+    "merge_indexes", "vertical_rebin", "stream_sessionize",
+    "temporal_expand", "temporal_expand_cell", "composite_scaling",
 ]
 
 _FRONT = {**QUERIES_R5, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}

@@ -22,7 +22,7 @@ table side and shuffle only on their grouping keys.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 INDEX_DIMS = ["category", "substance", "cell_id", "country", "type"]
@@ -246,12 +246,39 @@ def merge_indexes(indexes: list[DataFrame], key: DataFrame) -> DataFrame:
     specific) indexes override earlier ones for the keys they cover
     (reference merge_indexes, emiproc/profiles/utils.py:271-339) —
     a priority-ordered coalesce of left joins against the full key set.
+
+    Wildcards are expressed by OMITTING the column from an index (one
+    DataFrame per specificity level) — a NULL dim value would never
+    match any key (null ≠ null in equi-joins) and is rejected loudly.
     """
     result = key
     pid_cols = []
     for i, idx in enumerate(indexes):
         dims = [c for c in idx.columns if c != "profile_id"]
         renamed = idx.withColumnRenamed("profile_id", f"__pid_{i}")
+        if dims:
+            # a null dim row would be SILENTLY unmatched by the equi-join
+            # — the wildcard convention here is column omission, so such
+            # a row is a caller bug.  The guard wraps the JOIN KEY (not a
+            # payload column): the optimizer inserts a null-key filter on
+            # the build side, which evaluates this expression and raises
+            # before the row could be silently dropped.
+            cond = F.col(dims[0]).isNull()
+            for c in dims[1:]:
+                cond = cond | F.col(c).isNull()
+            renamed = renamed.withColumn(
+                dims[0],
+                F.when(
+                    cond,
+                    F.raise_error(
+                        F.lit(
+                            f"merge_indexes: index {i} has NULL values in "
+                            f"dims {dims} — express wildcards by omitting "
+                            "the column (one index per specificity level)"
+                        )
+                    ).cast(dict(renamed.dtypes)[dims[0]]),
+                ).otherwise(F.col(dims[0])),
+            )
         result = result.join(F.broadcast(renamed), dims, "left")
         pid_cols.append(f"__pid_{i}")
     # later indexes first in the coalesce = higher priority

@@ -116,13 +116,18 @@ def speciate(
             joined = joined.where(
                 F.col("__splits_c").isNotNull() | F.col("__splits_w").isNotNull()
             )
+        # the guard must name the SOURCE substance (carried as __src:
+        # the final select re-aliases "substance" to the destination, and
+        # referencing F.col("substance") there would resolve via implicit
+        # lateral column alias to the dst — misdirecting debugging and
+        # silently depending on spark.sql.lateralColumnAlias)
         guard = F.when(
             F.col("__dup"),
             F.raise_error(
                 F.concat(
                     F.lit("speciate: multiple ratio rows per (category, src, dst) "
                           "selector group for substance "),
-                    F.col("substance"),
+                    F.col("__src"),
                     F.lit(" — resolve year/type first"),
                 )
             ).cast("double"),
@@ -131,6 +136,7 @@ def speciate(
             "cell_id",
             "category",
             "__dup",
+            F.col("substance").alias("__src"),
             F.explode("__splits").alias("__s"),
             "value_kg_y",
         ).select(
@@ -148,17 +154,60 @@ def speciate(
         # whose blended ratios sum to 0 fall back to the -99 default row
         # and raise if none exists and the cell has emissions
         # (speciation.py:238-258).
-        spec_c = spec.where(
+        #
+        # The reference blends PER CATEGORY (ratios_of_category runs
+        # before the country dot product, speciation.py:215-224): the
+        # selector table is first resolved to one row set per fact
+        # category — category-specific rows win over wildcard
+        # (category-null) rows per (category, src) — and the blend keys
+        # include the category, so rows differing only in category are
+        # never summed together.
+        if "category" not in spec.columns:
+            spec = spec.withColumn("category", F.lit(None).cast("string"))
+        sel_cols = ["category", "country", "src_substance", "dst_substance", "ratio"]
+        fact_cats = emissions.select("category").distinct()
+        spec_cat = spec.where(F.col("category").isNotNull())
+        spec_wild = spec.where(F.col("category").isNull()).drop("category")
+        have = spec_cat.select("category", "src_substance").distinct()
+        resolved = (
+            spec_cat.join(fact_cats, "category", "left_semi")
+            .select(*sel_cols)
+            .unionByName(
+                fact_cats.crossJoin(F.broadcast(spec_wild))
+                .join(have, ["category", "src_substance"], "anti")
+                .select(*sel_cols)
+            )
+        )
+        # duplicate guard (the no-cell_country path's raise, restated):
+        # >1 row per (category, country|-99, src, dst) means year/type
+        # were not resolved — the blend below would silently SUM them
+        dup_keys = (
+            resolved.groupBy(
+                "category",
+                F.coalesce(F.col("country"), F.lit("-99")).alias("__c"),
+                "src_substance",
+                "dst_substance",
+            )
+            .agg(F.count("*").alias("__n"))
+            .where(F.col("__n") > 1)
+            .select("category", "src_substance")
+            .distinct()
+            .withColumn("__dup_cc", F.lit(True))
+        )
+        spec_c = resolved.where(
             F.col("country").isNotNull() & (F.col("country") != "-99")
-        ).select("country", "src_substance", "dst_substance", "ratio")
-        default = spec.where(
+        ).select("category", "country", "src_substance", "dst_substance", "ratio")
+        default = resolved.where(
             F.col("country").isNull() | (F.col("country") == "-99")
         ).select(
+            "category",
             "src_substance",
             "dst_substance",
             F.col("ratio").alias("__default_ratio"),
         )
-        pairs = spec.select("src_substance", "dst_substance").distinct()
+        pairs = resolved.select(
+            "category", "src_substance", "dst_substance"
+        ).distinct()
         cell_win = Window.partitionBy("cell_id")
         cc = (
             cell_country.select("cell_id", "country", "fraction")
@@ -172,7 +221,7 @@ def speciate(
         )
         blended = (
             cc.join(F.broadcast(spec_c), "country", "inner")
-            .groupBy("cell_id", "src_substance", "dst_substance")
+            .groupBy("cell_id", "category", "src_substance", "dst_substance")
             .agg(F.sum(F.col("__frac_n") * F.col("ratio")).alias("__ratio_blend"))
         )
         # Σ over dst of the blended ratios per (cell, src) — the
@@ -186,25 +235,39 @@ def speciate(
         # cell_country-sized (the reference's in-memory xarray blend
         # makes the same assumption) and broadcast, so the fact fan-out
         # takes two broadcast hash joins and never shuffles.
-        rsum = blended.groupBy("cell_id", "src_substance").agg(
+        rsum = blended.groupBy("cell_id", "category", "src_substance").agg(
             F.sum("__ratio_blend").alias("__rsum_b")
         )
-        # fan the fact table out to every dst substance, LEFT-join the
-        # per-cell blend: uncovered cells keep their rows and resolve
-        # through the zero-sum fallback below instead of being dropped
-        fan = emissions.join(
-            F.broadcast(pairs),
-            emissions["substance"] == pairs["src_substance"],
-            "inner",
+        # only facts whose substance IS speciated fan out; a covered
+        # substance whose category has no resolved rows (specific rows
+        # for other categories only, no wildcard) raises like the
+        # reference's "not defined" error (speciation.py:224-227)
+        srcs = spec.select(F.col("src_substance").alias("substance")).distinct()
+        fan = (
+            emissions.join(F.broadcast(srcs), "substance", "left_semi")
+            .join(
+                F.broadcast(pairs.withColumnRenamed("category", "__pcat")),
+                (F.col("category") == F.col("__pcat"))
+                & (F.col("substance") == F.col("src_substance")),
+                "left",
+            )
+            .drop("__pcat")
         )
         j = (
             fan.join(
                 F.broadcast(blended),
-                ["cell_id", "src_substance", "dst_substance"],
+                ["cell_id", "category", "src_substance", "dst_substance"],
                 "left",
             )
-            .join(F.broadcast(default), ["src_substance", "dst_substance"], "left")
-            .join(F.broadcast(rsum), ["cell_id", "src_substance"], "left")
+            .join(
+                F.broadcast(default),
+                ["category", "src_substance", "dst_substance"],
+                "left",
+            )
+            .join(
+                F.broadcast(rsum), ["cell_id", "category", "src_substance"], "left"
+            )
+            .join(F.broadcast(dup_keys), ["category", "src_substance"], "left")
             .withColumn("__rsum", F.coalesce("__rsum_b", F.lit(0.0)))
         )
         no_default_err = F.raise_error(
@@ -214,15 +277,40 @@ def speciate(
                 F.lit(" with nonzero emissions — add a -99 row"),
             )
         ).cast("double")
-        eff_ratio = F.when(
-            F.col("__rsum") == 0.0,
-            F.coalesce(
-                F.col("__default_ratio"),
-                F.when(F.col("value_kg_y") == 0.0, F.lit(0.0)).otherwise(
-                    no_default_err
+        not_defined_err = F.raise_error(
+            F.concat(
+                F.lit("speciate: no ratio rows for category "),
+                F.col("category"),
+                F.lit(" and substance "),
+                F.col("substance"),
+                F.lit(" (reference raises, speciation.py:224-227) — add a "
+                      "wildcard (null-category) or category-specific row"),
+            )
+        ).cast("double")
+        dup_err = F.raise_error(
+            F.concat(
+                F.lit("speciate: multiple ratio rows per (category, country, "
+                      "src, dst) for category "),
+                F.col("category"),
+                F.lit(" substance "),
+                F.col("substance"),
+                F.lit(" — resolve year/type first"),
+            )
+        ).cast("double")
+        eff_ratio = (
+            F.when(F.coalesce(F.col("__dup_cc"), F.lit(False)), dup_err)
+            .when(F.col("dst_substance").isNull(), not_defined_err)
+            .when(
+                F.col("__rsum") == 0.0,
+                F.coalesce(
+                    F.col("__default_ratio"),
+                    F.when(F.col("value_kg_y") == 0.0, F.lit(0.0)).otherwise(
+                        no_default_err
+                    ),
                 ),
-            ),
-        ).otherwise(F.coalesce(F.col("__ratio_blend"), F.lit(0.0)))
+            )
+            .otherwise(F.coalesce(F.col("__ratio_blend"), F.lit(0.0)))
+        )
         speciated = j.select(
             "cell_id",
             "category",
@@ -232,9 +320,12 @@ def speciate(
     if drop_unspeciated:
         return speciated
     # lazy anti-join (no driver collect): substances without a
-    # speciation entry pass through unchanged
-    srcs = speciation.select(F.col("src_substance").alias("substance")).distinct()
-    untouched = emissions.join(F.broadcast(srcs), "substance", "anti")
+    # speciation entry pass through unchanged.  The anti-join uses the
+    # year/type-FILTERED table: a substance whose only rows failed the
+    # selector is unspeciated for this call and must pass through, not
+    # silently vanish.
+    srcs_all = spec.select(F.col("src_substance").alias("substance")).distinct()
+    untouched = emissions.join(F.broadcast(srcs_all), "substance", "anti")
     return untouched.select(*KEY, "value_kg_y").unionByName(speciated)
 
 
@@ -303,15 +394,15 @@ def speciate_inventory(
             (F.col("value_kg_y") * F.col("__s.ratio")).alias("value_kg_y"),
         )
     )
-    keys = table.select("category", "substance").distinct()
-    untouched = emissions.join(
-        F.broadcast(keys), ["category", "substance"], "anti"
-    ).select(*KEY, "value_kg_y")
-    if not drop_speciated:
-        untouched = untouched.unionByName(
-            emissions.join(F.broadcast(keys), ["category", "substance"], "semi")
-            .select(*KEY, "value_kg_y")
-        )
+    if drop_speciated:
+        keys = table.select("category", "substance").distinct()
+        untouched = emissions.join(
+            F.broadcast(keys), ["category", "substance"], "anti"
+        ).select(*KEY, "value_kg_y")
+    else:
+        # anti ∪ semi on the same keys is just the original table — no
+        # joins needed when the speciated rows are kept alongside
+        untouched = emissions.select(*KEY, "value_kg_y")
     return untouched.unionByName(speciated.select(*KEY, "value_kg_y"))
 
 

@@ -55,9 +55,27 @@ def resample_vertical_profiles(
     overlap = F.greatest(
         F.lit(0.0), F.least("hi", "t_hi") - F.greatest("lo", "t_lo")
     )
+    # a zero-thickness source layer (hi == lo, a collapsed level set)
+    # would yield ratio·0/0 = NaN that the part > 0 filter silently
+    # drops — that layer's mass must not vanish; fail loudly instead
+    thickness = F.when(
+        F.col("hi") > F.col("lo"), F.col("hi") - F.col("lo")
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("resample_vertical_profiles: degenerate source layer ["),
+                F.col("lo").cast("string"),
+                F.lit(", "),
+                F.col("hi").cast("string"),
+                F.lit(") in profile "),
+                F.col("profile_id").cast("string"),
+                F.lit(" — heights_top_m must be strictly increasing"),
+            )
+        ).cast("double")
+    )
     contrib = (
         layers.crossJoin(F.broadcast(tgt))
-        .withColumn("part", F.col("ratio") * overlap / (F.col("hi") - F.col("lo")))
+        .withColumn("part", F.col("ratio") * overlap / thickness)
         .where(F.col("part") > 0.0)
         .groupBy("profile_id", "layer")
         .agg(F.sum("part").alias("ratio"))

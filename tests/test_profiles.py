@@ -131,3 +131,31 @@ def test_vertical_rebin_conservative(spark):
     # finer target: split layer [0,50) in half
     out2 = resample_vertical_profiles(vp, [25.0, 100.0, 200.0]).collect()[0]
     assert out2["ratios"] == pytest.approx([0.25, 0.55, 0.2])
+
+
+def test_merge_indexes_null_dims_raise(spark):
+    from emiproc_spark.operators.profiles import merge_indexes
+
+    key = spark.createDataFrame(
+        [("A", "CO2"), ("B", "CO2")], "category string, substance string"
+    )
+    bad = spark.createDataFrame(
+        [(None, "CO2", 3)], "category string, substance string, profile_id int"
+    )
+    with pytest.raises(Exception, match="omitting the column"):
+        merge_indexes([bad], key).collect()
+    # the documented convention: omit the wildcard column instead
+    wild = spark.createDataFrame([("CO2", 3)], "substance string, profile_id int")
+    out = {r["category"]: r["profile_id"] for r in merge_indexes([wild], key).collect()}
+    assert out == {"A": 3, "B": 3}
+
+
+def test_vertical_rebin_degenerate_layer_raises(spark):
+    from emiproc_spark.operators.vertical import resample_vertical_profiles
+
+    vp = spark.createDataFrame(
+        [(0, [50.0, 50.0, 100.0], [0.3, 0.4, 0.3])],
+        "profile_id int, heights_top_m array<double>, ratios array<double>",
+    )
+    with pytest.raises(Exception, match="strictly increasing"):
+        resample_vertical_profiles(vp, [60.0, 100.0]).collect()

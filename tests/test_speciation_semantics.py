@@ -259,3 +259,101 @@ def test_country_blend_missing_dst_resolves_to_zero_not_default(spark):
     }
     assert out["F1"] == 100.0
     assert out.get("F2", 0.0) == 0.0  # NOT 50 from the -99 default
+
+
+def test_speciate_cc_passthrough_uses_filtered_table(spark):
+    """A substance whose only ratio rows fail the year selector is
+    unspeciated FOR THIS CALL: it must pass through, not vanish
+    (round-5 review repro: 10 kg dropped)."""
+    e = spark.createDataFrame(
+        [(0, "heat", "NMVOC", 10.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    spec = spark.createDataFrame(
+        [(None, "AAA", None, 2020, "NMVOC", "tol", 1.0)],
+        "category string, country string, type string, year int, "
+        "src_substance string, dst_substance string, ratio double",
+    )
+    cc = spark.createDataFrame(
+        [(0, "AAA", 1.0)], "cell_id long, country string, fraction double"
+    )
+    out = speciate(e, spec, cell_country=cc, year=2021).collect()
+    assert [(r["substance"], r["value_kg_y"]) for r in out] == [("NMVOC", 10.0)]
+
+
+def test_speciate_cc_blend_is_per_category(spark):
+    """Ratio rows differing only in category must not be summed in the
+    country blend (round-5 review repro: 2.5x mass inflation)."""
+    e = spark.createDataFrame(
+        [(0, "heat", "NMVOC", 10.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    spec = spark.createDataFrame(
+        [
+            ("heat", "AAA", None, None, "NMVOC", "tol", 0.4),
+            ("heat", "AAA", None, None, "NMVOC", "xyl", 0.6),
+            ("boat", "AAA", None, None, "NMVOC", "tol", 0.6),
+            ("boat", "AAA", None, None, "NMVOC", "xyl", 0.4),
+        ],
+        "category string, country string, type string, year int, "
+        "src_substance string, dst_substance string, ratio double",
+    )
+    cc = spark.createDataFrame(
+        [(0, "AAA", 1.0)], "cell_id long, country string, fraction double"
+    )
+    out = {r["substance"]: r["value_kg_y"] for r in speciate(e, spec, cell_country=cc).collect()}
+    assert out == {"tol": pytest.approx(4.0), "xyl": pytest.approx(6.0)}
+
+
+def test_speciate_cc_wildcard_category_fallback_and_missing_raises(spark):
+    e = spark.createDataFrame(
+        [(0, "heat", "NMVOC", 10.0), (0, "boat", "NMVOC", 2.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    # specific rows for heat only + a wildcard for everything else
+    spec = spark.createDataFrame(
+        [
+            ("heat", "AAA", None, None, "NMVOC", "tol", 1.0),
+            (None, "AAA", None, None, "NMVOC", "xyl", 1.0),
+        ],
+        "category string, country string, type string, year int, "
+        "src_substance string, dst_substance string, ratio double",
+    )
+    cc = spark.createDataFrame(
+        [(0, "AAA", 1.0)], "cell_id long, country string, fraction double"
+    )
+    out = {
+        (r["category"], r["substance"]): r["value_kg_y"]
+        for r in speciate(e, spec, cell_country=cc).collect()
+    }
+    # heat uses its specific row, boat falls back to the wildcard
+    assert out == {("heat", "tol"): pytest.approx(10.0),
+                   ("boat", "xyl"): pytest.approx(2.0)}
+
+    # no wildcard: the uncovered category raises like the reference
+    spec2 = spec.where(F.col("category").isNotNull())
+    with pytest.raises(Exception, match="no ratio rows for category"):
+        speciate(e, spec2, cell_country=cc).collect()
+
+
+def test_speciate_cc_duplicate_rows_raise(spark):
+    e = spark.createDataFrame(
+        [(0, "heat", "NMVOC", 10.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    spec = spark.createDataFrame(
+        [
+            ("heat", "AAA", None, 2020, "NMVOC", "tol", 0.4),
+            ("heat", "AAA", None, 2021, "NMVOC", "tol", 0.6),
+        ],
+        "category string, country string, type string, year int, "
+        "src_substance string, dst_substance string, ratio double",
+    )
+    cc = spark.createDataFrame(
+        [(0, "AAA", 1.0)], "cell_id long, country string, fraction double"
+    )
+    with pytest.raises(Exception, match="multiple ratio rows"):
+        speciate(e, spec, cell_country=cc).collect()  # year unresolved
+    # resolving the year disambiguates
+    out = speciate(e, spec, cell_country=cc, year=2021).collect()
+    assert out[0]["value_kg_y"] == pytest.approx(6.0)
