@@ -1451,6 +1451,8 @@ _REVERIFY = [
     "speciate", "speciate_country", "speciate_inventory", "speciate_nox",
     "merge_indexes", "vertical_rebin", "stream_sessionize",
     "temporal_expand", "temporal_expand_cell", "composite_scaling",
+    "doc_fingerprint", "hamming_pairs", "minhash_lsh", "lsh_capped",
+    "quality_filter", "seq_pack", "shard_plan", "doc_chunks", "winnow_fp",
 ]
 
 _FRONT = {**QUERIES_R5, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}

@@ -109,7 +109,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_DOC_FINGERPRINT = """
     SELECT source, COUNT(*) AS n_docs,
-           COUNT(DISTINCT md5(array_to_string(string_split(lower(trim(text)), ' '), ' ')))
+           COUNT(DISTINCT md5(array_to_string(list_filter(string_split(lower(trim(text)), ' '), x -> x <> ''), ' ')))
                AS n_distinct_fp
     FROM documents GROUP BY source
 """

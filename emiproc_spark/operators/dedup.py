@@ -21,7 +21,7 @@ positions).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from emiproc_spark.operators.text import shingles, tokens
@@ -213,19 +213,39 @@ def lsh_candidate_pairs(
     """
     if oversize_policy not in ("star", "drop"):
         raise ValueError(f"oversize_policy must be star or drop, got {oversize_policy!r}")
+    # banding derives from seed // rows_per_band, so the signature width
+    # must equal bands·rows_per_band — a mismatched k would silently
+    # band differently than the caller asked (looser/weaker buckets).
+    # Validated lazily per (doc, band): a short band or a band index
+    # past ``bands`` raises at execution (same contract the streaming
+    # counterpart enforces up-front on k, streams.py).
+    band_ok = (F.count("*") == rows_per_band) & (F.first("band") < bands)
     banded = (
         signatures.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
         .groupBy("doc_id", "band")
         .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                        lambda s: s["minhash"],
-                    ),
-                )
-            ).alias("band_hash")
+            F.when(
+                band_ok,
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                            lambda s: s["minhash"],
+                        ),
+                    )
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"lsh_candidate_pairs: signatures do not band into "
+                        f"{bands} bands of {rows_per_band} rows — pass "
+                        "signatures with k = bands * rows_per_band seeds"
+                    )
+                ).cast("string")
+            )
+            .alias("band_hash")
         )
     )
     # truncate before the self-join: the banded aggregation (and the
@@ -290,7 +310,8 @@ def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFram
     Bit-string (not BIGINT) output keeps it engine-portable; Hamming
     distance is a cheap zip-count on the string or a later cast.
     """
-    assert bits == 64, "md5-based simhash is 64-bit (16 hex digits)"
+    if bits != 64:
+        raise ValueError("md5-based simhash is 64-bit (16 hex digits)")
     # per-doc token dedup happens map-side (array_distinct) — no extra
     # distinct shuffle; the groupBy below is then the only exchange.
     # The md5+vote map work runs at input-partition parallelism (a real
@@ -366,6 +387,12 @@ def hamming_pairs(
     executor block storage; pass ``False`` if the input is already a
     materialized table.
     """
+    if not 0 <= max_distance <= 3:
+        raise ValueError(
+            f"max_distance={max_distance}: 16-bit-quarter blocking is only "
+            "complete for distances <= 3 (4 blocks; d+1 blocks must agree "
+            "by pigeonhole) — larger thresholds would silently lose pairs"
+        )
     if reuse_fingerprints:
         fingerprints = fingerprints.localCheckpoint(eager=False)
     quarters = fingerprints.select(
@@ -491,7 +518,7 @@ def winnow_fingerprints(
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
     toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     sh = toks.select(id_col, shingles(F.col("__toks"), k).alias("__sh"))
     hs = sh.select(

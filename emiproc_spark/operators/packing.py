@@ -102,8 +102,16 @@ def pack_sequences(
     ≥ cluster cores for full occupancy (each shard's windowed sort is
     one task over corpus/n_shards rows).
     """
-    sharded = assign_shards(docs, n_shards, key_col).withColumn(
-        "_h", hash_fraction(F.col(key_col))
+    if ctx_len < 1 or n_shards < 1:
+        raise ValueError(
+            f"ctx_len and n_shards must be >= 1, got ctx_len={ctx_len}, "
+            f"n_shards={n_shards}"
+        )
+    # ONE hash evaluation per row: shard_id derives from the same
+    # fraction (identical to assign_shards' formula) instead of paying
+    # a second md5 pass over the corpus
+    sharded = docs.withColumn("_h", hash_fraction(F.col(key_col))).withColumn(
+        "shard_id", F.floor(F.col("_h") * n_shards).cast("int")
     )
     w = (
         Window.partitionBy("shard_id")
@@ -172,7 +180,7 @@ def chunk_documents(
     if stride < 1 or size < 1:
         raise ValueError("size and stride must be >= 1")
     toks = docs.select(
-        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+        F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     n = F.size("__toks")
     starts = F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(stride))

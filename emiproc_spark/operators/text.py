@@ -93,8 +93,11 @@ def lang_id_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
 
 def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized
-    (lowercased, space-joined) token stream."""
-    t = tokens(F.lower(F.trim(F.col(text_col))))
+    (lowercased, whitespace-collapsed, space-joined) token stream —
+    'a  b' and 'a b' fingerprint identically (empty tokens from runs of
+    spaces are dropped before joining; the old split-then-rejoin was an
+    exact identity that never normalized anything)."""
+    t = F.filter(tokens(F.lower(F.trim(F.col(text_col)))), lambda x: x != "")
     return docs.withColumn("fp", F.md5(F.concat_ws(" ", t)))
 
 
@@ -393,6 +396,10 @@ def quality_filter(
     reason = F.lit("ok")
     for name, ok in reversed(checks):
         reason = F.when(~ok, F.lit(name)).otherwise(reason)
+    # NULL text makes every check condition NULL, so ~cond never fires
+    # and the when-chain would fall through to 'ok' — a document with no
+    # text must not pass the gate silently
+    reason = F.when(F.col(text_col).isNull(), F.lit("null_text")).otherwise(reason)
     return (
         staged.withColumn("reason", reason)
         .withColumn("keep", F.col("reason") == "ok")

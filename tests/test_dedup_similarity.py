@@ -50,7 +50,7 @@ def test_simhash_and_hamming(docs):
     assert all(len(b) == 64 for b in rows.values())
     assert rows[0] == rows[1]
     pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in
-             dd.hamming_pairs(fp, max_distance=10).collect()}
+             dd.hamming_pairs(fp, max_distance=3).collect()}
     assert pairs[(0, 1)] == 0
     assert (0, 3) not in pairs
 
@@ -343,3 +343,49 @@ def test_ann_topk_multiprobe_recall(spark):
     r_multi = len(multi & set(brute))
     assert r_multi >= r_single
     assert 0 in multi  # the query vector itself always survives
+
+
+def test_hamming_pairs_rejects_incomplete_blocking(spark, docs):
+    """max_distance > 3 would silently lose pairs under 16-bit-quarter
+    blocking (4 blocks only guarantee agreement up to distance 3)."""
+    fp = dd.simhash(docs)
+    with pytest.raises(ValueError, match="distances <= 3"):
+        dd.hamming_pairs(fp, max_distance=10)
+
+
+def test_lsh_candidate_pairs_validates_banding(spark, docs):
+    """Signatures whose seed count does not band into bands x
+    rows_per_band raise instead of silently bucketing differently."""
+    sigs = dd.minhash_signatures(docs, k=8)
+    with pytest.raises(Exception, match="bands"):
+        dd.lsh_candidate_pairs(sigs, bands=2, rows_per_band=2).collect()
+
+
+def test_quality_filter_null_text_fails(spark):
+    from emiproc_spark.operators.text import quality_filter
+
+    docs = spark.createDataFrame(
+        [(0, None), (1, " ".join(f"w{i}" for i in range(30)))], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: (r["keep"], r["reason"]) for r in quality_filter(docs).collect()}
+    assert out[0] == (False, "null_text")
+    assert out[1][0] is True
+
+
+def test_fingerprint_collapses_whitespace(spark):
+    from emiproc_spark.operators.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(0, "a  b"), (1, "a b"), (2, "a c")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fps[0] == fps[1]
+    assert fps[0] != fps[2]
+
+
+def test_pack_sequences_validates_ctx_len(spark):
+    from emiproc_spark.operators.packing import pack_sequences
+
+    docs = spark.createDataFrame([(0, 5)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="ctx_len"):
+        pack_sequences(docs, ctx_len=0)
