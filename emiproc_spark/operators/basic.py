@@ -134,10 +134,28 @@ def scale_inventory(
     """
     if isinstance(factors, (int, float)):
         return emissions.withColumn("value_kg_y", F.col("value_kg_y") * F.lit(float(factors)))
+    # collapse to one row per key with a duplicate flag: a doubled
+    # factor row would otherwise fan the join out and silently multiply
+    # mass (the same ambiguity attach_profiles raises on)
+    checked = factors.groupBy("category", "substance").agg(
+        F.first("factor").alias("factor"), (F.count("*") > 1).alias("__dupf")
+    )
+    eff = F.when(
+        F.col("__dupf"),
+        F.raise_error(
+            F.concat(
+                F.lit("scale_inventory: several factor rows for (category="),
+                F.col("category"),
+                F.lit(", substance="),
+                F.col("substance"),
+                F.lit(") — deduplicate the factor table"),
+            )
+        ).cast("double"),
+    ).otherwise(F.coalesce(F.col("factor"), F.lit(1.0)))
     return (
-        emissions.join(F.broadcast(factors), ["category", "substance"], "left")
-        .withColumn("value_kg_y", F.col("value_kg_y") * F.coalesce(F.col("factor"), F.lit(1.0)))
-        .drop("factor")
+        emissions.join(F.broadcast(checked), ["category", "substance"], "left")
+        .withColumn("value_kg_y", F.col("value_kg_y") * eff)
+        .drop("factor", "__dupf")
     )
 
 
@@ -150,11 +168,14 @@ def drop(
     """Drop (or keep-only) lists of categories/substances
     (reference drop, emiproc/inventories/utils.py:714-772)."""
     df = emissions
-    if categories:
-        cond = F.col("category").isin(categories)
+    # `is not None`, not truthiness: an EMPTY keep-list means "keep
+    # nothing" (and an empty drop-list drops nothing), not "skip the
+    # filter entirely"
+    if categories is not None:
+        cond = F.col("category").isin(categories) if categories else F.lit(False)
         df = df.where(cond if keep_instead_of_drop else ~cond)
-    if substances:
-        cond = F.col("substance").isin(substances)
+    if substances is not None:
+        cond = F.col("substance").isin(substances) if substances else F.lit(False)
         df = df.where(cond if keep_instead_of_drop else ~cond)
     return df
 
@@ -175,11 +196,24 @@ def get_total_emissions(
     df = emissions.select("substance", "category", "value_kg_y")
     if shaped is not None:
         df = df.unionByName(shaped.select("substance", "category", "value_kg_y"))
+    # F.grouping distinguishes the rollup's subtotal rows from DATA
+    # rows whose key is genuinely NULL — coalescing on the value would
+    # conflate a null-category data row with the per-substance subtotal
     return (
         df.rollup("substance", "category")
-        .agg(F.sum("value_kg_y").alias("total_kg_y"))
-        .where(F.col("substance").isNotNull())
-        .withColumn("category", F.coalesce(F.col("category"), F.lit(total_key)))
+        .agg(
+            F.sum("value_kg_y").alias("total_kg_y"),
+            F.grouping("substance").alias("__gs"),
+            F.grouping("category").alias("__gc"),
+        )
+        .where(F.col("__gs") == 0)
+        .withColumn(
+            "category",
+            F.when(F.col("__gc") == 1, F.lit(total_key)).otherwise(
+                F.col("category")
+            ),
+        )
+        .drop("__gs", "__gc")
     )
 
 

@@ -34,8 +34,12 @@ def make_composite_profiles(assignments: DataFrame) -> tuple[DataFrame, DataFram
     index(…keys, comp_id)).
     """
     keys = [c for c in assignments.columns if c not in ("ptype", "profile_id")]
+    # collect_SET: an exactly-duplicated assignment row must not make
+    # identical logical combos dictionary-encode differently, nor put two
+    # copies of one sub-profile into the composite (the scaling product
+    # would apply it twice)
     tuples = assignments.groupBy(*keys).agg(
-        F.array_sort(F.collect_list(F.struct("ptype", "profile_id"))).alias("combo")
+        F.array_sort(F.collect_set(F.struct("ptype", "profile_id"))).alias("combo")
     )
     distinct = tuples.select("combo").distinct().withColumn(
         "comp_id", (F.row_number().over(Window.orderBy("combo")) - 1).cast("int")
@@ -58,13 +62,24 @@ def concatenate_profiles(a: DataFrame, b: DataFrame) -> tuple[DataFrame, Column]
     return a.unionByName(shifted), F.lit(offset)
 
 
-def broadcast_to_types(composite: DataFrame, ptypes: list[str]) -> DataFrame:
+def broadcast_to_types(
+    composite: DataFrame, ptypes: list[str], comp_ids: DataFrame | None = None
+) -> DataFrame:
     """Widen every composite to a common type set, filling missing types
     with the constant sub-profile −1 (reference
-    CompositeTemporalProfiles.broadcast, composite.py:230-372)."""
+    CompositeTemporalProfiles.broadcast, composite.py:230-372).
+
+    ``comp_ids`` (a one-column comp_id frame, e.g. the index from
+    make_composite_profiles) supplies the composite universe: a
+    fully-constant composite (every sub-profile −1) has NO rows in
+    ``composite`` and would otherwise vanish from the widened output
+    instead of becoming all-(−1) rows."""
     spark = composite.sparkSession
     tdf = spark.createDataFrame([(t,) for t in ptypes], schema="ptype string")
-    scaffold = composite.select("comp_id").distinct().crossJoin(F.broadcast(tdf))
+    universe = (
+        comp_ids.select("comp_id") if comp_ids is not None else composite.select("comp_id")
+    ).distinct()
+    scaffold = universe.crossJoin(F.broadcast(tdf))
     return scaffold.join(composite, ["comp_id", "ptype"], "left").withColumn(
         "profile_id", F.coalesce("profile_id", F.lit(-1))
     )
@@ -72,15 +87,16 @@ def broadcast_to_types(composite: DataFrame, ptypes: list[str]) -> DataFrame:
 
 def composite_scaling_factor(ts: Column, sub_profiles: DataFrame) -> DataFrame:
     """Scaling factor of each composite at one timestamp column bound to
-    ``sub_profiles`` rows (comp_id, ptype, ratios): per-type factors
-    multiply via exp(Σ log) — a product aggregate that keeps map-side
-    partial aggregation (missing types contribute log(1)=0)."""
+    ``sub_profiles`` rows (comp_id, ptype, ratios): the per-type factors
+    multiply (missing types contribute 1.0 since they have no row)."""
     per_type = sub_profiles.withColumn(
         "sf", scaling_factor_at(ts, F.col("ptype"), F.col("ratios"))
     )
-    return per_type.groupBy("comp_id").agg(
-        F.exp(F.sum(F.log(F.greatest(F.col("sf"), F.lit(1e-300))))).alias("sf")
-    )
+    # product aggregate (map-side combinable) — exact on zeros, unlike
+    # the previous exp(Σ log(greatest(sf, 1e-300))) whose clamp turned a
+    # genuine sf=0 hour into a tiny positive factor (and disagreed with
+    # temporal.composite_scaling_factor's exact fold)
+    return per_type.groupBy("comp_id").agg(F.product("sf").alias("sf"))
 
 
 def ensure_specific_days_consistency(
@@ -131,9 +147,36 @@ def ensure_specific_days_consistency(
     if general is None:
         return specific
     days = spark.createDataFrame([(d,) for d in range(7)], schema="dow int")
-    scaffold = general.select("profile_id", F.col("ratios").alias("g_ratios")).crossJoin(
-        F.broadcast(days)
+    # the profile universe is BOTH inputs: a pid that appears only in
+    # day_profiles (full specific coverage, no general fallback) must
+    # not vanish because the scaffold was built from general alone.
+    # Gaps with no general row get the uniform profile, like the
+    # reference's default-constructed SpecificDayProfile
+    # (temporal/utils.py:84-86 + DailyProfile's uniform default ratios)
+    g = general.select("profile_id", F.col("ratios").alias("g_ratios"))
+    sizes = day_profiles.groupBy("profile_id").agg(
+        F.first(F.size("ratios")).alias("__n")
     )
+    pids = (
+        g.select("profile_id")
+        .unionByName(sizes.select("profile_id"))
+        .distinct()
+    )
+    uniform = F.transform(
+        F.sequence(F.lit(1), F.col("__n")), lambda _: F.lit(1.0) / F.col("__n")
+    )
+    fallback = (
+        pids.join(g, "profile_id", "left")
+        .join(sizes, "profile_id", "left")
+        .withColumn(
+            "g_ratios",
+            F.coalesce(
+                "g_ratios", F.when(F.col("__n").isNotNull(), uniform)
+            ),
+        )
+        .select("profile_id", "g_ratios")
+    )
+    scaffold = fallback.crossJoin(F.broadcast(days))
     return (
         scaffold.join(specific, ["profile_id", "dow"], "left")
         .withColumn("ratios", F.coalesce("ratios", "g_ratios"))
@@ -150,6 +193,16 @@ def check_valid_profiles(tprofiles: DataFrame, rtol: float = 1e-6) -> DataFrame:
     total = F.aggregate("ratios", F.lit(0.0), lambda a, x: a + x)
     has_neg = F.exists("ratios", lambda x: x < 0)
     has_nan = F.exists("ratios", lambda x: F.isnan(x))
+    # NULLs make every predicate NULL and where() drops NULL as false —
+    # the most corrupt rows (null array / null element) would pass the
+    # validity check silently without the explicit isNull branches
+    has_null = F.col("ratios").isNull() | F.exists(
+        "ratios", lambda x: x.isNull()
+    )
     return tprofiles.withColumn("ratio_sum", total).where(
-        has_neg | has_nan | (F.abs(F.col("ratio_sum") - 1.0) > rtol)
+        has_null
+        | F.coalesce(
+            has_neg | has_nan | (F.abs(F.col("ratio_sum") - 1.0) > rtol),
+            F.lit(True),
+        )
     )

@@ -29,7 +29,7 @@ def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
     filters on the same key with the same salt are perfectly correlated
     (the second keeps ``min(r1, r2)``, not ``r1·r2``), so every
     independent decision in a pipeline must use its own salt."""
-    return (
+    frac = (
         F.conv(
             F.substring(F.md5(F.concat(key.cast("string"), F.lit(salt))), 1, 8),
             16,
@@ -37,6 +37,18 @@ def hash_fraction(key: F.Column, salt: str = "") -> F.Column:
         ).cast("long")
         / F.lit(HASH_DENOM)
     )
+    # a NULL key hashes to NULL, and NULL < rate filters the row out at
+    # EVERY rate (sample_fraction(df, 1.0) would silently lose it, and a
+    # shard assignment would be NULL) — a keyless row is a caller bug
+    return F.when(
+        key.isNull(),
+        F.raise_error(
+            F.lit(
+                "hash_fraction: NULL sampling key — fill or drop keyless "
+                "rows before sampling/sharding"
+            )
+        ).cast("double"),
+    ).otherwise(frac)
 
 
 def sql_hash_fraction(expr: str, salt: str = "") -> str:

@@ -310,7 +310,13 @@ def ivf_topk(
         )[:nprobe]
     ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
-    assigned = ivf_assign(embeddings, centroids, vec_col, cell_col)
+    # reuse a stored assignment: recomputing would overwrite the cell
+    # column the index was PARTITIONED by and defeat partition pruning
+    # (the probe filter must reach the file scan)
+    if cell_col in embeddings.columns:
+        assigned = embeddings
+    else:
+        assigned = ivf_assign(embeddings, centroids, vec_col, cell_col)
     return (
         assigned.where(F.col(cell_col).isin(probes))
         .select(id_col, cosine(F.col(vec_col), q).alias("cos"))

@@ -157,3 +157,37 @@ def test_total_emissions_diff_and_almost_equal(spark):
     }
     assert rows[("CO2", "traffic")] is False  # only in a
     assert rows[("CH4", "traffic")] is False  # only in b
+
+
+def test_scale_inventory_duplicate_factor_raises(spark, emissions):
+    from emiproc_spark.operators.basic import scale_inventory
+
+    dup = spark.createDataFrame(
+        [("adf", "CO2", 1.1), ("adf", "CO2", 1.1)],
+        "category string, substance string, factor double",
+    )
+    with pytest.raises(Exception, match="several factor rows"):
+        scale_inventory(emissions, dup).collect()
+
+
+def test_drop_empty_keep_list_keeps_nothing(spark, emissions):
+    from emiproc_spark.operators.basic import drop
+
+    assert drop(emissions, categories=[], keep_instead_of_drop=True).count() == 0
+    # empty drop-list drops nothing; None skips the filter
+    assert drop(emissions, categories=[]).count() == emissions.count()
+    assert drop(emissions).count() == emissions.count()
+
+
+def test_total_emissions_null_category_not_conflated(spark):
+    from emiproc_spark.operators.basic import get_total_emissions
+
+    e = spark.createDataFrame(
+        [(0, None, "CO2", 3.0), (1, "heat", "CO2", 4.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    rows = {(r["category"], r["total_kg_y"]) for r in get_total_emissions(e).collect()}
+    # NULL-category data row stays distinct from the __total__ subtotal
+    assert (None, 3.0) in rows
+    assert ("heat", 4.0) in rows
+    assert ("__total__", 7.0) in rows

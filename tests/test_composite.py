@@ -85,3 +85,53 @@ def test_check_valid_profiles(spark):
     df = spark.createDataFrame([good, bad_sum, bad_neg], schema=TPROFILE)
     bad = {r["profile_id"] for r in check_valid_profiles(df).collect()}
     assert bad == {1, 2}
+
+
+def test_specific_days_pid_without_general_survives(spark):
+    """A pid fully covered by specific days but absent from general
+    must not vanish; a partially covered pid without a general row gets
+    the uniform fallback (reference's default SpecificDayProfile)."""
+    prof = spark.createDataFrame(
+        [(7, d, [float(i + 1)]) for i, d in enumerate(
+         ("monday", "tuesday", "wednesday", "thursday", "friday",
+          "saturday", "sunday"))]
+        + [(8, "weekend", [0.5, 0.5])],
+        schema="profile_id int, day_type string, ratios array<double>",
+    )
+    general = spark.createDataFrame(
+        [(9, [2.0, 2.0])], schema="profile_id int, ratios array<double>"
+    )
+    out = ensure_specific_days_consistency(prof, general).collect()
+    by_pid = {}
+    for r in out:
+        by_pid.setdefault(r["profile_id"], {})[r["dow"]] = r["ratios"]
+    assert set(by_pid) == {7, 8, 9}
+    assert by_pid[7][0] == [1.0] and by_pid[7][6] == [7.0]
+    # pid 8: weekend specific, weekdays fall back to uniform [0.5, 0.5]
+    assert by_pid[8][5] == [0.5, 0.5]
+    assert by_pid[8][0] == pytest.approx([0.5, 0.5])
+    # pid 9: general only, all 7 days
+    assert all(by_pid[9][d] == [2.0, 2.0] for d in range(7))
+
+
+def test_check_valid_profiles_flags_nulls(spark):
+    df = spark.createDataFrame(
+        [(0, "daily", [0.5, 0.5]), (1, "daily", [0.5, None]), (2, "daily", None)],
+        schema=TPROFILE,
+    )
+    bad = {r["profile_id"] for r in check_valid_profiles(df).collect()}
+    assert bad == {1, 2}
+
+
+def test_composite_dedupes_duplicate_assignment_rows(spark):
+    from emiproc_spark.operators.composite import make_composite_profiles
+
+    a = spark.createDataFrame(
+        [("A", "daily", 0), ("A", "daily", 0), ("B", "daily", 0)],
+        "key string, ptype string, profile_id int",
+    )
+    composite, index = make_composite_profiles(a)
+    ids = {r["key"]: r["comp_id"] for r in index.collect()}
+    assert ids["A"] == ids["B"]  # identical logical combos share an id
+    rows = composite.collect()
+    assert len(rows) == 1  # one (daily, 0) sub-profile row, not two
