@@ -1428,11 +1428,14 @@ ORACLES.update(ORACLES_R3C)
 
 from emiproc_spark.driver_queries_r4 import ORACLES_R4, QUERIES_R4  # noqa: E402
 from emiproc_spark.driver_queries_r5 import ORACLES_R5, QUERIES_R5  # noqa: E402
+from emiproc_spark.driver_queries_r5b import ORACLES_R5B, QUERIES_R5B  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
 QUERIES.update(QUERIES_R5)
 ORACLES.update(ORACLES_R5)
+QUERIES.update(QUERIES_R5B)
+ORACLES.update(ORACLES_R5B)
 
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
@@ -1455,8 +1458,17 @@ _REVERIFY = [
     "quality_filter", "seq_pack", "shard_plan", "doc_chunks", "winnow_fp",
 ]
 
-_FRONT = {**QUERIES_R5, **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES}}
+_FRONT = {
+    **QUERIES_R5B,
+    **QUERIES_R5,
+    **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
+}
 QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
-    ORACLES, {**ORACLES_R5, **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES}}
+    ORACLES,
+    {
+        **ORACLES_R5B,
+        **ORACLES_R5,
+        **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES},
+    },
 )

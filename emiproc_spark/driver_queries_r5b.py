@@ -1,0 +1,239 @@
+"""Round-5b driver queries: the temporal-join and incremental-curation
+operators added this round.
+
+- ``asof_join``: pandas-``merge_asof``-style backward as-of join
+  (operators/joins.py) — each click event gets the latest prior view of
+  the same user, NULLed beyond a 30-minute tolerance.  The oracle is
+  DuckDB's native ``ASOF LEFT JOIN`` (an independent engine-level
+  implementation of the same semantics), with the tolerance applied as
+  a post-projection.
+- ``range_join``: interval-overlap join via bucket explode
+  (operators/joins.py) — per-user error windows [ts, ts+10 min) against
+  click windows [ts, ts+5 min).  The oracle is the plain inequality
+  join DuckDB executes as an IEJoin.
+- ``points_in_windows``: point-in-interval join — views landing inside
+  error windows, point side never exploded.
+- ``minhash_inc``: incremental LSH dedup (operators/dedup.py) — the
+  twin half of the doubled corpus arrives as a "new batch" and is
+  banded against the full band table; output must equal the full LSH
+  pair set filtered to pairs touching a new doc, old×old never
+  generated.
+- ``bloom_decon``: Bloom-prefiltered exact decontamination
+  (operators/packing.py) — same planted-contamination fixture and
+  oracle as ``decontaminate``; the Bloom stage must be invisible in the
+  result (false positives exactly confirmed away, no false negatives).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.driver_queries_text import DOCS2_SQL, DOUBLE_OFFSET, SQL_MINHASH_LSH, _docs2
+
+NS_PER_MIN = 60 * 1_000_000_000
+
+# DuckDB-side events with the same epoch-nanos ts the Spark fixture uses
+EVENTS_NS_SQL = """
+    SELECT event_id, user_id, epoch_ns(ts) AS ts, value, event_type
+    FROM events
+"""
+
+
+# ======================================================================
+# asof_join — backward as-of with tolerance (operators/joins.py)
+# ======================================================================
+ASOF_TOL = 30 * NS_PER_MIN
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.joins import asof_join
+
+    ev = fx.events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", F.col("value").alias("click_value")
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        clicks, views, "ts", ["user_id"], ["view_value"], tolerance=ASOF_TOL
+    )
+    return out.select(
+        "event_id", "user_id", "ts", "click_value", "view_value",
+        F.col("ts_right").alias("view_ts"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+    WITH ev AS ({EVENTS_NS_SQL}),
+    c AS (SELECT event_id, user_id, ts, value AS click_value FROM ev
+          WHERE event_type = 'click'),
+    v AS (SELECT user_id, ts, value AS view_value FROM ev
+          WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts, c.click_value,
+           CASE WHEN c.ts - v.ts <= {ASOF_TOL} THEN v.view_value END AS view_value,
+           CASE WHEN c.ts - v.ts <= {ASOF_TOL} THEN v.ts END AS view_ts
+    FROM c ASOF LEFT JOIN v ON c.user_id = v.user_id AND c.ts >= v.ts
+"""
+
+
+# ======================================================================
+# range_join — interval overlap via bucket explode (operators/joins.py)
+# ======================================================================
+ERR_WIN = 10 * NS_PER_MIN
+CLICK_WIN = 5 * NS_PER_MIN
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.joins import range_join
+
+    ev = fx.events(spark, sf_dir)
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + ERR_WIN).alias("end"),
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + CLICK_WIN).alias("end"),
+    )
+    pairs = range_join(errors, clicks, ["user_id"], bucket=ERR_WIN)
+    return pairs.select(
+        "err_id",
+        "click_id",
+        "user_id",
+        (F.least("end", "r_end") - F.greatest("start", "r_start")).alias("overlap_ns"),
+    )
+
+
+SQL_RANGE_JOIN = f"""
+    WITH ev AS ({EVENTS_NS_SQL}),
+    e AS (SELECT event_id AS err_id, user_id, ts AS start_,
+                 ts + {ERR_WIN} AS end_ FROM ev WHERE event_type = 'error'),
+    c AS (SELECT event_id AS click_id, user_id, ts AS start_,
+                 ts + {CLICK_WIN} AS end_ FROM ev WHERE event_type = 'click')
+    SELECT e.err_id, c.click_id, e.user_id,
+           LEAST(e.end_, c.end_) - GREATEST(e.start_, c.start_) AS overlap_ns
+    FROM e JOIN c ON e.user_id = c.user_id
+                 AND e.start_ < c.end_ AND c.start_ < e.end_
+"""
+
+
+# ======================================================================
+# points_in_windows — point-in-interval join (operators/joins.py)
+# ======================================================================
+def q_points_in_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.joins import point_in_range_join
+
+    ev = fx.events(spark, sf_dir)
+    views = ev.where(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"), "user_id", "ts"
+    )
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + ERR_WIN).alias("end"),
+    )
+    hits = point_in_range_join(views, errors, ["user_id"], bucket=ERR_WIN)
+    return hits.groupBy("user_id").agg(
+        F.count("*").alias("n_hits"),
+        F.countDistinct("view_id").alias("n_views_in_windows"),
+        F.countDistinct("err_id").alias("n_windows_hit"),
+    )
+
+
+SQL_POINTS_IN_WINDOWS = f"""
+    WITH ev AS ({EVENTS_NS_SQL}),
+    v AS (SELECT event_id AS view_id, user_id, ts FROM ev
+          WHERE event_type = 'view'),
+    e AS (SELECT event_id AS err_id, user_id, ts AS start_,
+                 ts + {ERR_WIN} AS end_ FROM ev WHERE event_type = 'error')
+    SELECT v.user_id, COUNT(*) AS n_hits,
+           COUNT(DISTINCT v.view_id) AS n_views_in_windows,
+           COUNT(DISTINCT e.err_id) AS n_windows_hit
+    FROM v JOIN e ON v.user_id = e.user_id
+                 AND v.ts >= e.start_ AND v.ts < e.end_
+    GROUP BY v.user_id
+"""
+
+
+# ======================================================================
+# minhash_inc — incremental LSH batch dedup (operators/dedup.py)
+# ======================================================================
+def q_minhash_inc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import emiproc_spark.operators.dedup as dd
+
+    docs = _docs2(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, k=8)
+    new = docs.where(F.col("doc_id") >= DOUBLE_OFFSET).select("doc_id")
+    return dd.lsh_candidate_pairs_incremental(sigs, new, bands=4, rows_per_band=2)
+
+
+SQL_MINHASH_INC = f"""
+    SELECT doc_a, doc_b FROM ({SQL_MINHASH_LSH})
+    WHERE doc_a >= {DOUBLE_OFFSET} OR doc_b >= {DOUBLE_OFFSET}
+"""
+
+
+# ======================================================================
+# bloom_decon — Bloom-prefiltered exact decontamination (packing.py)
+# ======================================================================
+def q_bloom_decon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fixture is q_decontaminate's planted-contamination corpus verbatim
+    # (driver_queries_curate.py) so the two queries share an oracle
+    from emiproc_spark.operators import packing as pk
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 41 == 0)
+    ev = eval_docs.select(
+        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "ev_id",
+            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
+        )
+        .join(F.broadcast(ev), "ev_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
+        )
+    )
+    return pk.decontaminate_bloom(corpus, eval_docs, n=5, fpr=1e-3, keep=False)
+
+
+def _sql_bloom_decon() -> str:
+    from emiproc_spark.driver_queries_curate import SQL_DECONTAMINATE
+
+    # the Bloom stage is exactly confirmed away, so the oracle is the
+    # exact-decontamination SQL verbatim
+    return SQL_DECONTAMINATE
+
+
+# ======================================================================
+# registry
+# ======================================================================
+QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "points_in_windows": q_points_in_windows,
+    "minhash_inc": q_minhash_inc,
+    "bloom_decon": q_bloom_decon,
+}
+
+ORACLES_R5B: dict[str, str] = {
+    "asof_join": SQL_ASOF_JOIN,
+    "range_join": SQL_RANGE_JOIN,
+    "points_in_windows": SQL_POINTS_IN_WINDOWS,
+    "minhash_inc": SQL_MINHASH_INC,
+    "bloom_decon": _sql_bloom_decon(),
+}

@@ -181,6 +181,56 @@ def minhash_signatures(
     ).withColumn("seed", F.col("seed").cast("int"))
 
 
+def band_signatures(
+    signatures: DataFrame, bands: int, rows_per_band: int
+) -> DataFrame:
+    """Collapse a long (doc_id, seed, minhash) signature to one hashed
+    row per (doc_id, band) — the LSH bucket key.
+
+    Banding derives from seed // rows_per_band, so the signature width
+    must equal bands·rows_per_band — a mismatched k would silently band
+    differently than the caller asked (looser/weaker buckets).
+    Validated lazily per (doc, band): a short band or a band index past
+    ``bands`` raises at execution (same contract the streaming
+    counterpart enforces up-front on k, streams.py).
+
+    The result is lazily localCheckpointed: every caller self-joins it,
+    and truncating the lineage makes the banded aggregation (and the
+    whole signature plan under it) materialize once, not once per join
+    side (exchange reuse does not survive AQE broadcasting).
+    """
+    band_ok = (F.count("*") == rows_per_band) & (F.first("band") < bands)
+    banded = (
+        signatures.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.when(
+                band_ok,
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                            lambda s: s["minhash"],
+                        ),
+                    )
+                ),
+            )
+            .otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"lsh_candidate_pairs: signatures do not band into "
+                        f"{bands} bands of {rows_per_band} rows — pass "
+                        "signatures with k = bands * rows_per_band seeds"
+                    )
+                ).cast("string")
+            )
+            .alias("band_hash")
+        )
+    )
+    return banded.localCheckpoint(eager=False)
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,
@@ -213,45 +263,7 @@ def lsh_candidate_pairs(
     """
     if oversize_policy not in ("star", "drop"):
         raise ValueError(f"oversize_policy must be star or drop, got {oversize_policy!r}")
-    # banding derives from seed // rows_per_band, so the signature width
-    # must equal bands·rows_per_band — a mismatched k would silently
-    # band differently than the caller asked (looser/weaker buckets).
-    # Validated lazily per (doc, band): a short band or a band index
-    # past ``bands`` raises at execution (same contract the streaming
-    # counterpart enforces up-front on k, streams.py).
-    band_ok = (F.count("*") == rows_per_band) & (F.first("band") < bands)
-    banded = (
-        signatures.withColumn("band", (F.col("seed") / F.lit(rows_per_band)).cast("int"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.when(
-                band_ok,
-                F.md5(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                            lambda s: s["minhash"],
-                        ),
-                    )
-                ),
-            )
-            .otherwise(
-                F.raise_error(
-                    F.lit(
-                        f"lsh_candidate_pairs: signatures do not band into "
-                        f"{bands} bands of {rows_per_band} rows — pass "
-                        "signatures with k = bands * rows_per_band seeds"
-                    )
-                ).cast("string")
-            )
-            .alias("band_hash")
-        )
-    )
-    # truncate before the self-join: the banded aggregation (and the
-    # whole signature plan under it) materializes once, not once per
-    # join side (exchange reuse does not survive AQE broadcasting)
-    banded = banded.localCheckpoint(eager=False)
+    banded = band_signatures(signatures, bands, rows_per_band)
     if max_bucket_size is not None:
         stats = banded.groupBy("band", "band_hash").agg(
             F.count("*").alias("__sz"), F.min("doc_id").alias("__rep")
@@ -281,6 +293,48 @@ def lsh_candidate_pairs(
         a.join(b, ["band", "band_hash"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def lsh_candidate_pairs_incremental(
+    signatures: DataFrame,
+    new_docs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidate pairs of an *incremental* dedup batch: every LSH pair
+    with at least one side in ``new_docs`` (a one-column doc_id frame);
+    existing-corpus pairs (old × old) are never generated.
+
+    This is the production shape for a growing corpus: the historical
+    band table is computed once (in practice: stored, partitioned by
+    (band, band_hash)) and each ingest batch joins only its OWN bands
+    against it — per-batch cost is |batch| × bucket occupancy, not a
+    full-corpus self-join re-run.  Output matches
+    ``lsh_candidate_pairs(...)`` filtered to pairs touching a new doc
+    (pair order doc_a < doc_b), so verify-then-cluster pipelines
+    compose unchanged.
+    """
+    banded = band_signatures(signatures, bands, rows_per_band)
+    flagged = banded.join(
+        F.broadcast(new_docs.select("doc_id").distinct().withColumn("__new", F.lit(True))),
+        "doc_id",
+        "left",
+    ).withColumn("__new", F.coalesce("__new", F.lit(False)))
+    a = flagged.where("__new").alias("a")
+    b = flagged.alias("b")
+    # new×old pairs pass unconditionally (canonicalized via least/
+    # greatest); new×new needs a.doc_id < b.doc_id so each unordered
+    # pair is generated once, not twice
+    return (
+        a.join(b, ["band", "band_hash"])
+        .where((~F.col("b.__new")) | (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
 

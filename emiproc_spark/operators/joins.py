@@ -1,0 +1,208 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+interval (range-overlap) join.
+
+Beyond-parity: the reference has no event-stream surface; these are the
+standard time-series primitives a 100 TB event/telemetry table needs
+(and that engines like DuckDB/kdb/Pandas ``merge_asof`` ship built-in).
+
+Scale design:
+
+- **as-of join**: the naive plan — equi-join on the key plus a
+  ``r.ts <= l.ts`` theta predicate, then max-per-left-row — explodes to
+  |left_key| × |right_key| intermediate rows per key before the
+  aggregate prunes them.  Instead both sides are *unioned* (tagged) and
+  the match is a ``last(..., ignorenulls)`` running window within the
+  key partition ordered by (ts, tag): ONE shuffle on the key, zero row
+  amplification, linear in |left| + |right| per key.  This is the
+  classic sort-merge formulation; Catalyst executes it as a single
+  window over the co-partitioned union.
+- **range join**: an interval-overlap join on a raw theta predicate is
+  a cartesian product per key.  Intervals are instead exploded to the
+  fixed-width *buckets* they span and joined on (key, bucket) — shuffle
+  volume is |rows| × (interval_len / bucket) and each candidate pair
+  meets in exactly the bucket of the later start, so no post-join
+  dedup pass is needed.  Pick ``bucket`` near the typical interval
+  length: one-ish bucket per row, near-equi-join cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str,
+    by: list[str],
+    value_cols: list[str],
+    tolerance: int | float | None = None,
+    suffix: str = "_right",
+) -> DataFrame:
+    """For every ``left`` row, attach ``value_cols`` of the most recent
+    ``right`` row with ``right.ts <= left.ts`` and equal ``by`` keys
+    (pandas ``merge_asof(direction="backward")`` semantics).
+
+    All left rows are preserved; the attached columns (and
+    ``<ts_col><suffix>``) are NULL when no right row qualifies, or when
+    the match is older than ``tolerance`` (same units as ``ts_col``).
+    A right row exactly at ``left.ts`` matches.
+
+    One shuffle on ``by``; no row amplification (see module docstring).
+    """
+    for c in value_cols + [ts_col]:
+        if c not in right.columns:
+            raise ValueError(f"asof_join: right side has no column {c!r}")
+    overlap = [c for c in left.columns if c in set(value_cols)]
+    if overlap:
+        raise ValueError(
+            f"asof_join: value_cols {overlap} collide with left columns — "
+            "rename or suffix them on the right side first"
+        )
+    payload = F.struct(
+        F.col(ts_col).alias("__ts"), *[F.col(c) for c in value_cols]
+    )
+    l_tag = left.select(
+        *[F.col(c) for c in left.columns],
+        F.lit(1).alias("__is_left"),
+        F.lit(None).cast(
+            right.select(payload).schema[0].dataType.simpleString()
+        ).alias("__payload"),
+    )
+    r_tag = right.select(
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c)
+          if c not in by and c != ts_col else F.col(c)
+          for c in left.columns],
+        F.lit(0).alias("__is_left"),
+        payload.alias("__payload"),
+    )
+    # right rows sort BEFORE left rows at the same ts (tag 0 < 1), so an
+    # exact-ts right row is visible to the left row — the "<=" contract.
+    # __payload as the final key makes ties between right rows at the
+    # SAME (key, ts) deterministic (last = max payload) instead of
+    # partition-layout-dependent
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__payload").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = l_tag.unionByName(r_tag).withColumn(
+        "__match", F.last("__payload", ignorenulls=True).over(w)
+    )
+    out = matched.where(F.col("__is_left") == 1)
+    within: Column = F.lit(True)
+    if tolerance is not None:
+        within = (F.col(ts_col) - F.col("__match.__ts")) <= F.lit(tolerance)
+    keep = F.col("__match").isNotNull() & within
+    for c in value_cols:
+        out = out.withColumn(c, F.when(keep, F.col(f"__match.{c}")))
+    out = out.withColumn(ts_col + suffix, F.when(keep, F.col("__match.__ts")))
+    return out.drop("__is_left", "__payload", "__match")
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: list[str],
+    bucket: int | float,
+    l_start: str = "start",
+    l_end: str = "end",
+    r_start: str = "start",
+    r_end: str = "end",
+) -> DataFrame:
+    """Interval-overlap join: all (left, right) row pairs with equal
+    ``by`` keys whose half-open intervals ``[start, end)`` overlap.
+
+    Both sides explode to the width-``bucket`` buckets their interval
+    spans and meet on (by, bucket); a pair is emitted only in the
+    bucket containing the later of the two starts, so every qualifying
+    pair appears exactly once without a distinct pass.  Output carries
+    all non-key columns of both sides (right's renamed ``r_<col>`` on
+    collision).
+
+    Shuffle volume is rows × ceil(len/bucket + 1): size ``bucket`` near
+    the typical interval length (see module docstring).
+    """
+    if bucket <= 0:
+        raise ValueError(f"range_join: bucket must be positive, got {bucket}")
+
+    def spans(df: DataFrame, start: str, end: str) -> DataFrame:
+        # end < start makes sequence() raise (negative range with
+        # implicit step 1) — malformed intervals fail loudly, they
+        # don't silently match nothing
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(start) / bucket).cast("long"),
+                    F.floor(F.col(end) / bucket).cast("long"),
+                )
+            ),
+        )
+
+    lx = spans(left, l_start, l_end)
+    rx = spans(right, r_start, r_end)
+    rename = {
+        c: f"r_{c}"
+        for c in right.columns
+        if c in set(left.columns) and c not in by
+    }
+    for old, new in rename.items():
+        rx = rx.withColumnRenamed(old, new)
+    rs, re = rename.get(r_start, r_start), rename.get(r_end, r_end)
+    later_start = F.greatest(F.col(l_start), F.col(rs))
+    pairs = (
+        lx.join(rx, [*by, "__bucket"])
+        .where(
+            (F.col(l_start) < F.col(re))
+            & (F.col(rs) < F.col(l_end))
+            & (F.col("__bucket") == F.floor(later_start / bucket).cast("long"))
+        )
+        .drop("__bucket")
+    )
+    return pairs
+
+
+def point_in_range_join(
+    points: DataFrame,
+    ranges: DataFrame,
+    by: list[str],
+    bucket: int | float,
+    point_col: str = "ts",
+    r_start: str = "start",
+    r_end: str = "end",
+) -> DataFrame:
+    """Join point rows to every range row whose half-open interval
+    ``[start, end)`` contains the point (same ``by`` keys): the common
+    "event within maintenance window / session / campaign" lookup.
+
+    Points are degenerate intervals, so this is ``range_join`` with the
+    point side spanning exactly one bucket — no explode on the (big)
+    point side at all, only the (smaller) range side fans out.
+    """
+    px = points.withColumn(
+        "__bucket", F.floor(F.col(point_col) / bucket).cast("long")
+    )
+    rx = ranges.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(r_start) / bucket).cast("long"),
+                F.floor(F.col(r_end) / bucket).cast("long"),
+            )
+        ),
+    )
+    rename = {
+        c: f"r_{c}"
+        for c in ranges.columns
+        if c in set(points.columns) and c not in by
+    }
+    for old, new in rename.items():
+        rx = rx.withColumnRenamed(old, new)
+    rs, re = rename.get(r_start, r_start), rename.get(r_end, r_end)
+    return (
+        px.join(rx, [*by, "__bucket"])
+        .where((F.col(point_col) >= F.col(rs)) & (F.col(point_col) < F.col(re)))
+        .drop("__bucket")
+    )

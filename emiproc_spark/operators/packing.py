@@ -24,6 +24,8 @@ Scale design:
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -63,6 +65,110 @@ def decontaminate(
         "doc_id", F.explode(shingles(F.col("toks"), n)).alias("ngram")
     )
     contaminated = doc_grams.join(grams, "ngram", "semi").select("doc_id").distinct()
+    if not keep:
+        return contaminated
+    return corpus.join(contaminated, "doc_id", "anti")
+
+
+def _bloom_layout(n_items: int, fpr: float) -> tuple[int, int]:
+    """(m_bits rounded up to a 64 multiple, k hashes) for a Bloom filter
+    sized to ``n_items`` at false-positive rate ``fpr``."""
+    import math
+
+    n_items = max(n_items, 1)
+    m = int(math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round(m / n_items * math.log(2)))
+    return m, k
+
+
+def _bloom_positions(col: F.Column, m: int, k: int) -> list[F.Column]:
+    """The k Bloom bit positions of a string column — plain JVM-side
+    expressions (xxhash64 seeded by index), shared by build and probe so
+    the two sides agree by construction."""
+    return [
+        F.pmod(F.xxhash64(col, F.lit(i)), F.lit(m)).cast("long")
+        for i in range(k)
+    ]
+
+
+def decontaminate_bloom(
+    corpus: DataFrame,
+    eval_docs: DataFrame,
+    text_col: str = "text",
+    n: int = 5,
+    fpr: float = 1e-3,
+    keep: bool = True,
+) -> DataFrame:
+    """:func:`decontaminate` for eval sets too large to broadcast raw:
+    a Bloom filter over the eval n-grams prefilters the corpus map-side,
+    and only the surviving candidates take the exact (shuffle) join.
+
+    Same result as ``decontaminate`` — the Bloom stage only admits
+    false *positives* (rate ``fpr``), never false negatives, and every
+    candidate is exactly confirmed — but the corpus-side cost changes
+    shape: the full corpus n-gram stream is reduced by ~(1 - fpr) in
+    the scan stage (an Arrow-batched vectorized bit test against the
+    broadcast bitset, ~m/8 bytes for m bits), so the exact join
+    shuffles only true hits + fpr·|corpus n-grams| rows instead of
+    everything.  At 13-gram GPT-3-style decontamination of a 100 TB
+    corpus against a 10 M-n-gram eval suite, the bitset is ~17 MB and
+    the shuffle shrinks by ~1000×.
+
+    The bitset itself is built distributed (explode n-grams × k seeds →
+    bit positions → per-word ``bit_or``) — only the m/64-row word table
+    is collected.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    spark = corpus.sparkSession
+    grams = eval_ngrams(eval_docs, text_col, n).localCheckpoint(eager=False)
+    n_grams = grams.count()
+    m, k = _bloom_layout(n_grams, fpr)
+
+    # build: k positions per eval n-gram → word index (pos // 64) →
+    # bit_or of the single-bit masks; one shuffle of k·|eval n-grams|
+    # tiny rows, result is dimension-sized (m/64 longs)
+    pos = grams.select(
+        F.explode(F.array(*_bloom_positions(F.col("ngram"), m, k))).alias("p")
+    )
+    words = (
+        pos.groupBy((F.col("p") / 64).cast("long").alias("w"))
+        # shiftleft() the builtin wants a literal shift count; the SQL
+        # form takes a column
+        .agg(F.expr("bit_or(shiftleft(1L, CAST(pmod(p, 64) AS INT)))").alias("bits"))
+        .collect()
+    )
+    bitset = np.zeros(m // 64, dtype=np.int64)
+    for r in words:
+        bitset[r["w"]] = r["bits"]
+    bc = spark.sparkContext.broadcast(bitset)
+
+    @pandas_udf("boolean")
+    def bloom_hit(pos: pd.Series) -> pd.Series:
+        bits = bc.value
+        if len(pos) == 0:
+            return pd.Series(np.zeros(0, dtype=bool))
+        p = np.array(pos.tolist(), dtype=np.int64)  # (rows, k)
+        hit = ((bits[p >> 6] >> (p & 63)) & 1).all(axis=1)
+        return pd.Series(hit)
+
+    tok = corpus.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    doc_grams = tok.select(
+        "doc_id", F.explode(shingles(F.col("toks"), n)).alias("ngram")
+    )
+    candidates = doc_grams.where(
+        bloom_hit(F.array(*_bloom_positions(F.col("ngram"), m, k)))
+    )
+    # exact confirm WITHOUT broadcasting the eval set (that's the
+    # point): shuffle semi-join on the n-gram key over the tiny
+    # candidate stream
+    contaminated = (
+        candidates.hint("shuffle_hash")
+        .join(grams, "ngram", "semi")
+        .select("doc_id")
+        .distinct()
+    )
     if not keep:
         return contaminated
     return corpus.join(contaminated, "doc_id", "anti")

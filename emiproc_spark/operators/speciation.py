@@ -174,7 +174,10 @@ def speciate(
             .select(*sel_cols)
             .unionByName(
                 fact_cats.crossJoin(F.broadcast(spec_wild))
-                .join(have, ["category", "src_substance"], "anti")
+                # broadcast: `have` is dimension-sized (distinct selector
+                # keys); without the hint the anti-join sort-merges and
+                # shuffles the scaffold
+                .join(F.broadcast(have), ["category", "src_substance"], "anti")
                 .select(*sel_cols)
             )
         )

@@ -250,3 +250,48 @@ def test_connected_components_raises_on_non_convergence(spark):
     # enough rounds: one component labeled 0
     out = connected_components(chain, max_iter=10).collect()
     assert {r["component"] for r in out} == {0}
+
+
+def test_bloom_decontaminate_matches_exact(spark):
+    from emiproc_spark.operators import packing as pk
+
+    corpus = spark.createDataFrame(
+        [(i, f"filler {i} alpha beta gamma delta epsilon zeta eta") for i in range(40)]
+        + [
+            (100, "prefix the secret eval answer is forty two suffix"),
+            (101, "unrelated words only nothing shared with the suite"),
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(0, "xx the secret eval answer is forty two yy")],
+        "eid long, text string",
+    )
+    exact = {r["doc_id"] for r in pk.decontaminate(corpus, ev, n=5, keep=False).collect()}
+    bloom = {r["doc_id"] for r in pk.decontaminate_bloom(corpus, ev, n=5, keep=False).collect()}
+    assert bloom == exact == {100}
+    assert pk.decontaminate_bloom(corpus, ev, n=5).count() == corpus.count() - 1
+
+
+def test_bloom_decontaminate_empty_eval_set(spark):
+    from emiproc_spark.operators import packing as pk
+
+    corpus = spark.createDataFrame(
+        [(0, "some words here that are long enough for five grams")],
+        "doc_id long, text string",
+    )
+    # eval docs too short to yield a single 5-gram → empty dictionary
+    ev = spark.createDataFrame([(0, "too short")], "eid long, text string")
+    assert pk.decontaminate_bloom(corpus, ev, n=5, keep=False).count() == 0
+    assert pk.decontaminate_bloom(corpus, ev, n=5).count() == 1
+
+
+def test_bloom_layout_sane():
+    from emiproc_spark.operators.packing import _bloom_layout
+
+    m, k = _bloom_layout(1_000_000, 1e-3)
+    assert m % 64 == 0
+    assert 13_000_000 < m < 16_000_000  # ~14.4 bits/item at 0.1% fpr
+    assert 8 <= k <= 12
+    m0, k0 = _bloom_layout(0, 1e-3)  # degenerate input stays valid
+    assert m0 >= 64 and k0 >= 1

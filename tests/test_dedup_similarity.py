@@ -389,3 +389,44 @@ def test_pack_sequences_validates_ctx_len(spark):
     docs = spark.createDataFrame([(0, 5)], "doc_id long, n_tokens long")
     with pytest.raises(ValueError, match="ctx_len"):
         pack_sequences(docs, ctx_len=0)
+
+
+def test_lsh_incremental_matches_filtered_full(spark):
+    import random
+
+    random.seed(11)
+    words = [f"w{i}" for i in range(25)]
+    rows = []
+    for i in range(40):
+        base = " ".join(random.choices(words, k=18))
+        rows.append((i, base))
+        # duplicates BOTH within the old corpus (old×old — must be
+        # excluded) and across the old/new boundary
+        if i % 5 == 0:
+            rows.append((i + 500, base))      # old twin of an old doc
+        if i % 4 == 0:
+            rows.append((i + 1000, base))     # new twin of an old doc
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = dd.minhash_signatures(df, k=8)
+    full = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.lsh_candidate_pairs(sigs, 4, 2).collect()
+    }
+    new = df.where(F.col("doc_id") >= 1000).select("doc_id")
+    expected = {(a, b) for (a, b) in full if a >= 1000 or b >= 1000}
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dd.lsh_candidate_pairs_incremental(sigs, new, 4, 2).collect()
+    }
+    assert got == expected
+    # sanity: the fixture really has old×old pairs the incremental
+    # output must omit, and boundary pairs it must keep
+    assert any(a < 1000 and b < 1000 for (a, b) in full)
+    assert any(b >= 1000 for (_, b) in expected)
+    assert all(a < b for (a, b) in got)
+
+
+def test_lsh_incremental_empty_batch(spark, docs):
+    sigs = dd.minhash_signatures(docs, k=8)
+    empty = docs.sparkSession.createDataFrame([], "doc_id long")
+    assert dd.lsh_candidate_pairs_incremental(sigs, empty).count() == 0

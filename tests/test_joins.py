@@ -1,0 +1,127 @@
+"""asof_join / range_join / point_in_range_join (operators/joins.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.joins import (
+    asof_join,
+    point_in_range_join,
+    range_join,
+)
+
+
+@pytest.fixture()
+def lr(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "a"), (1, 20, "b"), (1, 5, "c"), (2, 15, "d")],
+        "k int, ts long, lab string",
+    )
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 20, 2.0), (1, 12, 3.0), (3, 1, 9.0)],
+        "k int, ts long, v double",
+    )
+    return left, right
+
+
+def test_asof_backward_semantics(spark, lr):
+    left, right = lr
+    rows = {
+        r["lab"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["k"], ["v"]).collect()
+    }
+    assert rows["c"] == (None, None)  # nothing at or before ts=5
+    assert rows["a"] == (1.0, 8)  # latest of {8} <= 10
+    assert rows["b"] == (2.0, 20)  # exact-ts right row matches (<=)
+    assert rows["d"] == (None, None)  # key 2 has no right rows
+    # every left row is preserved
+    assert asof_join(left, right, "ts", ["k"], ["v"]).count() == left.count()
+
+
+def test_asof_tolerance_nulls_stale_matches(spark, lr):
+    left, right = lr
+    rows = {
+        r["lab"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["k"], ["v"], tolerance=1).collect()
+    }
+    assert rows["a"] == (None, None)  # Δ=2 > 1 → stale, row kept
+    assert rows["b"] == (2.0, 20)  # Δ=0 within tolerance
+
+
+def test_asof_right_ts_tie_is_deterministic(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, ts long")
+    right = spark.createDataFrame(
+        [(1, 8, 1.0), (1, 8, 5.0), (1, 8, 3.0)], "k int, ts long, v double"
+    )
+    for _ in range(3):
+        [r] = asof_join(left, right, "ts", ["k"], ["v"]).collect()
+        assert r["v"] == 5.0  # max payload wins ties, not partition layout
+
+
+def test_asof_value_col_collision_raises(spark, lr):
+    left, right = lr
+    right2 = right.withColumnRenamed("v", "lab")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right2, "ts", ["k"], ["lab"])
+    with pytest.raises(ValueError, match="no column"):
+        asof_join(left, right, "ts", ["k"], ["missing"])
+
+
+def test_range_join_overlaps_once_each(spark):
+    l = spark.createDataFrame(
+        [(1, 0, 10, "L1"), (1, 25, 30, "L2")],
+        "k int, start long, end long, lab string",
+    )
+    r = spark.createDataFrame(
+        [(1, 5, 26, "R1"), (1, 9, 12, "R2"), (1, 40, 50, "R3"), (2, 0, 100, "R4")],
+        "k int, start long, end long, lab string",
+    )
+    # bucket smaller than the intervals: pairs span several shared
+    # buckets and must still be emitted exactly once
+    got = [
+        (row["lab"], row["r_lab"])
+        for row in range_join(l, r, ["k"], bucket=3).collect()
+    ]
+    assert sorted(got) == [("L1", "R1"), ("L1", "R2"), ("L2", "R1")]
+    # half-open: [0,10) does not overlap [10,20)
+    r2 = spark.createDataFrame([(1, 10, 20, "R5")], "k int, start long, end long, lab string")
+    assert range_join(l, r2, ["k"], bucket=7).count() == 0
+
+
+def test_range_join_bucket_invariance(spark):
+    l = spark.createDataFrame(
+        [(1, i * 7, i * 7 + 13) for i in range(40)], "k int, start long, end long"
+    )
+    r = spark.createDataFrame(
+        [(1, i * 11 + 3, i * 11 + 9) for i in range(30)], "k int, start long, end long"
+    )
+    base = None
+    for bucket in (2, 13, 64):
+        got = sorted(
+            (row["start"], row["r_start"])
+            for row in range_join(l, r, ["k"], bucket=bucket).collect()
+        )
+        if base is None:
+            base = got
+        assert got == base
+
+
+def test_range_join_rejects_bad_bucket(spark):
+    l = spark.createDataFrame([(1, 0, 1)], "k int, start long, end long")
+    with pytest.raises(ValueError, match="bucket"):
+        range_join(l, l, ["k"], bucket=0)
+
+
+def test_point_in_range_join(spark):
+    points = spark.createDataFrame(
+        [(1, 6), (1, 26), (1, 30), (2, 6)], "k int, ts long"
+    )
+    ranges = spark.createDataFrame(
+        [(1, 5, 26, "R1"), (1, 25, 31, "R2")],
+        "k int, start long, end long, lab string",
+    )
+    got = sorted(
+        (row["ts"], row["lab"])
+        for row in point_in_range_join(points, ranges, ["k"], bucket=7).collect()
+    )
+    # 6 ∈ R1; 26 ∈ R2 only (R1 end-exclusive); 30 ∈ R2; key 2 no ranges
+    assert got == [(6, "R1"), (26, "R2"), (30, "R2")]

@@ -12,6 +12,8 @@ make the operators survive a 1000-executor / 100 TB deployment:
 - hot single-table aggregations stay inside whole-stage codegen.
 """
 
+import re
+
 import pytest
 
 from emiproc_spark.driver_queries import QUERIES
@@ -163,3 +165,26 @@ def test_dimension_folds_leave_no_sortmergejoin(spark, name):
     never shuffles for a dimension."""
     df = QUERIES[name](spark, SF_DIR)
     assert "SortMergeJoin" not in plan_of(spark, df)
+
+
+def test_asof_join_is_one_shuffle_no_join(spark):
+    """The as-of join plans as union → ONE exchange on the key → window;
+    a join operator (or a second exchange) would mean the sort-merge
+    formulation regressed to the explode-and-aggregate shape."""
+    plan = plan_of(spark, QUERIES["asof_join"](spark, SF_DIR))
+    # formatted mode prints each op twice (tree + detail header)
+    n_exchanges = len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+    assert n_exchanges == 1, plan
+    for op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+               "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert op not in plan, op
+
+
+def test_range_join_buckets_are_equi_join(spark):
+    """The interval join meets on (key, bucket) as a hash equi-join —
+    never a nested-loop/cartesian theta join."""
+    for name in ("range_join", "points_in_windows"):
+        plan = plan_of(spark, QUERIES[name](spark, SF_DIR))
+        assert "HashJoin" in plan, plan  # broadcast or shuffled — both fine
+        assert "NestedLoop" not in plan, plan
+        assert "CartesianProduct" not in plan, plan
