@@ -1444,18 +1444,25 @@ ORACLES.update(ORACLES_R5B)
 # handling, the TNO axis aggregate, the Swiss/GRAL corrupt-file guards,
 # and the near-dup stream drain poll.
 _REVERIFY = [
+    # round-5b operator-guard fixes (factor dedup, rollup GROUPING(),
+    # composite product agg, null sampling keys, ivf assign reuse,
+    # speciation anti-join broadcast, band_signatures refactor)
+    "scale_inventory", "drop_keep", "total_emissions", "add_totals",
+    "composite_scaling", "broadcast_types", "add_profiles", "ivf_topk",
+    "doc_sample", "data_mix", "shard_plan", "speciate_country",
+    "minhash_lsh", "lsh_capped", "decontaminate",
+    # round-5 semantics fixes (YAML day names, specific-day expansion,
+    # EDGAR admission, exporter slabs, geometry, speciation blend)
     "profiles_yaml", "resolve_daytype", "edgar_ingest", "edgar_legacy",
     "edgar_profiles", "fluxie_export", "netcdf_ingest", "tno_profiles",
     "swiss_ingest", "gral_roundtrip", "multimodal_features",
     "stream_neardup", "oem_profiles_export",
-    # round-5 kernel/semantics fixes (geometry, temporal guards,
-    # speciation per-category blend, streaming sessionize)
     "remap_weights", "remap_inventory", "antimeridian_remap",
-    "speciate", "speciate_country", "speciate_inventory", "speciate_nox",
+    "speciate", "speciate_inventory", "speciate_nox",
     "merge_indexes", "vertical_rebin", "stream_sessionize",
-    "temporal_expand", "temporal_expand_cell", "composite_scaling",
-    "doc_fingerprint", "hamming_pairs", "minhash_lsh", "lsh_capped",
-    "quality_filter", "seq_pack", "shard_plan", "doc_chunks", "winnow_fp",
+    "temporal_expand", "temporal_expand_cell",
+    "doc_fingerprint", "hamming_pairs",
+    "quality_filter", "seq_pack", "doc_chunks", "winnow_fp",
 ]
 
 _FRONT = {
