@@ -165,7 +165,11 @@ def speciate(
         if "category" not in spec.columns:
             spec = spec.withColumn("category", F.lit(None).cast("string"))
         sel_cols = ["category", "country", "src_substance", "dst_substance", "ratio"]
-        fact_cats = emissions.select("category").distinct()
+        # truncate: the category dimension feeds every derived selector
+        # frame below (resolved → spec_c/default/pairs/dup_keys); without
+        # the checkpoint each re-derives it with its OWN full fact scan
+        # + distinct
+        fact_cats = emissions.select("category").distinct().localCheckpoint(eager=False)
         spec_cat = spec.where(F.col("category").isNotNull())
         spec_wild = spec.where(F.col("category").isNull()).drop("category")
         have = spec_cat.select("category", "src_substance").distinct()
@@ -181,6 +185,9 @@ def speciate(
                 .select(*sel_cols)
             )
         )
+        # resolved is selector-table-sized and consumed by four derived
+        # dimensions — materialize it once
+        resolved = resolved.localCheckpoint(eager=False)
         # duplicate guard (the no-cell_country path's raise, restated):
         # >1 row per (category, country|-99, src, dst) means year/type
         # were not resolved — the blend below would silently SUM them
