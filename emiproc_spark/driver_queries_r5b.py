@@ -220,6 +220,39 @@ def _sql_bloom_decon() -> str:
 
 
 # ======================================================================
+# weighted_sample — Efraimidis–Spirakis weighted top-k (sampling.py)
+# ======================================================================
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.sampling import weighted_sample
+
+    d = fx.load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.length("text").alias("w")
+    )
+    # 15 docs per source, inclusion probability ∝ byte length; the
+    # selection (not the pow score) is the compared result — see
+    # weighted_sample's parity note
+    return weighted_sample(d, 15, "w", by=["source"], salt="ws")
+
+
+def _sql_weighted_sample() -> str:
+    from emiproc_spark.operators.sampling import sql_weighted_es_key
+
+    es = sql_weighted_es_key("doc_id", "w", salt="ws")
+    return f"""
+        WITH d AS (SELECT doc_id, source, LENGTH(text) AS w FROM documents),
+        r AS (
+            SELECT doc_id, source, w,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source
+                       ORDER BY {es} DESC, doc_id
+                   ) AS rn
+            FROM d WHERE w > 0
+        )
+        SELECT doc_id, source, w FROM r WHERE rn <= 15
+    """
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -228,6 +261,7 @@ QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "points_in_windows": q_points_in_windows,
     "minhash_inc": q_minhash_inc,
     "bloom_decon": q_bloom_decon,
+    "weighted_sample": q_weighted_sample,
 }
 
 ORACLES_R5B: dict[str, str] = {
@@ -236,4 +270,5 @@ ORACLES_R5B: dict[str, str] = {
     "points_in_windows": SQL_POINTS_IN_WINDOWS,
     "minhash_inc": SQL_MINHASH_INC,
     "bloom_decon": _sql_bloom_decon(),
+    "weighted_sample": _sql_weighted_sample(),
 }

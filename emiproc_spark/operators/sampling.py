@@ -220,3 +220,54 @@ def diversity_sample(
             F.count("*").alias("n_members"),
         )
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    k: int,
+    weight_col: str,
+    key_col: str = "doc_id",
+    by: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-Res): the k rows with the largest
+    ``u^(1/w)``, where ``u`` is the row's :func:`hash_fraction` coin —
+    each row's inclusion probability is proportional to its weight,
+    and the selection is a pure function of (key, salt), reproducible
+    across runs, engines, and partitionings.
+
+    ``by`` selects k per group instead of k overall.  Rows with NULL or
+    non-positive weight have selection probability 0 and are excluded.
+
+    Scale shape: the global form compiles to TakeOrderedAndProject
+    (per-partition partial top-k, no global sort); the grouped form is
+    one shuffle on ``by`` + a windowed row_number.
+
+    NOTE (cross-engine parity): ``pow`` differs from other engines'
+    libm in the last ulp for ~5% of inputs, so compare *selections*,
+    not the score values — a flip requires two scores within 1 ulp
+    exactly at rank k.
+    """
+    if k < 1:
+        raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
+    u = hash_fraction(F.col(key_col), salt)
+    d = df.where(
+        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
+    ).withColumn("__es", F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")))
+    if by:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*by).orderBy(F.col("__es").desc(), F.col(key_col))
+        return (
+            d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k)
+            .drop("__es", "__rn")
+        )
+    return d.orderBy(F.col("__es").desc(), F.col(key_col)).limit(k).drop("__es")
+
+
+def sql_weighted_es_key(key_expr: str, weight_expr: str, salt: str = "") -> str:
+    """DuckDB rendering of the Efraimidis–Spirakis score used by
+    :func:`weighted_sample` (same coin via :func:`sql_hash_fraction`)."""
+    return f"POWER({sql_hash_fraction(key_expr, salt)}, 1.0 / ({weight_expr}))"

@@ -295,3 +295,38 @@ def test_bloom_layout_sane():
     assert 8 <= k <= 12
     m0, k0 = _bloom_layout(0, 1e-3)  # degenerate input stays valid
     assert m0 >= 64 and k0 >= 1
+
+
+def test_weighted_sample_semantics(spark):
+    rows = [(i, "a" if i < 200 else "b", 1.0 if i % 2 else 1000.0) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w double")
+    out = sp.weighted_sample(df, 10, "w", by=["source"]).collect()
+    assert len(out) == 20
+    # inclusion probability ∝ weight: the 1000× heavier rows dominate
+    heavy = sum(1 for r in out if r["w"] == 1000.0)
+    assert heavy >= 18
+    # deterministic under repartitioning
+    again = sp.weighted_sample(df.repartition(13), 10, "w", by=["source"]).collect()
+    assert {r["doc_id"] for r in again} == {r["doc_id"] for r in out}
+    # null / non-positive weights are never selected
+    bad = spark.createDataFrame(
+        [(1, 5.0), (2, 0.0), (3, -1.0), (4, None)], "doc_id long, w double"
+    )
+    got = sp.weighted_sample(bad, 4, "w").collect()
+    assert [r["doc_id"] for r in got] == [1]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        sp.weighted_sample(df, 0, "w")
+
+
+def test_weighted_sample_global_is_topk_plan(spark):
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 9 + 1.0).alias("w")
+    )
+    out = sp.weighted_sample(df, 25, "w")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "TakeOrderedAndProject" in plan
+    assert out.count() == 25
