@@ -39,18 +39,30 @@ def asof_join(
     value_cols: list[str],
     tolerance: int | float | None = None,
     suffix: str = "_right",
+    direction: str = "backward",
 ) -> DataFrame:
-    """For every ``left`` row, attach ``value_cols`` of the most recent
-    ``right`` row with ``right.ts <= left.ts`` and equal ``by`` keys
-    (pandas ``merge_asof(direction="backward")`` semantics).
+    """For every ``left`` row, attach ``value_cols`` of the matching
+    ``right`` row with equal ``by`` keys (pandas ``merge_asof``
+    semantics): the most recent ``right.ts <= left.ts``
+    (``direction="backward"``, default), the earliest
+    ``right.ts >= left.ts`` (``"forward"``), or whichever of the two is
+    closer (``"nearest"``, exact-distance ties prefer backward).
 
     All left rows are preserved; the attached columns (and
     ``<ts_col><suffix>``) are NULL when no right row qualifies, or when
-    the match is older than ``tolerance`` (same units as ``ts_col``).
-    A right row exactly at ``left.ts`` matches.
+    the match is farther than ``tolerance`` (same units as ``ts_col``;
+    for ``nearest`` the tolerance constrains each side BEFORE choosing,
+    so a within-tolerance match on one side is never displaced by a
+    closer out-of-tolerance one).  A right row exactly at ``left.ts``
+    matches in every direction.
 
-    One shuffle on ``by``; no row amplification (see module docstring).
+    One shuffle on ``by`` (``nearest`` adds a second sort, not a second
+    exchange); no row amplification (see module docstring).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"asof_join: direction must be backward/forward/nearest, got {direction!r}"
+        )
     for c in value_cols + [ts_col]:
         if c not in right.columns:
             raise ValueError(f"asof_join: right side has no column {c!r}")
@@ -77,28 +89,64 @@ def asof_join(
         F.lit(0).alias("__is_left"),
         payload.alias("__payload"),
     )
-    # right rows sort BEFORE left rows at the same ts (tag 0 < 1), so an
-    # exact-ts right row is visible to the left row — the "<=" contract.
+    # right rows sort BEFORE left rows at the same ts in traversal order
+    # (tag 0 first both ascending and descending), so an exact-ts right
+    # row is visible to the left row — the "<=" / ">=" contract.
     # __payload as the final key makes ties between right rows at the
     # SAME (key, ts) deterministic (last = max payload) instead of
     # partition-layout-dependent
-    w = (
-        Window.partitionBy(*by)
-        .orderBy(F.col(ts_col).asc(), F.col("__is_left").asc(), F.col("__payload").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    matched = l_tag.unionByName(r_tag).withColumn(
-        "__match", F.last("__payload", ignorenulls=True).over(w)
-    )
+    def running(ts_order: Column) -> Window:
+        return (
+            Window.partitionBy(*by)
+            .orderBy(ts_order, F.col("__is_left").asc(), F.col("__payload").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+
+    unioned = l_tag.unionByName(r_tag)
+    matched = unioned
+    if direction in ("backward", "nearest"):
+        matched = matched.withColumn(
+            "__m_back",
+            F.last("__payload", ignorenulls=True).over(running(F.col(ts_col).asc())),
+        )
+    if direction in ("forward", "nearest"):
+        matched = matched.withColumn(
+            "__m_fwd",
+            F.last("__payload", ignorenulls=True).over(running(F.col(ts_col).desc())),
+        )
     out = matched.where(F.col("__is_left") == 1)
-    within: Column = F.lit(True)
-    if tolerance is not None:
-        within = (F.col(ts_col) - F.col("__match.__ts")) <= F.lit(tolerance)
-    keep = F.col("__match").isNotNull() & within
+
+    def qualifies(match: Column, delta: Column) -> Column:
+        ok = match.isNotNull()
+        if tolerance is not None:
+            ok = ok & (delta <= F.lit(tolerance))
+        return ok
+
+    if direction == "backward":
+        sel = F.when(
+            qualifies(F.col("__m_back"), F.col(ts_col) - F.col("__m_back.__ts")),
+            F.col("__m_back"),
+        )
+    elif direction == "forward":
+        sel = F.when(
+            qualifies(F.col("__m_fwd"), F.col("__m_fwd.__ts") - F.col(ts_col)),
+            F.col("__m_fwd"),
+        )
+    else:
+        d_back = F.col(ts_col) - F.col("__m_back.__ts")
+        d_fwd = F.col("__m_fwd.__ts") - F.col(ts_col)
+        ok_b = qualifies(F.col("__m_back"), d_back)
+        ok_f = qualifies(F.col("__m_fwd"), d_fwd)
+        sel = (
+            F.when(ok_b & ok_f & (d_fwd < d_back), F.col("__m_fwd"))
+            .when(ok_b, F.col("__m_back"))
+            .when(ok_f, F.col("__m_fwd"))
+        )
+    out = out.withColumn("__match", sel)
     for c in value_cols:
-        out = out.withColumn(c, F.when(keep, F.col(f"__match.{c}")))
-    out = out.withColumn(ts_col + suffix, F.when(keep, F.col("__match.__ts")))
-    return out.drop("__is_left", "__payload", "__match")
+        out = out.withColumn(c, F.col(f"__match.{c}"))
+    out = out.withColumn(ts_col + suffix, F.col("__match.__ts"))
+    return out.drop("__is_left", "__payload", "__match", "__m_back", "__m_fwd")
 
 
 def range_join(

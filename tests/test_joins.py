@@ -125,3 +125,40 @@ def test_point_in_range_join(spark):
     )
     # 6 ∈ R1; 26 ∈ R2 only (R1 end-exclusive); 30 ∈ R2; key 2 no ranges
     assert got == [(6, "R1"), (26, "R2"), (30, "R2")]
+
+
+def test_asof_forward_and_nearest(spark, lr):
+    left, right = lr
+    fwd = {
+        r["lab"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["k"], ["v"], direction="forward").collect()
+    }
+    # earliest right at-or-after: a(10)→12, b(20)→20 exact, c(5)→8
+    assert fwd["a"] == (3.0, 12)
+    assert fwd["b"] == (2.0, 20)
+    assert fwd["c"] == (1.0, 8)
+    assert fwd["d"] == (None, None)
+
+    near = {
+        r["lab"]: (r["v"], r["ts_right"])
+        for r in asof_join(left, right, "ts", ["k"], ["v"], direction="nearest").collect()
+    }
+    # a(10): back 8 (Δ2) vs fwd 12 (Δ2) — tie prefers backward
+    assert near["a"] == (1.0, 8)
+    assert near["b"] == (2.0, 20)
+    assert near["c"] == (1.0, 8)  # only forward exists
+
+    # nearest + tolerance: each side gated BEFORE choosing
+    near_tol = {
+        r["lab"]: r["ts_right"]
+        for r in asof_join(
+            left, right, "ts", ["k"], ["v"], direction="nearest", tolerance=2
+        ).collect()
+    }
+    assert near_tol["a"] == 8  # both in tolerance, tie → backward
+    assert near_tol["c"] is None  # Δ3 forward is out of tolerance
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, "ts", ["k"], ["v"], direction="sideways")
