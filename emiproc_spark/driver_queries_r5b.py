@@ -253,6 +253,118 @@ def _sql_weighted_sample() -> str:
 
 
 # ======================================================================
+# stream_asof — stream-stream time-interval join (streaming/streams.py)
+# ======================================================================
+STREAM_ASOF_TOL_MIN = 30
+_ASOF_STREAM_DIRS: dict[str, tuple[str, str]] = {}
+
+
+def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run of the stream-stream as-of
+    enrichment: click events joined to all views of the same user in
+    the preceding 30 minutes (time-interval LEFT OUTER join with
+    watermarks on both sides), then the as-of reduction (latest view
+    per click + candidate count) as a rollup of the emitted pairs.
+
+    Outer-join results only emit once the watermark passes a row's join
+    window, and the global watermark is the MIN across both sources —
+    so each source carries one far-future sentinel row (user −1) that
+    pushes the final no-data batch's watermark beyond every real event,
+    flushing the last unmatched clicks.  Sentinels drop in the final
+    filter.
+    """
+    import os
+    import tempfile
+
+    from emiproc_spark.driver_queries_r3b import _run_stream
+    from emiproc_spark.streaming.streams import asof_enrich_stream
+
+    if sf_dir in _ASOF_STREAM_DIRS:
+        clicks_dir, views_dir = _ASOF_STREAM_DIRS[sf_dir]
+    else:
+        ev = fx.events(spark, sf_dir).where(F.col("user_id") % 4 == 1).select(
+            "event_id",
+            F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        flush_us = (
+            ev.agg(F.unix_micros(F.max("ts"))).collect()[0][0]
+            + (STREAM_ASOF_TOL_MIN + 10) * 60 * 1_000_000
+        )
+
+        def side(etype: str, path: str) -> str:
+            sentinel = spark.createDataFrame(
+                [(-1, -1)], "event_id long, user_id long"
+            ).select(
+                "event_id", F.timestamp_micros(F.lit(flush_us)).alias("ts"), "user_id"
+            )
+            (
+                ev.where(F.col("event_type") == etype)
+                .select("event_id", "ts", "user_id")
+                .unionByName(sentinel)
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(path)
+            )
+            return path
+
+        d = tempfile.mkdtemp(prefix="emiproc_asof_stream_")
+        clicks_dir = side("click", os.path.join(d, "clicks"))
+        views_dir = side("view", os.path.join(d, "views"))
+        _ASOF_STREAM_DIRS[sf_dir] = (clicks_dir, views_dir)
+    schema = "event_id long, ts timestamp, user_id long"
+    clicks = spark.readStream.schema(schema).parquet(clicks_dir)
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(views_dir)
+        .withColumnRenamed("event_id", "view_id")
+    )
+    out = asof_enrich_stream(
+        clicks, views, tolerance=f"{STREAM_ASOF_TOL_MIN} minutes",
+        value_cols=["view_id"],
+    )
+    # a stream-stream join keeps TWO state stores per shuffle partition
+    # and the run is dominated by their per-partition setup, not data:
+    # 8 partitions cut the wall time ~2.5× at identical results (the
+    # conf binds at stream START, so restoring it after .start() is
+    # safe; state-partition count is per-query, not per-session)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        pairs = _run_stream(out, "r5b_stream_asof", "append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        pairs.where(F.col("user_id") >= 0)
+        .groupBy("event_id", "user_id")
+        .agg(
+            F.unix_micros(F.first("ts")).alias("ts_us"),
+            F.unix_micros(F.max("ts_right")).alias("view_ts_us"),
+            F.count("ts_right").alias("n_views"),
+        )
+    )
+
+
+SQL_STREAM_ASOF = f"""
+    WITH ev AS (
+        SELECT event_id, (epoch_ns(ts) // 1000) AS ts_us, user_id, event_type
+        FROM events WHERE user_id % 4 = 1
+    ),
+    c AS (SELECT event_id, ts_us, user_id FROM ev WHERE event_type = 'click'),
+    v AS (SELECT event_id, ts_us, user_id FROM ev WHERE event_type = 'view')
+    SELECT c.event_id, c.user_id, c.ts_us,
+           MAX(v.ts_us) AS view_ts_us,
+           COUNT(v.ts_us) AS n_views
+    FROM c LEFT JOIN v
+      ON c.user_id = v.user_id
+     AND v.ts_us >= c.ts_us - {STREAM_ASOF_TOL_MIN} * 60 * 1000000
+     AND v.ts_us <= c.ts_us
+    GROUP BY c.event_id, c.user_id, c.ts_us
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -262,6 +374,7 @@ QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_inc": q_minhash_inc,
     "bloom_decon": q_bloom_decon,
     "weighted_sample": q_weighted_sample,
+    "stream_asof": q_stream_asof,
 }
 
 ORACLES_R5B: dict[str, str] = {
@@ -271,4 +384,5 @@ ORACLES_R5B: dict[str, str] = {
     "minhash_inc": SQL_MINHASH_INC,
     "bloom_decon": _sql_bloom_decon(),
     "weighted_sample": _sql_weighted_sample(),
+    "stream_asof": SQL_STREAM_ASOF,
 }

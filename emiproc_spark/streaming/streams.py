@@ -57,6 +57,54 @@ def dedup_stream(
     return df.dropDuplicates(keys)
 
 
+def asof_enrich_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    tolerance: str = "30 minutes",
+    watermark_delay: str = "1 minute",
+) -> DataFrame:
+    """Streaming as-of enrichment via Spark's stream-stream
+    time-interval LEFT OUTER join: every ``left`` event is paired with
+    ALL ``right`` events of the same key inside
+    ``[left.ts - tolerance, left.ts]``; unmatched left events emit with
+    NULLs once the watermark passes their window.  The as-of
+    *reduction* (keep only the latest candidate per left event) is a
+    trivial rollup of the emitted pairs — max/max_by per left key — done
+    on the sink or as a chained stateful aggregation (Spark ≥ 3.4
+    supports multiple stateful operators in append mode).
+
+    This is the streaming counterpart of ``operators.joins.asof_join``
+    (backward + tolerance).  State stays bounded by construction: the
+    time-interval condition lets Spark evict right-side state older
+    than tolerance + delay and left-side state once its join window
+    closes — state size is rate × tolerance, independent of stream
+    length.
+
+    Right columns come back as ``<ts_col>_right`` / unchanged value
+    column names (callers rename upstream on collision, same contract
+    as the batch operator).
+    """
+    value_cols = value_cols or []
+    for c in value_cols + [ts_col, key_col]:
+        if c not in right.columns:
+            raise ValueError(f"asof_enrich_stream: right side has no column {c!r}")
+    l = left.withWatermark(ts_col, watermark_delay).alias("l")
+    r = right.withWatermark(ts_col, watermark_delay).alias("r")
+    cond = F.expr(
+        f"l.{key_col} = r.{key_col}"
+        f" AND r.{ts_col} >= l.{ts_col} - INTERVAL {tolerance}"
+        f" AND r.{ts_col} <= l.{ts_col}"
+    )
+    return l.join(r, cond, "leftOuter").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        F.col(f"r.{ts_col}").alias(f"{ts_col}_right"),
+        *[F.col(f"r.{c}") for c in value_cols],
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap: str = "30 minutes",

@@ -136,3 +136,44 @@ def test_streaming_end_to_end(spark):
     q.awaitTermination(60)
     spark.table("stream_smoke")  # table exists; rows may be withheld by watermark
     assert not q.isActive
+
+
+def test_asof_enrich_stream_real_run(spark, tmp_path):
+    """Stream-stream time-interval left-outer join through a real
+    availableNow run: matched clicks carry every view in the window,
+    unmatched clicks flush with NULLs once the sentinel advances the
+    watermark."""
+    import pyspark.sql.functions as F
+
+    from emiproc_spark.streaming.streams import asof_enrich_stream
+
+    us = 1_000_000
+    base = 1_700_000_000 * us
+    far = base + 7200 * us  # sentinel past every window
+    clicks = [(1, base + 600 * us, 7), (2, base + 4000 * us, 7),
+              (3, base + 650 * us, 8), (-1, far, -1)]
+    views = [(10, base + 500 * us, 7), (11, base + 550 * us, 7),
+             (12, base, 7), (-1, far, -1)]
+    for rows, name in ((clicks, "clicks"), (views, "views")):
+        spark.createDataFrame(
+            rows, "event_id long, ts_us long, user_id long"
+        ).select(
+            "event_id", F.timestamp_micros("ts_us").alias("ts"), "user_id"
+        ).coalesce(1).write.parquet(str(tmp_path / name))
+    schema = "event_id long, ts timestamp, user_id long"
+    c = spark.readStream.schema(schema).parquet(str(tmp_path / "clicks"))
+    v = (spark.readStream.schema(schema).parquet(str(tmp_path / "views"))
+         .withColumnRenamed("event_id", "view_id"))
+    out = asof_enrich_stream(c, v, tolerance="10 minutes", value_cols=["view_id"])
+    q = (out.writeStream.format("memory").queryName("asof_t")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("asof_t").where(F.col("user_id") >= 0).collect()
+    by_click = {}
+    for r in rows:
+        by_click.setdefault(r["event_id"], set()).add(r["view_id"])
+    # click 1 (user 7, t+600s): views at t+500 and t+550 in window; the
+    # view at t+0 is 10 min + 0s BEFORE? 600s - 0s = 600s = window edge
+    assert by_click[1] == {10, 11, 12}
+    assert by_click[2] == {None}  # user 7 but views long stale
+    assert by_click[3] == {None}  # user 8 has no views at all
