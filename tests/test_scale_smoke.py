@@ -634,3 +634,54 @@ def test_icon_oem_export_million_cells(spark, tmp_path):
     assert v.shape == (n_cells,)
     assert v[0] == 1.0 / 2.0 / SEC_PER_YR
     print(f"\n1M-cell x 12-var OEM export wall: {dt:.1f}s")
+
+
+@scale
+def test_asof_join_ten_million_rows(spark):
+    """10M left x 1M right as-of join: the union+window formulation must
+    stay one shuffle and finish in bounded time (the naive theta-join
+    explodes to ~10^10 intermediate rows here)."""
+    from emiproc_spark.operators.joins import asof_join
+
+    left = spark.range(10_000_000).select(
+        (F.col("id") % 5000).alias("k"),
+        (F.col("id") * 7 % 1_000_000_000).alias("ts"),
+    )
+    right = spark.range(1_000_000).select(
+        (F.col("id") % 5000).alias("k"),
+        (F.col("id") * 61 % 1_000_000_000).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+    t0 = time.time()
+    out = asof_join(left, right, "ts", ["k"], ["v"])
+    n = out.count()
+    matched = out.where(F.col("v").isNotNull()).count()
+    dt = time.time() - t0
+    assert n == 10_000_000
+    assert matched > 9_000_000  # dense right side: almost all match
+    print(f"\n10M-row asof wall: {dt:.1f}s")
+    assert dt < 120
+
+
+@scale
+def test_range_join_million_intervals(spark):
+    """1M x 1M interval join with ~1-bucket-per-interval sizing: output
+    bounded by true overlaps, no quadratic blowup, exactly-once pairs."""
+    from emiproc_spark.operators.joins import range_join
+
+    left = spark.range(1_000_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        (F.col("id") * 13 % 100_000_000).alias("start"),
+        (F.col("id") * 13 % 100_000_000 + 500).alias("end"),
+    )
+    right = spark.range(1_000_000).select(
+        (F.col("id") % 10_000).alias("k"),
+        (F.col("id") * 17 % 100_000_000).alias("start"),
+        (F.col("id") * 17 % 100_000_000 + 500).alias("end"),
+    )
+    t0 = time.time()
+    n = range_join(left, right, ["k"], bucket=512).count()
+    dt = time.time() - t0
+    print(f"\n1Mx1M range join: {n} pairs, wall {dt:.1f}s")
+    assert n > 0
+    assert dt < 120
