@@ -16,8 +16,14 @@ from emiproc_spark.operators.cluster import (  # noqa: F401
     connected_components,
     dedup_keep_representative,
 )
+from emiproc_spark.operators.joins import (  # noqa: F401
+    asof_join,
+    point_in_range_join,
+    range_join,
+)
 from emiproc_spark.operators.packing import (  # noqa: F401
     decontaminate,
+    decontaminate_bloom,
     pack_sequences,
     shard_manifest,
 )
@@ -26,4 +32,5 @@ from emiproc_spark.operators.sampling import (  # noqa: F401
     mixture_rates,
     sample_fraction,
     stratified_sample,
+    weighted_sample,
 )
