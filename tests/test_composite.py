@@ -48,6 +48,21 @@ def test_broadcast_to_types(spark):
     assert rows == {"daily": 3, "weekly": -1, "monthly": -1}
 
 
+def test_broadcast_to_types_keeps_all_constant_composite(spark):
+    """A composite with NO sub-profile rows (every type constant) must
+    widen to all-(−1) rows when the comp_id universe is supplied."""
+    comp = spark.createDataFrame(
+        [(0, "daily", 3)], schema="comp_id int, ptype string, profile_id int"
+    )
+    universe = spark.createDataFrame([(0,), (1,)], "comp_id int")
+    wide = broadcast_to_types(comp, ["daily", "weekly"], comp_ids=universe)
+    rows = {(r["comp_id"], r["ptype"]): r["profile_id"] for r in wide.collect()}
+    assert rows == {
+        (0, "daily"): 3, (0, "weekly"): -1,
+        (1, "daily"): -1, (1, "weekly"): -1,
+    }
+
+
 def test_composite_scaling_factor_product(spark):
     daily = [(h + 1) / 300.0 for h in range(24)]
     weekly = [(d + 1) / 28.0 for d in range(7)]
