@@ -37,7 +37,7 @@ def asof_join(
     ts_col: str,
     by: list[str],
     value_cols: list[str],
-    tolerance: int | float | None = None,
+    tolerance: int | float | str | None = None,
     suffix: str = "_right",
     direction: str = "backward",
 ) -> DataFrame:
@@ -50,11 +50,13 @@ def asof_join(
 
     All left rows are preserved; the attached columns (and
     ``<ts_col><suffix>``) are NULL when no right row qualifies, or when
-    the match is farther than ``tolerance`` (same units as ``ts_col``;
-    for ``nearest`` the tolerance constrains each side BEFORE choosing,
-    so a within-tolerance match on one side is never displaced by a
-    closer out-of-tolerance one).  A right row exactly at ``left.ts``
-    matches in every direction.
+    the match is farther than ``tolerance`` — a number in ``ts_col``'s
+    units for numeric timestamps, or an interval string like
+    ``"30 minutes"`` for TIMESTAMP columns.  For ``nearest`` the
+    tolerance constrains each side BEFORE choosing, so a
+    within-tolerance match on one side is never displaced by a closer
+    out-of-tolerance one.  A right row exactly at ``left.ts`` matches
+    in every direction.
 
     One shuffle on ``by`` (``nearest`` adds a second sort, not a second
     exchange); no row amplification (see module docstring).
@@ -119,7 +121,12 @@ def asof_join(
     def qualifies(match: Column, delta: Column) -> Column:
         ok = match.isNotNull()
         if tolerance is not None:
-            ok = ok & (delta <= F.lit(tolerance))
+            bound = (
+                F.expr(f"INTERVAL {tolerance}")
+                if isinstance(tolerance, str)
+                else F.lit(tolerance)
+            )
+            ok = ok & (delta <= bound)
         return ok
 
     if direction == "backward":
@@ -153,7 +160,7 @@ def range_join(
     left: DataFrame,
     right: DataFrame,
     by: list[str],
-    bucket: int | float,
+    bucket: int | float | str = "auto",
     l_start: str = "start",
     l_end: str = "end",
     r_start: str = "start",
@@ -171,7 +178,24 @@ def range_join(
 
     Shuffle volume is rows × ceil(len/bucket + 1): size ``bucket`` near
     the typical interval length (see module docstring).
+    ``bucket="auto"`` measures the p90 interval length over both sides
+    (one approxQuantile pass) and uses that — pass an explicit width on
+    hot paths to skip the extra job, or when a few huge outlier
+    intervals would stretch the quantile.
     """
+    if bucket == "auto":
+        lens = (
+            left.select((F.col(l_end) - F.col(l_start)).cast("double").alias("__len"))
+            .unionByName(
+                right.select(
+                    (F.col(r_end) - F.col(r_start)).cast("double").alias("__len")
+                )
+            )
+        )
+        q = lens.approxQuantile("__len", [0.9], 0.05)
+        bucket = q[0] if q and q[0] > 0 else 1.0
+    elif isinstance(bucket, str):
+        raise ValueError(f"range_join: bucket must be a width or 'auto', got {bucket!r}")
     if bucket <= 0:
         raise ValueError(f"range_join: bucket must be positive, got {bucket}")
 

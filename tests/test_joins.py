@@ -162,3 +162,42 @@ def test_asof_forward_and_nearest(spark, lr):
 
     with _pytest.raises(ValueError, match="direction"):
         asof_join(left, right, "ts", ["k"], ["v"], direction="sideways")
+
+
+def test_asof_interval_tolerance_on_timestamps(spark):
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00")],
+        "k int, s string",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:55:00", 1.0), (1, "2024-01-01 10:30:00", 2.0)],
+        "k int, s string, v double",
+    ).select("k", F.col("s").cast("timestamp").alias("ts"), "v")
+    rows = {
+        str(r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, "ts", ["k"], ["v"], tolerance="10 minutes"
+        ).collect()
+    }
+    assert rows["2024-01-01 10:00:00"] == 1.0  # 5 min back, in tolerance
+    assert rows["2024-01-01 12:00:00"] is None  # 90 min back, stale
+
+
+def test_range_join_auto_bucket(spark):
+    l = spark.createDataFrame(
+        [(1, i * 7, i * 7 + 13) for i in range(40)], "k int, start long, end long"
+    )
+    r = spark.createDataFrame(
+        [(1, i * 11 + 3, i * 11 + 9) for i in range(30)], "k int, start long, end long"
+    )
+    manual = sorted(
+        (row["start"], row["r_start"])
+        for row in range_join(l, r, ["k"], bucket=13).collect()
+    )
+    auto = sorted(
+        (row["start"], row["r_start"])
+        for row in range_join(l, r, ["k"]).collect()
+    )
+    assert auto == manual
+    with pytest.raises(ValueError, match="bucket"):
+        range_join(l, r, ["k"], bucket="huge")
