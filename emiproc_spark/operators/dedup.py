@@ -190,9 +190,12 @@ def band_signatures(
     Banding derives from seed // rows_per_band, so the signature width
     must equal bands·rows_per_band — a mismatched k would silently band
     differently than the caller asked (looser/weaker buckets).
-    Validated lazily per (doc, band): a short band or a band index past
-    ``bands`` raises at execution (same contract the streaming
-    counterpart enforces up-front on k, streams.py).
+    Validated lazily at execution: a short band or a band index past
+    ``bands`` raises per (doc, band), and a per-doc band COUNT check
+    catches the remaining case (k a whole-band multiple short, e.g.
+    k=6 for 4×2 — every group individually valid but a band missing,
+    which would silently lower recall).  Same contract the streaming
+    counterpart enforces up-front on k (streams.py).
 
     The result is lazily localCheckpointed: every caller self-joins it,
     and truncating the lineage makes the banded aggregation (and the
@@ -227,6 +230,20 @@ def band_signatures(
             )
             .alias("band_hash")
         )
+    )
+    from pyspark.sql import Window
+
+    n_bands = F.count("*").over(Window.partitionBy("doc_id"))
+    banded = banded.withColumn(
+        "band_hash",
+        F.when(n_bands == bands, F.col("band_hash")).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"lsh_candidate_pairs: signature bands missing — expected "
+                    f"{bands} bands per doc (k = bands * rows_per_band seeds)"
+                )
+            ).cast("string")
+        ),
     )
     return banded.localCheckpoint(eager=False)
 

@@ -31,6 +31,46 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _spanned(
+    df: DataFrame, start: str, end: str, bucket: float, who: str
+) -> DataFrame:
+    """Explode an interval frame to the buckets it spans.  An inverted
+    interval (end < start) raises at execution — sequence() would
+    silently produce a DESCENDING bucket list for it (implicit step −1)
+    and the empty interval could then emit join pairs."""
+    buckets = F.when(
+        F.col(end) >= F.col(start),
+        F.sequence(
+            F.floor(F.col(start) / bucket).cast("long"),
+            F.floor(F.col(end) / bucket).cast("long"),
+        ),
+    ).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(f"{who}: inverted interval ["),
+                F.col(start).cast("string"),
+                F.lit(", "),
+                F.col(end).cast("string"),
+                F.lit(") — end must be >= start"),
+            )
+        ).cast("array<long>")
+    )
+    return df.withColumn("__bucket", F.explode(buckets))
+
+
+def _rename_collisions(
+    df: DataFrame, own_cols: list[str], other_cols: list[str], by: list[str]
+) -> tuple[DataFrame, dict[str, str]]:
+    """Prefix ``r_`` onto the right side's columns that collide with the
+    left side (join keys excluded); returns the renamed frame + map."""
+    rename = {
+        c: f"r_{c}" for c in own_cols if c in set(other_cols) and c not in by
+    }
+    for old, new in rename.items():
+        df = df.withColumnRenamed(old, new)
+    return df, rename
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -74,11 +114,24 @@ def asof_join(
             f"asof_join: value_cols {overlap} collide with left columns — "
             "rename or suffix them on the right side first"
         )
+    # a NULL timestamp has no place on an as-of axis (pandas merge_asof
+    # rejects them too): in the ascending window a NULL-ts right row
+    # would sort first and become everyone's "most recent" match, and a
+    # NULL-ts left row would silently grab an arbitrary payload — raise
+    # at execution instead
+    ts_checked = F.when(
+        F.col(ts_col).isNull(),
+        F.raise_error(
+            F.lit(f"asof_join: NULL {ts_col} — drop or fill null-timestamp "
+                  "rows before joining")
+        ).cast(right.schema[ts_col].dataType),
+    ).otherwise(F.col(ts_col))
     payload = F.struct(
-        F.col(ts_col).alias("__ts"), *[F.col(c) for c in value_cols]
+        ts_checked.alias("__ts"), *[F.col(c) for c in value_cols]
     )
     l_tag = left.select(
-        *[F.col(c) for c in left.columns],
+        *[F.col(c) for c in left.columns if c != ts_col],
+        ts_checked.alias(ts_col),
         F.lit(1).alias("__is_left"),
         F.lit(None).cast(
             right.select(payload).schema[0].dataType.simpleString()
@@ -87,7 +140,8 @@ def asof_join(
     r_tag = right.select(
         *[F.lit(None).cast(left.schema[c].dataType).alias(c)
           if c not in by and c != ts_col else F.col(c)
-          for c in left.columns],
+          for c in left.columns if c != ts_col],
+        ts_checked.alias(ts_col),
         F.lit(0).alias("__is_left"),
         payload.alias("__payload"),
     )
@@ -199,29 +253,9 @@ def range_join(
     if bucket <= 0:
         raise ValueError(f"range_join: bucket must be positive, got {bucket}")
 
-    def spans(df: DataFrame, start: str, end: str) -> DataFrame:
-        # end < start makes sequence() raise (negative range with
-        # implicit step 1) — malformed intervals fail loudly, they
-        # don't silently match nothing
-        return df.withColumn(
-            "__bucket",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col(start) / bucket).cast("long"),
-                    F.floor(F.col(end) / bucket).cast("long"),
-                )
-            ),
-        )
-
-    lx = spans(left, l_start, l_end)
-    rx = spans(right, r_start, r_end)
-    rename = {
-        c: f"r_{c}"
-        for c in right.columns
-        if c in set(left.columns) and c not in by
-    }
-    for old, new in rename.items():
-        rx = rx.withColumnRenamed(old, new)
+    lx = _spanned(left, l_start, l_end, bucket, "range_join")
+    rx = _spanned(right, r_start, r_end, bucket, "range_join")
+    rx, rename = _rename_collisions(rx, right.columns, left.columns, by)
     rs, re = rename.get(r_start, r_start), rename.get(r_end, r_end)
     later_start = F.greatest(F.col(l_start), F.col(rs))
     pairs = (
@@ -253,25 +287,15 @@ def point_in_range_join(
     point side spanning exactly one bucket — no explode on the (big)
     point side at all, only the (smaller) range side fans out.
     """
+    if not isinstance(bucket, (int, float)) or bucket <= 0:
+        raise ValueError(
+            f"point_in_range_join: bucket must be positive, got {bucket!r}"
+        )
     px = points.withColumn(
         "__bucket", F.floor(F.col(point_col) / bucket).cast("long")
     )
-    rx = ranges.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.col(r_start) / bucket).cast("long"),
-                F.floor(F.col(r_end) / bucket).cast("long"),
-            )
-        ),
-    )
-    rename = {
-        c: f"r_{c}"
-        for c in ranges.columns
-        if c in set(points.columns) and c not in by
-    }
-    for old, new in rename.items():
-        rx = rx.withColumnRenamed(old, new)
+    rx = _spanned(ranges, r_start, r_end, bucket, "point_in_range_join")
+    rx, rename = _rename_collisions(rx, ranges.columns, points.columns, by)
     rs, re = rename.get(r_start, r_start), rename.get(r_end, r_end)
     return (
         px.join(rx, [*by, "__bucket"])

@@ -252,9 +252,13 @@ def weighted_sample(
     if k < 1:
         raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
     u = hash_fraction(F.col(key_col), salt)
+    w = F.col(weight_col).cast("double")
+    # NaN > 0 is TRUE in Spark's ordering and a NaN score sorts above
+    # every real score — without the isnan() exclusion a NaN-weighted
+    # row would always win a slot
     d = df.where(
-        F.col(weight_col).isNotNull() & (F.col(weight_col) > 0)
-    ).withColumn("__es", F.pow(u, F.lit(1.0) / F.col(weight_col).cast("double")))
+        F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0)
+    ).withColumn("__es", F.pow(u, F.lit(1.0) / w))
     if by:
         from pyspark.sql import Window
 

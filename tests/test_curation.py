@@ -330,3 +330,11 @@ def test_weighted_sample_global_is_topk_plan(spark):
     )
     assert "TakeOrderedAndProject" in plan
     assert out.count() == 25
+
+
+def test_weighted_sample_excludes_nan_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 5.0), (2, float("nan")), (3, 2.0)], "doc_id long, w double"
+    )
+    got = {r["doc_id"] for r in sp.weighted_sample(df, 3, "w").collect()}
+    assert got == {1, 3}

@@ -430,3 +430,11 @@ def test_lsh_incremental_empty_batch(spark, docs):
     sigs = dd.minhash_signatures(docs, k=8)
     empty = docs.sparkSession.createDataFrame([], "doc_id long")
     assert dd.lsh_candidate_pairs_incremental(sigs, empty).count() == 0
+
+
+def test_lsh_rejects_whole_band_short_signature(spark, docs):
+    # k=6 bands cleanly into 3 bands of 2 — every group is individually
+    # valid, but band 3 of the requested 4 is missing entirely
+    sigs = dd.minhash_signatures(docs, k=6)
+    with pytest.raises(Exception, match="bands missing"):
+        dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()

@@ -201,3 +201,26 @@ def test_range_join_auto_bucket(spark):
     assert auto == manual
     with pytest.raises(ValueError, match="bucket"):
         range_join(l, r, ["k"], bucket="huge")
+
+
+def test_range_join_inverted_interval_raises(spark):
+    l = spark.createDataFrame([(1, 10, 5)], "k int, start long, end long")
+    r = spark.createDataFrame([(1, 4, 12)], "k int, start long, end long")
+    with pytest.raises(Exception, match="inverted interval"):
+        range_join(l, r, ["k"], bucket=5).collect()
+    with pytest.raises(ValueError, match="bucket"):
+        point_in_range_join(l.select("k", F.col("start").alias("ts")), r, ["k"], bucket=0)
+
+
+def test_asof_null_timestamp_raises(spark, lr):
+    left, right = lr
+    left_null = left.unionByName(
+        spark.createDataFrame([(1, None, "z")], "k int, ts long, lab string")
+    )
+    with pytest.raises(Exception, match="NULL ts"):
+        asof_join(left_null, right, "ts", ["k"], ["v"]).collect()
+    right_null = right.unionByName(
+        spark.createDataFrame([(1, None, 9.9)], "k int, ts long, v double")
+    )
+    with pytest.raises(Exception, match="NULL ts"):
+        asof_join(left, right_null, "ts", ["k"], ["v"]).collect()

@@ -241,3 +241,46 @@ def test_cellwise_duplicate_profile_row_raises(spark):
     )
     with pytest.raises(Exception, match="several rows per"):
         temporally_scaled_cellwise(e, dup, "2024-01-01 00:00:00", 2).collect()
+
+
+def test_cellwise_single_null_ptype_row_is_not_duplicate(spark):
+    """A lone NULL-ptype profile row (sf 1.0 by contract) must not trip
+    the duplicate-(key, ptype) guard — count_distinct ignores NULLs."""
+    from datetime import datetime
+
+    from emiproc_spark.operators.temporal import temporally_scaled_cellwise
+
+    e = spark.createDataFrame(
+        [(0, "c", "s", 24.0)],
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    profs = spark.createDataFrame(
+        [(0, None, None)],
+        "cell_id long, ptype string, ratios array<double>",
+    )
+    out = temporally_scaled_cellwise(
+        e, profs, start="2024-01-01", hours=2, year_hours=8784
+    )
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r["value_kg_h"] == pytest.approx(24.0 / 8784.0) for r in rows)
+
+
+def test_scaling_factor_at_short_array_names_real_problem(spark):
+    from emiproc_spark.operators.temporal import scaling_factor_at
+
+    # ANSI mode already fails loudly on short arrays (element_at index
+    # error); the silent case is a NULL ELEMENT at the hit position
+    df = spark.createDataFrame(
+        [("daily", [None] * 24)], "ptype string, ratios array<double>"
+    ).withColumn("ts", F.lit("2024-06-01 22:00:00").cast("timestamp"))
+    bad = df.select(scaling_factor_at(F.col("ts"), F.col("ptype"), F.col("ratios")))
+    with pytest.raises(Exception, match="ratios invalid for type"):
+        bad.collect()
+    ok = df.select(
+        scaling_factor_at(
+            F.col("ts"), F.lit("nonexistent_type"), F.col("ratios")
+        ).alias("sf")
+    )
+    with pytest.raises(Exception, match="unknown profile type"):
+        ok.collect()
