@@ -365,6 +365,79 @@ SQL_STREAM_ASOF = f"""
 
 
 # ======================================================================
+# wav_cycle — WAV codec round-trip + audio features (functions/wav.py)
+# ======================================================================
+WAV_RATE = 8000
+
+
+def q_wav_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode a deterministic int16 waveform per doc through the
+    pure-numpy WAV codec, decode it back with the same codec inside
+    ``audio_features`` (mapInPandas), and emit exact-integer stats; the
+    oracle recomputes every stat arithmetically from the sample formula
+    — the codec must be lossless for the hashes to match.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from emiproc_spark.functions.wav import encode_wav
+    from emiproc_spark.operators.multimodal import audio_features
+
+    ids = fx.load(spark, sf_dir, "documents").select("doc_id").where(
+        F.col("doc_id") < 200
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 160 + (d % 7) * 40
+                i = np.arange(n, dtype=np.int64)
+                samples = ((d * 31 + i * 17) % 2048 - 1024).astype(np.int16)
+                rows.append({"doc_id": d, "payload": encode_wav(samples, WAV_RATE)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    media = ids.mapInPandas(gen, schema="doc_id long, payload binary")
+    return audio_features(media)
+
+
+SQL_WAV_CYCLE = f"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 200),
+    s AS (
+        SELECT ids.doc_id,
+               t.i,
+               ((ids.doc_id * 31 + t.i * 17) % 2048) - 1024 AS v
+        FROM ids,
+             UNNEST(range(160 + (ids.doc_id % 7) * 40)) AS t(i)
+    ),
+    sgn AS (
+        SELECT doc_id, i, CASE WHEN v > 0 THEN 1 ELSE -1 END AS g
+        FROM s WHERE v <> 0
+    ),
+    zc AS (
+        SELECT doc_id,
+               CAST(COALESCE(SUM(CASE WHEN flip THEN 1 ELSE 0 END), 0)
+                    AS BIGINT) AS n
+        FROM (SELECT doc_id,
+                     g <> LAG(g) OVER (PARTITION BY doc_id ORDER BY i) AS flip
+              FROM sgn)
+        GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           {WAV_RATE} AS sample_rate,
+           COUNT(*) AS n_samples,
+           1 AS channels,
+           COUNT(*) / {WAV_RATE}.0 AS duration_s,
+           CAST(MAX(ABS(v)) AS INT) AS peak,
+           CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(MIN(zc.n), 0) AS BIGINT) AS zero_crossings
+    FROM s LEFT JOIN zc ON zc.doc_id = s.doc_id
+    GROUP BY s.doc_id
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -375,6 +448,7 @@ QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bloom_decon": q_bloom_decon,
     "weighted_sample": q_weighted_sample,
     "stream_asof": q_stream_asof,
+    "wav_cycle": q_wav_cycle,
 }
 
 ORACLES_R5B: dict[str, str] = {
@@ -385,4 +459,5 @@ ORACLES_R5B: dict[str, str] = {
     "bloom_decon": _sql_bloom_decon(),
     "weighted_sample": _sql_weighted_sample(),
     "stream_asof": SQL_STREAM_ASOF,
+    "wav_cycle": SQL_WAV_CYCLE,
 }

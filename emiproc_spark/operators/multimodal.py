@@ -120,3 +120,48 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "doc_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, sample_rate int, n_samples long, channels int, "
+    "duration_s double, peak int, sum_sq long, zero_crossings long"
+)
+
+
+def audio_features(media: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Arrow-batched audio feature extraction over PCM WAV payloads
+    (functions/wav.py — real decode, no optional dependency): duration,
+    peak amplitude, energy (Σ sample², exact int64) and zero-crossing
+    count of the channel-mean signal.
+
+    Integer outputs by design: peak/sum_sq/zero_crossings are exact, so
+    results are engine-reproducible (no float summation order issues) —
+    the same convention the PNG cycle query uses.  A corrupt payload
+    fails loudly with the decoder's message naming the problem.
+    """
+    from emiproc_spark.functions.wav import decode_wav
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                rate, samples = decode_wav(bytes(payload))
+                mono = samples.astype(np.int64).sum(axis=1) // samples.shape[1]
+                sgn = np.sign(mono[mono != 0])
+                out.append({
+                    "doc_id": int(doc_id),
+                    "sample_rate": int(rate),
+                    "n_samples": int(samples.shape[0]),
+                    "channels": int(samples.shape[1]),
+                    "duration_s": samples.shape[0] / rate if rate else 0.0,
+                    "peak": int(np.abs(samples).max(initial=0)),
+                    "sum_sq": int((samples.astype(np.int64) ** 2).sum()),
+                    "zero_crossings": int((sgn[1:] != sgn[:-1]).sum()) if sgn.size else 0,
+                })
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "sample_rate", "n_samples", "channels",
+                         "duration_s", "peak", "sum_sq", "zero_crossings"],
+            )
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
