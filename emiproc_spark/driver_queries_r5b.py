@@ -365,6 +365,35 @@ SQL_STREAM_ASOF = f"""
 
 
 # ======================================================================
+# heavy_hitters — sketch-then-confirm hot keys (operators/hotkeys.py)
+# ======================================================================
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.hotkeys import heavy_hitters
+    from emiproc_spark.operators.text import tokens
+
+    d = (
+        fx.load(spark, sf_dir, "documents")
+        .select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .where(F.col("tok") != "")
+    )
+    return heavy_hitters(d, "tok", k=20, capacity=1024)
+
+
+SQL_HEAVY_HITTERS = """
+    WITH tok AS (
+        SELECT t.tok
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+             UNNEST(toks) AS t(tok)
+        WHERE t.tok <> ''
+    )
+    SELECT tok, COUNT(*) AS n
+    FROM tok GROUP BY tok
+    ORDER BY n DESC, tok
+    LIMIT 20
+"""
+
+
+# ======================================================================
 # wav_cycle — WAV codec round-trip + audio features (functions/wav.py)
 # ======================================================================
 WAV_RATE = 8000
@@ -449,6 +478,7 @@ QUERIES_R5B: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "weighted_sample": q_weighted_sample,
     "stream_asof": q_stream_asof,
     "wav_cycle": q_wav_cycle,
+    "heavy_hitters": q_heavy_hitters,
 }
 
 ORACLES_R5B: dict[str, str] = {
@@ -460,4 +490,5 @@ ORACLES_R5B: dict[str, str] = {
     "weighted_sample": _sql_weighted_sample(),
     "stream_asof": SQL_STREAM_ASOF,
     "wav_cycle": SQL_WAV_CYCLE,
+    "heavy_hitters": SQL_HEAVY_HITTERS,
 }

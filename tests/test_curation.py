@@ -338,3 +338,23 @@ def test_weighted_sample_excludes_nan_weights(spark):
     )
     got = {r["doc_id"] for r in sp.weighted_sample(df, 3, "w").collect()}
     assert got == {1, 3}
+
+
+def test_heavy_hitters_exact_on_skewed_data(spark):
+    from emiproc_spark.operators.hotkeys import heavy_hitters
+
+    rows = (
+        [("hot",)] * 500 + [("warm",)] * 200 + [("mild",)] * 50
+        + [(f"cold{i}",) for i in range(300)] + [(None,)] * 5
+    )
+    df = spark.createDataFrame(rows, "v string").repartition(7)
+    got = [(r["v"], r["n"]) for r in heavy_hitters(df, "v", k=3, capacity=64).collect()]
+    assert got == [("hot", 500), ("warm", 200), ("mild", 50)]
+    # determinism under repartitioning for the clearly-heavy head
+    again = [(r["v"], r["n"]) for r in
+             heavy_hitters(df.repartition(3), "v", k=3, capacity=64).collect()]
+    assert again == got
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="capacity"):
+        heavy_hitters(df, "v", k=10, capacity=5)
