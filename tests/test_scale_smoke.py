@@ -685,3 +685,24 @@ def test_range_join_million_intervals(spark):
     print(f"\n1Mx1M range join: {n} pairs, wall {dt:.1f}s")
     assert n > 0
     assert dt < 120
+
+
+@scale
+def test_heavy_hitters_ten_million_values(spark):
+    """10M values, ~1M distinct: the sketch pass must keep memory
+    bounded and the confirm shuffle must carry only candidates."""
+    from emiproc_spark.operators.hotkeys import heavy_hitters
+
+    # zipf-ish: value v appears ~10M/(v+1) times for small v
+    df = spark.range(10_000_000).select(
+        (F.floor(F.pow(F.rand(seed=7), 8.0) * 1_000_000)).cast("long")
+        .cast("string").alias("v")
+    )
+    t0 = time.time()
+    got = heavy_hitters(df, "v", k=10, capacity=2048).collect()
+    dt = time.time() - t0
+    assert len(got) == 10
+    assert got[0]["v"] == "0"  # the hottest key under the power skew
+    assert got[0]["n"] > got[-1]["n"]
+    print(f"\n10M heavy-hitters wall: {dt:.1f}s")
+    assert dt < 120
