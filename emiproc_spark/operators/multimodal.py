@@ -110,12 +110,18 @@ def extract_features(
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Video-frame-sampling analogue on opaque payloads: emit one row per
     sampled offset (posexplode over a computed offset array) — the
-    partition-explosion pattern a real frame sampler uses."""
-    offsets = F.sequence(
-        F.lit(0),
-        F.greatest(F.octet_length("payload") - 1, F.lit(0)),
-        F.lit(every_n_bytes),
-    )
+    partition-explosion pattern a real frame sampler uses.  An empty (or
+    NULL) payload has no frames and emits no rows."""
+    if every_n_bytes <= 0:
+        raise ValueError(f"every_n_bytes must be positive, got {every_n_bytes}")
+    offsets = F.when(
+        F.octet_length("payload") > 0,
+        F.sequence(
+            F.lit(0),
+            F.octet_length("payload") - 1,
+            F.lit(every_n_bytes),
+        ),
+    ).otherwise(F.array().cast("array<int>"))
     return media.select(
         "doc_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),

@@ -110,6 +110,13 @@ def test_multimodal_stub(spark, docs):
     assert feats[0]["checksum"] == feats[1]["checksum"]
     frames = frame_sample(media, every_n_bytes=16)
     assert frames.where(F.col("doc_id") == 0).count() == 3  # 43 bytes → offsets 0,16,32
+    # empty and NULL payloads have no frames; bad stride raises
+    degenerate = spark.createDataFrame(
+        [(100, b""), (101, None)], "doc_id long, payload binary"
+    )
+    assert frame_sample(degenerate, every_n_bytes=16).count() == 0
+    with pytest.raises(ValueError, match="every_n_bytes"):
+        frame_sample(media, every_n_bytes=0)
 
 
 def test_embedding_dup_pairs(spark):

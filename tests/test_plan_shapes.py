@@ -157,6 +157,29 @@ def test_bucketed_store_join_has_no_exchange(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS inv_b_bkt")
 
 
+def test_bucketed_join_query_has_no_exchange(spark):
+    """The driver query rides the same catalog bucketing: with broadcast
+    off (the 100 TB case — both sides fact-scale) the join still plans
+    with zero Exchange nodes."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["bucketed_join"](spark, SF_DIR)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_frame_sample_stays_jvm_side(spark):
+    """The video-frame explode is pure JVM (Generate over sequence) —
+    no Python evaluation node anywhere in the plan."""
+    df = QUERIES["frame_sample"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert "Generate" in p
+    assert "EvalPython" not in p  # neither BatchEvalPython nor ArrowEvalPython
+
+
 @pytest.mark.parametrize("name", ["temporal_expand", "speciate_country"])
 def test_dimension_folds_leave_no_sortmergejoin(spark, name):
     """Round-3 dimension-side folds: profile-index wildcard resolution
