@@ -706,3 +706,58 @@ def test_heavy_hitters_ten_million_values(spark):
     assert got[0]["n"] > got[-1]["n"]
     print(f"\n10M heavy-hitters wall: {dt:.1f}s")
     assert dt < 120
+
+
+@scale
+def test_bucketed_store_million_cell_join(spark, tmp_path):
+    """1M-cell inventories through the bucketed store: the write pays
+    one shuffle per side, then the join replans with ZERO exchanges and
+    per-cell sums line up.  At 100 TB this is the repeated-pipeline
+    path: every remap/add rerun over the stored grid skips the fact
+    shuffle entirely."""
+    from emiproc_spark.exports.store import (
+        read_inventory_table,
+        save_inventory_bucketed,
+    )
+
+    n = 1_000_000
+    a = spark.range(n).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % 1000 / 7.0).alias("value_kg_y"),
+    )
+    b = spark.range(n).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") % 997 / 3.0).alias("value_kg_y"),
+    )
+    t0 = time.time()
+    save_inventory_bucketed(a, "smoke_bkt_a", buckets=32, path=str(tmp_path / "a"))
+    save_inventory_bucketed(b, "smoke_bkt_b", buckets=32, path=str(tmp_path / "b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta = read_inventory_table(spark, "smoke_bkt_a")
+        tb = read_inventory_table(spark, "smoke_bkt_b").withColumnsRenamed(
+            {"value_kg_y": "v2"}
+        )
+        joined = ta.join(tb, "cell_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        row = joined.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value_kg_y") + F.col("v2")).alias("s"),
+        ).collect()[0]
+        dt = time.time() - t0
+        assert row["n"] == n
+        expect = sum(i % 1000 / 7.0 + i % 997 / 3.0 for i in range(0, n, 100_000))
+        got = (
+            joined.where(F.col("cell_id") % 100_000 == 0)
+            .agg(F.sum(F.col("value_kg_y") + F.col("v2")))
+            .collect()[0][0]
+        )
+        assert abs(got - expect) < 1e-6
+        print(f"\n1M-cell bucketed store+join wall: {dt:.1f}s")
+        assert dt < 120
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS smoke_bkt_a")
+        spark.sql("DROP TABLE IF EXISTS smoke_bkt_b")
