@@ -191,16 +191,59 @@ SQL_FRAME_SAMPLE = f"""
 
 
 # ======================================================================
+# table_profile — one-pass per-column stats (operators/stats.py)
+# ======================================================================
+def q_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profile every documents column in one aggregation job: non-null
+    and exact-distinct counts, min/max as strings, quantized numeric
+    sums.  The oracle recomputes each column's row independently."""
+    from emiproc_spark.operators.stats import profile_table
+
+    return profile_table(fx.load(spark, sf_dir, "documents"))
+
+
+def _sql_table_profile() -> str:
+    rows = []
+    for c, numeric in [
+        ("doc_id", True),
+        ("text", False),
+        ("lang", False),
+        ("source", False),
+        ("n_chars", True),
+    ]:
+        s = (
+            sql_sumd(f"CAST({c} AS DOUBLE)")
+            if numeric
+            else "CAST(NULL AS DOUBLE)"
+        )
+        rows.append(f"""
+        SELECT '{c}' AS "column",
+               COUNT(*) AS n_rows,
+               COUNT({c}) AS n_nonnull,
+               COUNT(DISTINCT {c}) AS n_distinct,
+               CAST(MIN({c}) AS VARCHAR) AS min_str,
+               CAST(MAX({c}) AS VARCHAR) AS max_str,
+               {s} AS sum_num
+        FROM documents""")
+    return " UNION ALL ".join(rows)
+
+
+SQL_TABLE_PROFILE = _sql_table_profile()
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bucketed_join": q_bucketed_join,
     "delta_totals": q_delta_totals,
     "frame_sample": q_frame_sample,
+    "table_profile": q_table_profile,
 }
 
 ORACLES_R5C: dict[str, str] = {
     "bucketed_join": SQL_BUCKETED_JOIN,
     "delta_totals": SQL_DELTA_TOTALS,
     "frame_sample": SQL_FRAME_SAMPLE,
+    "table_profile": SQL_TABLE_PROFILE,
 }

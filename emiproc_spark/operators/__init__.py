@@ -17,6 +17,7 @@ from emiproc_spark.operators.cluster import (  # noqa: F401
     dedup_keep_representative,
 )
 from emiproc_spark.operators.hotkeys import heavy_hitters  # noqa: F401
+from emiproc_spark.operators.stats import profile_table  # noqa: F401
 from emiproc_spark.operators.joins import (  # noqa: F401
     asof_join,
     point_in_range_join,

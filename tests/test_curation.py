@@ -2,6 +2,7 @@
 deterministic sampling / mixing, repetition features, PII scrub,
 TF-IDF top-k."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from emiproc_spark.operators import cluster as cl
@@ -358,3 +359,30 @@ def test_heavy_hitters_exact_on_skewed_data(spark):
 
     with _pytest.raises(ValueError, match="capacity"):
         heavy_hitters(df, "v", k=10, capacity=5)
+
+
+def test_profile_table(spark):
+    from emiproc_spark.operators.stats import profile_table
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.5), (2, "b", None), (3, None, 0.5), (3, "b", -1.0)],
+        "id long, s string, v double",
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    assert set(out) == {"id", "s", "v"}
+    assert all(r["n_rows"] == 4 for r in out.values())
+    assert out["s"]["n_nonnull"] == 3
+    assert out["s"]["n_distinct"] == 2
+    assert out["s"]["min_str"] == "a" and out["s"]["max_str"] == "b"
+    assert out["s"]["sum_num"] is None
+    assert out["id"]["n_distinct"] == 3
+    assert out["v"]["sum_num"] == pytest.approx(2.0)
+    assert out["v"]["min_str"] == "-1.0"
+
+    sub = profile_table(df, ["id"])
+    assert sub.count() == 1
+
+    with pytest.raises(ValueError, match="no such columns"):
+        profile_table(df, ["nope"])
+    with pytest.raises(ValueError, match="no columns"):
+        profile_table(df, [])
