@@ -232,6 +232,60 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# lsh_verified — verify-then-cluster dedup (operators/dedup.py)
+# ======================================================================
+LSH_VERIFY_THRESHOLD = 0.5
+
+
+def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full production dedup pipeline in one query: MinHash
+    signatures → LSH candidate pairs → EXACT shingle-Jaccard confirm ≥
+    0.5.  LSH bounds the pair count (never a corpus self-join); the
+    verify stage then removes its band-collision false positives, so
+    downstream clustering only ever sees true near-duplicates.  The
+    oracle recomputes candidates AND the exact Jaccard independently.
+    """
+    from emiproc_spark.operators import dedup as dd
+    from emiproc_spark.driver_queries_text import _docs2
+
+    d = _docs2(spark, sf_dir)
+    sigs = dd.minhash_signatures(d, k=8)
+    cands = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    return dd.verify_candidate_pairs(
+        d, cands, n=3, threshold=LSH_VERIFY_THRESHOLD
+    )
+
+
+def _sql_lsh_verified() -> str:
+    from emiproc_spark.driver_queries_text import LSH_BANDED_CTES
+
+    return f"""
+    {LSH_BANDED_CTES},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.doc_a
+        JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT i.doc_a, i.doc_b, i.n_common,
+           i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.doc_a
+    JOIN sizes zb ON zb.doc_id = i.doc_b
+    WHERE i.n_common / CAST(za.sz + zb.sz - i.n_common AS DOUBLE)
+          >= {LSH_VERIFY_THRESHOLD}
+"""
+
+
+# ======================================================================
 # registry
 # ======================================================================
 QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
@@ -239,9 +293,11 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_totals": q_delta_totals,
     "frame_sample": q_frame_sample,
     "table_profile": q_table_profile,
+    "lsh_verified": q_lsh_verified,
 }
 
 ORACLES_R5C: dict[str, str] = {
+    "lsh_verified": _sql_lsh_verified(),
     "bucketed_join": SQL_BUCKETED_JOIN,
     "delta_totals": SQL_DELTA_TOTALS,
     "frame_sample": SQL_FRAME_SAMPLE,

@@ -163,7 +163,9 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
 
 
-SQL_MINHASH_LSH = f"""
+# CTE prefix shared with the round-5c lsh_verified oracle: doubled
+# corpus -> shingles -> 8-seed minhash -> 4 bands of 2
+LSH_BANDED_CTES = f"""
     WITH d AS ({DOCS2_SQL}),
     sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
     hashed AS (
@@ -178,6 +180,10 @@ SQL_MINHASH_LSH = f"""
                md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
         FROM hashed GROUP BY doc_id, seed // 2
     )
+"""
+
+SQL_MINHASH_LSH = f"""
+    {LSH_BANDED_CTES}
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM banded a
     JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash

@@ -356,6 +356,56 @@ def lsh_candidate_pairs_incremental(
     )
 
 
+def verify_candidate_pairs(
+    docs: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact shingle-Jaccard confirmation of candidate pairs — the
+    verify stage of a verify-then-cluster dedup pipeline (LSH recalls
+    candidates, this removes its false positives; use with
+    ``lsh_candidate_pairs(..., oversize_policy="drop")`` or no cap, per
+    that function's star-policy caveat).
+
+    Scale shape: shingles are semi-filtered to docs that actually
+    appear in a candidate pair before any join, so cost is
+    O(|pairs| × avg shingles/doc), not corpus-sized; the pair relation
+    drives both joins (no shingle×shingle self-join here).  Returns
+    (doc_a, doc_b, n_common, jaccard) for pairs with jaccard ≥
+    threshold; candidates with no common shingle drop out.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    cand = pairs.select("doc_a", "doc_b")
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh = doc_shingles(docs, text_col, n).join(cand_docs, "doc_id", "semi").cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("sz_a") + F.col("sz_b") - F.col("n_common")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint as a bit-string column.
 

@@ -44,6 +44,26 @@ def test_minhash_lsh(docs):
     assert (0, 3) not in cands
 
 
+def test_verify_candidate_pairs(spark, docs):
+    # seed candidates with a band-collision false positive (0,3): the
+    # exact-Jaccard confirm must keep the true pairs and drop it
+    cands = spark.createDataFrame(
+        [(0, 1), (0, 2), (0, 3)], "doc_a long, doc_b long"
+    )
+    out = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+           dd.verify_candidate_pairs(docs, cands, threshold=0.3).collect()}
+    assert out[(0, 1)] == pytest.approx(1.0)
+    assert 0.3 <= out[(0, 2)] < 1.0
+    assert (0, 3) not in out
+    # agrees with the full self-join on the surviving pairs
+    full = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+            dd.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    for k, v in out.items():
+        assert full[k] == pytest.approx(v)
+    with pytest.raises(ValueError, match="threshold"):
+        dd.verify_candidate_pairs(docs, cands, threshold=0.0)
+
+
 def test_simhash_and_hamming(docs):
     fp = dd.simhash(docs)
     rows = {r["doc_id"]: r["simhash_bits"] for r in fp.collect()}
