@@ -232,6 +232,83 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# stream_heavy — streaming Misra-Gries + exact confirm (streams.py)
+# ======================================================================
+STREAM_HH_K = 20
+
+# sf_dir -> 4-file parquet dir (maxFilesPerTrigger=1 => four real
+# micro-batches, so the sketch state is merged+decayed across batches,
+# not built in one shot)
+_HH_STREAM_DIRS: dict[str, str] = {}
+
+
+def q_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real Structured Streaming run of the bounded-state heavy-hitter
+    tracker: user_id events stream through 4 micro-batches into 8
+    Misra-Gries state shards (streaming half), then the final sketches'
+    candidates are counted EXACTLY over the replayable source and the
+    top-20 returned (confirm half) — the streaming twin of the batch
+    `heavy_hitters` query, same guarantee structure.
+    """
+    from pyspark.sql import Window
+
+    from emiproc_spark.driver_queries_r3b import _run_stream
+    from emiproc_spark.streaming.streams import heavy_hitters_stream
+
+    if sf_dir not in _HH_STREAM_DIRS:
+        d = os.path.join(tempfile.mkdtemp(prefix="emiproc_hh_stream_"), "in")
+        ev = fx.events(spark, sf_dir).select("event_id", "user_id")
+        for p in range(4):
+            (
+                ev.where(F.col("event_id") % 4 == p)
+                .select("user_id")
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+        _HH_STREAM_DIRS[sf_dir] = d
+    d = _HH_STREAM_DIRS[sf_dir]
+
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    sketches = heavy_hitters_stream(stream, "user_id", capacity=1024, n_buckets=8)
+    # stateful shards are per-shuffle-partition state stores; 8 match
+    # n_buckets and cut the fixture-scale setup cost (binds at START)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = _run_stream(sketches, "r5c_stream_hh", "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    w = Window.partitionBy("bucket")
+    final = res.withColumn("mx", F.max("ver").over(w)).where(
+        F.col("ver") == F.col("mx")
+    )
+    cand = final.select(F.col("v").cast("long").alias("user_id")).distinct()
+    exact = (
+        spark.read.parquet(d)
+        .join(F.broadcast(cand), "user_id", "semi")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return exact.orderBy(F.col("n").desc(), "user_id").limit(STREAM_HH_K)
+
+
+SQL_STREAM_HEAVY = f"""
+    SELECT user_id, COUNT(*) AS n
+    FROM events
+    WHERE user_id IS NOT NULL
+    GROUP BY user_id
+    ORDER BY n DESC, user_id
+    LIMIT {STREAM_HH_K}
+"""
+
+
+# ======================================================================
 # lsh_verified — verify-then-cluster dedup (operators/dedup.py)
 # ======================================================================
 LSH_VERIFY_THRESHOLD = 0.5
@@ -294,10 +371,12 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "frame_sample": q_frame_sample,
     "table_profile": q_table_profile,
     "lsh_verified": q_lsh_verified,
+    "stream_heavy": q_stream_heavy,
 }
 
 ORACLES_R5C: dict[str, str] = {
     "lsh_verified": _sql_lsh_verified(),
+    "stream_heavy": SQL_STREAM_HEAVY,
     "bucketed_join": SQL_BUCKETED_JOIN,
     "delta_totals": SQL_DELTA_TOTALS,
     "frame_sample": SQL_FRAME_SAMPLE,

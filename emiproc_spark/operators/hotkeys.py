@@ -46,6 +46,22 @@ def _misra_gries(values: pd.Series, capacity: int) -> dict:
     return counters
 
 
+def _mg_shrink(counters: dict, capacity: int) -> None:
+    """Shrink a merged summary back to ≤ ``capacity`` counters in place
+    (standard Misra-Gries merge): subtract the (capacity+1)-th largest
+    count from every counter and drop the non-positive ones.  Remains a
+    valid MG summary — each surviving undercount grows by at most the
+    subtracted amount, and any value with true frequency above the
+    admission bound still survives."""
+    if len(counters) <= capacity:
+        return
+    cut = sorted(counters.values(), reverse=True)[capacity]
+    for x in list(counters):
+        counters[x] -= cut
+        if counters[x] <= 0:
+            del counters[x]
+
+
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 10, capacity: int = 1024
 ) -> DataFrame:
@@ -64,14 +80,9 @@ def heavy_hitters(
         for pdf in batches:
             for v, c in _misra_gries(pdf["__v"], capacity).items():
                 counters[v] = counters.get(v, 0) + c
-                # merging per-batch summaries can exceed capacity; decay
-                # back down (still a valid MG summary of the partition)
-                if len(counters) > capacity:
-                    dead = [x for x in counters if counters[x] <= 1]
-                    for x in counters:
-                        counters[x] -= 1
-                    for x in dead:
-                        counters.pop(x, None)
+            # merging per-batch summaries can exceed capacity; the MG
+            # merge shrink keeps it a valid summary of the partition
+            _mg_shrink(counters, capacity)
         yield pd.DataFrame({"__v": list(counters.keys())})
 
     cand = src.mapInPandas(sketch, schema=src.schema).distinct()

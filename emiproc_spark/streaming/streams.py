@@ -461,3 +461,86 @@ def near_dup_stream(
         "append",
         GroupStateTimeout.ProcessingTimeTimeout,
     )
+
+
+def heavy_hitters_stream(
+    stream: DataFrame,
+    col: str = "v",
+    capacity: int = 1024,
+    n_buckets: int = 8,
+) -> DataFrame:
+    """Streaming Misra-Gries candidate tracker: bounded-state frequent
+    values of ``col`` over an unbounded stream — the streaming half of
+    ``operators.hotkeys.heavy_hitters`` (same sketch, same guarantee:
+    any value with true frequency > n_bucket/capacity survives its
+    bucket's summary; pair with an exact confirm over the replayable
+    source for exact top-k).
+
+    Values hash into ``n_buckets`` state shards; each shard's state is
+    ONE Misra-Gries summary of ≤ ``capacity`` counters, merged per
+    micro-batch (merge-then-decay keeps it a valid MG summary of the
+    shard's whole history).  Every batch re-emits the shard's current
+    sketch stamped with a monotonically increasing ``ver`` (update
+    mode); the latest ``ver`` per bucket is the final summary.  State
+    is O(n_buckets x capacity) regardless of stream length — a 100 TB
+    replay holds ~n_buckets x capacity counters, never per-key state.
+
+    ``col`` is cast to string for state packing; values must not
+    contain the unit separator ``\\x1f`` (raises downstream).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from emiproc_spark.operators.hotkeys import _mg_shrink, _misra_gries
+
+    if capacity < 1 or n_buckets < 1:
+        raise ValueError(
+            f"need capacity >= 1 and n_buckets >= 1, got {capacity}, {n_buckets}"
+        )
+    sep = "\x1f"
+    keyed = (
+        stream.select(F.col(col).cast("string").alias("v"))
+        .where(F.col("v").isNotNull())
+        .withColumn("bucket", F.pmod(F.xxhash64("v"), F.lit(n_buckets)).cast("int"))
+    )
+
+    def fn(key, pdfs, state):
+        (bucket,) = key
+        counters: dict = {}
+        ver = 0
+        if state.exists:
+            vs, cs, ver = state.get
+            if vs:
+                counters = dict(
+                    zip(vs.split(sep), (int(x) for x in cs.split(",")))
+                )
+        for pdf in pdfs:
+            for v, c in _misra_gries(pdf["v"], capacity).items():
+                if sep in v:
+                    raise ValueError(
+                        f"heavy_hitters_stream: value contains the state "
+                        f"separator: {v!r}"
+                    )
+                counters[v] = counters.get(v, 0) + c
+            _mg_shrink(counters, capacity)
+        ver += 1
+        vals = list(counters.keys())
+        state.update(
+            (sep.join(vals), ",".join(str(counters[v]) for v in vals), ver)
+        )
+        yield pd.DataFrame(
+            {
+                "bucket": bucket,
+                "v": vals,
+                "wt": [counters[v] for v in vals],
+                "ver": ver,
+            }
+        )
+
+    return keyed.groupBy("bucket").applyInPandasWithState(
+        fn,
+        "bucket int, v string, wt long, ver long",
+        "vs string, cs string, ver long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -177,3 +177,53 @@ def test_asof_enrich_stream_real_run(spark, tmp_path):
     assert by_click[1] == {10, 11, 12}
     assert by_click[2] == {None}  # user 7 but views long stale
     assert by_click[3] == {None}  # user 8 has no views at all
+
+
+def test_heavy_hitters_stream_multi_batch_decay(spark, tmp_path):
+    """Streaming Misra-Gries with capacity BELOW the shard cardinality:
+    across 3 micro-batches the sketch decays, yet every true heavy
+    value survives to the final version (the MG admission bound), and
+    state stays bounded at capacity counters per bucket."""
+    from emiproc_spark.streaming.streams import heavy_hitters_stream
+
+    # 1 bucket, capacity 8, 40 distinct values; values 0/1/2 are hot
+    # (120, 90, 60 occurrences), the other 37 appear 3x each
+    rows = []
+    for i, n in [(0, 120), (1, 90), (2, 60)] + [(i, 3) for i in range(3, 40)]:
+        rows += [(i,)] * n
+    # deterministic interleave so heavy values span all batches
+    rows.sort(key=lambda r: hash((r[0], len(rows))) % 7)
+    import pandas as pd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    third = len(rows) // 3
+    for b in range(3):
+        chunk = rows[b * third : None if b == 2 else (b + 1) * third]
+        pd.DataFrame({"v": [r[0] for r in chunk]}).to_parquet(
+            src / f"part{b}.parquet"
+        )
+
+    stream = (
+        spark.readStream.schema("v long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = heavy_hitters_stream(stream, "v", capacity=8, n_buckets=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_stream_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("hh_stream_test").toPandas()
+    assert res["ver"].max() == 3  # three real micro-batches
+    final = res[res["ver"] == res["ver"].max()]
+    assert len(final) <= 8  # state bounded at capacity
+    survivors = set(final["v"].astype(int))
+    assert {0, 1, 2} <= survivors  # heavy values always survive decay
+
+    with pytest.raises(ValueError, match="capacity"):
+        heavy_hitters_stream(stream, "v", capacity=0)
