@@ -378,7 +378,10 @@ def verify_candidate_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    cand = pairs.select("doc_a", "doc_b")
+    # a duplicated input pair would double-count every common shingle
+    # (jaccard > 1); candidate generators usually emit distinct pairs,
+    # but don't rely on it
+    cand = pairs.select("doc_a", "doc_b").distinct()
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))

@@ -62,6 +62,11 @@ def test_verify_candidate_pairs(spark, docs):
         assert full[k] == pytest.approx(v)
     with pytest.raises(ValueError, match="threshold"):
         dd.verify_candidate_pairs(docs, cands, threshold=0.0)
+    # duplicated input pairs must not double-count common shingles
+    dup_cands = cands.unionByName(cands)
+    out2 = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in
+            dd.verify_candidate_pairs(docs, dup_cands, threshold=0.3).collect()}
+    assert out2 == pytest.approx(out)
 
 
 def test_simhash_and_hamming(docs):
