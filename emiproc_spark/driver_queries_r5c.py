@@ -232,6 +232,57 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# image_resize — decode → nearest-neighbor resize → stats (multimodal)
+# ======================================================================
+RS_N, RS_SIDE, RS_H, RS_W = 300, 24, 10, 6
+
+
+def q_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode + resize path: deterministic 24x24 grey PNGs decoded
+    through the pure-numpy codec, nearest-neighbor resized to 10x6 with
+    the exact integer index map (src = (dst*24)//10), stats of the
+    RESIZED pixels emitted.  The oracle recomputes the sampled pixel
+    lattice arithmetically — codec and resize must both be exact for
+    the hashes to match."""
+    import numpy as np
+    import pandas as pd
+
+    def run(batches):
+        from emiproc_spark.functions.png import write_png
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["id"]:
+                i = int(doc_id)
+                px = (
+                    (i * 31 + np.arange(RS_SIDE * RS_SIDE)) % 256
+                ).astype(np.uint8).reshape(RS_SIDE, RS_SIDE)
+                rows.append({"doc_id": i, "payload": write_png(px)})
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    from emiproc_spark.operators.multimodal import resize_features
+
+    media = spark.range(RS_N).mapInPandas(run, "doc_id long, payload binary")
+    return resize_features(media, RS_H, RS_W)
+
+
+SQL_IMAGE_RESIZE = f"""
+    WITH px AS (
+        SELECT d.i AS doc_id,
+               (d.i * 31 + ((r.r * {RS_SIDE}) // {RS_H}) * {RS_SIDE}
+                         + ((c.c * {RS_SIDE}) // {RS_W})) % 256 AS v
+        FROM range({RS_N}) d(i), range({RS_H}) r(r), range({RS_W}) c(c)
+    )
+    SELECT doc_id,
+           {RS_H} AS out_h, {RS_W} AS out_w,
+           CAST({RS_H * RS_W} AS BIGINT) AS n_px,
+           CAST(SUM(v) % 1000003 AS BIGINT) AS checksum,
+           CAST(SUM(v) AS DOUBLE) / {RS_H * RS_W} AS mean_byte
+    FROM px GROUP BY doc_id
+"""
+
+
+# ======================================================================
 # stream_heavy — streaming Misra-Gries + exact confirm (streams.py)
 # ======================================================================
 STREAM_HH_K = 20
@@ -372,9 +423,11 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "table_profile": q_table_profile,
     "lsh_verified": q_lsh_verified,
     "stream_heavy": q_stream_heavy,
+    "image_resize": q_image_resize,
 }
 
 ORACLES_R5C: dict[str, str] = {
+    "image_resize": SQL_IMAGE_RESIZE,
     "lsh_verified": _sql_lsh_verified(),
     "stream_heavy": SQL_STREAM_HEAVY,
     "bucketed_join": SQL_BUCKETED_JOIN,

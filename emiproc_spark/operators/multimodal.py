@@ -1,11 +1,13 @@
 """Multimodal columns: images/audio/video as opaque binary + typed metadata.
 
 The Spark-side plumbing is real — binary columns, Arrow-batched
-``mapInPandas`` feature extraction, schema/partitioning — while the
-actual media decode is stubbed (no image/audio libs in this
-environment): ``decode_image`` raises NotImplementedError unless
-``fake=True``, which substitutes a deterministic byte-statistics
-"decode" so the pipeline shape is testable end-to-end.
+``mapInPandas`` feature extraction, schema/partitioning.  Decode is
+real where a dependency-free codec exists: PNG (``functions.png``) and
+PCM WAV (``functions.wav``) decode losslessly in-repo, Pillow handles
+other image formats when importable, and ``decode_image(fake=True)``
+remains the deterministic byte-statistics stand-in for formats this
+container cannot decode (e.g. video codecs — ``frame_sample`` keeps
+the partition-explosion shape real over opaque payloads).
 """
 
 from __future__ import annotations
@@ -126,6 +128,60 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "doc_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     )
+
+
+def resize_image(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Nearest-neighbor resize with the exact integer index map
+    ``src = (dst * src_len) // dst_len`` — pure integer arithmetic, so
+    results are bit-reproducible across engines (no float rounding in
+    the sampling grid).  Works on (H, W) grey and (H, W, C) arrays."""
+    if h < 1 or w < 1:
+        raise ValueError(f"resize_image: target must be >= 1x1, got {h}x{w}")
+    if img.ndim not in (2, 3):
+        raise ValueError(f"resize_image: expected 2-D or 3-D array, got {img.ndim}-D")
+    src_h, src_w = img.shape[:2]
+    rows = (np.arange(h, dtype=np.int64) * src_h) // h
+    cols = (np.arange(w, dtype=np.int64) * src_w) // w
+    return img[rows][:, cols]
+
+
+RESIZE_SCHEMA = (
+    "doc_id long, out_h int, out_w int, n_px long, checksum long, mean_byte double"
+)
+
+
+def resize_features(
+    media: DataFrame, h: int, w: int, payload_col: str = "payload"
+) -> DataFrame:
+    """Decode → nearest-neighbor resize → exact integer stats, Arrow
+    batched (the image counterpart of ``audio_features``): per doc the
+    resized image's pixel count, sum-checksum and mean.  Integer
+    checksum by design — engine-reproducible like the PNG/WAV cycles."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf[payload_col]):
+                img = decode_image(bytes(payload))
+                small = resize_image(img, h, w).astype(np.int64)
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "out_h": int(small.shape[0]),
+                        "out_w": int(small.shape[1]),
+                        "n_px": int(small.size),
+                        "checksum": int(small.sum() % 1_000_003),
+                        "mean_byte": float(small.sum()) / small.size,
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "out_h", "out_w", "n_px", "checksum", "mean_byte",
+                ],
+            )
+
+    return media.mapInPandas(run, schema=RESIZE_SCHEMA)
 
 
 AUDIO_FEATURE_SCHEMA = (

@@ -144,6 +144,29 @@ def test_multimodal_stub(spark, docs):
         frame_sample(media, every_n_bytes=0)
 
 
+def test_resize_image():
+    import numpy as np
+
+    from emiproc_spark.operators.multimodal import resize_image
+
+    img = np.arange(24 * 24, dtype=np.uint8).reshape(24, 24)
+    small = resize_image(img, 10, 6)
+    assert small.shape == (10, 6)
+    # exact integer lattice: (r*24)//10 rows, (c*24)//6 = 4c cols
+    assert small[3, 2] == img[(3 * 24) // 10, 8]
+    # upscale repeats pixels; identity is exact
+    assert resize_image(img, 24, 24).tolist() == img.tolist()
+    big = resize_image(img, 48, 48)
+    assert big.shape == (48, 48) and big[1, 1] == img[0, 0]
+    # 3-channel arrays keep the channel axis
+    rgb = np.stack([img, img, img], axis=-1)
+    assert resize_image(rgb, 5, 5).shape == (5, 5, 3)
+    with pytest.raises(ValueError, match="target"):
+        resize_image(img, 0, 5)
+    with pytest.raises(ValueError, match="2-D or 3-D"):
+        resize_image(np.arange(5, dtype=np.uint8), 2, 2)
+
+
 def test_embedding_dup_pairs(spark):
     import numpy as np
 
