@@ -171,6 +171,15 @@ def test_bucketed_join_query_has_no_exchange(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
+def test_table_profile_single_scan(spark):
+    """Profiling N columns costs ONE scan of the table (multi-distinct
+    via Expand), never a scan per column."""
+    df = QUERIES["table_profile"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Expand" in p
+
+
 def test_frame_sample_stays_jvm_side(spark):
     """The video-frame explode is pure JVM (Generate over sequence) —
     no Python evaluation node anywhere in the plan."""
