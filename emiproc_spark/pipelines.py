@@ -336,3 +336,110 @@ def edgar_to_hourly(
         e, cell_profiles, start, hours, year_hours=year_hours
     )
     return export_hourly_netcdf(hourly, grid, nx, ny, start, out_dir)
+
+
+def curate_corpus(
+    docs: DataFrame,
+    eval_docs: DataFrame | None = None,
+    text_col: str = "text",
+    minhash_k: int = 8,
+    bands: int = 4,
+    rows_per_band: int = 2,
+    max_bucket_size: int | None = 1024,
+    jaccard_threshold: float = 0.8,
+    min_tokens: int | None = 20,
+    max_dup_token_frac: float | None = 0.9,
+    decon_n: int = 5,
+    ctx_len: int | None = 2048,
+    n_shards: int = 16,
+) -> dict[str, DataFrame]:
+    """End-to-end training-corpus curation — the one-call unit a data
+    pipeline runs nightly, composed purely from the oracle-checked
+    operators (no new semantics):
+
+    1. exact dedup (byte-identical groups keep their min doc_id),
+    2. near-dedup: MinHash → LSH candidates (``oversize_policy="drop"``
+       because verification follows — the star policy's documented
+       caveat) → EXACT Jaccard confirm ≥ ``jaccard_threshold`` →
+       connected components → min-id representative per cluster,
+    3. quality gate (audited ``keep``/``reason``; kept rows proceed),
+    4. eval-set decontamination (broadcast ``decon_n``-grams) when
+       ``eval_docs`` is given,
+    5. packing plan: deterministic shards + concat-and-chunk sequence
+       placement (skipped when ``ctx_len`` is None).
+
+    Returns every stage's frame (all lazy — nothing executes until the
+    caller acts): ``exact_groups``, ``exact_kept``, ``near_pairs``,
+    ``deduped``, ``quality``, ``kept``, ``clean``, ``packed`` (None when
+    skipped).  Stage order matters at scale: each dedup stage shrinks
+    the corpus the next (more expensive per-row) stage scans.
+    """
+    from emiproc_spark.operators import cluster as cl
+    from emiproc_spark.operators import dedup as dd
+    from emiproc_spark.operators import packing as pk
+    from emiproc_spark.operators import text as tx
+
+    # 1 — exact dedup
+    groups = dd.exact_duplicates(docs, text_col)
+    hashed = docs.withColumn("__h", F.md5(F.col(text_col)))
+    exact_kept = (
+        hashed.join(
+            groups.select(F.col("text_hash").alias("__h"), "keep_doc_id"),
+            "__h",
+            "left",
+        )
+        .where(
+            F.col("keep_doc_id").isNull()
+            | (F.col("doc_id") == F.col("keep_doc_id"))
+        )
+        .drop("__h", "keep_doc_id")
+    )
+
+    # 2 — near-dedup (verify-then-cluster)
+    sigs = dd.minhash_signatures(exact_kept, k=minhash_k, text_col=text_col)
+    cands = dd.lsh_candidate_pairs(
+        sigs,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        max_bucket_size=max_bucket_size,
+        oversize_policy="drop",
+    )
+    near_pairs = dd.verify_candidate_pairs(
+        exact_kept, cands, text_col=text_col, threshold=jaccard_threshold
+    )
+    deduped = cl.dedup_keep_representative(exact_kept, near_pairs)
+
+    # 3 — quality gate
+    quality = tx.quality_filter(
+        deduped,
+        min_tokens=min_tokens,
+        max_dup_token_frac=max_dup_token_frac,
+        text_col=text_col,
+    )
+    kept = quality.where(F.col("keep")).select(*deduped.columns)
+
+    # 4 — decontamination
+    clean = (
+        pk.decontaminate(kept, eval_docs, text_col=text_col, n=decon_n)
+        if eval_docs is not None
+        else kept
+    )
+
+    # 5 — packing plan
+    packed = None
+    if ctx_len is not None:
+        sized = clean.withColumn(
+            "n_tokens", tx.token_count(F.col(text_col))
+        )
+        packed = pk.pack_sequences(sized, ctx_len, n_shards=n_shards)
+
+    return {
+        "exact_groups": groups,
+        "exact_kept": exact_kept,
+        "near_pairs": near_pairs,
+        "deduped": deduped,
+        "quality": quality,
+        "kept": kept,
+        "clean": clean,
+        "packed": packed,
+    }

@@ -386,3 +386,44 @@ def test_profile_table(spark):
         profile_table(df, ["nope"])
     with pytest.raises(ValueError, match="no columns"):
         profile_table(df, [])
+
+
+def test_curate_corpus_end_to_end(spark):
+    from emiproc_spark.pipelines import curate_corpus
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away today"
+    rows = [
+        (0, base + " zero"),                      # keeper
+        (1, base + " zero"),                      # exact dup of 0
+        (2, base + " nearly zero"),               # near dup of 0
+        (3, "completely different words about spark catalyst tungsten "
+            "execution engines and columnar formats in modern systems"),
+        (4, "short doc"),                          # fails min_tokens
+        (5, "leaked eval answer sequence alpha beta gamma delta epsilon "
+            "zeta eta theta iota kappa lambda mu nu xi omicron pi rho"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, "answer sequence alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = curate_corpus(
+        docs, evals, jaccard_threshold=0.5, min_tokens=5, ctx_len=16,
+        n_shards=2,
+    )
+    assert {r["doc_id"] for r in out["exact_kept"].collect()} == {0, 2, 3, 4, 5}
+    pairs = {(r["doc_a"], r["doc_b"]) for r in out["near_pairs"].collect()}
+    assert (0, 2) in pairs
+    assert {r["doc_id"] for r in out["deduped"].collect()} == {0, 3, 4, 5}
+    reasons = {r["doc_id"]: r["reason"] for r in out["quality"].collect()}
+    assert reasons[4] != "ok" and reasons[0] == "ok"
+    assert {r["doc_id"] for r in out["kept"].collect()} == {0, 3, 5}
+    assert {r["doc_id"] for r in out["clean"].collect()} == {0, 3}  # 5 leaked
+    packed = {r["doc_id"]: r for r in out["packed"].collect()}
+    assert set(packed) == {0, 3}
+    assert all(r["seq_last"] >= r["seq_first"] >= 0 for r in packed.values())
+    # no eval set, no packing: stages degrade to identity
+    out2 = curate_corpus(docs, None, jaccard_threshold=0.5, min_tokens=5,
+                         ctx_len=None)
+    assert {r["doc_id"] for r in out2["clean"].collect()} == {0, 3, 5}
+    assert out2["packed"] is None
