@@ -232,6 +232,67 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# interval_islands — gaps-and-islands coverage (operators/joins.py)
+# ======================================================================
+ISLAND_WIN_NS = 10 * 60 * 1_000_000_000  # 10 minutes in epoch-nanos
+
+
+def q_interval_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user activity coverage: each event opens a 10-minute window
+    [ts, ts+10min); overlapping/touching windows merge into maximal
+    islands (merge_intervals — one shuffle + per-key sort, no
+    self-join), then a per-user rollup of island count, covered
+    nanoseconds and source-interval count.  All-integer arithmetic, so
+    the oracle (same window formulation in DuckDB) matches exactly."""
+    from emiproc_spark.operators.joins import merge_intervals
+
+    iv = fx.events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").alias("start"),
+        (F.col("ts") + F.lit(ISLAND_WIN_NS)).alias("end"),
+    )
+    islands = merge_intervals(iv, ["user_id"])
+    return islands.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("island_end") - F.col("island_start")).alias("covered_ns"),
+        F.sum("n_intervals").alias("n_intervals"),
+    )
+
+
+SQL_INTERVAL_ISLANDS = f"""
+    WITH iv AS (
+        SELECT user_id, epoch_ns(ts) AS s,
+               epoch_ns(ts) + {ISLAND_WIN_NS} AS e
+        FROM events
+    ),
+    m AS (
+        SELECT user_id, s, e,
+               MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS pme
+        FROM iv
+    ),
+    isl AS (
+        SELECT user_id, s, e,
+               SUM(CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY s, e
+                         ROWS UNBOUNDED PRECEDING) AS island
+        FROM m
+    ),
+    g AS (
+        SELECT user_id, island, MIN(s) AS st, MAX(e) AS en,
+               COUNT(*) AS n
+        FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           COUNT(*) AS n_islands,
+           CAST(SUM(en - st) AS BIGINT) AS covered_ns,
+           CAST(SUM(n) AS BIGINT) AS n_intervals
+    FROM g GROUP BY user_id
+"""
+
+
+# ======================================================================
 # image_resize — decode → nearest-neighbor resize → stats (multimodal)
 # ======================================================================
 RS_N, RS_SIDE, RS_H, RS_W = 300, 24, 10, 6
@@ -424,10 +485,12 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_verified": q_lsh_verified,
     "stream_heavy": q_stream_heavy,
     "image_resize": q_image_resize,
+    "interval_islands": q_interval_islands,
 }
 
 ORACLES_R5C: dict[str, str] = {
     "image_resize": SQL_IMAGE_RESIZE,
+    "interval_islands": SQL_INTERVAL_ISLANDS,
     "lsh_verified": _sql_lsh_verified(),
     "stream_heavy": SQL_STREAM_HEAVY,
     "bucketed_join": SQL_BUCKETED_JOIN,

@@ -302,3 +302,61 @@ def point_in_range_join(
         .where((F.col(point_col) >= F.col(rs)) & (F.col(point_col) < F.col(re)))
         .drop("__bucket")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    by: list[str],
+    start_col: str = "start",
+    end_col: str = "end",
+) -> DataFrame:
+    """Merge overlapping-or-touching half-open intervals [start, end)
+    per key into maximal islands — the gaps-and-islands rollup (coverage
+    spans, downtime analysis, session coalescing over precomputed
+    windows).
+
+    Classic one-pass window formulation: within each key, an interval
+    starts a NEW island iff its start exceeds the running max end of
+    all earlier intervals (sorted by start); the island id is the
+    running count of such starts, and one aggregation yields each
+    island's extent.  Cost is one shuffle on ``by`` + a per-key sort —
+    no self-join, no explode; at 100 TB the shuffle carries the
+    interval table once (AQE handles hot keys).
+
+    Returns (by…, island_start, island_end, n_intervals).  Inverted
+    intervals (end < start) raise rather than silently vanishing; NULL
+    bounds raise (a NULL start would sort first and poison the running
+    max).
+    """
+    s, e = F.col(start_col), F.col(end_col)
+    guard = F.when(
+        s.isNull() | e.isNull(),
+        F.raise_error(F.lit("merge_intervals: NULL interval bound")),
+    ).when(
+        e < s,
+        F.raise_error(
+            F.concat(
+                F.lit("merge_intervals: inverted interval [ "),
+                s.cast("string"), F.lit(", "), e.cast("string"), F.lit(" )"),
+            )
+        ),
+    ).otherwise(s)
+    w = Window.partitionBy(*by).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    new_island = F.when(
+        prev_max_end.isNull() | (s > prev_max_end), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        df.withColumn("__island", island)
+        .groupBy(*by, "__island")
+        .agg(
+            # min over the GUARDED start: the validation evaluates for
+            # every row (a guard inside the island predicate can be
+            # skipped by short-circuit evaluation on first-in-key rows)
+            F.min(guard).alias("island_start"),
+            F.max(end_col).alias("island_end"),
+            F.count("*").alias("n_intervals"),
+        )
+        .drop("__island")
+    )

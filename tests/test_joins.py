@@ -224,3 +224,43 @@ def test_asof_null_timestamp_raises(spark, lr):
     )
     with pytest.raises(Exception, match="NULL ts"):
         asof_join(left, right_null, "ts", ["k"], ["v"]).collect()
+
+
+def test_merge_intervals_islands(spark):
+    from emiproc_spark.operators.joins import merge_intervals
+
+    iv = spark.createDataFrame(
+        [
+            # key 1: [0,10) [5,15) [15,20) chain into one island (touching
+            # merges); [30,35) stands alone
+            (1, 0, 10), (1, 5, 15), (1, 15, 20), (1, 30, 35),
+            # key 2: containment — [0,100) swallows [10,20) and [50,60)
+            (2, 0, 100), (2, 10, 20), (2, 50, 60),
+            # key 3: duplicate intervals
+            (3, 5, 7), (3, 5, 7),
+        ],
+        "k long, start long, end long",
+    )
+    out = {(r["k"], r["island_start"]): r for r in
+           merge_intervals(iv, ["k"]).collect()}
+    assert set(out) == {(1, 0), (1, 30), (2, 0), (3, 5)}
+    assert out[(1, 0)]["island_end"] == 20 and out[(1, 0)]["n_intervals"] == 3
+    assert out[(1, 30)]["island_end"] == 35
+    assert out[(2, 0)]["island_end"] == 100 and out[(2, 0)]["n_intervals"] == 3
+    assert out[(3, 5)]["n_intervals"] == 2
+
+    # result is independent of physical partitioning
+    again = {(r["k"], r["island_start"]): r["island_end"] for r in
+             merge_intervals(iv.repartition(7), ["k"]).collect()}
+    assert again == {k: r["island_end"] for k, r in out.items()}
+
+    with pytest.raises(Exception, match="inverted interval"):
+        merge_intervals(
+            spark.createDataFrame([(1, 10, 5)], "k long, start long, end long"),
+            ["k"],
+        ).collect()
+    with pytest.raises(Exception, match="NULL interval bound"):
+        merge_intervals(
+            spark.createDataFrame([(1, None, 5)], "k long, start long, end long"),
+            ["k"],
+        ).collect()
