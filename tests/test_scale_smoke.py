@@ -761,3 +761,32 @@ def test_bucketed_store_million_cell_join(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS smoke_bkt_a")
         spark.sql("DROP TABLE IF EXISTS smoke_bkt_b")
+
+
+@scale
+def test_merge_intervals_five_million(spark):
+    """5M intervals over 5k keys (1k intervals each, heavy overlap):
+    the islands rollup is one shuffle + per-key sort — bounded time,
+    closed-form checkable.  Key i's intervals are [j*10, j*10+15) for
+    j in [0,1000): each touches the next, ONE island [0, 10005) per
+    key."""
+    from emiproc_spark.operators.joins import merge_intervals
+
+    iv = spark.range(5_000_000).select(
+        (F.col("id") % 5000).alias("k"),
+        ((F.col("id") / 5000).cast("long") * 10).alias("start"),
+        ((F.col("id") / 5000).cast("long") * 10 + 15).alias("end"),
+    )
+    t0 = time.time()
+    out = merge_intervals(iv, ["k"])
+    rows = out.collect()
+    dt = time.time() - t0
+    assert len(rows) == 5000
+    assert all(
+        r["island_start"] == 0
+        and r["island_end"] == 9990 + 15
+        and r["n_intervals"] == 1000
+        for r in rows
+    )
+    print(f"\n5M-interval islands wall: {dt:.1f}s")
+    assert dt < 120
