@@ -180,6 +180,15 @@ def test_table_profile_single_scan(spark):
     assert "Expand" in p
 
 
+def test_interval_islands_single_shuffle(spark):
+    """The islands rollup shuffles the interval table ONCE: the final
+    (key, island) aggregate reuses the window's hash partitioning on
+    key (subset rule) instead of re-exchanging."""
+    df = QUERIES["interval_islands"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
 def test_frame_sample_stays_jvm_side(spark):
     """The video-frame explode is pure JVM (Generate over sequence) —
     no Python evaluation node anywhere in the plan."""
