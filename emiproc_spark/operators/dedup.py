@@ -387,7 +387,12 @@ def verify_candidate_pairs(
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
-    sh = doc_shingles(docs, text_col, n).join(cand_docs, "doc_id", "semi").cache()
+    # semi-filter BEFORE shingling: Catalyst won't push a semi join
+    # below the explode+distinct, and at scale candidates are a small
+    # fraction of the corpus — non-candidate docs must never explode
+    sh = doc_shingles(
+        docs.join(cand_docs, "doc_id", "semi"), text_col, n
+    ).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
