@@ -232,6 +232,43 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# fuzzy_join — edit-distance-1 key matching (operators/dedup.py)
+# ======================================================================
+FZ_PREFIX_LEN = 10
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-identical key detection without a quadratic join: distinct
+    10-char document prefixes (min doc_id as representative) matched at
+    Levenshtein distance ≤ 1 via SymSpell deletion blocking + built-in
+    levenshtein confirm.  The oracle brute-forces the same pair set
+    with DuckDB's levenshtein — the blocking must be recall-complete
+    for the row sets to match."""
+    from emiproc_spark.operators.dedup import edit1_pairs
+
+    prefixes = (
+        fx.load(spark, sf_dir, "documents")
+        .select(F.substring("text", 1, FZ_PREFIX_LEN).alias("key"), "doc_id")
+        .groupBy("key")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    return edit1_pairs(prefixes)
+
+
+SQL_FUZZY_JOIN = f"""
+    WITH p AS (
+        SELECT substr(text, 1, {FZ_PREFIX_LEN}) AS k,
+               MIN(doc_id) AS doc_id
+        FROM documents GROUP BY 1
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(a.k, b.k) AS INT) AS dist
+    FROM p a JOIN p b
+      ON a.doc_id < b.doc_id AND levenshtein(a.k, b.k) <= 1
+"""
+
+
+# ======================================================================
 # interval_islands — gaps-and-islands coverage (operators/joins.py)
 # ======================================================================
 ISLAND_WIN_NS = 10 * 60 * 1_000_000_000  # 10 minutes in epoch-nanos
@@ -486,11 +523,13 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_heavy": q_stream_heavy,
     "image_resize": q_image_resize,
     "interval_islands": q_interval_islands,
+    "fuzzy_join": q_fuzzy_join,
 }
 
 ORACLES_R5C: dict[str, str] = {
     "image_resize": SQL_IMAGE_RESIZE,
     "interval_islands": SQL_INTERVAL_ISLANDS,
+    "fuzzy_join": SQL_FUZZY_JOIN,
     "lsh_verified": _sql_lsh_verified(),
     "stream_heavy": SQL_STREAM_HEAVY,
     "bucketed_join": SQL_BUCKETED_JOIN,

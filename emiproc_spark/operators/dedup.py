@@ -414,6 +414,75 @@ def verify_candidate_pairs(
     )
 
 
+def edit1_pairs(
+    keys: DataFrame,
+    key_col: str = "key",
+    id_col: str = "doc_id",
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Pairs of rows whose string keys are within Levenshtein distance
+    1 — fuzzy key matching (near-identical URLs, titles, codes) without
+    a quadratic self-join.
+
+    SymSpell-style deletion blocking: each key emits itself plus every
+    single-character deletion; two keys with true distance ≤ 1 are
+    GUARANTEED to share a variant (substitution → both delete the
+    differing position; insertion → the longer key's deletion equals
+    the shorter; equality → the keys themselves), so the variant
+    equi-join recalls every pair and the built-in ``levenshtein``
+    confirms exactly.  Cost: (len+1) variants per key into one
+    equi-join — O(n·len), never O(n²).
+
+    ``max_bucket_size`` mirrors the LSH stop-shingle guard: a variant
+    shared by more rows than the cap (a hot common prefix pattern) is
+    dropped, trading those candidates for bounded bucket joins (policy
+    "drop" only — verification follows, so star edges would be wrong;
+    see lsh_candidate_pairs).  NULL keys are excluded (levenshtein on
+    NULL is undefined); distance 0 pairs (identical keys) are included.
+    Returns (doc_a, doc_b, dist).
+    """
+    s = F.col(key_col)
+    dels = F.when(
+        F.length(s) > 0,
+        F.expr(
+            f"transform(sequence(1, length({key_col})), i -> "
+            f"concat(substring({key_col}, 1, i-1), "
+            f"substring({key_col}, i+1, length({key_col}))))"
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    var = keys.where(s.isNotNull()).select(
+        F.col(id_col).alias("__id"),
+        s.alias("__k"),
+        F.explode(F.array_distinct(F.concat(F.array(s), dels))).alias("__v"),
+    )
+    if max_bucket_size is not None:
+        if max_bucket_size < 1:
+            raise ValueError(f"max_bucket_size must be >= 1, got {max_bucket_size}")
+        sizes = var.groupBy("__v").agg(F.count("*").alias("__sz"))
+        var = var.join(
+            sizes.where(F.col("__sz") <= max_bucket_size).select("__v"),
+            "__v",
+            "semi",
+        )
+    a, b = var.alias("a"), var.alias("b")
+    cand = (
+        a.join(b, "__v")
+        .where(F.col("a.__id") < F.col("b.__id"))
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("a.__k").alias("__ka"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("b.__k").alias("__kb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("dist", F.levenshtein("__ka", "__kb"))
+        .where(F.col("dist") <= 1)
+        .select("doc_a", "doc_b", "dist")
+    )
+
+
 def simhash(docs: DataFrame, text_col: str = "text", bits: int = 64) -> DataFrame:
     """64-bit SimHash fingerprint as a bit-string column.
 

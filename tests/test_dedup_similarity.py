@@ -493,3 +493,47 @@ def test_lsh_rejects_whole_band_short_signature(spark, docs):
     sigs = dd.minhash_signatures(docs, k=6)
     with pytest.raises(Exception, match="bands missing"):
         dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2).collect()
+
+
+def test_edit1_pairs_recall_and_guard(spark):
+    rows = [
+        (1, "spark"), (2, "spork"),   # substitution
+        (3, "sparks"),               # insertion vs 1
+        (4, "park"),                 # deletion vs 1
+        (5, "spark"),                # identical -> dist 0 with 1
+        (6, "totally"),              # unrelated
+        (7, ""), (8, "a"),           # empty matches 1-char at dist 1
+        (9, None),                   # NULL excluded
+    ]
+    keys = spark.createDataFrame(rows, "doc_id long, key string")
+    out = {(r["doc_a"], r["doc_b"]): r["dist"] for r in
+           dd.edit1_pairs(keys).collect()}
+    assert out[(1, 2)] == 1 and out[(1, 3)] == 1 and out[(1, 4)] == 1
+    assert out[(1, 5)] == 0
+    assert out[(7, 8)] == 1
+    assert not any(6 in p or 9 in p for p in out)
+    # brute-force agreement on the full set
+    import itertools
+    def lev(a, b):
+        if len(a) < len(b): a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+    expect = {}
+    clean = [(i, k) for i, k in rows if k is not None]
+    for (i, ka), (j, kb) in itertools.combinations(clean, 2):
+        d = lev(ka, kb)
+        if d <= 1:
+            expect[(min(i, j), max(i, j))] = d
+    assert out == expect
+    # hot-variant cap drops the crowded bucket ("spark" self-variant
+    # shared by ids 1,3,5 and more via deletions)
+    capped = dd.edit1_pairs(keys, max_bucket_size=1)
+    assert capped.count() < len(out)
+    with pytest.raises(ValueError, match="max_bucket_size"):
+        dd.edit1_pairs(keys, max_bucket_size=0)
