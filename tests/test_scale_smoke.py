@@ -790,3 +790,43 @@ def test_merge_intervals_five_million(spark):
     )
     print(f"\n5M-interval islands wall: {dt:.1f}s")
     assert dt < 120
+
+
+@scale
+def test_edit1_pairs_half_million_keys(spark):
+    """500k distinct 12-char keys through deletion blocking: ~6.5M
+    variants into one equi-join — bounded time, planted neighbors
+    found.  Key i = hex(i) left-padded; planting: every 1000th key gets
+    a twin with one substituted char via a disjoint id range."""
+    from emiproc_spark.operators.dedup import edit1_pairs
+
+    base = spark.range(500_000).select(
+        F.col("id").alias("doc_id"),
+        F.lpad(F.hex(F.col("id")), 12, "0").alias("key"),
+    )
+    twins = (
+        spark.range(500)
+        .select((F.col("id") * 1000).alias("src"))
+        .select(
+            (F.col("src") + 1_000_000).alias("doc_id"),
+            F.concat(
+                F.lit("z"), F.substring(F.lpad(F.hex(F.col("src")), 12, "0"), 2, 11)
+            ).alias("key"),
+        )
+    )
+    t0 = time.time()
+    out = edit1_pairs(base.unionByName(twins))
+    planted = out.where(
+        (F.col("doc_b") >= 1_000_000) & (F.col("dist") == 1)
+    ).count()
+    dt = time.time() - t0
+    assert planted == 500  # recall-complete without a cap
+    # the hot-variant cap is the documented recall trade: with it on,
+    # crowded buckets drop some planted twins but the join stays bounded
+    capped = edit1_pairs(base.unionByName(twins), max_bucket_size=64)
+    n_capped = capped.where(
+        (F.col("doc_b") >= 1_000_000) & (F.col("dist") == 1)
+    ).count()
+    assert 0 < n_capped <= 500
+    print(f"\n500k-key edit1 wall: {dt:.1f}s")
+    assert dt < 120
