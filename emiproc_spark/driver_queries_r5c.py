@@ -53,7 +53,15 @@ def _bucketed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
         save_inventory_bucketed,
     )
 
-    if sf_dir not in _BKT_TABLES:
+    cached = _BKT_TABLES.get(sf_dir)
+    # the cache holds catalog TABLE NAMES, which die with the session
+    # (unlike the sibling filesystem-path caches) — revalidate against
+    # the current session's catalog before trusting it
+    if cached is not None and not all(
+        spark.catalog.tableExists(t) for t in cached
+    ):
+        cached = None
+    if cached is None:
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         ta, tb = f"emiproc_bkt_a_{tag}", f"emiproc_bkt_b_{tag}"
         root = tempfile.mkdtemp(prefix="emiproc_bkt_")
@@ -118,16 +126,25 @@ def q_delta_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     base (cell_id % 10 != 0) stands in for yesterday's materialized
     rollup; delta (cell_id % 10 == 0) is today's arrivals.  The merge
     re-aggregates the two partial states — base facts are never
-    rescanned in the incremental path.  ``sumd`` partials are exact
-    integers / QSCALE, so quantize-on-merge reconstructs each partial's
-    integer numerator exactly and the merged total equals the
-    full-rescan total bit-for-bit (the oracle IS the full rescan).
+    rescanned in the incremental path.  Partials carry the µ-quantized
+    numerator as an INT64 (micro-units), so the merge is a plain
+    integer sum — exact at ANY magnitude — and only the final
+    projection divides back to kg.  (Merging the partials as doubles
+    and re-quantizing only round-trips while the numerator stays below
+    ~2.2e15; integer partial state has no such ceiling and is what a
+    production incremental rollup should materialize.)
     """
+    from emiproc_spark.qhelpers import QSCALE
+
     em = fx.emissions(spark, sf_dir)
 
     def totals(df: DataFrame) -> DataFrame:
         return df.groupBy("category", "substance").agg(
-            sumd("value_kg_y").alias("total_kg_y"),
+            F.sum(
+                F.floor(F.col("value_kg_y") * F.lit(QSCALE) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("total_micro"),
             F.count("*").alias("n_rows"),
         )
 
@@ -137,8 +154,16 @@ def q_delta_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         base.unionByName(delta)
         .groupBy("category", "substance")
         .agg(
-            sumd("total_kg_y").alias("total_kg_y"),
+            F.sum("total_micro").alias("total_micro"),
             F.sum("n_rows").alias("n_rows"),
+        )
+        .select(
+            "category",
+            "substance",
+            (F.col("total_micro").cast("double") / F.lit(QSCALE)).alias(
+                "total_kg_y"
+            ),
+            "n_rows",
         )
     )
 

@@ -510,7 +510,11 @@ def heavy_hitters_stream(
         ver = 0
         if state.exists:
             vs, cs, ver = state.get
-            if vs:
+            # key the emptiness check on the COUNTS string: a sketch
+            # whose only survivor is the empty-string value packs
+            # vs == "" with a non-empty cs, and `if vs` would silently
+            # drop that state every batch
+            if cs:
                 counters = dict(
                     zip(vs.split(sep), (int(x) for x in cs.split(",")))
                 )

@@ -227,3 +227,35 @@ def test_heavy_hitters_stream_multi_batch_decay(spark, tmp_path):
 
     with pytest.raises(ValueError, match="capacity"):
         heavy_hitters_stream(stream, "v", capacity=0)
+
+
+def test_heavy_hitters_stream_empty_string_state_survives(spark, tmp_path):
+    """A sketch whose only survivor is the empty-string value packs
+    vs == '' — state restore must key on the counts string, or the
+    count resets every micro-batch."""
+    from emiproc_spark.streaming.streams import heavy_hitters_stream
+
+    import pandas as pd
+
+    src = tmp_path / "in"
+    src.mkdir()
+    for b in range(2):
+        pd.DataFrame({"v": [""] * 3}).to_parquet(src / f"p{b}.parquet")
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = heavy_hitters_stream(stream, "v", capacity=4, n_buckets=1)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_empty_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    res = spark.table("hh_empty_state").toPandas()
+    final = res[res["ver"] == res["ver"].max()]
+    assert res["ver"].max() == 2
+    assert final["wt"].tolist() == [6]  # 3 + 3 across both batches
