@@ -257,6 +257,49 @@ SQL_TABLE_PROFILE = _sql_table_profile()
 
 
 # ======================================================================
+# int8_topk — quantized similarity search (operators/similarity.py)
+# ======================================================================
+INT8_K = 20
+INT8_DIM = 64
+# closed-form pre-quantized query: qq_i = (i*37) % 17 - 8 in [-8, 8]
+INT8_QQ = [(i * 37) % 17 - 8 for i in range(INT8_DIM)]
+
+
+def q_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity search: the embedding store quantizes
+    per-vector (q_i = floor(v_i*127/max|v| + 0.5)) and the top-20 ranks
+    by exact INT64 dot product against a closed-form quantized query —
+    no float tie ambiguity, so the oracle (same quantization formula +
+    integer dot in DuckDB) matches hash-for-hash."""
+    from emiproc_spark.operators.similarity import int8_topk
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    return int8_topk(emb, INT8_QQ, k=INT8_K)
+
+
+SQL_INT8_TOPK = f"""
+    WITH ex AS (
+        SELECT e.vec_id, CAST(t.i AS INT) AS i,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS x
+        FROM embeddings e, UNNEST(range(len(e.embedding))) AS t(i)
+    ),
+    m AS (SELECT vec_id, MAX(ABS(x)) AS ma FROM ex GROUP BY vec_id),
+    qv AS (
+        SELECT ex.vec_id, ex.i,
+               CASE WHEN m.ma > 0
+                    THEN CAST(FLOOR(ex.x * 127.0 / m.ma + 0.5) AS BIGINT)
+                    ELSE 0 END AS qi
+        FROM ex JOIN m USING (vec_id)
+    )
+    SELECT vec_id,
+           CAST(SUM(qi * ((i * 37) % 17 - 8)) AS BIGINT) AS score
+    FROM qv GROUP BY vec_id
+    ORDER BY score DESC, vec_id
+    LIMIT {INT8_K}
+"""
+
+
+# ======================================================================
 # fuzzy_join — edit-distance-1 key matching (operators/dedup.py)
 # ======================================================================
 FZ_PREFIX_LEN = 10
@@ -549,12 +592,14 @@ QUERIES_R5C: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "image_resize": q_image_resize,
     "interval_islands": q_interval_islands,
     "fuzzy_join": q_fuzzy_join,
+    "int8_topk": q_int8_topk,
 }
 
 ORACLES_R5C: dict[str, str] = {
     "image_resize": SQL_IMAGE_RESIZE,
     "interval_islands": SQL_INTERVAL_ISLANDS,
     "fuzzy_join": SQL_FUZZY_JOIN,
+    "int8_topk": SQL_INT8_TOPK,
     "lsh_verified": _sql_lsh_verified(),
     "stream_heavy": SQL_STREAM_HEAVY,
     "bucketed_join": SQL_BUCKETED_JOIN,

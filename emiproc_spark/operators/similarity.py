@@ -355,3 +355,66 @@ def embedding_dup_pairs(
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+def quantize_int8(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the production trick
+    that cuts an embedding store's memory 4x and turns similarity
+    scoring into integer arithmetic: q_i = floor(v_i * 127 / max|v| +
+    0.5), so q spans [-127, 127] with the sign structure preserved.
+
+    Deterministic across engines by construction: float32 -> double
+    widening is exact, and the single multiply/divide/round chain is
+    the documented formula an oracle reproduces literally.  An all-zero
+    vector (max|v| = 0) quantizes to all zeros.  Returns
+    (id, qvec array<int>, max_abs double) — max_abs is the per-vector
+    dequantization scale.
+    """
+    v = F.col(vec_col)
+    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    q = F.when(
+        m > 0,
+        F.transform(
+            v,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5))
+            .cast("int"),
+        ),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return embeddings.select(
+        F.col(id_col), q.alias("qvec"), m.alias("max_abs")
+    )
+
+
+def int8_topk(
+    embeddings: DataFrame,
+    query_q: list[int],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k by INTEGER dot product between the int8-quantized store
+    and an already-quantized query vector — exact int64 scores, so
+    ranking is engine-reproducible with no float tie ambiguity.  Plans
+    as TakeOrderedAndProject (per-partition top-k + driver merge), same
+    shape as cosine_topk.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    qdb = quantize_int8(embeddings, id_col, vec_col)
+    if not query_q:
+        raise ValueError("query_q must be non-empty")
+    qq = F.array(*[F.lit(int(x)) for x in query_q])
+    score = F.aggregate(
+        F.zip_with(F.col("qvec"), qq, lambda a, b: a.cast("long") * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        qdb.select(id_col, score.alias("score"))
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

@@ -537,3 +537,45 @@ def test_edit1_pairs_recall_and_guard(spark):
     assert capped.count() < len(out)
     with pytest.raises(ValueError, match="max_bucket_size"):
         dd.edit1_pairs(keys, max_bucket_size=0)
+
+
+def test_quantize_int8_and_topk(spark):
+    import numpy as np
+
+    from emiproc_spark.operators.similarity import int8_topk, quantize_int8
+
+    rows = [
+        (0, [1.0, -0.5, 0.25, 0.0]),
+        (1, [0.0, 0.0, 0.0, 0.0]),      # zero vector -> all-zero q
+        (2, [-2.0, 1.0, 0.5, -0.25]),   # negative peak
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = {r["vec_id"]: (r["qvec"], r["max_abs"]) for r in
+         quantize_int8(emb).collect()}
+    assert q[0][0] == [127, -63, 32, 0]   # floor(-63.5+0.5) = -63
+    assert q[0][1] == 1.0
+    assert q[1][0] == [0, 0, 0, 0] and q[1][1] == 0.0
+    assert q[2][0] == [-127, 64, 32, -16]  # floor(-15.875 + 0.5) = -16
+    # recompute expectations with numpy to avoid hand arithmetic slips
+    for vid, vec in rows:
+        v = np.array(vec, dtype=np.float64)
+        m = np.abs(v).max()
+        expect = (np.floor(v * 127.0 / m + 0.5).astype(int).tolist()
+                  if m > 0 else [0] * len(vec))
+        assert q[vid][0] == expect, (vid, q[vid][0], expect)
+
+    qq = [1, 2, -1, 3]
+    top = int8_topk(emb, qq, k=3).collect()
+    scores = {r["vec_id"]: r["score"] for r in top}
+    for vid, vec in rows:
+        v = np.array(vec, dtype=np.float64)
+        m = np.abs(v).max()
+        qv = np.floor(v * 127.0 / m + 0.5) if m > 0 else np.zeros(len(vec))
+        assert scores[vid] == int((qv * np.array(qq)).sum())
+    assert [r["vec_id"] for r in top] == sorted(
+        scores, key=lambda i: (-scores[i], i)
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        int8_topk(emb, qq, k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        int8_topk(emb, [], k=1)
