@@ -46,3 +46,30 @@ def read_inventory_table(spark: SparkSession, table: str) -> DataFrame:
     the catalog, so joins between tables bucketed on the same column and
     count plan without an Exchange."""
     return spark.table(table)
+
+
+def save_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "orc",
+    mode: str = "overwrite",
+) -> None:
+    """Persist with directory partitioning (hive layout) in a columnar
+    format — ``orc`` or ``parquet``.
+
+    Partition columns become directories, so a predicate on them prunes
+    at PLANNING time (PartitionFilters in the scan — zero files opened
+    for excluded values), the coarse sibling of the Z-order row-group
+    pruning in operators/layout.py.  Keep partition cardinality bounded
+    (a few thousand directories): per-value small files are the classic
+    100 TB anti-pattern, so partition on coarse columns (lang, date,
+    source) and leave fine keys to bucketing / Z-order.
+    """
+    df.write.mode(mode).partitionBy(*partition_by).format(fmt).save(path)
+
+
+def read_partitioned(spark: SparkSession, path: str, fmt: str = "orc") -> DataFrame:
+    """Read a hive-partitioned columnar directory back; partition
+    columns are reconstructed from the directory names."""
+    return spark.read.format(fmt).load(path)

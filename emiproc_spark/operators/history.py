@@ -1,0 +1,173 @@
+"""Changelog / time-series state operators: SCD2 compaction, latest-wins
+snapshots, and gap-filled resampling with last-observation-carried-forward.
+
+A 100 TB ingestion pipeline rarely receives clean snapshots — it receives
+changelogs (CDC feeds, event streams) and has to reconstruct state:
+
+- ``scd2_compact``: collapse a changelog into type-2 slowly-changing
+  dimension history — one row per *state change* with
+  ``[valid_from, valid_to)`` validity and a per-key version number.
+- ``latest_snapshot``: latest-wins upsert compaction (the MERGE INTO /
+  "current view" read of the same changelog).
+- ``resample_locf``: regularize an irregular series onto a fixed bucket
+  lattice per key, carrying the last observation forward across gaps.
+
+All three are single-pass window/aggregate plans over the key
+partitioning — no self-joins, no driver materialization.  The windows of
+``scd2_compact`` share one partitioning+ordering, so Catalyst plans ONE
+exchange + sort for the whole chain (pinned in tests/test_plan_shapes).
+
+Reference: the emiproc reference has no changelog model (inventories are
+full snapshots, e.g. ``emiproc/inventories/__init__.py``); these extend
+the engine for incremental pipelines the way ``delta_totals`` extends
+the rollups.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _order_cols(order_by: Sequence[str | Column]) -> list[Column]:
+    return [F.col(c) if isinstance(c, str) else c for c in order_by]
+
+
+def scd2_compact(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    state_cols: Sequence[str],
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Collapse a changelog into SCD2 version history.
+
+    Rows are ordered per key by ``(ts_col, *tiebreak)`` (pass a unique
+    tiebreak when timestamps can collide — otherwise the change
+    detection would be order-ambiguous).  Consecutive rows whose
+    ``state_cols`` are unchanged collapse into one version; each
+    surviving version carries ``valid_from`` (its first timestamp),
+    ``valid_to`` (the next version's ``valid_from``, NULL while
+    current), a 1-based ``version`` and ``is_current``.
+
+    NULL state values are treated as a distinct state (NULL → 'x' and
+    'x' → NULL are both changes), via null-safe equality.
+    """
+    if not state_cols:
+        raise ValueError("state_cols must name at least one column")
+    order = _order_cols([ts_col, *tiebreak])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    changed = F.lit(False)
+    for c in state_cols:
+        prev = F.lag(F.col(c)).over(w)
+        changed = changed | ~F.col(c).eqNullSafe(prev)
+    # the first row per key has lag() == NULL for every state col; make
+    # it an explicit version-1 row rather than relying on eqNullSafe
+    first = F.lag(F.lit(1)).over(w).isNull()
+    versions = df.withColumn("__new_version", first | changed).where(
+        F.col("__new_version")
+    )
+    # same partitioning+ordering as w — no second exchange
+    w2 = Window.partitionBy(*keys).orderBy(*order)
+    return (
+        versions.withColumn("valid_from", F.col(ts_col))
+        .withColumn("valid_to", F.lead("valid_from").over(w2))
+        .withColumn("version", F.row_number().over(w2))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(
+            *keys,
+            "version",
+            *state_cols,
+            "valid_from",
+            "valid_to",
+            "is_current",
+        )
+    )
+
+
+def latest_snapshot(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+) -> DataFrame:
+    """Latest-wins compaction: the single most recent row per key.
+
+    ``order_by`` must be a total order within a key (include a unique
+    tiebreak column); the row ranking highest wins.  This is the batch
+    equivalent of MERGE INTO latest-upsert semantics — one shuffle, and
+    the sort is bounded per key (TopK per partition via row_number).
+    """
+    w = Window.partitionBy(*keys).orderBy(
+        *[F.col(c).desc() for c in order_by]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def resample_locf(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed lattice.
+
+    Buckets are ``floor(ts / bucket_ns)`` over integer (epoch-nano)
+    timestamps.  For every key the output covers the key's own
+    ``[min_bucket, max_bucket]`` range densely: buckets holding at least
+    one observation emit the LAST observation's value (by
+    ``ts, *tiebreak``); empty buckets carry the previous value forward
+    (``is_gap = true``).  ``value_locf`` is never NULL because every
+    key's lattice starts at a bucket that contains an observation.
+
+    Plan shape: one partial-aggregable groupBy for the per-bucket last
+    observation (``max_by`` — map-side combine, no window over raw
+    events), one tiny per-key bounds aggregate whose ``sequence()``
+    explode builds the lattice, one join on (key, bucket), one window
+    for the carry-forward.  The lattice explode is the only row
+    amplification and it is bounded by the time span / bucket size, not
+    by the event count — at 100 TB the events dominate and they are
+    touched exactly once.
+    """
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    keys = list(keys)
+    # integer division — float division of epoch-nanos (> 2^53) would
+    # misplace boundary timestamps by one bucket
+    bucket = F.expr(f"`{ts_col}` div {int(bucket_ns)}")
+    ordkey = F.struct(
+        F.col(ts_col), *[F.col(c) for c in tiebreak]
+    )
+    obs = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, "__bucket")
+        .agg(F.max_by(F.col(value_col), ordkey).alias("__obs"))
+        # obs feeds BOTH the bounds/lattice branch and the join probe;
+        # without this the raw event table is scanned and aggregated
+        # twice (same pattern as speciate_country's dimension reuse)
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.groupBy(*keys).agg(
+        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
+    )
+    lattice = bounds.select(
+        *keys,
+        F.explode(F.sequence("__b0", "__b1")).alias("__bucket"),
+    )
+    w = Window.partitionBy(*keys).orderBy("__bucket")
+    return (
+        lattice.join(obs, [*keys, "__bucket"], "left")
+        .select(
+            *keys,
+            (F.col("__bucket") * F.lit(bucket_ns)).alias("bucket_start"),
+            F.last("__obs", ignorenulls=True).over(w).alias("value_locf"),
+            F.col("__obs").isNull().alias("is_gap"),
+        )
+    )

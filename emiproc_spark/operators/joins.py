@@ -360,3 +360,47 @@ def merge_intervals(
         )
         .drop("__island")
     )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: list[str],
+    n_salts: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe shuffle equi-join: salt the fact side, replicate the
+    dimension side.
+
+    A hot join key (one user producing 30% of events, one stop-shingle)
+    lands an entire key's fact rows on ONE reducer in a plain shuffle
+    join — the straggler that dominates wall-clock at 100 TB.  Salting
+    splits each key across ``n_salts`` reducers: the fact side gets a
+    deterministic per-row salt (hash of the whole row — no RNG, so
+    plans stay replayable) and the dimension side is exploded
+    ``n_salts``× so every (key, salt) shard finds its match.  Shuffle
+    volume grows only by |dim| × n_salts — the dimension is the small
+    side by assumption (but too large / too hot to broadcast outright,
+    else ``F.broadcast`` is the simpler fix).
+
+    AQE's skew-join split handles *sort-merge* skew adaptively when
+    partition sizes are observable; explicit salting is the static
+    fallback that also covers streaming and bucketed plans where AQE
+    cannot re-plan.
+
+    Only ``inner`` and ``left`` joins are supported: replicated
+    dimension rows would duplicate the NULL-extended output of right /
+    full outer joins.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got {n_salts}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salts)
+    ).cast("int")
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return f.join(d, [*on, "__salt"], how).drop("__salt")

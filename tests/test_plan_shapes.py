@@ -229,3 +229,59 @@ def test_range_join_buckets_are_equi_join(spark):
         assert "HashJoin" in plan, plan  # broadcast or shuffled — both fine
         assert "NestedLoop" not in plan, plan
         assert "CartesianProduct" not in plan, plan
+
+
+def test_scd2_history_single_exchange(spark):
+    """The SCD2 window chain (lag-change filter, lead, row_number) all
+    shares one (key) partitioning+ordering — Catalyst must plan ONE
+    exchange, not one per window pass."""
+    df = QUERIES["scd2_history"](spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_resample_locf_scans_events_once(spark):
+    """The per-bucket observation aggregate feeds both the lattice
+    bounds and the join probe through a lazy localCheckpoint — the raw
+    event table is scanned and aggregated exactly once."""
+    df = QUERIES["resample_locf"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) <= 1, p
+    assert "NestedLoop" not in p and "CartesianProduct" not in p
+
+
+def test_zorder_layout_map_only_aggregate(spark):
+    """Z-key + extents is one scan, zero joins: the Morton interleave
+    is pure column arithmetic feeding a single partial-aggregable
+    groupBy — and the scan reads ONLY the two key columns."""
+    df = QUERIES["zorder_layout"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert len(re.findall(r"\(\d+\) Scan parquet", p)) == 1, p
+    assert "Join" not in p, p
+    m = re.search(r"ReadSchema: [^\n]*", p)
+    assert m and "l_partkey" in m.group(0) and "l_comment" not in m.group(0), p
+
+
+def test_salted_join_splits_key_across_reducers(spark):
+    """With broadcast off (the regime salting exists for), the salted
+    join must plan a shuffle join whose keys INCLUDE the salt — that is
+    what splits a hot key over n_salts reducers."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = QUERIES["salted_join"](spark, SF_DIR)
+        p = plan_of(spark, df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p, p
+    assert "__salt" in p, p
+    assert "CartesianProduct" not in p
+
+
+def test_orc_partitioned_prunes_partitions(spark):
+    """The lang predicate must prune at PLANNING time (PartitionFilters
+    on the ORC scan) — directories for excluded langs are never read."""
+    df = QUERIES["orc_partitioned"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    m = re.search(r"PartitionFilters: \[[^\]]+\]", p)
+    assert m and "lang" in m.group(0), p
