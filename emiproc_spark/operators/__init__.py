@@ -20,8 +20,20 @@ from emiproc_spark.operators.hotkeys import heavy_hitters  # noqa: F401
 from emiproc_spark.operators.stats import profile_table  # noqa: F401
 from emiproc_spark.operators.joins import (  # noqa: F401
     asof_join,
+    merge_intervals,
     point_in_range_join,
     range_join,
+    salted_join,
+)
+from emiproc_spark.operators.history import (  # noqa: F401
+    latest_snapshot,
+    resample_locf,
+    scd2_compact,
+)
+from emiproc_spark.operators.layout import (  # noqa: F401
+    cluster_by_zorder,
+    layout_extents,
+    zorder_key,
 )
 from emiproc_spark.operators.packing import (  # noqa: F401
     decontaminate,

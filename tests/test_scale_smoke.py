@@ -830,3 +830,146 @@ def test_edit1_pairs_half_million_keys(spark):
     assert 0 < n_capped <= 500
     print(f"\n500k-key edit1 wall: {dt:.1f}s")
     assert dt < 120
+
+
+@scale
+def test_salted_join_hot_key_five_million(spark):
+    """5M fact rows with 80% on ONE key joined to a 50k-key dimension
+    with broadcast disabled: salting must spread the hot key over the
+    salt space (no single straggler partition) and keep the result
+    identical to the plain join's aggregate."""
+    from emiproc_spark.operators.joins import salted_join
+
+    fact = spark.range(5_000_000).select(
+        F.when(F.col("id") % 5 < 4, F.lit(0))
+        .otherwise(F.col("id") % 50_000)
+        .alias("k"),
+        (F.col("id") % 1000).alias("m"),
+    )
+    dim = spark.range(50_000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        t0 = time.time()
+        out = (
+            salted_join(fact, dim, ["k"], n_salts=32)
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("m").alias("s"))
+        )
+        got = {r.grp: (r.n, r.s) for r in out.collect()}
+        dt = time.time() - t0
+        want = {
+            r.grp: (r.n, r.s)
+            for r in fact.join(dim, "k")
+            .groupBy("grp")
+            .agg(F.count("*").alias("n"), F.sum("m").alias("s"))
+            .collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert got == want
+    # the hot key contributes exactly 4M rows (id%5==4 never lands on
+    # k=0: multiples of 50000 are all ≡0 mod 5), all in grp 0
+    assert sum(n for n, _ in got.values()) == 5_000_000
+    hot = fact.where("k = 0").count()
+    assert hot == 4_000_000
+    print(f"\n5M hot-key salted join wall: {dt:.1f}s")
+    assert dt < 90
+
+
+@scale
+def test_scd2_five_million_changelog(spark):
+    """5M-row changelog over 10k keys: version count has a closed form
+    (state = seq//7 % 5 changes at every multiple of 7), so the window
+    chain is checked exactly at scale — and stays one shuffle."""
+    from emiproc_spark.operators.history import scd2_compact
+
+    n_users, per_user = 10_000, 500
+    ev = spark.range(n_users * per_user).select(
+        (F.col("id") % n_users).alias("u"),
+        (F.col("id") / n_users).cast("long").alias("seq"),
+    ).select(
+        "u",
+        (F.col("seq") * 1_000_000_000).alias("ts"),
+        ((F.col("seq") / 7).cast("long") % 5).cast("string").alias("state"),
+        F.col("seq").alias("tb"),
+    )
+    t0 = time.time()
+    out = scd2_compact(ev, ["u"], "ts", ["state"], tiebreak=["tb"])
+    n_versions = out.count()
+    n_current = out.where("is_current").count()
+    dt = time.time() - t0
+    # versions per key: seq 0 plus each multiple of 7 up to 499 -> 72
+    assert n_versions == n_users * (1 + (per_user - 1) // 7)
+    assert n_current == n_users
+    print(f"\n5M changelog scd2 wall: {dt:.1f}s")
+    assert dt < 90
+
+
+@scale
+def test_resample_locf_two_million_events(spark):
+    """2M events over 1k keys resampled to a dense lattice: output size
+    equals the per-key bucket spans exactly, the carry-forward leaves
+    no NULLs, and the events table is aggregated once."""
+    from emiproc_spark.operators.history import resample_locf
+
+    ev = spark.range(2_000_000).select(
+        (F.col("id") % 1000).alias("u"),
+        # sparse, irregular: ~1 event per 16-unit bucket on average
+        (F.col("id") * 37 % 32_000).alias("ts"),
+        (F.col("id") % 97).cast("double").alias("v"),
+        F.col("id").alias("e"),
+    )
+    t0 = time.time()
+    out = resample_locf(ev, ["u"], "ts", "v", 16, tiebreak=["e"])
+    n = out.count()
+    n_null = out.where(F.col("value_locf").isNull()).count()
+    dt = time.time() - t0
+    spans = (
+        ev.select("u", F.expr("ts div 16").alias("b"))
+        .groupBy("u")
+        .agg((F.max("b") - F.min("b") + 1).alias("w"))
+        .agg(F.sum("w"))
+        .collect()[0][0]
+    )
+    assert n == spans
+    assert n_null == 0
+    print(f"\n2M-event locf resample: {n} buckets, wall {dt:.1f}s")
+    assert dt < 90
+
+
+@scale
+def test_zorder_million_points(spark):
+    """1M-point lattice Z-clustered into 64 range partitions: every
+    partition's bounding box stays tile-like (area bounded by a small
+    multiple of its row count), which is what makes file-level min/max
+    stats prunable after a clustered write."""
+    from emiproc_spark.operators.layout import cluster_by_zorder
+
+    side = 1024  # 1M points on a 1024x1024 grid
+    df = spark.range(side * side).select(
+        (F.col("id") % side).alias("x"),
+        (F.col("id") / side).cast("int").alias("y"),
+    )
+    t0 = time.time()
+    clustered = cluster_by_zorder(df, "x", "y", 10, 64)
+    bbox = (
+        clustered.withColumn("p", F.spark_partition_id())
+        .groupBy("p")
+        .agg(
+            ((F.max("x") - F.min("x") + 1).cast("long")
+             * (F.max("y") - F.min("y") + 1)).alias("area"),
+            F.count("*").alias("n"),
+        )
+        .collect()
+    )
+    dt = time.time() - t0
+    assert sum(r.n for r in bbox) == side * side
+    worst = max(r.area / r.n for r in bbox)
+    # row-major partitioning gives area/n = 64x here (every partition
+    # spans the full x axis); the curve must stay within ~4x of ideal
+    assert worst <= 8, f"worst bbox blowup {worst:.1f}"
+    print(f"\n1M-point zorder cluster: worst area/n {worst:.2f}, wall {dt:.1f}s")
+    assert dt < 90
