@@ -1431,6 +1431,7 @@ from emiproc_spark.driver_queries_r5 import ORACLES_R5, QUERIES_R5  # noqa: E402
 from emiproc_spark.driver_queries_r5b import ORACLES_R5B, QUERIES_R5B  # noqa: E402
 from emiproc_spark.driver_queries_r5c import ORACLES_R5C, QUERIES_R5C  # noqa: E402
 from emiproc_spark.driver_queries_r5d import ORACLES_R5D, QUERIES_R5D  # noqa: E402
+from emiproc_spark.driver_queries_r5e import ORACLES_R5E, QUERIES_R5E  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
@@ -1442,6 +1443,8 @@ QUERIES.update(QUERIES_R5C)
 ORACLES.update(ORACLES_R5C)
 QUERIES.update(QUERIES_R5D)
 ORACLES.update(ORACLES_R5D)
+QUERIES.update(QUERIES_R5E)
+ORACLES.update(ORACLES_R5E)
 
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
@@ -1472,6 +1475,7 @@ _REVERIFY = [
 ]
 
 _FRONT = {
+    **QUERIES_R5E,
     **QUERIES_R5D,
     **QUERIES_R5C,
     **QUERIES_R5B,
@@ -1482,6 +1486,7 @@ QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
+        **ORACLES_R5E,
         **ORACLES_R5D,
         **ORACLES_R5C,
         **ORACLES_R5B,

@@ -1,0 +1,114 @@
+"""Event-behavior analytics: ordered funnels and cohort retention.
+
+These are the classic product-analytics operators a training-data /
+telemetry pipeline runs over an events table.  Both are expressed as
+window/aggregate chains over ONE hash partitioning on the user key, so
+at 100 TB they cost a single exchange of the fact table (plus the final
+small rollup) — no self-joins, no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def funnel_user_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Per-user ordered funnel: step *i*'s timestamp is the earliest
+    ``steps[i]`` event strictly AFTER the user's step *i−1* timestamp
+    (the strict-order definition — a click logged before the first view
+    does not convert the view→click step).
+
+    Returns one row per user: (user_col, step1_ts, ..., stepN_ts); a
+    NULL at step *i* means the chain broke there and every later step
+    is NULL too (the ``ts > prev`` predicate is NULL when prev is).
+
+    Scale shape: every step is an unbounded MIN window over the SAME
+    ``partitionBy(user)`` spec and the final per-user collapse groups
+    on that key, so Catalyst plans ONE exchange for the whole chain —
+    verified in tests/test_plan_shapes.py.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    w = Window.partitionBy(user_col)
+    df = events.select(user_col, ts_col, type_col)
+    prev: str | None = None
+    names: list[str] = []
+    for i, step in enumerate(steps):
+        cond: Column = F.col(type_col) == F.lit(step)
+        if prev is not None:
+            cond = cond & (F.col(ts_col) > F.col(prev))
+        name = f"step{i + 1}_ts"
+        df = df.withColumn(name, F.min(F.when(cond, F.col(ts_col))).over(w))
+        names.append(name)
+        prev = name
+    return df.groupBy(user_col).agg(*[F.min(n).alias(n) for n in names])
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Funnel rollup: (step, step_name, users) — how many users reached
+    each ordered step.  ``users`` is exact (count of non-null step
+    timestamps over the per-user funnel table)."""
+    per_user = funnel_user_steps(events, steps, user_col, ts_col, type_col)
+    counts = per_user.agg(
+        *[F.count(f"step{i + 1}_ts").alias(f"c{i + 1}") for i in range(len(steps))]
+    )
+    pairs = ", ".join(
+        f"{i + 1}, '{s}', c{i + 1}" for i, s in enumerate(steps)
+    )
+    return counts.selectExpr(
+        f"stack({len(steps)}, {pairs}) AS (step, step_name, users)"
+    ).select(
+        F.col("step").cast("int").alias("step"),
+        "step_name",
+        F.col("users").cast("long").alias("users"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    period_ns: int = 7 * 86400 * 10**9,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the period of
+    their FIRST event; ``active_users`` counts how many of each cohort
+    were active ``period_offset`` periods later.
+
+    ``ts_col`` must be epoch-nanoseconds BIGINT (fixtures.events);
+    periods use integer DIV so 1e18-scale nanos never round through a
+    double.  Offsets are per-period-distinct, so the final rollup is a
+    plain COUNT(*) over the per-(user, period) distinct set — no
+    count-distinct expansion.
+
+    Scale shape: cohort assignment is a MIN window on ``user`` (one
+    exchange), the (user, period, cohort) de-dup groups on a superset
+    key, and only the bounded (cohort × offset) matrix leaves the last
+    aggregate.
+    """
+    per = F.expr(f"{ts_col} DIV {int(period_ns)}")
+    ev = events.select(user_col, per.alias("period"))
+    w = Window.partitionBy(user_col)
+    cohorted = ev.withColumn("cohort_period", F.min("period").over(w))
+    active = cohorted.groupBy(user_col, "period", "cohort_period").agg(
+        F.lit(1).alias("__one")
+    )
+    return (
+        active.groupBy(
+            F.col("cohort_period"),
+            (F.col("period") - F.col("cohort_period")).alias("period_offset"),
+        )
+        .agg(F.count("*").alias("active_users"))
+    )

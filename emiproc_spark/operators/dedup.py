@@ -783,3 +783,78 @@ def winnow_overlap_pairs(
         .agg(F.count("*").alias("n_shared"))
         .where(F.col("n_shared") >= min_shared)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Maximal duplicated token spans — the sliding-window form of
+    exact-substring dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2022): every n-token shingle occurring in
+    >= ``min_docs`` DISTINCT documents is duplicated text; per document,
+    overlapping or adjacent duplicated shingles merge into maximal
+    spans.  The output is what a span-removal pass cuts (contrast
+    :func:`passage_spans`, which dedups FIXED non-overlapping windows
+    and so misses duplicates straddling a window boundary).
+
+    Returns (id, span_start, span_end): 0-based inclusive token
+    indices of each maximal duplicated span.
+
+    Scale shape: shingle (position, hash) pairs are built inside ONE
+    ``transform`` over the token array and exploded (no O(len²) token
+    array duplication per shingle row); hot-shingle discovery is a hash
+    aggregate on the digest; membership is a shuffle semi-join (the
+    duplicated-shingle set scales with the corpus — NOT broadcast); the
+    island merge is a per-document sort window.  Shingles of equal
+    length merge iff gap <= n, so the running-max-end island test
+    reduces to ``p - lag(p) > n`` starts.
+    """
+    if n < 1:
+        raise ValueError(f"shingle length must be >= 1, got {n}")
+    from pyspark.sql import Window
+
+    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    ph = tok.where(F.size("__toks") >= n).select(
+        id_col,
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("__toks") - n),
+                lambda p: F.struct(
+                    p.alias("p"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice("__toks", p + 1, F.lit(n)))
+                    ).alias("h"),
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    hot = (
+        ph.groupBy("h")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .where(F.col("__nd") >= min_docs)
+        .select("h")
+    )
+    dup_pos = ph.join(hot, "h", "semi")
+    w = Window.partitionBy(id_col).orderBy("p")
+    flagged = dup_pos.withColumn(
+        "__new",
+        F.when(
+            F.lag("p").over(w).isNull() | (F.col("p") - F.lag("p").over(w) > n),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "__island",
+        F.sum("__new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        flagged.groupBy(id_col, "__island")
+        .agg(
+            F.min("p").alias("span_start"),
+            (F.max("p") + F.lit(n - 1)).alias("span_end"),
+        )
+        .select(id_col, "span_start", "span_end")
+    )

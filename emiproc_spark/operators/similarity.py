@@ -418,3 +418,55 @@ def int8_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def semdedup(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication by clustering the embedding space and pruning
+    near-identical vectors WITHIN each cluster only.
+
+    A vector is a duplicate when some lower-id vector in the same
+    cluster has cosine similarity >= ``threshold`` (keep-lowest-id, the
+    same deterministic keep policy as the MinHash family).  Clustering
+    bounds the candidate set: the self-join is per-cluster, never
+    corpus-wide all-pairs.
+
+    Scale shape: cluster assignment is the map-only
+    :func:`ivf_assign` (centroids ride as a literal inside one
+    codegen projection); the within-cluster join shuffles on ``cell``
+    and AQE's skew-join splits an oversized cluster.  For very skewed
+    clusterings pass more/refined centroids (``ivf_refine``) — cluster
+    granularity IS the cost knob, exactly as in the paper.
+
+    Returns (id, cell, is_dup) for every input vector.
+    """
+    assigned = ivf_assign(embeddings, centroids, vec_col).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "cell"
+    )
+    return semdedup_flags(assigned, threshold)
+
+
+def semdedup_flags(assigned: DataFrame, threshold: float = 0.9) -> DataFrame:
+    """Within-cluster pruning stage of :func:`semdedup`: ``assigned``
+    is (id, vec, cell); flags every vector with a >= ``threshold``
+    cosine match to a LOWER id in the same cell.  Split out so callers
+    with their own cluster assignment (k-means, product quantizer,
+    category partitions) reuse the pruning join unchanged."""
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dups = (
+        a.join(b, "cell")
+        .where(F.col("a.id") > F.col("b.id"))
+        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return assigned.select("id", "cell").join(dups, "id", "left").select(
+        "id", "cell", F.coalesce("__dup", F.lit(False)).alias("is_dup")
+    )

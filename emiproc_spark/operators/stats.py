@@ -15,11 +15,11 @@ through the µ-quantized ``sumd`` so results are engine-reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-from emiproc_spark.qhelpers import sumd
+from emiproc_spark.qhelpers import qd, sumd
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -67,3 +67,71 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
         for i, c in enumerate(cols)
     ]
     return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+# number of leading md5 hex digits used as the KMV hash value: 12 hex
+# digits = 48 bits, exactly representable in a double and plenty of
+# resolution for the (k-1)/h_k estimator
+_KMV_HEX_DIGITS = 12
+
+
+def _hex_prefix_value(col: Column, digits: int = _KMV_HEX_DIGITS) -> Column:
+    """Numeric value of the first ``digits`` hex chars of a lowercase
+    hex string (≤ 13 digits: must stay under 2^53 for the double)."""
+    if digits > 13:
+        raise ValueError("hex prefix must fit exactly in a double")
+    return F.conv(F.substring(col, 1, digits), 16, 10).cast("double")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch per group, plus the
+    exact count for calibration.
+
+    The classic mergeable cardinality sketch (Bar-Yossef et al. 2002):
+    hash every value, keep the k smallest hashes per group; if fewer
+    than k distinct hashes exist the count is exact, else estimate
+    D ≈ (k−1)/h_k with h_k the k-th smallest hash normalized to [0,1).
+    The hash is md5 — deterministic and available in every engine, so
+    the estimate itself is oracle-checkable (unlike HLL, whose register
+    layout is engine-private).  Hex strings of fixed width order
+    lexicographically exactly as their numeric values, so the k-th
+    minimum is found by plain string sort.
+
+    Scale shape: one distinct on (group, hash), then a sort-based
+    window ranking within each group (spillable; the per-group state
+    the estimator finally needs is k rows).  On a cluster you would
+    materialize the k-row sketches per partition and merge — the
+    estimator column here is exactly that mergeable sketch's read-out.
+
+    Returns (group_cols..., n_exact, kmv_estimate) with the estimate
+    quantized for cross-engine comparison.
+    """
+    if k < 2:
+        raise ValueError("kmv_distinct needs k >= 2")
+    h = F.md5(F.col(value_col).cast("string")).alias("__h")
+    d = df.select(*group_cols, h).where(F.col("__h").isNotNull()).distinct()
+    wr = Window.partitionBy(*group_cols).orderBy("__h")
+    wa = Window.partitionBy(*group_cols)
+    ranked = d.select(
+        *group_cols,
+        "__h",
+        F.row_number().over(wr).alias("__rn"),
+        F.count("*").over(wa).alias("n_exact"),
+    ).where(F.col("__rn") <= k)
+    kth = ranked.groupBy(*group_cols, "n_exact").agg(
+        F.max("__h").alias("__kth"), F.count("*").alias("__n_in")
+    )
+    hk = _hex_prefix_value(F.col("__kth")) / F.lit(float(16**_KMV_HEX_DIGITS))
+    est = F.when(
+        F.col("__n_in") < k, F.col("n_exact").cast("double")
+    ).otherwise(F.lit(float(k - 1)) / hk)
+    return kth.select(
+        *group_cols,
+        F.col("n_exact").cast("long").alias("n_exact"),
+        qd(est, 1e6).alias("kmv_estimate"),
+    )

@@ -1,0 +1,197 @@
+"""Unit tests: funnel / cohort retention (operators/behavior.py), the
+KMV distinct sketch (operators/stats.py), SemDeDup
+(operators/similarity.py) and maximal duplicated spans
+(operators/dedup.py)."""
+
+import re
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.behavior import (
+    cohort_retention,
+    funnel_counts,
+    funnel_user_steps,
+)
+from emiproc_spark.operators.dedup import duplicated_spans
+from emiproc_spark.operators.similarity import ivf_seed_centroids, semdedup
+from emiproc_spark.operators.stats import kmv_distinct
+
+EV_SCHEMA = "user_id long, ts long, event_type string"
+
+
+def test_funnel_strict_order(spark):
+    ev = spark.createDataFrame(
+        [
+            # user 1: click BEFORE the first view must not convert;
+            # purchase BEFORE the converting click must not convert
+            (1, 5, "click"),
+            (1, 10, "view"),
+            (1, 15, "purchase"),
+            (1, 20, "click"),
+            # user 2: never views — whole chain stays null
+            (2, 1, "click"),
+            (2, 2, "purchase"),
+        ],
+        schema=EV_SCHEMA,
+    )
+    rows = {
+        r["user_id"]: r
+        for r in funnel_user_steps(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert rows[1]["step1_ts"] == 10
+    assert rows[1]["step2_ts"] == 20
+    assert rows[1]["step3_ts"] is None  # purchase@15 precedes click@20
+    assert rows[2]["step1_ts"] is None
+    assert rows[2]["step2_ts"] is None
+
+
+def test_funnel_counts_rollup(spark):
+    ev = spark.createDataFrame(
+        [(1, 1, "view"), (1, 2, "click"), (2, 3, "view")],
+        schema=EV_SCHEMA,
+    )
+    out = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    assert out == {"view": 2, "click": 1, "purchase": 0}
+
+
+def test_funnel_requires_steps(spark):
+    ev = spark.createDataFrame([(1, 1, "view")], schema=EV_SCHEMA)
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_user_steps(ev, [])
+
+
+def test_funnel_single_exchange(spark):
+    """The whole step chain + per-user collapse rides ONE hash
+    partitioning on the user key."""
+    ev = spark.createDataFrame(
+        [(1, 1, "view"), (2, 2, "click")], schema=EV_SCHEMA
+    )
+    df = funnel_user_steps(ev, ["view", "click", "purchase"])
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_cohort_retention_matrix(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 0, "view"),   # cohort period 0
+            (1, 5, "click"),  # still period 0 — one active row, not two
+            (1, 12, "view"),  # period 1 → offset 1
+            (2, 11, "view"),  # cohort period 1
+        ],
+        schema=EV_SCHEMA,
+    )
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["active_users"]
+        for r in cohort_retention(ev, period_ns=10).collect()
+    }
+    assert out == {(0, 0): 1, (0, 1): 1, (1, 0): 1}
+
+
+def test_kmv_exact_under_k(spark):
+    df = spark.createDataFrame(
+        [("g", f"v{i}") for i in range(10)], schema="g string, v string"
+    )
+    row = kmv_distinct(df, ["g"], "v", k=64).collect()[0]
+    assert row["n_exact"] == 10
+    assert row["kmv_estimate"] == 10.0
+
+
+def test_kmv_estimator_close(spark):
+    n = 5000
+    df = spark.createDataFrame(
+        [("g", f"value-{i}") for i in range(n)], schema="g string, v string"
+    )
+    row = kmv_distinct(df, ["g"], "v", k=256).collect()[0]
+    assert row["n_exact"] == n
+    # (k-1)/h_k with k=256 has ~1/sqrt(254) ≈ 6% relative error
+    assert abs(row["kmv_estimate"] - n) / n < 0.25
+
+
+def test_kmv_ignores_nulls_and_duplicates(spark):
+    df = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", None), ("g", "b")],
+        schema="g string, v string",
+    )
+    row = kmv_distinct(df, ["g"], "v", k=8).collect()[0]
+    assert row["n_exact"] == 2
+    assert row["kmv_estimate"] == 2.0
+
+
+def test_kmv_validates_k(spark):
+    df = spark.createDataFrame([("g", "a")], schema="g string, v string")
+    with pytest.raises(ValueError, match="k >= 2"):
+        kmv_distinct(df, ["g"], "v", k=1)
+
+
+def test_semdedup_planted_duplicates(spark):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0]),   # centroid seed / cluster 0 anchor
+            (1, [0.0, 1.0]),   # centroid seed / cluster 1 anchor
+            (2, [1.0, 0.01]),  # near-dup of 0, same cell
+            (3, [0.0, 5.0]),   # same direction as 1 → dup
+            (4, [-1.0, 0.3]),  # assigned to cell 1, similar to nothing
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    cent = ivf_seed_centroids(emb, k=2)
+    out = {r["id"]: r for r in semdedup(emb, cent, threshold=0.9).collect()}
+    assert not out[0]["is_dup"] and not out[1]["is_dup"]
+    assert out[2]["is_dup"] and out[2]["cell"] == 0
+    assert out[3]["is_dup"] and out[3]["cell"] == 1
+    assert not out[4]["is_dup"]
+    # dedup is cluster-bounded: a cross-cell near-dup is NOT flagged
+    assert out[4]["cell"] == 1
+
+
+def test_duplicated_spans_islands(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "u1 u2 c1 c2 c3 c4 u3 u4 u5 k1 k2 k3"),
+            (2, "c1 c2 c3 c4 w1 k1 k2 k3"),
+            (3, "a b"),  # shorter than the shingle — no rows, no crash
+            (4, "z1 z2 z3 mm nn z1 z2 z3"),  # repeats only WITHIN itself
+        ],
+        schema="doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=3, min_docs=2).collect()
+    }
+    # doc 1: c-block shingles at p=2,3 merge; k-block at p=9 is separate
+    # doc 2: c-block at p=0,1; k-block at p=5
+    assert spans == {(1, 2, 5), (1, 9, 11), (2, 0, 3), (2, 5, 7)}
+
+
+def test_duplicated_spans_validates_n(spark):
+    docs = spark.createDataFrame([(1, "a b")], schema="doc_id long, text string")
+    with pytest.raises(ValueError, match=">= 1"):
+        duplicated_spans(docs, n=0)
+
+
+def test_duplicated_spans_adjacent_merge(spark):
+    """Two dup shingles exactly n apart (adjacent, zero overlap) merge
+    into one span; n+1 apart (a 1-token gap) do not."""
+    docs = spark.createDataFrame(
+        [
+            (1, "a1 a2 b1 b2 x c1 c2 y1 d1 d2"),
+            (2, "a1 a2 b1 b2 q c1 c2 z1 d1 d2"),
+        ],
+        schema="doc_id long, text string",
+    )
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in duplicated_spans(docs, n=2, min_docs=2).collect()
+    }
+    # dup shingles per doc: p=0,1,2 (a1a2 / a2b1 / b1b2 — contiguous),
+    # p=5 (c1 c2), p=8 (d1 d2): 0..2 merge; 2→5 and 5→8 gap > n split
+    assert spans == {
+        (1, 0, 3), (1, 5, 6), (1, 8, 9),
+        (2, 0, 3), (2, 5, 6), (2, 8, 9),
+    }
