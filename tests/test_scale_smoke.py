@@ -973,3 +973,61 @@ def test_zorder_million_points(spark):
     assert worst <= 8, f"worst bbox blowup {worst:.1f}"
     print(f"\n1M-point zorder cluster: worst area/n {worst:.2f}, wall {dt:.1f}s")
     assert dt < 90
+
+
+@scale
+def test_funnel_five_million_events(spark):
+    """5M synthetic events / 500k users: the funnel chain must stay a
+    single exchange and finish in seconds — counts verified in closed
+    form (every user fires view→click→purchase in order)."""
+    from emiproc_spark.operators.behavior import funnel_counts
+
+    ev = (
+        spark.range(5_000_000)
+        .select(
+            (F.col("id") % 500_000).alias("user_id"),
+            F.col("id").alias("ts"),
+            F.element_at(
+                F.array(F.lit("view"), F.lit("click"), F.lit("purchase"),
+                        F.lit("error"), F.lit("signup")),
+                (F.floor(F.col("id") / 500_000) % 5 + 1).cast("int"),
+            ).alias("event_type"),
+        )
+    )
+    t0 = time.time()
+    out = {
+        r["step_name"]: r["users"]
+        for r in funnel_counts(ev, ["view", "click", "purchase"]).collect()
+    }
+    dt = time.time() - t0
+    # ids 0..499999 are views, 500000..999999 clicks (strictly later ts
+    # per user), 1M..1.5M purchases — every user converts all 3 steps
+    assert out == {"view": 500_000, "click": 500_000, "purchase": 500_000}
+    assert dt < 120, f"funnel on 5M events took {dt:.1f}s"
+
+
+@scale
+def test_dup_spans_hot_shingle_corpus(spark):
+    """100k docs sharing one boilerplate sentence: the duplicated-span
+    pipeline's shuffles stay bounded by (doc, position) rows — the hot
+    shingle appears in every doc but contributes ONE hash-agg row and a
+    semi-join, never a pairwise blowup."""
+    from emiproc_spark.operators.dedup import duplicated_spans
+
+    docs = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique-"), F.col("id"), F.lit(" filler-"), F.col("id"),
+            F.lit(" all rights reserved contact us for terms of use today"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    spans = duplicated_spans(docs, n=4, min_docs=2)
+    n = spans.count()
+    dt = time.time() - t0
+    # tokens: unique-<id> filler-<id> + 10 boilerplate tokens = 12;
+    # dup shingles at p=2..8 merge into one island [2, 11] per doc
+    assert n == 100_000
+    row = spans.where(F.col("doc_id") == 7).collect()[0]
+    assert (row["span_start"], row["span_end"]) == (2, 11)
+    assert dt < 120, f"dup_spans on 100k docs took {dt:.1f}s"
