@@ -1432,6 +1432,7 @@ from emiproc_spark.driver_queries_r5b import ORACLES_R5B, QUERIES_R5B  # noqa: E
 from emiproc_spark.driver_queries_r5c import ORACLES_R5C, QUERIES_R5C  # noqa: E402
 from emiproc_spark.driver_queries_r5d import ORACLES_R5D, QUERIES_R5D  # noqa: E402
 from emiproc_spark.driver_queries_r5e import ORACLES_R5E, QUERIES_R5E  # noqa: E402
+from emiproc_spark.driver_queries_r5f import ORACLES_R5F, QUERIES_R5F  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
@@ -1445,6 +1446,8 @@ QUERIES.update(QUERIES_R5D)
 ORACLES.update(ORACLES_R5D)
 QUERIES.update(QUERIES_R5E)
 ORACLES.update(ORACLES_R5E)
+QUERIES.update(QUERIES_R5F)
+ORACLES.update(ORACLES_R5F)
 
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
@@ -1475,6 +1478,7 @@ _REVERIFY = [
 ]
 
 _FRONT = {
+    **QUERIES_R5F,
     **QUERIES_R5E,
     **QUERIES_R5D,
     **QUERIES_R5C,
@@ -1486,6 +1490,7 @@ QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
+        **ORACLES_R5F,
         **ORACLES_R5E,
         **ORACLES_R5D,
         **ORACLES_R5C,

@@ -858,3 +858,43 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end")
     )
+
+
+def minhash_agreement(
+    signatures: DataFrame, pairs: DataFrame, k: int = 8
+) -> DataFrame:
+    """Per-pair MinHash signature agreement — the sketch's Jaccard
+    ESTIMATE: matching components / k (each component matches with
+    probability J, so the mean is an unbiased Jaccard estimator; pair
+    with :func:`verify_candidate_pairs` to measure the sketch's error
+    against exact shingle Jaccard).
+
+    ``signatures`` is the long (doc_id, seed, minhash) form of
+    :func:`minhash_signatures`; ``pairs`` is (doc_a, doc_b).  The pair
+    relation drives both joins (k rows per pair side — never a
+    signature self-join), so cost is O(|pairs|·k).
+
+    Returns (doc_a, doc_b, est_jaccard) with est an exact multiple of
+    1/k (integer count / k — engine-reproducible by construction).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    sa = signatures.select(
+        F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("__ma")
+    )
+    sb = signatures.select(
+        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("__mb")
+    )
+    return (
+        pairs.select("doc_a", "doc_b")
+        .distinct()
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            (
+                F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
+                / F.lit(float(k))
+            ).alias("est_jaccard")
+        )
+    )

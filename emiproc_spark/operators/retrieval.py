@@ -1,0 +1,82 @@
+"""Keyword retrieval: Okapi BM25 scoring over a document corpus.
+
+The classic inverted-index ranking function, expressed relationally:
+postings are a (doc, term, tf) hash aggregate of the token explode, the
+query side is a broadcast literal, and the final top-k plans as
+TakeOrderedAndProject (per-partition heads + driver merge — no global
+sort).  At 100 TB the postings aggregate is the only fact-scale
+shuffle; document frequencies and corpus stats are term-count- and
+1-row-sized broadcasts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.text import tokens
+
+# score quantization: per-(doc, term) contributions round to 1e-9 and
+# sum as exact int64, so the total is addition-order-free and
+# engine-reproducible (same convention as the cosine kernels)
+BM25_SCALE = 1e9
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k documents by Okapi BM25 (Robertson/Sparck Jones) for a
+    bag-of-words query.
+
+    idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))      [RSJ, +1 form]
+    s(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+
+    N, avgdl come from ONE corpus-wide aggregate (1 row, broadcast);
+    per-term document frequencies are term-count-sized (broadcast).
+    Documents containing none of the query terms score 0 and are not
+    returned.  Returns (id_col, score) — ties broken by id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    corpus = tok.agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_tok"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    # doc length = sum of tfs; the window's doc partitioning is a
+    # subset of the aggregate's (doc, term) hash partitioning, so this
+    # is a second (bounded) exchange, not a rescan
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    posting = tf.where(F.col("term").isin(list(query_terms)))
+    dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
+    scored = posting.join(F.broadcast(dfreq), "term").crossJoin(
+        F.broadcast(corpus)
+    )
+    avgdl = F.col("n_tok") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0) + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / denom)
+    per_doc = (
+        scored.select(
+            id_col,
+            F.floor(contrib * F.lit(BM25_SCALE) + F.lit(0.5))
+            .cast("long")
+            .alias("__c"),
+        )
+        .groupBy(id_col)
+        .agg((F.sum("__c").cast("double") / F.lit(BM25_SCALE)).alias("score"))
+    )
+    return per_doc.orderBy(F.col("score").desc(), id_col).limit(k)

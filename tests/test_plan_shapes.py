@@ -285,3 +285,13 @@ def test_orc_partitioned_prunes_partitions(spark):
     p = plan_of(spark, df)
     m = re.search(r"PartitionFilters: \[[^\]]+\]", p)
     assert m and "lang" in m.group(0), p
+
+
+def test_bm25_topk_distributed_head(spark):
+    """BM25's top-k is a TakeOrderedAndProject (per-partition heads),
+    and the corpus-stats/document-frequency joins are broadcasts —
+    no fact-sized exchange beyond the postings aggregate."""
+    df = QUERIES["bm25_topk"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p

@@ -1,0 +1,146 @@
+"""Unit tests: BM25 retrieval (operators/retrieval.py), PageRank
+(operators/graph.py) and MinHash signature agreement
+(operators/dedup.minhash_agreement)."""
+
+import math
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.dedup import minhash_agreement, minhash_signatures
+from emiproc_spark.operators.graph import pagerank
+from emiproc_spark.operators.retrieval import bm25_topk
+
+
+def _bm25_reference(corpus, terms, k1=1.2, b=0.75):
+    """Independent plain-Python BM25 for the expected scores."""
+    toks = {d: t.split(" ") for d, t in corpus}
+    n = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    scores = {}
+    for term in terms:
+        df = sum(1 for v in toks.values() if term in v)
+        if df == 0:
+            continue
+        idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+        for d, v in toks.items():
+            tf = v.count(term)
+            if tf == 0:
+                continue
+            denom = tf + k1 * (1 - b + b * len(v) / avgdl)
+            scores[d] = scores.get(d, 0.0) + idf * tf * (k1 + 1) / denom
+    return scores
+
+
+def test_bm25_matches_reference(spark):
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "banana cherry date"),
+        (3, "apple apple apple apple"),
+        (4, "elderberry fig grape"),
+    ]
+    docs = spark.createDataFrame(corpus, schema="doc_id long, text string")
+    got = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["apple", "date"], k=10).collect()
+    }
+    want = _bm25_reference(corpus, ["apple", "date"])
+    assert set(got) == set(want)  # doc 4 has no query term -> absent
+    for d, s in want.items():
+        assert got[d] == pytest.approx(s, abs=1e-6)
+
+
+def test_bm25_topk_limit_and_ties(spark):
+    docs = spark.createDataFrame(
+        [(i, "apple pie") for i in range(5)], schema="doc_id long, text string"
+    )
+    rows = bm25_topk(docs, ["apple"], k=3).collect()
+    # identical scores -> tie broken by ascending doc_id
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+
+
+def test_bm25_validations(spark):
+    docs = spark.createDataFrame([(1, "a")], schema="doc_id long, text string")
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, ["a"], k=0)
+    with pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(docs, [])
+
+
+def _pr_reference(edges, iterations, damping=0.85):
+    """Independent plain-Python PageRank (same dangling semantics)."""
+    e = sorted(set(edges))
+    nodes = sorted({a for a, _ in e} | {b for _, b in e})
+    n = len(nodes)
+    out = {}
+    for a, _ in e:
+        out[a] = out.get(a, 0) + 1
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        s = {v: 0.0 for v in nodes}
+        for a, bb in e:
+            s[bb] += pr[a] / out[a]
+        pr = {v: (1 - damping) / n + damping * s[v] for v in nodes}
+    return pr
+
+
+def test_pagerank_symmetric_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 1)], schema="src long, dst long"
+    )
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, 4).collect()}
+    assert out[1] == pytest.approx(0.5, abs=1e-9)
+    assert out[2] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_pagerank_star_and_dangling(spark):
+    # b -> a, c -> a; a dangles (its mass leaks each iteration)
+    raw = [(2, 1), (3, 1)]
+    edges = spark.createDataFrame(raw, schema="src long, dst long")
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, 3).collect()}
+    want = _pr_reference(raw, 3)
+    for v, p in want.items():
+        assert out[v] == pytest.approx(p, abs=1e-6)
+    assert out[1] > out[2] == out[3]
+
+
+def test_pagerank_dedups_edges(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 1)], schema="src long, dst long"
+    )
+    out = {r["node"]: r["pagerank"] for r in pagerank(edges, 4).collect()}
+    assert out[1] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_pagerank_validations(spark):
+    edges = spark.createDataFrame([(1, 2)], schema="src long, dst long")
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank(edges, 0)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(edges, 1, damping=1.0)
+    with pytest.raises(ValueError, match="empty edge list"):
+        pagerank(edges.where(F.lit(False)), 1)
+
+
+def test_minhash_agreement_bounds(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6"),
+            (2, "w1 w2 w3 w4 w5 w6"),  # identical to 1
+            (3, "x1 x2 x3 x4 x5 x6"),  # disjoint from 1
+        ],
+        schema="doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=8)
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3)], schema="doc_a long, doc_b long"
+    )
+    est = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in minhash_agreement(sigs, pairs, k=8).collect()
+    }
+    assert est[(1, 2)] == 1.0  # identical docs agree on every component
+    assert est[(1, 3)] == 0.0  # disjoint shingle sets share no minimum
+    with pytest.raises(ValueError, match="k must be"):
+        minhash_agreement(sigs, pairs, k=0)
