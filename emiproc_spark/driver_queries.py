@@ -1433,6 +1433,7 @@ from emiproc_spark.driver_queries_r5c import ORACLES_R5C, QUERIES_R5C  # noqa: E
 from emiproc_spark.driver_queries_r5d import ORACLES_R5D, QUERIES_R5D  # noqa: E402
 from emiproc_spark.driver_queries_r5e import ORACLES_R5E, QUERIES_R5E  # noqa: E402
 from emiproc_spark.driver_queries_r5f import ORACLES_R5F, QUERIES_R5F  # noqa: E402
+from emiproc_spark.driver_queries_r5g import ORACLES_R5G, QUERIES_R5G  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
@@ -1448,6 +1449,8 @@ QUERIES.update(QUERIES_R5E)
 ORACLES.update(ORACLES_R5E)
 QUERIES.update(QUERIES_R5F)
 ORACLES.update(ORACLES_R5F)
+QUERIES.update(QUERIES_R5G)
+ORACLES.update(ORACLES_R5G)
 
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
@@ -1478,6 +1481,7 @@ _REVERIFY = [
 ]
 
 _FRONT = {
+    **QUERIES_R5G,
     **QUERIES_R5F,
     **QUERIES_R5E,
     **QUERIES_R5D,
@@ -1490,6 +1494,7 @@ QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
+        **ORACLES_R5G,
         **ORACLES_R5F,
         **ORACLES_R5E,
         **ORACLES_R5D,

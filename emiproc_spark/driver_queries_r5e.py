@@ -289,7 +289,9 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SQL_DUP_SPANS = f"""
+# shared by SQL_DUP_SPANS here and SQL_DUP_FRACTION (r5g): everything
+# up to the per-doc duplicated-position islands
+DUP_SPAN_CTES = f"""
     WITH d AS (
         SELECT doc_id, string_split(text, ' ') AS toks FROM documents
     ),
@@ -315,7 +317,10 @@ SQL_DUP_SPANS = f"""
         SELECT doc_id, p,
                SUM(nw) OVER (PARTITION BY doc_id ORDER BY p) AS island
         FROM f
-    )
+    )"""
+
+SQL_DUP_SPANS = f"""
+    {DUP_SPAN_CTES}
     SELECT doc_id, MIN(p) AS span_start, MAX(p) + {_SPAN_N - 1} AS span_end
     FROM i GROUP BY doc_id, island
 """

@@ -898,3 +898,38 @@ def minhash_agreement(
             ).alias("est_jaccard")
         )
     )
+
+
+def dup_token_fraction(
+    docs: DataFrame,
+    n: int = 8,
+    min_docs: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document duplicated-text budget: how many of a document's
+    tokens sit inside a maximal duplicated span
+    (:func:`duplicated_spans`) and what fraction of the document that
+    is — the quantity a curation pipeline thresholds on ("drop
+    documents that are > x% boilerplate/copy").
+
+    Returns (id, n_tokens, dup_tokens, dup_frac) for EVERY input
+    document (0 / 0.0 when nothing is duplicated).  Spans never overlap
+    (islands are maximal by construction), so the token sum needs no
+    interval arithmetic.
+    """
+    spans = duplicated_spans(docs, n, min_docs, text_col, id_col)
+    lens = docs.select(
+        id_col, F.size(tokens(F.col(text_col))).cast("long").alias("n_tokens")
+    )
+    per = spans.groupBy(id_col).agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("__dup")
+    )
+    return lens.join(per, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce(F.col("__dup"), F.lit(0)).cast("long").alias("dup_tokens"),
+        F.coalesce(
+            F.col("__dup") / F.col("n_tokens"), F.lit(0.0)
+        ).alias("dup_frac"),
+    )

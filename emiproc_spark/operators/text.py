@@ -8,7 +8,7 @@ whole-stage codegen) — no Python UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # small English stopword set for the heuristic scorers (deterministic,
@@ -498,4 +498,36 @@ def strip_boilerplate(
         F.size("toks").alias("n_tokens"),
         F.coalesce(F.size("__covered"), F.lit(0)).alias("n_removed"),
         F.concat_ws(" ", F.transform(kept, lambda s: s["t"])).alias("text_clean"),
+    )
+
+
+def score_buckets(
+    scored: DataFrame,
+    by: list[str],
+    score_col: str,
+    n: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Equal-count score buckets per group — the CCNet-style curation
+    split (Wenzek et al. 2020 bucket web text per language by LM
+    perplexity into head/middle/tail; downstream mixes sample by
+    bucket).  ``ntile(n)`` over (score, id) — the id tiebreak makes the
+    assignment total-order deterministic, so results are reproducible
+    run-to-run and engine-to-engine.
+
+    One sort-based window exchange per call; the rollup to
+    (by…, bucket, n_docs, lo, hi) groups on a superset of the window
+    key, so no second fact-scale shuffle.
+    """
+    if n < 1:
+        raise ValueError(f"bucket count must be >= 1, got {n}")
+    w = Window.partitionBy(*by).orderBy(score_col, id_col)
+    return (
+        scored.withColumn("bucket", F.ntile(n).over(w).cast("int"))
+        .groupBy(*by, "bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(score_col).alias("lo"),
+            F.max(score_col).alias("hi"),
+        )
     )

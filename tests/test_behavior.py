@@ -195,3 +195,57 @@ def test_duplicated_spans_adjacent_merge(spark):
         (1, 0, 3), (1, 5, 6), (1, 8, 9),
         (2, 0, 3), (2, 5, 6), (2, 8, 9),
     }
+
+
+def test_score_buckets_deterministic_quartiles(spark):
+    from emiproc_spark.operators.text import score_buckets
+
+    scored = spark.createDataFrame(
+        [("en", i, float(i)) for i in range(8)],
+        schema="lang string, doc_id long, score double",
+    )
+    out = {
+        r["bucket"]: (r["n_docs"], r["lo"], r["hi"])
+        for r in score_buckets(scored, ["lang"], "score", n=4).collect()
+    }
+    assert out == {
+        1: (2, 0.0, 1.0), 2: (2, 2.0, 3.0),
+        3: (2, 4.0, 5.0), 4: (2, 6.0, 7.0),
+    }
+
+
+def test_score_buckets_tie_break_by_id(spark):
+    from emiproc_spark.operators.text import score_buckets
+
+    scored = spark.createDataFrame(
+        [("en", i, 1.0) for i in range(4)],
+        schema="lang string, doc_id long, score double",
+    )
+    out = {
+        r["bucket"]: r["n_docs"]
+        for r in score_buckets(scored, ["lang"], "score", n=2).collect()
+    }
+    assert out == {1: 2, 2: 2}
+
+    with pytest.raises(ValueError, match=">= 1"):
+        score_buckets(scored, ["lang"], "score", n=0)
+
+
+def test_dup_token_fraction_covers_all_docs(spark):
+    from emiproc_spark.operators.dedup import dup_token_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "c1 c2 c3 c4 u1 u2 u3 u4"),  # 4 of 8 tokens duplicated
+            (2, "c1 c2 c3 c4"),              # fully duplicated
+            (3, "x1 x2 x3 x4 x5"),           # nothing duplicated
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_frac"])
+        for r in dup_token_fraction(docs, n=3, min_docs=2).collect()
+    }
+    assert out[1] == (8, 4, 0.5)
+    assert out[2] == (4, 4, 1.0)
+    assert out[3] == (5, 0, 0.0)
