@@ -1031,3 +1031,64 @@ def test_dup_spans_hot_shingle_corpus(spark):
     row = spans.where(F.col("doc_id") == 7).collect()[0]
     assert (row["span_start"], row["span_end"]) == (2, 11)
     assert dt < 120, f"dup_spans on 100k docs took {dt:.1f}s"
+
+
+@scale
+def test_pagerank_five_million_edges(spark):
+    """PageRank on a 5M-edge ring-of-chords graph: 4 iterations of
+    join + hash agg, no driver-side data beyond the node COUNT.  On a
+    ring every node has equal rank = 1/N regardless of damping — a
+    closed-form check at scale."""
+    from emiproc_spark.operators.graph import pagerank
+
+    n_nodes = 2_500_000
+    ring = spark.range(n_nodes).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 1) % n_nodes).alias("dst"),
+    )
+    chord = spark.range(n_nodes).select(
+        F.col("id").alias("src"),
+        ((F.col("id") + 997) % n_nodes).alias("dst"),
+    )
+    edges = ring.unionByName(chord)  # 5M edges, outdeg 2 everywhere
+    t0 = time.time()
+    pr = pagerank(edges, iterations=4)
+    stats = pr.agg(
+        F.count("*").alias("n"),
+        F.min("pagerank").alias("lo"),
+        F.max("pagerank").alias("hi"),
+    ).collect()[0]
+    dt = time.time() - t0
+    assert stats["n"] == n_nodes
+    # regular graph -> uniform stationary rank 1/N at every iteration
+    assert abs(stats["lo"] - 1.0 / n_nodes) < 1e-9
+    assert abs(stats["hi"] - 1.0 / n_nodes) < 1e-9
+    assert dt < 240, f"pagerank on 5M edges took {dt:.1f}s"
+
+
+@scale
+def test_bm25_million_docs(spark):
+    """BM25 over 1M synthetic docs: the postings aggregate is the only
+    fact-scale shuffle; top-k collapses to per-partition heads.  Docs
+    mentioning the query term twice must outrank single-mention docs of
+    the same length."""
+    from emiproc_spark.operators.retrieval import bm25_topk
+
+    docs = spark.range(1_000_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("filler-"), F.col("id"), F.lit(" common words here "),
+            F.when(F.col("id") % 100_000 == 0, F.lit("needle needle"))
+            .when(F.col("id") % 10_000 == 0, F.lit("needle pad"))
+            .otherwise(F.lit("pad pad")),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    rows = bm25_topk(docs, ["needle"], k=10).collect()
+    dt = time.time() - t0
+    # the 10 double-mention docs (id % 100000 == 0) out-score all
+    # single-mention docs; ties break by ascending id
+    assert [r["doc_id"] for r in rows] == [
+        i * 100_000 for i in range(10)
+    ]
+    assert dt < 240, f"bm25 on 1M docs took {dt:.1f}s"
