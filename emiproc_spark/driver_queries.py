@@ -1434,6 +1434,7 @@ from emiproc_spark.driver_queries_r5d import ORACLES_R5D, QUERIES_R5D  # noqa: E
 from emiproc_spark.driver_queries_r5e import ORACLES_R5E, QUERIES_R5E  # noqa: E402
 from emiproc_spark.driver_queries_r5f import ORACLES_R5F, QUERIES_R5F  # noqa: E402
 from emiproc_spark.driver_queries_r5g import ORACLES_R5G, QUERIES_R5G  # noqa: E402
+from emiproc_spark.driver_queries_r5h import ORACLES_R5H, QUERIES_R5H  # noqa: E402
 
 QUERIES.update(QUERIES_R4)
 ORACLES.update(ORACLES_R4)
@@ -1451,6 +1452,8 @@ QUERIES.update(QUERIES_R5F)
 ORACLES.update(ORACLES_R5F)
 QUERIES.update(QUERIES_R5G)
 ORACLES.update(ORACLES_R5G)
+QUERIES.update(QUERIES_R5H)
+ORACLES.update(ORACLES_R5H)
 
 # Queries whose implementation changed this round and therefore need a
 # fresh green CORRECTNESS row even though an earlier round verified them:
@@ -1481,6 +1484,7 @@ _REVERIFY = [
 ]
 
 _FRONT = {
+    **QUERIES_R5H,
     **QUERIES_R5G,
     **QUERIES_R5F,
     **QUERIES_R5E,
@@ -1494,6 +1498,7 @@ QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
+        **ORACLES_R5H,
         **ORACLES_R5G,
         **ORACLES_R5F,
         **ORACLES_R5E,

@@ -548,3 +548,98 @@ def heavy_hitters_stream(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def funnel_stream(
+    events: DataFrame,
+    steps: list[str],
+    flush_type: str = "__flush__",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Stateful streaming funnel: per-key state is the earliest
+    timestamp of each ordered step reached so far (strict order — step
+    *i* only counts strictly after the recorded step *i−1* stamp, the
+    same semantics as the batch ``funnel_user_steps``).
+
+    Events are processed in event-time order within each micro-batch;
+    a ``flush_type`` event emits the key's final row and clears its
+    state, so drive replays with a per-key sentinel after the last real
+    event (the same close-by-sentinel pattern as the sessionizer's
+    driver query).  State is O(keys × steps) int64 scalars.
+
+    In-order contract: the funnel only moves FORWARD — an event in a
+    later micro-batch with an earlier timestamp than an already
+    recorded step cannot retroactively lower that step (a batch
+    recompute would use it).  That is the standard streaming trade;
+    feed micro-batches in event-time order (or one availableNow batch)
+    for exact batch parity.
+
+    Returns (key, step1_ts … stepN_ts) timestamps, NULL where the
+    chain broke — identical schema to the batch fallback.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    if flush_type in steps:
+        raise ValueError("flush_type must not be one of the funnel steps")
+    if not events.isStreaming:
+        from emiproc_spark.operators.behavior import funnel_user_steps
+
+        return funnel_user_steps(
+            events.where(F.col(type_col) != flush_type),
+            steps, key_col, ts_col, type_col,
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    n = len(steps)
+    key_type = dict(events.dtypes)[key_col]
+    out_schema = f"{key_col} {key_type}, " + ", ".join(
+        f"step{i + 1}_ts timestamp" for i in range(n)
+    )
+    # -1 = step not reached (state columns cannot round-trip NULLs)
+    state_schema = ", ".join(f"s{i} long" for i in range(n))
+
+    def fn(key, pdfs, state):
+        (k,) = key
+        s = list(state.get) if state.exists else [-1] * n
+        flush = False
+        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        for ts, et in zip(rows[ts_col], rows[type_col]):
+            if et == flush_type:
+                flush = True
+                continue
+            tus = int(pd.Timestamp(ts).value // 1000)
+            for i, step in enumerate(steps):
+                if et != step:
+                    continue
+                if s[i] < 0 and (
+                    i == 0 or (s[i - 1] >= 0 and tus > s[i - 1])
+                ):
+                    s[i] = tus
+                break  # step names are distinct: first match decides
+        if flush:
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    key_col: [k],
+                    **{
+                        f"step{i + 1}_ts": [
+                            pd.Timestamp(s[i], unit="us") if s[i] >= 0 else pd.NaT
+                        ]
+                        for i in range(n)
+                    },
+                }
+            )
+        else:
+            state.update(tuple(s))
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,83 @@
+"""Real Structured Streaming drive of the stateful funnel:
+file source → applyInPandasWithState (sentinel flush) → memory sink."""
+
+import datetime
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.streaming.streams import funnel_stream
+
+
+def _ts(minute):
+    return datetime.datetime(2024, 1, 1, 0, minute)
+
+
+def test_funnel_stream_file_source(spark, tmp_path):
+    rows = [
+        # user 1 converts all three steps in order
+        (1, _ts(1), "view"),
+        (1, _ts(2), "click"),
+        (1, _ts(3), "purchase"),
+        # user 2: purchase BEFORE click — chain stops at click
+        (2, _ts(1), "view"),
+        (2, _ts(2), "purchase"),
+        (2, _ts(3), "click"),
+        # user 3: never views
+        (3, _ts(1), "click"),
+        # sentinels flush every user's final state
+        (1, _ts(30), "__flush__"),
+        (2, _ts(30), "__flush__"),
+        (3, _ts(30), "__flush__"),
+    ]
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        rows, schema="user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    out = funnel_stream(stream, ["view", "click", "purchase"])
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("funnel_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    got = {r["user_id"]: r for r in spark.table("funnel_stream_test").collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["step1_ts"] == _ts(1)
+    assert got[1]["step2_ts"] == _ts(2)
+    assert got[1]["step3_ts"] == _ts(3)
+    assert got[2]["step2_ts"] == _ts(3)
+    assert got[2]["step3_ts"] is None  # purchase preceded the click
+    assert got[3]["step1_ts"] is None
+
+
+def test_funnel_stream_batch_fallback(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1), "view"), (1, _ts(2), "click"), (1, _ts(30), "__flush__")],
+        schema="user_id long, ts timestamp, event_type string",
+    )
+    row = funnel_stream(ev, ["view", "click"]).collect()[0]
+    # flush sentinels are stripped, semantics = funnel_user_steps
+    assert row["step1_ts"] == _ts(1)
+    assert row["step2_ts"] == _ts(2)
+
+
+def test_funnel_stream_validations(spark):
+    ev = spark.createDataFrame(
+        [(1, _ts(1), "view")], schema="user_id long, ts timestamp, event_type string"
+    )
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_stream(ev, [])
+    with pytest.raises(ValueError, match="flush_type"):
+        funnel_stream(ev, ["view"], flush_type="view")
