@@ -65,16 +65,21 @@ def funnel_counts(
     counts = per_user.agg(
         *[F.count(f"step{i + 1}_ts").alias(f"c{i + 1}") for i in range(len(steps))]
     )
-    pairs = ", ".join(
-        f"{i + 1}, '{s}', c{i + 1}" for i, s in enumerate(steps)
+    # expression-tree unpivot (no selectExpr string: a quote in a step
+    # name must stay data, never become SQL)
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i + 1).cast("int").alias("step"),
+                    F.lit(s).alias("step_name"),
+                    F.col(f"c{i + 1}").cast("long").alias("users"),
+                )
+                for i, s in enumerate(steps)
+            ]
+        )
     )
-    return counts.selectExpr(
-        f"stack({len(steps)}, {pairs}) AS (step, step_name, users)"
-    ).select(
-        F.col("step").cast("int").alias("step"),
-        "step_name",
-        F.col("users").cast("long").alias("users"),
-    )
+    return counts.select(rows.alias("r")).select("r.*")
 
 
 def cohort_retention(

@@ -457,16 +457,32 @@ def semdedup_flags(assigned: DataFrame, threshold: float = 0.9) -> DataFrame:
     is (id, vec, cell); flags every vector with a >= ``threshold``
     cosine match to a LOWER id in the same cell.  Split out so callers
     with their own cluster assignment (k-means, product quantizer,
-    category partitions) reuse the pruning join unchanged."""
-    a, b = assigned.alias("a"), assigned.alias("b")
+    category partitions) reuse the pruning join unchanged.
+
+    Vectors are unit-normalized ONCE before the self-join (and the
+    normalized frame localCheckpointed so both join sides share it), so
+    each candidate pair costs one dot product instead of a dot plus two
+    re-derived norms — at 100 TB the pair side dominates and this is a
+    ~3× flop cut.  A zero vector normalizes to NULL components, never
+    matches the threshold, and is therefore kept (not a dup of
+    anything), matching the cosine-undefined convention."""
+    nrm = norm(F.col("vec"))
+    unit = assigned.withColumn(
+        "__unit",
+        F.when(
+            nrm > 0,
+            F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
+        ),
+    ).localCheckpoint(eager=False)
+    a, b = unit.alias("a"), unit.alias("b")
     dups = (
         a.join(b, "cell")
         .where(F.col("a.id") > F.col("b.id"))
-        .where(cosine(F.col("a.vec"), F.col("b.vec")) >= threshold)
+        .where(dot(F.col("a.__unit"), F.col("b.__unit")) >= threshold)
         .select(F.col("a.id").alias("id"))
         .distinct()
         .withColumn("__dup", F.lit(True))
     )
-    return assigned.select("id", "cell").join(dups, "id", "left").select(
+    return unit.select("id", "cell").join(dups, "id", "left").select(
         "id", "cell", F.coalesce("__dup", F.lit(False)).alias("is_dup")
     )
