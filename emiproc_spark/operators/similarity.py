@@ -344,6 +344,16 @@ def embedding_dup_pairs(
     b = lsh_buckets(embeddings, dim, planes, vec_col).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
+    # normalize once per vector, not twice per candidate pair (the pair
+    # side dominates at scale); zero vectors -> NULL unit -> no match
+    nrm = norm(F.col("vec"))
+    b = b.withColumn(
+        "__unit",
+        F.when(
+            nrm > 0,
+            F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
+        ),
+    ).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")
@@ -351,7 +361,7 @@ def embedding_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine(F.col("a.vec"), F.col("b.vec")).alias("cos"),
+            dot(F.col("a.__unit"), F.col("b.__unit")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
     )
