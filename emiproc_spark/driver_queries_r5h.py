@@ -102,3 +102,108 @@ QUERIES_R5H = {
 ORACLES_R5H = {
     "stream_funnel": SQL_STREAM_FUNNEL,
 }
+
+
+# ======================================================================
+# value_outliers — per-group z-score anomaly screen (operators/stats.py)
+# ======================================================================
+_Z = 3.0
+
+
+def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.stats import value_outliers
+
+    ev = fx.events(spark, sf_dir).select("event_type", "value")
+    return value_outliers(ev, ["event_type"], "value", z=_Z)
+
+
+SQL_VALUE_OUTLIERS = f"""
+    WITH m AS (
+        SELECT event_type,
+               COUNT(value) AS n,
+               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1000000.0 AS s1,
+               CAST(SUM(CAST(FLOOR(value * value * 1000000.0 + 0.5)
+                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s2
+        FROM events GROUP BY event_type
+    ),
+    d AS (
+        SELECT event_type, n, s1 / n AS mean,
+               CASE WHEN n > 1
+                    THEN (s2 - n * (s1 / n) * (s1 / n)) / (n - 1) END AS var
+        FROM m
+    ),
+    sd AS (
+        SELECT event_type, n, mean,
+               SQRT(CASE WHEN var > 0 THEN var END) AS sd
+        FROM d
+    ),
+    z AS (
+        SELECT e.event_type, s.n,
+               (e.value - s.mean) / s.sd AS z
+        FROM events e JOIN sd s USING (event_type)
+    )
+    SELECT event_type, n,
+           COUNT(CASE WHEN ABS(z) > {_Z!r} THEN 1 END) AS n_outliers,
+           FLOOR(MAX(ABS(z)) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_z
+    FROM z GROUP BY event_type, n
+"""
+
+QUERIES_R5H["value_outliers"] = q_value_outliers
+ORACLES_R5H["value_outliers"] = SQL_VALUE_OUTLIERS
+
+
+# ======================================================================
+# dedup_best — quality-aware near-dup collapse (operators/cluster.py):
+# keep each LSH component's LONGEST member (id tiebreak), not its
+# min-id one; isolated docs always survive.
+# ======================================================================
+def q_dedup_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import _docs2
+    from emiproc_spark.operators import dedup as dd
+    from emiproc_spark.operators.cluster import dedup_keep_best
+
+    docs = _docs2(spark, sf_dir)
+    sigs = dd.minhash_signatures(docs, k=8)
+    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+    scored = docs.withColumn("score", F.length("text").cast("double"))
+    kept = dedup_keep_best(scored, pairs, "score")
+    return kept.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+
+
+def _sql_dedup_best() -> str:
+    from emiproc_spark.driver_queries_curate import SQL_DUP_CLUSTERS
+    from emiproc_spark.driver_queries_text import DOCS2_SQL
+
+    return f"""
+    WITH comp AS ({SQL_DUP_CLUSTERS}),
+    d AS ({DOCS2_SQL}),
+    labeled AS (
+        SELECT d.doc_id, length(d.text) AS score, c.component
+        FROM d JOIN comp c ON c.node = d.doc_id
+    ),
+    winners AS (
+        SELECT doc_id FROM (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY component
+                       ORDER BY score DESC, doc_id
+                   ) AS rn
+            FROM labeled
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT doc_id FROM winners
+        UNION ALL
+        SELECT doc_id FROM d
+        WHERE doc_id NOT IN (SELECT node FROM comp)
+    )
+    SELECT k.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+    FROM kept k JOIN d USING (doc_id)
+"""
+
+
+QUERIES_R5H["dedup_best"] = q_dedup_best
+ORACLES_R5H["dedup_best"] = _sql_dedup_best()

@@ -173,3 +173,44 @@ def dedup_keep_representative(
         .where(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
         .drop("component")
     )
+
+
+def dedup_keep_best(
+    docs: DataFrame,
+    pairs: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Collapse each near-dup component to its highest-``score_col``
+    member (id tiebreak: smaller wins) — the quality-aware keep policy
+    (keep the cleanest copy, not the accidental min-id one; the policy
+    production dedup pipelines actually want when a quality signal like
+    text_stats / unigram_logprob exists).
+
+    NULL scores lose to any non-NULL score; an all-NULL cluster falls
+    back to min id.  Isolated documents (no pair) always survive.
+
+    Scale shape: components via the pointer-jumping CC (O(log n)
+    rounds), then ONE max_by aggregate per component and a semi-join
+    back — no window over the corpus, no driver data.
+    """
+    comp = connected_components(pairs).select(
+        F.col("node").alias(id_col), "component"
+    )
+    labeled = docs.select(id_col, F.col(score_col).alias("__score")).join(
+        comp, id_col, "inner"
+    )
+    # max_by over (score NULLS-last, -id): encode as a struct ordering —
+    # non-null flag first, then score, then negated id
+    rank = F.struct(
+        F.col("__score").isNotNull().alias("has"),
+        F.col("__score").alias("s"),
+        (-F.col(id_col)).alias("neg_id"),
+    )
+    winners = labeled.groupBy("component").agg(
+        F.max_by(F.col(id_col), rank).alias(id_col)
+    )
+    isolated = docs.join(comp.select(id_col), id_col, "anti")
+    return docs.join(
+        winners.select(id_col), id_col, "semi"
+    ).unionByName(isolated)

@@ -135,3 +135,57 @@ def kmv_distinct(
         F.col("n_exact").cast("long").alias("n_exact"),
         qd(est, 1e6).alias("kmv_estimate"),
     )
+
+
+def value_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    z: float = 3.0,
+) -> DataFrame:
+    """Per-group z-score outlier detection — the first-pass anomaly
+    screen over a metrics/telemetry table.
+
+    Mean and variance come from µ-quantized sums (``sumd``), so the
+    moments — and therefore every z-score and the outlier decision —
+    are addition-order-free and engine-reproducible; variance uses the
+    sample (n−1) denominator via Σx² − n·mean².  Rows in groups with
+    fewer than 2 values or zero variance are never outliers.
+
+    Scale shape: ONE aggregate for the per-group moments (bounded by
+    group count, broadcast back), then a map-only scoring pass —
+    the fact table is scanned twice but never shuffled beyond the
+    moment aggregate.
+
+    Returns (group_cols..., n, n_outliers, max_abs_z) per group.
+    """
+    if z <= 0:
+        raise ValueError(f"z must be > 0, got {z}")
+    v = F.col(value_col).cast("double")
+    moments = df.groupBy(*group_cols).agg(
+        F.count(value_col).alias("n"),
+        sumd(v).alias("__s1"),
+        sumd(v * v).alias("__s2"),
+    )
+    mean = F.col("__s1") / F.col("n")
+    var = F.when(
+        F.col("n") > 1,
+        (F.col("__s2") - F.col("n") * mean * mean) / (F.col("n") - 1),
+    )
+    moments = moments.withColumn("__mean", mean).withColumn(
+        "__sd", F.sqrt(F.when(var > 0, var))
+    )
+    zscore = (v - F.col("__mean")) / F.col("__sd")
+    scored = df.join(F.broadcast(moments), group_cols).select(
+        *group_cols,
+        F.col("n"),
+        zscore.alias("__z"),
+    )
+    return (
+        scored.groupBy(*group_cols, "n")
+        .agg(
+            F.count(F.when(F.abs(F.col("__z")) > z, 1)).alias("n_outliers"),
+            qd(F.max(F.abs(F.col("__z"))), 1e6).alias("max_abs_z"),
+        )
+        .select(*group_cols, "n", "n_outliers", "max_abs_z")
+    )

@@ -249,3 +249,58 @@ def test_dup_token_fraction_covers_all_docs(spark):
     assert out[1] == (8, 4, 0.5)
     assert out[2] == (4, 4, 1.0)
     assert out[3] == (5, 0, 0.0)
+
+
+def test_value_outliers_flags_planted_spike(spark):
+    from emiproc_spark.operators.stats import value_outliers
+
+    rows = [("a", 10.0)] * 20 + [("a", 11.0)] * 20 + [("a", 1000.0)]
+    rows += [("b", 5.0), ("b", 5.0)]   # zero variance -> no outliers
+    rows += [("c", 7.0)]               # n == 1 -> no sd, no outliers
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    out = {
+        r["g"]: (r["n"], r["n_outliers"], r["max_abs_z"])
+        for r in value_outliers(df, ["g"], "v", z=3.0).collect()
+    }
+    assert out["a"][0] == 41 and out["a"][1] == 1 and out["a"][2] > 3.0
+    assert out["b"] == (2, 0, None)
+    assert out["c"] == (1, 0, None)
+
+    with pytest.raises(ValueError, match="z must be"):
+        value_outliers(df, ["g"], "v", z=0.0)
+
+
+def test_dedup_keep_best_policy(spark):
+    from emiproc_spark.operators.cluster import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [
+            (1, 5.0),    # cluster {1,2,3}: 2 has the best score
+            (2, 9.0),
+            (3, 9.0),    # ties 2 on score -> higher id loses
+            (4, None),   # cluster {4,5}: all-NULL scores -> min id kept
+            (5, None),
+            (6, 1.0),    # isolated -> always kept
+        ],
+        schema="doc_id long, score double",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], schema="doc_a long, doc_b long"
+    )
+    kept = {
+        r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
+    }
+    assert kept == {2, 4, 6}
+
+
+def test_dedup_keep_best_null_loses_to_scored(spark):
+    from emiproc_spark.operators.cluster import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, 0.5)], schema="doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(1, 2)], schema="doc_a long, doc_b long")
+    kept = {
+        r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
+    }
+    assert kept == {2}
