@@ -1462,6 +1462,10 @@ ORACLES.update(ORACLES_R5H)
 # handling, the TNO axis aggregate, the Swiss/GRAL corrupt-file guards,
 # and the near-dup stream drain poll.
 _REVERIFY = [
+    # round-5e/f/g/h pair-join rewrite: embedding_dup_pairs now dots
+    # pre-normalized units instead of cosine(vec, vec) — changed
+    # queries need a fresh green CORRECTNESS row
+    "embedding_dup",
     # round-5b operator-guard fixes (factor dedup, rollup GROUPING(),
     # composite product agg, null sampling keys, ivf assign reuse,
     # speciation anti-join broadcast, band_signatures refactor)

@@ -9,6 +9,8 @@ small rollup) — no self-joins, no per-row Python.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -103,6 +105,12 @@ def cohort_retention(
     key, and only the bounded (cohort × offset) matrix leaves the last
     aggregate.
     """
+    if int(period_ns) < 1:
+        raise ValueError(f"period_ns must be >= 1, got {period_ns}")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
+        # ts_col is spliced into a SQL expression (DIV has no DataFrame
+        # function); anything but a plain identifier must not parse
+        raise ValueError(f"ts_col must be a plain identifier, got {ts_col!r}")
     per = F.expr(f"{ts_col} DIV {int(period_ns)}")
     ev = events.select(user_col, per.alias("period"))
     w = Window.partitionBy(user_col)

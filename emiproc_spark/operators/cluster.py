@@ -191,26 +191,27 @@ def dedup_keep_best(
     back to min id.  Isolated documents (no pair) always survive.
 
     Scale shape: components via the pointer-jumping CC (O(log n)
-    rounds), then ONE max_by aggregate per component and a semi-join
-    back — no window over the corpus, no driver data.
+    rounds), then a rank window over the CLUSTERED rows only (the
+    inner join drops isolated docs first) and a semi-join back — no
+    corpus-wide window, no driver data.
     """
+    from pyspark.sql import Window
+
     comp = connected_components(pairs).select(
         F.col("node").alias(id_col), "component"
     )
     labeled = docs.select(id_col, F.col(score_col).alias("__score")).join(
         comp, id_col, "inner"
     )
-    # max_by over (score NULLS-last, -id): encode as a struct ordering —
-    # non-null flag first, then score, then negated id
-    rank = F.struct(
-        F.col("__score").isNotNull().alias("has"),
-        F.col("__score").alias("s"),
-        (-F.col(id_col)).alias("neg_id"),
+    # rank window instead of a max_by(-id) struct: negation would bind
+    # the tiebreak to numeric ids, but id_col may be any orderable type
+    w = Window.partitionBy("component").orderBy(
+        F.col("__score").desc_nulls_last(), F.col(id_col).asc()
     )
-    winners = labeled.groupBy("component").agg(
-        F.max_by(F.col(id_col), rank).alias(id_col)
+    winners = (
+        labeled.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(id_col)
     )
     isolated = docs.join(comp.select(id_col), id_col, "anti")
-    return docs.join(
-        winners.select(id_col), id_col, "semi"
-    ).unionByName(isolated)
+    return docs.join(winners, id_col, "semi").unionByName(isolated)

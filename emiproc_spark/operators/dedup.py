@@ -832,6 +832,10 @@ def duplicated_spans(
             )
         ).alias("s"),
     ).select(id_col, F.col("s.p").alias("p"), F.col("s.h").alias("h"))
+    # hot-discovery and the membership semi-join both consume ph with
+    # DIFFERENT partitionings (agg vs join exchange), so ReusedExchange
+    # can't kick in — checkpoint to explode each token array once
+    ph = ph.localCheckpoint(eager=False)
     hot = (
         ph.groupBy("h")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -885,6 +889,13 @@ def minhash_agreement(
     sb = signatures.select(
         F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("__mb")
     )
+    est = F.sum(
+        F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
+    ) / F.lit(float(k))
+    # a k that disagrees with the actual signature width would silently
+    # mis-scale the estimate (values > 1 or < the true mean) — the
+    # per-pair seed-row count is already in the aggregate, so check it
+    width_ok = F.count("*") == k
     return (
         pairs.select("doc_a", "doc_b")
         .distinct()
@@ -892,10 +903,18 @@ def minhash_agreement(
         .join(sb, ["doc_b", "seed"])
         .groupBy("doc_a", "doc_b")
         .agg(
-            (
-                F.sum(F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0))
-                / F.lit(float(k))
-            ).alias("est_jaccard")
+            F.when(
+                ~width_ok,
+                F.raise_error(
+                    F.concat(
+                        F.lit("minhash_agreement: signature width "),
+                        F.count("*").cast("string"),
+                        F.lit(f" != k={k}"),
+                    )
+                ).cast("double"),
+            )
+            .otherwise(est)
+            .alias("est_jaccard")
         )
     )
 

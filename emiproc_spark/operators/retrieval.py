@@ -35,7 +35,10 @@ def bm25_topk(
     bag-of-words query.
 
     idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))      [RSJ, +1 form]
-    s(d, q) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    s(d, q) = Σ_t qtf(t) · idf(t) · tf·(k1+1)
+                 / (tf + k1·(1 − b + b·dl/avgdl))
+    with qtf the query's own term frequency (the query is a multiset —
+    repeating a term up-weights it).
 
     N, avgdl come from ONE corpus-wide aggregate (1 row, broadcast);
     per-term document frequencies are term-count-sized (broadcast).
@@ -46,6 +49,15 @@ def bm25_topk(
         raise ValueError(f"k must be >= 1, got {k}")
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
+    # the query is a MULTISET: a repeated term weights its contribution
+    # by its query term frequency (plain isin would silently collapse
+    # duplicates)
+    from collections import Counter
+
+    qterms = docs.sparkSession.createDataFrame(
+        [(t, float(c)) for t, c in Counter(query_terms).items()],
+        schema="term string, qtf double",
+    )
     tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
     corpus = tok.agg(
         F.count_distinct(id_col).alias("n_docs"),
@@ -56,7 +68,7 @@ def bm25_topk(
     # subset of the aggregate's (doc, term) hash partitioning, so this
     # is a second (bounded) exchange, not a rescan
     tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
-    posting = tf.where(F.col("term").isin(list(query_terms)))
+    posting = tf.join(F.broadcast(qterms), "term")
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
     scored = posting.join(F.broadcast(dfreq), "term").crossJoin(
         F.broadcast(corpus)
@@ -68,7 +80,7 @@ def bm25_topk(
     denom = F.col("tf") + F.lit(k1) * (
         F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
     )
-    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / denom)
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / denom) * F.col("qtf")
     per_doc = (
         scored.select(
             id_col,

@@ -345,14 +345,17 @@ def embedding_dup_pairs(
         F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), "bucket"
     )
     # normalize once per vector, not twice per candidate pair (the pair
-    # side dominates at scale); zero vectors -> NULL unit -> no match
+    # side dominates at scale); zero vectors -> NULL unit -> no match.
+    # vec is dropped BEFORE the checkpoint: pruning can't push through
+    # the barrier and the join reads only (id, bucket, __unit)
     nrm = norm(F.col("vec"))
-    b = b.withColumn(
-        "__unit",
+    b = b.select(
+        "id",
+        "bucket",
         F.when(
             nrm > 0,
             F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
-        ),
+        ).alias("__unit"),
     ).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("b")
     return (
@@ -477,12 +480,15 @@ def semdedup_flags(assigned: DataFrame, threshold: float = 0.9) -> DataFrame:
     matches the threshold, and is therefore kept (not a dup of
     anything), matching the cosine-undefined convention."""
     nrm = norm(F.col("vec"))
-    unit = assigned.withColumn(
-        "__unit",
+    # drop the raw vec BEFORE the checkpoint: pruning can't push
+    # through the checkpoint barrier, and nothing downstream reads it
+    unit = assigned.select(
+        "id",
+        "cell",
         F.when(
             nrm > 0,
             F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
-        ),
+        ).alias("__unit"),
     ).localCheckpoint(eager=False)
     a, b = unit.alias("a"), unit.alias("b")
     dups = (

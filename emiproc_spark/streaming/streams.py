@@ -619,7 +619,11 @@ def funnel_stream(
                     i == 0 or (s[i - 1] >= 0 and tus > s[i - 1])
                 ):
                     s[i] = tus
-                break  # step names are distinct: first match decides
+                    break  # an event fills at most one step (strict >
+                    # means it can never also satisfy the next one)
+                # already-filled occurrence: keep scanning — a REPEATED
+                # step name (e.g. a second "view" stage) must be able
+                # to claim this event, matching the batch window chain
         if flush:
             state.remove()
             yield pd.DataFrame(

@@ -304,3 +304,29 @@ def test_dedup_keep_best_null_loses_to_scored(spark):
         r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
     }
     assert kept == {2}
+
+
+def test_cohort_retention_validates_inputs(spark):
+    ev = spark.createDataFrame([(1, 5, "view")], schema=EV_SCHEMA)
+    with pytest.raises(ValueError, match="period_ns"):
+        cohort_retention(ev, period_ns=0)
+    with pytest.raises(ValueError, match="plain identifier"):
+        cohort_retention(ev, period_ns=10, ts_col="ts; drop")
+
+
+def test_dedup_keep_best_string_ids(spark):
+    from emiproc_spark.operators.cluster import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("10", 1.0), ("9", 1.0), ("7", None)],
+        schema="doc_id string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [("10", "9"), ("9", "7")], schema="doc_a string, doc_b string"
+    )
+    # CC hashes string ids via try_cast; numeric strings stay distinct.
+    # equal scores -> LEXICOGRAPHICALLY smaller id wins ("10" < "9")
+    kept = {
+        r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
+    }
+    assert kept == {"10"}

@@ -144,3 +144,27 @@ def test_minhash_agreement_bounds(spark):
     assert est[(1, 3)] == 0.0  # disjoint shingle sets share no minimum
     with pytest.raises(ValueError, match="k must be"):
         minhash_agreement(sigs, pairs, k=0)
+
+
+def test_bm25_repeated_query_term_upweights(spark):
+    docs = spark.createDataFrame(
+        [(1, "apple pie"), (2, "plum pie")],
+        schema="doc_id long, text string",
+    )
+    single = {r["doc_id"]: r["score"]
+              for r in bm25_topk(docs, ["apple", "plum"], k=5).collect()}
+    double = {r["doc_id"]: r["score"]
+              for r in bm25_topk(docs, ["apple", "apple", "plum"], k=5).collect()}
+    assert double[1] == pytest.approx(2 * single[1], abs=1e-6)
+    assert double[2] == pytest.approx(single[2], abs=1e-9)
+
+
+def test_minhash_agreement_width_mismatch_raises(spark):
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")],
+        schema="doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=8)
+    pairs = spark.createDataFrame([(1, 2)], schema="doc_a long, doc_b long")
+    with pytest.raises(Exception, match="signature width"):
+        minhash_agreement(sigs, pairs, k=4).collect()

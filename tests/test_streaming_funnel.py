@@ -81,3 +81,35 @@ def test_funnel_stream_validations(spark):
         funnel_stream(ev, [])
     with pytest.raises(ValueError, match="flush_type"):
         funnel_stream(ev, ["view"], flush_type="view")
+
+
+def test_funnel_stream_repeated_step_name(spark, tmp_path):
+    """A 'second visit' funnel ['view', 'view'] must fill BOTH stages
+    from two distinct views, like the batch window chain."""
+    rows = [
+        (1, _ts(1), "view"),
+        (1, _ts(2), "view"),
+        (1, _ts(30), "__flush__"),
+    ]
+    src = os.path.join(str(tmp_path), "in")
+    spark.createDataFrame(
+        rows, schema="user_id long, ts timestamp, event_type string"
+    ).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    q = (
+        funnel_stream(stream, ["view", "view"])
+        .writeStream.format("memory")
+        .queryName("funnel_repeat_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    row = spark.table("funnel_repeat_test").collect()[0]
+    assert row["step1_ts"] == _ts(1)
+    assert row["step2_ts"] == _ts(2)
