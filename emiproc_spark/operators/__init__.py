@@ -48,3 +48,25 @@ from emiproc_spark.operators.sampling import (  # noqa: F401
     stratified_sample,
     weighted_sample,
 )
+from emiproc_spark.operators.behavior import (  # noqa: F401
+    cohort_retention,
+    funnel_counts,
+    funnel_user_steps,
+)
+from emiproc_spark.operators.cluster import dedup_keep_best  # noqa: F401
+from emiproc_spark.operators.dedup import (  # noqa: F401
+    dup_token_fraction,
+    duplicated_spans,
+    minhash_agreement,
+)
+from emiproc_spark.operators.graph import pagerank  # noqa: F401
+from emiproc_spark.operators.retrieval import bm25_topk  # noqa: F401
+from emiproc_spark.operators.similarity import (  # noqa: F401
+    semdedup,
+    semdedup_flags,
+)
+from emiproc_spark.operators.stats import (  # noqa: F401
+    kmv_distinct,
+    value_outliers,
+)
+from emiproc_spark.operators.text import score_buckets  # noqa: F401
