@@ -207,3 +207,38 @@ def _sql_dedup_best() -> str:
 
 QUERIES_R5H["dedup_best"] = q_dedup_best
 ORACLES_R5H["dedup_best"] = _sql_dedup_best()
+
+
+# ======================================================================
+# rolling_features — trailing-hour RANGE-frame features per event
+# (operators/behavior.rolling_event_features)
+# ======================================================================
+_ROLL_NS = 3_600 * 10**9  # one hour
+
+
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.behavior import rolling_event_features
+
+    ev = fx.events(spark, sf_dir).select("event_id", "user_id", "ts", "value")
+    out = rolling_event_features(ev, window_ns=_ROLL_NS)
+    return out.select("event_id", "user_id", "n_trailing", "v_trailing")
+
+
+SQL_ROLLING_FEATURES = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, epoch_ns(ts) AS tsn,
+               CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT) AS qv
+        FROM events
+    )
+    SELECT event_id, user_id,
+           COUNT(*) OVER w AS n_trailing,
+           CAST(SUM(qv) OVER w AS DOUBLE) / 1000000.0 AS v_trailing
+    FROM ev
+    WINDOW w AS (
+        PARTITION BY user_id ORDER BY tsn
+        RANGE BETWEEN {_ROLL_NS} PRECEDING AND CURRENT ROW
+    )
+"""
+
+QUERIES_R5H["rolling_features"] = q_rolling_features
+ORACLES_R5H["rolling_features"] = SQL_ROLLING_FEATURES

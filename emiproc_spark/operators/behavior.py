@@ -125,3 +125,39 @@ def cohort_retention(
         )
         .agg(F.count("*").alias("active_users"))
     )
+
+
+def rolling_event_features(
+    events: DataFrame,
+    window_ns: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Trailing-window activity features per event — the classic
+    feature-engineering pass before training ("how active was this
+    user in the hour before this event?").
+
+    For every event: the count of the user's events and the (quantized,
+    order-free) sum of ``value_col`` in ``[ts − window_ns, ts]``, via a
+    RANGE window frame on the integer-nanosecond timestamp — peers at
+    the exact same timestamp are all included, so results do not depend
+    on intra-timestamp ordering.
+
+    Scale shape: one sort-based window exchange on the user key; RANGE
+    frames stream through Spark's window operator with a sliding
+    buffer bounded by the frame width.
+    """
+    if int(window_ns) < 0:
+        raise ValueError(f"window_ns must be >= 0, got {window_ns}")
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(F.col(ts_col).cast("long"))
+        .rangeBetween(-int(window_ns), 0)
+    )
+    q = F.floor(F.col(value_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return events.withColumn(
+        "n_trailing", F.count("*").over(w)
+    ).withColumn(
+        "v_trailing", F.sum(q).over(w).cast("double") / F.lit(1_000_000.0)
+    )

@@ -330,3 +330,29 @@ def test_dedup_keep_best_string_ids(spark):
         r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
     }
     assert kept == {"10"}
+
+
+def test_rolling_event_features_range_frame(spark):
+    from emiproc_spark.operators.behavior import rolling_event_features
+
+    ev = spark.createDataFrame(
+        [
+            (1, 0, 10.0),
+            (1, 50, 20.0),    # within 100ns of t=0
+            (1, 200, 30.0),   # only itself in [100, 200]
+            (1, 200, 40.0),   # PEER at the same ts: both rows see both
+            (2, 0, 5.0),
+        ],
+        schema="user_id long, ts long, value double",
+    )
+    rows = rolling_event_features(ev, window_ns=100).collect()
+    got = {(r["user_id"], r["ts"], r["value"]): (r["n_trailing"], r["v_trailing"]) for r in rows}
+    assert got[(1, 0, 10.0)] == (1, 10.0)
+    assert got[(1, 50, 20.0)] == (2, 30.0)
+    # the two t=200 peers both count each other (RANGE frame semantics)
+    assert got[(1, 200, 30.0)] == (2, 70.0)
+    assert got[(1, 200, 40.0)] == (2, 70.0)
+    assert got[(2, 0, 5.0)] == (1, 5.0)
+
+    with pytest.raises(ValueError, match="window_ns"):
+        rolling_event_features(ev, window_ns=-1)
