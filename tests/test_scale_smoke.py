@@ -1092,3 +1092,46 @@ def test_bm25_million_docs(spark):
         i * 100_000 for i in range(10)
     ]
     assert dt < 240, f"bm25 on 1M docs took {dt:.1f}s"
+
+
+@scale
+def test_rolling_features_five_million_events(spark):
+    """5M events / 100k users through the trailing RANGE frame: the
+    window buffer is bounded by the frame width, closed-form check on
+    a regular 1-event-per-tick lattice."""
+    from emiproc_spark.operators.behavior import rolling_event_features
+
+    n, users = 5_000_000, 100_000
+    ev = spark.range(n).select(
+        (F.col("id") % users).alias("user_id"),
+        (F.floor(F.col("id") / users) * 10).cast("long").alias("ts"),
+        F.lit(1.0).alias("value"),
+    )
+    t0 = time.time()
+    out = rolling_event_features(ev, window_ns=30)  # covers 4 ticks
+    stats = out.agg(
+        F.count("*").alias("rows"), F.max("n_trailing").alias("mx")
+    ).collect()[0]
+    dt = time.time() - t0
+    assert stats["rows"] == n
+    assert stats["mx"] == 4  # ticks at 0,10,20,30 fit the 30ns frame
+    assert dt < 240, f"rolling features on 5M events took {dt:.1f}s"
+
+
+@scale
+def test_kmv_ten_million_values(spark):
+    """KMV sketch over 10M values in one group: the rank window spills
+    rather than collecting, and the estimate lands within the sketch's
+    ~1/sqrt(k) error band of the true 1M distinct."""
+    from emiproc_spark.operators.stats import kmv_distinct
+
+    df = spark.range(10_000_000).select(
+        F.lit("g").alias("g"),
+        (F.col("id") % 1_000_000).cast("string").alias("v"),
+    )
+    t0 = time.time()
+    row = kmv_distinct(df, ["g"], "v", k=1024).collect()[0]
+    dt = time.time() - t0
+    assert row["n_exact"] == 1_000_000
+    assert abs(row["kmv_estimate"] - 1_000_000) / 1_000_000 < 0.15
+    assert dt < 240, f"kmv on 10M values took {dt:.1f}s"
