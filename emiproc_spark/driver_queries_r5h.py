@@ -242,3 +242,37 @@ SQL_ROLLING_FEATURES = f"""
 
 QUERIES_R5H["rolling_features"] = q_rolling_features
 ORACLES_R5H["rolling_features"] = SQL_ROLLING_FEATURES
+
+
+# ======================================================================
+# active_users — trailing-7-day distinct actives (WAU) per day
+# (operators/behavior.rolling_active_users)
+# ======================================================================
+_DAY_NS = 86400 * 10**9
+_WAU_WINDOW = 7
+
+
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.behavior import rolling_active_users
+
+    ev = fx.events(spark, sf_dir).select("user_id", "ts")
+    return rolling_active_users(
+        ev, window_periods=_WAU_WINDOW, period_ns=_DAY_NS
+    )
+
+
+SQL_ACTIVE_USERS = f"""
+    WITH d AS (
+        SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS p
+        FROM events
+    ),
+    e AS (
+        SELECT user_id, p + o.o AS period
+        FROM d, UNNEST(range({_WAU_WINDOW})) AS o(o)
+    )
+    SELECT period, COUNT(DISTINCT user_id) AS active_users
+    FROM e GROUP BY period
+"""
+
+QUERIES_R5H["active_users"] = q_active_users
+ORACLES_R5H["active_users"] = SQL_ACTIVE_USERS

@@ -52,6 +52,8 @@ from emiproc_spark.operators.behavior import (  # noqa: F401
     cohort_retention,
     funnel_counts,
     funnel_user_steps,
+    rolling_active_users,
+    rolling_event_features,
 )
 from emiproc_spark.operators.cluster import dedup_keep_best  # noqa: F401
 from emiproc_spark.operators.dedup import (  # noqa: F401

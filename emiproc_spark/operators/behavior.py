@@ -161,3 +161,44 @@ def rolling_event_features(
     ).withColumn(
         "v_trailing", F.sum(q).over(w).cast("double") / F.lit(1_000_000.0)
     )
+
+
+def rolling_active_users(
+    events: DataFrame,
+    window_periods: int = 7,
+    period_ns: int = 86400 * 10**9,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Trailing-window distinct actives — the DAU/WAU/MAU rollup: for
+    every period, how many distinct users were active in the trailing
+    ``window_periods`` periods (inclusive).
+
+    Contribution explode instead of a distinct-over-sliding-window
+    (which Spark can't express): the per-(user, period) distinct set
+    fans out map-only to the ``window_periods`` target periods it
+    keeps alive, then ONE distinct-count per target.  Cost is
+    |user-periods| × window — linear, no self-join; the trailing tail
+    past the last active period is reported too (those windows still
+    contain the user).
+
+    ``ts_col`` must be epoch-ns BIGINT (same contract as
+    :func:`cohort_retention`).  Returns (period, active_users).
+    """
+    if int(window_periods) < 1:
+        raise ValueError(f"window_periods must be >= 1, got {window_periods}")
+    if int(period_ns) < 1:
+        raise ValueError(f"period_ns must be >= 1, got {period_ns}")
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
+        raise ValueError(f"ts_col must be a plain identifier, got {ts_col!r}")
+    per = F.expr(f"{ts_col} DIV {int(period_ns)}")
+    d = events.select(user_col, per.alias("__p")).distinct()
+    exploded = d.select(
+        user_col,
+        F.explode(
+            F.sequence(F.col("__p"), F.col("__p") + F.lit(window_periods - 1))
+        ).alias("period"),
+    )
+    return exploded.groupBy("period").agg(
+        F.count_distinct(user_col).alias("active_users")
+    )

@@ -356,3 +356,26 @@ def test_rolling_event_features_range_frame(spark):
 
     with pytest.raises(ValueError, match="window_ns"):
         rolling_event_features(ev, window_ns=-1)
+
+
+def test_rolling_active_users_wau(spark):
+    from emiproc_spark.operators.behavior import rolling_active_users
+
+    ev = spark.createDataFrame(
+        [
+            (1, 0, "view"),    # user 1 active period 0
+            (1, 5, "click"),   # same period — still one contribution
+            (2, 12, "view"),   # user 2 active period 1
+            (1, 31, "view"),   # user 1 active period 3
+        ],
+        schema=EV_SCHEMA,
+    )
+    out = {
+        r["period"]: r["active_users"]
+        for r in rolling_active_users(ev, window_periods=2, period_ns=10).collect()
+    }
+    # windows (trailing 2): p0 {1}, p1 {1,2}, p2 {2}, p3 {1}, p4 {1}
+    assert out == {0: 1, 1: 2, 2: 1, 3: 1, 4: 1}
+
+    with pytest.raises(ValueError, match="window_periods"):
+        rolling_active_users(ev, window_periods=0)
