@@ -188,7 +188,16 @@ def dedup_keep_best(
     text_stats / unigram_logprob exists).
 
     NULL scores lose to any non-NULL score; an all-NULL cluster falls
-    back to min id.  Isolated documents (no pair) always survive.
+    back to the smallest NUMERIC id (the same min-id convention as
+    :func:`dedup_keep_representative` / the component labels).
+
+    Ids inherit :func:`connected_components`' int64 contract, and the
+    membership join enforces it LOUDLY: each doc id is cast to long
+    and required to round-trip back to its original value — a raw
+    string==bigint join would coerce both sides to DOUBLE, silently
+    merging distinct ids that are numerically equal ("07" vs "7") or
+    collide past 2^53.  Hash non-numeric ids to int64 before calling.
+    Isolated documents (no pair) always survive.
 
     Scale shape: components via the pointer-jumping CC (O(log n)
     rounds), then a rank window over the CLUSTERED rows only (the
@@ -197,21 +206,33 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window
 
-    comp = connected_components(pairs).select(
-        F.col("node").alias(id_col), "component"
+    comp = connected_components(pairs)
+    cast = F.col(id_col).try_cast("long")
+    nid = F.when(
+        F.col(id_col).isNotNull()
+        & (cast.isNull() | (cast.cast(dict(docs.dtypes)[id_col]) != F.col(id_col))),
+        F.raise_error(
+            F.concat(
+                F.lit(f"dedup_keep_best: {id_col} does not round-trip int64: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(cast)
+    keyed = docs.select(
+        id_col, F.col(score_col).alias("__score"), nid.alias("__nid")
     )
-    labeled = docs.select(id_col, F.col(score_col).alias("__score")).join(
-        comp, id_col, "inner"
-    )
-    # rank window instead of a max_by(-id) struct: negation would bind
-    # the tiebreak to numeric ids, but id_col may be any orderable type
+    labeled = keyed.join(comp, keyed["__nid"] == comp["node"], "inner")
     w = Window.partitionBy("component").orderBy(
-        F.col("__score").desc_nulls_last(), F.col(id_col).asc()
+        F.col("__score").desc_nulls_last(), F.col("__nid").asc()
     )
     winners = (
         labeled.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .select(id_col)
     )
-    isolated = docs.join(comp.select(id_col), id_col, "anti")
-    return docs.join(winners, id_col, "semi").unionByName(isolated)
+    isolated_ids = keyed.join(
+        comp, keyed["__nid"] == comp["node"], "anti"
+    ).select(id_col)
+    return docs.join(winners, id_col, "semi").unionByName(
+        docs.join(isolated_ids, id_col, "semi")
+    )

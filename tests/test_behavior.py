@@ -324,12 +324,29 @@ def test_dedup_keep_best_string_ids(spark):
     pairs = spark.createDataFrame(
         [("10", "9"), ("9", "7")], schema="doc_a string, doc_b string"
     )
-    # CC hashes string ids via try_cast; numeric strings stay distinct.
-    # equal scores -> LEXICOGRAPHICALLY smaller id wins ("10" < "9")
+    # numeric-string ids join the int64 component labels exactly;
+    # equal scores -> smaller NUMERIC id wins (9 < 10)
     kept = {
         r["doc_id"] for r in dedup_keep_best(docs, pairs, "score").collect()
     }
-    assert kept == {"10"}
+    assert kept == {"9"}
+
+
+def test_dedup_keep_best_rejects_non_roundtrip_ids(spark):
+    """A doc id whose int64 cast does not round-trip ("07" -> 7 -> "7")
+    must raise LOUDLY: a raw string==bigint join would coerce through
+    DOUBLE and silently merge "07" into node 7's cluster."""
+    from emiproc_spark.operators.cluster import dedup_keep_best
+
+    docs = spark.createDataFrame(
+        [("7", 1.0), ("9", 2.0), ("07", 5.0)],
+        schema="doc_id string, score double",
+    )
+    pairs = spark.createDataFrame(
+        [("7", "9")], schema="doc_a string, doc_b string"
+    )
+    with pytest.raises(Exception, match="round-trip"):
+        dedup_keep_best(docs, pairs, "score").collect()
 
 
 def test_rolling_event_features_range_frame(spark):
