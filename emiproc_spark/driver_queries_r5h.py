@@ -276,3 +276,87 @@ SQL_ACTIVE_USERS = f"""
 
 QUERIES_R5H["active_users"] = q_active_users
 ORACLES_R5H["active_users"] = SQL_ACTIVE_USERS
+
+
+# ======================================================================
+# group_quantiles — exact per-language length percentiles
+# (operators/stats.group_quantiles, histogram reduction)
+# ======================================================================
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.stats import group_quantiles
+    from emiproc_spark.qhelpers import qd
+
+    d = fx.load(spark, sf_dir, "documents").select(
+        "lang", F.size(F.split("text", " ")).alias("len")
+    )
+    out = group_quantiles(d, ["lang"], "len")
+    return out.select("lang", "q", qd("value").alias("value"))
+
+
+def _sql_group_quantiles() -> str:
+    from emiproc_spark.qhelpers import sql_qd
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    branches = " UNION ALL ".join(
+        f"SELECT lang, {q} AS q, quantile_cont(len, {q}) AS v "
+        "FROM lens GROUP BY lang"
+        for q in qs
+    )
+    return f"""
+    WITH lens AS (
+        SELECT lang, len(string_split(text, ' ')) AS len FROM documents
+    )
+    SELECT lang, q, {sql_qd('v')} AS value FROM ({branches})
+"""
+
+
+QUERIES_R5H["group_quantiles"] = q_group_quantiles
+ORACLES_R5H["group_quantiles"] = _sql_group_quantiles()
+
+
+# ======================================================================
+# lsh_quality — sketch quality rollup over minhash_est: candidate
+# precision at an exact-Jaccard threshold + mean estimator error
+# ======================================================================
+_LSHQ_THRESHOLD = 0.5
+
+
+def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_r5f import q_minhash_est
+    from emiproc_spark.qhelpers import sumd
+
+    est = q_minhash_est(spark, sf_dir)
+    return est.agg(
+        F.count("*").alias("n_candidates"),
+        F.count(F.when(F.col("jaccard") >= _LSHQ_THRESHOLD, 1)).alias(
+            "n_true"
+        ),
+        (
+            F.count(F.when(F.col("jaccard") >= _LSHQ_THRESHOLD, 1))
+            / F.count("*")
+        ).alias("precision"),
+        (
+            sumd(F.abs(F.col("est_jaccard") - F.col("jaccard"))) / F.count("*")
+        ).alias("mean_abs_err"),
+    )
+
+
+def _sql_lsh_quality() -> str:
+    from emiproc_spark.driver_queries_r5f import SQL_MINHASH_EST
+    from emiproc_spark.qhelpers import sql_sumd
+
+    return f"""
+    WITH est AS ({SQL_MINHASH_EST})
+    SELECT COUNT(*) AS n_candidates,
+           COUNT(CASE WHEN jaccard >= {_LSHQ_THRESHOLD} THEN 1 END)
+               AS n_true,
+           COUNT(CASE WHEN jaccard >= {_LSHQ_THRESHOLD} THEN 1 END)
+               / COUNT(*) AS precision,
+           {sql_sumd('ABS(est_jaccard - jaccard)')} / COUNT(*)
+               AS mean_abs_err
+    FROM est
+"""
+
+
+QUERIES_R5H["lsh_quality"] = q_lsh_quality
+ORACLES_R5H["lsh_quality"] = _sql_lsh_quality()

@@ -68,6 +68,7 @@ from emiproc_spark.operators.similarity import (  # noqa: F401
     semdedup_flags,
 )
 from emiproc_spark.operators.stats import (  # noqa: F401
+    group_quantiles,
     kmv_distinct,
     value_outliers,
 )

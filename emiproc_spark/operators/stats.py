@@ -189,3 +189,75 @@ def value_outliers(
         )
         .select(*group_cols, "n", "n_outliers", "max_abs_z")
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Exact per-group percentiles (type-7 linear interpolation) via
+    the histogram reduction — the grouped generalization of
+    ``text.length_percentiles``.
+
+    ``percentile`` aggregates buffer every value per group; instead the
+    distribution reduces to one histogram row per (group, distinct
+    value) — ONE shuffle over the fact table with map-side partial
+    counts — and the interpolation runs on that dimension-sized table:
+    cumulative counts via a per-group window, the 0-based rank
+    positions (N−1)·q located with two min-joins on the histogram.
+    NULL values are excluded (empty groups vanish).
+
+    Returns (group_cols..., q, value).
+    """
+    if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
+        raise ValueError(f"quantiles must be within [0, 1], got {quantiles}")
+    spark = df.sparkSession
+    v = F.col(value_col).cast("double")
+    hist = (
+        df.where(v.isNotNull())
+        .groupBy(*group_cols, v.alias("__v"))
+        .agg(F.count("*").alias("__cnt"))
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
+    totals = cum.groupBy(*group_cols).agg(F.max("__cum").alias("__n"))
+    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    pos = totals.crossJoin(F.broadcast(qdf)).select(
+        *group_cols,
+        "q",
+        (F.lit(1.0) * (F.col("__n") - 1) * F.col("q")).alias("__p"),
+    )
+    pos = pos.select(
+        *group_cols,
+        "q",
+        "__p",
+        F.floor("__p").cast("long").alias("__lo"),
+        F.ceil("__p").cast("long").alias("__hi"),
+    )
+    cumb = cum.select(*group_cols, "__v", "__cum")
+    vlo = (
+        pos.join(cumb, [*group_cols])
+        .where(F.col("__cum") >= F.col("__lo") + 1)
+        .groupBy(*group_cols, "q", "__p", "__lo", "__hi")
+        .agg(F.min("__v").alias("__vlo"))
+    )
+    vhi = (
+        pos.join(cumb, [*group_cols])
+        .where(F.col("__cum") >= F.col("__hi") + 1)
+        .groupBy(*group_cols, "q")
+        .agg(F.min("__v").alias("__vhi"))
+    )
+    return vlo.join(vhi, [*group_cols, "q"]).select(
+        *group_cols,
+        "q",
+        (
+            F.col("__vlo")
+            + (F.col("__vhi") - F.col("__vlo")) * (F.col("__p") - F.col("__lo"))
+        ).alias("value"),
+    )

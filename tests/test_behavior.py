@@ -396,3 +396,38 @@ def test_rolling_active_users_wau(spark):
 
     with pytest.raises(ValueError, match="window_periods"):
         rolling_active_users(ev, window_periods=0)
+
+
+def test_group_quantiles_exact_interpolation(spark):
+    from emiproc_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(v)) for v in (10, 20, 30, 40)] + [("b", 5.0)],
+        schema="g string, v double",
+    )
+    out = {
+        (r["g"], r["q"]): r["value"]
+        for r in group_quantiles(df, ["g"], "v", (0.0, 0.5, 1.0)).collect()
+    }
+    # type-7: p = (n-1)q; a: n=4 -> median = 20 + (30-20)*0.5 = 25
+    assert out[("a", 0.0)] == 10.0
+    assert out[("a", 0.5)] == 25.0
+    assert out[("a", 1.0)] == 40.0
+    assert out[("b", 0.5)] == 5.0  # single value: every quantile is it
+
+    with pytest.raises(ValueError, match="within"):
+        group_quantiles(df, ["g"], "v", (1.5,))
+
+
+def test_group_quantiles_skips_nulls(spark):
+    from emiproc_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", None), ("a", 3.0), ("c", None)],
+        schema="g string, v double",
+    )
+    out = {
+        (r["g"], r["q"]): r["value"]
+        for r in group_quantiles(df, ["g"], "v", (0.5,)).collect()
+    }
+    assert out == {("a", 0.5): 2.0}  # all-NULL group c vanishes
