@@ -1488,6 +1488,10 @@ _REVERIFY = [
 ]
 
 _FRONT = {
+    # the ONE query whose implementation changed this session
+    # (embedding_dup_pairs pair-join rewrite) goes first — it must be
+    # inside the driver's 50-query sample window
+    "embedding_dup": QUERIES["embedding_dup"],
     **QUERIES_R5H,
     **QUERIES_R5G,
     **QUERIES_R5F,
@@ -1502,6 +1506,7 @@ QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
+        "embedding_dup": ORACLES["embedding_dup"],
         **ORACLES_R5H,
         **ORACLES_R5G,
         **ORACLES_R5F,
