@@ -11,7 +11,7 @@ from __future__ import annotations
 import os
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
@@ -360,3 +360,112 @@ def _sql_lsh_quality() -> str:
 
 QUERIES_R5H["lsh_quality"] = q_lsh_quality
 ORACLES_R5H["lsh_quality"] = _sql_lsh_quality()
+
+
+# ======================================================================
+# bigram_logprob — order-2 LM fluency score (operators/text.py)
+# ======================================================================
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import bigram_logprob
+    from emiproc_spark.qhelpers import qd
+
+    docs = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = bigram_logprob(docs)
+    return out.select(
+        "doc_id", "n_bigrams", qd("mean_logprob").alias("mean_logprob")
+    )
+
+
+def _sql_bigram_logprob() -> str:
+    from emiproc_spark.qhelpers import sql_qd
+
+    mean = sql_qd(
+        "CAST(SUM(tf * CAST(FLOOR(ln((gc + 1.0) / (cc + 1.0 * v))"
+        " * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / SUM(tf) / 1000000.0"
+    )
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, t[i.i + 1] AS ctx,
+               t[i.i + 1] || ' ' || t[i.i + 2] AS bg
+        FROM toks, UNNEST(range(GREATEST(len(t) - 1, 0))) AS i(i)
+        WHERE len(t) >= 2
+    ),
+    tf AS (
+        SELECT doc_id, ctx, bg, COUNT(*) AS tf
+        FROM bg GROUP BY doc_id, ctx, bg
+    ),
+    bgc AS (SELECT ctx, bg, SUM(tf) AS gc FROM tf GROUP BY ctx, bg),
+    ctxc AS (SELECT ctx, SUM(gc) AS cc FROM bgc GROUP BY ctx),
+    voc AS (
+        SELECT COUNT(DISTINCT w) AS v
+        FROM (SELECT unnest(string_split(lower(text), ' ')) AS w
+              FROM documents)
+        WHERE w <> ''
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+           {mean} AS mean_logprob
+    FROM tf JOIN bgc USING (ctx, bg) JOIN ctxc USING (ctx), voc
+    GROUP BY doc_id
+"""
+
+
+QUERIES_R5H["bigram_logprob"] = q_bigram_logprob
+ORACLES_R5H["bigram_logprob"] = _sql_bigram_logprob()
+
+
+# ======================================================================
+# nation_topk — per-group top-k (rank window, NOT a global TakeOrdered):
+# top-3 customers by order revenue within every nation
+# ======================================================================
+_NATION_K = 3
+
+
+def q_nation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.qhelpers import sumd
+
+    c = fx.load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = fx.load(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    n = fx.load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = o.groupBy("o_custkey").agg(sumd("o_totalprice").alias("revenue"))
+    cust = c.join(rev, c["c_custkey"] == rev["o_custkey"]).select(
+        "c_custkey", "c_nationkey", "revenue"
+    )
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("revenue").desc(), F.col("c_custkey")
+    )
+    top = (
+        cust.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= _NATION_K)
+    )
+    return top.join(F.broadcast(n), top["c_nationkey"] == n["n_nationkey"]).select(
+        "n_name", F.col("rank").cast("int").alias("rank"), "c_custkey", "revenue"
+    )
+
+
+def _sql_nation_topk() -> str:
+    from emiproc_spark.qhelpers import sql_sumd
+
+    return f"""
+    WITH rev AS (
+        SELECT o_custkey, {sql_sumd('o_totalprice')} AS revenue
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT c.c_custkey, c.c_nationkey, r.revenue,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.c_nationkey
+                   ORDER BY r.revenue DESC, c.c_custkey
+               ) AS rank
+        FROM customer c JOIN rev r ON r.o_custkey = c.c_custkey
+    )
+    SELECT n.n_name, CAST(rank AS INT) AS rank, c_custkey, revenue
+    FROM ranked JOIN nation n ON n.n_nationkey = ranked.c_nationkey
+    WHERE rank <= {_NATION_K}
+"""
+
+
+QUERIES_R5H["nation_topk"] = q_nation_topk
+ORACLES_R5H["nation_topk"] = _sql_nation_topk()

@@ -72,4 +72,7 @@ from emiproc_spark.operators.stats import (  # noqa: F401
     kmv_distinct,
     value_outliers,
 )
-from emiproc_spark.operators.text import score_buckets  # noqa: F401
+from emiproc_spark.operators.text import (  # noqa: F401
+    bigram_logprob,
+    score_buckets,
+)

@@ -531,3 +531,83 @@ def score_buckets(
             F.max(score_col).alias("hi"),
         )
     )
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    qscale: float = 1e6,
+) -> DataFrame:
+    """Per-document mean BIGRAM log-probability under the corpus's own
+    add-``alpha``-smoothed bigram model — the order-2 step up from
+    :func:`unigram_logprob`:
+
+        P(w | c) = (count(c w) + α) / (count(c ·) + α·V)
+
+    with V the corpus vocabulary size.  Repetitive documents score
+    deceptively well on unigrams but reveal themselves here (their
+    bigram mass concentrates); garbled token SEQUENCES (plausible words
+    in implausible order) only this order catches.
+
+    Plan: bigrams are built by zipping the token array with its shift
+    (map-only), counted per (doc, bigram) with map-side partials;
+    corpus bigram counts and per-context totals are second/third
+    aggregates on the SAME shuffled data; vocabulary is one
+    distinct-count; the context-count join keys on the context word —
+    hot contexts skew, AQE's skew join handles it.  Per-bigram logs
+    quantize to 1/``qscale`` before the exact integer sum (the
+    ``sumd`` convention), so the per-doc mean is fold-order- and
+    engine-independent up to an ulp of ``ln`` at a quantization edge.
+
+    Documents with fewer than 2 tokens have no bigrams and are absent.
+    Returns (id_col, n_bigrams, mean_logprob).
+    """
+    toks = docs.select(
+        F.col(id_col), tokens(F.lower(F.col(text_col))).alias("__t")
+    ).where(F.size("__t") >= 2)
+    n = F.size("__t")
+    bg = toks.select(
+        id_col,
+        F.explode(
+            F.zip_with(
+                F.slice("__t", 1, n - 1),
+                F.slice("__t", 2, n - 1),
+                lambda a, b: F.struct(
+                    a.alias("ctx"), F.concat(a, F.lit(" "), b).alias("bg")
+                ),
+            )
+        ).alias("s"),
+    ).select(id_col, F.col("s.ctx").alias("ctx"), F.col("s.bg").alias("bg"))
+    tf = bg.groupBy(id_col, "ctx", "bg").agg(F.count("*").alias("tf"))
+    bgc = tf.groupBy("ctx", "bg").agg(F.sum("tf").alias("gc"))
+    ctxc = bgc.groupBy("ctx").agg(F.sum("gc").alias("cc"))
+    vocab = F.broadcast(
+        docs.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("__w")
+        )
+        .where(F.col("__w") != "")
+        .agg(F.count_distinct("__w").alias("__v"))
+    )
+    scored = (
+        tf.join(bgc, ["ctx", "bg"])
+        .join(ctxc, "ctx")
+        .crossJoin(vocab)
+    )
+    logp = F.log(
+        (F.col("gc") + F.lit(alpha))
+        / (F.col("cc") + F.lit(alpha) * F.col("__v"))
+    )
+    lq = F.floor(logp * F.lit(qscale) + F.lit(0.5)).cast("long")
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("tf") * lq).cast("double")
+                / F.sum("tf")
+                / F.lit(qscale)
+            ).alias("mean_logprob"),
+        )
+    )

@@ -312,3 +312,24 @@ def test_dedup_by_url_keeps_min_id(spark):
     )
     out = {r["canon_url"]: (r["keeper"], r["n_docs"]) for r in dedup_by_url(docs).collect()}
     assert out == {"https://a.com/x": (1, 2), "https://a.com/y": (3, 1)}
+
+
+def test_bigram_logprob_prefers_coherent_sequences(spark):
+    """A document reusing the corpus's common bigrams outscores one
+    with the same UNIGRAM distribution but shuffled order."""
+    from emiproc_spark.operators.text import bigram_logprob
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the cat sat on the mat"),
+            (3, "mat the on sat cat the"),  # same tokens, scrambled
+            (4, "x"),                        # < 2 tokens -> absent
+        ],
+        schema="doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    assert set(out) == {1, 2, 3}
+    assert out[1]["n_bigrams"] == 5
+    assert out[1]["mean_logprob"] == out[2]["mean_logprob"]
+    assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
