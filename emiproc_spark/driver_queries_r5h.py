@@ -9,6 +9,7 @@
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -469,3 +470,120 @@ def _sql_nation_topk() -> str:
 
 QUERIES_R5H["nation_topk"] = q_nation_topk
 ORACLES_R5H["nation_topk"] = _sql_nation_topk()
+
+
+# ======================================================================
+# ivf_store_probe — the IVF index MATERIALIZED as a hive-partitioned
+# vector store: assignment written once partitioned by cell, the probe
+# reads ONLY the nprobe nearest partitions (partition pruning pinned in
+# tests/test_plan_shapes.py).  Results are identical to ivf_topk, so
+# its oracle is reused verbatim — the new surface is the store path.
+# ======================================================================
+_IVF_DIRS: dict[str, str] = {}
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, cos) for every vector×centroid — the quantized
+    explode shared with q_ivf_topk so both engines assign identically."""
+    from emiproc_spark.driver_queries_text import N_CENTROIDS, _dotq
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    cent = (
+        emb.where(F.col("vec_id") < N_CENTROIDS)
+        .select(
+            F.col("vec_id").alias("cid"),
+            F.posexplode("embedding").alias("i", "cv"),
+        )
+        .withColumn("cv", F.col("cv").cast("double"))
+    )
+    terms = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(cent), "i")
+    )
+    return (
+        terms.groupBy("vec_id", "cid")
+        .agg(
+            _dotq(F.col("v") * F.col("cv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("cv") * F.col("cv")).alias("nc"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nc")))
+    )
+
+
+def q_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile as _tf
+
+    from emiproc_spark.driver_queries_text import N_PROBE, _dotq
+    from emiproc_spark.exports.store import read_partitioned, save_partitioned
+    from emiproc_spark.qhelpers import qd
+
+    path = _IVF_DIRS.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+        path = os.path.join(
+            _tf.mkdtemp(prefix="emiproc_ivf_store_"), f"vecs_{tag}"
+        )
+        scored = _ivf_scored(spark, sf_dir)
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos").desc(), F.col("cid")
+        )
+        assigned = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("vec_id", F.col("cid").cast("int").alias("cell"))
+        )
+        emb = fx.load(spark, sf_dir, "embeddings")
+        save_partitioned(
+            emb.join(assigned, "vec_id"), path, ["cell"], fmt="parquet"
+        )
+        _IVF_DIRS[sf_dir] = path
+
+    probes = [
+        int(r["cid"])
+        for r in _ivf_scored(spark, sf_dir)
+        .where(F.col("vec_id") == 0)
+        .orderBy(F.col("cos").desc(), "cid")
+        .limit(N_PROBE)
+        .collect()
+    ]
+    store = read_partitioned(spark, path, fmt="parquet")
+    cand = store.where(F.col("cell").isin(probes))  # partition pruning
+    emb = fx.load(spark, sf_dir, "embeddings")
+    qpos = (
+        emb.where(F.col("vec_id") == 0)
+        .select(F.posexplode("embedding").alias("i", "qv"))
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    qterms = (
+        cand.select("vec_id", "cell", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(qpos), "i")
+    )
+    rescored = (
+        qterms.groupBy("vec_id", "cell")
+        .agg(
+            _dotq(F.col("v") * F.col("qv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nq")))
+    )
+    return (
+        rescored.select(
+            "vec_id", F.col("cell").cast("long").alias("cell"), qd("cos").alias("cos")
+        )
+        .orderBy(F.col("cos").desc(), "vec_id")
+        .limit(10)
+    )
+
+
+def _sql_ivf_store_probe() -> str:
+    from emiproc_spark.driver_queries_text import SQL_IVF_TOPK
+
+    return SQL_IVF_TOPK
+
+
+QUERIES_R5H["ivf_store_probe"] = q_ivf_store_probe
+ORACLES_R5H["ivf_store_probe"] = _sql_ivf_store_probe()

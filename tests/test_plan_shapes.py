@@ -295,3 +295,12 @@ def test_bm25_topk_distributed_head(spark):
     p = plan_of(spark, df)
     assert "TakeOrderedAndProject" in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+
+
+def test_ivf_store_probe_prunes_partitions(spark):
+    """The materialized IVF store's probe read must plan partition
+    pruning on the cell filter — only the nprobe nearest directories
+    are scanned, never the whole vector store."""
+    df = QUERIES["ivf_store_probe"](spark, SF_DIR)
+    p = plan_of(spark, df)
+    assert re.search(r"PartitionFilters: \[[^\]]*cell", p), p
