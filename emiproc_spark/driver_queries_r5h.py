@@ -1,9 +1,27 @@
-"""Round-5h driver queries: streaming behavioral analytics.
+"""Round-5h driver queries: streaming behavior, anomaly/quantile
+statistics, quality-aware dedup, LM scoring and the materialized
+vector store.
 
 - ``stream_funnel``: the ordered event funnel executed as a REAL
   Structured Streaming job (streaming/streams.funnel_stream —
   applyInPandasWithState, per-key step-timestamp state, sentinel
   flush) and compared against the batch window-chain funnel in SQL.
+- ``value_outliers``: per-group z-score anomaly screen from
+  quantized-sum moments (operators/stats.value_outliers).
+- ``dedup_best``: quality-aware near-dup collapse — each component
+  keeps its highest-scoring member (operators/cluster.dedup_keep_best).
+- ``rolling_features`` / ``active_users``: trailing RANGE-frame event
+  features and the WAU distinct-actives rollup (operators/behavior).
+- ``group_quantiles``: exact per-group type-7 percentiles via the
+  histogram reduction (operators/stats.group_quantiles).
+- ``lsh_quality``: MinHash sketch audit — candidate precision and mean
+  estimator error vs exact Jaccard.
+- ``bigram_logprob``: order-2 smoothed LM fluency score
+  (operators/text.bigram_logprob).
+- ``nation_topk``: per-group top-k via rank window.
+- ``ivf_store_probe``: the IVF index materialized as a
+  hive-partitioned vector store; probes read only the nprobe nearest
+  partitions (pruning plan-pinned).
 """
 
 from __future__ import annotations
@@ -327,18 +345,18 @@ def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.qhelpers import sumd
 
     est = q_minhash_est(spark, sf_dir)
-    return est.agg(
+    agg = est.agg(
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("jaccard") >= _LSHQ_THRESHOLD, 1)).alias(
             "n_true"
         ),
-        (
-            F.count(F.when(F.col("jaccard") >= _LSHQ_THRESHOLD, 1))
-            / F.count("*")
-        ).alias("precision"),
-        (
-            sumd(F.abs(F.col("est_jaccard") - F.col("jaccard"))) / F.count("*")
-        ).alias("mean_abs_err"),
+        sumd(F.abs(F.col("est_jaccard") - F.col("jaccard"))).alias("__ae"),
+    )
+    return agg.select(
+        "n_candidates",
+        "n_true",
+        (F.col("n_true") / F.col("n_candidates")).alias("precision"),
+        (F.col("__ae") / F.col("n_candidates")).alias("mean_abs_err"),
     )
 
 
@@ -366,12 +384,16 @@ ORACLES_R5H["lsh_quality"] = _sql_lsh_quality()
 # ======================================================================
 # bigram_logprob — order-2 LM fluency score (operators/text.py)
 # ======================================================================
+_BG_ALPHA = 1.0
+_BG_QSCALE = 1_000_000.0
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.text import bigram_logprob
     from emiproc_spark.qhelpers import qd
 
     docs = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
-    out = bigram_logprob(docs)
+    out = bigram_logprob(docs, alpha=_BG_ALPHA, qscale=_BG_QSCALE)
     return out.select(
         "doc_id", "n_bigrams", qd("mean_logprob").alias("mean_logprob")
     )
@@ -381,8 +403,8 @@ def _sql_bigram_logprob() -> str:
     from emiproc_spark.qhelpers import sql_qd
 
     mean = sql_qd(
-        "CAST(SUM(tf * CAST(FLOOR(ln((gc + 1.0) / (cc + 1.0 * v))"
-        " * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / SUM(tf) / 1000000.0"
+        f"CAST(SUM(tf * CAST(FLOOR(ln((gc + {_BG_ALPHA!r}) / (cc + {_BG_ALPHA!r} * v))"
+        f" * {_BG_QSCALE!r} + 0.5) AS BIGINT)) AS DOUBLE) / SUM(tf) / {_BG_QSCALE!r}"
     )
     return f"""
     WITH toks AS (
@@ -482,40 +504,8 @@ ORACLES_R5H["nation_topk"] = _sql_nation_topk()
 _IVF_DIRS: dict[str, str] = {}
 
 
-def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(vec_id, cid, cos) for every vector×centroid — the quantized
-    explode shared with q_ivf_topk so both engines assign identically."""
-    from emiproc_spark.driver_queries_text import N_CENTROIDS, _dotq
-
-    emb = fx.load(spark, sf_dir, "embeddings")
-    cent = (
-        emb.where(F.col("vec_id") < N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.posexplode("embedding").alias("i", "cv"),
-        )
-        .withColumn("cv", F.col("cv").cast("double"))
-    )
-    terms = (
-        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
-        .withColumn("v", F.col("v").cast("double"))
-        .join(F.broadcast(cent), "i")
-    )
-    return (
-        terms.groupBy("vec_id", "cid")
-        .agg(
-            _dotq(F.col("v") * F.col("cv")).alias("dp"),
-            _dotq(F.col("v") * F.col("v")).alias("na"),
-            _dotq(F.col("cv") * F.col("cv")).alias("nc"),
-        )
-        .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nc")))
-    )
-
-
 def q_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile as _tf
-
-    from emiproc_spark.driver_queries_text import N_PROBE, _dotq
+    from emiproc_spark.driver_queries_text import N_PROBE, _dotq, ivf_scored
     from emiproc_spark.exports.store import read_partitioned, save_partitioned
     from emiproc_spark.qhelpers import qd
 
@@ -523,9 +513,9 @@ def q_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         path = os.path.join(
-            _tf.mkdtemp(prefix="emiproc_ivf_store_"), f"vecs_{tag}"
+            tempfile.mkdtemp(prefix="emiproc_ivf_store_"), f"vecs_{tag}"
         )
-        scored = _ivf_scored(spark, sf_dir)
+        scored = ivf_scored(spark, sf_dir)
         w = Window.partitionBy("vec_id").orderBy(
             F.col("cos").desc(), F.col("cid")
         )
@@ -542,7 +532,7 @@ def q_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     probes = [
         int(r["cid"])
-        for r in _ivf_scored(spark, sf_dir)
+        for r in ivf_scored(spark, sf_dir)
         .where(F.col("vec_id") == 0)
         .orderBy(F.col("cos").desc(), "cid")
         .limit(N_PROBE)

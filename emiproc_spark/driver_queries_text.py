@@ -487,9 +487,13 @@ N_CENTROIDS = 16
 N_PROBE = 2
 
 
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cid, cos) for every vector × centroid — the quantized
+    explode form of ivf_assign's scoring, shared by q_ivf_topk and
+    ivf_store_probe (r5h) so both Spark paths and the ONE oracle can
+    never drift apart.  Centroids = the N_CENTROIDS lowest-id vectors
+    (ivf_seed_centroids)."""
     emb = fx.load(spark, sf_dir, "embeddings")
-    # centroids = the N_CENTROIDS lowest-id vectors (ivf_seed_centroids)
     cent = (
         emb.where(F.col("vec_id") < N_CENTROIDS)
         .select(
@@ -503,7 +507,7 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("v", F.col("v").cast("double"))
         .join(F.broadcast(cent), "i")
     )
-    scored = (
+    return (
         terms.groupBy("vec_id", "cid")
         .agg(
             _dotq(F.col("v") * F.col("cv")).alias("dp"),
@@ -512,6 +516,11 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("cos", F.col("dp") / (F.sqrt("na") * F.sqrt("nc")))
     )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fx.load(spark, sf_dir, "embeddings")
+    scored = ivf_scored(spark, sf_dir)
     w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
     assigned = (
         scored.withColumn("rn", F.row_number().over(w))

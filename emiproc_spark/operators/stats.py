@@ -209,10 +209,14 @@ def group_quantiles(
     positions (N−1)·q located with two min-joins on the histogram.
     NULL values are excluded (empty groups vanish).
 
-    Returns (group_cols..., q, value).
+    NULL group KEYS form their own group (null-safe joins — the same
+    semantics as groupBy).  Returns (group_cols..., q, value).
     """
     if not quantiles or not all(0.0 <= q <= 1.0 for q in quantiles):
         raise ValueError(f"quantiles must be within [0, 1], got {quantiles}")
+    if len(set(quantiles)) != len(quantiles):
+        # a repeated q would fan the position join out many-to-many
+        raise ValueError(f"quantiles must be distinct, got {quantiles}")
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
     hist = (
@@ -226,7 +230,7 @@ def group_quantiles(
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
-    totals = cum.groupBy(*group_cols).agg(F.max("__cum").alias("__n"))
+    totals = hist.groupBy(*group_cols).agg(F.sum("__cnt").alias("__n"))
     qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
     pos = totals.crossJoin(F.broadcast(qdf)).select(
         *group_cols,
@@ -240,20 +244,22 @@ def group_quantiles(
         F.floor("__p").cast("long").alias("__lo"),
         F.ceil("__p").cast("long").alias("__hi"),
     )
-    cumb = cum.select(*group_cols, "__v", "__cum")
-    vlo = (
-        pos.join(cumb, [*group_cols])
-        .where(F.col("__cum") >= F.col("__lo") + 1)
-        .groupBy(*group_cols, "q", "__p", "__lo", "__hi")
-        .agg(F.min("__v").alias("__vlo"))
+    cumb = cum.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols], "__v", "__cum"
     )
-    vhi = (
-        pos.join(cumb, [*group_cols])
-        .where(F.col("__cum") >= F.col("__hi") + 1)
-        .groupBy(*group_cols, "q")
-        .agg(F.min("__v").alias("__vhi"))
+    cond = [pos[g].eqNullSafe(cumb[f"__g_{g}"]) for g in group_cols]
+    # ONE histogram join: both rank positions resolve as conditional
+    # mins in the same aggregate (two joins would double the only
+    # non-broadcast work here)
+    vv = (
+        pos.join(cumb, cond)
+        .groupBy(*[pos[g] for g in group_cols], "q", "__p", "__lo")
+        .agg(
+            F.min(F.when(F.col("__cum") >= F.col("__lo") + 1, F.col("__v"))).alias("__vlo"),
+            F.min(F.when(F.col("__cum") >= F.col("__hi") + 1, F.col("__v"))).alias("__vhi"),
+        )
     )
-    return vlo.join(vhi, [*group_cols, "q"]).select(
+    return vv.select(
         *group_cols,
         "q",
         (

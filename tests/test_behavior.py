@@ -431,3 +431,22 @@ def test_group_quantiles_skips_nulls(spark):
         for r in group_quantiles(df, ["g"], "v", (0.5,)).collect()
     }
     assert out == {("a", 0.5): 2.0}  # all-NULL group c vanishes
+
+
+def test_group_quantiles_null_group_key(spark):
+    """NULL group KEYS form their own group (null-safe joins, the
+    groupBy semantics) instead of silently vanishing."""
+    from emiproc_spark.operators.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0), ("a", 2.0)],
+        schema="g string, v double",
+    )
+    out = {
+        (r["g"], r["q"]): r["value"]
+        for r in group_quantiles(df, ["g"], "v", (0.5,)).collect()
+    }
+    assert out == {(None, 0.5): 2.0, ("a", 0.5): 2.0}
+
+    with pytest.raises(ValueError, match="distinct"):
+        group_quantiles(df, ["g"], "v", (0.5, 0.5))
