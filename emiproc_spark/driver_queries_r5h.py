@@ -577,3 +577,33 @@ def _sql_ivf_store_probe() -> str:
 
 QUERIES_R5H["ivf_store_probe"] = q_ivf_store_probe
 ORACLES_R5H["ivf_store_probe"] = _sql_ivf_store_probe()
+
+
+# ======================================================================
+# sql_api — the SAME statement text executed by BOTH engines: Spark's
+# spark.sql(...) over registered temp views vs DuckDB over its views.
+# Proves the SQL entry point (not just the DataFrame API) produces
+# plan-equivalent, value-identical results; Catalyst still broadcasts
+# the dimension chain (pinned in the shared no-cartesian sweep).
+# ======================================================================
+SQL_API_STMT = """
+    SELECT r.r_name,
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 1000000.0 + 0.5)
+                AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name
+"""
+
+
+def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fx.register_tables(spark, sf_dir)
+    return spark.sql(SQL_API_STMT)
+
+
+QUERIES_R5H["sql_api"] = q_sql_api
+ORACLES_R5H["sql_api"] = SQL_API_STMT

@@ -143,3 +143,15 @@ SPECIATION_SQL = """
     SELECT cell_id, category, substance, value_kg_y
     FROM ({emissions}) WHERE substance <> 'F'
 """
+
+
+def register_tables(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view so workloads can run
+    through ``spark.sql(...)`` — the SQL half of the DataFrame/SQL API
+    surface.  ``events`` goes through the normalized loader (epoch-ns
+    BIGINT ts, the same shape every DataFrame query sees)."""
+    from emiproc_spark.parity import TABLES
+
+    for t in TABLES:
+        df = events(spark, sf_dir) if t == "events" else load(spark, sf_dir, t)
+        df.createOrReplaceTempView(t)
