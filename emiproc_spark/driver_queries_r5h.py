@@ -607,3 +607,40 @@ def q_sql_api(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES_R5H["sql_api"] = q_sql_api
 ORACLES_R5H["sql_api"] = SQL_API_STMT
+
+
+# ======================================================================
+# data_split — deterministic disjoint train/val/test assignment
+# (operators/sampling.hash_split), rolled up per split
+# ======================================================================
+_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_data_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.sampling import hash_split
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = hash_split(d, _SPLITS, key_col="doc_id")
+    return out.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def _sql_data_split() -> str:
+    from emiproc_spark.operators.sampling import sql_hash_fraction
+
+    hf = sql_hash_fraction("doc_id", "split")
+    return f"""
+    SELECT CASE WHEN {hf} < 0.8 THEN 'train'
+                WHEN {hf} < {0.8 + 0.1!r} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    GROUP BY 1
+"""
+
+
+QUERIES_R5H["data_split"] = q_data_split
+ORACLES_R5H["data_split"] = _sql_data_split()

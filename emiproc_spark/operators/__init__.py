@@ -43,6 +43,7 @@ from emiproc_spark.operators.packing import (  # noqa: F401
 )
 from emiproc_spark.operators.sampling import (  # noqa: F401
     apply_mixture,
+    hash_split,
     mixture_rates,
     sample_fraction,
     stratified_sample,

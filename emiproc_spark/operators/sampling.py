@@ -275,3 +275,43 @@ def sql_weighted_es_key(key_expr: str, weight_expr: str, salt: str = "") -> str:
     """DuckDB rendering of the Efraimidis–Spirakis score used by
     :func:`weighted_sample` (same coin via :func:`sql_hash_fraction`)."""
     return f"POWER({sql_hash_fraction(key_expr, salt)}, 1.0 / ({weight_expr}))"
+
+
+def hash_split(
+    df: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic DISJOINT dataset split — the train/val/test
+    assignment every training pipeline needs: each row lands in exactly
+    one split by where its hash fraction falls in the cumulative
+    fraction ladder (the LAST split absorbs rounding, so the splits are
+    exhaustive by construction).
+
+    Keyed on ``key_col`` (not on row order or partitioning), so the
+    assignment is stable across runs, cluster sizes, and data layout —
+    and a grown corpus keeps every previously-assigned row in its
+    split.  Map-only: no shuffle, no sampling state.
+
+    Returns the input with ``split_col`` appended.
+    """
+    if not fractions or len(fractions) < 2:
+        raise ValueError("hash_split needs at least two splits")
+    total = sum(fractions.values())
+    if any(v <= 0 for v in fractions.values()) or abs(total - 1.0) > 1e-9:
+        raise ValueError(
+            f"split fractions must be positive and sum to 1, got {fractions}"
+        )
+    r = hash_fraction(F.col(key_col), salt)
+    names = list(fractions)
+    expr = F.lit(names[-1])  # last split takes the remainder
+    cum = 0.0
+    bounds: list[tuple[str, float]] = []
+    for name in names[:-1]:
+        cum += fractions[name]
+        bounds.append((name, cum))
+    for name, b in reversed(bounds):
+        expr = F.when(r < F.lit(b), F.lit(name)).otherwise(expr)
+    return df.withColumn(split_col, expr)

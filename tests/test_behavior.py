@@ -450,3 +450,29 @@ def test_group_quantiles_null_group_key(spark):
 
     with pytest.raises(ValueError, match="distinct"):
         group_quantiles(df, ["g"], "v", (0.5, 0.5))
+
+
+def test_hash_split_disjoint_exhaustive_deterministic(spark):
+    from emiproc_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(2000)], schema="doc_id long"
+    )
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = hash_split(df, splits).groupBy("split").count().collect()
+    counts = {r["split"]: r["count"] for r in a}
+    assert sum(counts.values()) == 2000  # exhaustive
+    assert set(counts) == {"train", "val", "test"}  # every split hit
+    assert 0.7 < counts["train"] / 2000 < 0.9
+    # keyed determinism: same assignment on re-run and any layout
+    b = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(df.repartition(7), splits).collect()
+    }
+    c = {r["doc_id"]: r["split"] for r in hash_split(df, splits).collect()}
+    assert b == c
+
+    with pytest.raises(ValueError, match="at least two"):
+        hash_split(df, {"train": 1.0})
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(df, {"a": 0.5, "b": 0.4})
