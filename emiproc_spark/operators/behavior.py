@@ -15,6 +15,22 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _floor_period(ts_col: str, period_ns: int):
+    """FLOOR-division period bucket over epoch-ns BIGINT — pure int64
+    (no double rounding at 1e18 scale) and floor (not truncate-toward-
+    zero) semantics, so pre-1970 timestamps bucket like DuckDB's ``//``:
+    ``pmod`` makes the numerator an exact multiple of the period, then
+    integer DIV is exact.  (Only timestamps within period_ns of the
+    int64 minimum could overflow — unrepresentable as real epochs.)
+    """
+    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
+        # ts_col is spliced into a SQL expression (DIV has no DataFrame
+        # function); anything but a plain identifier must not parse
+        raise ValueError(f"ts_col must be a plain identifier, got {ts_col!r}")
+    p = int(period_ns)
+    return F.expr(f"({ts_col} - pmod({ts_col}, {p})) DIV {p}")
+
+
 def funnel_user_steps(
     events: DataFrame,
     steps: list[str],
@@ -95,8 +111,10 @@ def cohort_retention(
     were active ``period_offset`` periods later.
 
     ``ts_col`` must be epoch-nanoseconds BIGINT (fixtures.events);
-    periods use integer DIV so 1e18-scale nanos never round through a
-    double.  Offsets are per-period-distinct, so the final rollup is a
+    periods use pure-int64 FLOOR division so 1e18-scale nanos never
+    round through a double and pre-1970 timestamps bucket correctly
+    (DuckDB ``//`` semantics — truncation would collapse two distinct
+    negative-epoch periods into period 0).  Offsets are per-period-distinct, so the final rollup is a
     plain COUNT(*) over the per-(user, period) distinct set — no
     count-distinct expansion.
 
@@ -107,11 +125,7 @@ def cohort_retention(
     """
     if int(period_ns) < 1:
         raise ValueError(f"period_ns must be >= 1, got {period_ns}")
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
-        # ts_col is spliced into a SQL expression (DIV has no DataFrame
-        # function); anything but a plain identifier must not parse
-        raise ValueError(f"ts_col must be a plain identifier, got {ts_col!r}")
-    per = F.expr(f"{ts_col} DIV {int(period_ns)}")
+    per = _floor_period(ts_col, period_ns)
     ev = events.select(user_col, per.alias("period"))
     w = Window.partitionBy(user_col)
     cohorted = ev.withColumn("cohort_period", F.min("period").over(w))
@@ -189,9 +203,7 @@ def rolling_active_users(
         raise ValueError(f"window_periods must be >= 1, got {window_periods}")
     if int(period_ns) < 1:
         raise ValueError(f"period_ns must be >= 1, got {period_ns}")
-    if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
-        raise ValueError(f"ts_col must be a plain identifier, got {ts_col!r}")
-    per = F.expr(f"{ts_col} DIV {int(period_ns)}")
+    per = _floor_period(ts_col, period_ns)
     d = events.select(user_col, per.alias("__p")).distinct()
     exploded = d.select(
         user_col,

@@ -878,6 +878,10 @@ def minhash_agreement(
     relation drives both joins (k rows per pair side — never a
     signature self-join), so cost is O(|pairs|·k).
 
+    A pair referencing a doc with NO signature rows (e.g. text shorter
+    than the shingle width) RAISES — an inner join would silently drop
+    the pair, inconsistent with the loud width check below.
+
     Returns (doc_a, doc_b, est_jaccard) with est an exact multiple of
     1/k (integer count / k — engine-reproducible by construction).
     """
@@ -887,23 +891,45 @@ def minhash_agreement(
         F.col("doc_id").alias("doc_a"), "seed", F.col("minhash").alias("__ma")
     )
     sb = signatures.select(
-        F.col("doc_id").alias("doc_b"), "seed", F.col("minhash").alias("__mb")
+        F.col("doc_id").alias("__doc_b"),
+        F.col("seed").alias("__seed_b"),
+        F.col("minhash").alias("__mb"),
     )
     est = F.sum(
         F.when(F.col("__ma") == F.col("__mb"), 1).otherwise(0)
     ) / F.lit(float(k))
+    # LEFT joins so a pair whose doc has no signature rows survives to
+    # the aggregate (count(__ma)=0 or count(__mb)=0) and raises there;
     # a k that disagrees with the actual signature width would silently
     # mis-scale the estimate (values > 1 or < the true mean) — the
     # per-pair seed-row count is already in the aggregate, so check it
+    missing = (F.count("__ma") == 0) | (F.count("__mb") == 0)
     width_ok = F.count("*") == k
     return (
         pairs.select("doc_a", "doc_b")
         .distinct()
-        .join(sa, "doc_a")
-        .join(sb, ["doc_b", "seed"])
+        .join(sa, "doc_a", "left")
+        .join(
+            sb,
+            (F.col("doc_b") == F.col("__doc_b"))
+            & (F.col("seed") == F.col("__seed_b")),
+            "left",
+        )
         .groupBy("doc_a", "doc_b")
         .agg(
             F.when(
+                missing,
+                F.raise_error(
+                    F.concat(
+                        F.lit("minhash_agreement: pair ("),
+                        F.col("doc_a").cast("string"),
+                        F.lit(", "),
+                        F.col("doc_b").cast("string"),
+                        F.lit(") references a doc with no signature rows"),
+                    )
+                ).cast("double"),
+            )
+            .when(
                 ~width_ok,
                 F.raise_error(
                     F.concat(

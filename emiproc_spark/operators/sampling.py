@@ -295,6 +295,11 @@ def hash_split(
     and a grown corpus keeps every previously-assigned row in its
     split.  Map-only: no shuffle, no sampling state.
 
+    NULL keys RAISE: a NULL has no hash fraction, so it cannot be
+    hash-distributed — silently letting the otherwise-chain funnel all
+    null-keyed rows into the last split would skew it (the loud
+    contract, matching dedup_keep_best's id guard).
+
     Returns the input with ``split_col`` appended.
     """
     if not fractions or len(fractions) < 2:
@@ -314,4 +319,10 @@ def hash_split(
         bounds.append((name, cum))
     for name, b in reversed(bounds):
         expr = F.when(r < F.lit(b), F.lit(name)).otherwise(expr)
+    expr = F.when(
+        F.col(key_col).isNull(),
+        F.raise_error(
+            F.lit(f"hash_split: NULL {key_col} cannot be hash-assigned")
+        ).cast("string"),
+    ).otherwise(expr)
     return df.withColumn(split_col, expr)

@@ -157,6 +157,9 @@ def value_outliers(
     the fact table is scanned twice but never shuffled beyond the
     moment aggregate.
 
+    NULL group KEYS form their own group (the scoring join is
+    null-safe — the same semantics as groupBy and group_quantiles).
+
     Returns (group_cols..., n, n_outliers, max_abs_z) per group.
     """
     if z <= 0:
@@ -176,7 +179,14 @@ def value_outliers(
         "__sd", F.sqrt(F.when(var > 0, var))
     )
     zscore = (v - F.col("__mean")) / F.col("__sd")
-    scored = df.join(F.broadcast(moments), group_cols).select(
+    # null-safe join so NULL group keys score against their own
+    # moments row — the same groupBy semantics as group_quantiles
+    moments = moments.select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        "n", "__mean", "__sd",
+    )
+    cond = [F.col(g).eqNullSafe(F.col(f"__g_{g}")) for g in group_cols]
+    scored = df.join(F.broadcast(moments), cond).select(
         *group_cols,
         F.col("n"),
         zscore.alias("__z"),

@@ -476,3 +476,43 @@ def test_hash_split_disjoint_exhaustive_deterministic(spark):
         hash_split(df, {"train": 1.0})
     with pytest.raises(ValueError, match="sum to 1"):
         hash_split(df, {"a": 0.5, "b": 0.4})
+
+
+def test_value_outliers_null_group_key(spark):
+    # NULL group keys form their own group (null-safe scoring join) —
+    # the same semantics as groupBy and group_quantiles
+    from emiproc_spark.operators.stats import value_outliers
+
+    rows = [(None, float(v)) for v in [1, 2, 3, 2, 1, 2, 3, 2, 100]]
+    rows += [("a", 1.0), ("a", 2.0), ("a", 3.0)]
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    out = {
+        r["g"]: (r["n"], r["n_outliers"])
+        for r in value_outliers(df, ["g"], "v", z=2.0).collect()
+    }
+    assert set(out) == {None, "a"}
+    assert out[None] == (9, 1)  # the planted 100 spike
+    assert out["a"] == (3, 0)
+
+
+def test_cohort_retention_floor_division_pre_1970(spark):
+    # negative epoch-ns must FLOOR into period -1, not truncate into 0
+    # (DuckDB // semantics) — two distinct ranges must not collapse
+    p = 100
+    ev = spark.createDataFrame(
+        [(1, -50, "x"), (2, 50, "x")],
+        schema="user_id long, ts long, event_type string",
+    ).select("user_id", "ts", "event_type")
+    out = {
+        (r["cohort_period"], r["period_offset"]): r["active_users"]
+        for r in cohort_retention(ev, period_ns=p).collect()
+    }
+    assert out == {(-1, 0): 1, (0, 0): 1}
+
+
+def test_hash_split_null_key_raises(spark):
+    from emiproc_spark.operators.sampling import hash_split
+
+    df = spark.createDataFrame([(1,), (None,)], schema="doc_id long")
+    with pytest.raises(Exception, match="NULL doc_id"):
+        hash_split(df, {"train": 0.5, "test": 0.5}).collect()

@@ -168,3 +168,23 @@ def test_minhash_agreement_width_mismatch_raises(spark):
     pairs = spark.createDataFrame([(1, 2)], schema="doc_a long, doc_b long")
     with pytest.raises(Exception, match="signature width"):
         minhash_agreement(sigs, pairs, k=4).collect()
+
+
+def test_minhash_agreement_missing_signature_raises(spark):
+    # a pair referencing a doc with no signature rows must raise, not
+    # silently vanish from the output (left-join + aggregate guard)
+    docs = spark.createDataFrame(
+        [(1, "w1 w2 w3 w4"), (2, "w1 w2 w3 w4")],
+        schema="doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=8)
+    pairs = spark.createDataFrame(
+        [(1, 99)], schema="doc_a long, doc_b long"
+    )
+    with pytest.raises(Exception, match="no signature rows"):
+        minhash_agreement(sigs, pairs, k=8).collect()
+    pairs_a = spark.createDataFrame(
+        [(99, 1)], schema="doc_a long, doc_b long"
+    )
+    with pytest.raises(Exception, match="no signature rows"):
+        minhash_agreement(sigs, pairs_a, k=8).collect()
