@@ -206,6 +206,7 @@ def group_quantiles(
     group_cols: list[str],
     value_col: str,
     quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+    value_quantum: float | None = None,
 ) -> DataFrame:
     """Exact per-group percentiles (type-7 linear interpolation) via
     the histogram reduction — the grouped generalization of
@@ -214,10 +215,21 @@ def group_quantiles(
     ``percentile`` aggregates buffer every value per group; instead the
     distribution reduces to one histogram row per (group, distinct
     value) — ONE shuffle over the fact table with map-side partial
-    counts — and the interpolation runs on that dimension-sized table:
+    counts — and the interpolation runs on that histogram:
     cumulative counts via a per-group window, the 0-based rank
-    positions (N−1)·q located with two min-joins on the histogram.
+    positions (N−1)·q located with one conditional-min join.
     NULL values are excluded (empty groups vanish).
+
+    Histogram SIZE is data-dependent: for integers/codes/lengths the
+    distinct-value count is dimension-sized and the post-shuffle work
+    is trivial, but for a CONTINUOUS double column nearly every value
+    is distinct, so the histogram is ~fact-sized — the per-group window
+    and the Q-way position join then scan fact-scale rows Q times.
+    For that case pass ``value_quantum`` (e.g. 0.01): values are
+    pre-rounded to the nearest multiple BEFORE the histogram aggregate,
+    bounding distinct values to range/quantum per group at a bounded,
+    explicit precision cost (each returned quantile is within
+    quantum/2 of exact, interpolation aside).  Default None = exact.
 
     NULL group KEYS form their own group (null-safe joins — the same
     semantics as groupBy).  Returns (group_cols..., q, value).
@@ -227,8 +239,16 @@ def group_quantiles(
     if len(set(quantiles)) != len(quantiles):
         # a repeated q would fan the position join out many-to-many
         raise ValueError(f"quantiles must be distinct, got {quantiles}")
+    if value_quantum is not None and not value_quantum > 0:
+        raise ValueError(f"value_quantum must be > 0, got {value_quantum}")
     spark = df.sparkSession
     v = F.col(value_col).cast("double")
+    if value_quantum is not None:
+        # round-half-up to the nearest quantum multiple — same rounding
+        # as the µ-quantization helpers, so engine-reproducible
+        v = F.floor(v / F.lit(float(value_quantum)) + F.lit(0.5)) * F.lit(
+            float(value_quantum)
+        )
     hist = (
         df.where(v.isNotNull())
         .groupBy(*group_cols, v.alias("__v"))

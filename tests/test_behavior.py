@@ -516,3 +516,25 @@ def test_hash_split_null_key_raises(spark):
     df = spark.createDataFrame([(1,), (None,)], schema="doc_id long")
     with pytest.raises(Exception, match="NULL doc_id"):
         hash_split(df, {"train": 0.5, "test": 0.5}).collect()
+
+
+def test_group_quantiles_value_quantum(spark):
+    # the continuous-value knob: quantized quantiles within quantum/2
+    # of exact, and the histogram bounded by range/quantum
+    from emiproc_spark.operators.stats import group_quantiles
+
+    rows = [("g", 0.001 * i + 0.0001) for i in range(1000)]
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    exact = {
+        r["q"]: r["value"]
+        for r in group_quantiles(df, ["g"], "v", (0.5,)).collect()
+    }
+    quant = {
+        r["q"]: r["value"]
+        for r in group_quantiles(
+            df, ["g"], "v", (0.5,), value_quantum=0.01
+        ).collect()
+    }
+    assert abs(quant[0.5] - exact[0.5]) <= 0.005 + 1e-12
+    with pytest.raises(ValueError, match="value_quantum"):
+        group_quantiles(df, ["g"], "v", (0.5,), value_quantum=0.0)

@@ -11,8 +11,9 @@ import pytest
 from pyspark.sql import functions as F
 
 # the million-row tier is opt-in; the two cheapest smokes (EDGAR-size
-# raster export, skewed-shingle dedup — ~10 s each) run in the default
-# suite so the driver's pytest pass exercises the scale guards too
+# raster export ~25 s, skewed-shingle dedup at a 200k-doc default tier
+# ~20 s) run in the default suite so the driver's pytest pass exercises
+# the scale guards too
 scale = pytest.mark.skipif(
     os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
     reason="set SPARK_GRAFT_SCALE_TESTS=1 to run scale smokes",
@@ -529,7 +530,11 @@ def test_dedup_family_skewed_shingles(spark):
     stop-shingle present in ~30% of documents must NOT quadratically
     blow up candidate generation — the frequency guards drop it.
     Covers ngram-jaccard, minhash-LSH, and the connected-components
-    collapse over the resulting pairs."""
+    collapse over the resulting pairs.
+
+    Default suite runs the 200k-doc tier (~20 s — the hot shingle still
+    lands in ~66k docs, far past every frequency guard, and the clone
+    families still form); SPARK_GRAFT_SCALE_TESTS=1 runs the full 2M."""
     from emiproc_spark.operators.cluster import connected_components
     from emiproc_spark.operators.dedup import (
         lsh_candidate_pairs,
@@ -537,7 +542,11 @@ def test_dedup_family_skewed_shingles(spark):
         ngram_jaccard_pairs,
     )
 
-    n = 2_000_000
+    n = (
+        2_000_000
+        if os.environ.get("SPARK_GRAFT_SCALE_TESTS") == "1"
+        else 200_000
+    )
     # text: mostly unique words; every 3rd doc shares the hot token
     # sequence "common common common" (a hot shingle family); every
     # 1000th doc is an exact clone family of size ~2000/1000... i.e.
@@ -579,7 +588,7 @@ def test_dedup_family_skewed_shingles(spark):
     t3 = time.time()
     assert n_comp > 0
     print(
-        f"\n2M-doc skewed dedup: ngram {t1 - t0:.1f}s ({n_pairs} pairs), "
+        f"\n{n}-doc skewed dedup: ngram {t1 - t0:.1f}s ({n_pairs} pairs), "
         f"minhash {t2 - t1:.1f}s ({n_cand} cands), cc {t3 - t2:.1f}s "
         f"({n_comp} components)"
     )
