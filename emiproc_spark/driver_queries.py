@@ -1455,43 +1455,41 @@ ORACLES.update(ORACLES_R5G)
 QUERIES.update(QUERIES_R5H)
 ORACLES.update(ORACLES_R5H)
 
-# Queries whose implementation changed this round and therefore need a
-# fresh green CORRECTNESS row even though an earlier round verified them:
-# r5 touched the YAML specific-day names, the specific-day expansion, the
-# EDGAR admission rule, the fluxie/raster/hourly/ICON exporter slab
-# handling, the TNO axis aggregate, the Swiss/GRAL corrupt-file guards,
-# and the near-dup stream drain poll.
+from emiproc_spark.driver_queries_r6 import ORACLES_R6, QUERIES_R6  # noqa: E402
+
+QUERIES.update(QUERIES_R6)
+ORACLES.update(ORACLES_R6)
+
+# Round-6 front-window rotation.  The driver samples a contiguous
+# 50-query block from the FRONT of the registry, so the explicit list
+# below is ordered by evidence need:
+#  1. the 7 declared queries NO driver round has ever sampled (the r5
+#     window overflowed before reaching them),
+#  2. queries whose implementation/semantics changed in r5 after their
+#     last driver check (winnow tokenizer unification),
+#  3. queries whose implementation changed THIS round (null-safe
+#     value_outliers join, floor-division periods, minhash_agreement
+#     left-join guard + the shared candidate-frame store, hash_split
+#     null guard, group_quantiles quantum knob),
+#  4. the new r6 queries.
+# Everything else keeps its r5 ordering behind them; slots 20-50 are
+# refilled by already-green r4/r5 queries (harmless re-verification).
 _REVERIFY = [
-    # round-5e/f/g/h pair-join rewrite: embedding_dup_pairs now dots
-    # pre-normalized units instead of cosine(vec, vec) — changed
-    # queries need a fresh green CORRECTNESS row
-    "embedding_dup",
-    # round-5b operator-guard fixes (factor dedup, rollup GROUPING(),
-    # composite product agg, null sampling keys, ivf assign reuse,
-    # speciation anti-join broadcast, band_signatures refactor)
-    "scale_inventory", "drop_keep", "total_emissions", "add_totals",
-    "composite_scaling", "broadcast_types", "add_profiles", "ivf_topk",
-    "doc_sample", "data_mix", "shard_plan", "speciate_country",
-    "minhash_lsh", "lsh_capped", "decontaminate",
-    # round-5 semantics fixes (YAML day names, specific-day expansion,
-    # EDGAR admission, exporter slabs, geometry, speciation blend)
-    "profiles_yaml", "resolve_daytype", "edgar_ingest", "edgar_legacy",
-    "edgar_profiles", "fluxie_export", "netcdf_ingest", "tno_profiles",
-    "swiss_ingest", "gral_roundtrip", "multimodal_features",
-    "stream_neardup", "oem_profiles_export",
-    "remap_weights", "remap_inventory", "antimeridian_remap",
-    "speciate", "speciate_inventory", "speciate_nox",
-    "merge_indexes", "vertical_rebin", "stream_sessionize",
-    "temporal_expand", "temporal_expand_cell",
-    "doc_fingerprint", "hamming_pairs",
-    "quality_filter", "seq_pack", "doc_chunks", "winnow_fp",
+    # 1 — never driver-sampled (r5 judge list)
+    "ann_multiprobe", "cf_attrs", "diversity_sample", "gpkg_lines",
+    "profile_validity", "specific_day_sf", "url_dedup",
+    # 2 — changed r5 after last driver check
+    "winnow_fp", "winnow_overlap",
+    # 3 — changed this round
+    "value_outliers", "cohort_retention", "active_users",
+    "minhash_est", "lsh_quality", "lsh_verified", "data_split",
+    "group_quantiles",
 ]
 
 _FRONT = {
-    # the ONE query whose implementation changed this session
-    # (embedding_dup_pairs pair-join rewrite) goes first — it must be
-    # inside the driver's 50-query sample window
-    "embedding_dup": QUERIES["embedding_dup"],
+    **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
+    # 4 — new this round
+    **QUERIES_R6,
     **QUERIES_R5H,
     **QUERIES_R5G,
     **QUERIES_R5F,
@@ -1500,13 +1498,13 @@ _FRONT = {
     **QUERIES_R5C,
     **QUERIES_R5B,
     **QUERIES_R5,
-    **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
 }
 QUERIES = _rotate(QUERIES, _FRONT)
 ORACLES = _rotate(
     ORACLES,
     {
-        "embedding_dup": ORACLES["embedding_dup"],
+        **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES},
+        **ORACLES_R6,
         **ORACLES_R5H,
         **ORACLES_R5G,
         **ORACLES_R5F,
@@ -1515,6 +1513,5 @@ ORACLES = _rotate(
         **ORACLES_R5C,
         **ORACLES_R5B,
         **ORACLES_R5,
-        **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES},
     },
 )

@@ -538,15 +538,21 @@ def q_lsh_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify stage then removes its band-collision false positives, so
     downstream clustering only ever sees true near-duplicates.  The
     oracle recomputes candidates AND the exact Jaccard independently.
-    """
-    from emiproc_spark.operators import dedup as dd
-    from emiproc_spark.driver_queries_text import _docs2
 
-    d = _docs2(spark, sf_dir)
-    sigs = dd.minhash_signatures(d, k=8)
-    cands = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    return dd.verify_candidate_pairs(
-        d, cands, n=3, threshold=LSH_VERIFY_THRESHOLD
+    Reads the shared per-sf_dir candidate store
+    (driver_queries_r5f.minhash_candidate_frame) — the same
+    MinHash→LSH→exact-verify pipeline this query used to recompute;
+    verify_candidate_pairs drops no-common-shingle candidates and
+    filters jaccard ≥ threshold, which on the stored frame is exactly
+    the jaccard ≥ threshold filter (threshold > 0 and missing pairs are
+    stored with jaccard = 0).
+    """
+    from emiproc_spark.driver_queries_r5f import minhash_candidate_frame
+
+    return (
+        minhash_candidate_frame(spark, sf_dir)
+        .where(F.col("jaccard") >= LSH_VERIFY_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", "jaccard")
     )
 
 

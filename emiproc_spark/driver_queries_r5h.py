@@ -341,10 +341,10 @@ _LSHQ_THRESHOLD = 0.5
 
 
 def q_lsh_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emiproc_spark.driver_queries_r5f import q_minhash_est
+    from emiproc_spark.driver_queries_r5f import minhash_candidate_frame
     from emiproc_spark.qhelpers import sumd
 
-    est = q_minhash_est(spark, sf_dir)
+    est = minhash_candidate_frame(spark, sf_dir)
     agg = est.agg(
         F.count("*").alias("n_candidates"),
         F.count(F.when(F.col("jaccard") >= _LSHQ_THRESHOLD, 1)).alias(

@@ -1,0 +1,389 @@
+"""Round-6 driver queries: ANN recall audit + the end-to-end
+curate_corpus pipeline as a driver-checked query.
+
+- ``ann_recall``: the vector-search analogue of ``lsh_quality`` — for a
+  sample of query vectors, the IVF approximate top-10 (nearest-centroid
+  assignment, probe the ``N_PROBE`` cells nearest each query, exact
+  re-rank within candidates) audited against the exact brute-force
+  cosine top-10: recall@10 plus the mean displacement between a hit's
+  ANN rank and its true rank.  The exact side is the audit's ground
+  truth, so its brute-force cost is inherent — it is bounded here by
+  the query SAMPLE (NQ vectors), which is how a recall audit stays
+  cheap at 100 TB: rank all N vectors for NQ queries, never all-pairs.
+- ``curate_corpus``: the composed nightly-curation unit
+  (pipelines.curate_corpus — exact dedup → MinHash/LSH → exact-Jaccard
+  verify → connected components → representative keep → quality gate →
+  eval-set decontamination → pack/shard plan) run end-to-end on the
+  planted-contamination corpus of ``decontaminate``, returning the
+  final packing plan.  The oracle recomputes every stage in SQL
+  (recursive-CTE components), so one green row transitively verifies
+  the whole chain's composition, not just each stage in isolation.
+
+Same parity conventions as ``driver_queries_text``: md5-derived
+randomness, integer/µ quantization, deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.driver_queries_curate import SQL_CORPUS_PLANTED, _sql_ngrams
+from emiproc_spark.driver_queries_text import (
+    DIM,
+    N_CENTROIDS,
+    N_PROBE,
+    SHINGLES_SQL,
+    _dotq,
+    ivf_scored,
+    sql_dotq,
+)
+from emiproc_spark.operators.sampling import sql_hash_fraction
+from emiproc_spark.qhelpers import qd, sql_qd
+
+QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES_R6: dict[str, str] = {}
+
+
+# ======================================================================
+# ann_recall — IVF ANN recall@10 vs exact cosine (operators/similarity)
+# ======================================================================
+NQ_RECALL = 4  # query-vector sample size
+RECALL_K = 10
+
+
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = fx.load(spark, sf_dir, "embeddings")
+    # exact side: every vector scored against every sampled query —
+    # quantized per-element dots so both engines rank identically
+    qpos = (
+        emb.where(F.col("vec_id") < NQ_RECALL)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.posexplode("embedding").alias("i", "qv"),
+        )
+        .withColumn("qv", F.col("qv").cast("double"))
+    )
+    terms = (
+        emb.select("vec_id", F.posexplode("embedding").alias("i", "v"))
+        .withColumn("v", F.col("v").cast("double"))
+        .join(F.broadcast(qpos), "i")
+    )
+    scored = (
+        terms.groupBy("vec_id", "qid")
+        .agg(
+            _dotq(F.col("v") * F.col("qv")).alias("dp"),
+            _dotq(F.col("v") * F.col("v")).alias("na"),
+            _dotq(F.col("qv") * F.col("qv")).alias("nq"),
+        )
+        .withColumn("cos", qd(F.col("dp") / (F.sqrt("na") * F.sqrt("nq"))))
+    )
+    wq = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    exact = scored.select("qid", "vec_id", "cos").withColumn(
+        "exact_rank", F.row_number().over(wq)
+    )
+    # ANN side: IVF cell assignment + per-query probes (the q_ivf_topk
+    # plan, generalized to NQ queries via one window instead of a
+    # per-query collect)
+    ivf = ivf_scored(spark, sf_dir)
+    wv = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
+    assigned = (
+        ivf.withColumn("rn", F.row_number().over(wv))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("cid").alias("cell"))
+    )
+    probes = (
+        ivf.where(F.col("vec_id") < NQ_RECALL)
+        .withColumn("pr", F.row_number().over(wv))
+        .where(F.col("pr") <= N_PROBE)
+        .select(F.col("vec_id").alias("qid"), F.col("cid").alias("cell"))
+    )
+    cand = assigned.join(F.broadcast(probes), "cell").select("qid", "vec_id")
+    # exact re-rank within candidates reuses the exact cos (same values
+    # the brute-force side ranked on)
+    wa = Window.partitionBy("qid").orderBy(F.col("cos").desc(), "vec_id")
+    ann = (
+        cand.join(exact, ["qid", "vec_id"])
+        .withColumn("ann_rank", F.row_number().over(wa))
+        .where(F.col("ann_rank") <= RECALL_K)
+    )
+    return (
+        ann.groupBy("qid")
+        .agg(
+            F.count("*").alias("n_ann"),
+            F.count(F.when(F.col("exact_rank") <= RECALL_K, 1)).alias(
+                "n_hits"
+            ),
+            F.sum(F.col("exact_rank") - F.col("ann_rank")).alias("__se"),
+        )
+        .select(
+            "qid",
+            "n_ann",
+            "n_hits",
+            (F.col("n_hits") / F.lit(float(RECALL_K))).alias("recall_at_10"),
+            (F.col("__se").cast("double") / F.col("n_ann")).alias(
+                "mean_rank_err"
+            ),
+        )
+    )
+
+
+_COS_Q = sql_qd("dp / (SQRT(na) * SQRT(nq))")
+
+SQL_ANN_RECALL = f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qe
+        FROM embeddings WHERE vec_id < {NQ_RECALL}
+    ),
+    terms AS (
+        SELECT e.vec_id, q.qid,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS v,
+               CAST(q.qe[t.i + 1] AS DOUBLE) AS qv
+        FROM embeddings e CROSS JOIN q, UNNEST(range({DIM})) AS t(i)
+    ),
+    scored AS (
+        SELECT vec_id, qid,
+               {sql_dotq('v * qv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('qv * qv')} AS nq
+        FROM terms GROUP BY vec_id, qid
+    ),
+    exact AS (
+        SELECT qid, vec_id, {_COS_Q} AS cos,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid ORDER BY {_COS_Q} DESC, vec_id
+               ) AS exact_rank
+        FROM scored
+    ),
+    cent AS (
+        SELECT e.vec_id AS cid, t.i,
+               CAST(e.embedding[t.i + 1] AS DOUBLE) AS cv
+        FROM embeddings e, UNNEST(range({DIM})) AS t(i)
+        WHERE e.vec_id < {N_CENTROIDS}
+    ),
+    cterms AS (
+        SELECT e.vec_id, c.cid,
+               CAST(e.embedding[c.i + 1] AS DOUBLE) AS v, c.cv
+        FROM embeddings e JOIN cent c ON TRUE
+    ),
+    cscored AS (
+        SELECT vec_id, cid,
+               {sql_dotq('v * cv')} AS dp,
+               {sql_dotq('v * v')} AS na,
+               {sql_dotq('cv * cv')} AS nc
+        FROM cterms GROUP BY vec_id, cid
+    ),
+    cosed AS (
+        SELECT vec_id, cid, dp / (SQRT(na) * SQRT(nc)) AS cos FROM cscored
+    ),
+    assigned AS (
+        SELECT vec_id, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cid
+                   ) AS rn
+            FROM cosed
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS qid, cid AS cell FROM (
+            SELECT vec_id, cid, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY cos DESC, cid
+                   ) AS pr
+            FROM cosed WHERE vec_id < {NQ_RECALL}
+        ) WHERE pr <= {N_PROBE}
+    ),
+    cand AS (
+        SELECT p.qid, a.vec_id
+        FROM assigned a JOIN probes p ON a.cell = p.cell
+    ),
+    ann AS (
+        SELECT c.qid, c.vec_id, x.exact_rank,
+               ROW_NUMBER() OVER (
+                   PARTITION BY c.qid ORDER BY x.cos DESC, c.vec_id
+               ) AS ann_rank
+        FROM cand c
+        JOIN exact x ON x.qid = c.qid AND x.vec_id = c.vec_id
+    ),
+    top AS (SELECT * FROM ann WHERE ann_rank <= {RECALL_K})
+    SELECT qid, COUNT(*) AS n_ann,
+           COUNT(CASE WHEN exact_rank <= {RECALL_K} THEN 1 END) AS n_hits,
+           COUNT(CASE WHEN exact_rank <= {RECALL_K} THEN 1 END)
+               / {RECALL_K}.0 AS recall_at_10,
+           CAST(SUM(exact_rank - ann_rank) AS DOUBLE) / COUNT(*)
+               AS mean_rank_err
+    FROM top GROUP BY qid
+"""
+
+QUERIES_R6["ann_recall"] = q_ann_recall
+ORACLES_R6["ann_recall"] = SQL_ANN_RECALL
+
+
+# ======================================================================
+# curate_corpus — the composed pipeline end-to-end (pipelines.py)
+# ======================================================================
+CURATE_JACCARD = 0.8
+CURATE_MIN_TOKENS = 20
+CURATE_MAX_DUP_FRAC = 0.9
+CURATE_MEAN_WORD_LEN = 12.0  # quality_filter's default, active in the chain
+CURATE_DECON_N = 5
+CURATE_CTX = 2048
+CURATE_SHARDS = 8
+
+
+def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import pipelines
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    # the decontaminate fixture: eval split + planted contamination so
+    # stage 4 provably removes rows
+    eval_docs = d.where(F.col("doc_id") % 41 == 0)
+    ev = eval_docs.select(
+        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "ev_id",
+            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
+        )
+        .join(F.broadcast(ev), "ev_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
+        )
+    )
+    stages = pipelines.curate_corpus(
+        corpus,
+        eval_docs,
+        minhash_k=8,
+        bands=4,
+        rows_per_band=2,
+        # no bucket cap: the oracle models the uncapped banding, and at
+        # driver scale no bucket approaches the production cap anyway
+        max_bucket_size=None,
+        jaccard_threshold=CURATE_JACCARD,
+        min_tokens=CURATE_MIN_TOKENS,
+        max_dup_token_frac=CURATE_MAX_DUP_FRAC,
+        decon_n=CURATE_DECON_N,
+        ctx_len=CURATE_CTX,
+        n_shards=CURATE_SHARDS,
+    )
+    return stages["packed"]
+
+
+SQL_CURATE_CORPUS = f"""
+    WITH RECURSIVE corpus AS ({SQL_CORPUS_PLANTED}),
+    exact_kept AS (
+        SELECT doc_id, text FROM (
+            SELECT doc_id, text,
+                   MIN(doc_id) OVER (PARTITION BY md5(text)) AS keep_id
+            FROM corpus
+        ) WHERE doc_id = keep_id
+    ),
+    sh AS ({SHINGLES_SQL.format(docs='SELECT doc_id, text FROM exact_kept')}),
+    hashed AS (
+        SELECT doc_id, CAST(t.seed AS INT) AS seed,
+               MIN(substr(md5(shingle || '#0') || md5(shingle || '#1'),
+                          CAST(t.seed * 8 + 1 AS INT), 8)) AS minhash
+        FROM sh, UNNEST(range(8)) AS t(seed)
+        GROUP BY doc_id, t.seed
+    ),
+    banded AS (
+        SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+               md5(string_agg(minhash, ',' ORDER BY seed)) AS band_hash
+        FROM hashed GROUP BY doc_id, seed // 2
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM banded a
+        JOIN banded b ON a.band = b.band AND a.band_hash = b.band_hash
+                      AND a.doc_id < b.doc_id
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    verified AS (
+        SELECT i.doc_a, i.doc_b
+        FROM (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN sh sa ON sa.doc_id = c.doc_a
+            JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+            GROUP BY c.doc_a, c.doc_b
+        ) i
+        JOIN sizes za ON za.doc_id = i.doc_a
+        JOIN sizes zb ON zb.doc_id = i.doc_b
+        WHERE CAST(i.n_common AS DOUBLE) / (za.sz + zb.sz - i.n_common)
+              >= {CURATE_JACCARD}
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM verified
+        UNION
+        SELECT doc_b AS a, doc_a AS b FROM verified
+    ),
+    reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n
+    ),
+    deduped AS (
+        SELECT ek.doc_id, ek.text FROM exact_kept ek
+        WHERE ek.doc_id NOT IN
+              (SELECT node FROM comp WHERE node <> component)
+    ),
+    qual AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n,
+               len(list_distinct(string_split(text, ' '))) AS nd
+        FROM deduped
+    ),
+    kept AS (
+        SELECT doc_id, text FROM qual
+        WHERE n >= {CURATE_MIN_TOKENS}
+          AND n > 0
+          AND CAST(length(text) AS DOUBLE) / n <= {CURATE_MEAN_WORD_LEN}
+          AND CAST(n - nd AS DOUBLE) / n <= {CURATE_MAX_DUP_FRAC}
+    ),
+    evg AS (
+        SELECT DISTINCT ngram
+        FROM ({_sql_ngrams('(SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0)', CURATE_DECON_N)})
+    ),
+    cg AS ({_sql_ngrams('kept', CURATE_DECON_N)}),
+    clean AS (
+        SELECT k.doc_id, k.text FROM kept k
+        WHERE k.doc_id NOT IN
+              (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (ngram))
+    ),
+    sharded AS (
+        SELECT doc_id,
+               len(string_split(text, ' ')) AS n_tokens,
+               {sql_hash_fraction('doc_id')} AS h,
+               CAST(FLOOR({sql_hash_fraction('doc_id')} * {CURATE_SHARDS})
+                    AS INT) AS shard_id
+        FROM clean
+    ),
+    o AS (
+        SELECT doc_id, shard_id, n_tokens,
+               CAST(COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY shard_id ORDER BY h, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS BIGINT) AS start_offset
+        FROM sharded
+    )
+    SELECT doc_id, shard_id, start_offset,
+           CAST(FLOOR(start_offset / {CURATE_CTX}.0) AS INT) AS seq_first,
+           GREATEST(
+               CAST(FLOOR(start_offset / {CURATE_CTX}.0) AS INT),
+               CAST(FLOOR((start_offset + n_tokens - 1) / {CURATE_CTX}.0)
+                    AS INT)
+           ) AS seq_last
+    FROM o
+"""
+
+QUERIES_R6["curate_corpus"] = q_curate_corpus
+ORACLES_R6["curate_corpus"] = SQL_CURATE_CORPUS
