@@ -1483,7 +1483,7 @@ _REVERIFY = [
     # 3 — changed this round
     "value_outliers", "cohort_retention", "active_users",
     "minhash_est", "lsh_quality", "lsh_verified", "data_split",
-    "group_quantiles",
+    "group_quantiles", "resample_locf",
 ]
 
 _FRONT = {

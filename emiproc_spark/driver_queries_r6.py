@@ -387,3 +387,234 @@ SQL_CURATE_CORPUS = f"""
 
 QUERIES_R6["curate_corpus"] = q_curate_corpus
 ORACLES_R6["curate_corpus"] = SQL_CURATE_CORPUS
+
+
+# ======================================================================
+# cdc_merge — apply_changelog MERGE semantics (operators/history.py)
+# ======================================================================
+def q_cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot = latest state per user from the event_id%3==0 base
+    feed; changelog = the remaining events with 'error' rows acting as
+    deletes.  Values are straight selections (no float arithmetic), so
+    doubles compare exactly."""
+    from emiproc_spark.operators.history import apply_changelog, latest_snapshot
+
+    ev = fx.events(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts", "event_id"
+    )
+    snap = latest_snapshot(
+        ev.where(F.col("event_id") % 3 == 0), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "event_type", "value")
+    chg = ev.where(F.col("event_id") % 3 != 0).withColumn(
+        "op",
+        F.when(F.col("event_type") == "error", "delete").otherwise("upsert"),
+    )
+    return apply_changelog(
+        snap, chg, ["user_id"], ["ts", "event_id"], op_col="op"
+    )
+
+
+SQL_CDC_MERGE = """
+    WITH ev AS (
+        SELECT user_id, event_type, value, epoch_ns(ts) AS tsn, event_id
+        FROM events
+    ),
+    snap AS (
+        SELECT user_id, event_type, value FROM (
+            SELECT user_id, event_type, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+                   ) AS rn
+            FROM ev WHERE event_id % 3 = 0
+        ) WHERE rn = 1
+    ),
+    latest AS (
+        SELECT user_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+                   ) AS rn
+            FROM ev WHERE event_id % 3 <> 0
+        ) WHERE rn = 1
+    )
+    SELECT s.user_id, s.event_type, s.value FROM snap s
+    WHERE s.user_id NOT IN (SELECT user_id FROM latest)
+    UNION ALL
+    SELECT user_id, event_type, value FROM latest WHERE op <> 'delete'
+"""
+
+QUERIES_R6["cdc_merge"] = q_cdc_merge
+ORACLES_R6["cdc_merge"] = SQL_CDC_MERGE
+
+
+# ======================================================================
+# resample_interp — linear-interpolated lattice (operators/history.py)
+# ======================================================================
+INTERP_BUCKET_NS = 3_600_000_000_000  # 1 hour
+INTERP_MAX_USER = 100
+
+
+def q_resample_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.history import resample_interp
+
+    ev = (
+        fx.events(spark, sf_dir)
+        .where(F.col("user_id") < INTERP_MAX_USER)
+        .select("user_id", "ts", "value", "event_id")
+    )
+    return resample_interp(
+        ev, ["user_id"], "ts", "value", INTERP_BUCKET_NS, tiebreak=["event_id"]
+    )
+
+
+SQL_RESAMPLE_INTERP = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, value, event_id
+        FROM events WHERE user_id < {INTERP_MAX_USER}
+    ),
+    obs AS (
+        SELECT user_id, b, value AS v, tsn AS t FROM (
+            SELECT user_id, tsn // {INTERP_BUCKET_NS} AS b, value, tsn,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, tsn // {INTERP_BUCKET_NS}
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY user_id
+    ),
+    lat AS (
+        SELECT bounds.user_id, t.b
+        FROM bounds, UNNEST(range(b0, b1 + 1)) AS t(b)
+    ),
+    j AS (
+        SELECT lat.user_id, lat.b, obs.v, obs.t
+        FROM lat LEFT JOIN obs
+          ON obs.user_id = lat.user_id AND obs.b = lat.b
+    ),
+    w AS (
+        SELECT user_id, b, v,
+               LAST_VALUE(v IGNORE NULLS) OVER fwd AS pv,
+               LAST_VALUE(t IGNORE NULLS) OVER fwd AS pt,
+               LAST_VALUE(v IGNORE NULLS) OVER bwd AS nv,
+               LAST_VALUE(t IGNORE NULLS) OVER bwd AS nt
+        FROM j
+        WINDOW fwd AS (PARTITION BY user_id ORDER BY b
+                       ROWS UNBOUNDED PRECEDING),
+               bwd AS (PARTITION BY user_id ORDER BY b DESC
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, b * {INTERP_BUCKET_NS} AS bucket_start,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) *
+                       ((CAST(b * {INTERP_BUCKET_NS} AS DOUBLE)
+                         - CAST(pt AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+                  END) * 1e6 + 0.5) / 1e6 AS value_q6,
+           v IS NULL AS is_gap
+    FROM w
+"""
+
+QUERIES_R6["resample_interp"] = q_resample_interp
+ORACLES_R6["resample_interp"] = SQL_RESAMPLE_INTERP
+
+
+# ======================================================================
+# phrase_search — exact-phrase occurrence counts (operators/retrieval)
+# ======================================================================
+PHRASE = ["table", "table"]
+
+
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.retrieval import phrase_count
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    return phrase_count(d, PHRASE)
+
+
+def _sql_phrase_search() -> str:
+    k = len(PHRASE)
+    conds = " AND ".join(
+        f"toks[i + {j}] = '{w}'" for j, w in enumerate(PHRASE)
+    )
+    return f"""
+    SELECT doc_id,
+           CAST(CASE WHEN len(toks) >= {k}
+                THEN len(list_filter(range(1, len(toks) - {k} + 2),
+                                     i -> {conds}))
+                ELSE 0 END AS BIGINT) AS n_occurrences
+    FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+"""
+
+
+QUERIES_R6["phrase_search"] = q_phrase_search
+ORACLES_R6["phrase_search"] = _sql_phrase_search()
+
+
+# ======================================================================
+# split_leakage — near-dup pairs crossing the train/val/test boundary
+# (operators/sampling.hash_split × operators/similarity.embedding_dup):
+# the leakage audit a training pipeline runs after splitting — a
+# near-duplicate pair with one member in train and one in test is
+# evaluation contamination.
+# ======================================================================
+LEAK_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import EMB_DUP_THRESHOLD
+    from emiproc_spark.operators.sampling import hash_split
+    from emiproc_spark.operators.similarity import embedding_dup_pairs
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, dim=DIM, threshold=EMB_DUP_THRESHOLD)
+    splits = hash_split(emb.select("vec_id"), LEAK_SPLITS, key_col="vec_id")
+    sa = splits.select(
+        F.col("vec_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("vec_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(
+                F.when(F.col("split_a") != F.col("split_b"), 1)
+            ).alias("n_leaks"),
+        )
+    )
+
+
+def _sql_split_leakage() -> str:
+    from emiproc_spark.driver_queries_text import SQL_EMBEDDING_DUP
+    from emiproc_spark.operators.sampling import sql_hash_fraction
+
+    # the exact cumulative bounds hash_split computes (float-accumulated
+    # in the same order, so 0.8 + 0.1 reproduces bit-for-bit)
+    hf = sql_hash_fraction("vec_id", "split")
+    names = list(LEAK_SPLITS)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += LEAK_SPLITS[name]
+        whens.append(f"WHEN {hf} < {cum!r} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return f"""
+    WITH p AS ({SQL_EMBEDDING_DUP}),
+    s AS (SELECT vec_id, {case} AS split FROM embeddings)
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN sa.split <> sb.split THEN 1 END) AS n_leaks
+    FROM p
+    JOIN s sa ON sa.vec_id = p.id_a
+    JOIN s sb ON sb.vec_id = p.id_b
+    GROUP BY 1, 2
+"""
+
+
+QUERIES_R6["split_leakage"] = q_split_leakage
+ORACLES_R6["split_leakage"] = _sql_split_leakage()

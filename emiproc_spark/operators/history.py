@@ -11,8 +11,12 @@ changelogs (CDC feeds, event streams) and has to reconstruct state:
   "current view" read of the same changelog).
 - ``resample_locf``: regularize an irregular series onto a fixed bucket
   lattice per key, carrying the last observation forward across gaps.
+- ``resample_interp``: the same lattice with linear interpolation
+  between the surrounding observations instead of carry-forward.
+- ``apply_changelog``: MERGE INTO semantics — fold a changelog's
+  latest-wins upserts and deletes into an existing snapshot.
 
-All three are single-pass window/aggregate plans over the key
+All of these are single-pass window/aggregate plans over the key
 partitioning — no self-joins, no driver materialization.  The windows of
 ``scd2_compact`` share one partitioning+ordering, so Catalyst plans ONE
 exchange + sort for the whole chain (pinned in tests/test_plan_shapes).
@@ -139,9 +143,12 @@ def resample_locf(
     if bucket_ns <= 0:
         raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     keys = list(keys)
-    # integer division — float division of epoch-nanos (> 2^53) would
-    # misplace boundary timestamps by one bucket
-    bucket = F.expr(f"`{ts_col}` div {int(bucket_ns)}")
+    # pure-int64 FLOOR division — float division of epoch-nanos
+    # (> 2^53) would misplace boundary timestamps by one bucket, and
+    # bare DIV truncates toward zero, which would collapse two distinct
+    # pre-1970 buckets into bucket 0 (DuckDB // is floor)
+    p = int(bucket_ns)
+    bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
     ordkey = F.struct(
         F.col(ts_col), *[F.col(c) for c in tiebreak]
     )
@@ -170,4 +177,133 @@ def resample_locf(
             F.last("__obs", ignorenulls=True).over(w).alias("value_locf"),
             F.col("__obs").isNull().alias("is_gap"),
         )
+    )
+
+
+def apply_changelog(
+    snapshot: DataFrame,
+    changelog: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """MERGE a changelog into a snapshot: the batch equivalent of
+    ``MERGE INTO`` with upserts AND deletes — the nightly compaction a
+    CDC-fed table needs.
+
+    Per key, the changelog's most recent row (by ``order_by``, which
+    must totally order rows within a key) decides: ``op_col ==
+    delete_op`` removes the key; anything else replaces the snapshot
+    row with the changelog row's attributes.  Keys absent from the
+    changelog keep their snapshot row.  Both inputs must share the
+    output schema (``keys`` + attribute columns); ``op_col``/``order_by``
+    columns of the changelog are dropped from the output.
+
+    Plan shape: latest-wins is one shuffle over the changelog (bounded
+    TopK per key via row_number); the merge itself is one join of the
+    snapshot against the compacted changelog on ``keys``.  At 100 TB
+    the snapshot is touched exactly once and never windowed; only the
+    (much smaller) changelog pays a sort.
+    """
+    keys = list(keys)
+    out_cols = [c for c in snapshot.columns]
+    missing = [c for c in [*keys, *out_cols] if c not in changelog.columns]
+    if missing:
+        raise ValueError(
+            f"changelog lacks column(s) {missing} required by the merge"
+        )
+    latest = latest_snapshot(changelog, keys, order_by)
+    upserts = latest.where(
+        ~F.col(op_col).eqNullSafe(F.lit(delete_op))
+    ).select(*out_cols)
+    touched = latest.select(*keys)
+    survivors = snapshot.join(touched, keys, "anti")
+    return survivors.unionByName(upserts)
+
+
+def resample_interp(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int,
+    tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """Resample an irregular per-key series onto a fixed lattice with
+    LINEAR interpolation across gaps — the numeric sibling of
+    :func:`resample_locf` (carry-forward holds the last level; this
+    draws the line between the surrounding observations, the usual
+    choice for physical/metric series).
+
+    Buckets are pure-int64 floor(ts / bucket_ns); the lattice densely
+    covers each key's own [min_bucket, max_bucket].  A bucket holding
+    observations emits its LAST observation's value (by ``ts,
+    *tiebreak``) with ``is_gap = false``.  An empty bucket linearly
+    interpolates between the previous and next observations, evaluated
+    at the bucket's start timestamp:
+
+        v = v_prev + (v_next - v_prev) · (t - t_prev) / (t_next - t_prev)
+
+    Both neighbours always exist for a gap bucket (the lattice starts
+    and ends at observed buckets), and t_prev < bucket_start < t_next
+    by bucket arithmetic, so the weight is strictly inside (0, 1).
+    Values are quantized (1e6) so the two engines' identical per-row
+    double arithmetic survives any later aggregation.
+
+    Plan shape: one partial-aggregable groupBy for per-bucket last
+    observations, the bounded lattice explode, then TWO window passes
+    (forward carry of the previous observation, backward carry of the
+    next) over the SAME key partitioning — Catalyst plans one exchange
+    with two sorts, never a second shuffle.
+    """
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    keys = list(keys)
+    p = int(bucket_ns)
+    bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
+    ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    obs = (
+        df.withColumn("__bucket", bucket)
+        .groupBy(*keys, "__bucket")
+        .agg(
+            F.max_by(
+                F.struct(
+                    F.col(value_col).cast("double").alias("v"),
+                    F.col(ts_col).alias("t"),
+                ),
+                ordkey,
+            ).alias("__obs")
+        )
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.groupBy(*keys).agg(
+        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
+    )
+    lattice = bounds.select(
+        *keys, F.explode(F.sequence("__b0", "__b1")).alias("__bucket")
+    )
+    wf = Window.partitionBy(*keys).orderBy("__bucket")
+    wb = Window.partitionBy(*keys).orderBy(F.col("__bucket").desc())
+    joined = (
+        lattice.join(obs, [*keys, "__bucket"], "left")
+        .withColumn("__prev", F.last("__obs", ignorenulls=True).over(wf))
+        .withColumn("__next", F.last("__obs", ignorenulls=True).over(wb))
+    )
+    t = (F.col("__bucket") * F.lit(p)).cast("double")
+    tp = F.col("__prev.t").cast("double")
+    tn = F.col("__next.t").cast("double")
+    interp = F.col("__prev.v") + (F.col("__next.v") - F.col("__prev.v")) * (
+        (t - tp) / (tn - tp)
+    )
+    value = F.when(F.col("__obs").isNotNull(), F.col("__obs.v")).otherwise(
+        interp
+    )
+    return joined.select(
+        *keys,
+        (F.col("__bucket") * F.lit(p)).alias("bucket_start"),
+        (F.floor(value * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "value_q6"
+        ),
+        F.col("__obs").isNull().alias("is_gap"),
     )

@@ -92,3 +92,51 @@ def bm25_topk(
         .agg((F.sum("__c").cast("double") / F.lit(BM25_SCALE)).alias("score"))
     )
     return per_doc.orderBy(F.col("score").desc(), id_col).limit(k)
+
+
+def phrase_count(
+    docs: DataFrame,
+    phrase: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-phrase occurrence count per document — the "quoted query"
+    complement to BM25's bag-of-words ranking.
+
+    Entirely map-only: the token array is materialized once per row and
+    the k-word window match runs as a higher-order ``filter`` over the
+    candidate start positions — no explode, no shuffle, no UDF, so at
+    100 TB this is a pure scan at whole-stage-codegen speed and
+    Catalyst prunes the read to (id, text).  Overlapping occurrences
+    all count (start positions, not disjoint matches).
+
+    An inverted positional index would serve the low-latency lookup
+    case; for the batch "tag every document" case the scan IS the
+    optimal plan (every text must be read anyway).
+
+    Returns (id, n_occurrences) for every input document (0 when the
+    phrase is absent or the text has fewer than k tokens).
+    """
+    if not phrase:
+        raise ValueError("phrase must contain at least one token")
+    if any(" " in w or w == "" for w in phrase):
+        raise ValueError(f"phrase tokens must be non-empty words, got {phrase}")
+    k = len(phrase)
+    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    n = F.size("__toks")
+
+    def is_match(i):
+        cond = F.lit(True)
+        for j, w in enumerate(phrase):
+            cond = cond & (
+                F.element_at(F.col("__toks"), i + F.lit(j + 1)) == F.lit(w)
+            )
+        return cond
+
+    starts = F.sequence(F.lit(0), n - F.lit(k))
+    count = F.when(n >= k, F.size(F.filter(starts, is_match))).otherwise(
+        F.lit(0)
+    )
+    return tok.select(
+        id_col, count.cast("long").alias("n_occurrences")
+    )

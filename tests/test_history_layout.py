@@ -227,3 +227,68 @@ def test_salted_join_rejects_outer(spark):
         salted_join(df, df, ["k"], 4, how="full")
     with pytest.raises(ValueError, match="n_salts"):
         salted_join(df, df, ["k"], 0)
+
+
+def test_apply_changelog_merge_semantics(spark):
+    from emiproc_spark.operators.history import apply_changelog
+
+    snap = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k long, name string, v double",
+    )
+    chg = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, 5, "upsert"),
+            (2, "b3", 22.0, 6, "upsert"),  # latest for key 2 wins
+            (3, "c", 30.0, 7, "delete"),   # key 3 removed
+            (4, "d", 40.0, 8, "upsert"),
+            (4, "d", 41.0, 9, "delete"),
+            (4, "dd", 42.0, 10, "upsert"),  # insert-after-delete survives
+        ],
+        "k long, name string, v double, ts long, op string",
+    )
+    out = sorted(
+        (r["k"], r["name"], r["v"])
+        for r in apply_changelog(snap, chg, ["k"], ["ts"]).collect()
+    )
+    assert out == [(1, "a", 10.0), (2, "b3", 22.0), (4, "dd", 42.0)]
+
+    with pytest.raises(ValueError, match="lacks column"):
+        apply_changelog(snap, chg.drop("name"), ["k"], ["ts"])
+
+
+def test_resample_interp_linear_gaps(spark):
+    from emiproc_spark.operators.history import resample_interp
+
+    ev = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 35, 70.0), (1, 10, 20.0)],
+        "k long, ts long, v double",
+    )
+    out = sorted(
+        (r["bucket_start"], r["value_q6"], r["is_gap"])
+        for r in resample_interp(ev, ["k"], "ts", "v", 10).collect()
+    )
+    # bucket 2 is empty: interpolate at t=20 between (10, 20) and
+    # (35, 70) -> 20 + 50 * (10/25) = 40
+    assert out == [
+        (0, 0.0, False),
+        (10, 20.0, False),
+        (20, 40.0, True),
+        (30, 70.0, False),
+    ]
+    with pytest.raises(ValueError, match="bucket_ns"):
+        resample_interp(ev, ["k"], "ts", "v", 0)
+
+
+def test_resample_interp_single_exchange(spark):
+    # both window passes must reuse ONE partitioning: exactly one
+    # exchange on the lattice side (plus the bounded bounds aggregate)
+    from emiproc_spark.operators.history import resample_interp
+
+    ev = spark.createDataFrame(
+        [(1, 0, 0.0), (1, 25, 50.0)], "k long, ts long, v double"
+    )
+    plan = resample_interp(ev, ["k"], "ts", "v", 10)._jdf.queryExecution().executedPlan().toString()
+    # obs agg (k, bucket) ×2 join sides + bounds (k) + ONE shared
+    # window exchange (k) — a second per-window exchange would make 5
+    assert plan.count("Exchange hashpartitioning") <= 4

@@ -188,3 +188,38 @@ def test_minhash_agreement_missing_signature_raises(spark):
     )
     with pytest.raises(Exception, match="no signature rows"):
         minhash_agreement(sigs, pairs_a, k=8).collect()
+
+
+def test_phrase_count_overlapping_and_short_docs(spark):
+    from emiproc_spark.operators.retrieval import phrase_count
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y"), (3, "a"), (4, "b a b"),
+         (5, "a a a a")],
+        schema="doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count(docs, ["a", "b"]).collect()
+    }
+    assert out == {1: 2, 2: 0, 3: 0, 4: 1, 5: 0}
+    # overlapping starts all count
+    tri = {
+        r["doc_id"]: r["n_occurrences"]
+        for r in phrase_count(docs, ["a", "a"]).collect()
+    }
+    assert tri[5] == 3
+    with pytest.raises(ValueError, match="at least one"):
+        phrase_count(docs, [])
+    with pytest.raises(ValueError, match="non-empty words"):
+        phrase_count(docs, ["a b"])
+
+
+def test_phrase_count_map_only(spark):
+    from emiproc_spark.operators.retrieval import phrase_count
+
+    docs = spark.createDataFrame(
+        [(1, "a b")], schema="doc_id long, text string"
+    )
+    plan = phrase_count(docs, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure scan, no shuffle
