@@ -1158,3 +1158,72 @@ def test_kmv_ten_million_values(spark):
     assert row["n_exact"] == 1_000_000
     assert abs(row["kmv_estimate"] - 1_000_000) / 1_000_000 < 0.15
     assert dt < 240, f"kmv on 10M values took {dt:.1f}s"
+
+
+@scale
+def test_apply_changelog_five_million(spark):
+    """5M-row changelog merged into a 1M-key snapshot: latest-wins has
+    a closed form (key k's last change is seq = 5M - 1M + k... i.e.
+    the final pass), deletes are every 10th key's last op — output
+    count checked exactly.  One changelog shuffle + one anti join."""
+    from emiproc_spark.operators.history import apply_changelog
+
+    n_keys, per_key = 1_000_000, 5
+    snap = spark.range(n_keys).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    chg = spark.range(n_keys * per_key).select(
+        (F.col("id") % n_keys).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") / n_keys).cast("long").alias("ts"),
+        F.when(
+            ((F.col("id") % n_keys) % 10 == 0)
+            & (F.col("id") >= n_keys * (per_key - 1)),
+            "delete",
+        ).otherwise("upsert").alias("op"),
+    )
+    t0 = time.time()
+    out = apply_changelog(
+        snap, chg.select("k", "v", "ts", "op"), ["k"], ["ts", "v"]
+    )
+    n_out = out.count()
+    dt = time.time() - t0
+    # every key appears in the changelog; every 10th key's LAST op is a
+    # delete, so exactly 90% of keys survive
+    assert n_out == n_keys - n_keys // 10
+    # survivors carry the final pass's value: key 1 -> 4M + 1
+    row = out.where("k = 1").collect()[0]
+    assert row["v"] == n_keys * (per_key - 1) + 1
+    print(f"\n5M-changelog merge wall: {dt:.1f}s")
+    assert dt < 90
+
+
+@scale
+def test_phrase_count_million_docs(spark):
+    """1M synthetic docs, phrase planted in every 13th: the map-only
+    higher-order filter must stay shuffle-free and scan-speed."""
+    from emiproc_spark.operators.retrieval import phrase_count
+
+    n = 1_000_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.lit("alpha beta"),
+            F.when(F.col("id") % 13 == 0, F.lit("needle haystack")).otherwise(
+                F.lit("beta alpha")
+            ),
+            F.lit("gamma needle"),
+        ).alias("text"),
+    )
+    t0 = time.time()
+    out = phrase_count(docs, ["needle", "haystack"])
+    n_hits = out.where("n_occurrences > 0").count()
+    total = out.count()
+    dt = time.time() - t0
+    assert total == n
+    assert n_hits == (n + 12) // 13
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    print(f"\n1M-doc phrase count wall: {dt:.1f}s")
+    assert dt < 60
