@@ -618,3 +618,167 @@ def _sql_split_leakage() -> str:
 
 QUERIES_R6["split_leakage"] = q_split_leakage
 ORACLES_R6["split_leakage"] = _sql_split_leakage()
+
+
+# ======================================================================
+# kmeans_topics — deterministic Lloyd k-means over embeddings
+# (operators/similarity.kmeans_iterations); the oracle unrolls both
+# assignment passes and the quantized-mean update as CTEs (the
+# pagerank precedent for iterative algorithms)
+# ======================================================================
+KM_K = 8
+KM_ITER = 2  # assign -> centroid update -> final assign
+
+
+def q_kmeans_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.similarity import kmeans_iterations
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    out = kmeans_iterations(emb, k=KM_K, n_iter=KM_ITER)
+    return out.groupBy("cluster").agg(
+        F.count("*").alias("n"),
+        F.sum("dist_q12").alias("inertia_q12"),
+    )
+
+
+def _sql_kmeans_terms(cent: str, tag: str) -> str:
+    """One assignment pass: int64-quantized squared distances to the
+    ``cent`` (cid, i, cv) relation, argmin per vector."""
+    return f"""
+    d{tag} AS (
+        SELECT vec_id, cid,
+               SUM(CAST(FLOOR(d * d * 1e12 + 0.5) AS BIGINT)) AS dist
+        FROM (
+            SELECT e.vec_id, c.cid,
+                   CAST(e.embedding[c.i + 1] AS DOUBLE) - c.cv AS d
+            FROM embeddings e JOIN {cent} c ON TRUE
+        ) GROUP BY vec_id, cid
+    ),
+    a{tag} AS (
+        SELECT vec_id, cid AS cluster, dist FROM (
+            SELECT vec_id, cid, dist, ROW_NUMBER() OVER (
+                       PARTITION BY vec_id ORDER BY dist, cid
+                   ) AS rn
+            FROM d{tag}
+        ) WHERE rn = 1
+    )"""
+
+
+SQL_KMEANS_TOPICS = f"""
+    WITH seeds AS (
+        SELECT CAST(vec_id AS INT) AS cid, t.i,
+               CAST(embedding[t.i + 1] AS DOUBLE) AS cv
+        FROM embeddings, UNNEST(range({DIM})) AS t(i)
+        WHERE vec_id < {KM_K}
+    ),
+    {_sql_kmeans_terms('seeds', '1')},
+    means1 AS (
+        SELECT a.cluster, t.i,
+               (CAST(SUM(CAST(FLOOR(
+                    CAST(e.embedding[t.i + 1] AS DOUBLE) * 1e6 + 0.5
+                ) AS BIGINT)) AS DOUBLE) / 1e6) / COUNT(*) AS m
+        FROM a1 a JOIN embeddings e ON e.vec_id = a.vec_id,
+             UNNEST(range({DIM})) AS t(i)
+        GROUP BY a.cluster, t.i
+    ),
+    cent1 AS (
+        SELECT s.cid, s.i, COALESCE(m.m, s.cv) AS cv
+        FROM seeds s LEFT JOIN means1 m
+          ON m.cluster = s.cid AND m.i = s.i
+    ),
+    {_sql_kmeans_terms('cent1', '2')}
+    SELECT CAST(cluster AS INT) AS cluster, COUNT(*) AS n,
+           CAST(SUM(dist) AS BIGINT) AS inertia_q12
+    FROM a2 GROUP BY cluster
+"""
+
+QUERIES_R6["kmeans_topics"] = q_kmeans_topics
+ORACLES_R6["kmeans_topics"] = SQL_KMEANS_TOPICS
+
+
+# ======================================================================
+# stream_cdc — streaming MERGE state over an out-of-order CDC feed
+# (streaming/streams.changelog_state_stream); arrival order is
+# event_id % 4 (NOT event time), so the run proves the latest-wins
+# fold is arrival-order independent — the final state must equal the
+# batch answer over the same feed.
+# ======================================================================
+_CDC_STREAM_DIRS: dict[str, str] = {}
+
+
+def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    from emiproc_spark.driver_queries_r3b import _run_stream
+    from emiproc_spark.streaming.streams import changelog_state_stream
+
+    d = _CDC_STREAM_DIRS.get(sf_dir)
+    if d is None or not os.path.isdir(d):
+        d = os.path.join(tempfile.mkdtemp(prefix="emiproc_cdc_stream_"), "in")
+        ev = fx.events(spark, sf_dir).select(
+            "user_id",
+            F.col("ts").alias("tsn"),
+            "event_id",
+            "event_type",
+            "value",
+            F.when(F.col("event_type") == "error", "delete")
+            .otherwise("upsert")
+            .alias("op"),
+        )
+        for p in range(4):
+            (
+                ev.where(F.col("event_id") % 4 == p)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+        _CDC_STREAM_DIRS[sf_dir] = d
+
+    stream = (
+        spark.readStream.schema(
+            "user_id long, tsn long, event_id long, event_type string, "
+            "value double, op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    out = changelog_state_stream(stream)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        res = _run_stream(out, "r6_stream_cdc", "update")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    w = Window.partitionBy("k")
+    final = res.withColumn("mx", F.max("ver").over(w)).where(
+        F.col("ver") == F.col("mx")
+    )
+    return final.where(F.col("op") != "delete").select(
+        F.col("k").alias("user_id"),
+        F.col("sv").alias("event_type"),
+        F.col("dv").alias("value"),
+    )
+
+
+SQL_STREAM_CDC = """
+    WITH ev AS (
+        SELECT user_id, event_type, value, epoch_ns(ts) AS tsn, event_id
+        FROM events
+    ),
+    latest AS (
+        SELECT user_id, event_type, value,
+               CASE WHEN event_type = 'error' THEN 'delete'
+                    ELSE 'upsert' END AS op
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY tsn DESC, event_id DESC
+                   ) AS rn
+            FROM ev
+        ) WHERE rn = 1
+    )
+    SELECT user_id, event_type, value FROM latest WHERE op <> 'delete'
+"""
+
+QUERIES_R6["stream_cdc"] = q_stream_cdc
+ORACLES_R6["stream_cdc"] = SQL_STREAM_CDC

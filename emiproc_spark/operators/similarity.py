@@ -502,3 +502,120 @@ def semdedup_flags(assigned: DataFrame, threshold: float = 0.9) -> DataFrame:
     return unit.select("id", "cell").join(dups, "id", "left").select(
         "id", "cell", F.coalesce("__dup", F.lit(False)).alias("is_dup")
     )
+
+
+def _sq_dist_q12(vec_col: str, cvec: list[float]) -> Column:
+    """Int64-quantized squared L2 distance to a literal centroid:
+    each (x−c)² term rounds to 1e-12 and the terms sum as exact longs,
+    so the distance — and every argmin on it — is addition-order-free
+    and engine-reproducible (the distance analogue of the cosine
+    kernels' ``_dotq`` convention)."""
+    terms = F.zip_with(
+        F.col(vec_col),
+        F.array(*[F.lit(float(v)) for v in cvec]),
+        lambda x, c: F.floor(
+            (x.cast("double") - c) * (x.cast("double") - c) * F.lit(1e12)
+            + F.lit(0.5)
+        ).cast("long"),
+    )
+    return F.aggregate(terms, F.lit(0).cast("long"), lambda acc, t: acc + t)
+
+
+def kmeans_assign_q(
+    embeddings: DataFrame,
+    centroids: list[tuple[int, list[float]]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Map-only nearest-centroid assignment on the quantized squared
+    distance (ties → smaller cluster id): the engine-reproducible
+    k-means assignment step.  Like :func:`ivf_assign`, the centroid
+    matrix rides along as literals inside one whole-stage-codegen
+    projection — assigning 100 TB of vectors is a scan with zero
+    shuffle.  Adds (cluster, dist_q12) to the input."""
+    best = F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist_q12(vec_col, cvec).alias("dist_q12"),
+                    F.lit(cid).alias("cluster"),
+                )
+                for cid, cvec in centroids
+            ]
+        )
+    )
+    return embeddings.withColumn("cluster", best["cluster"]).withColumn(
+        "dist_q12", best["dist_q12"]
+    )
+
+
+def kmeans_iterations(
+    embeddings: DataFrame,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd k-means, fully engine-reproducible — the
+    parity-safe sibling of :func:`ivf_refine` (which uses plain
+    ``avg`` and is cheaper when bit-reproducibility doesn't matter).
+
+    Seeds are the ``k`` lowest-id vectors (cluster ``i`` = the i-th
+    such vector).  ``n_iter`` counts ASSIGNMENTS: each of the first
+    ``n_iter − 1`` assignments is followed by a centroid update (per-
+    dim µ-quantized mean — exact int64 sums, so means are addition-
+    order-free); the final assignment is returned.  A cluster that
+    loses every member keeps its previous centroid.
+
+    Scale shape per iteration: one map-only assignment scan (centroids
+    as literals, zero shuffle) + one posexplode hash-agg bounded by
+    k × dim with map-side combine; only the k×dim centroid matrix ever
+    reaches the driver — the classic Spark iterative-ML loop, with the
+    lineage reset that a 100-iteration run would need left to the
+    caller (n_iter here is small and each step re-derives from the
+    source scan).
+
+    Returns the input with (cluster, dist_q12) from the FINAL
+    assignment.
+    """
+    if k < 1 or n_iter < 1:
+        raise ValueError(f"k and n_iter must be >= 1, got {k}, {n_iter}")
+    seeds = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(seeds) < k:
+        raise ValueError(f"need at least k={k} vectors, got {len(seeds)}")
+    centroids = [
+        (i, [float(v) for v in r[1]]) for i, r in enumerate(seeds)
+    ]
+    for _ in range(n_iter - 1):
+        assigned = kmeans_assign_q(embeddings, centroids, vec_col)
+        means = (
+            assigned.select("cluster", F.posexplode(vec_col).alias("i", "v"))
+            .groupBy("cluster", "i")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("v").cast("double") * F.lit(1e6) + F.lit(0.5)
+                    ).cast("long")
+                ).alias("sq"),
+                F.count("*").alias("n"),
+            )
+            .select(
+                "cluster",
+                "i",
+                (
+                    (F.col("sq").cast("double") / F.lit(1e6)) / F.col("n")
+                ).alias("m"),
+            )
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "m"))),
+                    lambda s: s["m"],
+                ).alias("cvec")
+            )
+            .collect()
+        )
+        new = {int(r["cluster"]): [float(v) for v in r["cvec"]] for r in means}
+        centroids = [(cid, new.get(cid, cvec)) for cid, cvec in centroids]
+    return kmeans_assign_q(embeddings, centroids, vec_col)

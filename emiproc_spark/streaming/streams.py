@@ -647,3 +647,79 @@ def funnel_stream(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def changelog_state_stream(
+    stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "tsn",
+    tb_col: str = "event_id",
+    value_cols: tuple[str, str] = ("event_type", "value"),
+    op_col: str = "op",
+    delete_op: str = "delete",
+) -> DataFrame:
+    """Streaming MERGE state: latest-wins upsert/delete per key over an
+    unbounded CDC feed — the streaming half of
+    ``operators.history.apply_changelog``.
+
+    State per key is ONE row: the (ts, tiebreak)-maximal change seen so
+    far, including delete markers (a later upsert revives the key).
+    Because the fold is a max, the result is ARRIVAL-ORDER INDEPENDENT
+    — micro-batches may deliver changes out of event-time order and the
+    final state still equals the batch operator's answer over the same
+    feed.  Each batch re-emits a key's current state stamped with a
+    monotonically increasing ``ver`` (update mode); readers take the
+    latest ``ver`` per key and drop rows whose ``op`` is the delete
+    marker.  State is O(keys), independent of stream length.
+
+    ``value_cols`` is (string_col, double_col) — the packed state
+    schema is fixed; generalize by packing into a string the way
+    ``heavy_hitters_stream`` does if more columns are needed.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    scol, dcol = value_cols
+    keyed = stream.select(
+        F.col(key_col).alias("k"),
+        F.col(ts_col).alias("tsn"),
+        F.col(tb_col).alias("tb"),
+        F.col(scol).alias("sv"),
+        F.col(dcol).cast("double").alias("dv"),
+        F.col(op_col).alias("op"),
+    )
+
+    def fn(key, pdfs, state):
+        (k,) = key
+        if state.exists:
+            tsn, tb, sv, dv, op, ver = state.get
+        else:
+            tsn = tb = None
+            sv = dv = op = None
+            ver = 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            top = pdf.sort_values(["tsn", "tb"]).iloc[-1]
+            if tsn is None or (int(top["tsn"]), int(top["tb"])) > (tsn, tb):
+                tsn, tb = int(top["tsn"]), int(top["tb"])
+                sv, dv, op = top["sv"], float(top["dv"]), top["op"]
+        ver += 1
+        state.update((tsn, tb, sv, dv, op, ver))
+        yield pd.DataFrame(
+            {
+                "k": [k],
+                "sv": [sv],
+                "dv": [dv],
+                "op": [op],
+                "ver": [ver],
+            }
+        )
+
+    return keyed.groupBy("k").applyInPandasWithState(
+        fn,
+        "k long, sv string, dv double, op string, ver long",
+        "tsn long, tb long, sv string, dv double, op string, ver long",
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

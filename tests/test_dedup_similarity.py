@@ -579,3 +579,43 @@ def test_quantize_int8_and_topk(spark):
         int8_topk(emb, qq, k=0)
     with pytest.raises(ValueError, match="non-empty"):
         int8_topk(emb, [], k=1)
+
+
+def test_kmeans_iterations_planted_clusters(spark):
+    from emiproc_spark.operators.similarity import kmeans_iterations
+
+    # two tight planted clusters around (0,0,..) and (1,1,..); seeds are
+    # the 2 lowest-id vectors, one drawn from each cluster
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 1.0
+        rows.append((i, [base + 0.01 * ((i * 7) % 5)] * 4))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = kmeans_iterations(emb, k=2, n_iter=3)
+    got = {
+        r["vec_id"]: r["cluster"] for r in out.collect()
+    }
+    # seed 0 is even (cluster 0 side), seed 1 odd (cluster 1 side)
+    assert all(got[i] == (i % 2) for i in range(40))
+    # dist is engine-reproducible int64 micro-units
+    d = out.select("dist_q12").first()["dist_q12"]
+    assert isinstance(d, int)
+
+    with pytest.raises(ValueError, match="k and n_iter"):
+        kmeans_iterations(emb, k=0)
+    with pytest.raises(ValueError, match="at least k"):
+        kmeans_iterations(emb, k=100)
+
+
+def test_kmeans_assign_map_only(spark):
+    from emiproc_spark.operators.similarity import kmeans_assign_q
+
+    emb = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [1.0, 1.0])], "vec_id long, embedding array<float>"
+    )
+    cents = [(0, [0.0, 0.0]), (1, [1.0, 1.0])]
+    df = kmeans_assign_q(emb, cents)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # assignment is a pure scan
+    got = {r["vec_id"]: (r["cluster"], r["dist_q12"]) for r in df.collect()}
+    assert got == {0: (0, 0), 1: (1, 0)}

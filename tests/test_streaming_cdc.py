@@ -1,0 +1,58 @@
+"""changelog_state_stream: streaming MERGE state (latest-wins upserts +
+deletes) must be arrival-order independent and match the batch
+apply_changelog answer over the same feed."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.streaming.streams import changelog_state_stream
+
+
+def _drain(out, spark, name):
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
+def test_stream_cdc_out_of_order_batches(spark, tmp_path):
+    # micro-batches arrive in REVERSE event-time order; the fold is a
+    # max so the final state must not care
+    rows_late = [(1, 30, 3, "b", 3.0, "upsert"), (2, 31, 4, "z", 9.0, "delete")]
+    rows_early = [(1, 10, 1, "a", 1.0, "upsert"), (1, 20, 2, "x", 2.0, "delete"),
+                  (2, 11, 5, "y", 8.0, "upsert")]
+    schema = "user_id long, tsn long, event_id long, event_type string, value double, op string"
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows_late, schema).coalesce(1).write.mode("append").parquet(d)
+    spark.createDataFrame(rows_early, schema).coalesce(1).write.mode("append").parquet(d)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        res = _drain(changelog_state_stream(stream), spark, "t_cdc_ooo")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k")
+    final = (
+        res.withColumn("mx", F.max("ver").over(w))
+        .where(F.col("ver") == F.col("mx"))
+    )
+    live = {
+        r["k"]: (r["sv"], r["dv"])
+        for r in final.where(F.col("op") != "delete").collect()
+    }
+    # user 1: latest change (ts 30) is an upsert AFTER a delete -> alive
+    # user 2: latest change (ts 31) is a delete -> gone
+    assert live == {1: ("b", 3.0)}
