@@ -782,3 +782,112 @@ SQL_STREAM_CDC = """
 
 QUERIES_R6["stream_cdc"] = q_stream_cdc
 ORACLES_R6["stream_cdc"] = SQL_STREAM_CDC
+
+
+# ======================================================================
+# hybrid_search — reciprocal-rank fusion of BM25 and vector cosine
+# result lists (operators/retrieval.rrf_fuse): the standard hybrid
+# retrieval combiner, composed from two already-oracle-checked
+# retrievers (bm25_topk + ann_cosine_topk).
+# ======================================================================
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_r5f import _B, _BM25_K, _BM25_TERMS, _K1
+    from emiproc_spark.driver_queries_text import q_ann_cosine_topk
+    from emiproc_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    lex = bm25_topk(d, _BM25_TERMS, k=_BM25_K, k1=_K1, b=_B)
+    sem = q_ann_cosine_topk(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "cos"
+    )
+    return rrf_fuse([(lex, "score"), (sem, "cos")], k=10)
+
+
+def _sql_hybrid_search() -> str:
+    from emiproc_spark.driver_queries_r5f import SQL_BM25_TOPK
+    from emiproc_spark.driver_queries_text import SQL_ANN_COSINE_TOPK
+
+    return f"""
+    WITH lex AS ({SQL_BM25_TOPK}),
+    sem AS ({SQL_ANN_COSINE_TOPK}),
+    lr AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id)
+               AS r FROM lex),
+    sr AS (SELECT vec_id AS doc_id,
+                  ROW_NUMBER() OVER (ORDER BY cos DESC, vec_id) AS r
+           FROM sem),
+    f AS (
+        SELECT COALESCE(lr.doc_id, sr.doc_id) AS doc_id,
+               COALESCE(1.0 / (60 + lr.r), 0.0)
+                   + COALESCE(1.0 / (60 + sr.r), 0.0) AS s
+        FROM lr FULL JOIN sr ON sr.doc_id = lr.doc_id
+    )
+    SELECT doc_id, FLOOR(s * 1e9 + 0.5) / 1e9 AS rrf
+    FROM f ORDER BY FLOOR(s * 1e9 + 0.5) / 1e9 DESC, doc_id LIMIT 10
+"""
+
+
+QUERIES_R6["hybrid_search"] = q_hybrid_search
+ORACLES_R6["hybrid_search"] = _sql_hybrid_search()
+
+
+# ======================================================================
+# robust_outliers — median/MAD anomaly screen (operators/stats.py);
+# the oracle locates both medians with the explicit rank/interpolation
+# formula group_quantiles uses (type-7), NOT quantile_cont, so the
+# arithmetic is mirrored term for term.
+# ======================================================================
+ROBUST_K = 3.5
+
+
+def q_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.stats import robust_outliers
+
+    ev = fx.events(spark, sf_dir).select("event_type", "value")
+    return robust_outliers(ev, ["event_type"], "value", k=ROBUST_K)
+
+
+def _sql_median(src: str, gcol: str, vcol: str, out: str) -> str:
+    """Rank-locate + type-7 interpolation, mirroring group_quantiles."""
+    return f"""
+        SELECT {gcol} AS g, n,
+               vlo + (vhi - vlo) * ((n - 1) * 0.5 - FLOOR((n - 1) * 0.5))
+                   AS {out}
+        FROM (
+            SELECT {gcol}, n,
+                   MIN(CASE WHEN rn = CAST(FLOOR((n - 1) * 0.5) AS BIGINT)
+                                 + 1 THEN {vcol} END) AS vlo,
+                   MIN(CASE WHEN rn = CAST(CEIL((n - 1) * 0.5) AS BIGINT)
+                                 + 1 THEN {vcol} END) AS vhi
+            FROM (
+                SELECT {gcol}, {vcol},
+                       ROW_NUMBER() OVER (
+                           PARTITION BY {gcol} ORDER BY {vcol}) AS rn,
+                       COUNT(*) OVER (PARTITION BY {gcol}) AS n
+                FROM {src}
+            ) GROUP BY {gcol}, n
+        )"""
+
+
+SQL_ROBUST_OUTLIERS = f"""
+    WITH ev AS (
+        SELECT event_type, CAST(value AS DOUBLE) AS v
+        FROM events WHERE value IS NOT NULL
+    ),
+    med AS ({_sql_median('ev', 'event_type', 'v', 'med')}),
+    dev AS (
+        SELECT ev.event_type, ev.v, med.med,
+               ABS(ev.v - med.med) AS dv
+        FROM ev JOIN med ON med.g = ev.event_type
+    ),
+    mad AS ({_sql_median('dev', 'event_type', 'dv', 'mad')})
+    SELECT d.event_type, COUNT(*) AS n,
+           COUNT(CASE WHEN d.dv > {ROBUST_K} * mad.mad THEN 1 END)
+               AS n_outliers,
+           FLOOR(MIN(d.med) * 1e6 + 0.5) / 1e6 AS med,
+           FLOOR(MIN(mad.mad) * 1e6 + 0.5) / 1e6 AS mad
+    FROM dev d JOIN mad ON mad.g = d.event_type
+    GROUP BY d.event_type
+"""
+
+QUERIES_R6["robust_outliers"] = q_robust_outliers
+ORACLES_R6["robust_outliers"] = SQL_ROBUST_OUTLIERS

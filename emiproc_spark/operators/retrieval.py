@@ -140,3 +140,51 @@ def phrase_count(
     return tok.select(
         id_col, count.cast("long").alias("n_occurrences")
     )
+
+
+def rrf_fuse(
+    ranked: list[tuple[DataFrame, str]],
+    id_col: str = "doc_id",
+    c: int = 60,
+    k: int = 10,
+) -> DataFrame:
+    """Reciprocal-rank fusion of pre-truncated result lists — the
+    standard hybrid-search combiner (lexical BM25 + vector ANN):
+    ``score(d) = Σ_lists 1 / (c + rank_list(d))``, lists that missed a
+    document contribute nothing.
+
+    ``ranked`` is [(frame, score_col), ...]; each frame is an already
+    top-k-truncated result list (RRF on full corpora would defeat its
+    purpose), ranked here by (score desc, id) so ties are
+    deterministic.  Because inputs are k-sized, the unpartitioned
+    rank windows and the outer joins are driver-light constant-size
+    work — the expensive parts (the retrievers) stay in their own
+    scale-shaped plans.
+
+    Returns (id, rrf) — the top ``k`` fused documents, rrf quantized
+    (1e9) so downstream order is engine-reproducible.
+    """
+    if len(ranked) < 2:
+        raise ValueError("rrf_fuse needs at least two ranked lists")
+    if c < 1 or k < 1:
+        raise ValueError(f"c and k must be >= 1, got {c}, {k}")
+    fused = None
+    rank_cols = []
+    for idx, (df, score_col) in enumerate(ranked):
+        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
+        rc = f"__r{idx}"
+        r = df.select(id_col, F.row_number().over(w).alias(rc))
+        rank_cols.append(rc)
+        fused = r if fused is None else fused.join(r, id_col, "outer")
+    score = None
+    for rc in rank_cols:
+        term = F.coalesce(
+            F.lit(1.0) / (F.lit(float(c)) + F.col(rc)), F.lit(0.0)
+        )
+        score = term if score is None else score + term
+    rrf = F.floor(score * F.lit(1e9) + F.lit(0.5)) / F.lit(1e9)
+    return (
+        fused.select(id_col, rrf.alias("rrf"))
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(k)
+    )

@@ -297,3 +297,64 @@ def group_quantiles(
             + (F.col("__vhi") - F.col("__vlo")) * (F.col("__p") - F.col("__lo"))
         ).alias("value"),
     )
+
+
+def robust_outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    k: float = 3.5,
+) -> DataFrame:
+    """Median/MAD outlier screen — the robust sibling of
+    :func:`value_outliers`: a value is flagged when its absolute
+    deviation from the group median exceeds ``k`` MADs (median absolute
+    deviation).  Unlike mean/stddev z-scores, a single extreme value
+    cannot inflate the threshold that hides it.
+
+    Built on :func:`group_quantiles` (type-7 medians over the
+    histogram reduction), so both medians are exact; groups with
+    MAD = 0 (over half the values identical) flag every value NOT
+    equal to the median whose deviation exceeds 0 — i.e. any deviation
+    at all — which is the standard MAD=0 degeneracy; callers with
+    heavily discrete data should screen with value_outliers instead.
+
+    Scale shape: two histogram aggregates (median, then deviation
+    median) + two broadcast joins back — the fact table is scanned
+    three times, shuffled only into the two histograms; for continuous
+    doubles the histograms are ~fact-sized (see group_quantiles —
+    the same value_quantum consideration applies).
+
+    NULL group keys form their own group (null-safe joins throughout).
+    Returns (group_cols..., n, n_outliers, med, mad).
+    """
+    if k <= 0:
+        raise ValueError(f"k must be > 0, got {k}")
+    v = F.col(value_col).cast("double")
+    med = group_quantiles(df, group_cols, value_col, (0.5,)).select(
+        *[F.col(g).alias(f"__g_{g}") for g in group_cols],
+        F.col("value").alias("__med"),
+    )
+    cond = [F.col(g).eqNullSafe(F.col(f"__g_{g}")) for g in group_cols]
+    dev = (
+        df.where(v.isNotNull())
+        .join(F.broadcast(med), cond)
+        .select(*group_cols, v.alias("__v"), "__med")
+        .withColumn("__dev", F.abs(F.col("__v") - F.col("__med")))
+    )
+    mad = group_quantiles(dev, group_cols, "__dev", (0.5,)).select(
+        *[F.col(g).alias(f"__h_{g}") for g in group_cols],
+        F.col("value").alias("__mad"),
+    )
+    cond2 = [F.col(g).eqNullSafe(F.col(f"__h_{g}")) for g in group_cols]
+    scored = dev.join(F.broadcast(mad), cond2)
+    return (
+        scored.groupBy(*group_cols)
+        .agg(
+            F.count("*").alias("n"),
+            F.count(
+                F.when(F.col("__dev") > F.lit(float(k)) * F.col("__mad"), 1)
+            ).alias("n_outliers"),
+            qd(F.first("__med"), 1e6).alias("med"),
+            qd(F.first("__mad"), 1e6).alias("mad"),
+        )
+    )

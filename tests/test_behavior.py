@@ -538,3 +538,21 @@ def test_group_quantiles_value_quantum(spark):
     assert abs(quant[0.5] - exact[0.5]) <= 0.005 + 1e-12
     with pytest.raises(ValueError, match="value_quantum"):
         group_quantiles(df, ["g"], "v", (0.5,), value_quantum=0.0)
+
+
+def test_robust_outliers_resists_extreme_value(spark):
+    # a single huge spike must not hide itself (the value_outliers
+    # failure mode robust stats exist for)
+    from emiproc_spark.operators.stats import robust_outliers
+
+    rows = [("g", float(v)) for v in [1, 2, 3, 2, 1, 2, 3, 2, 1_000_000]]
+    df = spark.createDataFrame(rows, schema="g string, v double")
+    out = {
+        r["g"]: (r["n"], r["n_outliers"], r["med"], r["mad"])
+        for r in robust_outliers(df, ["g"], "v", k=3.5).collect()
+    }
+    n, n_out, med, mad = out["g"]
+    assert (n, n_out) == (9, 1)
+    assert med == 2.0 and mad == 1.0  # deviations: 1,0,1,0,1,0,1,0,big
+    with pytest.raises(ValueError, match="k must be"):
+        robust_outliers(df, ["g"], "v", k=0)

@@ -223,3 +223,25 @@ def test_phrase_count_map_only(spark):
     )
     plan = phrase_count(docs, ["a", "b"])._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # pure scan, no shuffle
+
+
+def test_rrf_fuse_combines_lists(spark):
+    from emiproc_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(1, 9.0), (2, 5.0), (3, 1.0)], "doc_id long, s double"
+    )
+    b = spark.createDataFrame(
+        [(3, 0.9), (4, 0.8), (1, 0.1)], "doc_id long, s double"
+    )
+    out = rrf_fuse([(a, "s"), (b, "s")], k=4).collect()
+    got = {r["doc_id"]: r["rrf"] for r in out}
+    # doc 1: rank 1 in a, rank 3 in b; doc 3: rank 3 in a, rank 1 in b
+    import math
+    exp1 = math.floor((1 / 61 + 1 / 63) * 1e9 + 0.5) / 1e9
+    assert got[1] == exp1 and got[3] == exp1
+    # docs 2 and 4 each appear in only one list
+    assert got[2] == math.floor((1 / 62) * 1e9 + 0.5) / 1e9
+    assert set(got) == {1, 2, 3, 4}
+    with pytest.raises(ValueError, match="two ranked lists"):
+        rrf_fuse([(a, "s")])
