@@ -1227,3 +1227,31 @@ def test_phrase_count_million_docs(spark):
     assert "Exchange" not in plan
     print(f"\n1M-doc phrase count wall: {dt:.1f}s")
     assert dt < 60
+
+
+@scale
+def test_kmeans_million_vectors(spark):
+    """1M × 16-dim vectors through 3 quantized Lloyd assignments: the
+    assignment scan must stay map-only (centroid literals, no shuffle)
+    and the per-iteration centroid aggregate bounded by k × dim."""
+    from emiproc_spark.operators.similarity import kmeans_iterations
+
+    dim = 16
+    emb = spark.range(1_000_000).select(
+        F.col("id").alias("vec_id"),
+        F.array(
+            *[
+                (((F.col("id") % 10) * 10 + (F.col("id") * (d + 3)) % 7)
+                 ).cast("float") / 10.0
+                for d in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    t0 = time.time()
+    out = kmeans_iterations(emb, k=8, n_iter=3)
+    counts = out.groupBy("cluster").count().collect()
+    dt = time.time() - t0
+    assert sum(r["count"] for r in counts) == 1_000_000
+    assert len(counts) >= 2
+    print(f"\n1M-vector kmeans (3 assigns) wall: {dt:.1f}s")
+    assert dt < 120
