@@ -891,3 +891,112 @@ SQL_ROBUST_OUTLIERS = f"""
 
 QUERIES_R6["robust_outliers"] = q_robust_outliers
 ORACLES_R6["robust_outliers"] = SQL_ROBUST_OUTLIERS
+
+
+# ======================================================================
+# expectations / fk_integrity — declarative data-quality gates
+# (operators/quality.py): the validation pass a pipeline runs on every
+# new drop before curation.
+# ======================================================================
+_EXPECT_RULES = [
+    ("o_orderkey", "not_null", {}),
+    ("o_orderkey", "unique", {}),
+    ("o_totalprice", "range", {"lo": 0.0}),
+    ("o_orderstatus", "in_set", {"values": ["O", "F", "P"]}),
+    ("o_orderpriority", "regex", {"pattern": "^[1-5]-[A-Z]"}),
+    # a rule that FAILS on the fixture, so the violation path is live:
+    # order keys are sparse, far beyond the row count
+    ("o_orderkey", "range", {"hi": 1000.0}),
+]
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.quality import validate_expectations
+
+    return validate_expectations(
+        fx.load(spark, sf_dir, "orders"), _EXPECT_RULES
+    )
+
+
+def _sql_one_rule(col: str, kind: str, cond: str) -> str:
+    return f"""
+    SELECT '{col}' AS "column", '{kind}' AS kind, COUNT(*) AS n_rows,
+           CAST({cond} AS BIGINT) AS n_violations,
+           {cond} = 0 AS pass
+    FROM orders"""
+
+
+SQL_EXPECTATIONS = " UNION ALL ".join(
+    [
+        _sql_one_rule(
+            "o_orderkey", "not_null",
+            "COUNT(CASE WHEN o_orderkey IS NULL THEN 1 END)",
+        ),
+        _sql_one_rule(
+            "o_orderkey", "unique",
+            "COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey)",
+        ),
+        _sql_one_rule(
+            "o_totalprice", "range",
+            "COUNT(CASE WHEN o_totalprice IS NOT NULL"
+            " AND o_totalprice < 0.0 THEN 1 END)",
+        ),
+        _sql_one_rule(
+            "o_orderstatus", "in_set",
+            "COUNT(CASE WHEN o_orderstatus IS NOT NULL"
+            " AND o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 END)",
+        ),
+        _sql_one_rule(
+            "o_orderpriority", "regex",
+            "COUNT(CASE WHEN o_orderpriority IS NOT NULL AND NOT"
+            " regexp_matches(o_orderpriority, '^[1-5]-[A-Z]') THEN 1 END)",
+        ),
+        _sql_one_rule(
+            "o_orderkey", "range",
+            "COUNT(CASE WHEN o_orderkey IS NOT NULL"
+            " AND o_orderkey > 1000.0 THEN 1 END)",
+        ),
+    ]
+)
+
+QUERIES_R6["expectations"] = q_expectations
+ORACLES_R6["expectations"] = SQL_EXPECTATIONS
+
+
+def q_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two referential audits: a clean one (lineitem→orders) and one
+    with live orphans (events.user_id→customer.c_custkey: user ids
+    start at 0, custkeys at 1)."""
+    from emiproc_spark.operators.quality import fk_orphans
+
+    li = fx.load(spark, sf_dir, "lineitem")
+    orders = fx.load(spark, sf_dir, "orders")
+    ev = fx.events(spark, sf_dir)
+    cust = fx.load(spark, sf_dir, "customer")
+    a = fk_orphans(li, orders, "l_orderkey", "o_orderkey", "lineitem.orders")
+    b = fk_orphans(
+        ev, cust, "user_id", "c_custkey", "events.customer"
+    )
+    return a.unionByName(b)
+
+
+SQL_FK_INTEGRITY = """
+    SELECT 'lineitem.orders' AS relation, COUNT(*) AS n_child,
+           CAST(COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END)
+                AS BIGINT) AS n_orphans,
+           COUNT(CASE WHEN o.o_orderkey IS NULL THEN 1 END) = 0 AS pass
+    FROM lineitem l
+    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+      ON l.l_orderkey = o.o_orderkey
+    UNION ALL
+    SELECT 'events.customer', COUNT(*),
+           CAST(COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) AS BIGINT),
+           COUNT(CASE WHEN c.c_custkey IS NULL THEN 1 END) = 0
+    FROM events e
+    LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+      ON e.user_id = c.c_custkey
+"""
+
+QUERIES_R6["expectations"] = q_expectations
+QUERIES_R6["fk_integrity"] = q_fk_integrity
+ORACLES_R6["fk_integrity"] = SQL_FK_INTEGRITY
