@@ -1000,3 +1000,45 @@ SQL_FK_INTEGRITY = """
 QUERIES_R6["expectations"] = q_expectations
 QUERIES_R6["fk_integrity"] = q_fk_integrity
 ORACLES_R6["fk_integrity"] = SQL_FK_INTEGRITY
+
+
+# ======================================================================
+# setsim_exact — exact all-pairs set-similarity join via prefix
+# filtering (operators/dedup.setsim_join).  The oracle computes pure
+# ground truth (every shingle-sharing pair, threshold-filtered) and
+# never models the prefix filter — recall-completeness is exactly what
+# makes that a valid oracle.  Contrast with ngram_jaccard, whose
+# max_shingle_freq guard both sides must model.
+# ======================================================================
+SETSIM_T = 0.8
+
+
+def q_setsim_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators import dedup as dd
+    from emiproc_spark.driver_queries_text import _docs2
+
+    return dd.setsim_join(_docs2(spark, sf_dir), threshold=SETSIM_T, n=3)
+
+
+def _sql_setsim_exact() -> str:
+    from emiproc_spark.driver_queries_text import DOCS2_SQL
+
+    return f"""
+    WITH sh AS ({SHINGLES_SQL.format(docs=DOCS2_SQL)}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, n_common,
+           n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_common / CAST(sa.sz + sb.sz - n_common AS DOUBLE) >= {SETSIM_T}
+"""
+
+
+QUERIES_R6["setsim_exact"] = q_setsim_exact
+ORACLES_R6["setsim_exact"] = _sql_setsim_exact()

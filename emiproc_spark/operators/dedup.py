@@ -978,3 +978,103 @@ def dup_token_fraction(
             F.col("__dup") / F.col("n_tokens"), F.lit(0.0)
         ).alias("dup_frac"),
     )
+
+
+def setsim_join(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs set-similarity join: every pair of documents
+    whose shingle-set Jaccard is ≥ ``threshold`` — the SSJoin/PPJoin
+    prefix-filtering family (Chaudhuri et al. 2006; Xiao et al. 2008),
+    the third point in the near-dup design space: recall-COMPLETE and
+    exact, where ``lsh_candidate_pairs`` is probabilistic and
+    ``ngram_jaccard_pairs``'s ``max_shingle_freq`` guard is lossy.
+
+    Prefix filter: order every document's shingles globally-rarest
+    first; a document of size s keeps a prefix of its first
+    s − ceil(t·s) + 1 shingles.  Two sets with Jaccard ≥ t share
+    ≥ ceil(t·s) elements, which cannot all hide in either side's
+    excluded ceil(t·s) − 1 tail — so qualifying pairs ALWAYS collide
+    in the prefix join (the ceil takes a −1e-9 epsilon so float fuzz
+    can only lengthen a prefix, never shorten it: extra candidates are
+    verified away, lost candidates would be unsound).  Rarest-first
+    ordering keeps stop-shingles out of prefixes, so the candidate
+    join is driven by discriminative shingles — the skew resistance
+    the LSH bucket cap provides, without dropping anything.
+
+    Scale shape: one shingle-frequency aggregate + join (AQE handles
+    the stop-shingle skew — it's a join, not a pair explosion), one
+    per-doc window for the prefix ranks, the prefix self-join (bounded
+    by rare-shingle collisions), then the standard semi-filtered exact
+    verify.  Returns (doc_a, doc_b, n_common, jaccard ≥ threshold).
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # the shingle relation feeds the frequency agg, the prefix ranks
+    # and (indirectly) the verify — cache it once (ngram_jaccard_pairs
+    # does the same)
+    sh = doc_shingles(docs, text_col, n).cache()
+    if id_col != "doc_id":
+        sh = sh.withColumnRenamed("doc_id", id_col)
+    freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
+    sized = sh.join(freq, "shingle")
+    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
+    sz = Window.partitionBy(id_col)
+    pre = (
+        sized.withColumn("__pos", F.row_number().over(w))
+        .withColumn("__sz", F.count("*").over(sz))
+        .where(
+            F.col("__pos")
+            <= F.col("__sz")
+            - F.ceil(F.lit(float(threshold)) * F.col("__sz") - F.lit(1e-9))
+            + 1
+        )
+    )
+    pa = pre.select(
+        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("__pos").alias("__pa"), F.col("__sz").alias("__sa"),
+    )
+    pb = pre.select(
+        F.col(id_col).alias("doc_b"), "shingle",
+        F.col("__pos").alias("__pb"), F.col("__sz").alias("__sb"),
+    )
+    t = float(threshold)
+    # size filter inside the join: J >= t forces t*max(|a|,|b|) <= min
+    raw = pa.join(pb, "shingle").where(
+        (F.col("doc_a") < F.col("doc_b"))
+        & (F.col("__sb") >= F.lit(t) * F.col("__sa") - F.lit(1e-9))
+        & (F.col("__sa") >= F.lit(t) * F.col("__sb") - F.lit(1e-9))
+    )
+    # positional filter (PPJoin): from a collision at (pos_a, pos_b) at
+    # most 1 + min(|a|-pos_a, |b|-pos_b) common elements are still
+    # possible; J >= t needs overlap >= ceil(t/(1+t)*(|a|+|b|)), so a
+    # pair none of whose collisions can reach that bound is dead before
+    # the (much costlier) exact verify — epsilons again only ever RELAX
+    # a bound, keeping the filter recall-safe
+    ub = F.lit(1) + F.least(
+        F.col("__sa") - F.col("__pa"), F.col("__sb") - F.col("__pb")
+    )
+    alpha = F.ceil(
+        F.lit(t / (1.0 + t)) * (F.col("__sa") + F.col("__sb")) - F.lit(1e-9)
+    )
+    cand = (
+        raw.groupBy("doc_a", "doc_b")
+        .agg(F.max(ub).alias("__ub"), F.first(alpha).alias("__alpha"))
+        .where(F.col("__ub") >= F.col("__alpha"))
+        .select("doc_a", "doc_b")
+        # verify_candidate_pairs references the pair relation three
+        # times (both cand_docs arms + the intersection join); without
+        # truncating lineage the whole prefix pipeline re-executes per
+        # reference (~4x the query cost in a vanilla session)
+        .localCheckpoint(eager=False)
+    )
+    d = docs
+    if id_col != "doc_id":
+        d = d.withColumnRenamed(id_col, "doc_id")
+    return verify_candidate_pairs(d, cand, text_col, n, threshold)

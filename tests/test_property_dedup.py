@@ -108,3 +108,44 @@ def test_winnowing_guarantee_property(spark, texts, k, w):
         # Spark's split(text, ' ') keeps empty tokens — mirror it here
         n_sh = max(len(text.split(" ")) - k + 1, 0)
         assert len(by_doc.get(i, ())) <= max(n_sh, 0) or n_sh == 0
+
+
+def test_setsim_join_matches_bruteforce(spark):
+    # recall-completeness: prefix+size+positional filters must lose
+    # NOTHING vs the brute-force threshold join
+    import itertools
+
+    from emiproc_spark.operators.dedup import ngram_jaccard_pairs, setsim_join
+
+    words = ["w%d" % i for i in range(12)]
+    rows = []
+    for i in range(30):
+        # overlapping sliding windows of a small vocab => many pairs at
+        # varied Jaccard levels, plus exact twins every 10th doc
+        start = i % 7
+        toks = [words[(start + j) % 12] for j in range(6 + i % 3)]
+        rows.append((i, " ".join(toks)))
+    rows += [(100 + i, rows[i][1]) for i in range(0, 30, 10)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 0.9):
+        fast = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in setsim_join(docs, threshold=t).collect()
+        }
+        brute = {
+            (r["doc_a"], r["doc_b"], r["n_common"], r["jaccard"])
+            for r in ngram_jaccard_pairs(
+                docs, threshold=t, max_shingle_freq=None
+            ).collect()
+        }
+        assert fast == brute, f"t={t}: {fast ^ brute}"
+
+
+def test_setsim_join_validates_threshold(spark):
+    from emiproc_spark.operators.dedup import setsim_join
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="threshold"):
+        setsim_join(docs, threshold=0.0)
