@@ -208,6 +208,12 @@ def apply_changelog(
     """
     keys = list(keys)
     out_cols = [c for c in snapshot.columns]
+    if op_col in out_cols:
+        # the snapshot must be plain state: an op column there would
+        # silently ride into the output AND be read as the op marker
+        raise ValueError(
+            f"snapshot must not contain the op column {op_col!r}"
+        )
     missing = [c for c in [*keys, *out_cols] if c not in changelog.columns]
     if missing:
         raise ValueError(

@@ -292,3 +292,14 @@ def test_resample_interp_single_exchange(spark):
     # obs agg (k, bucket) ×2 join sides + bounds (k) + ONE shared
     # window exchange (k) — a second per-window exchange would make 5
     assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_apply_changelog_rejects_op_in_snapshot(spark):
+    from emiproc_spark.operators.history import apply_changelog
+
+    snap = spark.createDataFrame([(1, "upsert")], "k long, op string")
+    chg = spark.createDataFrame(
+        [(1, "upsert", 2, "upsert")], "k long, op string, ts long, op2 string"
+    )
+    with pytest.raises(ValueError, match="must not contain the op column"):
+        apply_changelog(snap, chg, ["k"], ["ts"])
