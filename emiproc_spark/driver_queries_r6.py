@@ -1042,3 +1042,107 @@ def _sql_setsim_exact() -> str:
 
 QUERIES_R6["setsim_exact"] = q_setsim_exact
 ORACLES_R6["setsim_exact"] = _sql_setsim_exact()
+
+
+# ======================================================================
+# vocab_coverage — tokenizer vocabulary induction + OOV audit
+# (operators/text.vocab_coverage)
+# ======================================================================
+VOCAB_V = 16
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import vocab_coverage
+
+    d = fx.load(spark, sf_dir, "documents").select("source", "text")
+    return vocab_coverage(d, v_size=VOCAB_V)
+
+
+SQL_VOCAB_COVERAGE = f"""
+    WITH tok AS (
+        SELECT source, t.tok
+        FROM (SELECT source, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(toks) AS t(tok)
+    ),
+    vocab AS (
+        SELECT tok FROM (
+            SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok
+        ) ORDER BY c DESC, tok LIMIT {VOCAB_V}
+    )
+    SELECT source, COUNT(*) AS n_tokens,
+           COUNT(CASE WHEN v.tok IS NULL THEN 1 END) AS n_oov,
+           FLOOR(COUNT(CASE WHEN v.tok IS NULL THEN 1 END)
+                 / CAST(COUNT(*) AS DOUBLE) * 1e9 + 0.5) / 1e9 AS oov_rate
+    FROM tok LEFT JOIN vocab v ON v.tok = tok.tok
+    GROUP BY source
+"""
+
+QUERIES_R6["vocab_coverage"] = q_vocab_coverage
+ORACLES_R6["vocab_coverage"] = SQL_VOCAB_COVERAGE
+
+
+# ======================================================================
+# attribution — last-touch purchase→click attribution within a 7-day
+# window (operators/joins.asof_join over the events stream): the
+# canonical marketing/behavioral as-of use, and a second driver-grade
+# exercise of the union+running-window as-of plan.
+# ======================================================================
+ATTR_TOL_NS = 7 * 24 * 3_600_000_000_000
+
+
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.joins import asof_join
+
+    ev = fx.events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(
+        purchases,
+        clicks,
+        "ts",
+        ["user_id"],
+        ["click_id"],
+        tolerance=ATTR_TOL_NS,
+        direction="backward",
+    )
+    # unattributed purchases carry -1 (not NULL): the parity canon
+    # sorts rows column-wise and a nullable FIRST column cannot order
+    # against strings — the registry-wide convention is null-free keys
+    return out.select(
+        "purchase_id",
+        "user_id",
+        F.coalesce("click_id", F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("ts") - F.col("ts_right"), F.lit(-1)).alias(
+            "gap_ns"
+        ),
+    )
+
+
+SQL_ATTRIBUTION = f"""
+    WITH ev AS (
+        SELECT event_id, user_id, event_type, epoch_ns(ts) AS tsn
+        FROM events
+    ),
+    p AS (
+        SELECT event_id AS purchase_id, user_id, tsn
+        FROM ev WHERE event_type = 'purchase'
+    )
+    SELECT p.purchase_id, p.user_id,
+           COALESCE(c.click_id, -1) AS click_id,
+           COALESCE(p.tsn - c.ctsn, -1) AS gap_ns
+    FROM p LEFT JOIN LATERAL (
+        SELECT e.event_id AS click_id, e.tsn AS ctsn
+        FROM ev e
+        WHERE e.user_id = p.user_id AND e.event_type = 'click'
+          AND e.tsn <= p.tsn AND e.tsn >= p.tsn - {ATTR_TOL_NS}
+        ORDER BY e.tsn DESC, e.event_id DESC LIMIT 1
+    ) c ON TRUE
+"""
+
+QUERIES_R6["attribution"] = q_attribution
+ORACLES_R6["attribution"] = SQL_ATTRIBUTION

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.qhelpers import qd
+
 # small English stopword set for the heuristic scorers (deterministic,
 # shared with oracle SQL via STOPWORDS_SQL)
 STOPWORDS = ["the", "a", "an", "and", "of", "to", "in", "is", "it", "for"]
@@ -610,4 +612,48 @@ def bigram_logprob(
                 / F.lit(qscale)
             ).alias("mean_logprob"),
         )
+    )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    v_size: int,
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenizer-prep vocabulary audit: induce the top-``v_size``
+    vocabulary by corpus frequency (ties → lexicographically smaller
+    token, so the cut is deterministic) and report per-group
+    out-of-vocabulary rates — the number that decides whether a
+    tokenizer's vocab budget fits a new data source.
+
+    Scale shape: one token-count aggregate (map-side combined), a
+    v_size-bounded TakeOrdered for the vocabulary, then a broadcast
+    left join back onto the token stream and one rollup per group —
+    the corpus is scanned twice and shuffled only into the two
+    aggregates; the vocabulary itself never exceeds v_size rows.
+
+    Returns (group_col, n_tokens, n_oov, oov_rate).
+    """
+    if v_size < 1:
+        raise ValueError(f"v_size must be >= 1, got {v_size}")
+    tok = docs.select(
+        group_col, F.explode(tokens(F.col(text_col))).alias("__t")
+    )
+    vocab = (
+        tok.groupBy("__t")
+        .agg(F.count("*").alias("__c"))
+        .orderBy(F.col("__c").desc(), "__t")
+        .limit(v_size)
+        .select("__t", F.lit(1).alias("__in"))
+    )
+    flagged = tok.join(F.broadcast(vocab), "__t", "left")
+    return flagged.groupBy(group_col).agg(
+        F.count("*").alias("n_tokens"),
+        F.count(F.when(F.col("__in").isNull(), 1)).alias("n_oov"),
+        qd(
+            F.count(F.when(F.col("__in").isNull(), 1))
+            / F.count("*"),
+            1e9,
+        ).alias("oov_rate"),
     )

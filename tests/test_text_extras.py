@@ -333,3 +333,26 @@ def test_bigram_logprob_prefers_coherent_sequences(spark):
     assert out[1]["n_bigrams"] == 5
     assert out[1]["mean_logprob"] == out[2]["mean_logprob"]
     assert out[1]["mean_logprob"] > out[3]["mean_logprob"]
+
+
+def test_vocab_coverage_oov_rates(spark):
+    from emiproc_spark.operators.text import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [
+            ("a", "x x x y"),       # with V=2 vocab {x, y}: 0 OOV
+            ("b", "x q r"),         # 2 OOV of 3
+            ("b", "y y z"),         # 1 OOV of 3
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in vocab_coverage(docs, v_size=2).collect()
+    }
+    assert out["a"] == (4, 0, 0.0)
+    assert out["b"] == (6, 3, 0.5)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="v_size"):
+        vocab_coverage(docs, 0)
