@@ -1484,6 +1484,10 @@ _REVERIFY = [
     "value_outliers", "cohort_retention", "active_users",
     "minhash_est", "lsh_quality", "lsh_verified", "data_split",
     "group_quantiles", "resample_locf",
+    # 3b — fan-out widening in temporal.py (pre-fan-out repartition)
+    # touches every hourly-expansion path
+    "temporal_expand", "temporal_expand_cell", "wrf_flux",
+    "fluxie_export",
 ]
 
 _FRONT = {
