@@ -1488,6 +1488,11 @@ _REVERIFY = [
     # touches every hourly-expansion path
     "temporal_expand", "temporal_expand_cell", "wrf_flux",
     "fluxie_export",
+    # 3c — the same widening in doc_shingles touches every consumer of
+    # ngram_jaccard_pairs / minhash_signatures / verify_candidate_pairs
+    # not already rotated in above
+    "ngram_jaccard", "minhash_lsh", "lsh_capped", "minhash_inc",
+    "dedup_representative", "dup_clusters",
 ]
 
 _FRONT = {

@@ -44,8 +44,16 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     Tokenization is materialized into a column in its own projection so
     the split runs once per document — inlining it into the shingle
     lambda re-evaluates it per array element (~6× slower end-to-end).
+    The input is widened to default parallelism first: the shingle
+    explode (and the md5 hashing layered on it downstream) is the
+    family's dominant map cost and must not inherit a compacted
+    input's 1-3 scan partitions.
     """
-    tok = docs.select("doc_id", tokens(F.col(text_col)).alias("toks"))
+    from emiproc_spark.qhelpers import widen_for_fanout
+
+    tok = widen_for_fanout(docs).select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    )
     return tok.select("doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle")).distinct()
 
 

@@ -39,3 +39,16 @@ def qd(col, scale: float = QR) -> F.Column:
 
 def sql_qd(expr: str, scale: float = QR) -> str:
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
+
+
+def widen_for_fanout(df):
+    """Repartition a fact relation up to the cluster's default
+    parallelism BEFORE a row-amplifying map stage (hour fan-out,
+    shingle explode + hashing).  Compacted small inputs can present
+    1-3 scan partitions, serializing the expensive map work on a
+    many-core executor; at scale inputs already exceed
+    defaultParallelism and this is a no-op (no shuffle)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        return df.repartition(par)
+    return df
