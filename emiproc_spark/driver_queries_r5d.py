@@ -33,8 +33,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
+from emiproc_spark.qhelpers import sql_floor_div
 from emiproc_spark.operators.layout import zorder_key_sql
-from emiproc_spark.qhelpers import sql_sumd, sumd
+from emiproc_spark.qhelpers import sql_sumd, sumd, sql_floor_div
 
 # ======================================================================
 # scd2_history — changelog → SCD2 versions (operators/history.py)
@@ -111,15 +112,15 @@ SQL_RESAMPLE_LOCF = f"""
     ),
     obs AS (
         SELECT user_id, b, value FROM (
-            SELECT user_id, tsn // {LOCF_BUCKET_NS} AS b, value,
+            SELECT user_id, {sql_floor_div('tsn', LOCF_BUCKET_NS)} AS b, value,
                    ROW_NUMBER() OVER (
-                       PARTITION BY user_id, tsn // {LOCF_BUCKET_NS}
+                       PARTITION BY user_id, {sql_floor_div('tsn', LOCF_BUCKET_NS)}
                        ORDER BY tsn DESC, event_id DESC) AS rn
             FROM ev) WHERE rn = 1
     ),
     bounds AS (
-        SELECT user_id, MIN(tsn // {LOCF_BUCKET_NS}) AS b0,
-               MAX(tsn // {LOCF_BUCKET_NS}) AS b1
+        SELECT user_id, MIN({sql_floor_div('tsn', LOCF_BUCKET_NS)}) AS b0,
+               MAX({sql_floor_div('tsn', LOCF_BUCKET_NS)}) AS b1
         FROM ev GROUP BY user_id
     ),
     lat AS (

@@ -25,8 +25,9 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
+from emiproc_spark.qhelpers import sql_floor_div
 from emiproc_spark.driver_queries_text import DIM, _dotq, sql_dotq
-from emiproc_spark.qhelpers import sql_qd
+from emiproc_spark.qhelpers import sql_qd, sql_floor_div
 
 # ======================================================================
 # funnel — ordered event funnel (operators/behavior.py)
@@ -89,7 +90,7 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_COHORT_RETENTION = f"""
     WITH ev AS (
-        SELECT user_id, epoch_ns(ts) // {_WEEK_NS} AS period FROM events
+        SELECT user_id, {sql_floor_div('epoch_ns(ts)', _WEEK_NS)} AS period FROM events
     ),
     c AS (
         SELECT user_id, period,

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
+from emiproc_spark.qhelpers import sql_floor_div
 
 _FUNNEL_STEPS = ["view", "click", "purchase"]
 
@@ -282,7 +283,7 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_ACTIVE_USERS = f"""
     WITH d AS (
-        SELECT DISTINCT user_id, epoch_ns(ts) // {_DAY_NS} AS p
+        SELECT DISTINCT user_id, {sql_floor_div('epoch_ns(ts)', _DAY_NS)} AS p
         FROM events
     ),
     e AS (

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
+from emiproc_spark.qhelpers import sql_floor_div
 from emiproc_spark.driver_queries_curate import SQL_CORPUS_PLANTED, _sql_ngrams
 from emiproc_spark.driver_queries_text import (
     DIM,
@@ -42,7 +43,7 @@ from emiproc_spark.driver_queries_text import (
     sql_dotq,
 )
 from emiproc_spark.operators.sampling import sql_hash_fraction
-from emiproc_spark.qhelpers import qd, sql_qd
+from emiproc_spark.qhelpers import qd, sql_qd, sql_floor_div
 
 QUERIES_R6: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES_R6: dict[str, str] = {}
@@ -476,9 +477,9 @@ SQL_RESAMPLE_INTERP = f"""
     ),
     obs AS (
         SELECT user_id, b, value AS v, tsn AS t FROM (
-            SELECT user_id, tsn // {INTERP_BUCKET_NS} AS b, value, tsn,
+            SELECT user_id, {sql_floor_div('tsn', INTERP_BUCKET_NS)} AS b, value, tsn,
                    ROW_NUMBER() OVER (
-                       PARTITION BY user_id, tsn // {INTERP_BUCKET_NS}
+                       PARTITION BY user_id, {sql_floor_div('tsn', INTERP_BUCKET_NS)}
                        ORDER BY tsn DESC, event_id DESC) AS rn
             FROM ev) WHERE rn = 1
     ),

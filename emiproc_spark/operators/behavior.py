@@ -18,9 +18,11 @@ from pyspark.sql import functions as F
 def _floor_period(ts_col: str, period_ns: int):
     """FLOOR-division period bucket over epoch-ns BIGINT — pure int64
     (no double rounding at 1e18 scale) and floor (not truncate-toward-
-    zero) semantics, so pre-1970 timestamps bucket like DuckDB's ``//``:
+    zero) semantics, so pre-1970 timestamps bucket mathematically:
     ``pmod`` makes the numerator an exact multiple of the period, then
-    integer DIV is exact.  (Only timestamps within period_ns of the
+    integer DIV is exact.  (``qhelpers.sql_floor_div`` is the DuckDB
+    rendering — its integer ``//`` truncates, so the oracle needs the
+    same pmod trick.)  (Only timestamps within period_ns of the
     int64 minimum could overflow — unrepresentable as real epochs.)
     """
     if not re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", ts_col):
@@ -113,8 +115,9 @@ def cohort_retention(
     ``ts_col`` must be epoch-nanoseconds BIGINT (fixtures.events);
     periods use pure-int64 FLOOR division so 1e18-scale nanos never
     round through a double and pre-1970 timestamps bucket correctly
-    (DuckDB ``//`` semantics — truncation would collapse two distinct
-    negative-epoch periods into period 0).  Offsets are per-period-distinct, so the final rollup is a
+    (truncation would collapse two distinct negative-epoch periods
+    into period 0; the oracles render the same floor via
+    ``qhelpers.sql_floor_div`` — DuckDB's integer ``//`` truncates).  Offsets are per-period-distinct, so the final rollup is a
     plain COUNT(*) over the per-(user, period) distinct set — no
     count-distinct expansion.
 

@@ -146,7 +146,7 @@ def resample_locf(
     # pure-int64 FLOOR division — float division of epoch-nanos
     # (> 2^53) would misplace boundary timestamps by one bucket, and
     # bare DIV truncates toward zero, which would collapse two distinct
-    # pre-1970 buckets into bucket 0 (DuckDB // is floor)
+    # pre-1970 buckets into bucket 0 (oracles mirror via sql_floor_div)
     p = int(bucket_ns)
     bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
     ordkey = F.struct(

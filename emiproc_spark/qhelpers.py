@@ -52,3 +52,17 @@ def widen_for_fanout(df):
     if df.rdd.getNumPartitions() < par:
         return df.repartition(par)
     return df
+
+
+def sql_floor_div(expr: str, p: int) -> str:
+    """DuckDB rendering of int64 FLOOR division by a positive constant.
+
+    DuckDB's integer ``//`` TRUNCATES toward zero (``-1 // 7 = 0``), so
+    a bare ``//`` would diverge from the engines' floor-bucket
+    operators on pre-1970 timestamps; subtracting the positive modulus
+    first makes the numerator an exact multiple, where truncation and
+    floor coincide — mirroring the Spark side's pmod + DIV."""
+    p = int(p)
+    if p <= 0:
+        raise ValueError(f"period must be positive, got {p}")
+    return f"(({expr}) - (((({expr}) % {p}) + {p}) % {p})) // {p}"

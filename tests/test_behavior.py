@@ -556,3 +556,14 @@ def test_robust_outliers_resists_extreme_value(spark):
     assert med == 2.0 and mad == 1.0  # deviations: 1,0,1,0,1,0,1,0,big
     with pytest.raises(ValueError, match="k must be"):
         robust_outliers(df, ["g"], "v", k=0)
+
+
+def test_widen_for_fanout_noop_when_wide(spark):
+    from emiproc_spark.qhelpers import widen_for_fanout
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert widen_for_fanout(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(1000).repartition(par + 4)
+    # already at/above parallelism: returned as-is, no extra shuffle
+    assert widen_for_fanout(wide).rdd.getNumPartitions() == par + 4

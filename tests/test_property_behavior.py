@@ -90,3 +90,38 @@ def test_duplicated_spans_match_bruteforce(spark, docs_list):
         for r in duplicated_spans(df, n=2, min_docs=2).collect()
     }
     assert got == _spans_ref(docs_tokens, 2, 2)
+
+
+def test_floor_period_matches_duckdb_floor_division(spark):
+    # the parity-critical primitive pair: Spark's pmod+DIV bucket must
+    # equal the DuckDB rendering (qhelpers.sql_floor_div) AND true
+    # mathematical floor, for negative, zero and huge epoch-ns values.
+    # (DuckDB's bare integer // TRUNCATES — that is exactly why the
+    # explicit rendering exists.)
+    import duckdb
+
+    from emiproc_spark.operators.behavior import _floor_period
+    from emiproc_spark.qhelpers import sql_floor_div
+
+    vals = [
+        0, 1, -1, 7, -7, 99, -99, 100, -100, 101, -101,
+        3_600_000_000_000 - 1, -3_600_000_000_000 - 1,
+        2**62, -(2**62), 1786795858_894636000,
+    ]
+    periods = [1, 7, 100, 3_600_000_000_000]
+    df = spark.createDataFrame([(v,) for v in vals], "ts long")
+    for p in periods:
+        got = {
+            r["ts"]: r["b"]
+            for r in df.select("ts", _floor_period("ts", p).alias("b")).collect()
+        }
+        expr = sql_floor_div("x", p)
+        oracle = dict(
+            duckdb.sql(
+                f"SELECT x, {expr} FROM (SELECT UNNEST($v) AS x)",
+                params={"v": vals},
+            ).fetchall()
+        )
+        want = {v: v // p for v in vals}  # python // IS floor
+        assert got == want, f"spark vs floor, period {p}"
+        assert oracle == want, f"duckdb rendering vs floor, period {p}"
