@@ -1147,3 +1147,125 @@ SQL_ATTRIBUTION = f"""
 
 QUERIES_R6["attribution"] = q_attribution
 ORACLES_R6["attribution"] = SQL_ATTRIBUTION
+
+
+# ======================================================================
+# quantile_quantum — the group_quantiles value_quantum knob under
+# driver evidence: continuous doubles pre-rounded to a 0.25 quantum
+# bound the histogram (operators/stats.group_quantiles).
+# ======================================================================
+QQ_QUANTILES = (0.5, 0.9)
+QQ_QUANTUM = 0.25  # a power of two: rounded values are exact doubles
+
+
+def q_quantile_quantum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.stats import group_quantiles
+
+    ev = fx.events(spark, sf_dir).select("event_type", "value")
+    out = group_quantiles(
+        ev, ["event_type"], "value", QQ_QUANTILES, value_quantum=QQ_QUANTUM
+    )
+    return out.select("event_type", "q", qd("value").alias("value"))
+
+
+def _sql_quantile_quantum() -> str:
+    branches = " UNION ALL ".join(
+        f"SELECT event_type, {q} AS q, quantile_cont(v, {q}) AS qv "
+        "FROM r GROUP BY event_type"
+        for q in QQ_QUANTILES
+    )
+    return f"""
+    WITH r AS (
+        SELECT event_type,
+               FLOOR(value / {QQ_QUANTUM} + 0.5) * {QQ_QUANTUM} AS v
+        FROM events WHERE value IS NOT NULL
+    )
+    SELECT event_type, q, {sql_qd('qv')} AS value FROM ({branches})
+"""
+
+
+QUERIES_R6["quantile_quantum"] = q_quantile_quantum
+ORACLES_R6["quantile_quantum"] = _sql_quantile_quantum()
+
+
+# ======================================================================
+# zipf_slope — rank-frequency power-law diagnostic over the token
+# distribution: OLS slope of ln(freq) on ln(rank).  Natural text sits
+# near -1; a synthetic or deduplicated-to-death corpus does not — a
+# one-number corpus-health indicator.  Logs are quantized PER ROW to
+# 1e-6 before exact integer sums (the unigram_logprob convention), so
+# the regression arithmetic is engine-identical.
+# ======================================================================
+ZIPF_SCALE = 1_000_000
+
+
+def q_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import tokens
+
+    d = fx.load(spark, sf_dir, "documents").select("text")
+    freq = (
+        d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    ranked = freq.withColumn("r", F.row_number().over(w))
+    s = F.lit(float(ZIPF_SCALE))
+    q = ranked.select(
+        F.floor(F.log(F.col("r").cast("double")) * s + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * s + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    agg = q.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_ranked"),
+        qd(slope, 1e6).alias("slope"),
+    )
+
+
+SQL_ZIPF_SLOPE = f"""
+    WITH tok AS (
+        SELECT t.tok
+        FROM (SELECT string_split(text, ' ') AS toks FROM documents),
+             UNNEST(toks) AS t(tok)
+    ),
+    f AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY tok),
+    rk AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM f
+    ),
+    q AS (
+        SELECT CAST(FLOOR(LN(r) * {ZIPF_SCALE} + 0.5) AS BIGINT) AS x,
+               CAST(FLOOR(LN(c) * {ZIPF_SCALE} + 0.5) AS BIGINT) AS y
+        FROM rk
+    ),
+    s AS (
+        SELECT COUNT(*) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM q
+    )
+    SELECT CAST(n AS BIGINT) AS n_ranked,
+           FLOOR(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6 + 0.5) / 1e6
+               AS slope
+    FROM s
+"""
+
+QUERIES_R6["zipf_slope"] = q_zipf_slope
+ORACLES_R6["zipf_slope"] = SQL_ZIPF_SLOPE
