@@ -393,6 +393,10 @@ def curate_corpus(
             | (F.col("doc_id") == F.col("keep_doc_id"))
         )
         .drop("__h", "keep_doc_id")
+        # exact_kept feeds the signature build, the exact verify AND the
+        # representative collapse — without truncating lineage each
+        # reference re-derives the exact-dedup join from the source scan
+        .localCheckpoint(eager=False)
     )
 
     # 2 — near-dedup (verify-then-cluster)
