@@ -246,8 +246,10 @@ def resample_interp(
     covers each key's own [min_bucket, max_bucket].  A bucket holding
     observations emits its LAST observation's value (by ``ts,
     *tiebreak``) with ``is_gap = false``.  An empty bucket linearly
-    interpolates between the previous and next observations, evaluated
-    at the bucket's start timestamp:
+    interpolates between the neighbouring BUCKET REPRESENTATIVES (the
+    per-bucket last observations — each bucket contributes one anchor,
+    so a bursty bucket doesn't bend the line with its intermediate
+    points), evaluated at the bucket's start timestamp:
 
         v = v_prev + (v_next - v_prev) · (t - t_prev) / (t_next - t_prev)
 

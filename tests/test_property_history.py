@@ -1,0 +1,86 @@
+"""Property tests for changelog/resample operators against independent
+Python reference models on random inputs."""
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from emiproc_spark.operators.history import apply_changelog, resample_interp
+
+key = st.integers(1, 4)
+ts = st.integers(-40, 40)
+
+
+@given(
+    st.lists(st.tuples(key, st.integers(0, 99)), min_size=0, max_size=8,
+             unique_by=lambda r: r[0]),
+    st.lists(st.tuples(key, st.integers(0, 99), ts,
+                       st.booleans()), min_size=0, max_size=16,
+             unique_by=lambda r: (r[0], r[2])),
+)
+@settings(max_examples=12, deadline=None)
+def test_apply_changelog_matches_reference_model(spark, snap_rows, chg_rows):
+    # reference model: latest (ts) change per key decides; delete
+    # removes; untouched snapshot keys survive
+    state = {k: v for k, v in snap_rows}
+    latest: dict = {}
+    for k, v, t, is_del in chg_rows:
+        if k not in latest or t > latest[k][0]:
+            latest[k] = (t, v, is_del)
+    for k, (t, v, is_del) in latest.items():
+        if is_del:
+            state.pop(k, None)
+        else:
+            state[k] = v
+    snap = spark.createDataFrame(
+        [(k, v) for k, v in snap_rows] or [(None, None)], "k long, v long"
+    ).where("k IS NOT NULL")
+    chg = spark.createDataFrame(
+        [(k, v, t, "delete" if d else "upsert") for k, v, t, d in chg_rows]
+        or [(None, None, None, None)],
+        "k long, v long, ts long, op string",
+    ).where("k IS NOT NULL")
+    got = {
+        r["k"]: r["v"]
+        for r in apply_changelog(snap, chg, ["k"], ["ts"]).collect()
+    }
+    assert got == state
+
+
+@given(
+    st.lists(st.tuples(st.integers(-50, 50), st.integers(-100, 100)),
+             min_size=1, max_size=10, unique_by=lambda r: r[0]),
+    st.sampled_from([3, 7, 10]),
+)
+@settings(max_examples=12, deadline=None)
+def test_resample_interp_matches_reference_model(spark, obs, bucket):
+    # reference: per bucket last obs; gaps linear-interpolated at the
+    # bucket start between the surrounding observations
+    df = spark.createDataFrame(
+        [(1, t, float(v)) for t, v in obs], "k long, ts long, v double"
+    )
+    got = {
+        r["bucket_start"]: (r["value_q6"], r["is_gap"])
+        for r in resample_interp(df, ["k"], "ts", "v", bucket).collect()
+    }
+    by_bucket: dict = {}
+    for t, v in sorted(obs):
+        by_bucket[t // bucket] = (t, float(v))  # last obs (max ts) wins
+    b0, b1 = min(by_bucket), max(by_bucket)
+    import math
+
+    expect = {}
+    for b in range(b0, b1 + 1):
+        start = b * bucket
+        if b in by_bucket:
+            val, gap = by_bucket[b][1], False
+        else:
+            # anchors are the per-bucket LAST observations (the bucket
+            # representatives), matching the operator and its oracle
+            pb = max(x for x in by_bucket if x < b)
+            nb = min(x for x in by_bucket if x > b)
+            prev, nxt = by_bucket[pb], by_bucket[nb]
+            w = (start - prev[0]) / (nxt[0] - prev[0])
+            val, gap = prev[1] + (nxt[1] - prev[1]) * w, True
+        expect[start] = (math.floor(val * 1e6 + 0.5) / 1e6, gap)
+    assert got == expect
