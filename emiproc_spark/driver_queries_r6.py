@@ -1,5 +1,13 @@
-"""Round-6 driver queries: ANN recall audit + the end-to-end
-curate_corpus pipeline as a driver-checked query.
+"""Round-6 driver queries: recall/quality audits, CDC state, exact
+set-similarity, hybrid retrieval, data-quality gates and corpus
+diagnostics.  Besides the two below, this module declares: cdc_merge +
+stream_cdc (MERGE INTO, batch and arrival-order-independent streaming),
+resample_interp, phrase_search, split_leakage, kmeans_topics
+(unrolled-CTE oracle), hybrid_search (RRF), robust_outliers
+(median/MAD, explicit type-7 oracle), expectations + fk_integrity
+(declarative data-quality), setsim_exact (PPJoin-family exact join
+against a pure ground-truth oracle), vocab_coverage, attribution,
+quantile_quantum and zipf_slope.
 
 - ``ann_recall``: the vector-search analogue of ``lsh_quality`` — for a
   sample of query vectors, the IVF approximate top-10 (nearest-centroid
@@ -998,7 +1006,6 @@ SQL_FK_INTEGRITY = """
       ON e.user_id = c.c_custkey
 """
 
-QUERIES_R6["expectations"] = q_expectations
 QUERIES_R6["fk_integrity"] = q_fk_integrity
 ORACLES_R6["fk_integrity"] = SQL_FK_INTEGRITY
 
