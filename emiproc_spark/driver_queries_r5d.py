@@ -33,7 +33,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
-from emiproc_spark.qhelpers import sql_floor_div
 from emiproc_spark.operators.layout import zorder_key_sql
 from emiproc_spark.qhelpers import sql_sumd, sumd, sql_floor_div
 

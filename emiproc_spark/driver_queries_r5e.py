@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
-from emiproc_spark.qhelpers import sql_floor_div
 from emiproc_spark.driver_queries_text import DIM, _dotq, sql_dotq
 from emiproc_spark.qhelpers import sql_qd, sql_floor_div
 

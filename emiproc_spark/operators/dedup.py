@@ -1024,16 +1024,19 @@ def setsim_join(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # normalize the id ONCE up front: doc_shingles (and everything
+    # below) works in doc_id space, and the output columns are
+    # doc_a/doc_b anyway — renaming after doc_shingles raised
+    # AnalysisException for any non-default id_col (r6 advisor find)
+    d = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
     # the shingle relation feeds the frequency agg, the prefix ranks
     # and (indirectly) the verify — cache it once (ngram_jaccard_pairs
     # does the same)
-    sh = doc_shingles(docs, text_col, n).cache()
-    if id_col != "doc_id":
-        sh = sh.withColumnRenamed("doc_id", id_col)
+    sh = doc_shingles(d, text_col, n).cache()
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     sized = sh.join(freq, "shingle")
-    w = Window.partitionBy(id_col).orderBy("__df", "shingle")
-    sz = Window.partitionBy(id_col)
+    w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
+    sz = Window.partitionBy("doc_id")
     pre = (
         sized.withColumn("__pos", F.row_number().over(w))
         .withColumn("__sz", F.count("*").over(sz))
@@ -1045,11 +1048,11 @@ def setsim_join(
         )
     )
     pa = pre.select(
-        F.col(id_col).alias("doc_a"), "shingle",
+        F.col("doc_id").alias("doc_a"), "shingle",
         F.col("__pos").alias("__pa"), F.col("__sz").alias("__sa"),
     )
     pb = pre.select(
-        F.col(id_col).alias("doc_b"), "shingle",
+        F.col("doc_id").alias("doc_b"), "shingle",
         F.col("__pos").alias("__pb"), F.col("__sz").alias("__sb"),
     )
     t = float(threshold)
@@ -1082,7 +1085,4 @@ def setsim_join(
         # reference (~4x the query cost in a vanilla session)
         .localCheckpoint(eager=False)
     )
-    d = docs
-    if id_col != "doc_id":
-        d = d.withColumnRenamed(id_col, "doc_id")
     return verify_candidate_pairs(d, cand, text_col, n, threshold)

@@ -259,6 +259,15 @@ def resample_interp(
     Values are quantized (1e6) so the two engines' identical per-row
     double arithmetic survives any later aggregation.
 
+    NULL ``value_col`` rows are NOT observations: they are dropped
+    before bucketing (the robust_outliers / quantile_quantum
+    convention), so a bucket whose only rows carry NULL values is a
+    gap and interpolates across, and a NULL can never become a bucket
+    representative that poisons its neighbours' interpolation (the r6
+    advisor's finding: the previous code kept such rows, emitting
+    is_gap = false with a NULL value).  A key whose every value is
+    NULL disappears from the output.
+
     Plan shape: one partial-aggregable groupBy for per-bucket last
     observations, the bounded lattice explode, then TWO window passes
     (forward carry of the previous observation, backward carry of the
@@ -272,7 +281,8 @@ def resample_interp(
     bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
     ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
     obs = (
-        df.withColumn("__bucket", bucket)
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__bucket", bucket)
         .groupBy(*keys, "__bucket")
         .agg(
             F.max_by(

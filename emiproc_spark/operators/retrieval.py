@@ -147,19 +147,25 @@ def rrf_fuse(
     id_col: str = "doc_id",
     c: int = 60,
     k: int = 10,
+    input_k: int = 1000,
 ) -> DataFrame:
-    """Reciprocal-rank fusion of pre-truncated result lists — the
-    standard hybrid-search combiner (lexical BM25 + vector ANN):
+    """Reciprocal-rank fusion of result lists — the standard
+    hybrid-search combiner (lexical BM25 + vector ANN):
     ``score(d) = Σ_lists 1 / (c + rank_list(d))``, lists that missed a
     document contribute nothing.
 
-    ``ranked`` is [(frame, score_col), ...]; each frame is an already
-    top-k-truncated result list (RRF on full corpora would defeat its
-    purpose), ranked here by (score desc, id) so ties are
-    deterministic.  Because inputs are k-sized, the unpartitioned
-    rank windows and the outer joins are driver-light constant-size
-    work — the expensive parts (the retrievers) stay in their own
-    scale-shaped plans.
+    ``ranked`` is [(frame, score_col), ...]; each list is ranked by
+    (score desc, id) so ties are deterministic.  The bounded-input
+    contract is ENFORCED, not assumed: every list is re-truncated to
+    its own top ``input_k`` rows first (orderBy+limit compiles to
+    TakeOrderedAndProject — a distributed partial top-k), so a caller
+    that hands over an untruncated corpus-sized retriever output
+    cannot silently funnel it through single-task ranking.  The rank
+    itself is computed WITHOUT a window: the ≤input_k survivors pack
+    into one sorted array whose posexplode position is the rank —
+    no partition-less WindowExec anywhere in the fused plan.  Scores
+    must be finite (NaN would order differently between the top-k
+    truncation and the array sort).
 
     Returns (id, rrf) — the top ``k`` fused documents, rrf quantized
     (1e9) so downstream order is engine-reproducible.
@@ -168,12 +174,31 @@ def rrf_fuse(
         raise ValueError("rrf_fuse needs at least two ranked lists")
     if c < 1 or k < 1:
         raise ValueError(f"c and k must be >= 1, got {c}, {k}")
+    if input_k < k:
+        raise ValueError(f"input_k ({input_k}) must be >= k ({k})")
     fused = None
     rank_cols = []
     for idx, (df, score_col) in enumerate(ranked):
-        w = Window.orderBy(F.col(score_col).desc(), F.col(id_col))
         rc = f"__r{idx}"
-        r = df.select(id_col, F.row_number().over(w).alias(rc))
+        bounded = (
+            df.select(id_col, score_col)
+            .orderBy(F.col(score_col).desc(), F.col(id_col))
+            .limit(input_k)
+        )
+        # struct order (−score asc, id asc) == (score desc, id asc)
+        arr = bounded.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.col(score_col).cast("double")).alias("ns"),
+                        F.col(id_col).alias("id"),
+                    )
+                )
+            ).alias("a")
+        )
+        r = arr.select(F.posexplode("a").alias("p", "s")).select(
+            F.col("s.id").alias(id_col), (F.col("p") + 1).alias(rc)
+        )
         rank_cols.append(rc)
         fused = r if fused is None else fused.join(r, id_col, "outer")
     score = None

@@ -41,15 +41,55 @@ def sql_qd(expr: str, scale: float = QR) -> str:
     return f"FLOOR(({expr}) * {scale} + 0.5) / {scale}"
 
 
-def widen_for_fanout(df):
+# Below this the fan-out work itself is trivial and the round-robin
+# exchange would cost more than it buys (dimension-sized inputs:
+# profile tables, small candidate lists).  Deliberately small — a
+# compacted 600 KB parquet of documents still amplifies ~100× under
+# the shingle explode and MUST keep widening (the round-6 bench win).
+WIDEN_MIN_BYTES = 32 * 1024
+
+
+def widen_for_fanout(df, min_bytes: int = WIDEN_MIN_BYTES):
     """Repartition a fact relation up to the cluster's default
     parallelism BEFORE a row-amplifying map stage (hour fan-out,
     shingle explode + hashing).  Compacted small inputs can present
     1-3 scan partitions, serializing the expensive map work on a
     many-core executor; at scale inputs already exceed
-    defaultParallelism and this is a no-op (no shuffle)."""
-    par = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < par:
+    defaultParallelism and this is a no-op (no shuffle).
+
+    The gate reads the OPTIMIZED LOGICAL plan's size estimate (for a
+    parquet scan: the file bytes Spark itself uses to cut scan splits)
+    instead of ``df.rdd.getNumPartitions()`` — the RDD conversion
+    forced physical planning per call and pinned a pre-AQE shape.  The
+    logical pass is computed on the DataFrame's own QueryExecution and
+    is reused when the query runs, so the check is ~free.  Widen only
+    when the estimate sits in the window where it matters:
+
+    - below ``min_bytes`` the input is dimension-sized — the fan-out
+      is trivial and the exchange would dominate (skip);
+    - above ``defaultParallelism × maxPartitionBytes`` the scan
+      already yields at least one split per core (skip — the no-op
+      branch every 100 TB input takes);
+    - in between, one round-robin exchange spreads the amplification
+      across the cluster.
+    """
+    spark = df.sparkSession
+    par = spark.sparkContext.defaultParallelism
+    try:
+        size = int(
+            str(
+                df._jdf.queryExecution()
+                .optimizedPlan()
+                .stats()
+                .sizeInBytes()
+            )
+        )
+        max_pb = int(
+            spark._jsparkSession.sessionState().conf().filesMaxPartitionBytes()
+        )
+    except Exception:  # stats unavailable: keep the input untouched
+        return df
+    if min_bytes <= size < par * max_pb:
         return df.repartition(par)
     return df
 

@@ -703,7 +703,11 @@ def changelog_state_stream(
             top = pdf.sort_values(["tsn", "tb"]).iloc[-1]
             if tsn is None or (int(top["tsn"]), int(top["tb"])) > (tsn, tb):
                 tsn, tb = int(top["tsn"]), int(top["tb"])
-                sv, dv, op = top["sv"], float(top["dv"]), top["op"]
+                # a NULL change value must stay NULL — float() would
+                # turn it into NaN, diverging from apply_changelog's
+                # batch semantics (r6 advisor find)
+                dv = None if pd.isna(top["dv"]) else float(top["dv"])
+                sv, op = top["sv"], top["op"]
         ver += 1
         state.update((tsn, tb, sv, dv, op, ver))
         yield pd.DataFrame(

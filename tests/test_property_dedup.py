@@ -149,3 +149,20 @@ def test_setsim_join_validates_threshold(spark):
 
     with _pytest.raises(ValueError, match="threshold"):
         setsim_join(docs, threshold=0.0)
+
+
+def test_setsim_join_custom_id_col(spark):
+    """id_col != 'doc_id' must work end-to-end (r6 advisor: the old
+    code renamed AFTER doc_shingles and raised AnalysisException)."""
+    from emiproc_spark.operators.dedup import setsim_join
+
+    rows = [
+        (10, "a b c d e f"),
+        (11, "a b c d e f"),
+        (12, "x y z q r s"),
+    ]
+    docs = spark.createDataFrame(rows, "page_id long, text string")
+    got = setsim_join(docs, threshold=0.9, id_col="page_id").collect()
+    assert [(r["doc_a"], r["doc_b"], r["jaccard"]) for r in got] == [
+        (10, 11, 1.0)
+    ]

@@ -84,3 +84,21 @@ def test_resample_interp_matches_reference_model(spark, obs, bucket):
             val, gap = prev[1] + (nxt[1] - prev[1]) * w, True
         expect[start] = (math.floor(val * 1e6 + 0.5) / 1e6, gap)
     assert got == expect
+
+
+def test_resample_interp_null_values_are_gaps(spark):
+    # NULL values are not observations: they drop before bucketing, so
+    # a NULL-only bucket is a gap that interpolates across (never a
+    # NULL representative poisoning its neighbours — r6 advisor find),
+    # and an all-NULL key disappears entirely
+    rows = [(1, 0, 10.0), (1, 7, None), (1, 14, 30.0), (2, 0, None)]
+    df = spark.createDataFrame(rows, "k long, ts long, v double")
+    got = {
+        (r["k"], r["bucket_start"]): (r["value_q6"], r["is_gap"])
+        for r in resample_interp(df, ["k"], "ts", "v", 7).collect()
+    }
+    assert got == {
+        (1, 0): (10.0, False),
+        (1, 7): (20.0, True),
+        (1, 14): (30.0, False),
+    }

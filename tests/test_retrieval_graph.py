@@ -245,3 +245,26 @@ def test_rrf_fuse_combines_lists(spark):
     assert set(got) == {1, 2, 3, 4}
     with pytest.raises(ValueError, match="two ranked lists"):
         rrf_fuse([(a, "s")])
+
+
+def test_rrf_fuse_enforces_bounded_input(spark):
+    """The bounded-input contract is load-bearing: an oversized ranked
+    list is truncated to its top input_k BEFORE ranking, and no
+    partition-less Window appears anywhere in the fused plan."""
+    from emiproc_spark.operators.retrieval import rrf_fuse
+
+    big = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), (1000 - F.col("id")).cast("double").alias("s")
+    )
+    out = rrf_fuse([(big, "s"), (big, "s")], k=3, input_k=5)
+    rows = out.collect()
+    # top input_k=5 survive ranking; top k=3 fused: ids 0,1,2 (best s)
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+    import math
+
+    assert rows[0]["rrf"] == math.floor((2 / 61) * 1e9 + 0.5) / 1e9
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="input_k"):
+        rrf_fuse([(big, "s"), (big, "s")], k=10, input_k=5)

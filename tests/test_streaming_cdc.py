@@ -56,3 +56,16 @@ def test_stream_cdc_out_of_order_batches(spark, tmp_path):
     # user 1: latest change (ts 30) is an upsert AFTER a delete -> alive
     # user 2: latest change (ts 31) is a delete -> gone
     assert live == {1: ("b", 3.0)}
+
+
+def test_stream_cdc_null_value_stays_null(spark, tmp_path):
+    # a NULL change value must survive the fold as NULL, not NaN
+    # (float(None) -> NaN diverged from batch apply_changelog)
+    rows = [(1, 10, 1, "a", None, "upsert"), (2, 11, 2, "b", 5.0, "upsert")]
+    schema = "user_id long, tsn long, event_id long, event_type string, value double, op string"
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    res = _drain(changelog_state_stream(stream), spark, "t_cdc_null")
+    got = {r["k"]: r["dv"] for r in res.collect()}
+    assert got[1] is None and got[2] == 5.0
