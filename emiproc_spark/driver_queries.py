@@ -1460,44 +1460,40 @@ from emiproc_spark.driver_queries_r6 import ORACLES_R6, QUERIES_R6  # noqa: E402
 QUERIES.update(QUERIES_R6)
 ORACLES.update(ORACLES_R6)
 
-# Round-6 front-window rotation.  The driver samples a contiguous
-# 50-query block from the FRONT of the registry, so the explicit list
-# below is ordered by evidence need:
-#  1. the 7 declared queries NO driver round has ever sampled (the r5
-#     window overflowed before reaching them),
-#  2. queries whose implementation/semantics changed in r5 after their
-#     last driver check (winnow tokenizer unification),
-#  3. queries whose implementation changed THIS round (null-safe
-#     value_outliers join, floor-division periods, minhash_agreement
-#     left-join guard + the shared candidate-frame store, hash_split
-#     null guard, group_quantiles quantum knob),
-#  4. the new r6 queries.
-# Everything else keeps its r5 ordering behind them; slots 20-50 are
-# refilled by already-green r4/r5 queries (harmless re-verification).
+from emiproc_spark.driver_queries_r7 import ORACLES_R7, QUERIES_R7  # noqa: E402
+
+QUERIES.update(QUERIES_R7)
+ORACLES.update(ORACLES_R7)
+
+# Round-7 front-window rotation.  The driver samples a contiguous
+# 50-query block from the FRONT of the registry; per the standing
+# discipline (registry 4× the window), EVERY query whose implementation
+# changed this round goes first, then the new r7 queries, then
+# already-green refill.  The r6 rotation entries all earned green
+# CORRECTNESS_r06 rows and are trimmed (r6 judge item 2).
 _REVERIFY = [
-    # 1 — never driver-sampled (r5 judge list)
-    "ann_multiprobe", "cf_attrs", "diversity_sample", "gpkg_lines",
-    "profile_validity", "specific_day_sf", "url_dedup",
-    # 2 — changed r5 after last driver check
-    "winnow_fp", "winnow_overlap",
-    # 3 — changed this round
-    "value_outliers", "cohort_retention", "active_users",
-    "minhash_est", "lsh_quality", "lsh_verified", "data_split",
-    "group_quantiles", "resample_locf",
-    # 3b — fan-out widening in temporal.py (pre-fan-out repartition)
-    # touches every hourly-expansion path
+    # 1 — changed this round: zipf head-bounded windowless rank +
+    # double-cast sums; rrf_fuse bounded-input/windowless ranks;
+    # setsim_join id-normalization; resample_interp NULL semantics;
+    # changelog stream NULL fold; curate_corpus gained its gate stage
+    "zipf_slope", "hybrid_search", "setsim_exact", "resample_interp",
+    "stream_cdc", "curate_corpus",
+    # 2 — transitively changed: widen_for_fanout's gate rewrite
+    # (logical-stats window instead of RDD partition count) sits under
+    # every doc_shingles consumer and every hourly fan-out path
     "temporal_expand", "temporal_expand_cell", "wrf_flux",
     "fluxie_export",
-    # 3c — the same widening in doc_shingles touches every consumer of
-    # ngram_jaccard_pairs / minhash_signatures / verify_candidate_pairs
-    # not already rotated in above
     "ngram_jaccard", "minhash_lsh", "lsh_capped", "minhash_inc",
-    "dedup_representative", "dup_clusters",
+    "minhash_est", "lsh_quality", "lsh_verified",
+    "dedup_representative", "dup_clusters", "dedup_best",
+    "split_leakage", "stream_neardup",
 ]
 
 _FRONT = {
     **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
-    # 4 — new this round
+    # 3 — new this round
+    **QUERIES_R7,
+    # refill: recent rounds first (harmless re-verification)
     **QUERIES_R6,
     **QUERIES_R5H,
     **QUERIES_R5G,
@@ -1513,6 +1509,7 @@ ORACLES = _rotate(
     ORACLES,
     {
         **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES},
+        **ORACLES_R7,
         **ORACLES_R6,
         **ORACLES_R5H,
         **ORACLES_R5G,

@@ -282,7 +282,9 @@ def q_curate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stages["packed"]
 
 
-SQL_CURATE_CORPUS = f"""
+# CTE chain through the curated `clean` stage — shared by the packing
+# oracle below and the r7 `curation_gates` oracle (driver_queries_r7)
+SQL_CURATE_CLEAN_CTES = f"""
     WITH RECURSIVE corpus AS ({SQL_CORPUS_PLANTED}),
     exact_kept AS (
         SELECT doc_id, text FROM (
@@ -366,7 +368,9 @@ SQL_CURATE_CORPUS = f"""
         SELECT k.doc_id, k.text FROM kept k
         WHERE k.doc_id NOT IN
               (SELECT DISTINCT cg.doc_id FROM cg JOIN evg USING (ngram))
-    ),
+    )"""
+
+SQL_CURATE_CORPUS = f"""{SQL_CURATE_CLEAN_CTES},
     sharded AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,

@@ -1,0 +1,345 @@
+"""Round-7 driver queries: the declarative data-quality gates wired to
+the engine's own domain invariants, plus a NULL-path regression for the
+interpolated resampler.
+
+- ``curation_gates``: the audited gate frame ``pipelines.curate_corpus``
+  now returns for every drop (unique/present ids, present text, quality
+  floor held) evaluated on the same planted-contamination corpus as
+  ``curate_corpus`` — the oracle recomputes the whole five-stage chain
+  (shared ``SQL_CURATE_CLEAN_CTES``) and then the expectation
+  aggregates, so one green row verifies gates-over-composition.
+- ``remap_gate``: per-substance mass conservation across the regrid
+  (``quality.mass_conservation_gate`` — the reference's
+  ``total_emissions_almost_equal`` recast as a default-on pipeline
+  gate), plus a deliberately violated variant (2× the remapped values)
+  proving the gate actually detects loss/creation of mass.
+- ``ratio_gate``: profile-normalization invariant (every group's ratios
+  sum to 1) over an hourly event-share profile derived from the events
+  table, with one planted broken group — exercising
+  ``quality.ratio_sum_gate``'s exact tick arithmetic.
+- ``resample_nulls``: ``resample_interp`` over events with NULL values
+  injected on a deterministic predicate — driver-verifies the r7 NULL
+  semantics (NULL rows are not observations; their buckets interpolate
+  as gaps) that the NULL-free testdata could never exercise.
+
+Same parity conventions as the earlier modules: per-row IEEE doubles
+are engine-identical, sums ride integer quantization, ties break on
+explicit keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
+from emiproc_spark.driver_queries_r6 import (
+    CURATE_DECON_N,
+    CURATE_JACCARD,
+    CURATE_MAX_DUP_FRAC,
+    CURATE_MIN_TOKENS,
+    INTERP_BUCKET_NS,
+    INTERP_MAX_USER,
+    SQL_CURATE_CLEAN_CTES,
+)
+from emiproc_spark.operators import regrid as rg
+from emiproc_spark.qhelpers import sql_floor_div, sql_sumd, sumd
+
+QUERIES_R7: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES_R7: dict[str, str] = {}
+
+
+# ======================================================================
+# curation_gates — the pipeline's own output-invariant audit frame
+# ======================================================================
+def q_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark import pipelines
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_docs = d.where(F.col("doc_id") % 41 == 0)
+    ev = eval_docs.select(
+        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    )
+    corpus = (
+        d.where(F.col("doc_id") % 41 != 0)
+        .withColumn(
+            "ev_id",
+            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
+        )
+        .join(F.broadcast(ev), "ev_id", "left")
+        .select(
+            "doc_id",
+            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
+        )
+    )
+    stages = pipelines.curate_corpus(
+        corpus,
+        eval_docs,
+        minhash_k=8,
+        bands=4,
+        rows_per_band=2,
+        max_bucket_size=None,
+        jaccard_threshold=CURATE_JACCARD,
+        min_tokens=CURATE_MIN_TOKENS,
+        max_dup_token_frac=CURATE_MAX_DUP_FRAC,
+        decon_n=CURATE_DECON_N,
+        ctx_len=None,  # gates don't depend on the packing stage
+    )
+    return stages["gates"]
+
+
+def _sql_gate_row(col: str, kind: str, viol: str) -> str:
+    return (
+        f"SELECT '{col}' AS \"column\", '{kind}' AS kind, n_rows, "
+        f"{viol} AS n_violations, {viol} = 0 AS pass FROM s"
+    )
+
+
+SQL_CURATION_GATES = f"""{SQL_CURATE_CLEAN_CTES},
+    gated AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM clean
+    ),
+    s AS (
+        SELECT COUNT(*) AS n_rows,
+               COUNT(CASE WHEN doc_id IS NULL THEN 1 END) AS v_id_null,
+               COUNT(doc_id) - COUNT(DISTINCT doc_id) AS v_id_dup,
+               COUNT(CASE WHEN text IS NULL THEN 1 END) AS v_text_null,
+               COUNT(CASE WHEN n_tokens IS NOT NULL
+                     AND n_tokens < {CURATE_MIN_TOKENS} THEN 1 END)
+                   AS v_tok_lo
+        FROM gated
+    )
+    {_sql_gate_row('doc_id', 'not_null', 'v_id_null')}
+    UNION ALL {_sql_gate_row('doc_id', 'unique', 'v_id_dup')}
+    UNION ALL {_sql_gate_row('text', 'not_null', 'v_text_null')}
+    UNION ALL {_sql_gate_row('n_tokens', 'range', 'v_tok_lo')}
+"""
+
+QUERIES_R7["curation_gates"] = q_curation_gates
+ORACLES_R7["curation_gates"] = SQL_CURATION_GATES
+
+
+# ======================================================================
+# remap_gate — mass conservation across the regrid, audited
+# ======================================================================
+GATE_RTOL = 1e-6
+
+
+def q_remap_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.quality import mass_conservation_gate
+
+    e = fx.emissions(spark, sf_dir)
+    w = rg.weights_rect_rect(
+        fx.fine_grid(spark), fx.coarse_grid(spark), tile=fx.COARSE_D
+    )
+    remapped = (
+        e.join(F.broadcast(w), e["cell_id"] == w["src_id"], "inner")
+        .groupBy(F.col("dst_id").alias("cell_id"), "category", "substance")
+        .agg(sumd(F.col("value_kg_y") * F.col("weight")).alias("value_kg_y"))
+    )
+    ok = mass_conservation_gate(
+        e, remapped, rtol=GATE_RTOL, relation="remap_conserves"
+    )
+    # the negative control: doubling the remapped mass must trip the
+    # gate in every substance group — proves the audit detects, not
+    # just that the happy path happens to pass
+    bad = mass_conservation_gate(
+        e,
+        remapped.withColumn("value_kg_y", F.col("value_kg_y") * 2),
+        rtol=GATE_RTOL,
+        relation="remap_x2_detected",
+    )
+    return ok.unionByName(bad)
+
+
+def _sql_mass_gate(relation: str, after_cte: str) -> str:
+    # mirrors mass_conservation_gate: µ-quantized per-substance totals,
+    # relative comparison in identical per-row double arithmetic
+    return f"""
+    SELECT '{relation}' AS relation, COUNT(*) AS n_groups,
+           CAST(COUNT(CASE WHEN ABS(COALESCE(v1, 0.0) - COALESCE(v0, 0.0))
+                > {GATE_RTOL} * GREATEST(ABS(COALESCE(v0, 0.0)),
+                                          ABS(COALESCE(v1, 0.0)), 1e-300)
+                THEN 1 END) AS BIGINT) AS n_violations,
+           COUNT(CASE WHEN ABS(COALESCE(v1, 0.0) - COALESCE(v0, 0.0))
+                > {GATE_RTOL} * GREATEST(ABS(COALESCE(v0, 0.0)),
+                                          ABS(COALESCE(v1, 0.0)), 1e-300)
+                THEN 1 END) = 0 AS pass
+    FROM t0 FULL JOIN {after_cte} USING (substance)
+    """
+
+
+SQL_REMAP_GATE = f"""
+    WITH e AS ({fx.EMISSIONS_SQL}), w AS ({fx.WEIGHTS_SQL}),
+    remap AS (
+        SELECT w.dst_id AS cell_id, e.category, e.substance,
+               {sql_sumd('e.value_kg_y * w.weight')} AS value_kg_y
+        FROM e JOIN w ON e.cell_id = w.src_id
+        GROUP BY 1, 2, 3
+    ),
+    t0 AS (
+        SELECT substance, {sql_sumd('value_kg_y')} AS v0
+        FROM e GROUP BY substance
+    ),
+    t1 AS (
+        SELECT substance, {sql_sumd('value_kg_y')} AS v1
+        FROM remap GROUP BY substance
+    ),
+    t2 AS (
+        SELECT substance, {sql_sumd('value_kg_y * 2')} AS v1
+        FROM remap GROUP BY substance
+    )
+    {_sql_mass_gate('remap_conserves', 't1')}
+    UNION ALL
+    {_sql_mass_gate('remap_x2_detected', 't2')}
+"""
+
+QUERIES_R7["remap_gate"] = q_remap_gate
+ORACLES_R7["remap_gate"] = SQL_REMAP_GATE
+
+
+# ======================================================================
+# ratio_gate — profile rows must sum to 1 (exact tick arithmetic)
+# ======================================================================
+NS_PER_HOUR = fx.NS_PER_HOUR
+
+
+def q_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.quality import ratio_sum_gate
+
+    ev = fx.events(spark, sf_dir)
+    hourly = ev.groupBy(
+        "event_type",
+        ((F.col("ts") / F.lit(NS_PER_HOUR)).cast("long") % 24)
+        .cast("int")
+        .alias("hour_of_day"),
+    ).agg(F.count("*").alias("c"))
+    totals = hourly.groupBy("event_type").agg(F.sum("c").alias("ct"))
+    ratios = hourly.join(totals, "event_type").select(
+        F.col("event_type").alias("grp"),
+        (F.col("c") / F.col("ct")).alias("ratio"),
+    )
+    broken = spark.createDataFrame(
+        [("__broken", 0.5), ("__broken", 0.4)], "grp string, ratio double"
+    )
+    return ratio_sum_gate(ratios.unionByName(broken), ["grp"], "ratio")
+
+
+SQL_RATIO_GATE = f"""
+    WITH h AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch_ns(ts) / {NS_PER_HOUR}.0) AS BIGINT) % 24
+                   AS hour_of_day,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(c) AS ct FROM h GROUP BY event_type),
+    r AS (
+        SELECT h.event_type AS grp,
+               CAST(c AS DOUBLE) / CAST(ct AS DOUBLE) AS ratio
+        FROM h JOIN t USING (event_type)
+        UNION ALL SELECT '__broken', 0.5
+        UNION ALL SELECT '__broken', 0.4
+    ),
+    g AS (
+        SELECT grp,
+               SUM(CAST(FLOOR(ratio * 1e9 + 0.5) AS BIGINT)) AS s
+        FROM r GROUP BY grp
+    )
+    SELECT 'ratio_sum_1' AS relation, COUNT(*) AS n_groups,
+           CAST(COUNT(CASE WHEN ABS(s - 1000000000) > 32 THEN 1 END)
+                AS BIGINT) AS n_violations,
+           COUNT(CASE WHEN ABS(s - 1000000000) > 32 THEN 1 END) = 0 AS pass
+    FROM g
+"""
+
+QUERIES_R7["ratio_gate"] = q_ratio_gate
+ORACLES_R7["ratio_gate"] = SQL_RATIO_GATE
+
+
+# ======================================================================
+# resample_nulls — the NULL path of resample_interp, driver-verified
+# ======================================================================
+NULL_MOD = 13  # every 13th event_id carries a NULL value
+
+
+def q_resample_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.history import resample_interp
+
+    ev = (
+        fx.events(spark, sf_dir)
+        .where(F.col("user_id") < INTERP_MAX_USER)
+        .select(
+            "user_id",
+            "ts",
+            F.when(
+                F.col("event_id") % NULL_MOD == 0,
+                F.lit(None).cast("double"),
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+            "event_id",
+        )
+    )
+    return resample_interp(
+        ev, ["user_id"], "ts", "value", INTERP_BUCKET_NS, tiebreak=["event_id"]
+    )
+
+
+SQL_RESAMPLE_NULLS = f"""
+    WITH ev AS (
+        SELECT user_id, epoch_ns(ts) AS tsn, value, event_id
+        FROM events
+        WHERE user_id < {INTERP_MAX_USER}
+          AND event_id % {NULL_MOD} <> 0
+          AND value IS NOT NULL
+    ),
+    obs AS (
+        SELECT user_id, b, value AS v, tsn AS t FROM (
+            SELECT user_id, {sql_floor_div('tsn', INTERP_BUCKET_NS)} AS b, value, tsn,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id, {sql_floor_div('tsn', INTERP_BUCKET_NS)}
+                       ORDER BY tsn DESC, event_id DESC) AS rn
+            FROM ev) WHERE rn = 1
+    ),
+    bounds AS (
+        SELECT user_id, MIN(b) AS b0, MAX(b) AS b1 FROM obs GROUP BY user_id
+    ),
+    lat AS (
+        SELECT bounds.user_id, t.b
+        FROM bounds, UNNEST(range(b0, b1 + 1)) AS t(b)
+    ),
+    j AS (
+        SELECT lat.user_id, lat.b, obs.v, obs.t
+        FROM lat LEFT JOIN obs
+          ON obs.user_id = lat.user_id AND obs.b = lat.b
+    ),
+    w AS (
+        SELECT user_id, b, v,
+               LAST_VALUE(v IGNORE NULLS) OVER fwd AS pv,
+               LAST_VALUE(t IGNORE NULLS) OVER fwd AS pt,
+               LAST_VALUE(v IGNORE NULLS) OVER bwd AS nv,
+               LAST_VALUE(t IGNORE NULLS) OVER bwd AS nt
+        FROM j
+        WINDOW fwd AS (PARTITION BY user_id ORDER BY b
+                       ROWS UNBOUNDED PRECEDING),
+               bwd AS (PARTITION BY user_id ORDER BY b DESC
+                       ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT user_id, b * {INTERP_BUCKET_NS} AS bucket_start,
+           FLOOR((CASE WHEN v IS NOT NULL THEN v
+                  ELSE pv + (nv - pv) *
+                       ((CAST(b * {INTERP_BUCKET_NS} AS DOUBLE)
+                         - CAST(pt AS DOUBLE))
+                        / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+                  END) * 1e6 + 0.5) / 1e6 AS value_q6,
+           v IS NULL AS is_gap
+    FROM w
+"""
+
+QUERIES_R7["resample_nulls"] = q_resample_nulls
+ORACLES_R7["resample_nulls"] = SQL_RESAMPLE_NULLS

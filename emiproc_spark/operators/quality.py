@@ -122,3 +122,82 @@ def fk_orphans(
             "n_orphans"
         ),
     ).withColumn("pass", F.col("n_orphans") == 0)
+
+
+def ratio_sum_gate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    ratio_col: str,
+    tol_ticks: int = 32,
+    relation: str = "ratio_sum_1",
+) -> DataFrame:
+    """Domain invariant as a declarative gate: every group's ratios
+    must sum to 1 (temporal/vertical profile rows, speciation splits —
+    the checks the reference hand-asserts per reader, e.g.
+    emiproc/profiles/temporal/profiles.py's ``ratios.sum() == 1``).
+
+    Ratios quantize per-row to 1e-9 ticks and integer-sum exactly, so
+    the check is aggregation-order independent; a group violates when
+    its tick sum strays more than ``tol_ticks`` from 1e9 (default 32
+    ticks ≈ 3.2e-8 — covers worst-case per-row rounding for profiles
+    up to 64 entries).  Returns ONE row:
+    (relation, n_groups, n_violations, pass) — one aggregation over
+    the ratio table, one dimension-sized reduction.
+    """
+    q = F.floor(F.col(ratio_col) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    g = df.groupBy(*group_cols).agg(F.sum(q).alias("__s"))
+    viol = F.abs(F.col("__s") - F.lit(1_000_000_000)) > F.lit(int(tol_ticks))
+    return g.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(viol, 1)).cast("long").alias("n_violations"),
+    ).withColumn("pass", F.col("n_violations") == 0)
+
+
+def mass_conservation_gate(
+    before: DataFrame,
+    after: DataFrame,
+    value_col: str = "value_kg_y",
+    by: Sequence[str] = ("substance",),
+    rtol: float = 1e-6,
+    relation: str = "mass_conservation",
+) -> DataFrame:
+    """Conservation audit between two stages of an emission pipeline:
+    per-``by`` totals of ``value_col`` must agree within ``rtol``
+    relative — the reference's ``total_emissions_almost_equal``
+    (emiproc/utils/inventory.py) recast as a gate frame a pipeline
+    runs by default instead of an ad-hoc assert.
+
+    Totals are µ-quantized exact sums (``qhelpers.sumd``), so both
+    sides are deterministic doubles; a group missing from either side
+    counts as 0.  Returns ONE row:
+    (relation, n_groups, n_violations, pass).  Plan: one aggregate per
+    side + a dimension-sized outer join — the fact tables are each
+    scanned once, nothing driver-side.
+    """
+    from emiproc_spark.qhelpers import sumd
+
+    by = list(by)
+    t0 = before.groupBy(*by).agg(sumd(value_col).alias("__t0"))
+    t1 = after.groupBy(*by).agg(sumd(value_col).alias("__t1"))
+    j = t0.join(t1, by, "full")
+    a = F.coalesce(F.col("__t0"), F.lit(0.0))
+    b = F.coalesce(F.col("__t1"), F.lit(0.0))
+    viol = F.abs(b - a) > F.lit(float(rtol)) * F.greatest(
+        F.abs(a), F.abs(b), F.lit(1e-300)
+    )
+    return j.agg(
+        F.lit(relation).alias("relation"),
+        F.count(F.lit(1)).alias("n_groups"),
+        F.count(F.when(viol, 1)).cast("long").alias("n_violations"),
+    ).withColumn("pass", F.col("n_violations") == 0)
+
+
+def enforce_gates(gates: DataFrame, context: str = "pipeline") -> None:
+    """Materialize a gate frame (one row per rule — dimension-sized by
+    construction) and raise loudly when any rule fails.  The gate
+    frames above and ``validate_expectations``' output all carry a
+    boolean ``pass`` column; anything with one can be enforced."""
+    bad = [r.asDict() for r in gates.collect() if not r["pass"]]
+    if bad:
+        raise ValueError(f"{context}: data-quality gates failed: {bad}")

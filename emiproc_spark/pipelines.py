@@ -82,6 +82,7 @@ def tno_to_raster(
     categories_group: dict[str, list[str]] | None = None,
     substances_mapping: dict[str, str] | None = None,
     include_points: bool = True,
+    gate_rtol: float | None = 1e-6,
     **raster_kwargs,
 ) -> str:
     """TNO → (optionally grouped) → regular raster NetCDF.
@@ -90,6 +91,12 @@ def tno_to_raster(
     point sources), rasterize the point sources onto the TNO grid, remap
     everything onto ``dst_grid``, group categories, export as a NetCDF
     raster.  Returns the written path.
+
+    Before writing, a per-substance mass-conservation gate
+    (``operators.quality.mass_conservation_gate``) audits input vs
+    remapped totals at ``gate_rtol`` relative tolerance and raises on
+    violation — pass ``gate_rtol=None`` to skip (e.g. when ``dst_grid``
+    deliberately crops the domain, where mass SHOULD change).
     """
     e = tno_area_emissions(spark, tno_file, substances_mapping)
     if include_points:
@@ -98,6 +105,21 @@ def tno_to_raster(
     remapped = remap_inventory(e, src_grid, dst_grid, tile=tile)
     if categories_group:
         remapped = group_categories(remapped, categories_group)
+    if gate_rtol is not None:
+        # conservation gate ON BY DEFAULT: regridding + grouping must
+        # not create or destroy mass (the reference asserts this ad hoc
+        # with total_emissions_almost_equal after every remap script) —
+        # a declarative gate frame replaces the scattered asserts and
+        # raises loudly before anything is written
+        from emiproc_spark.operators.quality import (
+            enforce_gates,
+            mass_conservation_gate,
+        )
+
+        enforce_gates(
+            mass_conservation_gate(e, remapped, rtol=gate_rtol),
+            context="tno_to_raster",
+        )
     from emiproc_spark.exports.netcdf import export_raster_netcdf
 
     return export_raster_netcdf(remapped, dst_grid, out_path, **raster_kwargs)
@@ -371,8 +393,11 @@ def curate_corpus(
     Returns every stage's frame (all lazy — nothing executes until the
     caller acts): ``exact_groups``, ``exact_kept``, ``near_pairs``,
     ``deduped``, ``quality``, ``kept``, ``clean``, ``packed`` (None when
-    skipped).  Stage order matters at scale: each dedup stage shrinks
-    the corpus the next (more expensive per-row) stage scans.
+    skipped), and ``gates`` — the declarative output-invariant audit
+    (unique/present ids, present text, quality floor held; one row per
+    rule) to run via ``quality.enforce_gates`` before shipping a drop.
+    Stage order matters at scale: each dedup stage shrinks the corpus
+    the next (more expensive per-row) stage scans.
     """
     from emiproc_spark.operators import cluster as cl
     from emiproc_spark.operators import dedup as dd
@@ -437,6 +462,24 @@ def curate_corpus(
         )
         packed = pk.pack_sequences(sized, ctx_len, n_shards=n_shards)
 
+    # 6 — declarative output gates: the invariants every curated drop
+    # must satisfy, as an audited frame (quality.validate_expectations)
+    # instead of scattered asserts — doc ids unique and present, text
+    # present, and every surviving document still satisfies the
+    # quality floor it was filtered on.  All rules ride ONE aggregation
+    # over the final corpus; enforce with quality.enforce_gates.
+    from emiproc_spark.operators.quality import validate_expectations
+
+    rules = [
+        ("doc_id", "not_null", {}),
+        ("doc_id", "unique", {}),
+        (text_col, "not_null", {}),
+    ]
+    gated = clean.withColumn("n_tokens", tx.token_count(F.col(text_col)))
+    if min_tokens is not None:
+        rules.append(("n_tokens", "range", {"lo": int(min_tokens)}))
+    gates = validate_expectations(gated, rules)
+
     return {
         "exact_groups": groups,
         "exact_kept": exact_kept,
@@ -446,4 +489,5 @@ def curate_corpus(
         "kept": kept,
         "clean": clean,
         "packed": packed,
+        "gates": gates,
     }

@@ -332,3 +332,27 @@ def test_edgar_to_hourly_country_profiles(spark, tmp_path):
         if name not in ("lon", "lat", "time", "cell_area") and not name.endswith("bnds")
     )
     assert total_rate == pytest.approx(annual_kg / 8784 * sf0, rel=1e-9)
+
+
+def test_tno_to_raster_gate_trips_on_cropped_domain(spark, tno_path, tmp_path):
+    """The default-on mass-conservation gate must refuse to write when
+    the destination grid silently drops half the domain; gate_rtol=None
+    is the documented opt-out for deliberate crops."""
+    half = regular_grid(spark, 0.0, 0.0, 2, 4, 2.5, 2.5).withColumns(
+        {
+            "lon": (F.col("xmin") + F.col("xmax")) / 2,
+            "lat": (F.col("ymin") + F.col("ymax")) / 2,
+            "area_m2": (F.col("xmax") - F.col("xmin"))
+            * (F.col("ymax") - F.col("ymin")),
+        }
+    )
+    with pytest.raises(ValueError, match="mass_conservation"):
+        pl.tno_to_raster(
+            spark, tno_path, _src_grid(spark), half,
+            str(tmp_path / "cropped.nc"),
+        )
+    out = pl.tno_to_raster(
+        spark, tno_path, _src_grid(spark), half,
+        str(tmp_path / "cropped.nc"), gate_rtol=None,
+    )
+    assert os.path.exists(out)

@@ -304,3 +304,52 @@ def test_ivf_store_probe_prunes_partitions(spark):
     df = QUERIES["ivf_store_probe"](spark, SF_DIR)
     p = plan_of(spark, df)
     assert re.search(r"PartitionFilters: \[[^\]]*cell", p), p
+
+
+# ----------------------------------------------------------------------
+# Partition-less windows: a Window with no PARTITION BY sorts its whole
+# input on ONE task — at 100 TB this is the difference between a plan
+# and an outage (the r6 zipf_slope finding: ranking a web-scale
+# vocabulary through one global row_number).  Every global window in
+# the engine must ride a provably bounded input; the allowlist below
+# names the surviving sites and WHY each is bounded, and pins their
+# count so a refactor cannot quietly add an unbounded one next to them.
+# ----------------------------------------------------------------------
+_PARTITIONLESS_WINDOW_ALLOWED = {
+    # regionize: window over DISTINCT (tzid, profile_id) pairs — the
+    # region dimension (≤ timezones × profiles), not the cell table
+    "regionize": 1,
+    # length_percentiles: cumulative window over the token-length
+    # HISTOGRAM — bounded by max doc length, not corpus size
+    "length_percentiles": 4,
+    # temp_mix / temperature_rates: share normalization over one row
+    # per stratum — bounded by the source dimension
+    "temp_mix": 1,
+}
+
+
+def _partitionless_windows(plan) -> int:
+    count, stack = 0, [plan]
+    while stack:
+        node = stack.pop()
+        name = node.getClass().getSimpleName()
+        if name in ("WindowExec", "WindowGroupLimitExec", "WindowInPandasExec"):
+            if node.partitionSpec().isEmpty():
+                count += 1
+        ch = node.children()
+        for i in range(ch.length()):
+            stack.append(ch.apply(i))
+    return count
+
+
+@pytest.mark.parametrize("name", _PLAN_QUERIES)
+def test_no_unbounded_global_window(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = _partitionless_windows(df._jdf.queryExecution().sparkPlan())
+    allowed = _PARTITIONLESS_WINDOW_ALLOWED.get(name, 0)
+    assert n <= allowed, (
+        f"{name}: {n} partition-less Window(s) in the physical plan "
+        f"(allowed {allowed}) — rank on a bounded head "
+        "(orderBy+limit) or partition the window; see "
+        "_PARTITIONLESS_WINDOW_ALLOWED for the justification pattern"
+    )
