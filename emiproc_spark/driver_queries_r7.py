@@ -45,7 +45,7 @@ from emiproc_spark.driver_queries_r6 import (
     SQL_CURATE_CLEAN_CTES,
 )
 from emiproc_spark.operators import regrid as rg
-from emiproc_spark.qhelpers import sql_floor_div, sql_sumd, sumd
+from emiproc_spark.qhelpers import sql_floor_div, sql_qd, sql_sumd, sumd
 
 QUERIES_R7: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES_R7: dict[str, str] = {}
@@ -343,3 +343,154 @@ SQL_RESAMPLE_NULLS = f"""
 
 QUERIES_R7["resample_nulls"] = q_resample_nulls
 ORACLES_R7["resample_nulls"] = SQL_RESAMPLE_NULLS
+
+
+# ======================================================================
+# psi_drift — population-stability drift monitor between two snapshots
+# (operators/stats.psi_drift).  Snapshots: even vs odd user ids, with
+# the "actual" side's click values shifted 1.5× so the drift is real.
+# ======================================================================
+PSI_BREAKS = [10.0, 25.0, 50.0, 100.0, 200.0]
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.stats import psi_drift
+
+    ev = fx.events(spark, sf_dir)
+    expected = ev.where(F.col("user_id") % 2 == 0).select("value")
+    actual = ev.where(F.col("user_id") % 2 == 1).select(
+        F.when(F.col("event_type") == "click", F.col("value") * 1.5)
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    return psi_drift(expected, actual, "value", PSI_BREAKS)
+
+
+def _sql_psi_drift() -> str:
+    nb = len(PSI_BREAKS) + 1
+    binexpr = " + ".join(
+        f"CASE WHEN CAST(value AS DOUBLE) >= {b!r} THEN 1 ELSE 0 END"
+        for b in PSI_BREAKS
+    )
+    pe = f"(CAST(n_expected AS DOUBLE) + 1.0) / (CAST(ne AS DOUBLE) + {float(nb)!r})"
+    pa = f"(CAST(n_actual AS DOUBLE) + 1.0) / (CAST(na AS DOUBLE) + {float(nb)!r})"
+    return f"""
+    WITH e AS (
+        SELECT CAST({binexpr} AS INT) AS bin, COUNT(*) AS ce
+        FROM events WHERE user_id % 2 = 0 AND value IS NOT NULL
+        GROUP BY 1
+    ),
+    a0 AS (
+        SELECT CASE WHEN event_type = 'click' THEN value * 1.5
+               ELSE value END AS value
+        FROM events WHERE user_id % 2 = 1 AND value IS NOT NULL
+    ),
+    a AS (
+        SELECT CAST({binexpr} AS INT) AS bin, COUNT(*) AS ca
+        FROM a0 GROUP BY 1
+    ),
+    bins AS (SELECT CAST(t.b AS INT) AS bin FROM UNNEST(range({nb})) t(b)),
+    j AS (
+        SELECT bins.bin,
+               CAST(COALESCE(ce, 0) AS BIGINT) AS n_expected,
+               CAST(COALESCE(ca, 0) AS BIGINT) AS n_actual
+        FROM bins LEFT JOIN e USING (bin) LEFT JOIN a USING (bin)
+    ),
+    t AS (SELECT SUM(n_expected) AS ne, SUM(n_actual) AS na FROM j)
+    SELECT bin, n_expected, n_actual,
+           {sql_qd(f'(({pa}) - ({pe})) * LN(({pa}) / ({pe}))')} AS psi_term
+    FROM j, t
+"""
+
+
+QUERIES_R7["psi_drift"] = q_psi_drift
+ORACLES_R7["psi_drift"] = _sql_psi_drift()
+
+
+# ======================================================================
+# cluster_split — leakage-free split (operators/sampling.cluster_split):
+# near-dup clusters are atomic, so re-running the split_leakage audit
+# on the produced assignment must show ZERO cross-split pairs — the
+# constructive fix for what `split_leakage` measures.
+# ======================================================================
+CS_SPLITS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.driver_queries_text import DIM, EMB_DUP_THRESHOLD
+    from emiproc_spark.operators.sampling import cluster_split
+    from emiproc_spark.operators.similarity import embedding_dup_pairs
+
+    emb = fx.load(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs(emb, dim=DIM, threshold=EMB_DUP_THRESHOLD)
+    # one pass computes the pairs; reuse the frame for assignment AND
+    # the audit below (the setsim lineage-truncation pattern)
+    pairs = pairs.localCheckpoint(eager=False)
+    splits = cluster_split(
+        emb.select("vec_id"), pairs, CS_SPLITS, key_col="vec_id",
+        a_col="id_a", b_col="id_b",
+    )
+    sa = splits.select(
+        F.col("vec_id").alias("id_a"), F.col("split").alias("split_a")
+    )
+    sb = splits.select(
+        F.col("vec_id").alias("id_b"), F.col("split").alias("split_b")
+    )
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.count(
+                F.when(F.col("split_a") != F.col("split_b"), 1)
+            ).alias("n_leaks"),
+        )
+    )
+
+
+def _sql_cluster_split() -> str:
+    from emiproc_spark.driver_queries_text import SQL_EMBEDDING_DUP
+    from emiproc_spark.operators.sampling import sql_hash_fraction
+
+    hf = sql_hash_fraction("rep", "split")
+    names = list(CS_SPLITS)
+    whens, cum = [], 0.0
+    for name in names[:-1]:
+        cum += CS_SPLITS[name]
+        whens.append(f"WHEN {hf} < {cum!r} THEN '{name}'")
+    case = f"CASE {' '.join(whens)} ELSE '{names[-1]}' END"
+    return f"""
+    WITH RECURSIVE p AS ({SQL_EMBEDDING_DUP}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM p
+        UNION
+        SELECT id_b AS a, id_a AS b FROM p
+    ),
+    reach(n, m) AS (
+        SELECT a, b FROM edges
+        UNION
+        SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+    ),
+    comp AS (
+        SELECT n AS node, LEAST(n, MIN(m)) AS component
+        FROM reach GROUP BY n
+    ),
+    s AS (
+        SELECT e.vec_id, {case} AS split
+        FROM (SELECT vec_id,
+                     COALESCE(c.component, vec_id) AS rep
+              FROM embeddings LEFT JOIN comp c ON c.node = vec_id) e
+    )
+    SELECT sa.split AS split_a, sb.split AS split_b,
+           COUNT(*) AS n_pairs,
+           COUNT(CASE WHEN sa.split <> sb.split THEN 1 END) AS n_leaks
+    FROM p
+    JOIN s sa ON sa.vec_id = p.id_a
+    JOIN s sb ON sb.vec_id = p.id_b
+    GROUP BY 1, 2
+"""
+
+
+QUERIES_R7["cluster_split"] = q_cluster_split
+ORACLES_R7["cluster_split"] = _sql_cluster_split()

@@ -326,3 +326,46 @@ def hash_split(
         ).cast("string"),
     ).otherwise(expr)
     return df.withColumn(split_col, expr)
+
+
+def cluster_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    key_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    salt: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Leakage-FREE dataset split: near-duplicate clusters are atomic.
+
+    ``hash_split`` keyed on raw ids lets correlated documents straddle
+    the train/eval boundary — exactly what the ``split_leakage`` audit
+    measures.  This operator closes the hole: every document is
+    assigned the split of its duplicate-cluster REPRESENTATIVE (the
+    connected-component minimum over ``pairs``; isolated documents
+    represent themselves), so two documents with a near-dup path
+    between them land in the SAME split by construction.
+
+    Composition, not new semantics: logarithmic connected components
+    over the (sparse, pair-sized) dup graph, a join back to the corpus
+    (component table ≪ corpus — broadcast/AQE), then the identical
+    deterministic hash ladder as :func:`hash_split` evaluated on the
+    representative id.  Same stability guarantees: assignment depends
+    only on (representative, salt), never on partitioning or run.
+    """
+    from emiproc_spark.operators.cluster import connected_components
+
+    comp = connected_components(pairs, a_col=a_col, b_col=b_col).select(
+        F.col("node").alias(key_col), "component"
+    )
+    rep = F.coalesce(F.col("component"), F.col(key_col))
+    joined = (
+        df.join(comp, key_col, "left")
+        .withColumn("__rep", rep)
+        .drop("component")
+    )
+    return hash_split(
+        joined, fractions, key_col="__rep", salt=salt, split_col=split_col
+    ).drop("__rep")

@@ -358,3 +358,79 @@ def robust_outliers(
             qd(F.first("__mad"), 1e6).alias("mad"),
         )
     )
+
+
+def psi_drift(
+    expected: DataFrame,
+    actual: DataFrame,
+    value_col: str,
+    breaks: list[float],
+    smooth: float = 1.0,
+) -> DataFrame:
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard production drift monitor a data pipeline runs
+    between yesterday's and today's drop (PSI < 0.1 stable, 0.1–0.25
+    drifting, > 0.25 broken):
+
+        PSI = Σ_bins (p_actual − p_expected) · ln(p_actual / p_expected)
+
+    ``breaks`` are EXPLICIT ascending bin edges (B = len(breaks)+1
+    bins; bin i = count of edges ≤ value), so the binning is
+    engine-deterministic — derive them once from a quantile sketch if
+    data-driven edges are wanted, never inside this operator.  Counts
+    are Laplace-smoothed (+``smooth`` per bin) so an empty bin cannot
+    produce an infinite term.  NULL values are not observations (the
+    resample/robust_outliers convention).
+
+    Scale shape: one hash aggregate per snapshot (map-side combined to
+    ≤B rows), a B-row scaffold left-joined to both, totals attached by
+    a broadcast 1-row cross join — the fact tables are each scanned
+    exactly once, everything after is bin-count-sized.  Returns one row
+    per bin: (bin, n_expected, n_actual, psi_term) with psi_term
+    quantized (1e9); the caller sums psi_term for the headline number.
+    """
+    if not breaks or sorted(breaks) != list(breaks):
+        raise ValueError("breaks must be a non-empty ascending list")
+    if smooth <= 0:
+        raise ValueError(f"smooth must be positive, got {smooth}")
+    nb = len(breaks) + 1
+    edges = F.array(*[F.lit(float(b)) for b in breaks])
+
+    def _binned(df: DataFrame, cname: str) -> DataFrame:
+        b = F.size(
+            F.filter(edges, lambda t: F.col(value_col).cast("double") >= t)
+        )
+        return (
+            df.where(F.col(value_col).isNotNull())
+            .groupBy(b.cast("int").alias("bin"))
+            .agg(F.count("*").alias(cname))
+        )
+
+    spark = expected.sparkSession
+    scaffold = spark.range(nb).select(F.col("id").cast("int").alias("bin"))
+    ec = _binned(expected, "__ce")
+    ac = _binned(actual, "__ca")
+    joined = (
+        scaffold.join(ec, "bin", "left")
+        .join(ac, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("__ce", F.lit(0)).cast("long").alias("n_expected"),
+            F.coalesce("__ca", F.lit(0)).cast("long").alias("n_actual"),
+        )
+    )
+    totals = joined.agg(
+        F.sum("n_expected").alias("__ne"), F.sum("n_actual").alias("__na")
+    )
+    s = float(smooth)
+    w = joined.join(F.broadcast(totals))
+    pe = (F.col("n_expected") + F.lit(s)) / (
+        F.col("__ne") + F.lit(s * nb)
+    )
+    pa = (F.col("n_actual") + F.lit(s)) / (F.col("__na") + F.lit(s * nb))
+    return w.select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        qd((pa - pe) * F.log(pa / pe)).alias("psi_term"),
+    )

