@@ -1255,3 +1255,153 @@ def test_kmeans_million_vectors(spark):
     assert len(counts) >= 2
     print(f"\n1M-vector kmeans (3 assigns) wall: {dt:.1f}s")
     assert dt < 120
+
+
+def _drain_stream(spark, out, name, mode="update"):
+    """availableNow drain with the stable-sink detector (the stream_*
+    driver queries' poll loop): stop once the data batches are done and
+    the memory sink stops growing — works for both the no-timeout CDC
+    fold and the processing-time-TTL neardup operator."""
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    last = -1
+    for _ in range(6000):
+        time.sleep(0.2)
+        if not q.isActive:
+            break
+        lp = q.lastProgress
+        n = spark.table(name).count()
+        drained = (
+            lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0
+        )
+        if drained and n == last:
+            break
+        last = n
+    if q.isActive:
+        q.stop()
+    q.awaitTermination()
+    return spark.table(name)
+
+
+@scale
+def test_stream_cdc_ten_million_rows(spark, tmp_path):
+    """100× the streaming ledger's CDC tier: 10M changelog rows over
+    250k keys in 4 micro-batches through changelog_state_stream.  State
+    is one row per key (O(keys), never O(rows)); the final fold must
+    equal the closed-form latest-wins answer.  Records marginal rows/s
+    for the PLANS ledger."""
+    from emiproc_spark.streaming.streams import changelog_state_stream
+
+    n, keys = 10_000_000, 250_000
+    rows = spark.range(n).select(
+        (F.col("id") % keys).alias("user_id"),
+        F.col("id").alias("tsn"),
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.when(F.col("id") % 10 == 0, F.lit("delete"))
+        .otherwise(F.lit("upsert"))
+        .alias("op"),
+    )
+    src = str(tmp_path / "cdc10m")
+    rows.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, tsn long, event_id long, event_type string,"
+            " value double, op string"
+        )
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    t0 = time.time()
+    res = _drain_stream(
+        spark, changelog_state_stream(stream), "t_cdc_10m", mode="update"
+    )
+    dt = time.time() - t0
+    final = (
+        res.groupBy("k")
+        .agg(
+            F.max_by(F.struct("op", "dv"), "ver").alias("s"),
+            F.max("ver").alias("mx"),
+        )
+        .select("k", "s.op", "s.dv", "mx")
+    )
+    agg = final.agg(
+        F.count("*").alias("n_keys"),
+        F.count(F.when(F.col("op") == "delete", 1)).alias("n_del"),
+        F.sum("dv").alias("sum_dv"),
+        F.min("mx").alias("min_ver"),
+        F.max("mx").alias("max_ver"),
+        F.count(F.when(F.col("mx") < 4, 1)).alias("n_partial"),
+    ).collect()[0]
+    # key k's last change is id = k + (n - keys); n - keys is a
+    # multiple of 10 (delete iff k % 10 == 0 -> keys/10) and of 1000
+    # (dv = (k + n - keys) % 1000 = k % 1000)
+    assert agg["n_keys"] == keys
+    assert agg["n_del"] == keys // 10
+    assert agg["sum_dv"] == float(sum(k % 1000 for k in range(keys)))
+    # ver counts the batches a key had rows in; round-robin file layout
+    # leaves a ~1e-5 tail of keys out of one of the 4 batches, so pin
+    # the shape, not an exact 4: nobody below 3, almost everybody at 4
+    assert agg["max_ver"] == 4
+    assert agg["min_ver"] >= 3
+    assert agg["n_partial"] < 100, agg["n_partial"]
+    print(f"\nstream_cdc 10M rows wall: {dt:.1f}s ({n / dt:,.0f} rows/s)")
+    assert dt < 900
+
+
+@scale
+def test_stream_neardup_million_docs(spark, tmp_path):
+    """100× the streaming ledger's near-dup tier: 1M docs (every 100th
+    doc duplicates its predecessor -> 9,999 true pairs) through the
+    stateful LSH operator in 4 micro-batches.  Bucket state stays
+    bounded (max_bucket cap); every true cross-batch pair must be
+    emitted and false positives stay negligible."""
+    from emiproc_spark.streaming.streams import near_dup_stream
+
+    n = 1_000_000
+    fam = F.when(
+        (F.col("id") % 100 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    # every word carries the full family id, so distinct families share
+    # NO shingle (a modulus here would collapse the corpus into a few
+    # thousand identical texts and explode the bucket state)
+    words = [
+        F.concat(F.lit(f"w{i}_"), fam.cast("string")) for i in range(8)
+    ]
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"), F.concat_ws(" ", *words).alias("text")
+    )
+    src = str(tmp_path / "nd1m")
+    docs.repartition(8).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    t0 = time.time()
+    res = _drain_stream(
+        spark,
+        near_dup_stream(stream, n=3, k=8, bands=4, max_bucket=64),
+        "t_nd_1m",
+        mode="append",
+    )
+    dt = time.time() - t0
+    pairs = res.select("doc_a", "doc_b").distinct()
+    true_pairs = pairs.where(
+        (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_b") % 100 == 0)
+    ).count()
+    total = pairs.count()
+    assert true_pairs == 9_999
+    assert total <= 10_100, f"too many false-positive pairs: {total}"
+    print(f"\nstream_neardup 1M docs wall: {dt:.1f}s ({n / dt:,.0f} docs/s)")
+    # measured ~1000 s on local[32]: 4M bucket-group Python invocations
+    # dominate (see PLANS round-7 streaming ledger) — bound generously
+    assert dt < 1500
