@@ -36,9 +36,6 @@ from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
 from emiproc_spark.driver_queries_r6 import (
-    CURATE_DECON_N,
-    CURATE_JACCARD,
-    CURATE_MAX_DUP_FRAC,
     CURATE_MIN_TOKENS,
     INTERP_BUCKET_NS,
     INTERP_MAX_USER,
@@ -55,39 +52,18 @@ ORACLES_R7: dict[str, str] = {}
 # curation_gates — the pipeline's own output-invariant audit frame
 # ======================================================================
 def q_curation_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from emiproc_spark import pipelines
+    """The gate frame of the SAME composed pipeline run that
+    ``curate_corpus`` verifies — served from the shared per-sf stage
+    store (one five-stage execution feeds both queries; the oracle
+    below recomputes everything independently)."""
+    import os
 
-    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
-    eval_docs = d.where(F.col("doc_id") % 41 == 0)
-    ev = eval_docs.select(
-        F.col("doc_id").alias("ev_id"), F.col("text").alias("ev_text")
+    from emiproc_spark.driver_queries_r6 import curate_stage_store
+
+    path = curate_stage_store(spark, sf_dir)
+    return spark.read.parquet(os.path.join(path, "gates")).select(
+        "column", "kind", "n_rows", "n_violations", "pass"
     )
-    corpus = (
-        d.where(F.col("doc_id") % 41 != 0)
-        .withColumn(
-            "ev_id",
-            F.when(F.col("doc_id") % 7 == 0, (F.col("doc_id") % 12) * 41),
-        )
-        .join(F.broadcast(ev), "ev_id", "left")
-        .select(
-            "doc_id",
-            F.concat_ws(" ", F.col("text"), F.col("ev_text")).alias("text"),
-        )
-    )
-    stages = pipelines.curate_corpus(
-        corpus,
-        eval_docs,
-        minhash_k=8,
-        bands=4,
-        rows_per_band=2,
-        max_bucket_size=None,
-        jaccard_threshold=CURATE_JACCARD,
-        min_tokens=CURATE_MIN_TOKENS,
-        max_dup_token_frac=CURATE_MAX_DUP_FRAC,
-        decon_n=CURATE_DECON_N,
-        ctx_len=None,  # gates don't depend on the packing stage
-    )
-    return stages["gates"]
 
 
 def _sql_gate_row(col: str, kind: str, viol: str) -> str:

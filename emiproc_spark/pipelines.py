@@ -464,21 +464,9 @@ def curate_corpus(
 
     # 6 — declarative output gates: the invariants every curated drop
     # must satisfy, as an audited frame (quality.validate_expectations)
-    # instead of scattered asserts — doc ids unique and present, text
-    # present, and every surviving document still satisfies the
-    # quality floor it was filtered on.  All rules ride ONE aggregation
+    # instead of scattered asserts.  All rules ride ONE aggregation
     # over the final corpus; enforce with quality.enforce_gates.
-    from emiproc_spark.operators.quality import validate_expectations
-
-    rules = [
-        ("doc_id", "not_null", {}),
-        ("doc_id", "unique", {}),
-        (text_col, "not_null", {}),
-    ]
-    gated = clean.withColumn("n_tokens", tx.token_count(F.col(text_col)))
-    if min_tokens is not None:
-        rules.append(("n_tokens", "range", {"lo": int(min_tokens)}))
-    gates = validate_expectations(gated, rules)
+    gates = curation_output_gates(clean, text_col, min_tokens)
 
     return {
         "exact_groups": groups,
@@ -491,3 +479,28 @@ def curate_corpus(
         "packed": packed,
         "gates": gates,
     }
+
+
+def curation_output_gates(
+    clean: DataFrame,
+    text_col: str = "text",
+    min_tokens: int | None = None,
+) -> DataFrame:
+    """The declarative output-invariant audit every curated drop must
+    pass (see ``curate_corpus`` stage 6): doc ids unique and present,
+    text present, and — when a quality floor was applied — every
+    surviving document still satisfies it.  Factored out so a caller
+    holding an already-materialized ``clean`` (e.g. yesterday's
+    parquet) can gate it without re-running the pipeline."""
+    from emiproc_spark.operators import text as tx
+    from emiproc_spark.operators.quality import validate_expectations
+
+    rules = [
+        ("doc_id", "not_null", {}),
+        ("doc_id", "unique", {}),
+        (text_col, "not_null", {}),
+    ]
+    gated = clean.withColumn("n_tokens", tx.token_count(F.col(text_col)))
+    if min_tokens is not None:
+        rules.append(("n_tokens", "range", {"lo": int(min_tokens)}))
+    return validate_expectations(gated, rules)
