@@ -470,3 +470,74 @@ def _sql_cluster_split() -> str:
 
 QUERIES_R7["cluster_split"] = q_cluster_split
 ORACLES_R7["cluster_split"] = _sql_cluster_split()
+
+
+# ======================================================================
+# dsir_sample — DSIR importance resampling (operators/text.dsir_weights):
+# top-K raw documents by target-vs-raw unigram log-likelihood ratio.
+# Target = the eval split (doc_id % 41 == 0), raw = the rest — the same
+# planted-domain fixture decontaminate uses, here driving SELECTION
+# toward the target domain instead of away from contamination.
+# ======================================================================
+DSIR_K = 50
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from emiproc_spark.operators.text import dsir_weights
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = d.where(F.col("doc_id") % 41 != 0)
+    target = d.where(F.col("doc_id") % 41 == 0)
+    w = dsir_weights(raw, target)
+    return w.orderBy(F.col("dsir").desc(), "doc_id").limit(DSIR_K)
+
+
+SQL_DSIR_SAMPLE = f"""
+    WITH rawd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
+    ),
+    tgtd AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 41 = 0
+    ),
+    rtok AS (
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id, string_split(lower(text), ' ') AS ts
+              FROM rawd), UNNEST(ts) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM rtok GROUP BY 1, 2
+    ),
+    rc AS (SELECT term, SUM(tf) AS rc FROM tf GROUP BY term),
+    ttok AS (
+        SELECT t.term
+        FROM (SELECT string_split(lower(text), ' ') AS ts
+              FROM tgtd), UNNEST(ts) AS t(term)
+        WHERE t.term <> ''
+    ),
+    tc AS (SELECT term, COUNT(*) AS tc FROM ttok GROUP BY term),
+    vocab AS (
+        SELECT term, COALESCE(rc, 0) AS rc, COALESCE(tc, 0) AS tc
+        FROM rc FULL JOIN tc USING (term)
+    ),
+    tot AS (
+        SELECT SUM(rc) AS nr, SUM(tc) AS nt, COUNT(*) AS v FROM vocab
+    ),
+    lq AS (
+        SELECT term,
+               CAST(FLOOR(LN((tc + 1.0) / (nt + 1.0 * v)) * 1e6 + 0.5)
+                    AS BIGINT)
+             - CAST(FLOOR(LN((rc + 1.0) / (nr + 1.0 * v)) * 1e6 + 0.5)
+                    AS BIGINT) AS lq
+        FROM vocab, tot
+    )
+    SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+           CAST(SUM(tf * lq) AS DOUBLE) / SUM(tf) / 1e6 AS dsir
+    FROM tf JOIN lq USING (term)
+    GROUP BY doc_id
+    ORDER BY dsir DESC, doc_id
+    LIMIT {DSIR_K}
+"""
+
+QUERIES_R7["dsir_sample"] = q_dsir_sample
+ORACLES_R7["dsir_sample"] = SQL_DSIR_SAMPLE

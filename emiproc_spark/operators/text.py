@@ -657,3 +657,90 @@ def vocab_coverage(
             1e9,
         ).alias("oov_rate"),
     )
+
+
+def dsir_weights(
+    raw: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    qscale: float = 1e6,
+) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — hashed-n-gram variant reduced to the unigram feature
+    space the engine's LM ops already use): per raw document, the mean
+    token log-likelihood RATIO between a target-domain unigram LM and
+    the raw-corpus unigram LM,
+
+        w(d) = (1/|d|) · Σ_t tf_t(d) · [ln p_target(t) − ln p_raw(t)]
+
+    Documents that look like the target domain score high; resample or
+    take the top-k to tilt a huge raw corpus toward the target (the
+    standard pretraining data-selection recipe).
+
+    Both LMs are add-``alpha`` smoothed over the UNION vocabulary, so
+    terms unseen on either side stay finite and the ratio is
+    well-defined everywhere.  Each ln is quantized per term
+    (``1/qscale``) BEFORE the exact integer combination — the
+    unigram_logprob convention, so per-doc means are fold-order- and
+    engine-independent.
+
+    Plan: one explode per corpus → per-(doc, term) / per-term counts
+    (map-side partials), a term-keyed full outer join for the union
+    vocabulary (dimension-sized vs the corpus), totals as broadcast
+    1-row frames, then one term-keyed join back to the raw tf relation
+    — the raw corpus is scanned once, the target once; nothing
+    driver-side.  Returns (id, n_tokens, dsir).
+    """
+
+    def _tf(df: DataFrame) -> DataFrame:
+        toks = df.select(
+            F.col(id_col),
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term"),
+        ).where(F.col("term") != "")
+        return toks.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+
+    tf = _tf(raw)
+    raw_c = tf.groupBy("term").agg(F.sum("tf").alias("rc"))
+    tgt_c = (
+        _tf(target).groupBy("term").agg(F.sum("tf").alias("tc"))
+    )
+    vocab = raw_c.join(tgt_c, "term", "full").select(
+        "term",
+        F.coalesce("rc", F.lit(0)).alias("rc"),
+        F.coalesce("tc", F.lit(0)).alias("tc"),
+    )
+    totals = F.broadcast(
+        vocab.agg(
+            F.sum("rc").alias("__nr"),
+            F.sum("tc").alias("__nt"),
+            F.count("*").alias("__v"),
+        )
+    )
+    a = float(alpha)
+    lp_t = F.log(
+        (F.col("tc") + F.lit(a)) / (F.col("__nt") + F.lit(a) * F.col("__v"))
+    )
+    lp_r = F.log(
+        (F.col("rc") + F.lit(a)) / (F.col("__nr") + F.lit(a) * F.col("__v"))
+    )
+    s = F.lit(float(qscale))
+    lq = (
+        F.floor(lp_t * s + F.lit(0.5)).cast("long")
+        - F.floor(lp_r * s + F.lit(0.5)).cast("long")
+    )
+    ratios = vocab.crossJoin(totals).select("term", lq.alias("__lq"))
+    return (
+        tf.join(ratios, "term")
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("tf") * F.col("__lq")).cast("double")
+                / F.sum("tf")
+                / F.lit(float(qscale))
+            ).alias("dsir"),
+        )
+    )

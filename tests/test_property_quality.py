@@ -76,3 +76,24 @@ def test_cluster_split_pairs_never_straddle(spark, edges):
     touched = {x for e in edges for x in e}
     for i in set(range(61)) - touched:
         assert got[i] == base[i], i
+
+
+def test_dsir_weights_prefers_target_like_docs(spark):
+    from emiproc_spark.operators.text import dsir_weights
+
+    target = spark.createDataFrame(
+        [(100 + i, "physics quantum field theory") for i in range(4)],
+        "doc_id long, text string",
+    )
+    raw = spark.createDataFrame(
+        [
+            (1, "physics quantum notes"),       # target-like
+            (2, "cat dog bird fish"),           # off-domain
+            (3, "quantum field lecture"),       # target-like
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["dsir"] for r in dsir_weights(raw, target).collect()}
+    assert got[1] > got[2] and got[3] > got[2]
+    # weights are mean log-ratios: off-domain-only tokens score negative
+    assert got[2] < 0
