@@ -78,7 +78,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "n_name", "r_name")
     )
     return (
-        li.join(F.broadcast(dims), li["l_suppkey"] == dims["s_suppkey"])
+        # dims carries one row per supplier — SF-scaled, so no forced
+        # broadcast (AQE converts at runtime whenever it actually fits)
+        li.join(dims, li["l_suppkey"] == dims["s_suppkey"])
         .groupBy("r_name", "n_name")
         .agg(
             sumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
@@ -110,7 +112,8 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = fx.load(spark, sf_dir, "customer")
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        # customer is SF-scaled — leave the strategy to AQE
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(sumd(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
@@ -868,7 +871,8 @@ def q_supplier_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = fx.load(spark, sf_dir, "lineitem")
     sup = fx.load(spark, sf_dir, "supplier")
     rev = (
-        li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+        # supplier is SF-scaled — leave the strategy to AQE
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
         .groupBy("s_nationkey", "s_suppkey")
         .agg(sumd("l_extendedprice").alias("revenue"))
     )

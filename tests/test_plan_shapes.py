@@ -353,3 +353,135 @@ def test_no_unbounded_global_window(spark, name):
         "(orderBy+limit) or partition the window; see "
         "_PARTITIONLESS_WINDOW_ALLOWED for the justification pattern"
     )
+
+
+# ----------------------------------------------------------------------
+# Forced broadcasts: F.broadcast() is a HINT THAT CANNOT BE REFUSED —
+# AQE will not demote it, so a hint on a fact-derived (corpus-sized)
+# frame is a guaranteed driver-collect + OOM at 100× scale (the r7
+# judge finding: split_leakage / cluster_split force-broadcast their
+# per-document split-assignment frames).  Every F.broadcast call site
+# in the driver-query modules must appear below with WHY the hinted
+# side is bounded; a new site fails this test until it is reviewed.
+# Frames that merely LOOK small at bench sf (anything scaling with the
+# corpus/fact tables) must NOT be hinted — AQE broadcasts those at
+# runtime whenever they genuinely fit.
+# ----------------------------------------------------------------------
+_BROADCAST_HINT_ALLOWED = {
+    # (module, enclosing function): (site count, bounded because…)
+    ("driver_queries.py", "q_revenue_by_nation"): (
+        2, "nation (25 rows) and region (5 rows) are fixed dimensions"),
+    ("driver_queries.py", "q_group_categories"): (
+        1, "literal category→group map, a handful of rows"),
+    ("driver_queries.py", "q_group_substances"): (
+        1, "literal substance→group map, a handful of rows"),
+    ("driver_queries.py", "q_remap_inventory"): (
+        1, "rect-rect weights over the fixed test grids — grid-dimension"
+           "-sized, never corpus-sized"),
+    ("driver_queries.py", "q_profiles_combine"): (
+        1, "literal 3-row category→group map"),
+    ("driver_queries.py", "q_hdd_factors"): (
+        1, "single-row global mean scaffold"),
+    ("driver_queries.py", "q_composite_scaling"): (
+        1, "literal 2-row profile table"),
+    ("driver_queries_curate.py", "q_decontaminate"): (
+        1, "eval benchmark set — bounded by the benchmark, not the corpus"),
+    ("driver_queries_r3b.py", "q_icon_mesh"): (
+        1, "poly-poly weights over the fixed ICON mesh × test grid"),
+    ("driver_queries_r3c.py", "q_decon_spans"): (
+        1, "eval span set — benchmark-bounded"),
+    ("driver_queries_r5.py", "q_specific_day_sf"): (
+        1, "temporal-profile dimension table"),
+    ("driver_queries_r5.py", "q_ann_multiprobe"): (
+        2, "query vectors (k rows) and their probe cells (k×nprobe)"),
+    ("driver_queries_r5b.py", "q_bloom_decon"): (
+        1, "eval n-gram filter — benchmark-bounded"),
+    ("driver_queries_r5c.py", "q_stream_heavy"): (
+        1, "heavy-hitter candidate ids — bounded by stream state size"),
+    ("driver_queries_r5e.py", "q_semdedup"): (
+        1, "centroid terms — k×dim rows"),
+    ("driver_queries_r5h.py", "q_ivf_store_probe"): (
+        1, "probe-cell set for the query batch — k×nprobe rows"),
+    ("driver_queries_r5h.py", "q_nation_topk"): (
+        1, "nation dimension (25 rows)"),
+    ("driver_queries_r6.py", "q_ann_recall"): (
+        2, "query positions (k rows) and probe cells (k×nprobe)"),
+    ("driver_queries_r6.py", "curate_stage_store"): (
+        1, "eval-doc frame for planted contamination — benchmark-bounded"
+           " in production (a fixed held-out suite)"),
+    ("driver_queries_r7.py", "q_remap_gate"): (
+        1, "rect-rect weights over the fixed test grids"),
+    ("driver_queries_text.py", "q_ann_cosine_topk"): (
+        1, "query-vector batch (k rows)"),
+    ("driver_queries_text.py", "ivf_scored"): (
+        1, "IVF centroid terms — k×dim rows"),
+    ("driver_queries_text.py", "q_ivf_topk"): (
+        2, "query vectors and centroid assignments — k-bounded"),
+    ("driver_queries_text.py", "q_ann_lsh_buckets"): (
+        1, "query-vector batch (k rows)"),
+}
+
+
+def _broadcast_call_sites():
+    """(module, enclosing function) → count of ``*.broadcast(...)``
+    call expressions, via AST over every driver-query module."""
+    import ast
+    import collections
+    import glob
+    import os
+
+    import emiproc_spark
+
+    pkg = os.path.dirname(emiproc_spark.__file__)
+    sites = collections.Counter()
+    for path in sorted(glob.glob(os.path.join(pkg, "driver_queries*.py"))):
+        tree = ast.parse(open(path).read())
+        spans = [
+            (n.lineno, n.end_lineno, n.name)
+            for n in ast.walk(tree)
+            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
+        ]
+        for node in ast.walk(tree):
+            if (
+                isinstance(node, ast.Call)
+                and isinstance(node.func, ast.Attribute)
+                and node.func.attr == "broadcast"
+            ):
+                encl = sorted(
+                    (b - a, name)
+                    for a, b, name in spans
+                    if a <= node.lineno <= b
+                )
+                fn = encl[0][1] if encl else "<module>"
+                sites[(os.path.basename(path), fn)] += 1
+    return sites
+
+
+def test_broadcast_hints_reviewed():
+    sites = _broadcast_call_sites()
+    unreviewed = {
+        k: n
+        for k, n in sites.items()
+        if n > _BROADCAST_HINT_ALLOWED.get(k, (0,))[0]
+    }
+    assert not unreviewed, (
+        f"unreviewed F.broadcast hint(s): {unreviewed} — a forced "
+        "broadcast of anything fact/corpus-derived OOMs at scale; either "
+        "drop the hint (AQE broadcasts small sides at runtime) or add "
+        "the site to _BROADCAST_HINT_ALLOWED with why it is bounded"
+    )
+    stale = {
+        k: v[0]
+        for k, v in _BROADCAST_HINT_ALLOWED.items()
+        if sites.get(k, 0) < v[0]
+    }
+    assert not stale, f"allowlist entries exceed actual sites: {stale}"
+
+
+@pytest.mark.parametrize("fn", ["q_split_leakage", "q_cluster_split"])
+def test_split_audits_never_hint_broadcast(fn):
+    """Regression pin on the r7 judge finding: the split-leakage audits
+    must not hint-broadcast their per-document assignment frames."""
+    sites = _broadcast_call_sites()
+    hits = {k: n for k, n in sites.items() if k[1] == fn}
+    assert not hits, f"{fn} reintroduced a forced broadcast: {hits}"
