@@ -64,7 +64,7 @@ def _bucketed_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFr
     if cached is None:
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         ta, tb = f"emiproc_bkt_a_{tag}", f"emiproc_bkt_b_{tag}"
-        root = tempfile.mkdtemp(prefix="emiproc_bkt_")
+        root = fx.scratch_dir("emiproc_bkt_")
         em = fx.emissions(spark, sf_dir)
         flow = (
             em.where(F.col("category").isin("A", "N"))

@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -230,7 +229,7 @@ def q_orc_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         path = os.path.join(
-            tempfile.mkdtemp(prefix="emiproc_orc_"), f"docs_{tag}"
+            fx.scratch_dir("emiproc_orc_"), f"docs_{tag}"
         )
         docs = fx.load(spark, sf_dir, "documents").select(
             "doc_id", "n_chars", "lang"

@@ -175,7 +175,6 @@ def minhash_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     positives with no common shingle."""
     import os
     import re
-    import tempfile
 
     from emiproc_spark.operators import dedup as dd
 
@@ -183,7 +182,7 @@ def minhash_candidate_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         path = os.path.join(
-            tempfile.mkdtemp(prefix="emiproc_minhash_cand_"), f"cand_{tag}"
+            fx.scratch_dir("emiproc_minhash_cand_"), f"cand_{tag}"
         )
         docs = _docs2(spark, sf_dir)
         sigs = dd.minhash_signatures(docs, k=8)

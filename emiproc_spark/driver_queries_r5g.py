@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -104,7 +103,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         path = os.path.join(
-            tempfile.mkdtemp(prefix="emiproc_jsonl_"), f"docs_{tag}"
+            fx.scratch_dir("emiproc_jsonl_"), f"docs_{tag}"
         )
         fx.load(spark, sf_dir, "documents").select(
             "doc_id", "lang", "text"

@@ -514,7 +514,7 @@ def q_ivf_store_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     if path is None or not os.path.isdir(path):
         tag = re.sub(r"\W+", "_", sf_dir).strip("_")
         path = os.path.join(
-            tempfile.mkdtemp(prefix="emiproc_ivf_store_"), f"vecs_{tag}"
+            fx.scratch_dir("emiproc_ivf_store_"), f"vecs_{tag}"
         )
         scored = ivf_scored(spark, sf_dir)
         w = Window.partitionBy("vec_id").orderBy(

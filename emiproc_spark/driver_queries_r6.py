@@ -252,9 +252,12 @@ _CURATE_STORE: dict[str, str] = {}
 
 
 def curate_stage_store(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the five-stage curate run once per sf_dir and return
+    the store path.  Scratch placement and the executor-visibility
+    contract (shared filesystem on multi-node; ``SPARK_GRAFT_SCRATCH``
+    override; exit-time cleanup) live in ``fixtures.scratch_dir``."""
     import os
     import re
-    import tempfile
 
     from emiproc_spark import pipelines
 
@@ -262,7 +265,7 @@ def curate_stage_store(spark: SparkSession, sf_dir: str) -> str:
     if path is not None and os.path.isdir(path):
         return path
     tag = re.sub(r"\W+", "_", sf_dir).strip("_")
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_curate_"), tag)
+    path = os.path.join(fx.scratch_dir("emiproc_curate_"), tag)
     d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
     # the decontaminate fixture: eval split + planted contamination so
     # stage 4 provably removes rows

@@ -34,6 +34,38 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
+_SCRATCH_DIRS: list[str] = []
+
+
+def scratch_dir(prefix: str) -> str:
+    """Scratch directory for per-sf materialized stores (parquet a
+    later query reads back).
+
+    Routes through ``SPARK_GRAFT_SCRATCH`` when set, else the system
+    temp dir.  CONTRACT: the returned path must be readable by every
+    executor — automatic in local mode (driver and executors share one
+    filesystem); on a multi-node cluster point ``SPARK_GRAFT_SCRATCH``
+    at a shared location (NFS/object store), because a driver-local
+    temp dir is invisible to remote executors.  Created dirs are
+    removed at interpreter exit so repeated runs don't accumulate.
+    """
+    import atexit
+    import os
+    import shutil
+    import tempfile
+
+    root = os.environ.get("SPARK_GRAFT_SCRATCH")
+    if root:
+        os.makedirs(root, exist_ok=True)
+    path = tempfile.mkdtemp(prefix=prefix, dir=root or None)
+    if not _SCRATCH_DIRS:
+        atexit.register(
+            lambda: [shutil.rmtree(p, ignore_errors=True) for p in _SCRATCH_DIRS]
+        )
+    _SCRATCH_DIRS.append(path)
+    return path
+
+
 def events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` normalized to epoch-nanoseconds BIGINT.
 

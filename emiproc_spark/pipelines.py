@@ -105,24 +105,36 @@ def tno_to_raster(
     remapped = remap_inventory(e, src_grid, dst_grid, tile=tile)
     if categories_group:
         remapped = group_categories(remapped, categories_group)
-    if gate_rtol is not None:
-        # conservation gate ON BY DEFAULT: regridding + grouping must
-        # not create or destroy mass (the reference asserts this ad hoc
-        # with total_emissions_almost_equal after every remap script) —
-        # a declarative gate frame replaces the scattered asserts and
-        # raises loudly before anything is written
-        from emiproc_spark.operators.quality import (
-            enforce_gates,
-            mass_conservation_gate,
-        )
+    from emiproc_spark.exports.netcdf import export_raster_netcdf
 
+    if gate_rtol is None:
+        return export_raster_netcdf(remapped, dst_grid, out_path, **raster_kwargs)
+    # conservation gate ON BY DEFAULT: regridding + grouping must not
+    # create or destroy mass (the reference asserts this ad hoc with
+    # total_emissions_almost_equal after every remap script) — a
+    # declarative gate frame replaces the scattered asserts and raises
+    # loudly before anything is written.  The gate's collect is an
+    # ACTION, so e and remapped are persisted first: the gate pass
+    # populates the caches and the export reuses them instead of
+    # re-running the whole read+rasterize+remap chain (r7 ADVICE).
+    from emiproc_spark.operators.quality import (
+        enforce_gates,
+        mass_conservation_gate,
+    )
+
+    e = e.persist()
+    remapped = remapped.persist()
+    try:
         enforce_gates(
             mass_conservation_gate(e, remapped, rtol=gate_rtol),
             context="tno_to_raster",
         )
-    from emiproc_spark.exports.netcdf import export_raster_netcdf
-
-    return export_raster_netcdf(remapped, dst_grid, out_path, **raster_kwargs)
+        return export_raster_netcdf(
+            remapped, dst_grid, out_path, **raster_kwargs
+        )
+    finally:
+        remapped.unpersist()
+        e.unpersist()
 
 
 def tno_to_icon(

@@ -67,9 +67,17 @@ def widen_for_fanout(df, min_bytes: int = WIDEN_MIN_BYTES):
 
     - below ``min_bytes`` the input is dimension-sized — the fan-out
       is trivial and the exchange would dominate (skip);
-    - above ``defaultParallelism × maxPartitionBytes`` the scan
-      already yields at least one split per core (skip — the no-op
-      branch every 100 TB input takes);
+    - above ``defaultParallelism × maxPartitionBytes`` a *splittable
+      file scan* already yields at least one split per core — but a
+      size estimate alone cannot tell that apart from a single-split
+      gzip or a LogicalRDD/localCheckpoint lineage whose estimate is
+      the ``defaultSizeInBytes`` sentinel (Long.MAX), exactly the
+      few-partition shapes this helper exists to fix.  On this branch
+      fall back to the OBSERVED partition count and widen when it is
+      below parallelism.  The RDD conversion forces one physical
+      planning pass, but only on this branch — genuinely big scans hit
+      it once per query build, and dimension/bench-sized inputs (the
+      per-call hot path) never do;
     - in between, one round-robin exchange spreads the amplification
       across the cluster.
     """
@@ -89,9 +97,15 @@ def widen_for_fanout(df, min_bytes: int = WIDEN_MIN_BYTES):
         )
     except Exception:  # stats unavailable: keep the input untouched
         return df
-    if min_bytes <= size < par * max_pb:
+    if size < min_bytes:
+        return df
+    if size < par * max_pb:
         return df.repartition(par)
-    return df
+    try:  # huge or sentinel estimate: trust observed partitions instead
+        n = df.rdd.getNumPartitions()
+    except Exception:
+        return df
+    return df.repartition(par) if n < par else df
 
 
 def sql_floor_div(expr: str, p: int) -> str:

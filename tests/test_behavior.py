@@ -561,9 +561,11 @@ def test_robust_outliers_resists_extreme_value(spark):
 def test_widen_for_fanout_gates_on_size(spark):
     """r7 contract: the widen decision reads the optimized logical
     plan's size estimate — dimension-sized inputs skip the exchange,
-    mid-sized compacted inputs widen to default parallelism, and
-    anything estimated past par×maxPartitionBytes is left alone (the
-    branch every real 100 TB scan takes)."""
+    mid-sized compacted inputs widen to default parallelism.  r8: past
+    par×maxPartitionBytes (or on the defaultSizeInBytes stats sentinel)
+    the estimate can't distinguish a well-split 100 TB scan from a
+    single-split gzip or checkpoint lineage, so the gate falls back to
+    the observed partition count."""
     from emiproc_spark.qhelpers import widen_for_fanout
 
     par = spark.sparkContext.defaultParallelism
@@ -577,6 +579,19 @@ def test_widen_for_fanout_gates_on_size(spark):
     # round-robin exchange to par partitions is still correct (never
     # fewer than the input had at scale, where size exceeds the cap)
     assert widen_for_fanout(wide, min_bytes=10**12) is wide
+    # Past the cap the estimate alone can't separate a well-split scan
+    # from a single-split (gzip/checkpoint) shape; the r8 fallback
+    # reads the OBSERVED partition count (r7 ADVICE finding).  Drive
+    # the branch by shrinking maxPartitionBytes so the 1.6 MB frame
+    # counts as "huge".
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(1024))
+    try:
+        one = spark.range(200_000).coalesce(1).localCheckpoint()
+        assert widen_for_fanout(one).rdd.getNumPartitions() == par
+        many = spark.range(200_000, numPartitions=par).localCheckpoint()
+        assert widen_for_fanout(many) is many
+    finally:
+        spark.conf.unset("spark.sql.files.maxPartitionBytes")
 
 
 def test_psi_drift_known_values(spark):
