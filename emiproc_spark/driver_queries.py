@@ -1469,6 +1469,11 @@ from emiproc_spark.driver_queries_r7 import ORACLES_R7, QUERIES_R7  # noqa: E402
 QUERIES.update(QUERIES_R7)
 ORACLES.update(ORACLES_R7)
 
+from emiproc_spark.driver_queries_r8 import ORACLES_R8, QUERIES_R8  # noqa: E402
+
+QUERIES.update(QUERIES_R8)
+ORACLES.update(ORACLES_R8)
+
 # Round-7 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
 # discipline (registry 4× the window), EVERY query whose implementation

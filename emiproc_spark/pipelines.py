@@ -27,6 +27,37 @@ from emiproc_spark.operators.regrid import (
 from emiproc_spark.sources.tno import tno_area_emissions, tno_point_sources
 
 
+def temporal_profile_gates(
+    tprofiles: DataFrame,
+    id_cols: tuple[str, ...] = ("profile_id", "ptype"),
+    ratio_col: str = "ratios",
+    tol_ticks: int = 32,
+) -> DataFrame:
+    """Gate frame asserting every temporal profile's ratios sum to 1 —
+    the invariant every hourly expansion silently assumes (a profile
+    summing to 0.9 under-emits the whole year by 10% with no error).
+    The hourly/ICON export pipelines run this BY DEFAULT before fanning
+    the fact table out over hours; pass their ``gate_ticks=None`` to
+    opt out (e.g. for deliberately non-normalized factor tables).
+
+    Accepts the engine's array-form profile store
+    ``(id_cols…, ratios array<double>)``; one explode over the
+    dimension-sized profile table + the ratio_sum_gate aggregate —
+    nothing touches the fact side."""
+    from emiproc_spark.operators.quality import ratio_sum_gate
+
+    long = tprofiles.select(
+        *id_cols, F.explode(F.col(ratio_col)).alias("__ratio")
+    )
+    return ratio_sum_gate(
+        long,
+        list(id_cols),
+        "__ratio",
+        tol_ticks=tol_ticks,
+        relation="temporal_profile_ratio_sum",
+    )
+
+
 def rasterize_points(
     points: DataFrame,
     dst_grid: DataFrame,
@@ -151,6 +182,8 @@ def tno_to_icon(
     tprofiles: DataFrame | None = None,
     cell_tz: DataFrame | None = None,
     tz_shifts: dict[str, int] | None = None,
+    gate_rtol: float | None = 1e-6,
+    gate_ticks: int | None = 32,
 ) -> dict[str, str]:
     """TNO → ICON triangular mesh → OEM exports.
 
@@ -163,6 +196,12 @@ def tno_to_icon(
 
     Returns {artifact name: path}; the remapped inventory is
     ``out["emissions"]``.
+
+    Default-on gates (each opt-out via ``None``): per-substance mass
+    conservation across the mesh remap (``gate_rtol``, skip when the
+    mesh deliberately crops the domain) and — when ``tprofiles`` is
+    supplied — profile normalization (``gate_ticks``).  Both raise
+    before any artifact is written.
     """
     from emiproc_spark.sources.icon_grid import icon_mesh_grid
 
@@ -183,9 +222,35 @@ def tno_to_icon(
     if categories_group:
         remapped = group_categories(remapped, categories_group)
 
+    persisted: list[DataFrame] = []
+    if gate_rtol is not None or (gate_ticks is not None and tprofiles is not None):
+        from emiproc_spark.operators.quality import (
+            enforce_gates,
+            mass_conservation_gate,
+        )
+
+        if gate_ticks is not None and tprofiles is not None:
+            enforce_gates(
+                temporal_profile_gates(tprofiles, tol_ticks=gate_ticks),
+                context="tno_to_icon",
+            )
+        if gate_rtol is not None:
+            # the gate's collect is an action — persist so the gate
+            # pass and the parquet write share one execution of the
+            # ingest+remap chain (the tno_to_raster pattern)
+            e = e.persist()
+            remapped = remapped.persist()
+            persisted = [remapped, e]
+            enforce_gates(
+                mass_conservation_gate(e, remapped, rtol=gate_rtol),
+                context="tno_to_icon",
+            )
+
     os.makedirs(out_dir, exist_ok=True)
     emissions_path = os.path.join(out_dir, "icon_emissions.parquet")
     remapped.write.mode("overwrite").parquet(emissions_path)
+    for df_ in persisted:
+        df_.unpersist()
     out = {"emissions": emissions_path}
 
     from emiproc_spark.exports.icon import export_oem_gridded_emissions
@@ -253,6 +318,7 @@ def tno_to_hourly(
     out_dir: str,
     substances_mapping: dict[str, str] | None = None,
     year_hours: int = 8760,
+    gate_ticks: int | None = 32,
 ) -> list[str]:
     """TNO → per-hour NetCDF files.
 
@@ -260,10 +326,22 @@ def tno_to_hourly(
     profiles → hourly rates (kg/h), one file per hour written
     EXECUTOR-side (no driver materialization of the hourly tensor —
     exports/netcdf.export_hourly_netcdf).  Returns the written paths.
+
+    Before the hour fan-out, :func:`temporal_profile_gates` audits the
+    profile table (every ratios array sums to 1) and raises on
+    violation — ``gate_ticks=None`` opts out.  The gate reads only the
+    dimension-sized profile table, so it costs nothing at fact scale.
     """
     from emiproc_spark.exports.netcdf import export_hourly_netcdf
     from emiproc_spark.operators.temporal import temporally_scaled
 
+    if gate_ticks is not None:
+        from emiproc_spark.operators.quality import enforce_gates
+
+        enforce_gates(
+            temporal_profile_gates(tprofiles, tol_ticks=gate_ticks),
+            context="tno_to_hourly",
+        )
     e = tno_area_emissions(spark, tno_file, substances_mapping)
     hourly = temporally_scaled(
         e, tprofile_index, tprofiles, start, hours, year_hours=year_hours
@@ -321,6 +399,7 @@ def edgar_to_hourly(
     year: int | None = None,
     year_hours: int | None = None,
     country_aliases: dict[str, str] | None = None,
+    gate_ticks: int | None = 1024,
 ) -> list[str]:
     """EDGAR v8 → country-aware hourly NetCDF files.
 
@@ -363,6 +442,20 @@ def edgar_to_hourly(
     store, index = edgar_auxiliary_profiles(
         spark, aux_dir, inv_categories=cats, country_aliases=country_aliases
     )
+    if gate_ticks is not None:
+        # profile-normalization gate ON BY DEFAULT before the hour
+        # fan-out (gate_ticks=None opts out).  The default tolerance is
+        # wider than tno_to_hourly's because the hour-of-week-per-month
+        # store rows carry 2016 entries — worst-case per-row rounding
+        # is entries/2 ≈ 1008 ticks even for a perfectly normalized
+        # profile; 1024 ticks ≈ 1e-6 absolute still catches any real
+        # violation by orders of magnitude.
+        from emiproc_spark.operators.quality import enforce_gates
+
+        enforce_gates(
+            temporal_profile_gates(store, tol_ticks=gate_ticks),
+            context="edgar_to_hourly",
+        )
     # (country, category, profile_id) → per-cell blended ratios per
     # category; substance never varies in the EDGAR tables
     cell_profiles = country_to_cells(index, store, cell_country)

@@ -356,3 +356,52 @@ def test_tno_to_raster_gate_trips_on_cropped_domain(spark, tno_path, tmp_path):
         str(tmp_path / "cropped.nc"), gate_rtol=None,
     )
     assert os.path.exists(out)
+
+
+def test_tno_to_hourly_gate_trips_on_broken_profile(spark, tno_path, tmp_path):
+    """The default-on profile-normalization gate must refuse the hour
+    fan-out when a profile's ratios do not sum to 1 (silent 10%
+    under-emission otherwise); gate_ticks=None is the opt-out."""
+    store = spark.createDataFrame(
+        [(0, "daily", [0.9 / 24] * 24)],  # sums to 0.9
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("A", "F", 0)], "category string, substance string, profile_id int"
+    )
+    args = (
+        spark, tno_path, index, store, _src_grid(spark),
+        fx.FINE_NX, fx.FINE_NY, "2024-01-02 00:00:00", 1,
+        str(tmp_path / "hourly_gate"),
+    )
+    with pytest.raises(ValueError, match="tno_to_hourly"):
+        pl.tno_to_hourly(*args)
+    files = pl.tno_to_hourly(*args, gate_ticks=None)
+    assert len(files) == 1
+
+
+def test_tno_to_icon_gate_trips_on_broken_profile(spark, tno_path, tmp_path):
+    """tno_to_icon validates a supplied profile table BEFORE writing
+    any artifact — nothing lands in out_dir on violation."""
+    from emiproc_spark.sources.icon_grid import make_icon_grid_file
+
+    lon, lat = [], []
+    for tx in range(5):
+        for ty in range(5):
+            x0, y0 = tx * 2.0, ty * 2.0
+            lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
+            lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
+    grid_file = make_icon_grid_file(
+        str(tmp_path / "grid.nc"), np.array(lon), np.array(lat)
+    )
+    broken = spark.createDataFrame(
+        [(0, "daily", [1.0 / 24] * 23 + [0.5])],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    out_dir = tmp_path / "icon_gate"
+    with pytest.raises(ValueError, match="tno_to_icon"):
+        pl.tno_to_icon(
+            spark, tno_path, _src_grid(spark), grid_file, str(out_dir),
+            tprofiles=broken,
+        )
+    assert not os.path.exists(out_dir)
