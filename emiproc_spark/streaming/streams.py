@@ -657,25 +657,46 @@ def changelog_state_stream(
     value_cols: tuple[str, str] = ("event_type", "value"),
     op_col: str = "op",
     delete_op: str = "delete",
+    n_buckets: int = 1024,
 ) -> DataFrame:
     """Streaming MERGE state: latest-wins upsert/delete per key over an
     unbounded CDC feed — the streaming half of
     ``operators.history.apply_changelog``.
 
-    State per key is ONE row: the (ts, tiebreak)-maximal change seen so
-    far, including delete markers (a later upsert revives the key).
+    State per key is ONE entry: the (ts, tiebreak)-maximal change seen
+    so far, including delete markers (a later upsert revives the key).
     Because the fold is a max, the result is ARRIVAL-ORDER INDEPENDENT
     — micro-batches may deliver changes out of event-time order and the
     final state still equals the batch operator's answer over the same
     feed.  Each batch re-emits a key's current state stamped with a
-    monotonically increasing ``ver`` (update mode); readers take the
-    latest ``ver`` per key and drop rows whose ``op`` is the delete
-    marker.  State is O(keys), independent of stream length.
+    per-key monotonically increasing ``ver`` (update mode); readers
+    take the latest ``ver`` per key and drop rows whose ``op`` is the
+    delete marker.  State is O(keys), independent of stream length.
+
+    SCALE SHAPE — state is SHARDED BY KEY-BUCKET, not by key.
+    ``applyInPandasWithState`` pays a fixed Python-side cost per GROUP
+    per micro-batch (one function invocation, one Arrow batch, one
+    state get/update round-trip through the JVM protocol); grouped by
+    raw key that cost is O(distinct keys in batch) and measured
+    ~650 rows/s/core at 250k keys (PLANS round-7 streaming ledger).
+    Grouping by ``pmod(xxhash64(k), n_buckets)`` caps the per-batch
+    invocation count at ``n_buckets``; inside a bucket the batch's
+    rows fold vectorized (one pandas sort + drop_duplicates for the
+    per-key max, then dict merges against the bucket's packed map).
+    The bucket map is pickled into a single BINARY state column —
+    unpickle/merge/repickle per touched bucket per batch, ~1000
+    dict entries per bucket at the default sizing.  Size
+    ``n_buckets`` ≈ max(cluster cores, total_keys / 1000): buckets
+    must outnumber cores for parallelism, and ~1k entries keeps the
+    blob round-trip around 60 KiB.  The fold result is identical to
+    the per-key grouping for every ``n_buckets`` ≥ 1.
 
     ``value_cols`` is (string_col, double_col) — the packed state
-    schema is fixed; generalize by packing into a string the way
-    ``heavy_hitters_stream`` does if more columns are needed.
+    schema is fixed; generalize by packing more columns into the
+    per-key tuple if needed.
     """
+    import pickle
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -687,43 +708,67 @@ def changelog_state_stream(
         F.col(scol).alias("sv"),
         F.col(dcol).cast("double").alias("dv"),
         F.col(op_col).alias("op"),
+        F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
     )
 
     def fn(key, pdfs, state):
-        (k,) = key
+        # bucket map: k -> (tsn, tb, sv, dv, op, ver)
         if state.exists:
-            tsn, tb, sv, dv, op, ver = state.get
+            (blob,) = state.get
+            m = pickle.loads(bytes(blob))
         else:
-            tsn = tb = None
-            sv = dv = op = None
-            ver = 0
+            m = {}
+        touched: set[int] = set()
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            top = pdf.sort_values(["tsn", "tb"]).iloc[-1]
-            if tsn is None or (int(top["tsn"]), int(top["tb"])) > (tsn, tb):
-                tsn, tb = int(top["tsn"]), int(top["tb"])
-                # a NULL change value must stay NULL — float() would
-                # turn it into NaN, diverging from apply_changelog's
-                # batch semantics (r6 advisor find)
-                dv = None if pd.isna(top["dv"]) else float(top["dv"])
-                sv, op = top["sv"], top["op"]
-        ver += 1
-        state.update((tsn, tb, sv, dv, op, ver))
+            # vectorized per-key max over the batch slice: stable sort
+            # then keep-last — one pandas pass instead of a Python loop
+            # over every row
+            top = pdf.sort_values(["tsn", "tb"]).drop_duplicates(
+                "k", keep="last"
+            )
+            for r in top.itertuples(index=False):
+                k = int(r.k)
+                tsn, tb = int(r.tsn), int(r.tb)
+                cur = m.get(k)
+                if cur is None or (tsn, tb) > (cur[0], cur[1]):
+                    # a NULL change value must stay NULL — float()
+                    # would turn it into NaN, diverging from
+                    # apply_changelog's batch semantics (r6 advisor)
+                    dv = None if pd.isna(r.dv) else float(r.dv)
+                    m[k] = (tsn, tb, r.sv, dv, r.op,
+                            0 if cur is None else cur[5])
+                touched.add(k)
+        out_k: list[int] = []
+        out_sv: list = []
+        out_dv: list = []
+        out_op: list = []
+        out_ver: list[int] = []
+        for k in touched:
+            tsn, tb, sv, dv, op, ver = m[k]
+            ver += 1
+            m[k] = (tsn, tb, sv, dv, op, ver)
+            out_k.append(k)
+            out_sv.append(sv)
+            out_dv.append(dv)
+            out_op.append(op)
+            out_ver.append(ver)
+        state.update((pickle.dumps(m, protocol=5),))
         yield pd.DataFrame(
             {
-                "k": [k],
-                "sv": [sv],
-                "dv": [dv],
-                "op": [op],
-                "ver": [ver],
+                "k": pd.array(out_k, dtype="int64"),
+                "sv": pd.array(out_sv, dtype=object),
+                "dv": pd.array(out_dv, dtype=object),
+                "op": pd.array(out_op, dtype=object),
+                "ver": pd.array(out_ver, dtype="int64"),
             }
         )
 
-    return keyed.groupBy("k").applyInPandasWithState(
+    return keyed.groupBy("bucket").applyInPandasWithState(
         fn,
         "k long, sv string, dv double, op string, ver long",
-        "tsn long, tb long, sv string, dv double, op string, ver long",
+        "blob binary",
         "update",
         GroupStateTimeout.NoTimeout,
     )
