@@ -1474,59 +1474,80 @@ from emiproc_spark.driver_queries_r8 import ORACLES_R8, QUERIES_R8  # noqa: E402
 QUERIES.update(QUERIES_R8)
 ORACLES.update(ORACLES_R8)
 
-# Round-7 front-window rotation.  The driver samples a contiguous
+# Round-8 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
-# discipline (registry 4× the window), EVERY query whose implementation
-# changed this round goes first, then the new r7 queries, then
-# already-green refill.  The r6 rotation entries all earned green
-# CORRECTNESS_r06 rows and are trimmed (r6 judge item 2).
+# discipline (registry >4× the window), EVERY query whose
+# implementation changed this round goes first, then the new r8
+# queries, then refill.
 _REVERIFY = [
-    # 1 — changed this round: zipf head-bounded windowless rank +
-    # double-cast sums; rrf_fuse bounded-input/windowless ranks;
-    # setsim_join id-normalization; resample_interp NULL semantics;
-    # changelog stream NULL fold; curate_corpus gained its gate stage
-    "zipf_slope", "hybrid_search", "setsim_exact", "resample_interp",
-    "stream_cdc", "curate_corpus",
-    # 2 — transitively changed: widen_for_fanout's gate rewrite
-    # (logical-stats window instead of RDD partition count) sits under
-    # every doc_shingles consumer and every hourly fan-out path
-    "temporal_expand", "temporal_expand_cell", "wrf_flux",
-    "fluxie_export",
+    # 1 — changed this round: forced-broadcast hints dropped from the
+    # TPC-H-style dimension joins and both split-audit queries (the r7
+    # judge's scale finding: a broadcast hint on a corpus-sized frame
+    # cannot be refused at runtime); stream_cdc state re-sharded by
+    # key-bucket with a vectorized in-bucket fold
+    "revenue_by_nation", "top_customers", "supplier_rank",
+    "split_leakage", "cluster_split", "stream_cdc",
+    # 2 — store plumbing changed: per-sf materialized stores now route
+    # through fixtures.scratch_dir (configurable root + exit cleanup);
+    # curate_corpus/curation_gates additionally share the persisted
+    # gate-chain execution with the new default-on pipeline gates
+    "bucketed_join", "orc_partitioned", "jsonl_roundtrip",
+    "ivf_store_probe", "minhash_est", "lsh_verified", "lsh_quality",
+    "curate_corpus", "curation_gates",
+    # 3 — transitively changed: widen_for_fanout regained the observed
+    # partition-count fallback for sentinel-stats / non-splittable
+    # scans, which sits under every doc_shingles consumer and every
+    # hourly fan-out path
     "ngram_jaccard", "minhash_lsh", "lsh_capped", "minhash_inc",
-    "minhash_est", "lsh_quality", "lsh_verified",
     "dedup_representative", "dup_clusters", "dedup_best",
-    "split_leakage", "stream_neardup",
+    "temporal_expand", "temporal_expand_cell", "wrf_flux",
+    "fluxie_export", "stream_neardup",
 ]
+
+
+def _evidence_order(names: list[str]) -> list[str]:
+    """Refill policy (r7 judge item 8): OLDEST EVIDENCE FIRST.
+
+    The registry is >4× the driver's 50-query window, so refill slots
+    are scarce; recent-rounds-first refill (r5-r7) starved the r1-r4
+    era queries of re-verification.  Instead, read the committed
+    ``CORRECTNESS_r*.json`` ledger, compute each query's most recent
+    green round, and order the unchanged remainder by (last green
+    round ASC, name) — deterministic, and every query re-verifies at
+    least every ``ceil(registry / refill_slots)`` rounds as the window
+    cycles through the stalest evidence.  Queries with no ledger row
+    yet (should not happen) sort first.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    root = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+    last: dict[str, int] = {}
+    for p in sorted(_glob.glob(_os.path.join(root, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", p)
+        if m is None:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(p) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, res in data.items():
+            if isinstance(res, dict) and res.get("rows_match"):
+                last[name] = max(rnd, last.get(name, 0))
+    return sorted(names, key=lambda n: (last.get(n, 0), n))
+
 
 _FRONT = {
     **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
-    # 3 — new this round
-    **QUERIES_R7,
-    # refill: recent rounds first (harmless re-verification)
-    **QUERIES_R6,
-    **QUERIES_R5H,
-    **QUERIES_R5G,
-    **QUERIES_R5F,
-    **QUERIES_R5E,
-    **QUERIES_R5D,
-    **QUERIES_R5C,
-    **QUERIES_R5B,
-    **QUERIES_R5,
+    # new this round
+    **QUERIES_R8,
 }
-QUERIES = _rotate(QUERIES, _FRONT)
-ORACLES = _rotate(
-    ORACLES,
-    {
-        **{k: ORACLES[k] for k in _REVERIFY if k in ORACLES},
-        **ORACLES_R7,
-        **ORACLES_R6,
-        **ORACLES_R5H,
-        **ORACLES_R5G,
-        **ORACLES_R5F,
-        **ORACLES_R5E,
-        **ORACLES_R5D,
-        **ORACLES_R5C,
-        **ORACLES_R5B,
-        **ORACLES_R5,
-    },
-)
+_REFILL = _evidence_order([k for k in QUERIES if k not in _FRONT])
+QUERIES = {**_FRONT, **{k: QUERIES[k] for k in _REFILL}}
+# ORACLES mirrors the QUERIES ordering (oracle-less streaming entries
+# simply have no row)
+ORACLES = {k: ORACLES[k] for k in QUERIES if k in ORACLES}
