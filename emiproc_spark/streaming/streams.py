@@ -296,6 +296,7 @@ def near_dup_stream(
     bands: int = 4,
     max_bucket: int = 64,
     state_ttl: str = "1 hour",
+    n_shards: int = 4096,
 ) -> DataFrame:
     """Streaming near-duplicate candidate pairs: MinHash-LSH banding as
     a custom stateful operator (streaming counterpart of
@@ -317,14 +318,29 @@ def near_dup_stream(
     an overflow list bounded at 16·``max_bucket`` (so an at-least-once
     source redelivering them does not re-emit their pairs; past that
     bound the overflow FIFO-evicts and a very late redelivery may
-    duplicate).  Sharding is by bucket hash, so a 1000-executor cluster
-    splits state horizontally.
+    duplicate).
 
-    The *number* of bucket keys grows with every distinct document
-    (``bands`` hashes per doc), so idle buckets are evicted after
-    ``state_ttl`` of processing time — the streaming dedup horizon:
-    duplicates arriving further apart than the TTL are not paired, the
-    same trade a watermarked ``dropDuplicatesWithinWatermark`` makes.
+    SCALE SHAPE — state is SHARDED: the stateful stage groups by
+    ``pmod(xxhash64(bucket), n_shards)``, NOT by raw bucket.  Bucket
+    count grows with the corpus (``bands`` buckets per distinct doc),
+    and ``applyInPandasWithState`` pays a fixed Python/Arrow/state
+    round-trip per GROUP per micro-batch — grouped by raw bucket the
+    round-7 ledger measured ~1000 s for 1M docs (4M bucket-group
+    invocations).  A shard's state is one pickled BINARY map
+    ``bucket -> (members, overflow, last_touch_ms)``; the per-batch
+    invocation count is capped at ``n_shards`` and the in-shard fold
+    loops over only the buckets present in the batch slice.  Size
+    ``n_shards`` ≈ max(cluster cores, live_buckets / 1000) — a
+    1000-executor cluster still splits state horizontally, and ~1k
+    entries keeps the blob round-trip cheap.
+
+    Idle-state eviction — the streaming dedup horizon (duplicates
+    arriving further apart than ``state_ttl`` are not paired, the same
+    trade a watermarked ``dropDuplicatesWithinWatermark`` makes) — is
+    enforced at BOTH levels: buckets untouched for ``state_ttl`` are
+    pruned from the shard map whenever the shard processes a batch,
+    and a shard with no arrivals at all times out as a whole
+    (``ProcessingTimeTimeout``).
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -412,49 +428,77 @@ def near_dup_stream(
         )
 
     out_schema = "doc_a long, doc_b long, bucket string"
-    state_schema = "ids string"
+    state_schema = "blob binary"
 
     def fn(key, pdfs, state):
-        (bucket,) = key
+        import pickle
+        import time as _time
+
         if state.hasTimedOut:
-            state.remove()  # idle bucket: evict, emit nothing
+            state.remove()  # every bucket in the shard is idle: evict
             return
-        seen: list[int] = []
+        # shard map: bucket -> (members, overflow, last_touch_ms)
         if state.exists:
-            (packed,) = state.get
-            seen = [int(x) for x in packed.split(",") if x]
-        # the first max_bucket ids are the pairing members; later ids
-        # live in a bounded overflow so an at-least-once source
-        # redelivering an over-cap doc does not re-emit its pairs
-        # (beyond 16x max_bucket the overflow FIFO-evicts and a very
-        # late redelivery may duplicate — the documented bound)
-        members = seen[:max_bucket]
-        overflow = seen[max_bucket:]
-        new_ids = sorted(
-            {int(i) for pdf in pdfs for i in pdf[id_col]} - set(seen)
-        )
-        pairs = []
-        for nid in new_ids:
-            for old in members:
-                lo, hi = (old, nid) if old < nid else (nid, old)
-                pairs.append((lo, hi))
-            if len(members) < max_bucket:
-                members.append(nid)
-            else:
-                overflow.append(nid)
-        overflow = overflow[-(max_bucket * 15):]
-        state.update((",".join(str(x) for x in members + overflow),))
+            (blob,) = state.get
+            m = pickle.loads(bytes(blob))
+        else:
+            m = {}
+        now_ms = int(_time.time() * 1000)
+        # per-bucket TTL: prune entries idle past the horizon (shard
+        # granularity — a shard that processes a batch sweeps its map)
+        if m:
+            dead = [b for b, ent in m.items() if now_ms - ent[2] > ttl_ms]
+            for b in dead:
+                del m[b]
+        out_a: list[int] = []
+        out_b: list[int] = []
+        out_bk: list[str] = []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            for bucket, grp in pdf.groupby("bucket", sort=False):
+                ent = m.get(bucket)
+                members = list(ent[0]) if ent else []
+                overflow = list(ent[1]) if ent else []
+                # the first max_bucket ids are the pairing members;
+                # later ids live in a bounded overflow so an
+                # at-least-once source redelivering an over-cap doc
+                # does not re-emit its pairs (beyond 16x max_bucket
+                # the overflow FIFO-evicts and a very late redelivery
+                # may duplicate — the documented bound)
+                seen = set(members)
+                seen.update(overflow)
+                new_ids = sorted({int(i) for i in grp[id_col]} - seen)
+                for nid in new_ids:
+                    for old in members:
+                        lo, hi = (old, nid) if old < nid else (nid, old)
+                        out_a.append(lo)
+                        out_b.append(hi)
+                        out_bk.append(bucket)
+                    if len(members) < max_bucket:
+                        members.append(nid)
+                    else:
+                        overflow.append(nid)
+                m[bucket] = (
+                    members,
+                    overflow[-(max_bucket * 15):],
+                    now_ms,
+                )
+        state.update((pickle.dumps(m, protocol=5),))
         state.setTimeoutDuration(ttl_ms)
-        if pairs:
+        if out_a:
             yield pd.DataFrame(
                 {
-                    "doc_a": [p[0] for p in pairs],
-                    "doc_b": [p[1] for p in pairs],
-                    "bucket": bucket,
+                    "doc_a": pd.array(out_a, dtype="int64"),
+                    "doc_b": pd.array(out_b, dtype="int64"),
+                    "bucket": pd.array(out_bk, dtype=object),
                 }
             )
 
-    return banded.groupBy("bucket").applyInPandasWithState(
+    sharded = banded.withColumn(
+        "__shard", F.pmod(F.xxhash64("bucket"), F.lit(n_shards))
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
         fn,
         out_schema,
         state_schema,

@@ -1476,6 +1476,7 @@ def test_stream_neardup_million_docs(spark, tmp_path):
     assert true_pairs == 9_999
     assert total <= 10_100, f"too many false-positive pairs: {total}"
     print(f"\nstream_neardup 1M docs wall: {dt:.1f}s ({n / dt:,.0f} docs/s)")
-    # measured ~1000 s on local[32]: 4M bucket-group Python invocations
-    # dominate (see PLANS round-7 streaming ledger) — bound generously
-    assert dt < 1500
+    # per-bucket grouping measured ~1000 s (4M bucket-group Python
+    # invocations, round-7 ledger); the sharded state caps invocations
+    # at n_shards per batch — measured 87 s on local[32]
+    assert dt < 400
