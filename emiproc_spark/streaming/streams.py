@@ -622,6 +622,20 @@ def funnel_stream(
 
     Returns (key, step1_ts … stepN_ts) timestamps, NULL where the
     chain broke — identical schema to the batch fallback.
+
+    SCALE SHAPE — state is SHARDED BY KEY-BUCKET (the
+    ``changelog_state_stream`` pattern): ``applyInPandasWithState``
+    pays a fixed Python/Arrow/state round-trip per group per
+    micro-batch, so grouping by raw key is O(distinct keys) overhead
+    per batch.  The stage groups by ``pmod(xxhash64(key), n_shards)``
+    and keeps each shard's funnels in one pickled BINARY map
+    ``key -> [step stamps]``; flushed keys are deleted from the map
+    and the shard's state is dropped once empty.  (The sessionizer
+    deliberately does NOT shard: its per-key EVENT-TIME TIMEOUT is the
+    session-close trigger and is only available per group; session
+    state is transient — live sessions, not all keys ever seen — so
+    its group count is bounded by concurrent activity, not corpus
+    size.)
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
@@ -635,59 +649,81 @@ def funnel_stream(
             steps, key_col, ts_col, type_col,
         )
 
+    import pickle
+
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    n_shards = 1024
     n = len(steps)
     key_type = dict(events.dtypes)[key_col]
     out_schema = f"{key_col} {key_type}, " + ", ".join(
         f"step{i + 1}_ts timestamp" for i in range(n)
     )
-    # -1 = step not reached (state columns cannot round-trip NULLs)
-    state_schema = ", ".join(f"s{i} long" for i in range(n))
 
     def fn(key, pdfs, state):
-        (k,) = key
-        s = list(state.get) if state.exists else [-1] * n
-        flush = False
+        # shard map: key -> list of n step stamps (µs; -1 = not reached)
+        if state.exists:
+            (blob,) = state.get
+            m = pickle.loads(bytes(blob))
+        else:
+            m = {}
+        out_keys: list = []
+        out_steps: list[list] = [[] for _ in range(n)]
         rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
-        for ts, et in zip(rows[ts_col], rows[type_col]):
-            if et == flush_type:
-                flush = True
-                continue
-            tus = int(pd.Timestamp(ts).value // 1000)
-            for i, step in enumerate(steps):
-                if et != step:
+        for k, grp in rows.groupby(key_col, sort=False):
+            s = list(m.get(k, (-1,) * n))
+            flush = False
+            for ts, et in zip(grp[ts_col], grp[type_col]):
+                if et == flush_type:
+                    flush = True
                     continue
-                if s[i] < 0 and (
-                    i == 0 or (s[i - 1] >= 0 and tus > s[i - 1])
-                ):
-                    s[i] = tus
-                    break  # an event fills at most one step (strict >
-                    # means it can never also satisfy the next one)
-                # already-filled occurrence: keep scanning — a REPEATED
-                # step name (e.g. a second "view" stage) must be able
-                # to claim this event, matching the batch window chain
-        if flush:
+                tus = int(pd.Timestamp(ts).value // 1000)
+                for i, step in enumerate(steps):
+                    if et != step:
+                        continue
+                    if s[i] < 0 and (
+                        i == 0 or (s[i - 1] >= 0 and tus > s[i - 1])
+                    ):
+                        s[i] = tus
+                        break  # an event fills at most one step
+                        # (strict > means it can never also satisfy
+                        # the next one)
+                    # already-filled occurrence: keep scanning — a
+                    # REPEATED step name (e.g. a second "view" stage)
+                    # must be able to claim this event, matching the
+                    # batch window chain
+            if flush:
+                m.pop(k, None)
+                out_keys.append(k)
+                for i in range(n):
+                    out_steps[i].append(
+                        pd.Timestamp(s[i], unit="us") if s[i] >= 0 else pd.NaT
+                    )
+            else:
+                m[k] = tuple(s)
+        if m:
+            state.update((pickle.dumps(m, protocol=5),))
+        elif state.exists:
             state.remove()
+        if out_keys:
             yield pd.DataFrame(
                 {
-                    key_col: [k],
+                    key_col: pd.array(out_keys, dtype=object),
                     **{
-                        f"step{i + 1}_ts": [
-                            pd.Timestamp(s[i], unit="us") if s[i] >= 0 else pd.NaT
-                        ]
+                        f"step{i + 1}_ts": out_steps[i]
                         for i in range(n)
                     },
                 }
             )
-        else:
-            state.update(tuple(s))
 
-    return events.groupBy(key_col).applyInPandasWithState(
+    sharded = events.withColumn(
+        "__shard", F.pmod(F.xxhash64(key_col), F.lit(n_shards))
+    )
+    return sharded.groupBy("__shard").applyInPandasWithState(
         fn,
         out_schema,
-        state_schema,
+        "blob binary",
         "append",
         GroupStateTimeout.NoTimeout,
     )

@@ -1432,6 +1432,72 @@ def test_stream_cdc_million_keys(spark, tmp_path):
 
 
 @scale
+def test_stream_funnel_half_million_users(spark, tmp_path):
+    """Streaming funnel at 500k state keys: 4M ordered events + one
+    flush sentinel per user.  Per-key grouping would pay ~2M group
+    round-trips across the batches; the key-bucket sharding caps it at
+    n_shards per batch.  Closed-form check: user u completes the
+    3-step chain iff u % 3 != 0 (the click is withheld for u % 3 == 0,
+    which also breaks the purchase)."""
+    from emiproc_spark.streaming.streams import funnel_stream
+
+    users = 500_000
+    base = spark.range(users)
+    mk = lambda off, et: base.select(  # noqa: E731
+        F.timestamp_micros(F.col("id") * 100 + off).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit(et).alias("event_type"),
+    )
+    view = mk(1, "view")
+    click = mk(2, "click").where(F.col("user_id") % 3 != 0)
+    noise = mk(10, "other0").unionByName(mk(11, "other1"))
+    buy = mk(3, "purchase").unionByName(noise)
+    flush = mk(50, "__flush__")
+    src = str(tmp_path / "funnel500k")
+    # one file per append, written in event-time order, so each
+    # micro-batch (maxFilesPerTrigger=1) honors the stream's
+    # forward-only in-order contract per user
+    view.coalesce(1).write.mode("append").parquet(src)
+    click.coalesce(1).write.mode("append").parquet(src)
+    buy.coalesce(1).write.mode("append").parquet(src)
+    flush.coalesce(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    t0 = time.time()
+    res = _drain_stream(
+        spark,
+        funnel_stream(stream, ["view", "click", "purchase"]),
+        "t_funnel_500k",
+        mode="append",
+    )
+    dt = time.time() - t0
+    # view + purchase + 2 noise + flush per user, click for 2/3 of them
+    n_events = users * 5 + (users - (users + 2) // 3)
+    agg = res.agg(
+        F.count("*").alias("n_rows"),
+        F.count("step1_ts").alias("n_s1"),
+        F.count("step2_ts").alias("n_s2"),
+        F.count("step3_ts").alias("n_s3"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).collect()[0]
+    assert agg["n_rows"] == users and agg["n_users"] == users
+    assert agg["n_s1"] == users
+    # chain completes iff the click existed
+    full = users - (users + 2) // 3
+    assert agg["n_s2"] == full and agg["n_s3"] == full
+    print(
+        f"\nstream_funnel 500k users wall: {dt:.1f}s "
+        f"({n_events / dt:,.0f} events/s)"
+    )
+    assert dt < 590
+
+
+@scale
 def test_stream_neardup_million_docs(spark, tmp_path):
     """100× the streaming ledger's near-dup tier: 1M docs (every 100th
     doc duplicates its predecessor -> 9,999 true pairs) through the
