@@ -14,7 +14,6 @@ ids), unit identity, and time-mean semantics are all on the hook.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,7 +93,7 @@ def q_netcdf_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id", "category", "substance")
         .agg(sumd("value_kg_y").alias("value_kg_y"))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_nc_"), "inv.nc")
+    out = os.path.join(fx.scratch_dir("emiproc_nc_"), "inv.nc")
     export_raster_netcdf(agg, _raster_grid(spark), out, add_totals=False)
     return from_netcdf_rasters(spark, out)
 
@@ -182,7 +181,7 @@ def _tno_fixture(spark: SparkSession, sf_dir: str) -> str:
             "O": sup["O"],
         }
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_tno_"), "tno.nc")
+    out = os.path.join(fx.scratch_dir("emiproc_tno_"), "tno.nc")
     write_tno_netcdf(
         out, pd.concat([area, points], ignore_index=True), fx.FINE_NX, fx.FINE_NY,
         ["F", "O"],
@@ -308,7 +307,7 @@ def q_edgar_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCVariable, write_netcdf
     from emiproc_spark.sources.formats import edgar_v8
 
-    d = tempfile.mkdtemp(prefix="emiproc_edgar_")
+    d = fx.scratch_dir("emiproc_edgar_")
     for cat in ("A", "N", "R"):
         arr = _catsub_raster(spark, sf_dir, cat)
         for year, scale in ((2022, 1.0), (2021, 3.0)):
@@ -340,7 +339,7 @@ def q_cams_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCVariable, write_netcdf
     from emiproc_spark.sources.formats import cams_reg_aq
 
-    d = tempfile.mkdtemp(prefix="emiproc_cams_")
+    d = fx.scratch_dir("emiproc_cams_")
     ds = _coord_ds()
     for var, cat in (("A_PublicPower", "A"), ("F_RoadTransport", "R")):
         arr = _catsub_raster(spark, sf_dir, cat) % 1_000_000
@@ -384,7 +383,7 @@ def q_gfas_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.formats import gfas_emissions
 
-    d = tempfile.mkdtemp(prefix="emiproc_gfas_")
+    d = fx.scratch_dir("emiproc_gfas_")
     t = np.arange(GFAS_NDAYS)[:, None, None]
     la = np.arange(GFAS_NLA)[None, :, None]
     lo = np.arange(GFAS_NLO)[None, None, :]
@@ -447,7 +446,7 @@ def q_saunois_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.formats import saunois_emissions
 
-    d = tempfile.mkdtemp(prefix="emiproc_saunois_")
+    d = fx.scratch_dir("emiproc_saunois_")
     m = np.arange(12)[:, None, None]
     la = np.arange(GFAS_NLA)[None, :, None]
     lo = np.arange(GFAS_NLO)[None, None, :]
@@ -549,7 +548,7 @@ def q_gpkg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer = spark.createDataFrame(pdf).coalesce(1).sortWithinPartitions(
         F.col("Emission_CO2")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_gpkg_"), "inv.gpkg")
+    path = os.path.join(fx.scratch_dir("emiproc_gpkg_"), "inv.gpkg")
     export_to_geopackage({"zurich_cat": layer}, path)
     out = from_geopackage(spark, path)
     return out.select(
@@ -606,7 +605,7 @@ def q_gral_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_kg_y": (nat["n_nationkey"] + 1) * HOUR_PER_YR,
         }
     )
-    d = os.path.join(tempfile.mkdtemp(prefix="emiproc_gral_"), "emissions")
+    d = os.path.join(fx.scratch_dir("emiproc_gral_"), "emissions")
     write_gral_emissions(
         d, spark.createDataFrame(pdf),
         emission_infos={"traffic": {"height": 4.0}},
@@ -649,7 +648,7 @@ def q_swiss_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for x in range(fx.FINE_NX)
             )
         )
-    d = tempfile.mkdtemp(prefix="emiproc_swiss_")
+    d = fx.scratch_dir("emiproc_swiss_")
     with open(os.path.join(d, "eipro.asc"), "w") as f:
         f.write("\n".join(lines) + "\n")
     totals = (
@@ -706,7 +705,7 @@ def q_tno_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # years filter out
                 lines.append(f"2020,{45.5 + lat_i},{7.5 + lon_i},CH4,A,{day},{9 * f}")
                 lines.append(f"2019,{45.5 + lat_i},{7.5 + lon_i},CH4,A,{day},999")
-    d = tempfile.mkdtemp(prefix="emiproc_tnop_")
+    d = fx.scratch_dir("emiproc_tnop_")
     path = os.path.join(d, "profiles.csv")
     with open(path, "w") as fobj:
         fobj.write("\n".join(lines) + "\n")
@@ -772,7 +771,7 @@ def q_prtr_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             [2020, "Diffus", 1.0, 2.0, "diff", 9.0, "t/a",
              "Kohlendioxid (CO2)", "1.c"]
         )
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_prtr_"), "prtr.xlsx")
+    path = os.path.join(fx.scratch_dir("emiproc_prtr_"), "prtr.xlsx")
     write_xlsx(path, rows)
     return read_prtr(spark, path, year=2020)
 
@@ -801,7 +800,7 @@ def q_weights_cache(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.regrid import weights_rect_rect
     from emiproc_spark.plans.cache import cached_weights
 
-    d = tempfile.mkdtemp(prefix="emiproc_wcache_")
+    d = fx.scratch_dir("emiproc_wcache_")
 
     def build():
         return weights_rect_rect(
@@ -826,7 +825,7 @@ def q_edgar_legacy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.formats import edgar_legacy
 
-    d = tempfile.mkdtemp(prefix="emiproc_edl_")
+    d = fx.scratch_dir("emiproc_edl_")
     # lons 0,90,180,270 → shifted sort order [180, 270, 0, 90]
     lon360 = np.array([0.0, 90.0, 180.0, 270.0])
     la = np.arange(GFAS_NLA)[:, None]
@@ -880,7 +879,7 @@ def q_wetcharts_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.formats import wetcharts
 
-    d = tempfile.mkdtemp(prefix="emiproc_wc_")
+    d = fx.scratch_dir("emiproc_wc_")
     m = np.arange(12)[:, None, None, None]
     mod = np.arange(3)[None, :, None, None]
     la = np.arange(GFAS_NLA)[None, None, :, None]
@@ -941,7 +940,7 @@ def q_gfed5_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.gfed import gfed5_emissions
 
-    d = tempfile.mkdtemp(prefix="emiproc_g5_")
+    d = fx.scratch_dir("emiproc_g5_")
     t = np.arange(31)[:, None, None]
     la = np.arange(GFAS_NLA)[None, :, None]
     lo = np.arange(GFAS_NLO)[None, None, :]
@@ -1062,7 +1061,7 @@ def q_lpj_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
     from emiproc_spark.sources.formats import lpj_guess
 
-    d = tempfile.mkdtemp(prefix="emiproc_lpj_")
+    d = fx.scratch_dir("emiproc_lpj_")
     t = np.arange(LPJ_NDAYS)[:, None, None]
     la = np.arange(GFAS_NLA)[None, :, None]
     lo = np.arange(GFAS_NLO)[None, None, :]
@@ -1135,7 +1134,7 @@ ORACLES_IO["lpj_ingest"] = SQL_LPJ_INGEST
 def q_tprofiles_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.sources.profiles_io import read_temporal_profiles_csv
 
-    d = tempfile.mkdtemp(prefix="emiproc_tp_")
+    d = fx.scratch_dir("emiproc_tp_")
     p = os.path.join(d, "profiles.csv")
     with open(p, "w") as f:
         f.write("category,Mon,Tue,Wed,Thu,Fri,Sat,Sun\n")
@@ -1165,7 +1164,7 @@ SQL_TPROFILES_CSV = """
 def q_vprofiles_csv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.sources.profiles_io import read_vertical_profiles_csv
 
-    d = tempfile.mkdtemp(prefix="emiproc_vp_")
+    d = fx.scratch_dir("emiproc_vp_")
     p = os.path.join(d, "vertical.csv")
     with open(p, "w") as f:
         # headers intentionally out of height order: the reader re-sorts

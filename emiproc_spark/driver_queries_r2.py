@@ -12,7 +12,6 @@ renormalized ratios collapse fold-order wobble at 1e-9).
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -295,7 +294,7 @@ def q_from_duckdb(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from emiproc_spark.sources.readers import from_duckdb
 
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_duck_"), "inv.duckdb")
+    path = os.path.join(fx.scratch_dir("emiproc_duck_"), "inv.duckdb")
     con = duckdb.connect(path)
     try:
         con.execute(
@@ -358,7 +357,7 @@ def q_osm_ways(spark: SparkSession, sf_dir: str) -> DataFrame:
         }
         for rk, refs in sorted(by_region.items())
     ]
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_osm_"), "overpass.json")
+    path = os.path.join(fx.scratch_dir("emiproc_osm_"), "overpass.json")
     with open(path, "w") as f:
         json.dump({"elements": elements}, f)
     out = osm_json_to_sources(spark, path)
@@ -686,7 +685,7 @@ def q_shapefile_regions(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in regs
     ]
     attrs = pd.DataFrame({"NAME": [r["r_name"] for r in regs]})
-    base = os.path.join(tempfile.mkdtemp(prefix="emiproc_shp_"), "regions")
+    base = os.path.join(fx.scratch_dir("emiproc_shp_"), "regions")
     write_shapefile(base, polys, attrs)
     regions = shapefile_to_regions(spark, base + ".shp", label_field="NAME")
     fr = cell_region_fractions(regions, fx.fine_grid(spark), tile=2.5)

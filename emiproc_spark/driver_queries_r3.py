@@ -12,7 +12,6 @@ microseconds.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -215,7 +214,7 @@ def q_fluxie_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.lit(1.0).alias("fraction"),
     )
-    out = tempfile.mkdtemp(prefix="emiproc_fluxie_")
+    out = fx.scratch_dir("emiproc_fluxie_")
     export_fluxie({FLUXIE_YEAR: agg}, grid, cfrac, out)
     rows = []
     base = os.path.join(out, "emiproc")

@@ -134,7 +134,7 @@ def _icon_mesh_file(spark: SparkSession) -> str:
     import os
     import tempfile
 
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_icon_"), "grid.nc")
+    path = os.path.join(fx.scratch_dir("emiproc_icon_"), "grid.nc")
     return make_icon_grid_file(path, np.array(lon), np.array(lat))
 
 
@@ -374,7 +374,7 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     from emiproc_spark.qhelpers import QSCALE
 
     ev = _events(spark, sf_dir)
-    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_stream_"), "in")
+    out = os.path.join(fx.scratch_dir("emiproc_stream_"), "in")
     (
         ev.select(
             F.timestamp_micros(F.expr("ts div 1000")).alias("ts"),
@@ -479,7 +479,7 @@ def q_profiles_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
         profiles_to_yaml,
     )
 
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_yaml_"), "prof.yaml")
+    path = os.path.join(fx.scratch_dir("emiproc_yaml_"), "prof.yaml")
     prof = spark.createDataFrame(
         [
             ("daily", [(h + 1) / 16.0 for h in range(24)]),

@@ -7,11 +7,12 @@ returns a DataFrame whose row multiset a DuckDB oracle reproduces.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
 
 from emiproc_spark.qhelpers import qd, sql_qd
 
@@ -58,7 +59,7 @@ def q_edgar_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     fallback (reference emiproc/inventories/edgar/temporal.py:62-259)."""
     from emiproc_spark.sources.edgar_profiles import edgar_auxiliary_profiles
 
-    d = tempfile.mkdtemp(prefix="emiproc_edgar_aux_")
+    d = fx.scratch_dir("emiproc_edgar_aux_")
     _write_edgar_aux(d)
     store, index = edgar_auxiliary_profiles(
         spark,
@@ -328,7 +329,7 @@ def q_netcdf4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id", "category", "substance")
         .agg(sumd("value_kg_y").alias("value_kg_y"))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_nc4_"), "inv.nc")
+    out = os.path.join(fx.scratch_dir("emiproc_nc4_"), "inv.nc")
     export_raster_netcdf(
         agg, _raster_grid(spark), out, add_totals=False, container="hdf5"
     )
@@ -551,7 +552,7 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
         )
     )
-    d = tempfile.mkdtemp(prefix="emiproc_sess_stream_")
+    d = fx.scratch_dir("emiproc_sess_stream_")
     src = os.path.join(d, "in")
     ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
 
@@ -620,7 +621,7 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.driver_queries_text import _docs2
     from emiproc_spark.streaming.streams import near_dup_stream
 
-    d = tempfile.mkdtemp(prefix="emiproc_nd_stream_")
+    d = fx.scratch_dir("emiproc_nd_stream_")
     src = os.path.join(d, "in")
     _docs2(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
@@ -722,7 +723,7 @@ def q_oem_profiles_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cell_id",
         F.when(F.col("cell_id") % 2 == 0, "UTC").otherwise("CET").alias("tzid"),
     )
-    d = tempfile.mkdtemp(prefix="emiproc_oem_")
+    d = fx.scratch_dir("emiproc_oem_")
     out = export_inventory_profiles(
         index, store, cell_tz, grid, d, tz_shifts={"CET": 1}
     )
@@ -796,7 +797,7 @@ def _write_gfed4_fixture(d: str) -> None:
 def q_gfed4_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.sources.gfed import gfed4_emissions
 
-    d = tempfile.mkdtemp(prefix="emiproc_gfed4_")
+    d = fx.scratch_dir("emiproc_gfed4_")
     _write_gfed4_fixture(d)
     return gfed4_emissions(spark, d).withColumn("value_kg_y", qd("value_kg_y"))
 
@@ -836,7 +837,7 @@ def q_antimeridian_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.regrid import weights_poly_poly
     from emiproc_spark.sources.icon_grid import icon_mesh_grid, make_icon_grid_file
 
-    d = tempfile.mkdtemp(prefix="emiproc_wrap_")
+    d = fx.scratch_dir("emiproc_wrap_")
     p = make_icon_grid_file(
         os.path.join(d, "wrap.nc"),
         np.array([[179.0, -179.0, 179.0]]),

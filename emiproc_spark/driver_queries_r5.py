@@ -33,12 +33,13 @@ that previously rested on unit tests only.
 from __future__ import annotations
 
 import os
-import tempfile
 from collections.abc import Callable, Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from emiproc_spark import fixtures as fx
 
 from emiproc_spark.qhelpers import qd, sql_qd
 
@@ -52,7 +53,7 @@ def q_profile_index_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # integer period values: the normalization total is an exact double,
     # so every ratio is bit-identical int/total in both engines
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_wildidx_"), "tprof.csv")
+    path = os.path.join(fx.scratch_dir("emiproc_wildidx_"), "tprof.csv")
     rows = [
         "category,substance," + ",".join(f"h{h}" for h in range(24)),
         "heat,CO2," + ",".join(str(h + 1) for h in range(24)),          # specific
@@ -228,7 +229,7 @@ def q_gpkg_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(1)
         .sortWithinPartitions("Shape_Length")
     )
-    path = os.path.join(tempfile.mkdtemp(prefix="emiproc_gpkgl_"), "lines.gpkg")
+    path = os.path.join(fx.scratch_dir("emiproc_gpkgl_"), "lines.gpkg")
     export_to_geopackage({"traffic_lines": layer}, path)
     out = from_geopackage(spark, path, line_width=_LINE_WIDTH)
 
@@ -291,7 +292,7 @@ def q_cf_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id", "category", "substance")
         .agg(sumd("value_kg_y").alias("value_kg_y"))
     )
-    out = os.path.join(tempfile.mkdtemp(prefix="emiproc_cf_"), "inv.nc")
+    out = os.path.join(fx.scratch_dir("emiproc_cf_"), "inv.nc")
     export_raster_netcdf(
         agg,
         _raster_grid(spark),

@@ -309,7 +309,7 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             return path
 
-        d = tempfile.mkdtemp(prefix="emiproc_asof_stream_")
+        d = fx.scratch_dir("emiproc_asof_stream_")
         clicks_dir = side("click", os.path.join(d, "clicks"))
         views_dir = side("view", os.path.join(d, "views"))
         _ASOF_STREAM_DIRS[sf_dir] = (clicks_dir, views_dir)

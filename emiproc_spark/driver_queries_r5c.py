@@ -26,7 +26,6 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -473,7 +472,7 @@ def q_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.streaming.streams import heavy_hitters_stream
 
     if sf_dir not in _HH_STREAM_DIRS:
-        d = os.path.join(tempfile.mkdtemp(prefix="emiproc_hh_stream_"), "in")
+        d = os.path.join(fx.scratch_dir("emiproc_hh_stream_"), "in")
         ev = fx.events(spark, sf_dir).select("event_id", "user_id")
         for p in range(4):
             (

@@ -28,7 +28,6 @@ from __future__ import annotations
 
 import os
 import re
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -71,7 +70,7 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("__flush__").alias("event_type"),
         )
     )
-    d = tempfile.mkdtemp(prefix="emiproc_funnel_stream_")
+    d = fx.scratch_dir("emiproc_funnel_stream_")
     src = os.path.join(d, "in")
     ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(src)
 

@@ -783,7 +783,7 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _CDC_STREAM_DIRS.get(sf_dir)
     if d is None or not os.path.isdir(d):
-        d = os.path.join(tempfile.mkdtemp(prefix="emiproc_cdc_stream_"), "in")
+        d = os.path.join(fx.scratch_dir("emiproc_cdc_stream_"), "in")
         ev = fx.events(spark, sf_dir).select(
             "user_id",
             F.col("ts").alias("tsn"),
