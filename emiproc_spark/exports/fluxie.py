@@ -208,9 +208,23 @@ def export_fluxie(
         # output-sized flux table instead of recomputing the expansion
         flux_all = flux_all.persist()
         try:
-            # per-(substance, time) raster slabs, executor-side
+            # per-(substance, time) raster slabs, executor-side; the
+            # substance string is dictionary-encoded before the slab
+            # shuffle (per-cell repeated strings roughly double the
+            # exchange bytes — see export_hourly_netcdf) and decoded
+            # from the closure table
+            subs = sorted(
+                r["substance"]
+                for r in flux_all.select("substance").distinct().collect()
+            )
+            decode = dict(enumerate(subs))
+            sub_codes = flux_all.sparkSession.createDataFrame(
+                [(s, i) for i, s in enumerate(subs)],
+                "substance string, s_code int",
+            )
+
             def write_flux_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-                sub = str(pdf["substance"].iloc[0])
+                sub = decode[int(pdf["s_code"].iloc[0])]
                 t_key = int(pdf["t_key"].iloc[0])
                 arr = _scatter(pdf["cell_id"].to_numpy(), pdf["flux"].to_numpy())
                 tag = hashlib.md5(sub.encode()).hexdigest()[:12]
@@ -221,7 +235,9 @@ def export_fluxie(
                 )
 
             slab_meta = (
-                flux_all.groupBy("substance", "t_key")
+                flux_all.join(F.broadcast(sub_codes), "substance")
+                .select("s_code", "t_key", "cell_id", "flux")
+                .groupBy("s_code", "t_key")
                 .applyInPandas(
                     write_flux_slab, "substance string, t_key int, path string"
                 )

@@ -479,10 +479,25 @@ def export_oem_gridded_emissions(
             .collect()
         )
 
-        # per-(category, substance) raster slabs, one executor task each
+        # per-(category, substance) raster slabs, one executor task
+        # each; the strings are dictionary-encoded before the
+        # shuffle (per-cell repeated strings roughly double the
+        # exchange bytes — see export_hourly_netcdf) and decoded from
+        # the closure table
+        pairs = sorted(
+            (r["category"], r["substance"])
+            for r in emissions.select("category", "substance")
+            .distinct()
+            .collect()
+        )
+        decode = dict(enumerate(pairs))
+        codes = emissions.sparkSession.createDataFrame(
+            [(c, s, i) for i, (c, s) in enumerate(pairs)],
+            "category string, substance string, cs_code int",
+        )
+
         def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-            cat = str(pdf["category"].iloc[0])
-            sub = str(pdf["substance"].iloc[0])
+            cat, sub = decode[int(pdf["cs_code"].iloc[0])]
             cell = pdf["cell_id"].to_numpy()
             bad = (cell < 0) | (cell >= n_cells)
             if bad.any():
@@ -502,9 +517,10 @@ def export_oem_gridded_emissions(
             )
 
         slab_meta = (
-            emissions.groupBy("cell_id", "category", "substance")
+            emissions.join(F.broadcast(codes), ["category", "substance"])
+            .groupBy("cell_id", "cs_code")
             .agg(F.sum("value_kg_y").alias("value_kg_y"))
-            .groupBy("category", "substance")
+            .groupBy("cs_code")
             .applyInPandas(
                 write_slab, "category string, substance string, path string"
             )

