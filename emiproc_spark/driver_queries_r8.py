@@ -70,3 +70,103 @@ SQL_HOURLY_GATE = """
 
 QUERIES_R8["hourly_gate"] = q_hourly_gate
 ORACLES_R8["hourly_gate"] = SQL_HOURLY_GATE
+
+
+# ======================================================================
+# hard_negatives — batch multi-query BM25 negatives for contrastive
+# retrieval training (operators/retrieval.mine_hard_negatives)
+# ======================================================================
+_HN_K = 3
+_HN_K1 = 1.2
+_HN_B = 0.75
+
+
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every 17th document's first 4 tokens become a query whose
+    labeled positive is the source document itself; the miner returns
+    each query's top-3 BM25-scoring OTHER documents — the contrastive
+    triplet recipe (query, positive, BM25 hard negative) over the
+    documents corpus, scored in one term-keyed join pass."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.operators.retrieval import mine_hard_negatives
+
+    d = fx.load(spark, sf_dir, "documents").select("doc_id", "text")
+    q = d.where(F.col("doc_id") % 17 == 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 4)).alias(
+            "query_text"
+        ),
+    )
+    pos = q.select("query_id", F.col("query_id").alias("doc_id"))
+    out = mine_hard_negatives(d, q, pos, k=_HN_K, k1=_HN_K1, b=_HN_B)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
+SQL_HARD_NEGATIVES = f"""
+    WITH tok AS (
+        SELECT doc_id, t.term
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks
+              FROM documents),
+             UNNEST(toks) AS t(term)
+    ),
+    corpus AS (
+        SELECT COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_tok
+        FROM tok
+    ),
+    tf0 AS (
+        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+    ),
+    tf AS (
+        SELECT doc_id, term, tf,
+               SUM(tf) OVER (PARTITION BY doc_id) AS dl
+        FROM tf0
+    ),
+    q AS (
+        SELECT doc_id AS query_id,
+               array_to_string(string_split(text, ' ')[1:4], ' ')
+                   AS query_text
+        FROM documents WHERE doc_id % 17 = 3
+    ),
+    qtok AS (
+        SELECT query_id, t.term, CAST(COUNT(*) AS DOUBLE) AS qtf
+        FROM (SELECT query_id, string_split(query_text, ' ') AS toks
+              FROM q),
+             UNNEST(toks) AS t(term)
+        GROUP BY 1, 2
+    ),
+    posting AS (
+        SELECT * FROM tf
+        WHERE term IN (SELECT DISTINCT term FROM qtok)
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM posting GROUP BY term),
+    scored AS (
+        SELECT qt.query_id, p.doc_id,
+               CAST(FLOOR(
+                   ln(1.0 + (c.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * (p.tf * {_HN_K1 + 1.0!r}
+                      / (p.tf + {_HN_K1!r} * (1.0 - {_HN_B!r}
+                         + {_HN_B!r} * p.dl / (c.n_tok / c.n_docs))))
+                   * qt.qtf * 1e9 + 0.5) AS BIGINT) AS cq
+        FROM posting p
+        JOIN dfreq d ON d.term = p.term
+        JOIN qtok qt ON qt.term = p.term
+        CROSS JOIN corpus c
+    ),
+    pair AS (
+        SELECT query_id, doc_id, CAST(SUM(cq) AS DOUBLE) / 1e9 AS score
+        FROM scored GROUP BY 1, 2
+    ),
+    neg AS (SELECT * FROM pair WHERE doc_id <> query_id),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY score DESC, doc_id
+               ) AS rank
+        FROM neg
+    )
+    SELECT query_id, doc_id, rank, score FROM ranked WHERE rank <= {_HN_K}
+"""
+
+QUERIES_R8["hard_negatives"] = q_hard_negatives
+ORACLES_R8["hard_negatives"] = SQL_HARD_NEGATIVES

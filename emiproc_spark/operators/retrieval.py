@@ -94,6 +94,102 @@ def bm25_topk(
     return per_doc.orderBy(F.col("score").desc(), id_col).limit(k)
 
 
+def mine_hard_negatives(
+    docs: DataFrame,
+    queries: DataFrame,
+    positives: DataFrame,
+    k: int = 5,
+    k1: float = 1.2,
+    b: float = 0.75,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+) -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for every
+    query, the top-k BM25-scoring documents that are NOT its labeled
+    positives — the standard way to build contrastive triplets (query,
+    positive, hard negative) from a corpus (dense-retrieval training à
+    la DPR/SBERT uses exactly this BM25-negatives recipe).
+
+    Batch multi-query BM25: unlike :func:`bm25_topk` (ONE query as a
+    broadcast literal), the query set is a DataFrame and scoring is a
+    TERM-KEYED JOIN between the query token table and the postings —
+    one pass over the corpus scores every query simultaneously.
+
+    - ``queries``: (query_id, query_text); ``positives``: (query_id,
+      doc_id) labeled relevant pairs, excluded via left-anti join.
+    - Corpus stats (N, avgdl) are one broadcast row; the DISTINCT query
+      vocabulary broadcasts to prune postings (bounded by the query
+      set, which is training-batch-sized — the corpus never
+      broadcasts); the (query term × posting) join and the
+      (query, doc) score aggregate stay fully distributed.
+    - The per-query top-k window partitions by query_id (bounded per
+      query by its candidate count), never partition-less.
+    - Same idf/tf saturation and 1e-9 score quantization as
+      :func:`bm25_topk`, so scores are addition-order-free and
+      engine-reproducible.
+
+    Returns (query_id, doc_id, rank, score), rank 1..k per query, ties
+    broken by doc id.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
+    corpus = tok.agg(
+        F.count_distinct(id_col).alias("n_docs"),
+        F.count("*").alias("n_tok"),
+    )
+    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    qtok = (
+        queries.select(
+            query_id_col,
+            F.explode(tokens(F.col(query_text_col))).alias("term"),
+        )
+        .groupBy(query_id_col, "term")
+        .agg(F.count("*").cast("double").alias("qtf"))
+    )
+    posting = tf.join(F.broadcast(qtok.select("term").distinct()), "term")
+    dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .join(qtok, "term")
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("n_tok") / F.col("n_docs")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    denom = F.col("tf") + F.lit(k1) * (
+        F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / avgdl
+    )
+    contrib = idf * (F.col("tf") * F.lit(k1 + 1.0) / denom) * F.col("qtf")
+    per_pair = (
+        scored.select(
+            query_id_col,
+            id_col,
+            F.floor(contrib * F.lit(BM25_SCALE) + F.lit(0.5))
+            .cast("long")
+            .alias("__c"),
+        )
+        .groupBy(query_id_col, id_col)
+        .agg((F.sum("__c").cast("double") / F.lit(BM25_SCALE)).alias("score"))
+    )
+    neg = per_pair.join(
+        positives.select(query_id_col, id_col), [query_id_col, id_col], "left_anti"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("score").desc(), F.col(id_col)
+    )
+    return (
+        neg.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, id_col, "rank", "score")
+    )
+
+
 def phrase_count(
     docs: DataFrame,
     phrase: list[str],

@@ -268,3 +268,48 @@ def test_rrf_fuse_enforces_bounded_input(spark):
     assert "TakeOrderedAndProject" in plan
     with pytest.raises(ValueError, match="input_k"):
         rrf_fuse([(big, "s"), (big, "s")], k=10, input_k=5)
+
+
+def test_mine_hard_negatives_excludes_positives_and_ranks(spark):
+    """Batch multi-query BM25: positives are anti-joined away, scores
+    follow the single-query kernel (doc 2's doubled 'apple' + 'banana'
+    beats doc 3's single 'apple'), zero-overlap docs never appear, and
+    a repeated query term up-weights its contribution."""
+    from emiproc_spark.operators.retrieval import bm25_topk, mine_hard_negatives
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana cherry"),
+            (2, "apple apple banana"),
+            (3, "apple date egg"),
+            (4, "fig grape hazel"),
+        ],
+        "doc_id long, text string",
+    )
+    queries = spark.createDataFrame(
+        [(100, "apple banana"), (200, "fig fig")],
+        "query_id long, query_text string",
+    )
+    positives = spark.createDataFrame(
+        [(100, 1), (200, 4)], "query_id long, doc_id long"
+    )
+    rows = mine_hard_negatives(docs, queries, positives, k=2).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    # query 100: positive doc 1 excluded; doc 2 > doc 3; doc 4 shares
+    # no term and is absent
+    got = [(r["doc_id"], r["rank"]) for r in sorted(by_q[100], key=lambda r: r["rank"])]
+    assert got == [(2, 1), (3, 2)]
+    assert by_q[100][0]["score"] > 0
+    # query 200: its only matching doc is the positive -> no negatives
+    assert 200 not in by_q
+    # kernel parity with the single-query operator: same quantized
+    # score for the same (query, doc) pair
+    single = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["apple", "banana"], k=4).collect()
+    }
+    mined = {r["doc_id"]: r["score"] for r in by_q[100]}
+    for d in mined:
+        assert mined[d] == single[d]
