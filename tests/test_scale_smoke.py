@@ -1118,6 +1118,73 @@ def test_bm25_million_docs(spark):
 
 
 @scale
+def test_hard_negatives_million_docs(spark):
+    """Batch multi-query BM25 negatives at corpus scale: 1M docs in
+    50k 20-doc families (family token shared, every other token
+    unique), 5k queries each asking for its own family with the source
+    doc as positive.  Family members tie exactly (same tf/dl/idf), so
+    the mined top-k per query is CLOSED FORM: the k smallest family
+    ids excluding the positive.  One term-keyed join pass scores all
+    5k queries; nothing corpus-sized broadcasts."""
+    from emiproc_spark.operators.retrieval import mine_hard_negatives
+
+    n, fams = 1_000_000, 50_000
+    k = 5
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("fam"), (F.col("id") % fams).cast("string"),
+            F.lit(" u"), F.col("id").cast("string"),
+            F.lit(" v"), F.col("id").cast("string"),
+            F.lit(" w"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    queries = spark.range(fams, fams + 5_000).select(
+        F.col("id").alias("query_id"),
+        F.concat(F.lit("fam"), (F.col("id") % fams).cast("string")).alias(
+            "query_text"
+        ),
+    )
+    positives = queries.select(
+        "query_id", F.col("query_id").alias("doc_id")
+    )
+    t0 = time.time()
+    out = mine_hard_negatives(docs, queries, positives, k=k).persist()
+    try:
+        agg = out.agg(
+            F.count("*").alias("n_rows"),
+            F.count_distinct("query_id").alias("n_q"),
+            F.max("rank").alias("max_rank"),
+        ).collect()[0]
+        dt = time.time() - t0
+        assert agg["n_rows"] == 5_000 * k
+        assert agg["n_q"] == 5_000 and agg["max_rank"] == k
+        # closed form: query q (a family-(q % fams) member, q itself
+        # positive) gets the k smallest OTHER ids of its family, which
+        # for q in [fams, 2*fams) are (q % fams) + fams*m, m in
+        # {0, 2, 3, 4, 5} — m=1 is q itself
+        expect = queries.select(
+            "query_id",
+            F.explode(
+                F.array(*[F.lit(m) for m in (0, 2, 3, 4, 5)])
+            ).alias("m"),
+        ).select(
+            "query_id",
+            (F.col("query_id") % fams + F.lit(fams) * F.col("m")).alias(
+                "doc_id"
+            ),
+        )
+        diff = out.select("query_id", "doc_id").exceptAll(expect).count()
+        assert diff == 0, f"{diff} mined pairs deviate from closed form"
+        # positives never leak through
+        assert out.where(F.col("query_id") == F.col("doc_id")).count() == 0
+    finally:
+        out.unpersist()
+    print(f"\nhard_negatives 1M docs x 5k queries wall: {dt:.1f}s")
+    assert dt < 300
+
+
+@scale
 def test_rolling_features_five_million_events(spark):
     """5M events / 100k users through the trailing RANGE frame: the
     window buffer is bounded by the frame width, closed-form check on
