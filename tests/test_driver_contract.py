@@ -38,3 +38,26 @@ def test_query_matches_oracle(spark, sf_dir, name):
     # designed to produce rows even at sf0.001 (doc_sample/data_mix once
     # silently matched empty for a full round; see driver_queries_curate)
     assert r["spark_rows"] > 0, f"{name}: trivially-empty oracle match"
+
+
+def test_rotation_front_and_evidence_refill():
+    """The driver samples the registry's FRONT 50: every round-changed
+    query (the _REVERIFY list) and every new-round query must lead, and
+    the refill behind them must be ordered OLDEST EVIDENCE FIRST per
+    the committed CORRECTNESS ledger (r7 judge item 8)."""
+    from emiproc_spark import driver_queries as dq
+    from emiproc_spark.driver_queries_r8 import QUERIES_R8
+
+    names = list(entrymod.queries())
+    front_expect = [k for k in dq._REVERIFY if k in set(names)] + [
+        k for k in QUERIES_R8 if k not in dq._REVERIFY
+    ]
+    assert names[: len(front_expect)] == front_expect
+    # refill is sorted by (last green round asc, name): recompute from
+    # the same ledger the registry build used
+    refill = names[len(front_expect):]
+    assert refill == dq._evidence_order(refill)
+    # every oracle key rides the same ordering
+    assert list(entrymod.oracle_sql()) == [
+        k for k in names if k in entrymod.oracle_sql()
+    ]
