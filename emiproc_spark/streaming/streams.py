@@ -671,7 +671,12 @@ def funnel_stream(
         out_keys: list = []
         out_steps: list[list] = [[] for _ in range(n)]
         rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
-        for k, grp in rows.groupby(key_col, sort=False):
+        # dropna=False: a NULL key formed its own group under the old
+        # per-key grouping (Spark groupBy keeps null keys) — pandas
+        # would silently drop the NaN group otherwise
+        for k, grp in rows.groupby(key_col, sort=False, dropna=False):
+            if pd.isna(k):
+                k = None
             s = list(m.get(k, (-1,) * n))
             flush = False
             for ts, et in zip(grp[ts_col], grp[type_col]):
@@ -809,7 +814,11 @@ def changelog_state_stream(
                 "k", keep="last"
             )
             for r in top.itertuples(index=False):
-                k = int(r.k)
+                # a NULL key formed its own group under the old per-key
+                # grouping (Spark groupBy keeps null keys, matching the
+                # batch operator's PARTITION BY) — keep that identity
+                # as a None map entry instead of crashing on int(NaN)
+                k = None if pd.isna(r.k) else int(r.k)
                 tsn, tb = int(r.tsn), int(r.tb)
                 cur = m.get(k)
                 if cur is None or (tsn, tb) > (cur[0], cur[1]):
@@ -837,7 +846,8 @@ def changelog_state_stream(
         state.update((pickle.dumps(m, protocol=5),))
         yield pd.DataFrame(
             {
-                "k": pd.array(out_k, dtype="int64"),
+                # object dtype: k may hold a None entry (NULL-key group)
+                "k": pd.array(out_k, dtype=object),
                 "sv": pd.array(out_sv, dtype=object),
                 "dv": pd.array(out_dv, dtype=object),
                 "op": pd.array(out_op, dtype=object),

@@ -69,3 +69,19 @@ def test_stream_cdc_null_value_stays_null(spark, tmp_path):
     res = _drain(changelog_state_stream(stream), spark, "t_cdc_null")
     got = {r["k"]: r["dv"] for r in res.collect()}
     assert got[1] is None and got[2] == 5.0
+
+
+def test_stream_cdc_null_key_forms_its_own_group(spark, tmp_path):
+    """Spark's groupBy keeps NULL keys (matching the batch operator's
+    PARTITION BY user_id), so the sharded fold must carry a NULL-key
+    map entry instead of crashing on int(NaN) or dropping the rows."""
+    rows = [(None, 10, 1, "a", 1.0, "upsert"), (None, 20, 2, "b", 2.0, "upsert"),
+            (7, 11, 3, "c", 3.0, "upsert")]
+    schema = "user_id long, tsn long, event_id long, event_type string, value double, op string"
+    d = str(tmp_path / "in")
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    res = _drain(changelog_state_stream(stream), spark, "t_cdc_nullkey")
+    got = {r["k"]: (r["sv"], r["dv"]) for r in res.collect()}
+    assert got[None] == ("b", 2.0)  # latest-wins fold ran for the NULL key
+    assert got[7] == ("c", 3.0)

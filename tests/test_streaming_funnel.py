@@ -113,3 +113,37 @@ def test_funnel_stream_repeated_step_name(spark, tmp_path):
     row = spark.table("funnel_repeat_test").collect()[0]
     assert row["step1_ts"] == _ts(1)
     assert row["step2_ts"] == _ts(2)
+
+
+def test_funnel_stream_null_key_not_dropped(spark, tmp_path):
+    """pandas groupby drops NaN groups by default; the sharded fold
+    must keep the NULL-key funnel (Spark's groupBy kept it)."""
+    import uuid
+
+    from emiproc_spark.streaming.streams import funnel_stream
+
+    schema = "ts timestamp, user_id long, event_type string"
+    rows = [("2024-01-01 00:00:01", None, "view"),
+            ("2024-01-01 00:00:02", None, "click"),
+            ("2024-01-01 00:00:03", 5, "view"),
+            ("2024-01-01 00:01:00", None, "__flush__"),
+            ("2024-01-01 00:01:00", 5, "__flush__")]
+    import datetime
+
+    df = spark.createDataFrame(
+        [(datetime.datetime.fromisoformat(t), u, e) for t, u, e in rows],
+        schema,
+    )
+    d = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema(schema).parquet(d)
+    out = funnel_stream(stream, ["view", "click"])
+    name = f"funnel_null_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = {r["user_id"]: (r["step1_ts"], r["step2_ts"])
+           for r in spark.table(name).collect()}
+    assert set(got) == {None, 5}
+    assert got[None][0] is not None and got[None][1] is not None
+    assert got[5][0] is not None and got[5][1] is None
