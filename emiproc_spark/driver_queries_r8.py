@@ -170,3 +170,98 @@ SQL_HARD_NEGATIVES = f"""
 
 QUERIES_R8["hard_negatives"] = q_hard_negatives
 ORACLES_R8["hard_negatives"] = SQL_HARD_NEGATIVES
+
+
+# ======================================================================
+# mixture_epochs — data-constrained mixture materialization
+# (operators/sampling.mixture_plan + apply_mixture_epochs)
+# ======================================================================
+_MIX_W = {"a": 4.0, "b": 1.0, "c": 1.0}
+_MIX_MAX_EPOCHS = 4.0
+
+
+def q_mixture_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three pseudo-domains (doc_id % 3) with weights 4:1:1 and a
+    token budget equal to the corpus size: the heavy domain holds ~1/3
+    of the tokens but is asked for 2/3, so it up-samples at ~2 epochs
+    (full replicas + a hash-thinned fractional pass); the light
+    domains down-sample at ~0.5.  Returns every kept (doc_id, source,
+    epoch) replica — exact-match against the oracle because the
+    fractional coin is the shared md5 ladder."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark import fixtures as fx
+    from emiproc_spark.operators.sampling import (
+        apply_mixture_epochs,
+        mixture_plan,
+    )
+
+    d = fx.load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+            (F.col("doc_id") % 3).cast("int") + 1,
+        ).alias("source"),
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    budget = float(d.agg(F.sum("n_tokens")).collect()[0][0])
+    plan = mixture_plan(
+        d, _MIX_W, budget, max_epochs=_MIX_MAX_EPOCHS
+    )
+    return apply_mixture_epochs(d, plan).select(
+        "doc_id", "source", F.col("epoch").cast("long").alias("epoch")
+    )
+
+
+_MIX_WSUM = sum(_MIX_W.values())
+
+SQL_MIXTURE_EPOCHS = f"""
+    WITH d AS (
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'a' WHEN 1 THEN 'b' ELSE 'c' END AS source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    budget AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS b FROM d),
+    w AS (
+        SELECT * FROM (VALUES
+            ('a', {_MIX_W['a'] / _MIX_WSUM!r}),
+            ('b', {_MIX_W['b'] / _MIX_WSUM!r}),
+            ('c', {_MIX_W['c'] / _MIX_WSUM!r})
+        ) AS t(source, weight)
+    ),
+    totals AS (
+        SELECT source, CAST(SUM(n_tokens) AS DOUBLE) AS avail
+        FROM d GROUP BY source
+    ),
+    plan AS (
+        SELECT t.source,
+               LEAST({_MIX_MAX_EPOCHS!r}, (b.b * w.weight) / t.avail)
+                   AS epochs
+        FROM totals t JOIN w ON w.source = t.source CROSS JOIN budget b
+    ),
+    rep AS (
+        SELECT d.doc_id, d.source, CAST(e.epoch AS BIGINT) AS epoch,
+               p.epochs
+        FROM d
+        JOIN plan p ON p.source = d.source,
+        UNNEST(range(CAST(CEIL(p.epochs) AS BIGINT))) AS e(epoch)
+    )
+    SELECT doc_id, source, epoch FROM rep
+    WHERE epoch < FLOOR(epochs)
+       OR {{coin}} < epochs - FLOOR(epochs)
+"""
+
+
+def _sql_mixture_epochs() -> str:
+    from emiproc_spark.operators.sampling import sql_hash_fraction
+
+    coin = sql_hash_fraction(
+        "CAST(doc_id AS VARCHAR) || '#' || CAST(epoch AS VARCHAR)", "mixep"
+    )
+    return SQL_MIXTURE_EPOCHS.format(coin=coin)
+
+
+QUERIES_R8["mixture_epochs"] = q_mixture_epochs
+ORACLES_R8["mixture_epochs"] = _sql_mixture_epochs()

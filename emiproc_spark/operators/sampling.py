@@ -132,6 +132,98 @@ def mixture_rates(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    weights: dict[str, float],
+    token_budget: float,
+    max_epochs: float = 4.0,
+    stratum_col: str = "source",
+    size_col: str = "n_tokens",
+) -> DataFrame:
+    """Data-constrained mixture planning table (the accounting step
+    before :func:`apply_mixture_epochs`): per source, how many tokens
+    the target mixture asks for, how many exist, and the resulting
+    sampling rate — ABOVE 1.0 meaning multi-epoch up-sampling, capped
+    at ``max_epochs`` (repeating data beyond a few epochs stops
+    helping, per the data-constrained scaling literature), with the
+    unfillable remainder reported as ``deficit_tokens`` so the caller
+    can re-weight instead of silently training on a different mixture.
+
+    One hash-agg over the corpus (map-side partials); everything else
+    is arithmetic on the dimension-sized totals.  No cross-domain
+    renormalization is attempted — the deficit column is the honest
+    signal.
+
+    Returns (stratum, avail_tokens, target_tokens, epochs,
+    achieved_tokens, deficit_tokens): ``epochs`` ≤ 1 is a plain
+    acceptance rate, > 1 means ⌊epochs⌋ full passes plus a fractional
+    pass.
+    """
+    if max_epochs < 1.0:
+        raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
+    spark = df.sparkSession
+    wsum = sum(weights.values())
+    w_df = spark.createDataFrame(
+        [(k, float(v) / wsum) for k, v in weights.items()],
+        f"{stratum_col} string, weight double",
+    )
+    totals = df.groupBy(stratum_col).agg(
+        F.sum(size_col).cast("double").alias("avail_tokens")
+    )
+    target = F.lit(float(token_budget)) * F.col("weight")
+    epochs = F.least(F.lit(float(max_epochs)), target / F.col("avail_tokens"))
+    achieved = F.least(target, F.col("avail_tokens") * F.lit(float(max_epochs)))
+    return totals.join(w_df, stratum_col, "inner").select(
+        stratum_col,
+        "avail_tokens",
+        target.alias("target_tokens"),
+        epochs.alias("epochs"),
+        achieved.alias("achieved_tokens"),
+        (target - achieved).alias("deficit_tokens"),
+    )
+
+
+def apply_mixture_epochs(
+    df: DataFrame,
+    plan: DataFrame,
+    stratum_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "mixep",
+) -> DataFrame:
+    """Materialize a :func:`mixture_plan`: up-sample under-represented
+    sources by replication (⌊epochs⌋ full passes + one hash-thinned
+    fractional pass) and down-sample over-represented ones (epochs < 1
+    degenerates to a single thinned pass) — in one map-only stage.
+
+    Replication is an explode over ``sequence(0, ⌈epochs⌉−1)`` (row
+    count bounded by epochs ≤ max_epochs, no shuffle); the fractional
+    pass flips a per-(key, epoch) coin, so each extra epoch is an
+    independent uniform thinning and chained stages stay decorrelated
+    through ``salt``.  The emitted ``epoch`` column distinguishes
+    replicas so downstream packing/shuffling can interleave them.
+    """
+    plan_b = F.broadcast(plan.select(stratum_col, "epochs"))
+    joined = df.join(plan_b, stratum_col, "inner")
+    n_rep = F.ceil("epochs").cast("int")
+    rep = joined.withColumn(
+        "epoch", F.explode(F.sequence(F.lit(0), n_rep - F.lit(1)))
+    )
+    frac = F.col("epochs") - F.floor("epochs")
+    coin = hash_fraction(
+        F.concat(
+            F.col(key_col).cast("string"),
+            F.lit("#"),
+            F.col("epoch").cast("string"),
+        ),
+        salt,
+    )
+    # full epochs pass unconditionally; the last (fractional) epoch
+    # keeps frac of its rows — when epochs is an exact integer there is
+    # no fractional epoch at all (n_rep == floor(epochs))
+    keep = (F.col("epoch") < F.floor("epochs")) | (coin < frac)
+    return rep.where(keep).drop("epochs")
+
+
 def apply_mixture(
     df: DataFrame,
     rates: DataFrame,

@@ -427,3 +427,61 @@ def test_curate_corpus_end_to_end(spark):
                          ctx_len=None)
     assert {r["doc_id"] for r in out2["clean"].collect()} == {0, 3, 5}
     assert out2["packed"] is None
+
+
+def test_mixture_plan_epochs_and_deficit(spark):
+    """Under-represented sources plan >1 epochs (capped at max_epochs,
+    deficit reported); over-represented ones plan a plain rate < 1."""
+    docs = spark.createDataFrame(
+        [(i, "web", 100) for i in range(100)]
+        + [(1000 + i, "code", 100) for i in range(10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = {
+        r["source"]: r
+        for r in sp.mixture_plan(
+            docs, {"web": 1.0, "code": 1.0}, token_budget=8000.0,
+            max_epochs=3.0,
+        ).collect()
+    }
+    # web: wants 4000 of 10000 -> 0.4 "epochs" (a plain rate)
+    assert abs(plan["web"]["epochs"] - 0.4) < 1e-12
+    assert plan["web"]["deficit_tokens"] == 0.0
+    # code: wants 4000 of 1000 -> 4 epochs, capped at 3 -> 1000 deficit
+    assert plan["code"]["epochs"] == 3.0
+    assert abs(plan["code"]["achieved_tokens"] - 3000.0) < 1e-12
+    assert abs(plan["code"]["deficit_tokens"] - 1000.0) < 1e-12
+    import pytest
+
+    with pytest.raises(ValueError, match="max_epochs"):
+        sp.mixture_plan(docs, {"web": 1.0}, 1.0, max_epochs=0.5)
+
+
+def test_apply_mixture_epochs_replicates_and_thins(spark):
+    """epochs = 2.5 -> every doc appears in epochs 0 and 1, and ~half
+    flip into epoch 2; epochs = 0.25 -> single thinned pass; the
+    result is partitioning-independent (pure key hash)."""
+    docs = spark.createDataFrame(
+        [(i, "code", 100) for i in range(400)]
+        + [(10_000 + i, "web", 100) for i in range(400)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = spark.createDataFrame(
+        [("code", 2.5), ("web", 0.25)], "source string, epochs double"
+    )
+    out = sp.apply_mixture_epochs(docs, plan).collect()
+    code = [(r["doc_id"], r["epoch"]) for r in out if r["source"] == "code"]
+    web = [(r["doc_id"], r["epoch"]) for r in out if r["source"] == "web"]
+    # full epochs are exact
+    assert sum(1 for _, e in code if e == 0) == 400
+    assert sum(1 for _, e in code if e == 1) == 400
+    n_frac = sum(1 for _, e in code if e == 2)
+    assert 400 * 0.35 < n_frac < 400 * 0.65
+    # web: one thinned pass only, ~25%
+    assert all(e == 0 for _, e in web)
+    assert 400 * 0.12 < len(web) < 400 * 0.40
+    # determinism across partitioning
+    again = sp.apply_mixture_epochs(docs.repartition(7), plan).collect()
+    assert {(r["doc_id"], r["epoch"]) for r in again} == {
+        (r["doc_id"], r["epoch"]) for r in out
+    }
