@@ -132,7 +132,6 @@ def _icon_mesh_file(spark: SparkSession) -> str:
             lon.append([x0, x0 + 2, x0 + 2]); lat.append([y0, y0, y0 + 2])
             lon.append([x0, x0 + 2, x0]); lat.append([y0, y0 + 2, y0 + 2])
     import os
-    import tempfile
 
     path = os.path.join(fx.scratch_dir("emiproc_icon_"), "grid.nc")
     return make_icon_grid_file(path, np.array(lon), np.array(lat))
@@ -368,7 +367,6 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     if sf_dir in _STREAM_DIR_CACHE:
         return _STREAM_DIR_CACHE[sf_dir]
     import os
-    import tempfile
 
     from emiproc_spark.fixtures import events as _events
     from emiproc_spark.qhelpers import QSCALE
@@ -472,7 +470,6 @@ def q_profiles_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists (reference to_yaml dumps profile.ratios verbatim), then
     profiles_from_yaml reads + normalizes them into the dedup store."""
     import os
-    import tempfile
 
     from emiproc_spark.sources.profiles_io import (
         profiles_from_yaml,

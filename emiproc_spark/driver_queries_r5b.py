@@ -274,7 +274,6 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter.
     """
     import os
-    import tempfile
 
     from emiproc_spark.driver_queries_r3b import _run_stream
     from emiproc_spark.streaming.streams import asof_enrich_stream

@@ -776,7 +776,6 @@ _CDC_STREAM_DIRS: dict[str, str] = {}
 
 def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
-    import tempfile
 
     from emiproc_spark.driver_queries_r3b import _run_stream
     from emiproc_spark.streaming.streams import changelog_state_stream

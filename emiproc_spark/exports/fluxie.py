@@ -213,18 +213,13 @@ def export_fluxie(
             # shuffle (per-cell repeated strings roughly double the
             # exchange bytes — see export_hourly_netcdf) and decoded
             # from the closure table
-            subs = sorted(
-                r["substance"]
-                for r in flux_all.select("substance").distinct().collect()
-            )
-            decode = dict(enumerate(subs))
-            sub_codes = flux_all.sparkSession.createDataFrame(
-                [(s, i) for i, s in enumerate(subs)],
-                "substance string, s_code int",
-            )
+            from emiproc_spark.exports.writers import dim_codes
+
+            sub_codes, decode = dim_codes(flux_all, ["substance"])
+            sub_codes = sub_codes.withColumnRenamed("cs_code", "s_code")
 
             def write_flux_slab(pdf: pd.DataFrame) -> pd.DataFrame:
-                sub = decode[int(pdf["s_code"].iloc[0])]
+                (sub,) = decode[int(pdf["s_code"].iloc[0])]
                 t_key = int(pdf["t_key"].iloc[0])
                 arr = _scatter(pdf["cell_id"].to_numpy(), pdf["flux"].to_numpy())
                 tag = hashlib.md5(sub.encode()).hexdigest()[:12]

@@ -484,17 +484,9 @@ def export_oem_gridded_emissions(
         # shuffle (per-cell repeated strings roughly double the
         # exchange bytes — see export_hourly_netcdf) and decoded from
         # the closure table
-        pairs = sorted(
-            (r["category"], r["substance"])
-            for r in emissions.select("category", "substance")
-            .distinct()
-            .collect()
-        )
-        decode = dict(enumerate(pairs))
-        codes = emissions.sparkSession.createDataFrame(
-            [(c, s, i) for i, (c, s) in enumerate(pairs)],
-            "category string, substance string, cs_code int",
-        )
+        from emiproc_spark.exports.writers import dim_codes
+
+        codes, decode = dim_codes(emissions, ["category", "substance"])
 
         def write_slab(pdf: pd.DataFrame) -> pd.DataFrame:
             cat, sub = decode[int(pdf["cs_code"].iloc[0])]

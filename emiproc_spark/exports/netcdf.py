@@ -542,6 +542,7 @@ def export_hourly_netcdf(
     var_name_format: str = "{substance}_{category}",
     unit: str = "kg h-1",
     filename_format: str = "%Y%m%d%H.nc",
+    cs_pairs: list[tuple[str, str]] | None = None,
 ) -> list[str]:
     """One NetCDF file per hour (reference export_hourly_emissions,
     exports/hourly.py:60-230): variables ``{substance}_{category}`` with
@@ -606,18 +607,13 @@ def export_hourly_netcdf(
         write_area_slab(grid, lats, lons, area_path)
 
         # dictionary-encode (category, substance) before the hour
-        # shuffle; codes follow sorted pair order so the variable
-        # order inside each file matches the string groupby it replaces
-        pairs = sorted(
-            (r["category"], r["substance"])
-            for r in hourly.select("category", "substance")
-            .distinct()
-            .collect()
-        )
-        decode = dict(enumerate(pairs))
-        codes = hourly.sparkSession.createDataFrame(
-            [(c, s, i) for i, (c, s) in enumerate(pairs)],
-            "category string, substance string, cs_code int",
+        # shuffle (writers.dim_codes carries the sorted-order contract);
+        # cs_pairs lets pipelines pass the pre-fan-out dimension pairs
+        # so the code table costs no pass over the expansion lineage
+        from emiproc_spark.exports.writers import dim_codes
+
+        codes, decode = dim_codes(
+            hourly, ["category", "substance"], pairs=cs_pairs
         )
         coded = hourly.join(
             F.broadcast(codes), ["category", "substance"]

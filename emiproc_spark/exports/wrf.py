@@ -69,6 +69,7 @@ def export_wrf_hourly_emissions(
     out_dir: str,
     variable_name: str = "E_{substance}_{category}",
     grid_attrs: dict | None = None,
+    cs_pairs: list[tuple[str, str]] | None = None,
 ) -> list[str]:
     """Write wrfchemi files, one per distinct ``hour_index``
     (reference export_wrf_hourly_emissions, wrf.py:129-240).
@@ -92,16 +93,10 @@ def export_wrf_hourly_emissions(
     # dictionary-encoded before the hour shuffle — repeated per-row
     # strings roughly double the exchange bytes (network shuffle on a
     # real cluster; see export_hourly_netcdf).
-    pairs = sorted(
-        (r["category"], r["substance"])
-        for r in hourly_flux.select("category", "substance")
-        .distinct()
-        .collect()
-    )
-    decode = dict(enumerate(pairs))
-    codes = hourly_flux.sparkSession.createDataFrame(
-        [(c, s, i) for i, (c, s) in enumerate(pairs)],
-        "category string, substance string, cs_code int",
+    from emiproc_spark.exports.writers import dim_codes
+
+    codes, decode = dim_codes(
+        hourly_flux, ["category", "substance"], pairs=cs_pairs
     )
 
     def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -17,6 +17,44 @@ from pyspark.sql import functions as F
 from emiproc_spark.sources.readers import SECONDS_PER_YEAR, to_wide
 
 
+def dim_codes(
+    df: DataFrame,
+    cols: list[str],
+    pairs: list[tuple] | None = None,
+) -> tuple[DataFrame, dict[int, tuple]]:
+    """Dictionary-encode dimension string columns ahead of a fan-out
+    shuffle into an executor-side writer: returns ``(codes_df,
+    decode)`` where ``codes_df`` carries ``cols + ['cs_code']`` for a
+    broadcast join and ``decode`` maps code → value tuple inside the
+    writer closure.  Repeated per-row strings roughly double exchange
+    bytes (network shuffle on a real cluster); the int code halves
+    them.
+
+    INVARIANT: codes follow SORTED value-tuple order, so a writer
+    iterating ``pdf.groupby('cs_code')`` emits variables in exactly
+    the order the string groupby it replaced would have — every
+    exporter shares this contract through here.
+
+    ``pairs``: optional pre-computed value tuples (e.g. collected from
+    the PRE-fan-out dimension side — an hour explode cannot create new
+    (category, substance) pairs).  When omitted, one distinct+collect
+    over ``df`` derives them; Catalyst prunes that pass to ``cols``,
+    but on a heavy lineage passing ``pairs`` avoids re-executing it.
+    """
+    if pairs is None:
+        pairs = [
+            tuple(r[c] for c in cols)
+            for r in df.select(*cols).distinct().collect()
+        ]
+    ordered = sorted(set(tuple(p) for p in pairs))
+    decode = dict(enumerate(ordered))
+    schema = ", ".join(f"{c} string" for c in cols) + ", cs_code int"
+    codes = df.sparkSession.createDataFrame(
+        [(*p, i) for i, p in enumerate(ordered)], schema
+    )
+    return codes, decode
+
+
 def with_flux_units(emissions: DataFrame, grid: DataFrame) -> DataFrame:
     """kg/y/cell → kg/m²/s flux (reference export_raster_netcdf,
     exports/rasters.py:95-106)."""

@@ -203,7 +203,13 @@ def apply_mixture_epochs(
     replicas so downstream packing/shuffling can interleave them.
     """
     plan_b = F.broadcast(plan.select(stratum_col, "epochs"))
-    joined = df.join(plan_b, stratum_col, "inner")
+    # epochs == 0 (zero weight / zero budget) must yield ZERO rows:
+    # without the filter, sequence(0, ceil(0)-1) = sequence(0, -1)
+    # counts DOWN to [0, -1] and epoch=-1 would pass the keep
+    # predicate unconditionally
+    joined = df.join(plan_b, stratum_col, "inner").where(
+        F.col("epochs") > 0
+    )
     n_rep = F.ceil("epochs").cast("int")
     rep = joined.withColumn(
         "epoch", F.explode(F.sequence(F.lit(0), n_rep - F.lit(1)))

@@ -241,16 +241,26 @@ def tno_to_icon(
             e = e.persist()
             remapped = remapped.persist()
             persisted = [remapped, e]
+
+    try:
+        if persisted:
+            from emiproc_spark.operators.quality import (
+                enforce_gates,
+                mass_conservation_gate,
+            )
+
             enforce_gates(
                 mass_conservation_gate(e, remapped, rtol=gate_rtol),
                 context="tno_to_icon",
             )
-
-    os.makedirs(out_dir, exist_ok=True)
-    emissions_path = os.path.join(out_dir, "icon_emissions.parquet")
-    remapped.write.mode("overwrite").parquet(emissions_path)
-    for df_ in persisted:
-        df_.unpersist()
+        os.makedirs(out_dir, exist_ok=True)
+        emissions_path = os.path.join(out_dir, "icon_emissions.parquet")
+        remapped.write.mode("overwrite").parquet(emissions_path)
+    finally:
+        # a tripped gate or failed write must not leave the session
+        # carrying the cached ingest+remap chain
+        for df_ in persisted:
+            df_.unpersist()
     out = {"emissions": emissions_path}
 
     from emiproc_spark.exports.icon import export_oem_gridded_emissions
@@ -346,7 +356,16 @@ def tno_to_hourly(
     hourly = temporally_scaled(
         e, tprofile_index, tprofiles, start, hours, year_hours=year_hours
     )
-    return export_hourly_netcdf(hourly, grid, nx, ny, start, out_dir)
+    # the hour explode cannot create new (category, substance) pairs —
+    # hand the writer the pre-fan-out dimension pairs so its code table
+    # costs one pass over the ANNUAL inventory, not the expansion
+    cs_pairs = [
+        (r["category"], r["substance"])
+        for r in e.select("category", "substance").distinct().collect()
+    ]
+    return export_hourly_netcdf(
+        hourly, grid, nx, ny, start, out_dir, cs_pairs=cs_pairs
+    )
 
 
 def zurich_to_gral(
@@ -462,7 +481,14 @@ def edgar_to_hourly(
     hourly = temporally_scaled_cellwise(
         e, cell_profiles, start, hours, year_hours=year_hours
     )
-    return export_hourly_netcdf(hourly, grid, nx, ny, start, out_dir)
+    # pre-fan-out pairs: the hour explode adds none (see tno_to_hourly)
+    cs_pairs = [
+        (r["category"], r["substance"])
+        for r in e.select("category", "substance").distinct().collect()
+    ]
+    return export_hourly_netcdf(
+        hourly, grid, nx, ny, start, out_dir, cs_pairs=cs_pairs
+    )
 
 
 def curate_corpus(

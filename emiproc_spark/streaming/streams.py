@@ -453,37 +453,48 @@ def near_dup_stream(
         out_a: list[int] = []
         out_b: list[int] = []
         out_bk: list[str] = []
-        for pdf in pdfs:
-            if len(pdf) == 0:
-                continue
-            for bucket, grp in pdf.groupby("bucket", sort=False):
-                ent = m.get(bucket)
-                members = list(ent[0]) if ent else []
-                overflow = list(ent[1]) if ent else []
-                # the first max_bucket ids are the pairing members;
-                # later ids live in a bounded overflow so an
-                # at-least-once source redelivering an over-cap doc
-                # does not re-emit its pairs (beyond 16x max_bucket
-                # the overflow FIFO-evicts and a very late redelivery
-                # may duplicate — the documented bound)
-                seen = set(members)
-                seen.update(overflow)
-                new_ids = sorted({int(i) for i in grp[id_col]} - seen)
-                for nid in new_ids:
-                    for old in members:
-                        lo, hi = (old, nid) if old < nid else (nid, old)
-                        out_a.append(lo)
-                        out_b.append(hi)
-                        out_bk.append(bucket)
-                    if len(members) < max_bucket:
-                        members.append(nid)
-                    else:
-                        overflow.append(nid)
-                m[bucket] = (
-                    members,
-                    overflow[-(max_bucket * 15):],
-                    now_ms,
-                )
+        # union the batch's Arrow chunks BEFORE admitting members: the
+        # member set must be the first max_bucket SORTED ids of the
+        # whole micro-batch (the batch fallback's exact contract) — a
+        # per-chunk fold would let a high id in an early chunk take a
+        # member slot from a lower id in a later chunk whenever a
+        # bucket straddles a chunk boundary
+        chunks = [pdf for pdf in pdfs if len(pdf)]
+        rows = (
+            chunks[0]
+            if len(chunks) == 1
+            else pd.concat(chunks)
+            if chunks
+            else pd.DataFrame({id_col: [], "bucket": []})
+        )
+        for bucket, grp in rows.groupby("bucket", sort=False):
+            ent = m.get(bucket)
+            members = list(ent[0]) if ent else []
+            overflow = list(ent[1]) if ent else []
+            # the first max_bucket ids are the pairing members;
+            # later ids live in a bounded overflow so an
+            # at-least-once source redelivering an over-cap doc
+            # does not re-emit its pairs (beyond 16x max_bucket
+            # the overflow FIFO-evicts and a very late redelivery
+            # may duplicate — the documented bound)
+            seen = set(members)
+            seen.update(overflow)
+            new_ids = sorted({int(i) for i in grp[id_col]} - seen)
+            for nid in new_ids:
+                for old in members:
+                    lo, hi = (old, nid) if old < nid else (nid, old)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_bk.append(bucket)
+                if len(members) < max_bucket:
+                    members.append(nid)
+                else:
+                    overflow.append(nid)
+            m[bucket] = (
+                members,
+                overflow[-(max_bucket * 15):],
+                now_ms,
+            )
         state.update((pickle.dumps(m, protocol=5),))
         state.setTimeoutDuration(ttl_ms)
         if out_a:
@@ -601,6 +612,7 @@ def funnel_stream(
     ts_col: str = "ts",
     key_col: str = "user_id",
     type_col: str = "event_type",
+    n_shards: int = 1024,
 ) -> DataFrame:
     """Stateful streaming funnel: per-key state is the earliest
     timestamp of each ordered step reached so far (strict order — step
@@ -654,7 +666,6 @@ def funnel_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    n_shards = 1024
     n = len(steps)
     key_type = dict(events.dtypes)[key_col]
     out_schema = f"{key_col} {key_type}, " + ", ".join(

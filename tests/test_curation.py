@@ -485,3 +485,18 @@ def test_apply_mixture_epochs_replicates_and_thins(spark):
     assert {(r["doc_id"], r["epoch"]) for r in again} == {
         (r["doc_id"], r["epoch"]) for r in out
     }
+
+
+def test_apply_mixture_epochs_zero_epochs_yields_nothing(spark):
+    """epochs == 0 (zero weight or zero budget) must produce ZERO rows
+    — sequence(0, ceil(0)-1) counts DOWN to [0, -1] and the spurious
+    epoch=-1 replica passed the keep predicate before the guard."""
+    docs = spark.createDataFrame(
+        [(1, "dead", 10), (2, "live", 10)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = spark.createDataFrame(
+        [("dead", 0.0), ("live", 1.0)], "source string, epochs double"
+    )
+    out = sp.apply_mixture_epochs(docs, plan).collect()
+    assert [(r["doc_id"], r["epoch"]) for r in out] == [(2, 0)]

@@ -136,3 +136,45 @@ def test_near_dup_batch_fallback_honors_max_bucket(spark):
     # members are ids 0 and 1; every later id pairs only against them
     want = {(0, 1)} | {(0, i) for i in range(2, 6)} | {(1, i) for i in range(2, 6)}
     assert pairs == want
+
+
+def test_near_dup_stream_members_span_arrow_chunks(spark, tmp_path):
+    """The member set must be the first max_bucket SORTED ids of the
+    whole micro-batch even when a bucket's rows straddle Arrow chunk
+    boundaries — the fold unions chunks before admitting members
+    (per-chunk folding would let a high id in an early chunk steal a
+    member slot)."""
+    import uuid
+
+    rows = [(i, "same same same text everywhere") for i in (7, 6, 5, 4, 3, 2, 1, 0)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "in")
+    docs.coalesce(1).write.parquet(d)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(d)
+    prev = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        out = near_dup_stream(stream, n=3, k=8, bands=4, max_bucket=2)
+        name = f"nd_chunks_{uuid.uuid4().hex[:8]}"
+        q = (out.writeStream.format("memory").queryName(name)
+             .outputMode("append").trigger(availableNow=True).start())
+        import time
+
+        for _ in range(60):
+            time.sleep(0.5)
+            if not q.isActive:
+                break
+            lp = q.lastProgress
+            if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
+                break
+        if q.isActive:
+            q.stop()
+        q.awaitTermination()
+        pairs = {(r["doc_a"], r["doc_b"])
+                 for r in spark.table(name).collect()}
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+    # members are ids 0 and 1 (batch-wide sorted), exactly like the
+    # batch fallback's rank cap
+    want = {(0, 1)} | {(0, i) for i in range(2, 8)} | {(1, i) for i in range(2, 8)}
+    assert pairs == want
