@@ -1502,6 +1502,8 @@ _REVERIFY = [
     "dedup_representative", "dup_clusters", "dedup_best",
     "temporal_expand", "temporal_expand_cell", "wrf_flux",
     "fluxie_export", "stream_neardup",
+    # 4 — sharded-state + NULL-key-group rewrite of the funnel stage
+    "stream_funnel",
 ]
 
 
