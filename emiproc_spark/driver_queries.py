@@ -1330,51 +1330,6 @@ QUERIES.update(QUERIES_R2)
 QUERIES.update(QUERIES_CURATE)
 QUERIES.update(QUERIES_R3)
 
-# Names driver-verified green in some round's CORRECTNESS_r{1,2,3}.json
-# (union of all three samples; every sampled row passed).  The driver
-# checks queries in registry insertion order and samples a contiguous
-# 50-query block from the front, so rotate: queries it has NEVER
-# verified go first (explicit re-verify set at the very front, via
-# _FRONT below), the long-green set goes last.
-_VERIFIED_R1_R3 = [
-    "add_inventories", "ann_cosine_topk", "ann_lsh_buckets",
-    "antimeridian_remap", "cams_ingest", "clip_box", "combine_inventories",
-    "composite_scaling", "country_fractions", "country_majority",
-    "country_to_cells", "crop_with_shape", "cube_emissions", "days_in_year",
-    "decon_spans", "dedup_exact", "dedup_representative", "doc_chunks",
-    "doc_fingerprint", "drop_keep", "edgar_ingest", "edgar_legacy",
-    "edgar_profiles", "embedding_dup", "events_daily",
-    "events_hourly_profile", "events_json_props", "gfas_ingest",
-    "gfed4_ingest", "gfed5_ingest", "gpkg_roundtrip", "gral_roundtrip",
-    "group_categories", "group_profiles_indexes", "group_substances",
-    "hdd_factors", "icon_mesh", "interpolate_profiles", "ivf_topk",
-    "knn_classify", "lang_id", "length_percentiles", "lpj_ingest",
-    "minhash_lsh", "multimodal_features", "netcdf4_ingest", "netcdf_ingest",
-    "ngram_jaccard", "oem_profiles_export", "order_priority",
-    "people_to_emissions", "profile_da", "profiles_combine",
-    "profiles_dedup", "profiles_yaml", "prtr_ingest", "quality_filter",
-    "remap_inventory", "remap_profiles", "remap_weights",
-    "revenue_by_nation", "saunois_ingest", "scale_inventory", "sessionize",
-    "set_ops", "simhash", "speciate", "speciate_country",
-    "speciate_inventory", "speciate_nox", "stream_dedup", "stream_neardup",
-    "stream_sessionize", "stream_window_stats", "supplier_rank",
-    "swiss_ingest", "temp_mix", "temporal_expand", "temporal_expand_cell",
-    "text_stats", "tno_ingest", "tno_points", "tno_profiles",
-    "token_counts", "top_customers", "top_emitters", "total_emissions",
-    "totals_equal", "tpch_q1", "tprofiles_csv", "unigram_logprob",
-    "vertical_rebin", "vprm", "vprofiles_csv", "weights_cache",
-    "wetcharts_ingest", "window_running_total", "winnow_fp",
-    "winnow_overlap", "wrf_flux",
-]
-
-
-def _rotate(d: dict, first: dict) -> dict:
-    seen = set(_VERIFIED_R1_R3)
-    out = {k: d[k] for k in first if k in d}
-    out.update({k: v for k, v in d.items() if k not in seen and k not in out})
-    out.update({k: d[k] for k in _VERIFIED_R1_R3 if k in d})
-    return out
-
 ORACLES: dict[str, str] = {
     "tpch_q1": SQL_TPCH_Q1,
     "revenue_by_nation": SQL_REVENUE_BY_NATION,
@@ -1474,36 +1429,24 @@ from emiproc_spark.driver_queries_r8 import ORACLES_R8, QUERIES_R8  # noqa: E402
 QUERIES.update(QUERIES_R8)
 ORACLES.update(ORACLES_R8)
 
-# Round-8 front-window rotation.  The driver samples a contiguous
+# Round-9 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
 # discipline (registry >4× the window), EVERY query whose
-# implementation changed this round goes first, then the new r8
-# queries, then refill.
+# implementation changed this round goes first, then refill (oldest
+# evidence first).  Round 9 is deliberately low-churn — the r8 judge's
+# top item is draining the stale r2/r3 evidence cohort through the
+# window, so the refill gets ~46 slots.
 _REVERIFY = [
-    # 1 — changed this round: forced-broadcast hints dropped from the
-    # TPC-H-style dimension joins and both split-audit queries (the r7
-    # judge's scale finding: a broadcast hint on a corpus-sized frame
-    # cannot be refused at runtime); stream_cdc state re-sharded by
-    # key-bucket with a vectorized in-bucket fold
-    "revenue_by_nation", "top_customers", "supplier_rank",
-    "split_leakage", "cluster_split", "stream_cdc",
-    # 2 — store plumbing changed: per-sf materialized stores now route
-    # through fixtures.scratch_dir (configurable root + exit cleanup);
-    # curate_corpus/curation_gates additionally share the persisted
-    # gate-chain execution with the new default-on pipeline gates
-    "bucketed_join", "orc_partitioned", "jsonl_roundtrip",
-    "ivf_store_probe", "minhash_est", "lsh_verified", "lsh_quality",
-    "curate_corpus", "curation_gates",
-    # 3 — transitively changed: widen_for_fanout regained the observed
-    # partition-count fallback for sentinel-stats / non-splittable
-    # scans, which sits under every doc_shingles consumer and every
-    # hourly fan-out path
-    "ngram_jaccard", "minhash_lsh", "lsh_capped", "minhash_inc",
-    "dedup_representative", "dup_clusters", "dedup_best",
-    "temporal_expand", "temporal_expand_cell", "wrf_flux",
-    "fluxie_export", "stream_neardup",
-    # 4 — sharded-state + NULL-key-group rewrite of the funnel stage
-    "stream_funnel",
+    # mixture_plan changed: right-outer join to the weight table +
+    # zero/NULL-avail guard (a weighted source with no corpus tokens
+    # now plans epochs=0 with the full target as deficit instead of
+    # vanishing or planning max_epochs)
+    "mixture_epochs",
+    # streaming shard-count defaults now derived from the cluster at
+    # call time (derive_shards, historical constants as floors); the
+    # funnel fold additionally sorts on (ts, event_id) when the input
+    # carries the tiebreak column
+    "stream_funnel", "stream_cdc", "stream_neardup",
 ]
 
 
@@ -1543,11 +1486,7 @@ def _evidence_order(names: list[str]) -> list[str]:
     return sorted(names, key=lambda n: (last.get(n, 0), n))
 
 
-_FRONT = {
-    **{k: QUERIES[k] for k in _REVERIFY if k in QUERIES},
-    # new this round
-    **QUERIES_R8,
-}
+_FRONT = {k: QUERIES[k] for k in _REVERIFY if k in QUERIES}
 _REFILL = _evidence_order([k for k in QUERIES if k not in _FRONT])
 QUERIES = {**_FRONT, **{k: QUERIES[k] for k in _REFILL}}
 # ORACLES mirrors the QUERIES ordering (oracle-less streaming entries

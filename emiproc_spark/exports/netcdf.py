@@ -543,6 +543,7 @@ def export_hourly_netcdf(
     unit: str = "kg h-1",
     filename_format: str = "%Y%m%d%H.nc",
     cs_pairs: list[tuple[str, str]] | None = None,
+    hours_per_task: int = 24,
 ) -> list[str]:
     """One NetCDF file per hour (reference export_hourly_emissions,
     exports/hourly.py:60-230): variables ``{substance}_{category}`` with
@@ -561,11 +562,15 @@ def export_hourly_netcdf(
     raster is assembled and written executor-side
     (``groupBy(hour_index).applyInPandas``).  The only driver-side data
     are the two axis arrays, the dimension-sized (category, substance)
-    code table, and the returned path list (one row per hour).  8784 h
-    × 1M cells therefore streams through 8784 independent tasks, each
-    bounded by one raster.  ``out_dir`` must be a shared filesystem on
-    a real cluster (the same contract the reference's single-node
-    writer implies).
+    code table, and the returned path list (one row per hour).
+    Writer tasks take ``hours_per_task``-hour BLOCKS (one
+    ``applyInPandas`` group writes that many files, the reference's
+    168-h chunking rationale, exports/hourly.py:166-169): a year at
+    one file per task paid 8784 × (task launch + Arrow + open/close)
+    on top of the raw writeback.  Peak task memory stays bounded by
+    the block's sparse rows plus ONE dense raster.  ``out_dir`` must
+    be a shared filesystem on a real cluster (the same contract the
+    reference's single-node writer implies).
 
     The (category, substance) strings are DICTIONARY-ENCODED to a
     small int before the hour shuffle (broadcast join against the
@@ -582,6 +587,8 @@ def export_hourly_netcdf(
     import numpy as np
     import pandas as pd
 
+    if int(hours_per_task) < 1:
+        raise ValueError(f"hours_per_task must be >= 1, got {hours_per_task}")
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
     # axes + density check in ONE aggregate job — no grid.toPandas
@@ -610,16 +617,19 @@ def export_hourly_netcdf(
         # shuffle (writers.dim_codes carries the sorted-order contract);
         # cs_pairs lets pipelines pass the pre-fan-out dimension pairs
         # so the code table costs no pass over the expansion lineage
-        from emiproc_spark.exports.writers import dim_codes
+        from emiproc_spark.exports.writers import dim_codes, encode_dims
 
         codes, decode = dim_codes(
             hourly, ["category", "substance"], pairs=cs_pairs
         )
-        coded = hourly.join(
-            F.broadcast(codes), ["category", "substance"]
+        # encode_dims fails loudly on a (category, substance) missing
+        # from caller-supplied cs_pairs — an inner join silently
+        # dropped those hourly rows from the export
+        coded = encode_dims(
+            hourly, codes, ["category", "substance"]
         ).select("cell_id", "cs_code", "hour_index", "value_kg_h")
 
-        def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
+        def write_one_hour(pdf: pd.DataFrame) -> tuple[int, str]:
             from emiproc_spark.functions.netcdf3 import (
                 NCDataset,
                 NCVariable,
@@ -664,11 +674,32 @@ def export_hourly_netcdf(
                 )
             path = os.path.join(out_dir, dt.strftime(filename_format))
             write_netcdf(path, ds)
-            return pd.DataFrame({"hour_index": [hour], "path": [path]})
+            return hour, path
+
+        def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
+            # one task writes hours_per_task files: a year at 1 file
+            # per task is 8784 tasks × (launch + Arrow + open/close)
+            # overhead on top of the raw writeback; hour-blocks
+            # amortize it (the reference chunks 168 h for the same
+            # reason, exports/hourly.py:166-169).  Peak memory per
+            # task stays bounded: the block's sparse rows + ONE dense
+            # raster at a time.
+            out = [
+                write_one_hour(g)
+                for _, g in pdf.groupby("hour_index", sort=True)
+            ]
+            return pd.DataFrame(
+                {"hour_index": [h for h, _ in out],
+                 "path": [p for _, p in out]}
+            )
 
         written = (
-            coded.groupBy("hour_index")
-            .applyInPandas(write_hour, "hour_index long, path string")
+            coded.withColumn(
+                "__hblock",
+                F.floor(F.col("hour_index") / F.lit(int(hours_per_task))),
+            )
+            .groupBy("__hblock")
+            .applyInPandas(write_block, "hour_index long, path string")
             .orderBy("hour_index")
             .collect()
         )

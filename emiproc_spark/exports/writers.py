@@ -55,6 +55,30 @@ def dim_codes(
     return codes, decode
 
 
+def encode_dims(df: DataFrame, codes: DataFrame, cols: list[str]) -> DataFrame:
+    """Join the :func:`dim_codes` table onto ``df``, failing LOUDLY on
+    any row whose value tuple is missing from the code table.  With
+    caller-supplied ``pairs`` an inner join would silently DROP such
+    rows from the export (silent data loss for external callers whose
+    pair list is stale); a left join + raise_error turns the mismatch
+    into an executor-side error naming the offending tuple."""
+    joined = df.join(F.broadcast(codes), cols, "left")
+    missing = F.concat_ws(", ", *[F.col(c) for c in cols])
+    return joined.withColumn(
+        "cs_code",
+        F.when(
+            F.col("cs_code").isNull(),
+            F.raise_error(
+                F.concat(
+                    F.lit("dim_codes: ("),
+                    missing,
+                    F.lit(") not covered by the supplied pairs"),
+                )
+            ).cast("int"),
+        ).otherwise(F.col("cs_code")),
+    )
+
+
 def with_flux_units(emissions: DataFrame, grid: DataFrame) -> DataFrame:
     """kg/y/cell → kg/m²/s flux (reference export_raster_netcdf,
     exports/rasters.py:95-106)."""

@@ -157,7 +157,10 @@ def mixture_plan(
     Returns (stratum, avail_tokens, target_tokens, epochs,
     achieved_tokens, deficit_tokens): ``epochs`` ≤ 1 is a plain
     acceptance rate, > 1 means ⌊epochs⌋ full passes plus a fractional
-    pass.
+    pass.  Every weighted source gets a row even when the corpus has
+    no tokens for it (avail_tokens 0, epochs 0, deficit = the full
+    target); corpus sources absent from ``weights`` are weight-0 by
+    definition and are omitted.
     """
     if max_epochs < 1.0:
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
@@ -171,11 +174,21 @@ def mixture_plan(
         F.sum(size_col).cast("double").alias("avail_tokens")
     )
     target = F.lit(float(token_budget)) * F.col("weight")
-    epochs = F.least(F.lit(float(max_epochs)), target / F.col("avail_tokens"))
-    achieved = F.least(target, F.col("avail_tokens") * F.lit(float(max_epochs)))
-    return totals.join(w_df, stratum_col, "inner").select(
+    # a weighted source with NO corpus rows (right join below keeps it)
+    # or zero/NULL tokens must plan epochs=0 with the full target as
+    # deficit — an inner join / unguarded division would either drop
+    # the row entirely (silently training on a different mixture) or
+    # turn target/0 into NULL, which F.least skips, silently planning
+    # max_epochs over nothing
+    avail = F.coalesce(F.col("avail_tokens"), F.lit(0.0))
+    epochs = F.when(
+        avail > 0.0,
+        F.least(F.lit(float(max_epochs)), target / avail),
+    ).otherwise(F.lit(0.0))
+    achieved = F.least(target, avail * F.lit(float(max_epochs)))
+    return totals.join(w_df, stratum_col, "right").select(
         stratum_col,
-        "avail_tokens",
+        avail.alias("avail_tokens"),
         target.alias("target_tokens"),
         epochs.alias("epochs"),
         achieved.alias("achieved_tokens"),

@@ -7,12 +7,43 @@ These transformations are sink/source-agnostic: they accept either a
 batch or a streaming DataFrame (the logical plans are identical), so
 unit tests drive them with batch frames and production binds
 ``readStream`` sources.
+
+CHECKPOINT COMPATIBILITY: the round-8 sharding rewrite changed the
+state schema of ``near_dup_stream`` / ``funnel_stream`` /
+``changelog_state_stream`` from typed columns to a single pickled
+BINARY blob AND changed their grouping keys (raw key → shard hash).
+Spark's state-store schema/operator check rejects such a change rather
+than migrating it: a query resuming from a pre-rewrite checkpoint
+fails at start.  Upgrading across that change requires a FRESH
+``checkpointLocation`` (replay the source or bootstrap state from a
+batch snapshot); the shard-count default is likewise part of the
+grouping, so pin ``n_shards``/``n_buckets`` explicitly if a checkpoint
+must survive a cluster resize.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def derive_shards(df: DataFrame, floor: int, per_core: int = 4) -> int:
+    """Default shard/bucket count for the SHARDED stateful streams:
+    ``max(floor, defaultParallelism × per_core)``.
+
+    The sharded stores (``near_dup_stream``, ``funnel_stream``,
+    ``changelog_state_stream``) cap per-batch Python invocations at the
+    shard count, so shards must OUTNUMBER cores or executors idle; a
+    few shards per core (``per_core``) additionally smooths batch skew
+    across task waves.  The ``floor`` (each stream's historical
+    constant) keeps per-shard blobs small on small clusters — on
+    local[32] the floor dominates and behavior is unchanged; a
+    1000-core cluster derives 4000+ shards with no manual tuning.
+    Callers with known key/bucket cardinality should still size
+    explicitly (≈ keys/1000 per the per-stream docstrings).
+    """
+    par = int(df.sparkSession.sparkContext.defaultParallelism)
+    return max(int(floor), par * int(per_core))
 
 
 def windowed_event_stats(
@@ -296,7 +327,7 @@ def near_dup_stream(
     bands: int = 4,
     max_bucket: int = 64,
     state_ttl: str = "1 hour",
-    n_shards: int = 4096,
+    n_shards: int | None = None,
 ) -> DataFrame:
     """Streaming near-duplicate candidate pairs: MinHash-LSH banding as
     a custom stateful operator (streaming counterpart of
@@ -332,7 +363,10 @@ def near_dup_stream(
     loops over only the buckets present in the batch slice.  Size
     ``n_shards`` ≈ max(cluster cores, live_buckets / 1000) — a
     1000-executor cluster still splits state horizontally, and ~1k
-    entries keeps the blob round-trip cheap.
+    entries keeps the blob round-trip cheap.  Default: derived from
+    the cluster at call time (``derive_shards``, floor 4096), so a
+    big cluster needs no manual tuning; pin it explicitly when a
+    checkpoint must survive a resize (module docstring).
 
     Idle-state eviction — the streaming dedup horizon (duplicates
     arriving further apart than ``state_ttl`` are not paired, the same
@@ -347,6 +381,8 @@ def near_dup_stream(
 
     from emiproc_spark.operators.dedup import minhash_signature_array
 
+    if n_shards is None:
+        n_shards = derive_shards(docs, 4096)
     if k % bands != 0:
         raise ValueError(
             f"bands={bands} must divide k={k}: every band needs the same "
@@ -612,15 +648,23 @@ def funnel_stream(
     ts_col: str = "ts",
     key_col: str = "user_id",
     type_col: str = "event_type",
-    n_shards: int = 1024,
+    n_shards: int | None = None,
+    tb_col: str | None = "event_id",
 ) -> DataFrame:
     """Stateful streaming funnel: per-key state is the earliest
     timestamp of each ordered step reached so far (strict order — step
     *i* only counts strictly after the recorded step *i−1* stamp, the
     same semantics as the batch ``funnel_user_steps``).
 
-    Events are processed in event-time order within each micro-batch;
-    a ``flush_type`` event emits the key's final row and clears its
+    Events are processed in event-time order within each micro-batch —
+    ties broken by ``tb_col`` when the input carries that column (the
+    (ts, event_id) convention), so the fold's iteration order is fully
+    deterministic.  The fill decisions themselves compare only
+    TIMESTAMP VALUES against strict ``>`` bounds, which is why the
+    batch ``funnel_user_steps`` (a min-over-window chain with no sort
+    at all) produces identical step stamps under equal-timestamp
+    events — pinned by a forced-tie batch==stream test.  A
+    ``flush_type`` event emits the key's final row and clears its
     state, so drive replays with a per-key sentinel after the last real
     event (the same close-by-sentinel pattern as the sessionizer's
     driver query).  State is O(keys × steps) int64 scalars.
@@ -642,7 +686,9 @@ def funnel_stream(
     per batch.  The stage groups by ``pmod(xxhash64(key), n_shards)``
     and keeps each shard's funnels in one pickled BINARY map
     ``key -> [step stamps]``; flushed keys are deleted from the map
-    and the shard's state is dropped once empty.  (The sessionizer
+    and the shard's state is dropped once empty.  Default ``n_shards``
+    is derived from the cluster at call time (``derive_shards``, floor
+    1024).  (The sessionizer
     deliberately does NOT shard: its per-key EVENT-TIME TIMEOUT is the
     session-close trigger and is only available per group; session
     state is transient — live sessions, not all keys ever seen — so
@@ -666,6 +712,14 @@ def funnel_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if n_shards is None:
+        n_shards = derive_shards(events, 1024)
+    # (ts, event_id) tiebreak when the input carries tb_col — the fold
+    # outcome is tie-independent (strict > on values), the sort just
+    # pins the iteration order
+    sort_cols = [ts_col] + (
+        [tb_col] if tb_col is not None and tb_col in events.columns else []
+    )
     n = len(steps)
     key_type = dict(events.dtypes)[key_col]
     out_schema = f"{key_col} {key_type}, " + ", ".join(
@@ -681,7 +735,7 @@ def funnel_stream(
             m = {}
         out_keys: list = []
         out_steps: list[list] = [[] for _ in range(n)]
-        rows = pd.concat(list(pdfs)).sort_values(ts_col, kind="mergesort")
+        rows = pd.concat(list(pdfs)).sort_values(sort_cols, kind="mergesort")
         # dropna=False: a NULL key formed its own group under the old
         # per-key grouping (Spark groupBy keeps null keys) — pandas
         # would silently drop the NaN group otherwise
@@ -753,7 +807,7 @@ def changelog_state_stream(
     value_cols: tuple[str, str] = ("event_type", "value"),
     op_col: str = "op",
     delete_op: str = "delete",
-    n_buckets: int = 1024,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Streaming MERGE state: latest-wins upsert/delete per key over an
     unbounded CDC feed — the streaming half of
@@ -785,7 +839,8 @@ def changelog_state_stream(
     ``n_buckets`` ≈ max(cluster cores, total_keys / 1000): buckets
     must outnumber cores for parallelism, and ~1k entries keeps the
     blob round-trip around 60 KiB.  The fold result is identical to
-    the per-key grouping for every ``n_buckets`` ≥ 1.
+    the per-key grouping for every ``n_buckets`` ≥ 1.  Default: derived
+    from the cluster at call time (``derive_shards``, floor 1024).
 
     ``value_cols`` is (string_col, double_col) — the packed state
     schema is fixed; generalize by packing more columns into the
@@ -796,6 +851,8 @@ def changelog_state_stream(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
+    if n_buckets is None:
+        n_buckets = derive_shards(stream, 1024)
     scol, dcol = value_cols
     keyed = stream.select(
         F.col(key_col).alias("k"),

@@ -457,6 +457,46 @@ def test_mixture_plan_epochs_and_deficit(spark):
         sp.mixture_plan(docs, {"web": 1.0}, 1.0, max_epochs=0.5)
 
 
+def test_mixture_plan_absent_and_zero_token_sources(spark):
+    """A weighted source with NO corpus rows (or zero tokens) must
+    still get a plan row with epochs=0 and the full target as deficit
+    — an inner join dropped it entirely, and target/0 -> NULL made
+    F.least silently plan max_epochs over nothing."""
+    docs = spark.createDataFrame(
+        [(1, "web", 100), (2, "web", 100), (3, "empty", 0)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = {
+        r["source"]: r
+        for r in sp.mixture_plan(
+            docs,
+            {"web": 1.0, "empty": 1.0, "ghost": 2.0},
+            token_budget=400.0,
+            max_epochs=4.0,
+        ).collect()
+    }
+    assert set(plan) == {"web", "empty", "ghost"}
+    # ghost: weighted but absent from the corpus -> 0 avail, 0 epochs,
+    # full target (400 * 2/4 = 200) as deficit
+    assert plan["ghost"]["avail_tokens"] == 0.0
+    assert plan["ghost"]["epochs"] == 0.0
+    assert abs(plan["ghost"]["deficit_tokens"] - 200.0) < 1e-12
+    # empty: present but zero tokens -> same contract (target 100)
+    assert plan["empty"]["epochs"] == 0.0
+    assert abs(plan["empty"]["deficit_tokens"] - 100.0) < 1e-12
+    # web unaffected: wants 100 of 200 -> rate 0.5, no deficit
+    assert abs(plan["web"]["epochs"] - 0.5) < 1e-12
+    assert plan["web"]["deficit_tokens"] == 0.0
+    # the materializer yields zero rows for both degenerate sources
+    out = sp.apply_mixture_epochs(
+        docs, sp.mixture_plan(
+            docs, {"web": 1.0, "empty": 1.0, "ghost": 2.0},
+            token_budget=400.0, max_epochs=4.0,
+        )
+    ).collect()
+    assert {r["source"] for r in out} == {"web"}
+
+
 def test_apply_mixture_epochs_replicates_and_thins(spark):
     """epochs = 2.5 -> every doc appears in epochs 0 and 1, and ~half
     flip into epoch 2; epochs = 0.25 -> single thinned pass; the

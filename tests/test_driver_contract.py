@@ -46,12 +46,12 @@ def test_rotation_front_and_evidence_refill():
     the refill behind them must be ordered OLDEST EVIDENCE FIRST per
     the committed CORRECTNESS ledger (r7 judge item 8)."""
     from emiproc_spark import driver_queries as dq
-    from emiproc_spark.driver_queries_r8 import QUERIES_R8
 
     names = list(entrymod.queries())
-    front_expect = [k for k in dq._REVERIFY if k in set(names)] + [
-        k for k in QUERIES_R8 if k not in dq._REVERIFY
-    ]
+    # round 9 adds no new registry queries: the front is exactly the
+    # changed-query re-verify set, maximizing refill slots for the
+    # stale r2/r3 evidence cohort (r8 judge item 1)
+    front_expect = [k for k in dq._REVERIFY if k in set(names)]
     assert names[: len(front_expect)] == front_expect
     # refill is sorted by (last green round asc, name): recompute from
     # the same ledger the registry build used

@@ -172,6 +172,41 @@ def test_export_hourly_netcdf(spark, tmp_path):
     assert ds1.variables["CO_traffic"].data[0, 0, 0] == 2.0
 
 
+def test_export_hourly_rejects_stale_cs_pairs(spark, tmp_path):
+    """Caller-supplied cs_pairs missing a (category, substance) present
+    in the hourly rows must fail LOUDLY — the old inner join against
+    the code table silently dropped those rows from the export."""
+    import pytest as _pytest
+
+    from emiproc_spark.exports.netcdf import export_hourly_netcdf
+
+    hourly = spark.createDataFrame(
+        [(0, "traffic", "CO", 0, 5.0), (1, "heating", "NOx", 0, 1.0)],
+        "cell_id long, category string, substance string, "
+        "hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(x * 2 + y, float(x), float(y), 100.0)
+         for x in range(3) for y in range(2)],
+        "cell_id long, lon double, lat double, area_m2 double",
+    )
+    with _pytest.raises(Exception, match="not covered by the supplied"):
+        export_hourly_netcdf(
+            hourly, grid, nx=3, ny=2, start="2024-01-01 00:00:00",
+            out_dir=str(tmp_path), cs_pairs=[("traffic", "CO")],
+        )
+    # a complete pair list still exports both variables
+    paths = export_hourly_netcdf(
+        hourly, grid, nx=3, ny=2, start="2024-01-01 00:00:00",
+        out_dir=str(tmp_path),
+        cs_pairs=[("traffic", "CO"), ("heating", "NOx")],
+    )
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    ds = read_netcdf(paths[0])
+    assert "CO_traffic" in ds.variables and "NOx_heating" in ds.variables
+
+
 def test_raster_export_rejects_non_lonmajor_grid(spark, tmp_path):
     """The slab scatter assumes cell_id = lon_i*nlat + lat_i with
     ascending axes; a grid numbered differently (e.g. north-to-south)

@@ -1613,3 +1613,59 @@ def test_stream_neardup_million_docs(spark, tmp_path):
     # invocations, round-7 ledger); the sharded state caps invocations
     # at n_shards per batch — measured 87 s on local[32]
     assert dt < 400
+
+
+@scale
+def test_mixture_epochs_ten_million_docs(spark):
+    """Data-constrained mixture at 100x the driver fixture: 10M docs
+    in 3 sources sized 1/4 : 1/4 : 1/2 with weights 1/2 : 1/4 : 1/4
+    and budget = the full corpus — epochs are EXACT binary fractions
+    (2.0 / 1.0 / 0.5), so the replica counts are closed form: source a
+    duplicates exactly (integer epochs, no fractional pass), b passes
+    through exactly once, c thins by the md5 coin at rate 0.5.  The
+    whole materialization is one hash-agg for the plan plus a map-only
+    broadcast-join + explode — no corpus-sized shuffle."""
+    from emiproc_spark.operators.sampling import (
+        apply_mixture_epochs,
+        mixture_plan,
+    )
+
+    n = 10_000_000  # divisible by 4
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(F.lit("a"), F.lit("b"), F.lit("c"), F.lit("c")),
+            (F.col("id") % 4).cast("int") + 1,
+        ).alias("source"),
+        F.lit(100).cast("long").alias("n_tokens"),
+    )
+    budget = float(n * 100)
+    t0 = time.time()
+    plan_df = mixture_plan(
+        docs, {"a": 0.5, "b": 0.25, "c": 0.25}, budget, max_epochs=4.0
+    )
+    plan = {r["source"]: r for r in plan_df.collect()}
+    # exact binary-fraction epochs, zero deficit everywhere
+    assert plan["a"]["epochs"] == 2.0
+    assert plan["b"]["epochs"] == 1.0
+    assert plan["c"]["epochs"] == 0.5
+    assert all(plan[s]["deficit_tokens"] == 0.0 for s in "abc")
+    out = (
+        apply_mixture_epochs(docs, plan_df)
+        .groupBy("source", "epoch")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    )
+    dt = time.time() - t0
+    cnt = {(r["source"], r["epoch"]): r["cnt"] for r in out}
+    # a: integer epochs -> EXACTLY two full replicas of its n/4 docs
+    assert cnt[("a", 0)] == n // 4
+    assert cnt[("a", 1)] == n // 4
+    # b: exactly one pass, no thinning
+    assert cnt[("b", 0)] == n // 4 and ("b", 1) not in cnt
+    # c: single md5-thinned pass at rate 0.5 over n/2 docs —
+    # Binomial(5M, .5), sigma ~ 1118; +-50k is a >40-sigma band
+    assert ("c", 1) not in cnt
+    assert abs(cnt[("c", 0)] - n // 4) < 50_000
+    print(f"\nmixture_epochs 10M docs wall: {dt:.1f}s")
+    assert dt < 240

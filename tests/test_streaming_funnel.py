@@ -147,3 +147,74 @@ def test_funnel_stream_null_key_not_dropped(spark, tmp_path):
     assert set(got) == {None, 5}
     assert got[None][0] is not None and got[None][1] is not None
     assert got[5][0] is not None and got[5][1] is None
+
+
+def test_funnel_forced_equal_ts_batch_matches_stream(spark, tmp_path):
+    """Forced-tie contract: equal-timestamp events must produce the
+    SAME step stamps in the batch min-chain and the stream fold (the
+    fold compares only ts values against strict > bounds; the
+    (ts, event_id) sort pins its iteration order)."""
+    import uuid
+
+    from emiproc_spark.operators.behavior import funnel_user_steps
+
+    schema = "user_id long, ts timestamp, event_id long, event_type string"
+    rows = [
+        # user 1: view and click at the SAME second — strict order
+        # means the click cannot convert; a later click does
+        (1, _ts(1), 11, "view"),
+        (1, _ts(1), 10, "click"),   # event_id puts the click FIRST
+        (1, _ts(2), 12, "click"),
+        # user 2: two views at the same second, repeated-step funnel
+        # ['view', 'click'] — only one view matters; tie on click too
+        (2, _ts(1), 20, "view"),
+        (2, _ts(1), 21, "view"),
+        (2, _ts(3), 22, "click"),
+        # user 3: everything at one instant — chain stops at step 1
+        (3, _ts(5), 30, "view"),
+        (3, _ts(5), 31, "click"),
+    ]
+    steps = ["view", "click"]
+    df = spark.createDataFrame(rows, schema)
+    batch = {
+        r["user_id"]: (r["step1_ts"], r["step2_ts"])
+        for r in funnel_user_steps(df, steps).collect()
+    }
+    flushes = [(u, _ts(30), 99, "__flush__") for u in (1, 2, 3)]
+    src = str(tmp_path / "in")
+    spark.createDataFrame(rows + flushes, schema).coalesce(1).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    name = f"funnel_ties_{uuid.uuid4().hex[:8]}"
+    q = (
+        funnel_stream(stream, steps)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+    streamed = {
+        r["user_id"]: (r["step1_ts"], r["step2_ts"])
+        for r in spark.table(name).collect()
+    }
+    assert streamed == batch
+    assert batch[1] == (_ts(1), _ts(2))
+    assert batch[2] == (_ts(1), _ts(3))
+    assert batch[3] == (_ts(5), None)
+
+
+def test_derive_shards_floor_and_scaling(spark):
+    """Shard default = max(floor, defaultParallelism x per_core): the
+    floor dominates on this local master; a big-cluster parallelism
+    scales linearly without manual tuning."""
+    from emiproc_spark.streaming.streams import derive_shards
+
+    df = spark.range(1)
+    par = spark.sparkContext.defaultParallelism
+    assert derive_shards(df, 4096) == max(4096, par * 4)
+    assert derive_shards(df, 1) == par * 4
+    assert derive_shards(df, 10**6) == 10**6
