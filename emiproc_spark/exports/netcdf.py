@@ -543,7 +543,6 @@ def export_hourly_netcdf(
     unit: str = "kg h-1",
     filename_format: str = "%Y%m%d%H.nc",
     cs_pairs: list[tuple[str, str]] | None = None,
-    hours_per_task: int = 24,
 ) -> list[str]:
     """One NetCDF file per hour (reference export_hourly_emissions,
     exports/hourly.py:60-230): variables ``{substance}_{category}`` with
@@ -563,14 +562,17 @@ def export_hourly_netcdf(
     (``groupBy(hour_index).applyInPandas``).  The only driver-side data
     are the two axis arrays, the dimension-sized (category, substance)
     code table, and the returned path list (one row per hour).
-    Writer tasks take ``hours_per_task``-hour BLOCKS (one
-    ``applyInPandas`` group writes that many files, the reference's
-    168-h chunking rationale, exports/hourly.py:166-169): a year at
-    one file per task paid 8784 × (task launch + Arrow + open/close)
-    on top of the raw writeback.  Peak task memory stays bounded by
-    the block's sparse rows plus ONE dense raster.  ``out_dir`` must
-    be a shared filesystem on a real cluster (the same contract the
-    reference's single-node writer implies).
+    Per-hour groups are already TASK-AMORTIZED: ``applyInPandas``
+    runs one task per SHUFFLE PARTITION and streams every group in
+    that partition through it, so there is no per-file task-launch
+    cost to batch away.  (An hour-BLOCK grouping layer — the
+    reference's 168-h chunking, exports/hourly.py:166-169, which does
+    pay per-chunk overhead in its scheduler — was A/B-measured here
+    at 2.2× SLOWER: the extra block column widens the exchange and
+    the block group re-slices per hour in pandas; see PLANS round-9
+    adjudication.)  ``out_dir`` must be a shared filesystem on a real
+    cluster (the same contract the reference's single-node writer
+    implies).
 
     The (category, substance) strings are DICTIONARY-ENCODED to a
     small int before the hour shuffle (broadcast join against the
@@ -587,8 +589,6 @@ def export_hourly_netcdf(
     import numpy as np
     import pandas as pd
 
-    if int(hours_per_task) < 1:
-        raise ValueError(f"hours_per_task must be >= 1, got {hours_per_task}")
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
     # axes + density check in ONE aggregate job — no grid.toPandas
@@ -629,7 +629,7 @@ def export_hourly_netcdf(
             hourly, codes, ["category", "substance"]
         ).select("cell_id", "cs_code", "hour_index", "value_kg_h")
 
-        def write_one_hour(pdf: pd.DataFrame) -> tuple[int, str]:
+        def write_hour(pdf: pd.DataFrame) -> pd.DataFrame:
             from emiproc_spark.functions.netcdf3 import (
                 NCDataset,
                 NCVariable,
@@ -674,32 +674,11 @@ def export_hourly_netcdf(
                 )
             path = os.path.join(out_dir, dt.strftime(filename_format))
             write_netcdf(path, ds)
-            return hour, path
-
-        def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
-            # one task writes hours_per_task files: a year at 1 file
-            # per task is 8784 tasks × (launch + Arrow + open/close)
-            # overhead on top of the raw writeback; hour-blocks
-            # amortize it (the reference chunks 168 h for the same
-            # reason, exports/hourly.py:166-169).  Peak memory per
-            # task stays bounded: the block's sparse rows + ONE dense
-            # raster at a time.
-            out = [
-                write_one_hour(g)
-                for _, g in pdf.groupby("hour_index", sort=True)
-            ]
-            return pd.DataFrame(
-                {"hour_index": [h for h, _ in out],
-                 "path": [p for _, p in out]}
-            )
+            return pd.DataFrame({"hour_index": [hour], "path": [path]})
 
         written = (
-            coded.withColumn(
-                "__hblock",
-                F.floor(F.col("hour_index") / F.lit(int(hours_per_task))),
-            )
-            .groupBy("__hblock")
-            .applyInPandas(write_block, "hour_index long, path string")
+            coded.groupBy("hour_index")
+            .applyInPandas(write_hour, "hour_index long, path string")
             .orderBy("hour_index")
             .collect()
         )

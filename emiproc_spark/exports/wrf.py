@@ -70,7 +70,6 @@ def export_wrf_hourly_emissions(
     variable_name: str = "E_{substance}_{category}",
     grid_attrs: dict | None = None,
     cs_pairs: list[tuple[str, str]] | None = None,
-    hours_per_task: int = 24,
 ) -> list[str]:
     """Write wrfchemi files, one per distinct ``hour_index``
     (reference export_wrf_hourly_emissions, wrf.py:129-240).
@@ -78,14 +77,13 @@ def export_wrf_hourly_emissions(
     ``hourly_flux``: (cell_id, category, substance, hour_index,
     value_mole_km2_h) — the output of :func:`to_mole_flux` over
     ``operators.temporal.temporally_scaled``.  ``start``: timestamp of
-    hour 0 (``YYYY-MM-DD HH:MM:SS``).  Writer tasks take
-    ``hours_per_task``-hour blocks to amortize per-task overhead over
-    many small files (see ``export_hourly_netcdf``).
+    hour 0 (``YYYY-MM-DD HH:MM:SS``).  Per-hour groups are already
+    task-amortized — one ``applyInPandas`` task streams every hour in
+    its shuffle partition (an hour-block layer measured 2.2× slower;
+    see ``export_hourly_netcdf``).
     """
     import pandas as pd
 
-    if int(hours_per_task) < 1:
-        raise ValueError(f"hours_per_task must be >= 1, got {hours_per_task}")
     os.makedirs(out_dir, exist_ok=True)
     t0 = datetime.datetime.strptime(start, "%Y-%m-%d %H:%M:%S")
     attrs = dict(grid_attrs or {})
@@ -132,27 +130,15 @@ def export_wrf_hourly_emissions(
             )
         path = os.path.join(out_dir, f"wrfchemi_d01_{stamp}")
         write_netcdf(path, ds)
-        return hour, path
-
-    def write_block(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = [
-            write_hour(g) for _, g in pdf.groupby("hour_index", sort=True)
-        ]
-        return pd.DataFrame(
-            {"hour_index": [h for h, _ in out], "path": [p for _, p in out]}
-        )
+        return pd.DataFrame({"hour_index": [hour], "path": [path]})
 
     # left join + loud failure on pairs missing from caller-supplied
     # cs_pairs (an inner join silently dropped those rows)
     written = (
         encode_dims(hourly_flux, codes, ["category", "substance"])
         .select("hour_index", "cs_code", "cell_id", "value_mole_km2_h")
-        .withColumn(
-            "__hblock",
-            F.floor(F.col("hour_index") / F.lit(int(hours_per_task))),
-        )
-        .groupBy("__hblock")
-        .applyInPandas(write_block, "hour_index long, path string")
+        .groupBy("hour_index")
+        .applyInPandas(write_hour, "hour_index long, path string")
         .orderBy("hour_index")
         .collect()
     )
