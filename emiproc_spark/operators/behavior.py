@@ -53,6 +53,14 @@ def funnel_user_steps(
     ``partitionBy(user)`` spec and the final per-user collapse groups
     on that key, so Catalyst plans ONE exchange for the whole chain —
     verified in tests/test_plan_shapes.py.
+
+    Tie determinism: the chain never orders rows at all — each step is
+    a MIN over timestamp VALUES gated by strict ``>`` against the
+    previous step's stamp, so equal-timestamp events cannot change the
+    result regardless of their (arbitrary) physical order.  The
+    streaming fold (``streaming.funnel_stream``) evaluates the same
+    value-only decisions in (ts, event_id) order; a forced-equal-ts
+    test pins batch == stream (tests/test_streaming_funnel.py).
     """
     if not steps:
         raise ValueError("funnel needs at least one step")
