@@ -194,3 +194,30 @@ def test_icon_export_collect_guard(spark, tmp_path):
         icon_mod._bounded_collect(big, "test input", limit=10)
     # under the limit: passes through all rows
     assert len(icon_mod._bounded_collect(big, "test input", limit=50)) == 50
+
+
+def test_wrf_hourly_rejects_stale_cs_pairs(spark, tmp_path):
+    """Caller-supplied cs_pairs missing a live (category, substance)
+    must fail loudly in the WRF writer too (shared encode_dims path) —
+    the old inner join silently dropped those flux rows."""
+    nx, ny = 3, 2
+    hourly = spark.createDataFrame(
+        [(0, "traffic", "CO", 0, 28.010), (1, "heating", "NO", 0, 30.006)],
+        "cell_id long, category string, substance string, "
+        "hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(c, 2e6) for c in range(nx * ny)], "cell_id long, area_m2 double"
+    )
+    flux = to_mole_flux(hourly, grid)
+    with pytest.raises(Exception, match="not covered by the supplied"):
+        export_wrf_hourly_emissions(
+            flux, nx, ny, "2024-01-01 00:00:00", str(tmp_path),
+            cs_pairs=[("traffic", "CO")],
+        )
+    paths = export_wrf_hourly_emissions(
+        flux, nx, ny, "2024-01-01 00:00:00", str(tmp_path),
+        cs_pairs=[("traffic", "CO"), ("heating", "NO")],
+    )
+    ds = read_netcdf(paths[0])
+    assert "E_CO_traffic" in ds.variables and "E_NO_heating" in ds.variables
