@@ -1447,6 +1447,12 @@ _REVERIFY = [
     # funnel fold additionally sorts on (ts, event_id) when the input
     # carries the tiebreak column
     "stream_funnel", "stream_cdc", "stream_neardup",
+    # silent-drop class swept repo-wide after the ADVICE cs_pairs
+    # finding: to_mole_flux fails loudly on a substance without a
+    # molar mass (reference parity: utils/constants.py:22-28) and the
+    # GRAL writer on a caller source_groups mapping missing a live
+    # (substance, category)
+    "wrf_flux", "gral_roundtrip",
 ]
 
 

@@ -82,8 +82,23 @@ def _format_lines(
         sg_rows, "substance string, category string, source_group int"
     )
     idf = spark.createDataFrame(info_df)
+    # a caller-supplied source_groups mapping missing a live
+    # (substance, category) must fail loudly, not silently omit those
+    # sources from the GRAL files (derived mappings cover by
+    # construction; the reference's per-row dict lookup would KeyError)
+    checked_sg = F.when(
+        F.col("source_group").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("export_to_gral: no source_group for ("),
+                F.col("substance"), F.lit(", "), F.col("category"),
+                F.lit(") — extend the source_groups mapping"),
+            )
+        ).cast("int"),
+    ).otherwise(F.col("source_group"))
     df = (
-        shaped.join(F.broadcast(sgdf), ["substance", "category"], "inner")
+        shaped.join(F.broadcast(sgdf), ["substance", "category"], "left")
+        .withColumn("source_group", checked_sg)
         .join(F.broadcast(idf), "category", "left")
         .select("geometry", "value_kg_y", "source_group",
                 "height", "width", "speed", "temperature", "vertical_extension")

@@ -41,15 +41,31 @@ def to_mole_flux(
     molar_masses: dict[str, float] | None = None,
 ) -> DataFrame:
     """kg/h/cell → mole/km²/h (reference wrf.py:170-180): divide by the
-    molar mass (kg/mol) and the cell area (km²)."""
+    molar mass (kg/mol) and the cell area (km²).
+
+    A substance missing from the molar-mass table fails LOUDLY (the
+    reference raises ValueError in get_molar_mass,
+    utils/constants.py:22-28) — an inner join would silently drop the
+    species from the wrfchemi files instead."""
     mm = molar_masses or MOLAR_MASSES
     spark = hourly.sparkSession
     mmdf = spark.createDataFrame(
         [(s, m) for s, m in mm.items()], "substance string, molar_mass double"
     )
     areas = grid.select("cell_id", "area_m2")
+    checked_mass = F.when(
+        F.col("molar_mass").isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit("to_mole_flux: unknown molar mass for substance `"),
+                F.col("substance"),
+                F.lit("` — pass it via molar_masses"),
+            )
+        ).cast("double"),
+    ).otherwise(F.col("molar_mass"))
     return (
-        hourly.join(F.broadcast(mmdf), "substance", "inner")
+        hourly.join(F.broadcast(mmdf), "substance", "left")
+        .withColumn("molar_mass", checked_mass)
         .join(F.broadcast(areas), "cell_id")
         .withColumn(
             "value_mole_km2_h",

@@ -221,3 +221,24 @@ def test_wrf_hourly_rejects_stale_cs_pairs(spark, tmp_path):
     )
     ds = read_netcdf(paths[0])
     assert "E_CO_traffic" in ds.variables and "E_NO_heating" in ds.variables
+
+
+def test_to_mole_flux_unknown_substance_fails_loudly(spark):
+    """The reference raises ValueError for a substance without a molar
+    mass (utils/constants.py:22-28); the Spark path must not silently
+    drop the species from the flux frame."""
+    hourly = spark.createDataFrame(
+        [(0, "traffic", "CO", 0, 28.010), (1, "traffic", "MYSTERY", 0, 1.0)],
+        "cell_id long, category string, substance string, "
+        "hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(c, 2e6) for c in range(2)], "cell_id long, area_m2 double"
+    )
+    with pytest.raises(Exception, match="unknown molar mass.*MYSTERY"):
+        to_mole_flux(hourly, grid).collect()
+    # supplying the mass clears it
+    out = to_mole_flux(
+        hourly, grid, molar_masses={"CO": 28.010, "MYSTERY": 10.0}
+    ).collect()
+    assert len(out) == 2

@@ -243,3 +243,29 @@ def test_gral_scan_names_corrupt_dat(spark, tmp_path):
     (tmp_path / "point.dat").write_bytes(b"hdr\nhdr2\n\x00\xff garbage \x00\n" * 3)
     with pytest.raises(Exception, match="point.dat"):
         gral_inventory(spark, str(tmp_path)).collect()
+
+
+def test_gral_incomplete_caller_source_groups_fails_loudly(spark, tmp_path):
+    """A caller-supplied source_groups mapping missing a live
+    (substance, category) must raise, not silently omit those sources
+    from the GRAL files (derived mappings cover by construction)."""
+    point = geom.wkb_point(2683000.0, 1250000.0)
+    shaped = spark.createDataFrame(
+        [("traffic", point, "NOx", 100.0), ("heating", point, "CO2", 50.0)],
+        "category string, geometry binary, substance string, value_kg_y double",
+    )
+    with pytest.raises(Exception, match="no source_group for"):
+        write_gral_emissions(
+            str(tmp_path / "g1"), shaped,
+            source_groups={("NOx", "traffic"): 1},
+        )
+    # a complete caller mapping still writes both sources
+    sg = write_gral_emissions(
+        str(tmp_path / "g2"), shaped,
+        source_groups={("NOx", "traffic"): 1, ("CO2", "heating"): 2},
+    )
+    inv = gral_inventory(spark, str(tmp_path / "g2")).toPandas()
+    assert set(zip(inv["substance"], inv["category"])) == {
+        ("NOx", "traffic"), ("CO2", "heating")
+    }
+    assert sg == {("NOx", "traffic"): 1, ("CO2", "heating"): 2}
