@@ -97,3 +97,63 @@ def test_dsir_weights_prefers_target_like_docs(spark):
     assert got[1] > got[2] and got[3] > got[2]
     # weights are mean log-ratios: off-domain-only tokens score negative
     assert got[2] < 0
+
+
+# --- mixture_plan invariants against a Python reference model ---------
+
+_mix_corpus = st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 50)),
+    min_size=0, max_size=20,
+)
+_mix_weights = st.dictionaries(
+    st.sampled_from(["a", "b", "c", "ghost"]),
+    st.floats(0.1, 10.0, allow_nan=False),
+    min_size=1, max_size=4,
+)
+
+
+@given(_mix_corpus, _mix_weights, st.floats(0.0, 5000.0),
+       st.floats(1.0, 6.0))
+@settings(max_examples=15, deadline=None)
+def test_mixture_plan_matches_reference_model(spark, corpus, weights,
+                                              budget, max_epochs):
+    """Invariants on random corpora/weights: every weighted source gets
+    exactly one row; epochs in [0, max_epochs]; achieved + deficit ==
+    target (within fp); epochs == 0 iff the source has no tokens (when
+    target > 0); the whole plan matches a dict-based reference."""
+    from emiproc_spark.operators.sampling import mixture_plan
+
+    docs = spark.createDataFrame(
+        [(i, s, n) for i, (s, n) in enumerate(corpus)] or [(0, "zz", 0)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = {
+        r["source"]: r
+        for r in mixture_plan(
+            docs, weights, budget, max_epochs=max_epochs
+        ).collect()
+    }
+    assert set(plan) == set(weights)
+    wsum = sum(weights.values())
+    for s, w in weights.items():
+        row = plan[s]
+        avail = float(sum(n for src, n in corpus if src == s))
+        target = budget * (w / wsum)
+        assert row["avail_tokens"] == avail
+        assert abs(row["target_tokens"] - target) < 1e-9 * max(1.0, target)
+        assert 0.0 <= row["epochs"] <= max_epochs
+        if avail > 0:
+            exp_epochs = min(max_epochs, target / avail)
+        else:
+            exp_epochs = 0.0
+        assert abs(row["epochs"] - exp_epochs) < 1e-12 * max(1.0, exp_epochs)
+        exp_achieved = min(target, avail * max_epochs)
+        assert abs(row["achieved_tokens"] - exp_achieved) < 1e-9 * max(
+            1.0, exp_achieved
+        )
+        assert abs(
+            (row["achieved_tokens"] + row["deficit_tokens"]) - target
+        ) < 1e-9 * max(1.0, target)
+        if target > 0 and avail == 0:
+            assert row["epochs"] == 0.0
+            assert abs(row["deficit_tokens"] - target) < 1e-9 * max(1.0, target)
