@@ -86,12 +86,17 @@ def _format_lines(
     # (substance, category) must fail loudly, not silently omit those
     # sources from the GRAL files (derived mappings cover by
     # construction; the reference's per-row dict lookup would KeyError)
+    # coalesce the key columns: a NULL-keyed row can never match the
+    # mapping, and F.concat would nullify the whole message — the raise
+    # must still NAME the offending tuple (r9 advisor)
     checked_sg = F.when(
         F.col("source_group").isNull(),
         F.raise_error(
             F.concat(
                 F.lit("export_to_gral: no source_group for ("),
-                F.col("substance"), F.lit(", "), F.col("category"),
+                F.coalesce(F.col("substance"), F.lit("NULL")),
+                F.lit(", "),
+                F.coalesce(F.col("category"), F.lit("NULL")),
                 F.lit(") — extend the source_groups mapping"),
             )
         ).cast("int"),

@@ -53,12 +53,15 @@ def to_mole_flux(
         [(s, m) for s, m in mm.items()], "substance string, molar_mass double"
     )
     areas = grid.select("cell_id", "area_m2")
+    # coalesce the key: a NULL substance can never match the table, and
+    # F.concat would nullify the whole message — the raise must still
+    # name the offender (r9 advisor)
     checked_mass = F.when(
         F.col("molar_mass").isNull(),
         F.raise_error(
             F.concat(
                 F.lit("to_mole_flux: unknown molar mass for substance `"),
-                F.col("substance"),
+                F.coalesce(F.col("substance"), F.lit("NULL")),
                 F.lit("` — pass it via molar_masses"),
             )
         ).cast("double"),

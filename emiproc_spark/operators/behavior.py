@@ -39,6 +39,7 @@ def funnel_user_steps(
     user_col: str = "user_id",
     ts_col: str = "ts",
     type_col: str = "event_type",
+    tb_col: str | None = None,
 ) -> DataFrame:
     """Per-user ordered funnel: step *i*'s timestamp is the earliest
     ``steps[i]`` event strictly AFTER the user's step *i−1* timestamp
@@ -61,7 +62,13 @@ def funnel_user_steps(
     streaming fold (``streaming.funnel_stream``) evaluates the same
     value-only decisions in (ts, event_id) order; a forced-equal-ts
     test pins batch == stream (tests/test_streaming_funnel.py).
+
+    ``tb_col`` is accepted for SIGNATURE PARITY with
+    ``funnel_stream(tb_col=...)`` (one call site can serve both paths)
+    and deliberately ignored: the batch chain orders nothing, so there
+    is no iteration order to pin.
     """
+    del tb_col  # value-only min-chain: no iteration order exists
     if not steps:
         raise ValueError("funnel needs at least one step")
     w = Window.partitionBy(user_col)

@@ -15,21 +15,54 @@ BINARY blob AND changed their grouping keys (raw key → shard hash).
 Spark's state-store schema/operator check rejects such a change rather
 than migrating it: a query resuming from a pre-rewrite checkpoint
 fails at start.  Upgrading across that change requires a FRESH
-``checkpointLocation`` (replay the source or bootstrap state from a
-batch snapshot); the shard-count default is likewise part of the
-grouping, so pin ``n_shards``/``n_buckets`` explicitly if a checkpoint
-must survive a cluster resize.
+``checkpointLocation`` (replay the source, or bootstrap state from a
+batch snapshot).
+
+The shard COUNT is likewise part of the grouping, and — unlike the
+schema change — a count change produces NO startup error: a checkpoint
+written under one ``n_shards`` resumed under another silently remaps
+keys to different shards, stranding the old shards' state (the
+NoTimeout funnel/CDC maps never evict it) and silently diverging the
+output.  Three upgrade paths hit this: (a) a cluster resize under the
+derived default, (b) ``defaultParallelism`` crossing a stream's floor
+(×4: above 1024 cores for ``near_dup_stream``'s 4096 floor, above 256
+cores for the 1024-floor streams), and (c) upgrading from the pre-r9
+code whose defaults were the FIXED floor constants onto a cluster
+where the derived count now exceeds the floor.  For any checkpoint
+that must survive those events, pin the count — per call site via
+``n_shards``/``n_buckets``, or fleet-wide via the
+``spark.emiproc.stream.shards`` conf key — and keep the pin with the
+checkpoint.  ``derive_shards`` logs the count it chose (and why) at
+query build so the value is recoverable from the driver log.
 """
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+logger = logging.getLogger("emiproc_spark.streaming")
+
+#: Conf key honored by :func:`derive_shards`: an EXACT fleet-wide pin
+#: for the sharded streams' state layout (no floor is applied — a pin
+#: exists to keep a checkpoint resumable, so silently raising it to the
+#: floor would defeat it).
+SHARDS_CONF_KEY = "spark.emiproc.stream.shards"
+
 
 def derive_shards(df: DataFrame, floor: int, per_core: int = 4) -> int:
-    """Default shard/bucket count for the SHARDED stateful streams:
-    ``max(floor, defaultParallelism × per_core)``.
+    """Default shard/bucket count for the SHARDED stateful streams.
+
+    Resolution order:
+
+    1. ``spark.emiproc.stream.shards`` conf, if set — used EXACTLY
+       (like an explicit ``n_shards`` argument: a pin's purpose is
+       checkpoint stability across resizes, so the floor does NOT
+       override it; dynamic-allocation clusters set this once at
+       submit instead of touching every call site).
+    2. ``max(floor, defaultParallelism × per_core)`` otherwise.
 
     The sharded stores (``near_dup_stream``, ``funnel_stream``,
     ``changelog_state_stream``) cap per-batch Python invocations at the
@@ -41,9 +74,31 @@ def derive_shards(df: DataFrame, floor: int, per_core: int = 4) -> int:
     1000-core cluster derives 4000+ shards with no manual tuning.
     Callers with known key/bucket cardinality should still size
     explicitly (≈ keys/1000 per the per-stream docstrings).
+
+    NOTE the derived path reads ``defaultParallelism`` at query BUILD
+    time; under dynamic allocation that can under-shard relative to
+    peak cluster size — pin via the conf key there.  The chosen count
+    is logged either way (it is part of the checkpoint's identity, see
+    module docstring).
     """
+    conf = df.sparkSession.conf.get(SHARDS_CONF_KEY, None)
+    if conf is not None:
+        n = int(conf)
+        if n < 1:
+            raise ValueError(f"{SHARDS_CONF_KEY} must be >= 1, got {conf!r}")
+        logger.info(
+            "derive_shards: using pinned n_shards=%d from %s", n, SHARDS_CONF_KEY
+        )
+        return n
     par = int(df.sparkSession.sparkContext.defaultParallelism)
-    return max(int(floor), par * int(per_core))
+    n = max(int(floor), par * int(per_core))
+    logger.info(
+        "derive_shards: derived n_shards=%d (floor=%d, defaultParallelism=%d "
+        "x per_core=%d); pin %s or n_shards= if this checkpoint must survive "
+        "a resize",
+        n, floor, par, per_core, SHARDS_CONF_KEY,
+    )
+    return n
 
 
 def windowed_event_stats(
@@ -704,7 +759,7 @@ def funnel_stream(
 
         return funnel_user_steps(
             events.where(F.col(type_col) != flush_type),
-            steps, key_col, ts_col, type_col,
+            steps, key_col, ts_col, type_col, tb_col=tb_col,
         )
 
     import pickle

@@ -242,3 +242,19 @@ def test_to_mole_flux_unknown_substance_fails_loudly(spark):
         hourly, grid, molar_masses={"CO": 28.010, "MYSTERY": 10.0}
     ).collect()
     assert len(out) == 2
+
+
+def test_to_mole_flux_null_substance_named_in_error(spark):
+    """A NULL substance can never match the molar-mass table; the raise
+    must still NAME it — F.concat over the NULL key would nullify the
+    whole message (r9 advisor)."""
+    hourly = spark.createDataFrame(
+        [(0, "traffic", None, 0, 1.0)],
+        "cell_id long, category string, substance string, "
+        "hour_index int, value_kg_h double",
+    )
+    grid = spark.createDataFrame(
+        [(0, 2e6)], "cell_id long, area_m2 double"
+    )
+    with pytest.raises(Exception, match="unknown molar mass.*NULL"):
+        to_mole_flux(hourly, grid).collect()

@@ -176,9 +176,16 @@ def test_funnel_forced_equal_ts_batch_matches_stream(spark, tmp_path):
     ]
     steps = ["view", "click"]
     df = spark.createDataFrame(rows, schema)
+    # ONE call site serves both paths: funnel_stream on a batch frame
+    # dispatches to funnel_user_steps, passing tb_col through (where it
+    # is deliberately ignored — the min-chain orders nothing)
     batch = {
         r["user_id"]: (r["step1_ts"], r["step2_ts"])
-        for r in funnel_user_steps(df, steps).collect()
+        for r in funnel_stream(df, steps, tb_col="event_id").collect()
+    }
+    assert batch == {
+        r["user_id"]: (r["step1_ts"], r["step2_ts"])
+        for r in funnel_user_steps(df, steps, tb_col="event_id").collect()
     }
     flushes = [(u, _ts(30), 99, "__flush__") for u in (1, 2, 3)]
     src = str(tmp_path / "in")
@@ -218,3 +225,27 @@ def test_derive_shards_floor_and_scaling(spark):
     assert derive_shards(df, 4096) == max(4096, par * 4)
     assert derive_shards(df, 1) == par * 4
     assert derive_shards(df, 10**6) == 10**6
+
+
+def test_derive_shards_conf_pin(spark):
+    """spark.emiproc.stream.shards pins the count EXACTLY (no floor —
+    a pin exists for checkpoint stability across resizes, so silently
+    raising it to the floor would defeat it); unset restores the
+    derived default."""
+    from emiproc_spark.streaming.streams import SHARDS_CONF_KEY, derive_shards
+
+    df = spark.range(1)
+    try:
+        spark.conf.set(SHARDS_CONF_KEY, "7")
+        assert derive_shards(df, 4096) == 7
+        assert derive_shards(df, 1) == 7
+        spark.conf.set(SHARDS_CONF_KEY, "0")
+        with pytest.raises(ValueError, match="must be >= 1"):
+            derive_shards(df, 4096)
+        spark.conf.set(SHARDS_CONF_KEY, "junk")
+        with pytest.raises(ValueError):
+            derive_shards(df, 4096)
+    finally:
+        spark.conf.unset(SHARDS_CONF_KEY)
+    par = spark.sparkContext.defaultParallelism
+    assert derive_shards(df, 4096) == max(4096, par * 4)

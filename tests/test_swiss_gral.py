@@ -269,3 +269,19 @@ def test_gral_incomplete_caller_source_groups_fails_loudly(spark, tmp_path):
         ("NOx", "traffic"), ("CO2", "heating")
     }
     assert sg == {("NOx", "traffic"): 1, ("CO2", "heating"): 2}
+
+
+def test_gral_null_key_named_in_error(spark, tmp_path):
+    """A NULL-keyed row can never match the source_groups mapping; the
+    raise must still name the tuple (NULL placeholder) instead of
+    producing a null/empty message via F.concat (r9 advisor)."""
+    point = geom.wkb_point(2683000.0, 1250000.0)
+    shaped = spark.createDataFrame(
+        [("traffic", point, None, 100.0)],
+        "category string, geometry binary, substance string, value_kg_y double",
+    )
+    with pytest.raises(Exception, match=r"no source_group for \(NULL, traffic\)"):
+        write_gral_emissions(
+            str(tmp_path / "gnull"), shaped,
+            source_groups={("NOx", "traffic"): 1},
+        )
