@@ -1429,29 +1429,36 @@ from emiproc_spark.driver_queries_r8 import ORACLES_R8, QUERIES_R8  # noqa: E402
 QUERIES.update(QUERIES_R8)
 ORACLES.update(ORACLES_R8)
 
-# Round-9 front-window rotation.  The driver samples a contiguous
+from emiproc_spark.driver_queries_r10 import ORACLES_R10, QUERIES_R10  # noqa: E402
+
+QUERIES.update(QUERIES_R10)
+ORACLES.update(ORACLES_R10)
+
+# Round-10 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
 # discipline (registry >4× the window), EVERY query whose
 # implementation changed this round goes first, then refill (oldest
-# evidence first).  Round 9 is deliberately low-churn — the r8 judge's
-# top item is draining the stale r2/r3 evidence cohort through the
-# window, so the refill gets ~46 slots.
+# evidence first).  Round 10 stays low-churn — 7 front slots, ~43
+# refill slots for the r3/r4 evidence cohort.
 _REVERIFY = [
-    # mixture_plan changed: right-outer join to the weight table +
-    # zero/NULL-avail guard (a weighted source with no corpus tokens
-    # now plans epochs=0 with the full target as deficit instead of
-    # vanishing or planning max_epochs)
-    "mixture_epochs",
-    # streaming shard-count defaults now derived from the cluster at
-    # call time (derive_shards, historical constants as floors); the
-    # funnel fold additionally sorts on (ts, event_id) when the input
-    # carries the tiebreak column
-    "stream_funnel", "stream_cdc", "stream_neardup",
-    # silent-drop class swept repo-wide after the ADVICE cs_pairs
-    # finding: to_mole_flux fails loudly on a substance without a
-    # molar mass (reference parity: utils/constants.py:22-28) and the
-    # GRAL writer on a caller source_groups mapping missing a live
-    # (substance, category)
+    # NEW this round: the checkpoint-bootstrap resume flow
+    # (streaming/bootstrap.py) driven end-to-end under two shard counts
+    "stream_neardup_resume",
+    # near_dup_stream gained the bootstrap-flag path (fold admits
+    # flagged rows without emission; batch fallback reformulated as the
+    # two-sided processing-order rank join) and its driver drain now
+    # terminates naturally via run_available_now (no-data micro-batches
+    # suppressed) instead of the poll-then-stop() race
+    "stream_neardup",
+    # derive_shards now honors the spark.emiproc.stream.shards pin and
+    # logs the chosen count — the default path all three sharded
+    # streams resolve through
+    "stream_funnel", "stream_cdc",
+    # funnel_user_steps accepts tb_col for signature parity with
+    # funnel_stream (ignored: the min-chain orders nothing)
+    "funnel",
+    # loud-fail messages now name NULL-keyed tuples (F.coalesce inside
+    # the raise_error concat; r9 advisor)
     "wrf_flux", "gral_roundtrip",
 ]
 

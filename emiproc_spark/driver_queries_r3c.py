@@ -625,44 +625,22 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = os.path.join(d, "in")
     _docs2(spark, sf_dir).coalesce(1).write.mode("overwrite").parquet(src)
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
+    from emiproc_spark.streaming.streams import run_available_now
+
     out = near_dup_stream(
         stream, n=3, k=8, bands=4, max_bucket=_ND_MAX_BUCKET, state_ttl="1 hour"
     )
-    # processing-time timers keep an availableNow run alive indefinitely
-    # (unlike the event-time sessionizer): after the data batches, Spark
-    # cycles "no new data but cleaning up state" batches until the 1 h
-    # TTL evicts everything.  All pair rows come from the data batches
-    # (the timeout path emits nothing), so stop as soon as the source is
-    # drained and the sink is stable — deterministic output either way.
-    import time
-
+    # processing-time timers would keep an availableNow run alive
+    # indefinitely (unlike the event-time sessionizer): after the data
+    # batches, Spark cycles "no new data but cleaning up state" batches
+    # until the 1 h TTL evicts everything.  All pair rows come from the
+    # data batches (the timeout path emits nothing), so the run
+    # suppresses no-data batches and terminates naturally after the
+    # last data batch — the old poll-the-sink-then-stop() workaround
+    # raced the in-flight cleanup batch's state commit
+    # (failedToCommitStateFileError in executor logs).
     name = f"r3c_stream_neardup_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    last = -1
-    # 0.2 s poll: the drain detector needs two consecutive stable polls
-    # after the data batches finish, so the poll interval is pure added
-    # wall time (the memory-sink count is a local job) — 0.5 s polling
-    # was ~1.5 s of idle sleep per run
-    for _ in range(3000):
-        time.sleep(0.2)
-        if not q.isActive:
-            break
-        lp = q.lastProgress
-        n = spark.table(name).count()
-        drained = lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0
-        if drained and n == last:
-            break
-        last = n
-    if q.isActive:
-        q.stop()
-    q.awaitTermination()
-    return spark.table(name)
+    return run_available_now(out, name, "append", no_data_batches=False)
 
 
 def _sql_stream_neardup() -> str:

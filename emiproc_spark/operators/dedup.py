@@ -102,7 +102,11 @@ def ngram_jaccard_pairs(
 
 
 def minhash_signature_array(
-    docs: DataFrame, text_col: str = "text", n: int = 3, k: int = 8
+    docs: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    k: int = 8,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """k-permutation MinHash signature per document as ONE array column,
     computed without any aggregation — the *stateless* form for
@@ -118,11 +122,15 @@ def minhash_signature_array(
 
     Returns (doc_id, sig ARRAY<STRING>[k]) — identical mins to
     :func:`minhash_signatures`, deterministic across engines.
+    ``carry_cols`` names extra input columns to ride through unchanged
+    (every stage here is a stateless select, so streaming metadata like
+    a bootstrap flag carries for free).
     """
+    carry = list(carry_cols or [])
     n_digests = (k + 3) // 4
     tok = (
-        docs.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
-        .select("doc_id", shingles(F.col("__toks"), n).alias("__sh"))
+        docs.select("doc_id", *carry, tokens(F.col(text_col)).alias("__toks"))
+        .select("doc_id", *carry, shingles(F.col("__toks"), n).alias("__sh"))
         # docs too short for any shingle had no rows in the explode
         # formulation; keep that contract (an all-null sig would bucket
         # every short doc together downstream)
@@ -130,6 +138,7 @@ def minhash_signature_array(
     )
     hashed = tok.select(
         "doc_id",
+        *carry,
         F.transform(
             "__sh",
             lambda s: F.concat(
@@ -153,7 +162,7 @@ def minhash_signature_array(
             lambda a, b: F.least(a, b),
         ),
     )
-    return hashed.select("doc_id", sig.alias("sig"))
+    return hashed.select("doc_id", *carry, sig.alias("sig"))
 
 
 def minhash_signatures(

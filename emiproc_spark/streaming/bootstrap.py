@@ -1,0 +1,189 @@
+"""Checkpoint bootstrap for the SHARDED stateful streams.
+
+The r8 sharding rewrite (see :mod:`emiproc_spark.streaming.streams`,
+module docstring) made two upgrade events require a FRESH
+``checkpointLocation``: the state-schema/grouping-key change itself,
+and any change of the shard count (a silent divergence, not a startup
+error).  Without tooling, "fresh checkpoint" means replaying the full
+source — at 100 TB that is days of recompute and, worse for the
+near-dup stream, a re-emission of every historical pair into
+downstream sinks.
+
+These helpers rebuild the operators' state through their OWN fold
+instead: each turns a BATCH SNAPSHOT of the already-processed history
+into a small synthetic input frame that, fed as the first
+micro-batch(es) of the new incarnation, reconstructs the exact state
+under WHATEVER ``n_shards`` the new query derives — the shard hash is
+applied by the stream itself, so no knowledge of the layout is baked
+into the bootstrap data.  Spark's ``applyInPandasWithState`` exposes no
+initial-state API and the HDFS-backed state files are a private format;
+routing the snapshot through the fold is the supported, layout-agnostic
+path (the same approach Spark's own ``transformWithState`` initial-state
+feature automates).
+
+Operationally: write the bootstrap frame as the FIRST file(s) of the
+new query's file source (older mtime than any live file — the file
+source processes oldest-first), or any equivalent
+processed-before-live arrangement.  Outputs during the bootstrap batch:
+
+- ``funnel_bootstrap_events`` emits NOTHING (no flush sentinels ride
+  along);
+- ``neardup_bootstrap_docs`` emits NOTHING (the ``__bootstrap`` flag
+  suppresses pair emission while rebuilding bucket membership);
+- ``cdc_bootstrap_changes`` re-emits one ``ver=1`` row per key (update
+  mode re-emission; the latest-``ver``-per-key read contract makes it
+  harmless, and ``ver`` restarts with the new incarnation's sink
+  anyway).
+
+Snapshot sources: the matching BATCH operators over the processed
+history (``funnel_user_steps``, ``operators.history.latest_snapshot``
+/ ``apply_changelog``), or for near-dup simply the processed corpus —
+all recomputable far cheaper than a stateful replay, and typically
+already materialized by the nightly batch jobs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_bootstrap_events(
+    snapshot: DataFrame,
+    steps: list[str],
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Synthetic events that rebuild ``funnel_stream`` state from a
+    per-key step-stamp snapshot.
+
+    ``snapshot`` is the funnel schema itself — (``key_col``,
+    ``step1_ts`` … ``stepN_ts``), i.e. ``funnel_user_steps`` over the
+    already-processed events (the stream's own flush rows have the same
+    shape but flushed keys hold no state to rebuild).  For each
+    non-NULL step *i* stamp the helper emits one ``steps[i]`` event at
+    that exact timestamp.  Replayed through the fold these fill the
+    SAME slots: stamps strictly increase along a funnel chain (the
+    strict-``>`` rule of both producers), so processing them in
+    timestamp order fills step *i* with its original stamp; a NULL at
+    step *i* implies NULLs after it (both producers' invariant), so
+    emitting nothing there leaves the chain broken exactly where it
+    was.  All-NULL keys contribute no events — absent state and
+    all-unreached state are indistinguishable to the fold.
+
+    The output is (``key_col``, ``ts_col``, ``type_col``), one row per
+    reached step; add any extra columns of your live schema (e.g. a
+    tiebreak id) afterwards — the fold ignores them.
+    """
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    missing = [
+        f"step{i + 1}_ts"
+        for i in range(len(steps))
+        if f"step{i + 1}_ts" not in snapshot.columns
+    ]
+    if missing:
+        raise ValueError(
+            f"snapshot lacks step column(s) {missing} — expected the "
+            "funnel_user_steps / funnel_stream output schema"
+        )
+    step_structs = F.array(
+        *[
+            F.struct(
+                F.col(f"step{i + 1}_ts").alias("ts"),
+                F.lit(s).alias("et"),
+            )
+            for i, s in enumerate(steps)
+        ]
+    )
+    return (
+        snapshot.select(
+            F.col(key_col),
+            F.explode(F.filter(step_structs, lambda r: r["ts"].isNotNull())).alias(
+                "__e"
+            ),
+        )
+        .select(
+            F.col(key_col),
+            F.col("__e.ts").alias(ts_col),
+            F.col("__e.et").alias(type_col),
+        )
+    )
+
+
+def cdc_bootstrap_changes(
+    snapshot: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "tsn",
+    tb_col: str = "event_id",
+    value_cols: tuple[str, str] = ("event_type", "value"),
+    op_col: str = "op",
+) -> DataFrame:
+    """Changelog rows that rebuild ``changelog_state_stream`` state from
+    a latest-wins snapshot.
+
+    ``snapshot`` holds one row per key — the (ts, tiebreak)-maximal
+    change, INCLUDING delete markers (a delete is state too: it must
+    keep outranking late-arriving older upserts).  That is exactly what
+    ``operators.history.latest_snapshot`` over the processed feed
+    returns, or the stream's own output at the latest ``ver`` per key.
+    Because the fold is a (ts, tiebreak)-max, feeding the maxima back
+    through it is idempotent: state after the bootstrap batch equals
+    state after a full replay.  The original (ts, tiebreak) MUST ride
+    along unchanged — re-stamping would let older live changes lose or
+    win incorrectly.
+
+    The helper validates the columns and passes the rows through —
+    the contract (what a valid snapshot is, what happens to ``ver``)
+    is the point; see the module docstring for the ``ver=1``
+    re-emission note.
+    """
+    need = [key_col, ts_col, tb_col, *value_cols, op_col]
+    missing = [c for c in need if c not in snapshot.columns]
+    if missing:
+        raise ValueError(
+            f"snapshot lacks column(s) {missing} required by "
+            "changelog_state_stream"
+        )
+    return snapshot.select(*need)
+
+
+def neardup_bootstrap_docs(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bootstrap_col: str = "__bootstrap",
+) -> DataFrame:
+    """Flag the already-processed corpus for state-only admission into
+    ``near_dup_stream``.
+
+    The near-dup state (bucket → member/overflow ids) is derived
+    entirely from the documents, so the snapshot IS the processed
+    corpus (id + text — the minhash/banding recomputes the buckets
+    under the new query's parameters, which also makes this the
+    upgrade path for changed ``n``/``k``/``bands``).  The flag makes
+    the fold admit these ids to bucket membership WITHOUT emitting
+    pairs — a plain replay would re-emit every historical pair into
+    downstream sinks.
+
+    Membership order: the fold admits a batch's bootstrap ids sorted
+    ascending, so feed the corpus as ONE micro-batch (or accept that
+    multi-batch bootstrap admits batch-by-batch, like the original
+    arrival order did).  For buckets under ``max_bucket`` the rebuilt
+    membership is exact regardless; only over-cap (stop-shingle)
+    buckets can differ in WHICH ids hold member slots, and those
+    buckets are pairing-noise by definition.
+
+    Live files need no physical flag column: declare ``bootstrap_col``
+    BOOLEAN in the file-source read schema and parquet files lacking it
+    read as NULL, which the stream coalesces to false.
+    """
+    if bootstrap_col in docs.columns:
+        raise ValueError(
+            f"docs already has a {bootstrap_col!r} column — pass "
+            "bootstrap_col= to pick a different marker"
+        )
+    return docs.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias(bootstrap_col)
+    )

@@ -101,6 +101,74 @@ def derive_shards(df: DataFrame, floor: int, per_core: int = 4) -> int:
     return n
 
 
+def run_available_now(
+    out: DataFrame,
+    query_name: str,
+    output_mode: str = "append",
+    no_data_batches: bool = True,
+    timeout: float | None = None,
+) -> DataFrame:
+    """Run a streaming transformation to completion over the currently
+    available source data (``trigger(availableNow=True)`` → memory
+    sink) and return the finished result table.
+
+    ``no_data_batches`` maps to Spark's
+    ``spark.sql.streaming.noDataMicroBatches.enabled`` for this query
+    (saved/restored around ``start()`` — the engine reads it at query
+    start).  Pass ``False`` for operators whose OUTPUT comes only from
+    data batches — the sharded stateful streams here (``near_dup_stream``,
+    ``funnel_stream``, ``changelog_state_stream``): their timers and
+    state maintenance emit nothing, and for ``ProcessingTimeTimeout``
+    state (neardup) the no-data cleanup batches otherwise keep an
+    availableNow run alive until the TTL drains — the old workaround
+    (poll the sink, then ``stop()``) raced the in-flight cleanup
+    batch's state commit and logged a benign-but-alarming
+    ``failedToCommitStateFileError``.  With the cleanup batches
+    suppressed the run TERMINATES NATURALLY after the last data batch:
+    no ``stop()`` call exists to race.
+
+    Keep the default ``True`` for watermark-driven operators
+    (``dedup_stream``, ``sessionize_stream``, ``windowed_event_stats``
+    in append mode): their FINAL windows/sessions flush in exactly
+    those no-data batches.
+
+    ``timeout`` (seconds) bounds the wait; on expiry the query is
+    stopped and a ``TimeoutError`` raised (a ProcessingTimeTimeout
+    operator accidentally run with ``no_data_batches=True`` would
+    otherwise hang for its full TTL).
+    """
+    spark = out.sparkSession
+    conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    prev = spark.conf.get(conf_key, None)
+    spark.conf.set(conf_key, "true" if no_data_batches else "false")
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+    finally:
+        # the engine captured the conf at start(); restore immediately
+        # so concurrently-started queries in this session are untouched
+        if prev is None:
+            spark.conf.unset(conf_key)
+        else:
+            spark.conf.set(conf_key, prev)
+    if timeout is None:
+        q.awaitTermination()
+    elif not q.awaitTermination(timeout):
+        q.stop()
+        q.awaitTermination()
+        raise TimeoutError(
+            f"run_available_now({query_name!r}): not finished after "
+            f"{timeout} s — for ProcessingTimeTimeout operators pass "
+            "no_data_batches=False so the run can terminate"
+        )
+    return spark.table(query_name)
+
+
 def windowed_event_stats(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -383,10 +451,22 @@ def near_dup_stream(
     max_bucket: int = 64,
     state_ttl: str = "1 hour",
     n_shards: int | None = None,
+    bootstrap_col: str = "__bootstrap",
 ) -> DataFrame:
     """Streaming near-duplicate candidate pairs: MinHash-LSH banding as
     a custom stateful operator (streaming counterpart of
     operators.dedup.lsh_candidate_pairs).
+
+    If ``docs`` carries a ``bootstrap_col`` BOOLEAN column, rows
+    flagged true are admitted to the bucket state (members/overflow,
+    processed BEFORE the batch's live rows, sorted ids first) without
+    emitting any pairs — the checkpoint-resume path: feed the
+    already-processed corpus (``streaming.bootstrap.
+    neardup_bootstrap_docs``) as the first micro-batch of a fresh
+    checkpoint and new arrivals pair against the rebuilt membership
+    without the old incarnation's pairs being re-emitted.  The batch
+    fallback honors the same semantics (bootstrap rows rank first for
+    member slots, bootstrap×bootstrap pairs suppressed).
 
     Stage 1 is stateless and map-only — the signature comes from
     ``minhash_signature_array`` (no aggregation, so it composes with the
@@ -460,17 +540,26 @@ def near_dup_stream(
             )
         ).cast("long"),
     ).otherwise(id_cast)
+    has_bs = bootstrap_col in docs.columns
+    carry = [bootstrap_col] if has_bs else []
     # NULL ids carry no identity to pair on: drop them explicitly (the
     # batch self-join drops them silently via the < comparison; without
     # this the stateful operator would crash on int(NaN))
     sigs = minhash_signature_array(
-        docs.select(id_checked.alias("doc_id"), F.col(text_col)).where(
-            F.col("doc_id").isNotNull()
-        ),
-        text_col, n, k,
+        docs.select(
+            id_checked.alias("doc_id"),
+            F.col(text_col),
+            *(
+                [F.coalesce(F.col(bootstrap_col), F.lit(False)).alias(bootstrap_col)]
+                if has_bs
+                else []
+            ),
+        ).where(F.col("doc_id").isNotNull()),
+        text_col, n, k, carry_cols=carry,
     ).withColumnsRenamed({"doc_id": id_col} if id_col != "doc_id" else {})
     banded = sigs.select(
         F.col(id_col),
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -492,27 +581,38 @@ def near_dup_stream(
 
     if not banded.isStreaming:
         # same schema and duplicate semantics as the streaming path —
-        # INCLUDING the max_bucket cap: pair (a, b), a < b, is emitted
-        # iff a's id-rank within the bucket is ≤ max_bucket (in a single
-        # batch the streaming operator remembers the first max_bucket
-        # sorted ids, so this is exactly its output); an unguarded
-        # self-join would go quadratic on a stop-shingle bucket
+        # INCLUDING the max_bucket cap.  Processing order within the
+        # single batch is bootstrap rows first (they are prior history),
+        # then live rows, each sorted by id; a pair is emitted when the
+        # LATER row arrives and the EARLIER one holds a member slot
+        # (processing rank ≤ max_bucket), never for two bootstrap rows
+        # (their pairs were emitted by the previous incarnation).  With
+        # no bootstrap column the rank order IS the id order and this
+        # reduces to the original rule: (a, b), a < b, iff rank(a) ≤
+        # max_bucket.  An unguarded self-join would go quadratic on a
+        # stop-shingle bucket.
         from pyspark.sql import Window
 
+        bs = F.col(bootstrap_col) if has_bs else F.lit(False)
+        order = ([F.col(bootstrap_col).desc()] if has_bs else []) + [F.col(id_col)]
         ranked = banded.withColumn(
             "__rk",
-            F.row_number().over(Window.partitionBy("bucket").orderBy(id_col)),
-        )
-        a, b = ranked.alias("a"), banded.alias("b")
+            F.row_number().over(Window.partitionBy("bucket").orderBy(*order)),
+        ).withColumn("__bs", bs)
+        a, b = ranked.alias("a"), ranked.alias("b")
         return (
             a.join(b, "bucket")
             .where(
-                (F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                (F.col("a.__rk") < F.col("b.__rk"))
+                # duplicate input ids occupy two ranks; never self-pair
+                # (the stream fold's set() dedups arrivals)
+                & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
                 & (F.col("a.__rk") <= max_bucket)
+                & ~(F.col("a.__bs") & F.col("b.__bs"))
             )
             .select(
-                F.col(f"a.{id_col}").alias("doc_a"),
-                F.col(f"b.{id_col}").alias("doc_b"),
+                F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_a"),
+                F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("doc_b"),
                 "bucket",
             )
             .distinct()
@@ -570,7 +670,23 @@ def near_dup_stream(
             # may duplicate — the documented bound)
             seen = set(members)
             seen.update(overflow)
-            new_ids = sorted({int(i) for i in grp[id_col]} - seen)
+            live = grp
+            if has_bs:
+                # bootstrap rows are PRIOR HISTORY: admit them to the
+                # membership (sorted, before this batch's live rows —
+                # the order the previous incarnation's first batch used)
+                # but emit nothing; their pairs already shipped
+                flags = grp[bootstrap_col].fillna(False).astype(bool)
+                for bid in sorted(
+                    {int(i) for i in grp[id_col][flags.to_numpy()]} - seen
+                ):
+                    if len(members) < max_bucket:
+                        members.append(bid)
+                    else:
+                        overflow.append(bid)
+                    seen.add(bid)
+                live = grp[~flags.to_numpy()]
+            new_ids = sorted({int(i) for i in live[id_col]} - seen)
             for nid in new_ids:
                 for old in members:
                     lo, hi = (old, nid) if old < nid else (nid, old)

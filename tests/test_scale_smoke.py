@@ -1325,34 +1325,14 @@ def test_kmeans_million_vectors(spark):
 
 
 def _drain_stream(spark, out, name, mode="update"):
-    """availableNow drain with the stable-sink detector (the stream_*
-    driver queries' poll loop): stop once the data batches are done and
-    the memory sink stops growing — works for both the no-timeout CDC
-    fold and the processing-time-TTL neardup operator."""
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    last = -1
-    for _ in range(6000):
-        time.sleep(0.2)
-        if not q.isActive:
-            break
-        lp = q.lastProgress
-        n = spark.table(name).count()
-        drained = (
-            lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0
-        )
-        if drained and n == last:
-            break
-        last = n
-    if q.isActive:
-        q.stop()
-    q.awaitTermination()
-    return spark.table(name)
+    """availableNow drain of the sharded stateful streams: none of them
+    emit from no-data batches, so suppressing those lets the run
+    terminate naturally — no stop() call racing an in-flight state
+    commit (the old stable-sink poll loop logged benign
+    failedToCommitStateFileError on the neardup TTL cleanup batch)."""
+    from emiproc_spark.streaming.streams import run_available_now
+
+    return run_available_now(out, name, mode, no_data_batches=False)
 
 
 @scale
@@ -1565,13 +1545,19 @@ def test_stream_funnel_half_million_users(spark, tmp_path):
 
 
 @scale
-def test_stream_neardup_million_docs(spark, tmp_path):
+def test_stream_neardup_million_docs(spark, tmp_path, capfd):
     """100× the streaming ledger's near-dup tier: 1M docs (every 100th
     doc duplicates its predecessor -> 9,999 true pairs) through the
     stateful LSH operator in 4 micro-batches.  Bucket state stays
     bounded (max_bucket cap); every true cross-batch pair must be
-    emitted and false positives stay negligible."""
+    emitted and false positives stay negligible.  The drain must also
+    be CLEAN: the natural availableNow termination (no-data batches
+    suppressed) leaves no error-level state-commit lines in the JVM
+    stderr — the old poll-then-stop() raced the TTL cleanup batch and
+    logged failedToCommitStateFileError."""
     from emiproc_spark.streaming.streams import near_dup_stream
+
+    capfd.readouterr()  # reset captured stderr to this test's run
 
     n = 1_000_000
     fam = F.when(
@@ -1601,6 +1587,12 @@ def test_stream_neardup_million_docs(spark, tmp_path):
         mode="append",
     )
     dt = time.time() - t0
+    err = capfd.readouterr().err
+    bad = [
+        ln for ln in err.splitlines()
+        if "failedToCommitStateFileError" in ln or " ERROR " in ln
+    ]
+    assert not bad, f"error-level log lines during the drain: {bad[:3]}"
     pairs = res.select("doc_a", "doc_b").distinct()
     true_pairs = pairs.where(
         (F.col("doc_b") == F.col("doc_a") + 1) & (F.col("doc_b") % 100 == 0)
@@ -1613,6 +1605,105 @@ def test_stream_neardup_million_docs(spark, tmp_path):
     # invocations, round-7 ledger); the sharded state caps invocations
     # at n_shards per batch — measured 87 s on local[32]
     assert dt < 400
+
+
+@scale
+def test_fluxie_monthly_two_years_100k_cells(spark, tmp_path):
+    """The fluxie monthly path at export scale: 100k cells × 2 inventory
+    years of DAILY stamps (731 slabs, reference fluxie.py:95-158) with
+    per-category weekly profiles.  The driver must hold only axis
+    arrays + the per-slab path list (LazySlab streams the (time, lat,
+    lon) cube chunk-by-chunk); the country rollup stays distributed.
+    Conservation: the time-mean of the country-summed flux equals
+    total_kg / cell_area (instantaneous kg/yr scaling, profile means ≈ 1
+    up to the 364-vs-365/366-day weekly boundary drift)."""
+    import shutil
+
+    import numpy as np
+
+    from emiproc_spark.exports.fluxie import export_fluxie
+    from emiproc_spark.functions.netcdf3 import read_netcdf
+
+    nlon, nlat = 400, 250
+    n_cells = nlon * nlat
+    # fluxie cell convention: cell_id = lon_i * nlat + lat_i
+    grid = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        (F.col("id") / nlat).cast("long").cast("double").alias("lon"),
+        (F.col("id") % nlat).cast("double").alias("lat"),
+        F.lit(2.0e6).alias("area_m2"),
+    )
+    # two categories on every cell: shaped traffic + constant heating
+    traffic = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        F.lit("traffic").alias("category"),
+        F.lit("CH4").alias("substance"),
+        (F.col("id") % 10 + 1.0).alias("value_kg_y"),
+    )
+    heating = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        F.lit("heating").alias("category"),
+        F.lit("CH4").alias("substance"),
+        F.lit(2.0).alias("value_kg_y"),
+    )
+    e = traffic.unionByName(heating)
+    total_kg = sum((c % 10) + 1.0 for c in range(10)) / 10 * n_cells + 2.0 * n_cells
+    cf = spark.range(n_cells).select(
+        F.col("id").alias("cell_id"),
+        F.concat(F.lit("C"), (F.col("id") % 4).cast("string")).alias("country"),
+        F.lit(1.0).alias("fraction"),
+    )
+    profiles = spark.createDataFrame(
+        [
+            (0, "weekly", [0.05, 0.1, 0.15, 0.2, 0.2, 0.15, 0.15]),
+            (1, "weekly", [1.0 / 7] * 7),
+        ],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("traffic", "CH4", 0), ("heating", "CH4", 1)],
+        "category string, substance string, profile_id int",
+    )
+    out_dir = tmp_path / "fluxie"
+    t0 = time.time()
+    out = export_fluxie(
+        {2024: e, 2025: e}, grid, cf, str(out_dir), frequency="monthly",
+        tprofile_index=index, tprofiles=profiles,
+    )
+    dt = time.time() - t0
+    ds = read_netcdf(f"{out}/CH4/emiproc_CH4_monthly.nc")
+    t = ds.variables["time"].data
+    assert t.shape == (731,)  # leap 2024 + 2025, daily stamps
+    assert t[0] == (
+        np.datetime64("2024-01-01") - np.datetime64("1970-01-01")
+    ).astype(int)
+    assert t[366] == (
+        np.datetime64("2025-01-01") - np.datetime64("1970-01-01")
+    ).astype(int)
+    flux = ds.variables["flux_total_prior"].data
+    assert flux.shape == (731, nlat, nlon)
+    cflux = ds.variables["country_flux_total_prior"].data
+    assert cflux.shape == (731, 4)
+    # conservation: time-mean of the all-country flux sum == total/area
+    # (each cell belongs to exactly one country with fraction 1)
+    per_year = cflux.sum(axis=1)
+    for sl in (slice(0, 366), slice(366, 731)):
+        assert per_year[sl].mean() == pytest.approx(
+            total_kg / 2.0e6, rel=0.02
+        )
+    # the constant-uniform heating floor is exact on every day:
+    # flux >= 2.0/area everywhere, and a Monday (2024-01-01) carries
+    # traffic sf = 0.05*7 on top — spot-check cell (lon 0, lat 0),
+    # value_kg_y = traffic 1.0 + heating 2.0
+    assert flux[0, 0, 0] == pytest.approx((1.0 * 0.05 * 7 + 2.0) / 2.0e6)
+    assert cflux.min() > 0.0
+    # country fractions round-trip as dense slabs
+    cfrac = ds.variables["country_fraction"].data
+    assert cfrac.shape == (4, nlat, nlon)
+    assert cfrac.sum() == pytest.approx(n_cells)
+    shutil.rmtree(out_dir)
+    print(f"\nfluxie monthly 2y x 100k-cell export wall: {dt:.1f}s")
+    assert dt < 590
 
 
 @scale

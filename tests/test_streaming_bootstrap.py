@@ -1,0 +1,242 @@
+"""Checkpoint bootstrap for the sharded stateful streams: a new
+incarnation under a DIFFERENT shard count, state-initialized from a
+batch snapshot via streaming.bootstrap, must produce the same results
+as replaying the full source — without re-emitting the history's
+output (the operational cost the helpers exist to avoid)."""
+
+import glob
+import os
+import shutil
+import uuid
+
+from pyspark.sql import functions as F
+
+from emiproc_spark.streaming.bootstrap import (
+    cdc_bootstrap_changes,
+    funnel_bootstrap_events,
+    neardup_bootstrap_docs,
+)
+from emiproc_spark.streaming.streams import run_available_now
+
+_MT = 1_700_000_000  # deterministic mtime base for file-source ordering
+
+
+def _add_file(df, d, order):
+    """Write df as ONE parquet file into d with a pinned mtime — the
+    file stream source processes files oldest-first, so `order` is the
+    micro-batch order under maxFilesPerTrigger=1."""
+    tmp = d + f".tmp{order}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    os.makedirs(d, exist_ok=True)
+    dst = os.path.join(d, f"f{order}.parquet")
+    shutil.copyfile(part, dst)
+    os.utime(dst, (_MT + order * 100, _MT + order * 100))
+    shutil.rmtree(tmp)
+
+
+def _stream(spark, d, schema):
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(d)
+    )
+
+
+def test_neardup_bootstrap_resize_matches_replay(spark, tmp_path):
+    """near_dup_stream resumed under a DIFFERENT n_shards from a
+    bootstrap corpus: the union of the old incarnation's pairs and the
+    new one's equals a full replay, with zero overlap (no historical
+    pair is re-emitted)."""
+    from emiproc_spark.streaming.streams import near_dup_stream
+
+    def text(i):
+        fam = i % 3
+        return f"alpha w{fam} beta gamma x{fam} delta epsilon zeta"
+
+    docs_a = spark.createDataFrame(
+        [(i, text(i)) for i in range(12)], "doc_id long, text string"
+    )
+    docs_b = spark.createDataFrame(
+        [(i, text(i)) for i in range(12, 18)], "doc_id long, text string"
+    )
+    plain = "doc_id long, text string"
+    flagged = "doc_id long, text string, __bootstrap boolean"
+
+    def run(d, schema, n_shards):
+        out = near_dup_stream(
+            _stream(spark, d, schema), n=3, k=8, bands=4, n_shards=n_shards
+        )
+        res = run_available_now(
+            out, f"ndboot_{uuid.uuid4().hex[:8]}", "append",
+            no_data_batches=False, timeout=180,
+        )
+        return {(r["doc_a"], r["doc_b"]) for r in res.collect()}
+
+    # full replay (two micro-batches, old shard count) — the reference
+    d_replay = str(tmp_path / "replay")
+    _add_file(docs_a, d_replay, 0)
+    _add_file(docs_b, d_replay, 1)
+    replay = run(d_replay, plain, n_shards=8)
+
+    # incarnation 1: A only, old shard count
+    d_old = str(tmp_path / "old")
+    _add_file(docs_a, d_old, 0)
+    out1 = run(d_old, plain, n_shards=8)
+
+    # incarnation 2: fresh checkpoint, DIFFERENT shard count; the
+    # bootstrap corpus rides first, live file B carries no physical
+    # flag column (declared-schema NULL → false)
+    d_new = str(tmp_path / "new")
+    _add_file(neardup_bootstrap_docs(docs_a), d_new, 0)
+    _add_file(docs_b, d_new, 1)
+    out2 = run(d_new, flagged, n_shards=3)
+
+    assert out1 | out2 == replay
+    assert not out1 & out2, "bootstrap re-emitted historical pairs"
+    # sanity: both phases actually produced pairs
+    assert out1 and out2
+
+
+def test_funnel_bootstrap_resize_matches_replay(spark, tmp_path):
+    """funnel_stream resumed under a different n_shards from a
+    funnel_user_steps snapshot: flush rows equal the full replay's."""
+    from emiproc_spark.operators.behavior import funnel_user_steps
+    from emiproc_spark.streaming.streams import funnel_stream
+
+    def ts(minute):
+        import datetime
+
+        return datetime.datetime(2024, 1, 1, 0, minute)
+
+    steps = ["view", "click", "purchase"]
+    schema = "user_id long, ts timestamp, event_type string"
+    # phase A: partial funnels (1: two steps; 2: one step; 3: none
+    # matched — stays all-NULL; 4 appears only in phase B)
+    ev_a = spark.createDataFrame(
+        [
+            (1, ts(1), "view"), (1, ts(2), "click"),
+            (2, ts(1), "view"),
+            (3, ts(1), "click"),
+        ],
+        schema,
+    )
+    # phase B completes some chains, then flushes every key
+    ev_b = spark.createDataFrame(
+        [
+            (1, ts(10), "purchase"),
+            (2, ts(10), "click"), (2, ts(11), "purchase"),
+            (4, ts(10), "view"),
+        ]
+        + [(u, ts(30), "__flush__") for u in (1, 2, 3, 4)],
+        schema,
+    )
+
+    def run(d, n_shards):
+        out = funnel_stream(_stream(spark, d, schema), steps, n_shards=n_shards)
+        res = run_available_now(
+            out, f"fnboot_{uuid.uuid4().hex[:8]}", "append",
+            no_data_batches=False, timeout=180,
+        )
+        return {
+            r["user_id"]: (r["step1_ts"], r["step2_ts"], r["step3_ts"])
+            for r in res.collect()
+        }
+
+    d_replay = str(tmp_path / "replay")
+    _add_file(ev_a, d_replay, 0)
+    _add_file(ev_b, d_replay, 1)
+    replay = run(d_replay, n_shards=8)
+
+    # old incarnation emitted nothing (no flush in phase A); its state
+    # snapshot is the batch funnel over the processed events
+    snapshot = funnel_user_steps(ev_a, steps)
+    boot = funnel_bootstrap_events(snapshot, steps)
+
+    d_new = str(tmp_path / "new")
+    _add_file(boot, d_new, 0)
+    _add_file(ev_b, d_new, 1)
+    resumed = run(d_new, n_shards=5)
+
+    assert resumed == replay
+    assert set(replay) == {1, 2, 3, 4}
+    assert replay[1] == (ts(1), ts(2), ts(10))
+    assert replay[3] == (None, None, None)
+
+
+def test_cdc_bootstrap_resize_matches_replay(spark, tmp_path):
+    """changelog_state_stream resumed under a different n_buckets from
+    a latest_snapshot bootstrap: the latest-ver state per key equals
+    the full replay's (deletes included — a delete marker must keep
+    outranking older upserts after the resume)."""
+    from emiproc_spark.operators.history import latest_snapshot
+    from emiproc_spark.streaming.streams import changelog_state_stream
+
+    schema = (
+        "user_id long, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+    rows_a = [
+        (k, 10 + k, 100 + k, f"s{k % 3}", float(k), "upsert") for k in range(12)
+    ] + [(3, 50, 200, "s0", 99.0, "delete"), (4, 51, 201, "s1", 77.0, "delete")]
+    rows_b = [
+        (4, 60, 300, "s2", 44.0, "upsert"),   # revives a deleted key
+        (5, 61, 301, "s2", 55.0, "upsert"),   # newer than phase A
+        (5, 5, 302, "s2", 11.0, "upsert"),    # OLDER than phase A: must lose
+        (20, 62, 303, "s0", 20.0, "upsert"),  # new key
+        (6, 63, 304, "s0", 1.0, "delete"),
+    ]
+    ch_a = spark.createDataFrame(rows_a, schema)
+    ch_b = spark.createDataFrame(rows_b, schema)
+
+    def run(d, n_buckets):
+        out = changelog_state_stream(
+            _stream(spark, d, schema), n_buckets=n_buckets
+        )
+        res = run_available_now(
+            out, f"cdcboot_{uuid.uuid4().hex[:8]}", "update",
+            no_data_batches=False, timeout=180,
+        )
+        final = (
+            res.groupBy("k")
+            .agg(F.max_by(F.struct("op", "sv", "dv"), "ver").alias("s"))
+            .select("k", "s.op", "s.sv", "s.dv")
+        )
+        return {r["k"]: (r["op"], r["sv"], r["dv"]) for r in final.collect()}
+
+    d_replay = str(tmp_path / "replay")
+    _add_file(ch_a, d_replay, 0)
+    _add_file(ch_b, d_replay, 1)
+    replay = run(d_replay, n_buckets=8)
+
+    snapshot = latest_snapshot(ch_a, ["user_id"], ["tsn", "event_id"])
+    boot = cdc_bootstrap_changes(snapshot)
+
+    d_new = str(tmp_path / "new")
+    _add_file(boot, d_new, 0)
+    _add_file(ch_b, d_new, 1)
+    resumed = run(d_new, n_buckets=3)
+
+    assert resumed == replay
+    assert replay[4] == ("upsert", "s2", 44.0)   # revived
+    assert replay[5] == ("upsert", "s2", 55.0)   # old B row lost
+    assert replay[3][0] == "delete"              # delete survives resume
+    assert replay[6][0] == "delete"
+    assert 20 in replay
+
+
+def test_bootstrap_helpers_validate_schemas(spark):
+    import pytest
+
+    snap = spark.createDataFrame([(1,)], "user_id long")
+    with pytest.raises(ValueError, match="step column"):
+        funnel_bootstrap_events(snap, ["view"])
+    with pytest.raises(ValueError, match="lacks column"):
+        cdc_bootstrap_changes(snap)
+    docs = spark.createDataFrame(
+        [(1, "t", True)], "doc_id long, text string, __bootstrap boolean"
+    )
+    with pytest.raises(ValueError, match="already has"):
+        neardup_bootstrap_docs(docs)
+    with pytest.raises(ValueError, match="at least one step"):
+        funnel_bootstrap_events(snap, [])

@@ -6,7 +6,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from emiproc_spark.streaming.streams import near_dup_stream
+from emiproc_spark.streaming.streams import near_dup_stream, run_available_now
 
 
 def _docs_from_rate(rate):
@@ -100,23 +100,8 @@ def test_near_dup_null_ids_dropped_both_paths(spark, tmp_path):
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     out = near_dup_stream(stream, n=3, k=8, bands=4, state_ttl="1 hour")
     name = f"nd_null_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(availableNow=True).start()
-    )
-    import time
-
-    for _ in range(60):
-        time.sleep(0.5)
-        if not q.isActive:
-            break
-        lp = q.lastProgress
-        if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
-            break
-    if q.isActive:
-        q.stop()
-    q.awaitTermination()
-    assert {(r["doc_a"], r["doc_b"]) for r in spark.table(name).collect()} == {(1, 2)}
+    res = run_available_now(out, name, "append", no_data_batches=False, timeout=120)
+    assert {(r["doc_a"], r["doc_b"]) for r in res.collect()} == {(1, 2)}
 
 
 def test_near_dup_batch_fallback_honors_max_bucket(spark):
@@ -138,6 +123,53 @@ def test_near_dup_batch_fallback_honors_max_bucket(spark):
     assert pairs == want
 
 
+def test_run_available_now_terminates_naturally_and_clean(spark, tmp_path, capfd):
+    """ProcessingTimeTimeout state would keep an availableNow run
+    cycling no-data cleanup batches until the TTL; with
+    no_data_batches=False the run ends by itself after the last data
+    batch — no stop() racing a state commit, so the JVM stderr carries
+    no error-level state lines.  With the default (True) the same run
+    never terminates and the helper's timeout turns that into a
+    TimeoutError instead of a silent hang."""
+    import uuid
+
+    import pytest
+
+    rows = [(i, f"alpha w{i % 3} beta gamma x{i % 3} delta epsilon zeta")
+            for i in range(9)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    src = str(tmp_path / "in")
+    docs.coalesce(2).write.parquet(src)
+
+    def _stream():
+        s = (spark.readStream.schema("doc_id long, text string")
+             .option("maxFilesPerTrigger", "1").parquet(src))
+        return near_dup_stream(s, n=3, k=8, bands=4, state_ttl="1 hour")
+
+    capfd.readouterr()
+    res = run_available_now(
+        _stream(), f"nd_clean_{uuid.uuid4().hex[:8]}", "append",
+        no_data_batches=False, timeout=120,
+    )
+    got = {(r["doc_a"], r["doc_b"]) for r in res.collect()}
+    expected = {(a, b) for a in range(9) for b in range(a + 1, 9) if a % 3 == b % 3}
+    assert got == expected
+    err = capfd.readouterr().err
+    bad = [ln for ln in err.splitlines()
+           if "failedToCommitStateFileError" in ln or " ERROR " in ln]
+    assert not bad, f"error-level log lines during the drain: {bad[:3]}"
+
+    with pytest.raises(TimeoutError, match="no_data_batches=False"):
+        run_available_now(
+            _stream(), f"nd_hang_{uuid.uuid4().hex[:8]}", "append",
+            no_data_batches=True, timeout=8,
+        )
+    # the conf is restored either way
+    assert spark.conf.get(
+        "spark.sql.streaming.noDataMicroBatches.enabled", None
+    ) is None
+
+
 def test_near_dup_stream_members_span_arrow_chunks(spark, tmp_path):
     """The member set must be the first max_bucket SORTED ids of the
     whole micro-batch even when a bucket's rows straddle Arrow chunk
@@ -156,22 +188,10 @@ def test_near_dup_stream_members_span_arrow_chunks(spark, tmp_path):
     try:
         out = near_dup_stream(stream, n=3, k=8, bands=4, max_bucket=2)
         name = f"nd_chunks_{uuid.uuid4().hex[:8]}"
-        q = (out.writeStream.format("memory").queryName(name)
-             .outputMode("append").trigger(availableNow=True).start())
-        import time
-
-        for _ in range(60):
-            time.sleep(0.5)
-            if not q.isActive:
-                break
-            lp = q.lastProgress
-            if lp is not None and lp["numInputRows"] == 0 and lp["batchId"] > 0:
-                break
-        if q.isActive:
-            q.stop()
-        q.awaitTermination()
-        pairs = {(r["doc_a"], r["doc_b"])
-                 for r in spark.table(name).collect()}
+        res = run_available_now(
+            out, name, "append", no_data_batches=False, timeout=120
+        )
+        pairs = {(r["doc_a"], r["doc_b"]) for r in res.collect()}
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
     # members are ids 0 and 1 (batch-wide sorted), exactly like the
