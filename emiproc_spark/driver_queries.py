@@ -1460,6 +1460,11 @@ _REVERIFY = [
     # loud-fail messages now name NULL-keyed tuples (F.coalesce inside
     # the raise_error concat; r9 advisor)
     "wrf_flux", "gral_roundtrip",
+    # export_fluxie's monthly branch moved the composite sf fold to the
+    # dimension side (combos × days table + broadcast fan-out join,
+    # 223.6 → 140.1 s on the gated tier); the yearly branch this query
+    # drives is untouched, rotated anyway (shared module)
+    "fluxie_export",
 ]
 
 

@@ -95,6 +95,48 @@ def test_export_fluxie_monthly(spark, tmp_path):
     assert cflux[3, 0] == pytest.approx(35.0)
 
 
+def test_export_fluxie_monthly_covers_unprofiled_and_null_combos(spark, tmp_path):
+    """The monthly path's dimension-side sf table must cover EVERY fact
+    combo: a (category, substance) with no profile-index entry scales
+    by 1.0, and a NULL-keyed combo must not be silently dropped by the
+    fan-out join (eqNullSafe)."""
+    grid = spark.createDataFrame(
+        [(0, 0.0, 0.0, 2.0), (1, 1.0, 0.0, 2.0)],
+        "cell_id long, lon double, lat double, area_m2 double",
+    )
+    e = spark.createDataFrame(
+        [(0, "traffic", "CH4", 10.0),   # profiled (Thursday-only weekly)
+         (0, "shipping", "CH4", 4.0),   # no index entry -> sf 1.0
+         (1, None, "CH4", 6.0)],        # NULL category -> sf 1.0, kept
+        "cell_id long, category string, substance string, value_kg_y double",
+    )
+    cf = spark.createDataFrame(
+        [(0, "CHE", 1.0)], "cell_id long, country string, fraction double"
+    )
+    profiles = spark.createDataFrame(
+        [(0, "weekly", [0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0])],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("traffic", "CH4", 0)],
+        "category string, substance string, profile_id int",
+    )
+    out = export_fluxie(
+        {2024: e}, grid, cf, str(tmp_path), frequency="monthly",
+        tprofile_index=index, tprofiles=profiles,
+    )
+    flux = read_netcdf(f"{out}/CH4/emiproc_CH4_monthly.nc").variables[
+        "flux_total_prior"
+    ].data
+    # day 0 (Monday): traffic sf 0, shipping constant 4/2
+    assert flux[0, 0, 0] == pytest.approx(2.0)
+    # day 3 (first Thursday): traffic 10/2*7 + shipping 2
+    assert flux[3, 0, 0] == pytest.approx(37.0)
+    # NULL-category cell 1 flows every day at sf 1.0
+    assert flux[0, 0, 1] == pytest.approx(3.0)
+    assert flux[3, 0, 1] == pytest.approx(3.0)
+
+
 def test_tno_gridded_profiles(spark, tmp_path):
     lines = ["year,latitude,longitude,POLL,GNFR,day,Factor"]
     for day in range(1, 366):
