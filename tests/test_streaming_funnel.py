@@ -249,3 +249,32 @@ def test_derive_shards_conf_pin(spark):
         spark.conf.unset(SHARDS_CONF_KEY)
     par = spark.sparkContext.defaultParallelism
     assert derive_shards(df, 4096) == max(4096, par * 4)
+
+
+def test_shards_conf_pin_reaches_stream_plan(spark, tmp_path):
+    """The conf pin must land in the actual stream's grouping
+    expression — the shard literal inside pmod(xxhash64(key), N) — not
+    just in the helper's return value."""
+    import os
+
+    from emiproc_spark.streaming.streams import SHARDS_CONF_KEY
+
+    src = str(tmp_path / "in")
+    spark.createDataFrame(
+        [(1, _ts(1), "view")], "user_id long, ts timestamp, event_type string"
+    ).write.parquet(src)
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, event_type string"
+    ).parquet(src)
+    try:
+        spark.conf.set(SHARDS_CONF_KEY, "7")
+        out = funnel_stream(stream, ["view"])
+    finally:
+        spark.conf.unset(SHARDS_CONF_KEY)
+    import re
+
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert re.search(
+        r"pmod\(xxhash64\(user_id#\d+L?, 42\), cast\(7 as bigint\)\)", plan
+    ), plan
+    del os
