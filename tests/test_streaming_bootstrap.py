@@ -225,6 +225,46 @@ def test_cdc_bootstrap_resize_matches_replay(spark, tmp_path):
     assert 20 in replay
 
 
+def test_funnel_bootstrap_is_a_fixed_point_randomized(spark):
+    """The snapshot→events→snapshot round-trip must be the identity:
+    replaying funnel_bootstrap_events through the batch funnel yields
+    the exact step stamps the snapshot holds — over randomized event
+    histories (timestamp ties, out-of-order steps, noise events) and a
+    REPEATED-step funnel (the docstring's strictly-increasing-stamps
+    argument, exercised rather than trusted)."""
+    import random
+
+    from emiproc_spark.operators.behavior import funnel_user_steps
+
+    rng = random.Random(1007)
+    types = ["view", "click", "purchase", "noise", "other"]
+    rows = []
+    for u in range(400):
+        for _ in range(rng.randint(0, 12)):
+            # coarse second buckets force plenty of equal timestamps
+            ts = 1_700_000_000 + rng.randint(0, 20)
+            rows.append((u, ts, rng.choice(types)))
+    ev = spark.createDataFrame(
+        rows, "user_id long, tsn long, event_type string"
+    ).select(
+        "user_id",
+        F.timestamp_seconds(F.col("tsn")).alias("ts"),
+        "event_type",
+    )
+    for steps in (["view", "click", "purchase"], ["view", "click", "view"]):
+        snap = funnel_user_steps(ev, steps)
+        boot = funnel_bootstrap_events(snap, steps)
+        replayed = funnel_user_steps(boot, steps)
+        s = {r["user_id"]: tuple(r[f"step{i+1}_ts"] for i in range(len(steps)))
+             for r in snap.collect()}
+        r2 = {r["user_id"]: tuple(r[f"step{i+1}_ts"] for i in range(len(steps)))
+              for r in replayed.collect()}
+        # users whose snapshot is all-NULL emit no bootstrap events and
+        # legitimately vanish from the replay (absent == all-unreached)
+        expect = {u: v for u, v in s.items() if any(x is not None for x in v)}
+        assert r2 == expect, f"steps={steps}"
+
+
 def test_bootstrap_helpers_validate_schemas(spark):
     import pytest
 
