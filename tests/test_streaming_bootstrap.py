@@ -265,6 +265,51 @@ def test_funnel_bootstrap_is_a_fixed_point_randomized(spark):
         assert r2 == expect, f"steps={steps}"
 
 
+def test_cdc_bootstrap_identity_randomized(spark):
+    """Latest-wins over (bootstrap-from-phase-A ∪ phase-B) must equal
+    latest-wins over (A ∪ B) — the max-fold idempotence the CDC
+    bootstrap relies on, over randomized changelogs with duplicate
+    timestamps (tiebreak decides), deletes, and keys touched in only
+    one phase."""
+    import random
+
+    from emiproc_spark.operators.history import latest_snapshot
+
+    rng = random.Random(4242)
+    schema = (
+        "user_id long, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+
+    def mk(n, eid0):
+        return [
+            (
+                rng.randint(0, 60),             # keys collide across phases
+                rng.randint(0, 9),              # coarse ts: many ties
+                eid0 + i,                       # unique tiebreak
+                f"s{rng.randint(0, 3)}",
+                float(rng.randint(0, 99)),
+                "delete" if rng.random() < 0.2 else "upsert",
+            )
+            for i in range(n)
+        ]
+
+    a = spark.createDataFrame(mk(300, 0), schema)
+    b = spark.createDataFrame(mk(200, 1000), schema)
+    boot = cdc_bootstrap_changes(latest_snapshot(a, ["user_id"], ["tsn", "event_id"]))
+
+    def final(df):
+        return {
+            r["user_id"]: (r["tsn"], r["event_id"], r["event_type"],
+                           r["value"], r["op"])
+            for r in latest_snapshot(
+                df, ["user_id"], ["tsn", "event_id"]
+            ).collect()
+        }
+
+    assert final(boot.unionByName(b)) == final(a.unionByName(b))
+
+
 def test_bootstrap_helpers_validate_schemas(spark):
     import pytest
 
