@@ -1465,6 +1465,10 @@ _REVERIFY = [
     # 223.6 → 140.1 s on the gated tier); the yearly branch this query
     # drives is untouched, rotated anyway (shared module)
     "fluxie_export",
+    # temporally_scaled then got the same dimension-side sf treatment —
+    # measured 20× at the year-hourly shape (220–244 s → 11–13 s,
+    # 200k facts × 8760 h, interleaved A/B; PLANS round-10)
+    "temporal_expand",
 ]
 
 
