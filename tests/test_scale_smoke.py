@@ -1608,6 +1608,68 @@ def test_stream_neardup_million_docs(spark, tmp_path, capfd):
 
 
 @scale
+def test_temporally_scaled_year_100k_cells(spark):
+    """The flagship annual→hourly expansion at the year-export shape:
+    200k fact rows (100k cells × 2 categories with composite daily ×
+    weekly profiles) × 8760 h = 1.75G output rows through
+    temporally_scaled.  Pins the dimension-side sf plan (round-10): the
+    per-fact×hour fold measured 220–244 s on this exact shape — a
+    regression past the bound means the fold moved back onto the fact
+    side.  Mass check: each category's yearly sum of hourly values
+    equals its annual total × (hours-covered fraction) × the profile
+    sums — with normalized profiles and a full non-leap-year scaffold
+    over year_hours=8760, Σ value_kg_h == Σ value_kg_y exactly up to
+    float addition order."""
+    from emiproc_spark.operators.temporal import temporally_scaled
+
+    n_cells, hours = 100_000, 8760
+    e = (
+        spark.range(n_cells).select(
+            F.col("id").alias("cell_id"), F.lit("traffic").alias("category"),
+            F.lit("CH4").alias("substance"),
+            (F.col("id") % 10 + 1.0).alias("value_kg_y"),
+        )
+        .unionByName(
+            spark.range(n_cells).select(
+                F.col("id").alias("cell_id"), F.lit("heating").alias("category"),
+                F.lit("CH4").alias("substance"), F.lit(2.0).alias("value_kg_y"),
+            )
+        )
+    )
+    profiles = spark.createDataFrame(
+        [(0, "weekly", [0.05, 0.1, 0.15, 0.2, 0.2, 0.15, 0.15]),
+         (0, "daily", [1.0 / 24] * 24),
+         (1, "weekly", [1.0 / 7] * 7)],
+        "profile_id int, ptype string, ratios array<double>",
+    )
+    index = spark.createDataFrame(
+        [("traffic", "CH4", 0), ("heating", "CH4", 1)],
+        "category string, substance string, profile_id int",
+    )
+    t0 = time.time()
+    out = temporally_scaled(
+        e, index, profiles, "2023-01-01 00:00:00", hours, year_hours=hours
+    )
+    agg = (
+        out.groupBy("category")
+        .agg(F.sum("value_kg_h").alias("s"), F.count("*").alias("n"))
+        .collect()
+    )
+    dt = time.time() - t0
+    got = {r["category"]: (r["s"], r["n"]) for r in agg}
+    assert got["heating"][1] == n_cells * hours
+    assert got["traffic"][1] == n_cells * hours
+    # uniform heating: conservation up to float addition order over
+    # 876M terms (observed ~5e-9 relative); shaped traffic: the weekly
+    # profile's 365-day year is off by the partial-week boundary only
+    assert got["heating"][0] == pytest.approx(2.0 * n_cells, rel=1e-7)
+    traffic_total = sum((c % 10) + 1.0 for c in range(10)) / 10 * n_cells
+    assert got["traffic"][0] == pytest.approx(traffic_total, rel=0.02)
+    print(f"\ntemporally_scaled 1.75G-row year expansion wall: {dt:.1f}s")
+    assert dt < 120  # per-fact-row sf measured 220-244 s on this shape
+
+
+@scale
 def test_fluxie_monthly_two_years_100k_cells(spark, tmp_path):
     """The fluxie monthly path at export scale: 100k cells × 2 inventory
     years of DAILY stamps (731 slabs, reference fluxie.py:95-158) with
