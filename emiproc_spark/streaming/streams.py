@@ -424,20 +424,42 @@ def hourly_emission_stream(
         ).alias("sim_ts"),
     )  # ticks beyond the inventory year are dropped — the annual values
     # and the /year_hours divisor only describe this year
-    # persist the static side: without it every micro-batch (one per
-    # rate tick) would rescan the inventory and rebuild the profile
-    # broadcasts — inventory-sized work per tick
-    static = attach_profiles(emissions, tprofile_index, tprofiles).persist()
+    # The sf depends only on (category, substance, tick) — evaluate the
+    # composite fold on the DIMENSION side (tick × combos rows per
+    # micro-batch) and fan the inventory out through the stream-static
+    # equi-join, the batch temporally_scaled's round-10 plan (20× there;
+    # here it removes an inventory-sized expression pass per tick).
+    # Persist both static sides: without it every micro-batch would
+    # rescan the inventory and rebuild the profile broadcasts.
+    dims = emissions.select("category", "substance").distinct()
+    static_dim = attach_profiles(dims, tprofile_index, tprofiles).persist()
+    facts = emissions.persist()
     sf = composite_scaling_factor(
         F.col("sim_ts"), F.col("__profs"), F.col("__guard")
     )
-    return hours.join(static).select(
+    sf_stream = hours.join(static_dim).select(
+        "hour_index",
+        "sim_ts",
+        F.col("category").alias("__c"),
+        F.col("substance").alias("__s"),
+        sf.alias("__sf"),
+    )
+    # eqNullSafe: the dim table covers the facts' combos by construction
+    # INCLUDING NULL-keyed ones (profile miss ⇒ sf 1.0) — plain equality
+    # would silently drop those rows
+    return sf_stream.join(
+        facts,
+        F.col("category").eqNullSafe(F.col("__c"))
+        & F.col("substance").eqNullSafe(F.col("__s")),
+    ).select(
         "hour_index",
         "sim_ts",
         "cell_id",
         "category",
         "substance",
-        (F.col("value_kg_y") / F.lit(float(year_hours)) * sf).alias("value_kg_h"),
+        (
+            F.col("value_kg_y") / F.lit(float(year_hours)) * F.col("__sf")
+        ).alias("value_kg_h"),
     )
 
 
