@@ -158,6 +158,7 @@ def export_fluxie(
 
             from emiproc_spark.operators.temporal import (
                 attach_profiles,
+                check_sf_dim_budget,
                 composite_scaling_factor,
             )
 
@@ -184,6 +185,10 @@ def export_fluxie(
                 # products are bit-identical: same expression, same
                 # inputs, same multiply.
                 dims = e.select("category", "substance").distinct()
+                # named error instead of a broadcast OOM for a
+                # combo-explosive caller (the dimension-side plan's
+                # low-cardinality contract, r10 advisor)
+                check_sf_dim_budget(dims, ndays, "export_fluxie")
                 sf = composite_scaling_factor(
                     F.col("sim_ts"), F.col("__profs"), F.col("__guard")
                 )

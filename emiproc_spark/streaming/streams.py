@@ -39,11 +39,21 @@ query build so the value is recoverable from the driver log.
 from __future__ import annotations
 
 import logging
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 logger = logging.getLogger("emiproc_spark.streaming")
+
+#: Serializes :func:`run_available_now`'s save/set/start/restore of the
+#: session-global ``noDataMicroBatches`` conf — two helper calls started
+#: concurrently in one session could otherwise capture each other's
+#: setting (a watermark-driven stream started with it off would silently
+#: never flush its final windows).  ``start()`` is fast, so the critical
+#: section is cheap; streams started OUTSIDE this helper while it holds
+#: the lock are still exposed — start those before or after, not during.
+_AVAILABLE_NOW_LOCK = threading.Lock()
 
 #: Conf key honored by :func:`derive_shards`: an EXACT fleet-wide pin
 #: for the sharded streams' state layout (no floor is applied — a pin
@@ -101,6 +111,81 @@ def derive_shards(df: DataFrame, floor: int, per_core: int = 4) -> int:
     return n
 
 
+#: Sidecar filename written by :func:`pin_shards_to_checkpoint` inside a
+#: query's ``checkpointLocation``.
+SHARDS_SIDECAR = "emiproc_shards.json"
+
+
+def pin_shards_to_checkpoint(
+    spark: SparkSession, checkpoint_location: str, n_shards: int, stream: str
+) -> int:
+    """Persist the shard count NEXT TO the checkpoint it shapes, and
+    turn the silent-divergence resize into a startup error.
+
+    A checkpoint written under one ``n_shards`` resumed under another
+    silently remaps keys to different shards (module docstring) — the
+    count is part of the checkpoint's identity but Spark stores no
+    record of it.  Call this at query build, BEFORE ``start()``, with
+    the count the stream was constructed with:
+
+    - first build: writes ``<checkpoint>/emiproc_shards.json``
+      (``{"stream": ..., "n_shards": ...}``) and returns ``n_shards``;
+    - later builds: validates the sidecar and RAISES ``ValueError`` on
+      a shard-count (or stream-kind) mismatch instead of letting the
+      resumed query silently diverge.
+
+    I/O goes through the Hadoop ``FileSystem`` API, so the sidecar
+    lands on whatever filesystem the checkpoint uses (HDFS, S3A, local)
+    — the same durability domain as the state it describes.  The write
+    is not transactional with the checkpoint itself; on a brand-new
+    checkpoint dir a crash between sidecar write and first commit just
+    leaves a sidecar that the retry re-validates.
+    """
+    import json
+
+    n_shards = int(n_shards)
+    if n_shards < 1:
+        raise ValueError(f"n_shards must be >= 1, got {n_shards}")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    side = jvm.org.apache.hadoop.fs.Path(
+        checkpoint_location.rstrip("/") + "/" + SHARDS_SIDECAR
+    )
+    fs = side.getFileSystem(hconf)
+    if fs.exists(side):
+        stream_in = fs.open(side)
+        try:
+            raw = bytes(
+                jvm.org.apache.commons.io.IOUtils.toByteArray(stream_in)
+            )
+        finally:
+            stream_in.close()
+        rec = json.loads(raw.decode("utf-8"))
+        if rec.get("stream") != stream or int(rec["n_shards"]) != n_shards:
+            raise ValueError(
+                f"checkpoint {checkpoint_location!r} was written by "
+                f"stream={rec.get('stream')!r} with n_shards="
+                f"{rec.get('n_shards')} but this build uses "
+                f"stream={stream!r} n_shards={n_shards} — resuming would "
+                "silently remap keys to different shards and strand the "
+                "old shards' state.  Rebuild with the recorded count, or "
+                "bootstrap a FRESH checkpoint from a batch snapshot "
+                "(streaming.bootstrap) to resize."
+            )
+        return n_shards
+    payload = json.dumps({"stream": stream, "n_shards": n_shards}).encode()
+    out_stream = fs.create(side, False)  # noqa: FBT003 — no overwrite
+    try:
+        out_stream.write(payload)
+    finally:
+        out_stream.close()
+    logger.info(
+        "pin_shards_to_checkpoint: recorded n_shards=%d for %s at %s/%s",
+        n_shards, stream, checkpoint_location, SHARDS_SIDECAR,
+    )
+    return n_shards
+
+
 def run_available_now(
     out: DataFrame,
     query_name: str,
@@ -136,26 +221,35 @@ def run_available_now(
     stopped and a ``TimeoutError`` raised (a ProcessingTimeTimeout
     operator accidentally run with ``no_data_batches=True`` would
     otherwise hang for its full TTL).
+
+    Thread safety: the conf toggle is session-global, so the
+    save/set/``start()``/restore sequence runs under a module lock —
+    concurrent ``run_available_now`` calls serialize their (fast)
+    ``start()`` and each query captures its own setting.  Streams
+    started through OTHER code paths concurrently with this helper can
+    still observe the temporary value; start those before or after.
     """
     spark = out.sparkSession
     conf_key = "spark.sql.streaming.noDataMicroBatches.enabled"
-    prev = spark.conf.get(conf_key, None)
-    spark.conf.set(conf_key, "true" if no_data_batches else "false")
-    try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(query_name)
-            .outputMode(output_mode)
-            .trigger(availableNow=True)
-            .start()
-        )
-    finally:
-        # the engine captured the conf at start(); restore immediately
-        # so concurrently-started queries in this session are untouched
-        if prev is None:
-            spark.conf.unset(conf_key)
-        else:
-            spark.conf.set(conf_key, prev)
+    with _AVAILABLE_NOW_LOCK:
+        prev = spark.conf.get(conf_key, None)
+        spark.conf.set(conf_key, "true" if no_data_batches else "false")
+        try:
+            q = (
+                out.writeStream.format("memory")
+                .queryName(query_name)
+                .outputMode(output_mode)
+                .trigger(availableNow=True)
+                .start()
+            )
+        finally:
+            # the engine captured the conf at start(); restore
+            # immediately so later queries in this session see the
+            # caller's original setting
+            if prev is None:
+                spark.conf.unset(conf_key)
+            else:
+                spark.conf.set(conf_key, prev)
     if timeout is None:
         q.awaitTermination()
     elif not q.awaitTermination(timeout):
@@ -410,6 +504,7 @@ def hourly_emission_stream(
     duplicate index row raises here too instead of multiplying mass."""
     from emiproc_spark.operators.temporal import (
         attach_profiles,
+        check_sf_dim_budget,
         composite_scaling_factor,
     )
 
@@ -432,6 +527,11 @@ def hourly_emission_stream(
     # Persist both static sides: without it every micro-batch would
     # rescan the inventory and rebuild the profile broadcasts.
     dims = emissions.select("category", "substance").distinct()
+    # one batch count at query BUILD (the inventory is static): a
+    # combo-explosive caller fails with a named error here instead of a
+    # per-micro-batch broadcast OOM.  Budget = one tick's worth of dim
+    # rows times the hour horizon, matching the batch expansion's guard.
+    check_sf_dim_budget(dims, year_hours, "hourly_emission_stream")
     static_dim = attach_profiles(dims, tprofile_index, tprofiles).persist()
     facts = emissions.persist()
     sf = composite_scaling_factor(
@@ -488,7 +588,9 @@ def near_dup_stream(
     checkpoint and new arrivals pair against the rebuilt membership
     without the old incarnation's pairs being re-emitted.  The batch
     fallback honors the same semantics (bootstrap rows rank first for
-    member slots, bootstrap×bootstrap pairs suppressed).
+    member slots, bootstrap×bootstrap pairs suppressed, and a live row
+    whose id is also flagged in the same frame is dedup'd away like the
+    fold's seen-set does — it emits nothing).
 
     Stage 1 is stateless and map-only — the signature comes from
     ``minhash_signature_array`` (no aggregation, so it composes with the
@@ -615,6 +717,23 @@ def near_dup_stream(
         # stop-shingle bucket.
         from pyspark.sql import Window
 
+        if has_bs:
+            # mirror the fold's seen-set dedup: a live row whose id is
+            # ALSO bootstrap-flagged in the same frame (same bucket) is
+            # prior history already admitted to membership — the stream
+            # emits nothing for it, so the rank join must not let it
+            # pair against bootstrap members and re-emit historical
+            # pairs (r10 advisor)
+            flagged = (
+                banded.where(F.col(bootstrap_col))
+                .select(id_col, "bucket")
+                .distinct()
+            )
+            banded = banded.where(F.col(bootstrap_col)).unionByName(
+                banded.where(~F.col(bootstrap_col)).join(
+                    flagged, [id_col, "bucket"], "left_anti"
+                )
+            )
         bs = F.col(bootstrap_col) if has_bs else F.lit(False)
         order = ([F.col(bootstrap_col).desc()] if has_bs else []) + [F.col(id_col)]
         ranked = banded.withColumn(

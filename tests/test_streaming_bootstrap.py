@@ -325,3 +325,34 @@ def test_bootstrap_helpers_validate_schemas(spark):
         neardup_bootstrap_docs(docs)
     with pytest.raises(ValueError, match="at least one step"):
         funnel_bootstrap_events(snap, [])
+
+
+def test_pin_shards_to_checkpoint_sidecar(spark, tmp_path):
+    """The shard count is part of a checkpoint's identity but Spark
+    stores no record of it — the sidecar turns the silent-divergence
+    resize (module docstring of streams.py) into a startup error."""
+    import json
+
+    import pytest
+
+    from emiproc_spark.streaming.streams import (
+        SHARDS_SIDECAR,
+        pin_shards_to_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    # first build records the count and returns it
+    assert pin_shards_to_checkpoint(spark, ckpt, 257, "near_dup_stream") == 257
+    with open(os.path.join(ckpt, SHARDS_SIDECAR)) as fh:
+        assert json.load(fh) == {"stream": "near_dup_stream", "n_shards": 257}
+    # identical rebuild validates silently
+    assert pin_shards_to_checkpoint(spark, ckpt, 257, "near_dup_stream") == 257
+    # a resized rebuild fails loudly instead of silently remapping keys
+    with pytest.raises(ValueError, match="n_shards=257 but this build"):
+        pin_shards_to_checkpoint(spark, ckpt, 131, "near_dup_stream")
+    # so does pointing a different stream kind at the same checkpoint
+    with pytest.raises(ValueError, match="near_dup_stream"):
+        pin_shards_to_checkpoint(spark, ckpt, 257, "funnel_stream")
+    with pytest.raises(ValueError, match=">= 1"):
+        pin_shards_to_checkpoint(spark, str(tmp_path / "c2"), 0, "x")

@@ -198,3 +198,38 @@ def test_near_dup_stream_members_span_arrow_chunks(spark, tmp_path):
     # batch fallback's rank cap
     want = {(0, 1)} | {(0, i) for i in range(2, 8)} | {(1, i) for i in range(2, 8)}
     assert pairs == want
+
+
+def test_near_dup_batch_fallback_bootstrap_live_overlap(spark, tmp_path):
+    """A doc_id appearing BOTH bootstrap-flagged and live in one frame
+    must emit nothing (the fold's seen-set admits the flagged copy and
+    dedups the live one) — before the r11 fix the batch rank-join let
+    the live copy pair against the other bootstrap members, re-emitting
+    historical pairs.  Both paths are driven with the identical frame
+    and must agree."""
+    import uuid
+
+    text = "alpha w0 beta gamma x0 delta epsilon zeta"
+    rows = [(i, text, True) for i in range(4)]  # bootstrap corpus
+    rows += [(1, text, False)]                  # overlap: also live
+    rows += [(10, text, False)]                 # genuinely new doc
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, __bootstrap boolean"
+    )
+    want = {(i, 10) for i in range(4)}  # only the new doc pairs
+
+    batch = near_dup_stream(docs, n=3, k=8, bands=4)
+    got_batch = {(r["doc_a"], r["doc_b"]) for r in batch.collect()}
+    assert got_batch == want
+
+    src = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(
+        "doc_id long, text string, __bootstrap boolean"
+    ).parquet(src)
+    out = near_dup_stream(stream, n=3, k=8, bands=4, state_ttl="1 hour")
+    name = f"nd_overlap_{uuid.uuid4().hex[:8]}"
+    res = run_available_now(
+        out, name, "append", no_data_batches=False, timeout=120
+    )
+    assert {(r["doc_a"], r["doc_b"]) for r in res.collect()} == want

@@ -284,3 +284,43 @@ def test_scaling_factor_at_short_array_names_real_problem(spark):
     )
     with pytest.raises(Exception, match="unknown profile type"):
         ok.collect()
+
+
+def test_sf_dim_budget_guard(spark, tprofiles):
+    """A combo-explosive caller must get a NAMED error before the
+    dimension-side sf broadcast is built, not an opaque broadcast OOM
+    (the low-cardinality contract of the r10 sf_dim plan).  The budget
+    rides a conf key so the test can shrink it instead of building a
+    genuinely huge frame."""
+    from emiproc_spark.operators.temporal import (
+        SF_DIM_MAX_ROWS_CONF,
+        check_sf_dim_budget,
+        temporally_scaled,
+    )
+
+    index = spark.createDataFrame(
+        [("A", "CO2", 0)],
+        schema="category string, substance string, profile_id int",
+    )
+    many = spark.range(500).select(
+        F.lit(0).alias("cell_id"),
+        F.concat(F.lit("cat"), F.col("id")).alias("category"),
+        F.lit("CO2").alias("substance"),
+        F.lit(1.0).alias("value_kg_y"),
+    )
+    spark.conf.set(SF_DIM_MAX_ROWS_CONF, "1000")
+    try:
+        with pytest.raises(ValueError, match="temporally_scaled.*500 distinct"):
+            temporally_scaled(
+                many, index, tprofiles, "2024-01-01 00:00:00", 24, 8784
+            )
+        # under the budget the helper returns the combo count
+        dims = many.limit(10).select("category", "substance").distinct()
+        assert check_sf_dim_budget(dims, 24, "unit") == 10
+    finally:
+        spark.conf.unset(SF_DIM_MAX_ROWS_CONF)
+    # default budget: the same frame passes (500 x 24 << 20M)
+    out = temporally_scaled(
+        many, index, tprofiles, "2024-01-01 00:00:00", 2, 8784
+    )
+    assert out.count() == 500 * 2
