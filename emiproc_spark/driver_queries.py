@@ -1434,41 +1434,39 @@ from emiproc_spark.driver_queries_r10 import ORACLES_R10, QUERIES_R10  # noqa: E
 QUERIES.update(QUERIES_R10)
 ORACLES.update(ORACLES_R10)
 
-# Round-10 front-window rotation.  The driver samples a contiguous
+from emiproc_spark.driver_queries_r11 import ORACLES_R11, QUERIES_R11  # noqa: E402
+
+QUERIES.update(QUERIES_R11)
+ORACLES.update(ORACLES_R11)
+
+# Round-11 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
 # discipline (registry >4× the window), EVERY query whose
 # implementation changed this round goes first, then refill (oldest
-# evidence first).  Round 10 stays low-churn — 7 front slots, ~43
-# refill slots for the r3/r4 evidence cohort.
+# evidence first).  NOTE (r10 judge item 4): when writing round notes,
+# derive the front/refill split from ``len(_REVERIFY)`` — do not
+# hand-count (two rounds of ledger miscounts came from that habit).
+# Round 11 is deliberately low-churn so the refill drains the entire
+# r4/r5 evidence cohort.
 _REVERIFY = [
-    # NEW this round: the checkpoint-bootstrap resume flow
-    # (streaming/bootstrap.py) driven end-to-end under two shard counts
+    # NEW this round: the funnel and CDC checkpoint-bootstrap resume
+    # flows (streaming/bootstrap.py) driven end-to-end under two shard
+    # counts each — closing the r10 asymmetry where only the neardup
+    # upgrade path had a driver oracle
+    "stream_funnel_resume", "stream_cdc_resume",
+    # run_available_now grew a 300 s timeout at both call sites (a
+    # future no-data-batch regression fails one query instead of
+    # stalling the sweep; r10 advisor)
     "stream_neardup_resume",
-    # near_dup_stream gained the bootstrap-flag path (fold admits
-    # flagged rows without emission; batch fallback reformulated as the
-    # two-sided processing-order rank join) and its driver drain now
-    # terminates naturally via run_available_now (no-data micro-batches
-    # suppressed) instead of the poll-then-stop() race
+    # near_dup_stream's batch fallback now mirrors the fold's seen-set
+    # dedup for ids both bootstrap-flagged and live in one frame (r10
+    # advisor); run_available_now serializes its conf toggle under a
+    # module lock
     "stream_neardup",
-    # derive_shards now honors the spark.emiproc.stream.shards pin and
-    # logs the chosen count — the default path all three sharded
-    # streams resolve through
-    "stream_funnel", "stream_cdc",
-    # funnel_user_steps accepts tb_col for signature parity with
-    # funnel_stream (ignored: the min-chain orders nothing)
-    "funnel",
-    # loud-fail messages now name NULL-keyed tuples (F.coalesce inside
-    # the raise_error concat; r9 advisor)
-    "wrf_flux", "gral_roundtrip",
-    # export_fluxie's monthly branch moved the composite sf fold to the
-    # dimension side (combos × days table + broadcast fan-out join,
-    # 223.6 → 140.1 s on the gated tier); the yearly branch this query
-    # drives is untouched, rotated anyway (shared module)
-    "fluxie_export",
-    # temporally_scaled then got the same dimension-side sf treatment —
-    # measured 20× at the year-hourly shape (220–244 s → 11–13 s,
-    # 200k facts × 8760 h, interleaved A/B; PLANS round-10)
-    "temporal_expand",
+    # temporally_scaled / export_fluxie gained the sf_dim broadcast
+    # cardinality guard (named error past the combo budget, r10
+    # advisor) — the guard is a new count action on both query paths
+    "temporal_expand", "fluxie_export",
 ]
 
 

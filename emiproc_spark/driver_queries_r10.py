@@ -62,9 +62,13 @@ def q_stream_neardup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream, n=3, k=8, bands=4, max_bucket=_RESUME_MAX_BUCKET,
             n_shards=n_shards,
         )
+        # the timeout exists precisely because a ProcessingTimeTimeout
+        # stream under the wrong no_data_batches setting hangs for its
+        # full TTL — bound it so a regression fails THIS query instead
+        # of stalling the whole driver sweep (r10 advisor)
         return run_available_now(
             out, f"r10_nd_resume_{uuid.uuid4().hex[:8]}", "append",
-            no_data_batches=False,
+            no_data_batches=False, timeout=300,
         )
 
     old = run(a_dir, "doc_id long, text string", n_shards=257)

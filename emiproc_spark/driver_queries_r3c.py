@@ -640,7 +640,9 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # raced the in-flight cleanup batch's state commit
     # (failedToCommitStateFileError in executor logs).
     name = f"r3c_stream_neardup_{uuid.uuid4().hex[:8]}"
-    return run_available_now(out, name, "append", no_data_batches=False)
+    # bounded so a no-data-batch regression fails this query instead of
+    # stalling the whole driver sweep (r10 advisor)
+    return run_available_now(out, name, "append", no_data_batches=False, timeout=300)
 
 
 def _sql_stream_neardup() -> str:

@@ -32,8 +32,10 @@ where the derived count now exceeds the floor.  For any checkpoint
 that must survive those events, pin the count — per call site via
 ``n_shards``/``n_buckets``, or fleet-wide via the
 ``spark.emiproc.stream.shards`` conf key — and keep the pin with the
-checkpoint.  ``derive_shards`` logs the count it chose (and why) at
-query build so the value is recoverable from the driver log.
+checkpoint: :func:`pin_shards_to_checkpoint` writes the count as a
+sidecar inside the checkpoint dir and turns a mismatched rebuild into
+a startup error.  ``derive_shards`` logs the count it chose (and why)
+at query build so the value is recoverable from the driver log.
 """
 
 from __future__ import annotations
