@@ -1822,3 +1822,168 @@ def test_mixture_epochs_ten_million_docs(spark):
     assert abs(cnt[("c", 0)] - n // 4) < 50_000
     print(f"\nmixture_epochs 10M docs wall: {dt:.1f}s")
     assert dt < 240
+
+
+@scale
+def test_funnel_bootstrap_resume_half_million_users(spark, tmp_path):
+    """The funnel checkpoint-bootstrap at state scale: 500k users' open
+    funnels cross a resume boundary WITH A SHARD RESIZE (1024 → 257).
+    Incarnation 1 folds view+click (no flush — 500k live funnels, zero
+    output rows by contract); incarnation 2 rebuilds that state from
+    the BATCH funnel snapshot via funnel_bootstrap_events, folds the
+    purchases, and flushes.  Closed form: step2/step3 fill iff the
+    click existed (u % 3 != 0) — any state lost or misrouted in the
+    resize would break the strict-order chain and show up here."""
+    from emiproc_spark.operators.behavior import funnel_user_steps
+    from emiproc_spark.streaming.bootstrap import funnel_bootstrap_events
+    from emiproc_spark.streaming.streams import funnel_stream
+
+    users = 500_000
+    base = spark.range(users)
+    mk = lambda off, et: base.select(  # noqa: E731
+        F.timestamp_micros(F.col("id") * 100 + off).alias("ts"),
+        F.col("id").alias("user_id"),
+        F.lit(et).alias("event_type"),
+    )
+    steps = ["view", "click", "purchase"]
+    early = mk(1, "view").unionByName(
+        mk(2, "click").where(F.col("user_id") % 3 != 0)
+    )
+    a_dir = str(tmp_path / "fr_a")
+    early.coalesce(2).write.parquet(a_dir)
+    t0 = time.time()
+    res1 = _drain_stream(
+        spark,
+        funnel_stream(
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string"
+            ).parquet(a_dir),
+            steps,
+            n_shards=1024,
+        ),
+        "t_funnel_resume_a",
+        mode="append",
+    )
+    assert res1.count() == 0  # no flush ⇒ all 500k funnels stay open
+    # resume: snapshot through the batch operator, bootstrap events +
+    # the late purchases + flush sentinels in one availableNow batch
+    # (bootstrap stamps precede every purchase per key, so the fold's
+    # ts order IS bootstrap-first)
+    snap = funnel_user_steps(spark.read.parquet(a_dir), steps)
+    b_dir = str(tmp_path / "fr_b")
+    funnel_bootstrap_events(snap, steps).unionByName(
+        mk(3, "purchase")
+    ).unionByName(mk(50, "__flush__")).coalesce(2).write.parquet(b_dir)
+    res2 = _drain_stream(
+        spark,
+        funnel_stream(
+            spark.readStream.schema(
+                "ts timestamp, user_id long, event_type string"
+            ).parquet(b_dir),
+            steps,
+            n_shards=257,
+        ),
+        "t_funnel_resume_b",
+        mode="append",
+    )
+    agg = res2.agg(
+        F.count("*").alias("n_rows"),
+        F.count("step1_ts").alias("n_s1"),
+        F.count("step2_ts").alias("n_s2"),
+        F.count("step3_ts").alias("n_s3"),
+        F.count_distinct("user_id").alias("n_users"),
+    ).collect()[0]
+    dt = time.time() - t0
+    full = users - (users + 2) // 3
+    assert agg["n_rows"] == users and agg["n_users"] == users
+    assert agg["n_s1"] == users
+    # purchase converts only strictly after a click: the rebuilt state
+    # must carry exactly the clicked users' step2 stamps
+    assert agg["n_s2"] == full and agg["n_s3"] == full
+    print(f"\nfunnel bootstrap resume 500k users wall: {dt:.1f}s")
+    assert dt < 590
+
+
+@scale
+def test_cdc_bootstrap_resume_million_keys(spark, tmp_path):
+    """The CDC checkpoint-bootstrap at state scale: 1M keys × 8 changes
+    (8M rows), the feed split in half across a resume boundary WITH A
+    BUCKET RESIZE (1024 → 257).  Incarnation 2 starts from
+    latest_snapshot over the first half (delete markers included) and
+    folds the second; the latest-ver read must equal the closed-form
+    full-feed answer: every key's round-7 change, with the u % 10 == 0
+    keys deleted."""
+    from pyspark.sql import Window
+
+    from emiproc_spark.operators.history import latest_snapshot
+    from emiproc_spark.streaming.bootstrap import cdc_bootstrap_changes
+    from emiproc_spark.streaming.streams import changelog_state_stream
+
+    keys, rounds = 1_000_000, 8
+    rnd = F.expr(f"id div {keys}")
+    rows = spark.range(keys * rounds).select(
+        (F.col("id") % keys).alias("user_id"),
+        rnd.alias("tsn"),
+        F.col("id").alias("event_id"),
+        F.concat(F.lit("s"), (F.col("id") % 7).cast("string")).alias(
+            "event_type"
+        ),
+        (F.col("id") % 1000).cast("double").alias("value"),
+        F.when(
+            (rnd == rounds - 1) & (F.col("id") % keys % 10 == 0),
+            "delete",
+        )
+        .otherwise("upsert")
+        .alias("op"),
+    )
+    feed_a = rows.where(F.col("tsn") < rounds // 2)
+    feed_b = rows.where(F.col("tsn") >= rounds // 2)
+    schema = (
+        "user_id long, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+    a_dir, b_dir = str(tmp_path / "cr_a"), str(tmp_path / "cr_b")
+    feed_a.coalesce(4).write.parquet(a_dir)
+    t0 = time.time()
+    _drain_stream(
+        spark,
+        changelog_state_stream(
+            spark.readStream.schema(schema).parquet(a_dir), n_buckets=1024
+        ),
+        "t_cdc_resume_a",
+    )
+    snap = latest_snapshot(
+        spark.read.parquet(a_dir), ["user_id"], ["tsn", "event_id"]
+    )
+    cdc_bootstrap_changes(snap).coalesce(4).write.parquet(b_dir)
+    feed_b.coalesce(4).write.mode("append").parquet(b_dir)
+    res = _drain_stream(
+        spark,
+        changelog_state_stream(
+            spark.readStream.schema(schema).parquet(b_dir), n_buckets=257
+        ),
+        "t_cdc_resume_b",
+    )
+    w = Window.partitionBy("k")
+    final = (
+        res.withColumn("mx", F.max("ver").over(w))
+        .where(F.col("ver") == F.col("mx"))
+        .where(F.col("op") != "delete")
+    )
+    got = final.agg(
+        F.count("*").alias("n"),
+        F.sum("dv").alias("sv"),
+    ).collect()[0]
+    dt = time.time() - t0
+    # survivors: every key except the u % 10 == 0 deletes; winning
+    # change is round 7 ⇒ id = 7*keys + u ⇒ dv = (7*keys + u) % 1000
+    survivors = spark.range(keys).where(F.col("id") % 10 != 0)
+    want = survivors.agg(
+        F.count("*").alias("n"),
+        F.sum(((F.lit(7 * keys) + F.col("id")) % 1000).cast("double")).alias(
+            "sv"
+        ),
+    ).collect()[0]
+    assert (got["n"], got["sv"]) == (want["n"], want["sv"])
+    print(f"\ncdc bootstrap resume 1M keys / 8M rows wall: {dt:.1f}s")
+    assert dt < 590

@@ -356,3 +356,68 @@ def test_pin_shards_to_checkpoint_sidecar(spark, tmp_path):
         pin_shards_to_checkpoint(spark, ckpt, 257, "funnel_stream")
     with pytest.raises(ValueError, match=">= 1"):
         pin_shards_to_checkpoint(spark, str(tmp_path / "c2"), 0, "x")
+
+
+def test_pin_shards_with_real_checkpoint(spark, tmp_path):
+    """Operational flow: the sidecar lives INSIDE a real checkpoint dir
+    (Spark must tolerate the foreign file), a same-count rebuild resumes
+    cleanly from the checkpoint, and a resized rebuild is refused at
+    build time — before any state is touched."""
+    import pytest
+
+    from emiproc_spark.streaming.streams import (
+        funnel_stream,
+        pin_shards_to_checkpoint,
+    )
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    steps = ["view", "click"]
+
+    def user_events(uid, order):
+        df = spark.createDataFrame(
+            [
+                (uid * 100 + 1, uid, "view"),
+                (uid * 100 + 2, uid, "click"),
+                (uid * 100 + 9, uid, "__flush__"),
+            ],
+            "us long, user_id long, event_type string",
+        ).select(
+            F.expr("timestamp_micros(us)").alias("ts"),
+            "user_id",
+            "event_type",
+        )
+        _add_file(df, src, order)
+
+    def build(n):
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string"
+        ).parquet(src)
+        out = funnel_stream(stream, steps, n_shards=n)
+        pin_shards_to_checkpoint(spark, ckpt, n, "funnel_stream")
+        return out
+
+    def run(out):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.read.parquet(out_dir)
+
+    user_events(1, 0)
+    assert run(build(7)).count() == 1
+    # same count: validates against the sidecar, resumes the REAL
+    # checkpoint, and processes only the new file
+    user_events(2, 1)
+    got = run(build(7))
+    assert got.count() == 2
+    assert {r["user_id"] for r in got.collect()} == {1, 2}
+    # resized rebuild: refused at BUILD, before start() could remap keys
+    with pytest.raises(ValueError, match="n_shards=7 but this build"):
+        build(13)
