@@ -184,7 +184,13 @@ def export_fluxie(
                 # uses this sf_tab shape, operators/temporal.py).  The
                 # products are bit-identical: same expression, same
                 # inputs, same multiply.
-                dims = e.select("category", "substance").distinct()
+                # localCheckpoint: the guard's count and the broadcast
+                # build share one scan of the year's facts
+                dims = (
+                    e.select("category", "substance")
+                    .distinct()
+                    .localCheckpoint(eager=True)
+                )
                 # named error instead of a broadcast OOM for a
                 # combo-explosive caller (the dimension-side plan's
                 # low-cardinality contract, r10 advisor)

@@ -528,7 +528,13 @@ def hourly_emission_stream(
     # here it removes an inventory-sized expression pass per tick).
     # Persist both static sides: without it every micro-batch would
     # rescan the inventory and rebuild the profile broadcasts.
-    dims = emissions.select("category", "substance").distinct()
+    # localCheckpoint: the guard's count and every micro-batch's dim
+    # rebuild read the materialized distinct, not the inventory source
+    dims = (
+        emissions.select("category", "substance")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     # one batch count at query BUILD (the inventory is static): a
     # combo-explosive caller fails with a named error here instead of a
     # per-micro-batch broadcast OOM.  Budget = one tick's worth of dim
