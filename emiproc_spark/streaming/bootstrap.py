@@ -40,6 +40,11 @@ history (``funnel_user_steps``, ``operators.history.latest_snapshot``
 / ``apply_changelog``), or for near-dup simply the processed corpus —
 all recomputable far cheaper than a stateful replay, and typically
 already materialized by the nightly batch jobs.
+
+After bootstrapping, pin the NEW incarnation's shard count to its
+fresh checkpoint with ``streams.pin_shards_to_checkpoint`` so the next
+resize is a startup error instead of the silent divergence that forced
+this flow in the first place.
 """
 
 from __future__ import annotations
