@@ -24,15 +24,14 @@ documented upgrade paths sit under the driver's hash check).
 
 from __future__ import annotations
 
-import glob
 import os
-import shutil
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from emiproc_spark import fixtures as fx
+from emiproc_spark.streaming.bootstrap import write_ordered_file
 
 _FR_STEPS = ["view", "click", "purchase"]
 #: stream_funnel_resume shard counts — deliberately different primes so
@@ -40,22 +39,6 @@ _FR_STEPS = ["view", "click", "purchase"]
 #: the bootstrap module exists for)
 _FR_SHARDS = (67, 31)
 _CDC_BUCKETS = (53, 29)
-_MT = 1_700_000_000  # pinned mtime base: file source processes oldest-first
-
-
-def _ordered_file(df: DataFrame, d: str, order: int) -> None:
-    """Write ``df`` as ONE parquet file into ``d`` with a pinned mtime,
-    so under ``maxFilesPerTrigger=1`` micro-batch ``order`` is exactly
-    this frame (the bootstrap-before-live arrangement the
-    ``streaming.bootstrap`` module docstring prescribes)."""
-    tmp = d + f".tmp{order}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-    os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, f"f{order}.parquet")
-    shutil.copyfile(part, dst)
-    os.utime(dst, (_MT + order * 100, _MT + order * 100))
-    shutil.rmtree(tmp)
 
 
 def q_stream_funnel_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -199,14 +182,14 @@ def q_stream_cdc_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     feed_b = ev.where(F.col("event_id") % 4 >= 2)
     d = fx.scratch_dir("emiproc_cdc_resume_")
     a_dir, b_dir = os.path.join(d, "a"), os.path.join(d, "b")
-    _ordered_file(feed_a, a_dir, 0)
+    write_ordered_file(feed_a, a_dir, 0)
     # incarnation 2's source: bootstrap snapshot FIRST (older mtime),
     # then the live remainder — the operational arrangement the
     # bootstrap module prescribes; maxFilesPerTrigger=1 makes the
     # snapshot a real leading micro-batch, not a same-batch merge
     snapshot = latest_snapshot(feed_a, ["user_id"], ["tsn", "event_id"])
-    _ordered_file(cdc_bootstrap_changes(snapshot), b_dir, 0)
-    _ordered_file(feed_b, b_dir, 1)
+    write_ordered_file(cdc_bootstrap_changes(snapshot), b_dir, 0)
+    write_ordered_file(feed_b, b_dir, 1)
 
     schema = (
         "user_id long, tsn long, event_id long, event_type string, "

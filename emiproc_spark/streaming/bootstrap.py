@@ -52,6 +52,38 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: Deterministic mtime base used by :func:`write_ordered_file` — the
+#: file stream source orders files by modification time, so pinning
+#: mtimes (instead of trusting write-clock ordering) makes micro-batch
+#: order reproducible.
+ORDERED_FILE_MTIME_BASE = 1_700_000_000
+
+
+def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
+    """Write ``df`` as ONE parquet file into directory ``d`` with a
+    pinned mtime so that, under ``maxFilesPerTrigger=1``, micro-batch
+    ``order`` is exactly this frame.
+
+    This is the mechanical half of the module's operational contract —
+    "write the bootstrap frame as the FIRST file(s) of the new query's
+    file source": the file source processes files oldest-first, and
+    relying on wall-clock write order is racy at second granularity on
+    some filesystems.  Local-filesystem paths only (the mtime pin goes
+    through ``os.utime``)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    tmp = d + f".tmp{order}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
+    _os.makedirs(d, exist_ok=True)
+    dst = _os.path.join(d, f"f{order}.parquet")
+    _shutil.copyfile(part, dst)
+    t = ORDERED_FILE_MTIME_BASE + order * 100
+    _os.utime(dst, (t, t))
+    _shutil.rmtree(tmp)
+
 
 def funnel_bootstrap_events(
     snapshot: DataFrame,

@@ -139,9 +139,12 @@ def pin_shards_to_checkpoint(
     I/O goes through the Hadoop ``FileSystem`` API, so the sidecar
     lands on whatever filesystem the checkpoint uses (HDFS, S3A, local)
     — the same durability domain as the state it describes.  The write
-    is not transactional with the checkpoint itself; on a brand-new
-    checkpoint dir a crash between sidecar write and first commit just
-    leaves a sidecar that the retry re-validates.
+    is not transactional with the checkpoint itself; a crash between
+    ``create()`` and the write leaves an EMPTY sidecar, which the retry
+    treats as absent and rewrites.  A non-empty sidecar that does not
+    parse is NOT silently rewritten (it may be a mangled record of a
+    real pin): it raises a named error telling the operator where the
+    file is and what to do.
     """
     import json
 
@@ -154,29 +157,51 @@ def pin_shards_to_checkpoint(
         checkpoint_location.rstrip("/") + "/" + SHARDS_SIDECAR
     )
     fs = side.getFileSystem(hconf)
-    if fs.exists(side):
-        stream_in = fs.open(side)
+
+    def _unreadable(ex):
+        return ValueError(
+            f"shard sidecar {checkpoint_location.rstrip('/')}/"
+            f"{SHARDS_SIDECAR} is unreadable ({ex!r}) — it should be "
+            '{"stream": ..., "n_shards": ...}.  Restore it from the '
+            "query build log (derive_shards/pin_shards log the "
+            "count) or delete it to re-pin, but only if the "
+            "checkpoint's real shard count is known."
+        )
+
+    raw = b""
+    exists = fs.exists(side)
+    if exists:
         try:
-            raw = bytes(
-                jvm.org.apache.commons.io.IOUtils.toByteArray(stream_in)
-            )
-        finally:
-            stream_in.close()
-        rec = json.loads(raw.decode("utf-8"))
-        if rec.get("stream") != stream or int(rec["n_shards"]) != n_shards:
+            stream_in = fs.open(side)
+            try:
+                raw = bytes(
+                    jvm.org.apache.commons.io.IOUtils.toByteArray(stream_in)
+                )
+            finally:
+                stream_in.close()
+        except Exception as ex:  # checksum/permission errors via py4j
+            raise _unreadable(ex) from ex
+    if exists and raw.strip():
+        try:
+            rec = json.loads(raw.decode("utf-8"))
+            rec_stream, rec_n = rec.get("stream"), int(rec["n_shards"])
+        except (ValueError, KeyError, AttributeError) as ex:
+            raise _unreadable(ex) from ex
+        if rec_stream != stream or rec_n != n_shards:
             raise ValueError(
                 f"checkpoint {checkpoint_location!r} was written by "
-                f"stream={rec.get('stream')!r} with n_shards="
-                f"{rec.get('n_shards')} but this build uses "
-                f"stream={stream!r} n_shards={n_shards} — resuming would "
-                "silently remap keys to different shards and strand the "
-                "old shards' state.  Rebuild with the recorded count, or "
-                "bootstrap a FRESH checkpoint from a batch snapshot "
-                "(streaming.bootstrap) to resize."
+                f"stream={rec_stream!r} with n_shards={rec_n} but this "
+                f"build uses stream={stream!r} n_shards={n_shards} — "
+                "resuming would silently remap keys to different shards "
+                "and strand the old shards' state.  Rebuild with the "
+                "recorded count, or bootstrap a FRESH checkpoint from a "
+                "batch snapshot (streaming.bootstrap) to resize."
             )
         return n_shards
     payload = json.dumps({"stream": stream, "n_shards": n_shards}).encode()
-    out_stream = fs.create(side, False)  # noqa: FBT003 — no overwrite
+    # overwrite only the crash-remnant empty file; a fresh pin must not
+    # clobber a sidecar that appeared between the exists() check and now
+    out_stream = fs.create(side, exists)
     try:
         out_stream.write(payload)
     finally:
@@ -528,18 +553,21 @@ def hourly_emission_stream(
     # here it removes an inventory-sized expression pass per tick).
     # Persist both static sides: without it every micro-batch would
     # rescan the inventory and rebuild the profile broadcasts.
-    # localCheckpoint: the guard's count and every micro-batch's dim
-    # rebuild read the materialized distinct, not the inventory source
-    dims = (
-        emissions.select("category", "substance")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # NO localCheckpoint here (unlike the batch expansions): a stream
+    # holds its plan for days, and truncating dims' lineage onto
+    # executor-local checkpoint blocks would turn any executor loss
+    # into a permanent "checkpoint block not found" query failure —
+    # the plain distinct stays recomputable from the inventory source.
+    dims = emissions.select("category", "substance").distinct()
     # one batch count at query BUILD (the inventory is static): a
     # combo-explosive caller fails with a named error here instead of a
-    # per-micro-batch broadcast OOM.  Budget = one tick's worth of dim
-    # rows times the hour horizon, matching the batch expansion's guard.
-    check_sf_dim_budget(dims, year_hours, "hourly_emission_stream")
+    # per-micro-batch broadcast OOM.  Unlike the batch expansions the
+    # per-micro-batch sf table is combos × the FEW ticks in that batch
+    # (rate-source paced), so the guarded quantity is the combos-sized
+    # static side itself (broadcast in the stream-static join and
+    # persisted below) — ticks = 1, NOT the year horizon, which would
+    # reject inventories whose streams ran fine (r11 review).
+    check_sf_dim_budget(dims, 1, "hourly_emission_stream")
     static_dim = attach_profiles(dims, tprofile_index, tprofiles).persist()
     facts = emissions.persist()
     sf = composite_scaling_factor(
@@ -725,6 +753,11 @@ def near_dup_stream(
         # stop-shingle bucket.
         from pyspark.sql import Window
 
+        # the rank self-join evaluates its input twice, and the overlap
+        # dedup below references it three more times — checkpoint the
+        # banded frame so the shingle/minhash pipeline runs ONCE (lazy:
+        # materializes on first use; the hamming_pairs pattern)
+        banded = banded.localCheckpoint(eager=False)
         if has_bs:
             # mirror the fold's seen-set dedup: a live row whose id is
             # ALSO bootstrap-flagged in the same frame (same bucket) is

@@ -4,9 +4,7 @@ batch snapshot via streaming.bootstrap, must produce the same results
 as replaying the full source — without re-emitting the history's
 output (the operational cost the helpers exist to avoid)."""
 
-import glob
 import os
-import shutil
 import uuid
 
 from pyspark.sql import functions as F
@@ -15,24 +13,9 @@ from emiproc_spark.streaming.bootstrap import (
     cdc_bootstrap_changes,
     funnel_bootstrap_events,
     neardup_bootstrap_docs,
+    write_ordered_file as _add_file,  # the packaged pinned-mtime writer
 )
 from emiproc_spark.streaming.streams import run_available_now
-
-_MT = 1_700_000_000  # deterministic mtime base for file-source ordering
-
-
-def _add_file(df, d, order):
-    """Write df as ONE parquet file into d with a pinned mtime — the
-    file stream source processes files oldest-first, so `order` is the
-    micro-batch order under maxFilesPerTrigger=1."""
-    tmp = d + f".tmp{order}"
-    df.coalesce(1).write.mode("overwrite").parquet(tmp)
-    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-    os.makedirs(d, exist_ok=True)
-    dst = os.path.join(d, f"f{order}.parquet")
-    shutil.copyfile(part, dst)
-    os.utime(dst, (_MT + order * 100, _MT + order * 100))
-    shutil.rmtree(tmp)
 
 
 def _stream(spark, d, schema):
@@ -421,3 +404,53 @@ def test_pin_shards_with_real_checkpoint(spark, tmp_path):
     # resized rebuild: refused at BUILD, before start() could remap keys
     with pytest.raises(ValueError, match="n_shards=7 but this build"):
         build(13)
+
+
+def test_pin_shards_sidecar_crash_and_corruption(spark, tmp_path):
+    """An EMPTY sidecar (crash between create() and write) is a
+    rewritable remnant; a non-empty unparseable one is a named error
+    with recovery guidance, never a raw JSONDecodeError/KeyError."""
+    import json
+
+    import pytest
+
+    from emiproc_spark.streaming.streams import (
+        SHARDS_SIDECAR,
+        pin_shards_to_checkpoint,
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt)
+    side = os.path.join(ckpt, SHARDS_SIDECAR)
+    crc = os.path.join(ckpt, f".{SHARDS_SIDECAR}.crc")
+
+    def hand_write(content):
+        # a hand edit leaves the Hadoop local-FS checksum stale; drop it
+        # so the test exercises the PARSE failure paths (a stale crc
+        # itself also lands in the same named 'unreadable' error)
+        with open(side, "w") as fh:
+            fh.write(content)
+        if os.path.exists(crc):
+            os.remove(crc)
+
+    # crash remnant: zero bytes — the retry re-pins
+    open(side, "w").close()
+    assert pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream") == 64
+    with open(side) as fh:
+        assert json.load(fh)["n_shards"] == 64
+    # the pin above wrote through the Hadoop local FS, so a .crc exists;
+    # a hand edit now leaves it stale and the READ fails — must surface
+    # as the named error, not a raw Py4J ChecksumException
+    assert os.path.exists(crc)
+    with open(side, "w") as fh:
+        fh.write('{"stream": "funnel_stream", "n_shards": 999}')
+    with pytest.raises(ValueError, match="unreadable"):
+        pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream")
+    # truncated json: named error naming the file, not JSONDecodeError
+    hand_write('{"stream": "funnel_str')
+    with pytest.raises(ValueError, match="unreadable.*delete it to re-pin"):
+        pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream")
+    # parseable but missing the count key: same named error
+    hand_write('{"stream": "funnel_stream"}')
+    with pytest.raises(ValueError, match="unreadable"):
+        pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream")

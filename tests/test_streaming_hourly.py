@@ -51,3 +51,42 @@ def test_hourly_emission_stream(spark):
         assert ts[0].startswith("2024-01-01 00:00")
     finally:
         q.stop()
+
+
+def test_hourly_stream_guard_scales_with_combos_not_year(spark):
+    """The stream's per-micro-batch sf table is combos × the few ticks
+    in that batch, so the budget applies to the combos-sized static
+    side — an inventory above budget/year_hours combos (which the r11
+    batch-style guard would have rejected) must still BUILD; a
+    genuinely combo-explosive one must raise by combos alone."""
+    import pytest
+
+    from emiproc_spark.operators.temporal import SF_DIM_MAX_ROWS_CONF
+    from emiproc_spark.streaming.streams import hourly_emission_stream
+
+    idx = spark.createDataFrame(
+        [], "category string, substance string, profile_id int"
+    )
+    profs = spark.createDataFrame(
+        [], "profile_id int, ptype string, ratios array<double>"
+    )
+
+    def inventory(n_combos):
+        return spark.range(n_combos).select(
+            F.lit(0).alias("cell_id"),
+            F.concat(F.lit("c"), F.col("id")).alias("category"),
+            F.lit("CH4").alias("substance"),
+            F.lit(1.0).alias("value_kg_y"),
+        )
+
+    # 3000 combos x 8784 h = 26.4M > the 20M default budget, but the
+    # per-batch table is 3000 x ~1 — must build
+    out = hourly_emission_stream(spark, inventory(3000), idx, profs)
+    assert out.isStreaming
+    # combos alone past the budget still raises, loudly
+    spark.conf.set(SF_DIM_MAX_ROWS_CONF, "1000")
+    try:
+        with pytest.raises(ValueError, match="hourly_emission_stream.*2000"):
+            hourly_emission_stream(spark, inventory(2000), idx, profs)
+    finally:
+        spark.conf.unset(SF_DIM_MAX_ROWS_CONF)
