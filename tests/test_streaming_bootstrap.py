@@ -454,3 +454,87 @@ def test_pin_shards_sidecar_crash_and_corruption(spark, tmp_path):
     hand_write('{"stream": "funnel_stream"}')
     with pytest.raises(ValueError, match="unreadable"):
         pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream")
+
+
+def test_funnel_stream_resume_randomized_end_to_end(spark, tmp_path):
+    """The full stream_funnel_resume shape over randomized histories:
+    incarnation 1 (streamed) flushes a random 'old' subset over the
+    early half; incarnation 2 (streamed, DIFFERENT shard count)
+    bootstraps the rest from the batch snapshot, folds the late half,
+    and flushes.  The union must equal the batch funnel with each
+    user's horizon set by their phase — including users with timestamp
+    ties, step-less histories (all-NULL rows), early-only and late-only
+    activity."""
+    import random
+
+    from emiproc_spark.operators.behavior import funnel_user_steps
+    from emiproc_spark.streaming.streams import funnel_stream, run_available_now
+
+    rng = random.Random(90210)
+    steps = ["view", "click", "purchase"]
+    types = ["view", "click", "purchase", "noise"]
+    mid, horizon = 50, 100
+    rows = []
+    for u in range(200):
+        for _ in range(rng.randint(0, 10)):
+            rows.append((u, rng.randint(0, horizon - 1), rng.choice(types)))
+    old_users = {u for u in range(200) if rng.random() < 0.35}
+    ev = spark.createDataFrame(
+        rows, "user_id long, tsn long, event_type string"
+    ).select(
+        F.timestamp_seconds(F.col("tsn")).alias("ts"), "user_id", "event_type"
+    )
+    is_old = F.col("user_id").isin([int(u) for u in old_users])
+    early = ev.where(F.unix_timestamp("ts") <= mid)
+    late = ev.where(F.unix_timestamp("ts") > mid)
+
+    def sentinels(users):
+        return users.distinct().select(
+            F.timestamp_seconds(F.lit(horizon + 999)).alias("ts"),
+            "user_id",
+            F.lit("__flush__").alias("event_type"),
+        )
+
+    def run(df, d, n_shards):
+        df.coalesce(1).write.parquet(d)
+        stream = spark.readStream.schema(
+            "ts timestamp, user_id long, event_type string"
+        ).parquet(d)
+        res = run_available_now(
+            funnel_stream(stream, steps, n_shards=n_shards),
+            f"fr_rand_{uuid.uuid4().hex[:8]}", "append", timeout=180,
+        )
+        return {
+            r["user_id"]: (r["step1_ts"], r["step2_ts"], r["step3_ts"])
+            for r in res.collect()
+        }
+
+    got = run(
+        early.unionByName(sentinels(early.where(is_old).select("user_id"))),
+        str(tmp_path / "a"),
+        n_shards=11,
+    )
+    snap = funnel_user_steps(early.where(~is_old), steps)
+    got.update(
+        run(
+            funnel_bootstrap_events(snap, steps)
+            .unionByName(late.where(~is_old))
+            .unionByName(sentinels(ev.where(~is_old).select("user_id"))),
+            str(tmp_path / "b"),
+            n_shards=5,
+        )
+    )
+
+    def batch(df):
+        return {
+            r["user_id"]: (r["step1_ts"], r["step2_ts"], r["step3_ts"])
+            for r in funnel_user_steps(df, steps).collect()
+        }
+
+    want = batch(early.where(is_old))
+    want.update(batch(ev.where(~is_old)))
+    assert got == want
+    # the randomized history must actually exercise the interesting
+    # strata, not vacuously pass on an empty one
+    assert any(v[2] is not None for v in want.values())  # full chains
+    assert any(v == (None, None, None) for v in want.values())  # step-less
