@@ -538,3 +538,79 @@ def test_funnel_stream_resume_randomized_end_to_end(spark, tmp_path):
     # strata, not vacuously pass on an empty one
     assert any(v[2] is not None for v in want.values())  # full chains
     assert any(v == (None, None, None) for v in want.values())  # step-less
+
+
+def test_cdc_stream_resume_randomized_end_to_end(spark, tmp_path):
+    """The full stream_cdc_resume shape over randomized changelogs:
+    incarnation 1 (streamed) folds a random half of the feed;
+    incarnation 2 (streamed, DIFFERENT bucket count) bootstraps from
+    latest_snapshot over that half and folds the rest, bootstrap file
+    first.  The latest-ver read must equal the batch latest-wins over
+    the full feed — with duplicate timestamps (tiebreak decides),
+    deletes, revivals, and keys touched in only one phase."""
+    import random
+
+    from emiproc_spark.operators.history import latest_snapshot
+    from emiproc_spark.streaming.streams import (
+        changelog_state_stream,
+        run_available_now,
+    )
+
+    rng = random.Random(31337)
+    schema = (
+        "user_id long, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+    rows = [
+        (
+            rng.randint(0, 80),
+            rng.randint(0, 9),
+            i,
+            f"s{rng.randint(0, 3)}",
+            float(rng.randint(0, 99)),
+            "delete" if rng.random() < 0.25 else "upsert",
+        )
+        for i in range(600)
+    ]
+    in_a = {i for i in range(600) if rng.random() < 0.5}
+    all_ch = spark.createDataFrame(rows, schema)
+    ch_a = all_ch.where(F.col("event_id").isin([int(i) for i in in_a]))
+    ch_b = all_ch.where(~F.col("event_id").isin([int(i) for i in in_a]))
+
+    def run(d, n_buckets):
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(d)
+        )
+        res = run_available_now(
+            changelog_state_stream(stream, n_buckets=n_buckets),
+            f"cdc_rand_{uuid.uuid4().hex[:8]}", "update", timeout=180,
+        )
+        final = (
+            res.groupBy("k")
+            .agg(F.max_by(F.struct("op", "sv", "dv"), "ver").alias("s"))
+            .select("k", "s.op", "s.sv", "s.dv")
+            .where(F.col("op") != "delete")
+        )
+        return {r["k"]: (r["sv"], r["dv"]) for r in final.collect()}
+
+    a_dir, b_dir = str(tmp_path / "a"), str(tmp_path / "b")
+    _add_file(ch_a, a_dir, 0)
+    run(a_dir, n_buckets=13)  # incarnation 1 (state discarded at resize)
+    snap = latest_snapshot(ch_a, ["user_id"], ["tsn", "event_id"])
+    _add_file(cdc_bootstrap_changes(snap), b_dir, 0)
+    _add_file(ch_b, b_dir, 1)
+    got = run(b_dir, n_buckets=5)
+
+    want = {
+        r["user_id"]: (r["event_type"], r["value"])
+        for r in latest_snapshot(
+            all_ch, ["user_id"], ["tsn", "event_id"]
+        ).where(F.col("op") != "delete").collect()
+    }
+    assert got == want
+    # the random feed must exercise deletes surviving as final state
+    n_deleted = latest_snapshot(all_ch, ["user_id"], ["tsn", "event_id"]) \
+        .where(F.col("op") == "delete").count()
+    assert n_deleted > 0 and len(want) > 0
