@@ -1467,6 +1467,16 @@ _REVERIFY = [
     # cardinality guard (named error past the combo budget, r10
     # advisor) — the guard is a new count action on both query paths
     "temporal_expand", "fluxie_export",
+    # r11 review fixes: changelog_state_stream ranks NULL (ts, tiebreak)
+    # stamps below concrete ones (DESC NULLS LAST parity), carries the
+    # input key type, and gained the latest-wins batch fallback
+    "stream_cdc",
+    # sessionize_stream's fold now NULL-skips value sums (batch F.sum
+    # parity) instead of poisoning the session sum to NaN
+    "stream_sessionize",
+    # heavy_hitters_stream rejects batch input with a named error at
+    # build (previously an opaque AnalysisException at execution)
+    "stream_heavy",
 ]
 
 

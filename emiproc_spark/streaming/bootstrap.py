@@ -23,8 +23,13 @@ feature automates).
 
 Operationally: write the bootstrap frame as the FIRST file(s) of the
 new query's file source (older mtime than any live file — the file
-source processes oldest-first), or any equivalent
-processed-before-live arrangement.  Outputs during the bootstrap batch:
+source processes oldest-first; :func:`write_ordered_file` does this
+with pinned mtimes), or any equivalent processed-before-live
+arrangement.  Keep the bootstrap's mtime within the source's
+``maxFileAge`` (default 7 days, measured against the NEWEST listed
+file) — a distant-past stamp gets silently filtered out the moment a
+live file lands, partially rebuilding state with no error.  Outputs
+during the bootstrap batch:
 
 - ``funnel_bootstrap_events`` emits NOTHING (no flush sentinels ride
   along);
@@ -52,11 +57,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: Deterministic mtime base used by :func:`write_ordered_file` — the
-#: file stream source orders files by modification time, so pinning
-#: mtimes (instead of trusting write-clock ordering) makes micro-batch
-#: order reproducible.
-ORDERED_FILE_MTIME_BASE = 1_700_000_000
+#: How far behind "now" :func:`write_ordered_file` pins its first
+#: file's mtime.  Deliberately WELL INSIDE the file source's default
+#: ``maxFileAge`` (7 days): the source ignores files older than
+#: ``maxFileAge`` relative to the NEWEST file it has seen, so a
+#: bootstrap file stamped in the distant past would be silently
+#: skipped the moment any live file with a current mtime lands —
+#: partial state rebuild, silent divergence.  One hour back orders the
+#: bootstrap ahead of any live file written after it while staying
+#: ~167x inside the age cutoff.
+ORDERED_FILE_MTIME_LAG_S = 3600
 
 
 def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
@@ -68,11 +78,19 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
     "write the bootstrap frame as the FIRST file(s) of the new query's
     file source": the file source processes files oldest-first, and
     relying on wall-clock write order is racy at second granularity on
-    some filesystems.  Local-filesystem paths only (the mtime pin goes
-    through ``os.utime``)."""
+    some filesystems.  Mtimes are pinned NEAR now (``now − 1 h``,
+    stepping 1 s per ``order``) rather than to a fixed epoch — see
+    ``ORDERED_FILE_MTIME_LAG_S`` for why a distant-past stamp would
+    make the source's ``maxFileAge`` filter silently drop the
+    bootstrap.  If live files can lag the bootstrap write by more than
+    ~7 days, set the reader's ``maxFileAge`` option accordingly.
+    Local-filesystem paths only (the mtime pin goes through
+    ``os.utime``); the base is captured once per directory so repeated
+    calls keep a stable, strictly increasing order."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
+    import time as _time
 
     tmp = d + f".tmp{order}"
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -80,9 +98,18 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
     _os.makedirs(d, exist_ok=True)
     dst = _os.path.join(d, f"f{order}.parquet")
     _shutil.copyfile(part, dst)
-    t = ORDERED_FILE_MTIME_BASE + order * 100
+    base = _ORDERED_FILE_BASES.setdefault(
+        _os.path.abspath(d), _time.time() - ORDERED_FILE_MTIME_LAG_S
+    )
+    t = base + order
     _os.utime(dst, (t, t))
     _shutil.rmtree(tmp)
+
+
+#: Per-directory mtime base for :func:`write_ordered_file`, captured at
+#: the directory's first write so later orders stay strictly newer no
+#: matter how much wall-clock time the frames' computation takes.
+_ORDERED_FILE_BASES: dict[str, float] = {}
 
 
 def funnel_bootstrap_events(

@@ -4,9 +4,11 @@ The reference has no streaming runtime (its hourly export is a bounded
 batch loop, emiproc/exports/hourly.py:166-224) — SURVEY.md §1.4 marks
 Structured Streaming as an extension point, not a port requirement.
 These transformations are sink/source-agnostic: they accept either a
-batch or a streaming DataFrame (the logical plans are identical), so
-unit tests drive them with batch frames and production binds
-``readStream`` sources.
+batch or a streaming DataFrame (a batch input takes an equivalent
+window/join fallback), so unit tests drive them with batch frames and
+production binds ``readStream`` sources.  Exception:
+``heavy_hitters_stream`` is streaming-only (its batch counterpart is
+``operators.hotkeys.heavy_hitters``) and raises on batch input.
 
 CHECKPOINT COMPATIBILITY: the round-8 sharding rewrite changed the
 state schema of ``near_dup_stream`` / ``funnel_stream`` /
@@ -185,7 +187,9 @@ def pin_shards_to_checkpoint(
         try:
             rec = json.loads(raw.decode("utf-8"))
             rec_stream, rec_n = rec.get("stream"), int(rec["n_shards"])
-        except (ValueError, KeyError, AttributeError) as ex:
+        except (ValueError, KeyError, TypeError, AttributeError) as ex:
+            # TypeError: a JSON null/list n_shards; the rest: truncated
+            # or non-object JSON, missing key, non-utf8 bytes
             raise _unreadable(ex) from ex
         if rec_stream != stream or rec_n != n_shards:
             raise ValueError(
@@ -400,6 +404,13 @@ def sessionize_stream(
     State is O(keys), not O(events): each key holds four scalars, so a
     1000-executor cluster shards state by key hash and a 100 TB replay
     streams through without unbounded growth.
+
+    NULL ``value_col`` rows count toward ``n_events`` but not
+    ``sum_value`` (the batch fallback's ``F.sum`` semantics; a session
+    whose values are ALL NULL sums to NULL).  Caveat: pandas conflates
+    double NULL with NaN, so a literal NaN value is also treated as
+    missing here while the batch ``F.sum`` would propagate it — don't
+    feed meaningful NaNs.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -451,9 +462,23 @@ def sessionize_stream(
                 "session_start": [pd.Timestamp(start, unit="ms")],
                 "session_end": [pd.Timestamp(last, unit="ms")],
                 "n_events": [n],
-                "sum_value": [s],
+                # NaN is the all-values-NULL sentinel (see _add below);
+                # object dtype so Arrow ships a real NULL, not NaN
+                "sum_value": pd.array(
+                    [None if pd.isna(s) else float(s)], dtype=object
+                ),
             }
         )
+
+    def _add(a, b):
+        # NULL-skipping sum: NaN marks "no non-null values yet", so a
+        # NULL event leaves the accumulator untouched instead of
+        # poisoning it (the batch F.sum semantics)
+        if pd.isna(a):
+            return b
+        if pd.isna(b):
+            return a
+        return a + b
 
     def fn(key, pdfs, state):
         (k,) = key
@@ -476,7 +501,8 @@ def sessionize_stream(
             segs.append(list(state.get))
         for ts, v in zip(rows[ts_col], rows[value_col]):
             tms = int(pd.Timestamp(ts).value // 10**6)
-            segs.append([tms, tms, 1, float(v)])
+            # NULL value -> NaN seed: the event counts, its value doesn't
+            segs.append([tms, tms, 1, float("nan") if pd.isna(v) else float(v)])
         segs.sort(key=lambda g: (g[0], g[1]))
         merged = [segs[0]]
         for g in segs[1:]:
@@ -484,7 +510,7 @@ def sessionize_stream(
             if g[0] - m[1] <= gap_ms:
                 m[1] = max(m[1], g[1])
                 m[2] += g[2]
-                m[3] += g[3]
+                m[3] = _add(m[3], g[3])
             else:
                 merged.append(g)
         # segments are disjoint by > gap and start-ordered, so the final
@@ -558,7 +584,11 @@ def hourly_emission_stream(
     # executor-local checkpoint blocks would turn any executor loss
     # into a permanent "checkpoint block not found" query failure —
     # the plain distinct stays recomputable from the inventory source.
-    dims = emissions.select("category", "substance").distinct()
+    # Persist FIRST so the guard's count below populates the inventory
+    # cache the static sides and every micro-batch then reuse (count
+    # before persist paid one extra full inventory scan at build).
+    facts = emissions.persist()
+    dims = facts.select("category", "substance").distinct()
     # one batch count at query BUILD (the inventory is static): a
     # combo-explosive caller fails with a named error here instead of a
     # per-micro-batch broadcast OOM.  Unlike the batch expansions the
@@ -569,7 +599,6 @@ def hourly_emission_stream(
     # reject inventories whose streams ran fine (r11 review).
     check_sf_dim_budget(dims, 1, "hourly_emission_stream")
     static_dim = attach_profiles(dims, tprofile_index, tprofiles).persist()
-    facts = emissions.persist()
     sf = composite_scaling_factor(
         F.col("sim_ts"), F.col("__profs"), F.col("__guard")
     )
@@ -641,7 +670,8 @@ def near_dup_stream(
     artifact, not a duplicate cluster (the batch path's
     ``max_shingle_freq`` guard, restated for streams).  Arrivals beyond
     the cap pair against the members and are remembered as processed in
-    an overflow list bounded at 16·``max_bucket`` (so an at-least-once
+    an overflow list bounded at 15·``max_bucket`` — 16·``max_bucket``
+    remembered ids per bucket including members (so an at-least-once
     source redelivering them does not re-emit their pairs; past that
     bound the overflow FIFO-evicts and a very late redelivery may
     duplicate).
@@ -847,7 +877,7 @@ def near_dup_stream(
             # the first max_bucket ids are the pairing members;
             # later ids live in a bounded overflow so an
             # at-least-once source redelivering an over-cap doc
-            # does not re-emit its pairs (beyond 16x max_bucket
+            # does not re-emit its pairs (beyond 15x max_bucket
             # the overflow FIFO-evicts and a very late redelivery
             # may duplicate — the documented bound)
             seen = set(members)
@@ -931,12 +961,27 @@ def heavy_hitters_stream(
 
     ``col`` is cast to string for state packing; values must not
     contain the unit separator ``\\x1f`` (raises downstream).
+
+    ``n_buckets`` is part of the checkpoint's identity, exactly like
+    the sharded streams' counts (module docstring): resuming a
+    checkpoint under a different value silently remaps values to other
+    buckets while the old buckets' NoTimeout summaries persist stale —
+    pin it with the checkpoint (``pin_shards_to_checkpoint``).  Unlike
+    the MERGE/funnel/near-dup operators this sketch has no batch
+    fallback (use ``operators.hotkeys.heavy_hitters`` on bounded data),
+    so a batch input raises here instead of failing at execution.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     from emiproc_spark.operators.hotkeys import _mg_shrink, _misra_gries
 
+    if not stream.isStreaming:
+        raise ValueError(
+            "heavy_hitters_stream needs a streaming DataFrame — for "
+            "bounded data use operators.hotkeys.heavy_hitters (exact "
+            "same sketch, one pass)"
+        )
     if capacity < 1 or n_buckets < 1:
         raise ValueError(
             f"need capacity >= 1 and n_buckets >= 1, got {capacity}, {n_buckets}"
@@ -1198,6 +1243,13 @@ def changelog_state_stream(
     ``value_cols`` is (string_col, double_col) — the packed state
     schema is fixed; generalize by packing more columns into the
     per-key tuple if needed.
+
+    NULL ``ts_col``/``tb_col`` entries rank below every concrete value
+    (the batch operator's ``DESC NULLS LAST``): a NULL-stamped change
+    loses to any real one and wins only for a key that never received
+    a stamped change.  Keys of any orderable type pass through (the
+    output ``k`` column carries the input type); a batch input takes
+    the latest-wins window fallback, same output schema with ``ver=1``.
     """
     import pickle
 
@@ -1216,6 +1268,24 @@ def changelog_state_stream(
         F.col(op_col).alias("op"),
         F.pmod(F.xxhash64(key_col), F.lit(n_buckets)).alias("bucket"),
     )
+    key_type = dict(keyed.dtypes)["k"]
+
+    if not stream.isStreaming:
+        # batch fallback (the module contract): one latest-wins window,
+        # identical output schema — every key emitted once at ver=1,
+        # exactly what one availableNow micro-batch would produce
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("k").orderBy(
+            F.col("tsn").desc_nulls_last(), F.col("tb").desc_nulls_last()
+        )
+        return (
+            keyed.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .select("k", "sv", "dv", "op", F.lit(1).cast("long").alias("ver"))
+        )
+
+    _NULL_RANK = -(2**63)  # NULLS-LAST sentinel: loses to any real stamp
 
     def fn(key, pdfs, state):
         # bucket map: k -> (tsn, tb, sv, dv, op, ver)
@@ -1224,23 +1294,31 @@ def changelog_state_stream(
             m = pickle.loads(bytes(blob))
         else:
             m = {}
-        touched: set[int] = set()
+        touched: set = set()
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
             # vectorized per-key max over the batch slice: stable sort
             # then keep-last — one pandas pass instead of a Python loop
-            # over every row
-            top = pdf.sort_values(["tsn", "tb"]).drop_duplicates(
-                "k", keep="last"
-            )
+            # over every row.  na_position='first' so a NULL-stamped
+            # change loses the keep-last pick to any concrete stamp
+            # (the batch DESC NULLS LAST)
+            top = pdf.sort_values(
+                ["tsn", "tb"], na_position="first"
+            ).drop_duplicates("k", keep="last")
             for r in top.itertuples(index=False):
                 # a NULL key formed its own group under the old per-key
                 # grouping (Spark groupBy keeps null keys, matching the
                 # batch operator's PARTITION BY) — keep that identity
-                # as a None map entry instead of crashing on int(NaN)
-                k = None if pd.isna(r.k) else int(r.k)
-                tsn, tb = int(r.tsn), int(r.tb)
+                # as a None map entry instead of crashing on int(NaN);
+                # non-null keys keep their input type (numpy scalars
+                # unboxed so the pickled map stays plain-Python)
+                if pd.isna(r.k):
+                    k = None
+                else:
+                    k = r.k.item() if hasattr(r.k, "item") else r.k
+                tsn = _NULL_RANK if pd.isna(r.tsn) else int(r.tsn)
+                tb = _NULL_RANK if pd.isna(r.tb) else int(r.tb)
                 cur = m.get(k)
                 if cur is None or (tsn, tb) > (cur[0], cur[1]):
                     # a NULL change value must stay NULL — float()
@@ -1278,7 +1356,7 @@ def changelog_state_stream(
 
     return keyed.groupBy("bucket").applyInPandasWithState(
         fn,
-        "k long, sv string, dv double, op string, ver long",
+        f"k {key_type}, sv string, dv double, op string, ver long",
         "blob binary",
         "update",
         GroupStateTimeout.NoTimeout,

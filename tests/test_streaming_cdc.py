@@ -85,3 +85,88 @@ def test_stream_cdc_null_key_forms_its_own_group(spark, tmp_path):
     got = {r["k"]: (r["sv"], r["dv"]) for r in res.collect()}
     assert got[None] == ("b", 2.0)  # latest-wins fold ran for the NULL key
     assert got[7] == ("c", 3.0)
+
+
+def test_changelog_null_stamps_lose_and_dont_crash(spark, tmp_path):
+    """A NULL (ts, tiebreak) change must LOSE to any concrete-stamped
+    change for the same key (the batch DESC NULLS LAST) and win only
+    for keys that never saw a stamped change — and must never crash
+    the fold with int(NaN).  Batch fallback and stream must agree."""
+    import uuid
+
+    from emiproc_spark.streaming.streams import (
+        changelog_state_stream,
+        run_available_now,
+    )
+
+    schema = (
+        "user_id long, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+    rows = [
+        (1, None, None, "null_stamp", 9.0, "upsert"),  # loses to below
+        (1, 10, 100, "real", 1.0, "upsert"),
+        (2, None, 200, "tb_only", 2.0, "upsert"),      # NULL ts, real tb
+        (2, None, 201, "tb_only_hi", 3.0, "upsert"),   # higher tb wins
+        (3, None, None, "only_null", 4.0, "upsert"),   # alone: survives
+    ]
+    df = spark.createDataFrame(rows, schema)
+    want = {1: ("real", 1.0), 2: ("tb_only_hi", 3.0), 3: ("only_null", 4.0)}
+
+    batch = changelog_state_stream(df)
+    assert batch.columns == ["k", "sv", "dv", "op", "ver"]
+    got_b = {r["k"]: (r["sv"], r["dv"]) for r in batch.collect()}
+    assert got_b == want
+
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    out = changelog_state_stream(
+        spark.readStream.schema(schema).parquet(src), n_buckets=3
+    )
+    res = run_available_now(
+        out, f"cdc_null_{uuid.uuid4().hex[:8]}", "update", timeout=120
+    )
+    final = (
+        res.groupBy("k")
+        .agg(F.max_by(F.struct("sv", "dv"), "ver").alias("s"))
+        .select("k", "s.sv", "s.dv")
+    )
+    assert {r["k"]: (r["sv"], r["dv"]) for r in final.collect()} == want
+
+
+def test_changelog_string_keys_pass_through(spark, tmp_path):
+    """Non-numeric keys (e.g. string user ids) must ride the fold and
+    come back typed — the old fold hardcoded 'k long' and crashed at
+    int('u_42')."""
+    import uuid
+
+    from emiproc_spark.streaming.streams import (
+        changelog_state_stream,
+        run_available_now,
+    )
+
+    schema = (
+        "user_id string, tsn long, event_id long, event_type string, "
+        "value double, op string"
+    )
+    rows = [
+        ("u_1", 10, 1, "a", 1.0, "upsert"),
+        ("u_1", 20, 2, "b", 2.0, "upsert"),
+        ("u_2", 5, 3, "c", 3.0, "delete"),
+    ]
+    df = spark.createDataFrame(rows, schema)
+    want = {"u_1": ("b", "upsert"), "u_2": ("c", "delete")}
+
+    batch = changelog_state_stream(df)
+    assert dict(batch.dtypes)["k"] == "string"
+    assert {r["k"]: (r["sv"], r["op"]) for r in batch.collect()} == want
+
+    src = str(tmp_path / "in")
+    df.coalesce(1).write.parquet(src)
+    out = changelog_state_stream(
+        spark.readStream.schema(schema).parquet(src), n_buckets=3
+    )
+    res = run_available_now(
+        out, f"cdc_str_{uuid.uuid4().hex[:8]}", "update", timeout=120
+    )
+    assert {r["k"]: (r["sv"], r["op"]) for r in res.collect()} == want

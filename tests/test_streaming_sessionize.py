@@ -115,3 +115,58 @@ def test_sessionize_stream_late_event_not_absorbed(spark, tmp_path):
     # the 10:00 session
     assert (1, 4.0) in sessions
     assert (3, 7.0) not in sessions
+
+
+def test_sessionize_null_values_match_batch_sum(spark, tmp_path):
+    """A NULL value inside a session counts toward n_events but not
+    sum_value (the batch F.sum semantics); a session whose values are
+    ALL NULL sums to NULL — previously the stream poisoned the sum to
+    NaN while the batch skipped the NULL, a silent parity break."""
+    import uuid
+
+    from emiproc_spark.streaming.streams import run_available_now, sessionize_stream
+
+    schema = "ts timestamp, user_id long, value double"
+    rows = [
+        # user 1: one NULL among real values, one session
+        (1.0, 1, 10.0), (2.0, 1, None), (3.0, 1, 5.0),
+        # user 2: all-NULL session
+        (1.0, 2, None), (2.0, 2, None),
+    ]
+    df = spark.createDataFrame(
+        [(float(t), u, v) for t, u, v in rows], "tsf double, user_id long, value double"
+    ).select(
+        F.timestamp_seconds(F.col("tsf")).alias("ts"), "user_id", "value"
+    )
+    want = {1: (3, 15.0), 2: (2, None)}
+
+    batch = sessionize_stream(df, gap="30 seconds")
+    got_b = {
+        r["user_id"]: (r["n_events"], r["sum_value"]) for r in batch.collect()
+    }
+    assert got_b == want
+
+    # stream: close sessions via the event-time timeout (a far-future
+    # watermark-advancing event for an unrelated key)
+    src = str(tmp_path / "in")
+    df.unionByName(
+        spark.createDataFrame([(99,)], "user_id long").select(
+            F.timestamp_seconds(F.lit(10_000.0)).alias("ts"),
+            "user_id",
+            F.lit(0.0).alias("value"),
+        )
+    ).coalesce(1).write.parquet(src)
+    out = sessionize_stream(
+        spark.readStream.schema(schema).parquet(src),
+        gap="30 seconds",
+        watermark_delay="1 second",
+    )
+    res = run_available_now(
+        out, f"sess_null_{uuid.uuid4().hex[:8]}", "append", timeout=120
+    )
+    got_s = {
+        r["user_id"]: (r["n_events"], r["sum_value"])
+        for r in res.collect()
+        if r["user_id"] != 99
+    }
+    assert got_s == want
