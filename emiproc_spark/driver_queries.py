@@ -1477,6 +1477,22 @@ _REVERIFY = [
     # heavy_hitters_stream rejects batch input with a named error at
     # build (previously an opaque AnalysisException at execution)
     "stream_heavy",
+    # r11 dedup-module review fixes: verify_candidate_pairs
+    # canonicalizes pair orientation (a reversed duplicate no longer
+    # survives as two rows) — rotates every query through it or the
+    # shared minhash/curate stores built on it
+    "lsh_verified", "minhash_est", "lsh_quality",
+    "curate_corpus", "curation_gates",
+    # exact_duplicates excludes NULL-text docs (md5(NULL) grouped them
+    # into one fake duplicate group); passage_spans emits no spans for
+    # NULL/empty docs (md5('') collisions)
+    "dedup_exact", "passage_dedup",
+    # ngram_jaccard_pairs validates threshold + localCheckpoint instead
+    # of cache; setsim_join selects (id, text) instead of a rename that
+    # went ambiguous next to an existing doc_id; edit1_pairs backticks
+    # its key column; lsh_candidate_pairs_incremental validates that
+    # every new_docs id has signature rows
+    "ngram_jaccard", "setsim_exact", "fuzzy_join", "minhash_inc",
 ]
 
 

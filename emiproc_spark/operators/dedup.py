@@ -28,10 +28,16 @@ from emiproc_spark.operators.text import shingles, tokens
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Groups of byte-identical documents: (text_hash, n_docs, min_doc_id)
-    for groups with n_docs > 1."""
+    """Groups of byte-identical documents: (text_hash, n_docs,
+    keep_doc_id) for groups with n_docs > 1.
+
+    NULL-text docs are excluded: ``md5(NULL)`` is NULL and groupBy
+    collects NULL keys, so unfetched/failed rows would otherwise form
+    one giant fake "byte-identical" group whose members a curation pass
+    would then drop as duplicates of unknown content."""
     return (
-        docs.select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
+        docs.where(F.col(text_col).isNotNull())
+        .select("doc_id", F.md5(F.col(text_col)).alias("text_hash"))
         .groupBy("text_hash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
         .where(F.col("n_docs") > 1)
@@ -69,7 +75,15 @@ def ngram_jaccard_pairs(
     |A∩B| from the shingle self-join; |A∪B| = |A|+|B|−|A∩B| from the
     per-doc set sizes — no second pass over pairs.
     """
-    sh = doc_shingles(docs, text_col, n).cache()
+    if not 0.0 < threshold <= 1.0:
+        # the family contract (verify_candidate_pairs/setsim_join):
+        # threshold 0 would emit every shingle-sharing pair — a silent
+        # near-quadratic explosion instead of a loud error
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    # lazy localCheckpoint, not cache(): same multi-reference reuse, but
+    # the blocks free when the plan is GC'd instead of pinning executor
+    # storage until an explicit unpersist (band_signatures' pattern)
+    sh = doc_shingles(docs, text_col, n).localCheckpoint(eager=False)
     joinable = sh
     if max_shingle_freq is not None:
         # drop stop-shingles BEFORE the self-join (skew guard at scale);
@@ -78,7 +92,7 @@ def ngram_jaccard_pairs(
         freq = sh.groupBy("shingle").agg(F.count("*").alias("df"))
         joinable = sh.join(
             freq.where(F.col("df") <= max_shingle_freq).select("shingle"), "shingle", "semi"
-        ).cache()
+        ).localCheckpoint(eager=False)
     sizes = joinable.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = joinable.alias("a"), joinable.alias("b")
     inter = (
@@ -336,6 +350,7 @@ def lsh_candidate_pairs_incremental(
     new_docs: DataFrame,
     bands: int = 4,
     rows_per_band: int = 2,
+    validate_new_docs: bool = True,
 ) -> DataFrame:
     """Candidate pairs of an *incremental* dedup batch: every LSH pair
     with at least one side in ``new_docs`` (a one-column doc_id frame);
@@ -349,6 +364,14 @@ def lsh_candidate_pairs_incremental(
     ``lsh_candidate_pairs(...)`` filtered to pairs touching a new doc
     (pair order doc_a < doc_b), so verify-then-cluster pipelines
     compose unchanged.
+
+    ``validate_new_docs``: a ``new_docs`` id with NO signature row
+    (stale signature table, or the doc was dropped by the signature
+    build) would silently contribute zero candidates and read as "not
+    a duplicate" — by default such ids raise inside the returned plan
+    (the ``minhash_agreement`` loud-failure convention).  The check is
+    one extra pass over the signature ids per batch; pass ``False`` if
+    the caller has already reconciled the batch against the store.
     """
     banded = band_signatures(signatures, bands, rows_per_band)
     flagged = banded.join(
@@ -361,7 +384,7 @@ def lsh_candidate_pairs_incremental(
     # new×old pairs pass unconditionally (canonicalized via least/
     # greatest); new×new needs a.doc_id < b.doc_id so each unordered
     # pair is generated once, not twice
-    return (
+    out = (
         a.join(b, ["band", "band_hash"])
         .where((~F.col("b.__new")) | (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(
@@ -371,6 +394,29 @@ def lsh_candidate_pairs_incremental(
         .where(F.col("doc_a") != F.col("doc_b"))
         .distinct()
     )
+    if validate_new_docs:
+        # eager check at build: a lazy raise_error embedded in the
+        # returned plan is optimizer-fragile (a projected raise gets
+        # column-pruned by count(); a filtered raise gets predicate-
+        # pushed below the anti join and fires on VALID ids).  The
+        # anti-join is the documented extra pass; limit(1) keeps the
+        # driver transfer to one row.
+        missing = (
+            new_docs.select("doc_id")
+            .distinct()
+            .join(signatures.select("doc_id").distinct(), "doc_id", "left_anti")
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                f"lsh_candidate_pairs_incremental: new_docs id "
+                f"{missing[0]['doc_id']} has no signature rows — stale "
+                "signature table, or the doc was dropped by the "
+                "signature build (pass validate_new_docs=False if the "
+                "batch is already reconciled against the store)"
+            )
+    return out
 
 
 def verify_candidate_pairs(
@@ -395,10 +441,19 @@ def verify_candidate_pairs(
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # a duplicated input pair would double-count every common shingle
-    # (jaccard > 1); candidate generators usually emit distinct pairs,
-    # but don't rely on it
-    cand = pairs.select("doc_a", "doc_b").distinct()
+    # canonicalize BEFORE distinct: a duplicated input pair would
+    # double-count every common shingle (jaccard > 1), and a REVERSED
+    # duplicate (1,2)+(2,1) would survive a plain distinct as two
+    # output rows — dedup_keep_first would then drop BOTH docs.
+    # Self-pairs carry no information and are dropped.
+    cand = (
+        pairs.select(
+            F.least("doc_a", "doc_b").alias("doc_a"),
+            F.greatest("doc_a", "doc_b").alias("doc_b"),
+        )
+        .where(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
     cand_docs = (
         cand.select(F.col("doc_a").alias("doc_id"))
         .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
@@ -406,10 +461,12 @@ def verify_candidate_pairs(
     )
     # semi-filter BEFORE shingling: Catalyst won't push a semi join
     # below the explode+distinct, and at scale candidates are a small
-    # fraction of the corpus — non-candidate docs must never explode
+    # fraction of the corpus — non-candidate docs must never explode.
+    # Lazy localCheckpoint (not cache): reused thrice below, blocks
+    # free on GC instead of pinning storage
     sh = doc_shingles(
         docs.join(cand_docs, "doc_id", "semi"), text_col, n
-    ).cache()
+    ).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -459,12 +516,15 @@ def edit1_pairs(
     Returns (doc_a, doc_b, dist).
     """
     s = F.col(key_col)
+    # backtick-quote: a key_col like "url-key" or "a.b" would otherwise
+    # parse as arithmetic / a struct-field reference inside the expr
+    q = "`" + key_col.replace("`", "``") + "`"
     dels = F.when(
         F.length(s) > 0,
         F.expr(
-            f"transform(sequence(1, length({key_col})), i -> "
-            f"concat(substring({key_col}, 1, i-1), "
-            f"substring({key_col}, i+1, length({key_col}))))"
+            f"transform(sequence(1, length({q})), i -> "
+            f"concat(substring({q}, 1, i-1), "
+            f"substring({q}, i+1, length({q}))))"
         ),
     ).otherwise(F.array().cast("array<string>"))
     var = keys.where(s.isNotNull()).select(
@@ -664,8 +724,15 @@ def passage_spans(
     few-token tail span would hash-collide across unrelated documents
     ending in the same short token run, inflating false-positive
     duplicates.  Returns (id, p_idx, passage_hash).
+
+    NULL- and empty-text docs emit NO spans (the family convention):
+    they would otherwise all hash to md5('') and be reported as one
+    giant cross-corpus duplicated span, and a span-removal pass would
+    treat every empty doc as duplicated boilerplate.
     """
-    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    tok = docs.where(
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(id_col, tokens(F.col(text_col)).alias("__toks"))
     n_spans = F.greatest(
         F.lit(1), F.floor(F.size("__toks") / F.lit(float(win))).cast("int")
     )
@@ -1033,15 +1100,17 @@ def setsim_join(
 
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    # normalize the id ONCE up front: doc_shingles (and everything
-    # below) works in doc_id space, and the output columns are
-    # doc_a/doc_b anyway — renaming after doc_shingles raised
-    # AnalysisException for any non-default id_col (r6 advisor find)
-    d = docs if id_col == "doc_id" else docs.withColumnRenamed(id_col, "doc_id")
+    # normalize the id ONCE up front via select, which also prunes
+    # unrelated wide columns: doc_shingles (and everything below) works
+    # in doc_id space, and the output columns are doc_a/doc_b anyway —
+    # a rename raised AnalysisException for any non-default id_col (r6
+    # advisor), and withColumnRenamed produced an AMBIGUOUS doc_id when
+    # the frame already carried one next to a different id_col
+    d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     # the shingle relation feeds the frequency agg, the prefix ranks
-    # and (indirectly) the verify — cache it once (ngram_jaccard_pairs
-    # does the same)
-    sh = doc_shingles(d, text_col, n).cache()
+    # and (indirectly) the verify — lazy localCheckpoint, not cache()
+    # (blocks free on GC instead of pinning executor storage)
+    sh = doc_shingles(d, text_col, n).localCheckpoint(eager=False)
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     sized = sh.join(freq, "shingle")
     w = Window.partitionBy("doc_id").orderBy("__df", "shingle")

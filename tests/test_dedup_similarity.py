@@ -619,3 +619,112 @@ def test_kmeans_assign_map_only(spark):
     assert "Exchange" not in plan  # assignment is a pure scan
     got = {r["vec_id"]: (r["cluster"], r["dist_q12"]) for r in df.collect()}
     assert got == {0: (0, 0), 1: (1, 0)}
+
+
+def test_verify_pairs_canonicalizes_reversed_duplicates(spark):
+    """(1,2) and (2,1) are the SAME candidate: one output row, else a
+    keep-lowest pass downstream would drop both docs."""
+    from emiproc_spark.operators.dedup import (
+        dedup_keep_first,
+        verify_candidate_pairs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"),
+         (3, "totally different words here")],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (3, 3)], "doc_a long, doc_b long"
+    )
+    out = verify_candidate_pairs(docs, pairs, threshold=0.5).collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(1, 2)]
+    kept = dedup_keep_first(
+        docs, verify_candidate_pairs(docs, pairs, threshold=0.5)
+    )
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+
+
+def test_exact_duplicates_ignore_null_text(spark):
+    from emiproc_spark.operators.dedup import exact_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, None), (3, "same"), (4, "same")],
+        "doc_id long, text string",
+    )
+    rows = exact_duplicates(docs).collect()
+    assert len(rows) == 1 and rows[0]["keep_doc_id"] == 3
+
+
+def test_passage_spans_skip_null_and_empty_docs(spark):
+    from emiproc_spark.operators.dedup import passage_duplicates, passage_spans
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, ""), (4, "real words " * 30),
+         (5, "real words " * 30)],
+        "doc_id long, text string",
+    )
+    assert passage_spans(docs).where(F.col("doc_id") <= 3).count() == 0
+    dup = passage_duplicates(docs).collect()
+    # only the real twins duplicate; the empties form no md5('') group
+    assert all(r["keep_doc"] == 4 for r in dup) and len(dup) > 0
+
+
+def test_setsim_join_custom_id_next_to_doc_id(spark):
+    """A frame carrying BOTH a custom id_col and an unrelated doc_id
+    column must not produce an ambiguous reference."""
+    from emiproc_spark.operators.dedup import setsim_join
+
+    docs = spark.createDataFrame(
+        [(10, 99, "alpha beta gamma delta epsilon"),
+         (11, 98, "alpha beta gamma delta epsilon")],
+        "page_id long, doc_id long, text string",
+    )
+    out = setsim_join(docs, threshold=0.5, id_col="page_id").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(10, 11)]
+
+
+def test_edit1_pairs_non_identifier_column(spark):
+    from emiproc_spark.operators.dedup import edit1_pairs
+
+    keys = spark.createDataFrame(
+        [(1, "abc"), (2, "abd"), (3, "xyz")], "id long, `url-key` string"
+    )
+    out = edit1_pairs(keys, key_col="url-key", id_col="id")
+    # abc~abd within edit distance 1 via the 'ab' deletion bucket
+    assert {(r["doc_a"], r["doc_b"]) for r in out.collect()} == {(1, 2)}
+
+
+def test_ngram_jaccard_rejects_bad_threshold(spark):
+    import pytest
+
+    from emiproc_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="threshold"):
+        ngram_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_incremental_lsh_raises_on_dangling_new_doc(spark):
+    import pytest
+
+    from emiproc_spark.operators.dedup import (
+        lsh_candidate_pairs_incremental,
+        minhash_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon zeta") for i in range(4)],
+        "doc_id long, text string",
+    )
+    sigs = minhash_signatures(docs, k=8)
+    ok = spark.createDataFrame([(3,)], "doc_id long")
+    dangling = spark.createDataFrame([(3,), (99,)], "doc_id long")
+    assert lsh_candidate_pairs_incremental(sigs, ok).count() > 0
+    with pytest.raises(Exception, match="99 has no signature rows"):
+        lsh_candidate_pairs_incremental(sigs, dangling).count()
+    # opt-out restores the silent shape for pre-reconciled callers
+    n = lsh_candidate_pairs_incremental(
+        sigs, dangling, validate_new_docs=False
+    ).count()
+    assert n > 0
