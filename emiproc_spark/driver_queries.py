@@ -1493,6 +1493,24 @@ _REVERIFY = [
     # its key column; lsh_candidate_pairs_incremental validates that
     # every new_docs id has signature rows
     "ngram_jaccard", "setsim_exact", "fuzzy_join", "minhash_inc",
+    # r11 sampling/packing review fixes: the shard coin is now SALTED
+    # ("shard") so sampling-then-sharding doesn't collapse survivors
+    # into the lowest shards (oracles moved in lockstep); NULL size
+    # raises in pack/manifest
+    "seq_pack", "shard_plan",
+    # weighted_sample ranks the Efraimidis-Spirakis key in the log
+    # domain (pow underflowed to 0.0 for small weights, silently
+    # de-weighting the sample); oracle helper moved in lockstep
+    "weighted_sample", "wav_cycle",
+    # mixture_rates / temperature_rates: zero/NULL-token strata now get
+    # rate 0.0 instead of the silent 1.0 from least() skipping NULL
+    "data_mix", "temp_mix",
+    # decontaminate family raises on NULL doc_id (a contaminated
+    # keyless doc silently survived the anti join); bloom fpr validated
+    "decontaminate", "bloom_decon", "decon_spans",
+    # chunk_documents drops NULL/empty docs (junk NULL-chunk rows);
+    # cluster_split aliases its component join (ambiguity fix)
+    "doc_chunks", "cluster_split",
 ]
 
 

@@ -340,9 +340,9 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SQL_SHARDED = f"""
     SELECT doc_id, n_chars,
-           CAST(FLOOR({sp.sql_hash_fraction('doc_id')} * {PACK_SHARDS}) AS INT)
-               AS shard_id,
-           {sp.sql_hash_fraction('doc_id')} AS h
+           CAST(FLOOR({sp.sql_hash_fraction('doc_id', 'shard')} * {PACK_SHARDS})
+               AS INT) AS shard_id,
+           {sp.sql_hash_fraction('doc_id', 'shard')} AS h
     FROM documents
 """
 

@@ -426,9 +426,9 @@ SQL_CURATE_CORPUS = f"""{SQL_CURATE_CLEAN_CTES},
     sharded AS (
         SELECT doc_id,
                len(string_split(text, ' ')) AS n_tokens,
-               {sql_hash_fraction('doc_id')} AS h,
-               CAST(FLOOR({sql_hash_fraction('doc_id')} * {CURATE_SHARDS})
-                    AS INT) AS shard_id
+               {sql_hash_fraction('doc_id', 'shard')} AS h,
+               CAST(FLOOR({sql_hash_fraction('doc_id', 'shard')}
+                    * {CURATE_SHARDS}) AS INT) AS shard_id
         FROM clean
     ),
     o AS (

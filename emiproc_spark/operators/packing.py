@@ -42,6 +42,35 @@ def eval_ngrams(eval_docs: DataFrame, text_col: str = "text", n: int = 5) -> Dat
     ).distinct()
 
 
+def _checked_id(df: DataFrame, what: str, id_col: str = "doc_id") -> DataFrame:
+    """Replace ``id_col`` with a NULL-raising copy of itself.
+
+    Decontamination joins on the id: a NULL id never equals anything,
+    so a contaminated NULL-id doc would silently survive every
+    anti/semi join (NULL = NULL is unknown).  Embedding the raise in
+    the id column itself means the JOIN KEY evaluation fires it — keys
+    are evaluated for every row regardless of downstream column
+    pruning, which would silently skip a raise in a projected-only
+    column.  One honest gap: a consumer that lets Catalyst ELIMINATE
+    the join entirely (count() over a cardinality-preserving
+    unique-key left join, as in decontaminate_spans) evaluates no keys
+    and no raise — every consumer that reads the cleaned output does."""
+    dtype = dict(df.dtypes)[id_col]
+    return df.withColumn(
+        id_col,
+        F.when(
+            F.col(id_col).isNull(),
+            F.raise_error(
+                F.lit(
+                    f"{what}: NULL {id_col} — a keyless doc cannot be "
+                    "matched by the decontamination joins and would "
+                    "silently survive them; fill or drop keyless rows"
+                )
+            ).cast(dtype),
+        ).otherwise(F.col(id_col)),
+    )
+
+
 def decontaminate(
     corpus: DataFrame,
     eval_docs: DataFrame,
@@ -58,7 +87,11 @@ def decontaminate(
     no corpus shuffle.  At 100 TB the eval dictionary (even 10 M
     n-grams) broadcasts in one go; if it ever didn't, the same plan
     degrades gracefully to a shuffle join on the n-gram key.
+
+    A NULL ``doc_id`` raises (see ``_checked_id``): the anti join
+    would otherwise silently KEEP a contaminated keyless doc.
     """
+    corpus = _checked_id(corpus, "decontaminate")
     grams = F.broadcast(eval_ngrams(eval_docs, text_col, n))
     tok = corpus.select("doc_id", tokens(F.col(text_col)).alias("toks"))
     doc_grams = tok.select(
@@ -75,6 +108,10 @@ def _bloom_layout(n_items: int, fpr: float) -> tuple[int, int]:
     sized to ``n_items`` at false-positive rate ``fpr``."""
     import math
 
+    if not 0.0 < fpr < 1.0:
+        # fpr >= 1 gives m = 0 and pmod(x, 0) = NULL, crashing far from
+        # the cause; fpr <= 0 is a bare math domain error
+        raise ValueError(f"fpr must be in (0, 1), got {fpr}")
     n_items = max(n_items, 1)
     m = int(math.ceil(-n_items * math.log(fpr) / (math.log(2) ** 2)))
     m = ((m + 63) // 64) * 64
@@ -117,10 +154,11 @@ def decontaminate_bloom(
 
     The bitset itself is built distributed (explode n-grams × k seeds →
     bit positions → per-word ``bit_or``) — only the m/64-row word table
-    is collected.
+    is collected.  NULL ``doc_id`` raises (see ``_checked_id``).
     """
     from pyspark.sql.functions import pandas_udf
 
+    corpus = _checked_id(corpus, "decontaminate_bloom")
     spark = corpus.sparkSession
     grams = eval_ngrams(eval_docs, text_col, n).localCheckpoint(eager=False)
     n_grams = grams.count()
@@ -175,14 +213,25 @@ def decontaminate_bloom(
 
 
 def assign_shards(
-    docs: DataFrame, n_shards: int, key_col: str = "doc_id"
+    docs: DataFrame, n_shards: int, key_col: str = "doc_id",
+    salt: str = "shard",
 ) -> DataFrame:
     """Deterministic shard id in [0, n_shards) from the stable key —
     map-only, reproducible across runs/engines (md5-derived, not
-    ``spark_partition_id`` which depends on physical layout)."""
+    ``spark_partition_id`` which depends on physical layout).
+
+    The coin is SALTED (default ``"shard"``): the samplers'
+    default-salt filters (``sample_fraction``/``stratified_sample``/
+    ``weighted_sample``) keep exactly the rows whose UNSALTED fraction
+    is small, so an unsalted shard id computed from the same fraction
+    would collapse every sampled survivor into the lowest shards
+    (sample 10% → 16 shards → everything in shards 0-1).  An
+    independent salt decorrelates the two decisions, per
+    ``hash_fraction``'s own contract.
+    """
     return docs.withColumn(
         "shard_id",
-        F.floor(hash_fraction(F.col(key_col)) * n_shards).cast("int"),
+        F.floor(hash_fraction(F.col(key_col), salt) * n_shards).cast("int"),
     )
 
 
@@ -192,6 +241,7 @@ def pack_sequences(
     n_shards: int = 16,
     size_col: str = "n_tokens",
     key_col: str = "doc_id",
+    salt: str = "shard",
 ) -> DataFrame:
     """Concat-and-chunk packing plan: each document's placement when the
     shard's documents are concatenated in deterministic order and cut
@@ -207,18 +257,39 @@ def pack_sequences(
     window cumsum runs per shard: parallelism = ``n_shards``, pick it
     ≥ cluster cores for full occupancy (each shard's windowed sort is
     one task over corpus/n_shards rows).
+
+    The shard coin is salted (``"shard"``, matching
+    :func:`assign_shards` — see its docstring for why an unsalted coin
+    collapses sampled corpora into the lowest shards).  A NULL
+    ``size_col`` raises: the window sum would silently skip it,
+    shifting every later doc's offsets off the real token stream — a
+    packing plan that no longer lines up with the data is silent
+    corruption, not a recoverable default.
     """
     if ctx_len < 1 or n_shards < 1:
         raise ValueError(
             f"ctx_len and n_shards must be >= 1, got ctx_len={ctx_len}, "
             f"n_shards={n_shards}"
         )
+    size = F.when(
+        F.col(size_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"pack_sequences: NULL {size_col} for {key_col}="),
+                F.col(key_col).cast("string"),
+                F.lit(" — compute sizes first; a skipped NULL would "
+                      "silently misalign every later offset"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(size_col).cast("long"))
     # ONE hash evaluation per row: shard_id derives from the same
     # fraction (identical to assign_shards' formula) instead of paying
     # a second md5 pass over the corpus
-    sharded = docs.withColumn("_h", hash_fraction(F.col(key_col))).withColumn(
+    sharded = docs.withColumn(
+        "_h", hash_fraction(F.col(key_col), salt)
+    ).withColumn(
         "shard_id", F.floor(F.col("_h") * n_shards).cast("int")
-    )
+    ).withColumn("__sz", size)
     w = (
         Window.partitionBy("shard_id")
         .orderBy("_h", key_col)
@@ -226,7 +297,7 @@ def pack_sequences(
     )
     return (
         sharded.withColumn(
-            "start_offset", F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+            "start_offset", F.coalesce(F.sum("__sz").over(w), F.lit(0)).cast("long")
         )
         .withColumn("seq_first", F.floor(F.col("start_offset") / ctx_len).cast("int"))
         .withColumn(
@@ -237,7 +308,7 @@ def pack_sequences(
             F.greatest(
                 F.col("seq_first"),
                 F.floor(
-                    (F.col("start_offset") + F.col(size_col) - 1) / ctx_len
+                    (F.col("start_offset") + F.col("__sz") - 1) / ctx_len
                 ).cast("int"),
             ),
         )
@@ -254,13 +325,25 @@ def shard_manifest(
     """Per-shard manifest: ``(shard_id, n_docs, total_tokens)`` — the
     dimension-sized table a data loader uses to schedule epochs.  One
     hash-agg with map-side partials; the hash sharding keeps shard sizes
-    balanced to ~±sqrt tolerance without a sort."""
+    balanced to ~±sqrt tolerance without a sort.  A NULL ``size_col``
+    raises (a skipped NULL silently under-reports the shard's tokens —
+    the :func:`pack_sequences` contract)."""
+    size = F.when(
+        F.col(size_col).isNull(),
+        F.raise_error(
+            F.concat(
+                F.lit(f"shard_manifest: NULL {size_col} for {key_col}="),
+                F.col(key_col).cast("string"),
+                F.lit(" — compute sizes first"),
+            )
+        ).cast("long"),
+    ).otherwise(F.col(size_col).cast("long"))
     return (
         assign_shards(docs, n_shards, key_col)
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum(size_col).cast("long").alias("total_tokens"),
+            F.sum(size).cast("long").alias("total_tokens"),
         )
     )
 
@@ -282,10 +365,16 @@ def chunk_documents(
     no shuffle, no UDF — a 100 TB corpus chunks at scan speed and the
     output inherits the input partitioning (good for writing alongside
     the source shards).
+
+    NULL- and empty-text docs emit NO chunks (the family convention —
+    they previously emitted one junk row with NULL chunk_text that
+    would flow into a RAG index as a null document).
     """
     if stride < 1 or size < 1:
         raise ValueError("size and stride must be >= 1")
-    toks = docs.select(
+    toks = docs.where(
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     n = F.size("__toks")
@@ -327,7 +416,11 @@ def decontaminate_spans(
     eval dictionary → per-doc hit-position list (one shuffle, hits only
     — clean docs never shuffle) → broadcast-size join back onto the
     corpus scan → token filtering as array expressions.  No UDF.
+    NULL ``doc_id`` raises (see ``_checked_id``): the hits would never
+    join back onto a keyless doc, which would pass through uncleaned
+    with n_hits = 0.
     """
+    corpus = _checked_id(corpus, "decontaminate_spans")
     grams = F.broadcast(eval_ngrams(eval_docs, text_col, n))
     tok = corpus.select("doc_id", tokens(F.col(text_col)).alias("__toks"))
     hits = (

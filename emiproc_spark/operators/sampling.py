@@ -112,6 +112,11 @@ def mixture_rates(
     rate_s = min(1, budget·w_s / tokens_s): one hash-agg over the corpus
     (map-side partials), the rest is arithmetic on a dimension-sized
     table.  Feed the result to :func:`apply_mixture`.
+
+    A stratum whose token sum is zero or all-NULL gets rate 0.0 —
+    an unguarded ``budget·w/0`` is NULL, which ``F.least`` SKIPS,
+    silently producing rate 1.0 and keeping the entire unsampled
+    source (the same hazard :func:`mixture_plan` documents and guards).
     """
     spark = df.sparkSession
     wsum = sum(weights.values())
@@ -120,14 +125,18 @@ def mixture_rates(
         f"{stratum_col} string, weight double",
     )
     totals = df.groupBy(stratum_col).agg(F.sum(size_col).alias("stratum_tokens"))
+    tokens = F.coalesce(F.col("stratum_tokens").cast("double"), F.lit(0.0))
     return (
         totals.join(w_df, stratum_col, "inner")
         .select(
             stratum_col,
-            F.least(
-                F.lit(1.0),
-                F.lit(float(token_budget)) * F.col("weight") / F.col("stratum_tokens"),
-            ).alias("rate"),
+            F.when(
+                tokens > 0.0,
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(token_budget)) * F.col("weight") / tokens,
+                ),
+            ).otherwise(F.lit(0.0)).alias("rate"),
         )
     )
 
@@ -281,6 +290,11 @@ def temperature_rates(
     One hash-agg over the corpus; the exponentiation and normalization
     run on the dimension-sized per-source table (window over strata —
     bounded by the number of sources).  Feed to :func:`apply_mixture`.
+
+    A zero/all-NULL-token stratum gets rate 0.0 AND weight 0 in the
+    normalization (pow(0, τ) would give it a full uniform share at
+    τ=0) — the same F.least-skips-NULL hazard :func:`mixture_rates`
+    guards.
     """
     from pyspark.sql import Window
 
@@ -289,17 +303,24 @@ def temperature_rates(
     totals = df.groupBy(stratum_col).agg(F.sum(size_col).alias("stratum_tokens"))
     # dimension-sized global window: one row per source
     w = Window.partitionBy()
+    tokens = F.coalesce(F.col("stratum_tokens").cast("double"), F.lit(0.0))
     powed = totals.withColumn(
-        "__p", F.pow(F.col("stratum_tokens").cast("double"), float(temperature))
+        "__p",
+        F.when(tokens > 0.0, F.pow(tokens, float(temperature))).otherwise(
+            F.lit(0.0)
+        ),
     )
     return powed.select(
         stratum_col,
-        F.least(
-            F.lit(1.0),
-            F.lit(float(token_budget))
-            * (F.col("__p") / F.sum("__p").over(w))
-            / F.col("stratum_tokens"),
-        ).alias("rate"),
+        F.when(
+            tokens > 0.0,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(token_budget))
+                * (F.col("__p") / F.sum("__p").over(w))
+                / tokens,
+            ),
+        ).otherwise(F.lit(0.0)).alias("rate"),
     )
 
 
@@ -342,11 +363,19 @@ def weighted_sample(
     salt: str = "",
 ) -> DataFrame:
     """Deterministic weighted sampling without replacement
-    (Efraimidis–Spirakis A-Res): the k rows with the largest
-    ``u^(1/w)``, where ``u`` is the row's :func:`hash_fraction` coin —
-    each row's inclusion probability is proportional to its weight,
-    and the selection is a pure function of (key, salt), reproducible
-    across runs, engines, and partitionings.
+    (Efraimidis–Spirakis A-Res): the k rows with the largest ES key
+    ``u^(1/w)``, ranked in the LOG DOMAIN as ``ln(u)/w`` (``u`` is the
+    row's :func:`hash_fraction` coin) — each row's inclusion
+    probability is proportional to its weight, and the selection is a
+    pure function of (key, salt), reproducible across runs, engines,
+    and partitionings.
+
+    Log domain matters: the direct ``pow(u, 1/w)`` UNDERFLOWS to
+    exactly 0.0 for small weights (normalized weights over a large
+    corpus, w ≈ 1e-6 ⇒ 99.9% of rows score 0.0), silently turning the
+    "weighted sample" into smallest-key-first tie-breaking.
+    ``ln(u)/w`` orders identically (exp is monotone) and never
+    underflows this way.
 
     ``by`` selects k per group instead of k overall.  Rows with NULL or
     non-positive weight have selection probability 0 and are excluded.
@@ -355,10 +384,10 @@ def weighted_sample(
     (per-partition partial top-k, no global sort); the grouped form is
     one shuffle on ``by`` + a windowed row_number.
 
-    NOTE (cross-engine parity): ``pow`` differs from other engines'
-    libm in the last ulp for ~5% of inputs, so compare *selections*,
-    not the score values — a flip requires two scores within 1 ulp
-    exactly at rank k.
+    NOTE (cross-engine parity): ``ln`` differs from other engines'
+    libm in the last ulp for a small share of inputs, so compare
+    *selections*, not the score values — a flip requires two scores
+    within 1 ulp exactly at rank k.
     """
     if k < 1:
         raise ValueError(f"weighted_sample: k must be >= 1, got {k}")
@@ -366,10 +395,15 @@ def weighted_sample(
     w = F.col(weight_col).cast("double")
     # NaN > 0 is TRUE in Spark's ordering and a NaN score sorts above
     # every real score — without the isnan() exclusion a NaN-weighted
-    # row would always win a slot
+    # row would always win a slot.  The u > 0 guard covers the
+    # 2^-53-probability exact-zero coin (ln(0) is NULL in Spark, which
+    # would sort unpredictably; -inf is the correct minimal score).
     d = df.where(
         F.col(weight_col).isNotNull() & ~F.isnan(w) & (w > 0)
-    ).withColumn("__es", F.pow(u, F.lit(1.0) / w))
+    ).withColumn(
+        "__es",
+        F.when(u > 0, F.log(u) / w).otherwise(F.lit(float("-inf"))),
+    )
     if by:
         from pyspark.sql import Window
 
@@ -383,9 +417,14 @@ def weighted_sample(
 
 
 def sql_weighted_es_key(key_expr: str, weight_expr: str, salt: str = "") -> str:
-    """DuckDB rendering of the Efraimidis–Spirakis score used by
-    :func:`weighted_sample` (same coin via :func:`sql_hash_fraction`)."""
-    return f"POWER({sql_hash_fraction(key_expr, salt)}, 1.0 / ({weight_expr}))"
+    """DuckDB rendering of the log-domain Efraimidis–Spirakis score
+    used by :func:`weighted_sample` (same coin via
+    :func:`sql_hash_fraction`, same zero-coin guard)."""
+    coin = sql_hash_fraction(key_expr, salt)
+    return (
+        f"CASE WHEN {coin} > 0 THEN ln({coin}) / ({weight_expr}) "
+        f"ELSE -1e308 END"
+    )
 
 
 def hash_split(
@@ -468,14 +507,17 @@ def cluster_split(
     """
     from emiproc_spark.operators.cluster import connected_components
 
+    # reserved alias: a corpus that already carries a business column
+    # named "component" (plausible straight out of a dedup pipeline)
+    # would otherwise make the coalesce below an AMBIGUOUS_REFERENCE
     comp = connected_components(pairs, a_col=a_col, b_col=b_col).select(
-        F.col("node").alias(key_col), "component"
+        F.col("node").alias(key_col), F.col("component").alias("__component")
     )
-    rep = F.coalesce(F.col("component"), F.col(key_col))
+    rep = F.coalesce(F.col("__component"), F.col(key_col))
     joined = (
         df.join(comp, key_col, "left")
         .withColumn("__rep", rep)
-        .drop("component")
+        .drop("__component")
     )
     return hash_split(
         joined, fractions, key_col="__rep", salt=salt, split_col=split_col

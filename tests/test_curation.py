@@ -540,3 +540,146 @@ def test_apply_mixture_epochs_zero_epochs_yields_nothing(spark):
     )
     out = sp.apply_mixture_epochs(docs, plan).collect()
     assert [(r["doc_id"], r["epoch"]) for r in out] == [(2, 0)]
+
+
+def test_shard_coin_independent_of_sampler_coin(spark):
+    """Sampling with the default (unsalted) coin then sharding must
+    spread survivors over ALL shards — the shard coin is salted, so the
+    two decisions are independent (unsalted, a 10% sample landed
+    entirely in the bottom shards and packing parallelism collapsed)."""
+    from emiproc_spark.operators.packing import assign_shards
+    from emiproc_spark.operators.sampling import sample_fraction
+
+    docs = spark.range(20_000).select(F.col("id").alias("doc_id"))
+    surv = sample_fraction(docs, 0.1)
+    shards = assign_shards(surv, 16)
+    used = shards.select("shard_id").distinct().count()
+    assert used == 16
+    # and the spread is roughly balanced, not just nonempty
+    counts = [r["n"] for r in shards.groupBy("shard_id").agg(
+        F.count("*").alias("n")).collect()]
+    assert min(counts) > 0.5 * (sum(counts) / 16)
+
+
+def test_weighted_sample_small_weights_stay_weighted(spark):
+    """Normalized weights (w ~ 1e-6) must still yield a weight-biased
+    selection — the direct pow(u, 1/w) score underflowed to 0.0 for
+    ~99.9% of rows and filled the slots by ascending doc_id instead."""
+    from emiproc_spark.operators.sampling import weighted_sample
+
+    n = 20_000
+    # tiny uniform weights except heavy favorites sprinkled at high ids
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 100 == 99, 5e-4).otherwise(1e-6).alias("w"),
+    )
+    got = weighted_sample(docs, k=100, weight_col="w")
+    ids = [r["doc_id"] for r in got.collect()]
+    assert len(ids) == 100
+    heavy = sum(1 for i in ids if i % 100 == 99)
+    # 1% of rows hold ~83% of the weight mass: they must dominate the
+    # sample (underflow regression picked doc_ids 0..99 instead)
+    assert heavy > 50, f"only {heavy} heavy rows selected: {sorted(ids)[:10]}"
+    assert ids != sorted(range(100))
+
+
+def test_mixture_and_temperature_rates_zero_token_stratum(spark):
+    """A weighted source whose rows all have 0/NULL tokens must get
+    rate 0.0, not the silent 1.0 that budget*w/0 -> NULL -> F.least
+    produced."""
+    from emiproc_spark.operators.sampling import mixture_rates, temperature_rates
+
+    df = spark.createDataFrame(
+        [("a", 100), ("a", 100), ("b", 0), ("c", None)],
+        "source string, n_tokens int",
+    )
+    rates = {
+        r["source"]: r["rate"]
+        for r in mixture_rates(
+            df, {"a": 1.0, "b": 1.0, "c": 1.0}, token_budget=50
+        ).collect()
+    }
+    assert rates["b"] == 0.0 and rates["c"] == 0.0 and 0 < rates["a"] <= 1.0
+    trates = {
+        r["source"]: r["rate"]
+        for r in temperature_rates(df, 0.5, token_budget=50).collect()
+    }
+    assert trates["b"] == 0.0 and trates["c"] == 0.0 and 0 < trates["a"] <= 1.0
+
+
+def test_decontaminate_null_doc_id_raises(spark):
+    import pytest
+
+    from emiproc_spark.operators import packing as pk
+
+    ev = spark.createDataFrame(
+        [(1, "secret eval phrase one two")], "doc_id long, text string"
+    )
+    corpus = spark.createDataFrame(
+        [(None, "secret eval phrase one two plus filler"),
+         (2, "clean text with none of it at all")],
+        "doc_id long, text string",
+    )
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pk.decontaminate(corpus, ev, n=5).count()
+    # collect, not count: under count() Catalyst ELIMINATES the spans
+    # path's unique-key left join (cardinality-preserving), so no key —
+    # and no raise — is ever evaluated; any consumer that reads the
+    # cleaned columns (i.e. every real one) evaluates the join key
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pk.decontaminate_spans(corpus, ev, n=5).collect()
+    with pytest.raises(Exception, match="NULL doc_id"):
+        pk.decontaminate_bloom(corpus, ev, n=5).count()
+
+
+def test_pack_sequences_null_size_raises(spark):
+    import pytest
+
+    from emiproc_spark.operators.packing import pack_sequences, shard_manifest
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, None), (3, 7)], "doc_id long, n_tokens int"
+    )
+    with pytest.raises(Exception, match="NULL n_tokens for doc_id=2"):
+        pack_sequences(docs, ctx_len=8).collect()
+    with pytest.raises(Exception, match="NULL n_tokens"):
+        shard_manifest(docs, 4).collect()
+
+
+def test_chunk_documents_skip_null_and_empty(spark):
+    from emiproc_spark.operators.packing import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    rows = chunk_documents(docs, size=3, stride=2).collect()
+    assert {r["doc_id"] for r in rows} == {3}
+    assert all(r["chunk_text"] for r in rows)
+
+
+def test_bloom_fpr_validated(spark):
+    import pytest
+
+    from emiproc_spark.operators.packing import decontaminate_bloom
+
+    ev = spark.createDataFrame([(1, "a b c d e")], "doc_id long, text string")
+    c = spark.createDataFrame([(2, "a b c d e f")], "doc_id long, text string")
+    for bad in (0.0, 1.0, -1.0, 2.0):
+        with pytest.raises(ValueError, match="fpr"):
+            decontaminate_bloom(c, ev, fpr=bad)
+
+
+def test_cluster_split_tolerates_component_column(spark):
+    from emiproc_spark.operators.sampling import cluster_split
+
+    df = spark.createDataFrame(
+        [(i, f"biz{i}") for i in range(40)], "doc_id long, component string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "doc_a long, doc_b long")
+    out = cluster_split(df, pairs, {"train": 0.8, "test": 0.2})
+    rows = {r["doc_id"]: (r["split"], r["component"]) for r in out.collect()}
+    assert len(rows) == 40
+    # the business column survives untouched and the cluster is atomic
+    assert rows[0][1] == "biz0"
+    assert rows[0][0] == rows[1][0] == rows[2][0]
