@@ -1511,6 +1511,17 @@ _REVERIFY = [
     # chunk_documents drops NULL/empty docs (junk NULL-chunk rows);
     # cluster_split aliases its component join (ambiguity fix)
     "doc_chunks", "cluster_split",
+    # r11 text-module review fixes: length_percentiles excludes
+    # NULL-text docs from the histogram (they skewed every quantile);
+    # fingerprint(NULL) is NULL, not md5('') (mass-clustering hazard);
+    # boilerplate detection/stripping joins null-safely on the group
+    # (a NULL source's boilerplate silently passed through);
+    # dsir_weights aggregates the target by term directly (one shuffle
+    # fewer, no id requirement).  NOTE: shingles() gained an n>=1
+    # ValueError — argument validation only, no valid caller's plan
+    # changes, so its ~30 consumer queries are deliberately NOT rotated.
+    "length_percentiles", "doc_fingerprint", "boilerplate_strip",
+    "dsir_sample",
 ]
 
 

@@ -34,6 +34,10 @@ def shingles(toks: Column, n: int = 3) -> Column:
     IMPORTANT: pass a *materialized column* (select the split into a
     column first); see ``operators.dedup.doc_shingles``.
     """
+    if n < 1:
+        # n=0 silently returned the raw tokens, n<0 nonsense slices —
+        # wrong dedup/boilerplate shingles instead of a loud error
+        raise ValueError(f"shingle width must be >= 1, got {n}")
     win = F.greatest(F.size(toks) - (n - 1), F.lit(0))
     out = F.slice(toks, 1, win)
     for k in range(1, n):
@@ -98,9 +102,20 @@ def fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
     (lowercased, whitespace-collapsed, space-joined) token stream —
     'a  b' and 'a b' fingerprint identically (empty tokens from runs of
     spaces are dropped before joining; the old split-then-rejoin was an
-    exact identity that never normalized anything)."""
+    exact identity that never normalized anything).
+
+    NULL text fingerprints as NULL — ``concat_ws`` of a NULL array is
+    ``''``, which would give every unfetched/NULL doc the SAME
+    fingerprint as a genuinely empty doc and mass-cluster them as
+    duplicates (and diverge from the oracle, whose md5(NULL) is NULL).
+    """
     t = F.filter(tokens(F.lower(F.trim(F.col(text_col)))), lambda x: x != "")
-    return docs.withColumn("fp", F.md5(F.concat_ws(" ", t)))
+    return docs.withColumn(
+        "fp",
+        F.when(
+            F.col(text_col).isNotNull(), F.md5(F.concat_ws(" ", t))
+        ),
+    )
 
 
 def repetition_features(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -199,7 +214,11 @@ def tfidf_topk(
     top-k per doc.  idf = ln(N/df) on broadcast N; ``log_idf=False``
     uses the raw inverse frequency tf·N/df — exact integer/IEEE-division
     arithmetic, used by the driver oracle where ln() would be
-    libm-dependent across engines."""
+    libm-dependent across engines.  CAVEAT for raw idf at extreme
+    scale: the tie-stabilizing quantization floors ``score·1e9`` into
+    a LONG, which overflows (an ANSI arithmetic error, not a silent
+    wrong answer) once ``tf·N/df`` exceeds ~9.2e9 — e.g. a 1e10-doc
+    corpus with a df=tf=10 term; use the default log idf there."""
     from pyspark.sql import Window
 
     toks = docs.select(
@@ -302,6 +321,11 @@ def length_percentiles(
     spark = docs.sparkSession
     hist = (
         docs.select(token_count(F.col(text_col)).alias("len"))
+        # NULL-text docs have no length: excluding them matches the
+        # oracle's quantile_cont (which ignores NULLs) — counted into
+        # the histogram they'd sort first, inflate N, and shift every
+        # percentile low
+        .where(F.col("len").isNotNull())
         .groupBy("len")
         .agg(F.count("*").alias("cnt"))
     )
@@ -427,20 +451,25 @@ def boilerplate_ngrams(
 
     Plan shape: one shingle explode + two hash aggregations (per-group
     doc counts are a tiny dimension joined back broadcast); no join
-    touches the fact table twice.
+    touches the fact table twice.  The size join is NULL-SAFE: a NULL
+    ``group_col`` is a real group (groupBy keeps it) and a plain
+    equi-join would silently drop its boilerplate from the output.
     """
     sh = (
         docs.select(F.col(group_col).alias("__grp"), "doc_id", tokens(F.col(text_col)).alias("toks"))
         .select("__grp", "doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle"))
         .distinct()
     )
-    group_sizes = docs.groupBy(F.col(group_col).alias("__grp")).agg(
+    group_sizes = docs.groupBy(F.col(group_col).alias("__grp2")).agg(
         F.count("*").alias("group_docs")
     )
     return (
         sh.groupBy("__grp", "shingle")
         .agg(F.count("*").alias("doc_freq"))
-        .join(F.broadcast(group_sizes), "__grp")
+        .join(
+            F.broadcast(group_sizes),
+            F.col("__grp").eqNullSafe(F.col("__grp2")),
+        )
         .where(
             (F.col("doc_freq") >= F.col("group_docs") * F.lit(min_doc_frac))
             & (F.col("doc_freq") >= min_docs)
@@ -464,10 +493,18 @@ def strip_boilerplate(
     text_clean)``.
 
     Plan shape: positioned shingles explode once; the boilerplate
-    relation joins on (group, shingle) — a shuffle equi-join, both
-    sides pre-aggregated — and covered positions collapse per doc with
+    relation joins NULL-SAFELY on (group, shingle) — a NULL group is a
+    real group and a plain equi-join would pass its docs through
+    uncleaned with no signal — a shuffle join, both sides
+    pre-aggregated — and covered positions collapse per doc with
     a map-side-combinable collect_set.  The fact table is scanned
     twice (shingle pass + final strip) but never crosses itself.
+    The final kept-token filter scans ``__covered`` per token —
+    O(tokens × covered) per doc, optimal when boilerplate is sparse
+    (the designed regime); a corpus of near-fully-boilerplate long
+    docs would prefer an explode/anti-join/re-aggregate shape, which
+    costs a fact-scale shuffle in the COMMON case and is deliberately
+    not used.
     """
     bp = boilerplate_ngrams(docs, text_col, group_col, n, min_doc_frac, min_docs)
     toks = docs.select(
@@ -478,8 +515,15 @@ def strip_boilerplate(
         group_col,
         F.posexplode(shingles(F.col("toks"), n)).alias("pos", "shingle"),
     )
+    bps = bp.select(
+        F.col(group_col).alias("__bg"), F.col("shingle").alias("__bs")
+    )
     covered = (
-        positioned.join(bp.select(group_col, "shingle"), [group_col, "shingle"])
+        positioned.join(
+            bps,
+            F.col(group_col).eqNullSafe(F.col("__bg"))
+            & (F.col("shingle") == F.col("__bs")),
+        )
         .select(
             "doc_id",
             F.explode(F.sequence(F.col("pos"), F.col("pos") + (n - 1))).alias("cpos"),
@@ -704,8 +748,17 @@ def dsir_weights(
 
     tf = _tf(raw)
     raw_c = tf.groupBy("term").agg(F.sum("tf").alias("rc"))
+    # the target side only ever needs per-term totals: aggregate the
+    # token stream by term directly — routing it through _tf paid a
+    # wasted (doc, term)-keyed shuffle that was immediately re-reduced,
+    # and needlessly required the target sample to carry id_col
     tgt_c = (
-        _tf(target).groupBy("term").agg(F.sum("tf").alias("tc"))
+        target.select(
+            F.explode(tokens(F.lower(F.col(text_col)))).alias("term")
+        )
+        .where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("tc"))
     )
     vocab = raw_c.join(tgt_c, "term", "full").select(
         "term",

@@ -356,3 +356,75 @@ def test_vocab_coverage_oov_rates(spark):
 
     with _pytest.raises(ValueError, match="v_size"):
         vocab_coverage(docs, 0)
+
+
+def test_length_percentiles_ignore_null_text(spark):
+    """NULL-text docs must not enter the histogram — counted in, they
+    inflate N and shift every percentile low (the oracle's
+    quantile_cont ignores NULLs)."""
+    from emiproc_spark.operators.text import length_percentiles
+
+    base = [(i, "w " * 10) for i in range(10)]
+    with_null = base + [(100 + j, None) for j in range(5)]
+    a = length_percentiles(
+        spark.createDataFrame(base, "doc_id long, text string")
+    ).collect()
+    b = length_percentiles(
+        spark.createDataFrame(with_null, "doc_id long, text string")
+    ).collect()
+    assert {(r["q"], r["value"]) for r in a} == {(r["q"], r["value"]) for r in b}
+
+
+def test_fingerprint_null_text_is_null(spark):
+    """md5('') for NULL text would cluster every unfetched doc with the
+    genuinely-empty ones; NULL text fingerprints as NULL."""
+    from emiproc_spark.operators.text import fingerprint
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, ""), (3, "a b")], "doc_id long, text string"
+    )
+    fps = {r["doc_id"]: r["fp"] for r in fingerprint(docs).collect()}
+    assert fps[1] is None
+    assert fps[2] is not None and fps[2] != fps[3]
+
+
+def test_boilerplate_null_group_not_silently_skipped(spark):
+    """A NULL source is a real group: its boilerplate must be detected
+    and stripped — the plain equi-joins used to drop it, passing those
+    docs through uncleaned with no signal."""
+    from emiproc_spark.operators.text import boilerplate_ngrams, strip_boilerplate
+
+    bp = "shared header line"
+    docs = spark.createDataFrame(
+        [(i, None, f"{bp} unique{i} content words here") for i in range(4)],
+        "doc_id long, source string, text string",
+    )
+    grams = boilerplate_ngrams(docs, n=3, min_doc_frac=0.5)
+    assert grams.where(F.col("source").isNull()).count() > 0
+    stripped = strip_boilerplate(docs, n=3, min_doc_frac=0.5)
+    rows = stripped.collect()
+    assert all(r["n_removed"] > 0 for r in rows)
+    assert all(bp not in r["text_clean"] for r in rows)
+
+
+def test_shingles_validates_n(spark):
+    import pytest
+
+    from emiproc_spark.operators.text import shingles
+
+    with pytest.raises(ValueError, match="shingle width"):
+        shingles(F.col("toks"), 0)
+
+
+def test_dsir_target_needs_no_id(spark):
+    """The target-domain sample is only a term distribution — it must
+    not be required to carry the raw corpus's id column."""
+    from emiproc_spark.operators.text import dsir_weights
+
+    raw = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame([("alpha beta alpha",)], "text string")
+    rows = {r["doc_id"]: r["dsir"] for r in dsir_weights(raw, target).collect()}
+    assert rows[1] > rows[2]  # the alpha/beta doc looks like the target
