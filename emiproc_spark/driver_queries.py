@@ -1522,6 +1522,13 @@ _REVERIFY = [
     # changes, so its ~30 consumer queries are deliberately NOT rotated.
     "length_percentiles", "doc_fingerprint", "boilerplate_strip",
     "dsir_sample",
+    # r11 history-module review fixes: resample_locf drops NULL-valued
+    # rows before bucketing (a NULL could out-rank and discard a real
+    # bucket value — oracle moved in lockstep); resample_interp
+    # computes interpolation weights from int64 DIFFERENCES (epoch-ns
+    # endpoints exceed 2^53, so the old endpoint-cast zeroed fine-
+    # bucket weights — both oracles moved in lockstep)
+    "resample_locf", "resample_interp", "resample_nulls",
 ]
 
 

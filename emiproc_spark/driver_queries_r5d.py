@@ -105,8 +105,11 @@ def q_resample_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_RESAMPLE_LOCF = f"""
     WITH ev AS (
+        -- NULL values are not observations (the resample_locf r11
+        -- contract): they must neither represent a bucket nor extend
+        -- a key's lattice bounds
         SELECT user_id, epoch_ns(ts) AS tsn, value, event_id
-        FROM events WHERE user_id < {LOCF_MAX_USER}
+        FROM events WHERE user_id < {LOCF_MAX_USER} AND value IS NOT NULL
     ),
     obs AS (
         SELECT user_id, b, value FROM (

@@ -574,9 +574,8 @@ SQL_RESAMPLE_INTERP = f"""
     SELECT user_id, b * {INTERP_BUCKET_NS} AS bucket_start,
            FLOOR((CASE WHEN v IS NOT NULL THEN v
                   ELSE pv + (nv - pv) *
-                       ((CAST(b * {INTERP_BUCKET_NS} AS DOUBLE)
-                         - CAST(pt AS DOUBLE))
-                        / (CAST(nt AS DOUBLE) - CAST(pt AS DOUBLE)))
+                       (CAST(b * {INTERP_BUCKET_NS} - pt AS DOUBLE)
+                        / CAST(nt - pt AS DOUBLE))
                   END) * 1e6 + 0.5) / 1e6 AS value_q6,
            v IS NULL AS is_gap
     FROM w

@@ -131,6 +131,14 @@ def resample_locf(
     (``is_gap = true``).  ``value_locf`` is never NULL because every
     key's lattice starts at a bucket that contains an observation.
 
+    NULL ``value_col`` rows are NOT observations (the
+    :func:`resample_interp` convention): they are dropped before
+    bucketing, so a NULL row can never become a bucket representative
+    — previously it could out-rank a real value in its bucket,
+    discarding that value, marking the bucket a gap, and (at a key's
+    first bucket) leaking NULL through the documented never-NULL
+    guarantee.  A key whose every value is NULL disappears.
+
     Plan shape: one partial-aggregable groupBy for the per-bucket last
     observation (``max_by`` — map-side combine, no window over raw
     events), one tiny per-key bounds aggregate whose ``sequence()``
@@ -148,12 +156,16 @@ def resample_locf(
     # bare DIV truncates toward zero, which would collapse two distinct
     # pre-1970 buckets into bucket 0 (oracles mirror via sql_floor_div)
     p = int(bucket_ns)
-    bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
+    # backtick-escape: a ts_col containing a backtick would otherwise
+    # break out of the quoted identifier inside the spliced expression
+    q = "`" + ts_col.replace("`", "``") + "`"
+    bucket = F.expr(f"({q} - pmod({q}, {p})) div {p}")
     ordkey = F.struct(
         F.col(ts_col), *[F.col(c) for c in tiebreak]
     )
     obs = (
-        df.withColumn("__bucket", bucket)
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__bucket", bucket)
         .groupBy(*keys, "__bucket")
         .agg(F.max_by(F.col(value_col), ordkey).alias("__obs"))
         # obs feeds BOTH the bounds/lattice branch and the join probe;
@@ -278,7 +290,10 @@ def resample_interp(
         raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     keys = list(keys)
     p = int(bucket_ns)
-    bucket = F.expr(f"(`{ts_col}` - pmod(`{ts_col}`, {p})) div {p}")
+    # backtick-escape: a ts_col containing a backtick would otherwise
+    # break out of the quoted identifier inside the spliced expression
+    q = "`" + ts_col.replace("`", "``") + "`"
+    bucket = F.expr(f"({q} - pmod({q}, {p})) div {p}")
     ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
     obs = (
         df.where(F.col(value_col).isNotNull())
@@ -308,11 +323,15 @@ def resample_interp(
         .withColumn("__prev", F.last("__obs", ignorenulls=True).over(wf))
         .withColumn("__next", F.last("__obs", ignorenulls=True).over(wb))
     )
-    t = (F.col("__bucket") * F.lit(p)).cast("double")
-    tp = F.col("__prev.t").cast("double")
-    tn = F.col("__next.t").cast("double")
+    # subtract in INT64, cast the small DIFFERENCES to double: raw
+    # epoch-nanos (~1.7e18) exceed 2^53, so double ULP is 256 ns and
+    # casting the ENDPOINTS first distorts fine-bucket weights — at
+    # bucket_ns below the ULP, (tn − tp) can even round to 0.0 and
+    # NULL the gap value (the module's own int64 rule, lines above)
+    dt = (F.col("__bucket") * F.lit(p) - F.col("__prev.t")).cast("double")
+    dn = (F.col("__next.t") - F.col("__prev.t")).cast("double")
     interp = F.col("__prev.v") + (F.col("__next.v") - F.col("__prev.v")) * (
-        (t - tp) / (tn - tp)
+        dt / dn
     )
     value = F.when(F.col("__obs").isNotNull(), F.col("__obs.v")).otherwise(
         interp

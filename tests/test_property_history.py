@@ -102,3 +102,51 @@ def test_resample_interp_null_values_are_gaps(spark):
         (1, 7): (20.0, True),
         (1, 14): (30.0, False),
     }
+
+
+def test_resample_locf_null_values_are_not_observations(spark):
+    """A NULL value sharing a bucket with a real value must not become
+    the bucket representative (it out-ranked the real value by ts,
+    discarding it and leaking NULL through the never-NULL guarantee at
+    a key's first bucket)."""
+    from pyspark.sql import functions as F
+
+    from emiproc_spark.operators.history import resample_locf
+
+    ns = 10
+    rows = [
+        (1, 5, 100, 7.0),    # bucket 0: real value...
+        (1, 9, 101, None),   # ...out-ranked by a later NULL (pre-fix)
+        (1, 25, 102, 3.0),   # bucket 2
+        (2, 5, 103, None),   # key 2: all-NULL -> disappears
+    ]
+    df = spark.createDataFrame(rows, "k long, ts long, event_id long, v double")
+    out = resample_locf(df, ["k"], "ts", "v", ns, tiebreak=["event_id"])
+    got = {(r["k"], r["bucket_start"]): (r["value_locf"], r["is_gap"])
+           for r in out.collect()}
+    assert got[(1, 0)] == (7.0, False)   # the real value represents
+    assert got[(1, 10)] == (7.0, True)   # carried across the true gap
+    assert got[(1, 20)] == (3.0, False)
+    assert all(k != 2 for k, _ in got)   # all-NULL key emits nothing
+    assert all(v is not None for v, _ in got.values())
+
+
+def test_resample_interp_weights_exact_at_fine_buckets(spark):
+    """Interpolation weights must be computed from int64 DIFFERENCES:
+    epoch-ns endpoints (~1.7e18) exceed 2^53, so casting them to double
+    first (ULP 256 ns) zeroed (t_next - t_prev) for fine buckets and
+    NULLed every gap value."""
+    from emiproc_spark.operators.history import resample_interp
+
+    base = 1_700_000_000_000_000_000  # epoch ns, 2023 era
+    ns = 100  # bucket width below the double ULP at this magnitude
+    rows = [(1, base + 5, 1, 0.0), (1, base + 305, 2, 3.0)]
+    df = spark.createDataFrame(rows, "k long, ts long, event_id long, v double")
+    out = resample_interp(df, ["k"], "ts", "v", ns, tiebreak=["event_id"])
+    got = {r["bucket_start"] - base: (r["value_q6"], r["is_gap"])
+           for r in out.collect()}
+    assert set(got) == {0, 100, 200, 300}
+    # buckets at +100 and +200 are gaps; weights (95/300, 195/300)
+    vals = sorted((v for v, g in got.values() if g))
+    assert vals == [0.95, 1.95], vals
+    assert all(v is not None for v, _ in got.values())
