@@ -57,22 +57,46 @@ def connected_components(
             cached.append(df)
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
+    dtypes = dict(pairs.dtypes)
+    for c in (a_col, b_col):
+        if c not in dtypes:
+            raise ValueError(
+                f"connected_components: no column {c!r} in pairs "
+                f"(have {list(dtypes)})"
+            )
+
     def _as_id(c: str) -> F.Column:
-        # a failed cast yields NULL silently; on string/UUID ids that
-        # would collapse the graph to one (NULL, NULL) edge and make the
-        # downstream dedup a no-op — raise instead (hash such ids to
-        # int64 before calling).  try_cast, not cast: under ANSI a plain
-        # cast throws its own error before this guard can explain.
+        # Node ids must ROUND-TRIP int64 exactly (the same contract as
+        # dedup_keep_best): a bare try_cast would TRUNCATE fractional
+        # ids (7.2 and 7.9 both -> node 7) and coerce numerically-equal
+        # strings ('07' == 7), silently merging distinct documents —
+        # and a NULL id would drop its edge from propagation while
+        # seeding a spurious (NULL, NULL) label row.  All three raise a
+        # named error instead (hash string/UUID ids to int64 before
+        # calling).  try_cast, not cast: under ANSI a plain cast throws
+        # its own error before this guard can explain.
         cast = F.col(c).try_cast("long")
-        return F.when(
-            F.col(c).isNotNull() & cast.isNull(),
-            F.raise_error(
-                F.concat(
-                    F.lit(f"connected_components: non-numeric {c} id: "),
-                    F.col(c).cast("string"),
-                )
-            ).cast("long"),
-        ).otherwise(cast)
+        return (
+            F.when(
+                F.col(c).isNull(),
+                F.raise_error(
+                    F.lit(f"connected_components: NULL {c} id")
+                ).cast("long"),
+            )
+            .when(
+                cast.isNull() | (cast.cast(dtypes[c]) != F.col(c)),
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            f"connected_components: {c} id does not "
+                            "round-trip int64: "
+                        ),
+                        F.col(c).cast("string"),
+                    )
+                ).cast("long"),
+            )
+            .otherwise(cast)
+        )
 
     edges = pairs.select(_as_id(a_col).alias("src"), _as_id(b_col).alias("dst"))
     # undirected: propagate both ways
@@ -157,21 +181,61 @@ def connected_components(
     return result
 
 
+def _roundtrip_id(docs: DataFrame, id_col: str, op: str) -> F.Column:
+    """Doc id as int64, REQUIRED to round-trip back to its original
+    value — a raw string==bigint (or double==bigint) membership join
+    would coerce both sides, silently merging distinct ids that are
+    numerically equal ('07' vs 7, 7.2 vs 7) or collide past 2^53.
+    NULL ids pass through as NULL (isolated: a keyless doc is never a
+    member of any cluster, and both keep-policies KEEP it — the shared
+    contract).  Hash non-numeric ids to int64 before calling."""
+    cast = F.col(id_col).try_cast("long")
+    return F.when(
+        F.col(id_col).isNotNull()
+        & (
+            cast.isNull()
+            | (cast.cast(dict(docs.dtypes)[id_col]) != F.col(id_col))
+        ),
+        F.raise_error(
+            F.concat(
+                F.lit(f"{op}: {id_col} does not round-trip int64: "),
+                F.col(id_col).cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(cast)
+
+
 def dedup_keep_representative(
     docs: DataFrame,
     pairs: DataFrame,
     id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """Collapse each near-dup component to its min-id representative:
     the cluster-aware version of dedup.dedup_keep_first (which drops
-    pair-wise and can over-drop chains A-B, B-C)."""
-    comp = connected_components(pairs)
+    pair-wise and can over-drop chains A-B, B-C).
+
+    Membership rides the int64 round-trip guard (:func:`_roundtrip_id`)
+    — a raw ``id == component`` join on string/double ids would coerce
+    both sides and silently no-op whole clusters.  NULL-id docs and
+    isolated docs (no pair) always survive.  ``a_col``/``b_col`` name
+    the pair columns, so outputs like ``embedding_dup_pairs``
+    (``id_a``/``id_b``) compose directly."""
+    comp = connected_components(pairs, a_col, b_col)
+    keyed = docs.withColumn(
+        "__nid", _roundtrip_id(docs, id_col, "dedup_keep_representative")
+    )
     return (
-        docs.join(
-            comp.select(F.col("node").alias(id_col), "component"), id_col, "left"
+        keyed.join(
+            comp.select(F.col("node").alias("__nid"), "component"),
+            "__nid",
+            "left",
         )
-        .where(F.col("component").isNull() | (F.col(id_col) == F.col("component")))
-        .drop("component")
+        .where(
+            F.col("component").isNull() | (F.col("__nid") == F.col("component"))
+        )
+        .drop("__nid", "component")
     )
 
 
@@ -180,6 +244,8 @@ def dedup_keep_best(
     pairs: DataFrame,
     score_col: str,
     id_col: str = "doc_id",
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
 ) -> DataFrame:
     """Collapse each near-dup component to its highest-``score_col``
     member (id tiebreak: smaller wins) — the quality-aware keep policy
@@ -193,11 +259,15 @@ def dedup_keep_best(
 
     Ids inherit :func:`connected_components`' int64 contract, and the
     membership join enforces it LOUDLY: each doc id is cast to long
-    and required to round-trip back to its original value — a raw
-    string==bigint join would coerce both sides to DOUBLE, silently
-    merging distinct ids that are numerically equal ("07" vs "7") or
-    collide past 2^53.  Hash non-numeric ids to int64 before calling.
-    Isolated documents (no pair) always survive.
+    and required to round-trip back to its original value
+    (:func:`_roundtrip_id`) — a raw string==bigint join would coerce
+    both sides to DOUBLE, silently merging distinct ids that are
+    numerically equal ("07" vs "7") or collide past 2^53.  Hash
+    non-numeric ids to int64 before calling.  Isolated documents (no
+    pair) and NULL-id documents always survive — the same keep
+    contract as :func:`dedup_keep_representative`.  ``a_col``/``b_col``
+    name the pair columns, so outputs like ``embedding_dup_pairs``
+    (``id_a``/``id_b``) compose directly.
 
     Scale shape: components via the pointer-jumping CC (O(log n)
     rounds), then a rank window over the CLUSTERED rows only (the
@@ -206,20 +276,11 @@ def dedup_keep_best(
     """
     from pyspark.sql import Window
 
-    comp = connected_components(pairs)
-    cast = F.col(id_col).try_cast("long")
-    nid = F.when(
-        F.col(id_col).isNotNull()
-        & (cast.isNull() | (cast.cast(dict(docs.dtypes)[id_col]) != F.col(id_col))),
-        F.raise_error(
-            F.concat(
-                F.lit(f"dedup_keep_best: {id_col} does not round-trip int64: "),
-                F.col(id_col).cast("string"),
-            )
-        ).cast("long"),
-    ).otherwise(cast)
+    comp = connected_components(pairs, a_col, b_col)
     keyed = docs.select(
-        id_col, F.col(score_col).alias("__score"), nid.alias("__nid")
+        id_col,
+        F.col(score_col).alias("__score"),
+        _roundtrip_id(docs, id_col, "dedup_keep_best").alias("__nid"),
     )
     labeled = keyed.join(comp, keyed["__nid"] == comp["node"], "inner")
     w = Window.partitionBy("component").orderBy(
@@ -233,6 +294,12 @@ def dedup_keep_best(
     isolated_ids = keyed.join(
         comp, keyed["__nid"] == comp["node"], "anti"
     ).select(id_col)
-    return docs.join(winners, id_col, "semi").unionByName(
-        docs.join(isolated_ids, id_col, "semi")
+    # NULL-id docs reach isolated_ids (NULL never equi-joins) but a
+    # semi join on id_col would then drop them (NULL == NULL is not a
+    # match) — re-attach them explicitly so both keep-policies share
+    # the KEEP contract for keyless docs
+    return (
+        docs.join(winners, id_col, "semi")
+        .unionByName(docs.join(isolated_ids, id_col, "semi"))
+        .unionByName(docs.where(F.col(id_col).isNull()))
     )

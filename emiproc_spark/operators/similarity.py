@@ -37,7 +37,20 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity, NULL when undefined.
+
+    A NaN component would otherwise make the row rank FIRST in every
+    descending top-k (Spark orders NaN above all doubles), and a
+    zero-norm vector is a DIVIDE_BY_ZERO under ANSI — both yield NULL
+    here (cosine-undefined, the same convention as
+    ``embedding_dup_pairs`` / ``semdedup_flags``), and every top-k
+    caller filters NULL scores out.  NOTE: ``denom > 0`` alone is NOT a
+    NaN guard — Spark's NaN compares greater than every double — hence
+    the explicit ``isnan`` checks.
+    """
+    d = dot(a, b)
+    denom = norm(a) * norm(b)
+    return F.when((denom > 0) & ~F.isnan(denom) & ~F.isnan(d), d / denom)
 
 
 def cosine_topk(
@@ -57,6 +70,7 @@ def cosine_topk(
         embeddings.select(
             id_col, cosine(F.col(vec_col), q).alias("cos")
         )
+        .where(F.col("cos").isNotNull())  # cosine-undefined rows are not hits
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
@@ -90,7 +104,11 @@ def knn_join(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        # cosine-undefined corpus rows (NaN / zero-norm → NULL cos) are
+        # not neighbors — drop them before ranking so they never occupy
+        # (or, as NaN would, hijack) a top-k slot
+        scored.where(F.col("cos").isNotNull())
+        .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .drop("rank")
     )
@@ -112,10 +130,22 @@ def knn_classify(
     Scale shape inherits from knn_join — broadcast query side, map-only
     scoring with the label carried in the same scan (no second corpus
     scan), per-query window rank; the vote aggregation is one hash agg
-    over (query, label) (k rows per query)."""
+    over (query, label) (k rows per query).
+
+    Unlabeled corpus rows (NULL ``label_col``) are excluded BEFORE the
+    neighbor search: a NULL-label vote group would otherwise win ties
+    NULLS-FIRST and emit a NULL ``pred_label`` — so the k neighbors are
+    the k nearest *labeled* vectors."""
     from pyspark.sql import Window
 
-    nn = knn_join(queries, corpus, k, id_col, vec_col, carry_cols=(label_col,))
+    nn = knn_join(
+        queries,
+        corpus.where(F.col(label_col).isNotNull()),
+        k,
+        id_col,
+        vec_col,
+        carry_cols=(label_col,),
+    )
     labeled = nn.withColumnRenamed(label_col, "__lab")
     votes = labeled.groupBy("query_id", "__lab").agg(F.count("*").alias("votes"))
     w = Window.partitionBy("query_id").orderBy(
@@ -148,11 +178,30 @@ def lsh_buckets(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Random-hyperplane LSH: bucket = sign-bit string over ``planes``
-    deterministic hyperplanes.  Adds a ``bucket`` column."""
+    deterministic hyperplanes.  Adds a ``bucket`` column.
+
+    Every vector must have exactly ``dim`` components: ``zip_with``
+    NULL-pads a short vector, which silently turned every short (or
+    NULL) vector's dot products into NULL → an all-'0' bucket — one
+    giant collision bucket instead of an error.  A length mismatch (or
+    NULL vector) now raises a named error.
+    """
+    v = F.col(vec_col)
+    checked = F.when(F.size(v) == dim, v).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"lsh_buckets: {vec_col} must have exactly dim={dim} "
+                    "components, got length "
+                ),
+                F.coalesce(F.size(v).cast("string"), F.lit("NULL")),
+            )
+        ).cast("array<double>")
+    )
     bits = []
     for p in range(planes):
         hp = F.array(*[F.lit(v) for v in hyperplane(dim, p)])
-        bits.append(F.when(dot(F.col(vec_col), hp) > 0, "1").otherwise("0"))
+        bits.append(F.when(dot(checked, hp) > 0, "1").otherwise("0"))
     return embeddings.withColumn("bucket", F.concat(*bits))
 
 
@@ -165,16 +214,37 @@ def ann_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     probe_bits: int = 0,
+    bucket_col: str = "bucket",
 ) -> DataFrame:
     """Approximate top-k: scan the query's LSH bucket (plus, with
     ``probe_bits=1``, every bucket at Hamming distance 1 — multi-probe,
     which recovers most of the recall single-probe loses to near-zero
     dot products flipping a sign bit) and exact-re-rank inside.  The
     probe set is tiny (1 + planes bucket strings) and pushes down as an
-    IN filter on the bucket column."""
+    IN filter on the bucket column.
+
+    A stored ``bucket_col`` is REUSED (the same branch ``ivf_topk`` has
+    for ``cell``): recomputing would overwrite the column a
+    bucket-partitioned store was written by, and the IN filter could
+    then never prune partitions.  The stored assignment must have been
+    produced by :func:`lsh_buckets` with the same (dim, planes).
+    """
     if probe_bits not in (0, 1):
         raise ValueError(f"probe_bits must be 0 or 1, got {probe_bits}")
-    bucketed = lsh_buckets(embeddings, dim, planes, vec_col)
+    if len(query_vec) != dim:
+        # the corpus side raises on a length mismatch (lsh_buckets);
+        # the Python-side query bits would instead silently truncate
+        # and return zero rows
+        raise ValueError(
+            f"ann_topk: query_vec must have exactly dim={dim} components, "
+            f"got {len(query_vec)}"
+        )
+    if bucket_col in embeddings.columns:
+        bucketed = embeddings
+    else:
+        bucketed = lsh_buckets(embeddings, dim, planes, vec_col).withColumnRenamed(
+            "bucket", bucket_col
+        )
     qbits = "".join(
         "1" if sum(a * b for a, b in zip(query_vec, hyperplane(dim, p))) > 0 else "0"
         for p in range(planes)
@@ -187,8 +257,9 @@ def ann_topk(
         ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        bucketed.where(F.col("bucket").isin(probes))
+        bucketed.where(F.col(bucket_col).isin(probes))
         .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        .where(F.col("cos").isNotNull())
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
@@ -242,6 +313,12 @@ def ivf_assign(
     literal inside one whole-stage-codegen projection, so assignment of
     100 TB of vectors is a scan with zero shuffle.  Write the result
     partitioned by ``cell`` and every probe becomes partition pruning.
+
+    A degenerate vector (NaN component / zero norm) has NULL cosine to
+    every centroid; struct ordering ranks a NULL ``cos`` below every
+    real score, so ``array_max`` falls back to the largest ``neg_cid``
+    = the smallest centroid id — deterministic, and a NaN can no longer
+    hijack the assignment (Spark orders NaN above all doubles).
     """
     best = F.array_max(_centroid_scores(vec_col, centroids))
     return embeddings.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
@@ -320,9 +397,39 @@ def ivf_topk(
     return (
         assigned.where(F.col(cell_col).isin(probes))
         .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
+        .where(F.col("cos").isNotNull())
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def _unit_normalized(
+    df: DataFrame, vec_col: str, keep_cols: list[str]
+) -> DataFrame:
+    """Project ``(keep_cols..., __unit)`` with vectors unit-normalized.
+
+    The norm is computed in a SEPARATE stacked projection and the
+    transform() lambda references it as a plain column: higher-order
+    functions get no whole-stage codegen and no common-subexpression
+    elimination, so inlining the O(dim) norm aggregate into the lambda
+    body re-evaluates it per ELEMENT — O(dim²) per row (~768× the flops
+    at embedding dims).  The double reference (guard condition + lambda
+    body) keeps CollapseProject from merging the projections and
+    re-inlining the aggregate.
+
+    Zero-norm AND NaN vectors normalize to NULL ``__unit`` (a bare
+    ``nrm > 0`` is no NaN guard — Spark orders NaN above all doubles —
+    and NaN unit components would make every ``>= threshold`` pair
+    check spuriously TRUE).
+    """
+    staged = df.withColumn("__nrm", norm(F.col(vec_col)))
+    unit = F.when(
+        (F.col("__nrm") > 0) & ~F.isnan(F.col("__nrm")),
+        F.transform(
+            F.col(vec_col), lambda x: x.cast("double") / F.col("__nrm")
+        ),
+    ).alias("__unit")
+    return staged.select(*keep_cols, unit)
 
 
 def embedding_dup_pairs(
@@ -348,15 +455,7 @@ def embedding_dup_pairs(
     # side dominates at scale); zero vectors -> NULL unit -> no match.
     # vec is dropped BEFORE the checkpoint: pruning can't push through
     # the barrier and the join reads only (id, bucket, __unit)
-    nrm = norm(F.col("vec"))
-    b = b.select(
-        "id",
-        "bucket",
-        F.when(
-            nrm > 0,
-            F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
-        ).alias("__unit"),
-    ).localCheckpoint(eager=False)
+    b = _unit_normalized(b, "vec", ["id", "bucket"]).localCheckpoint(eager=False)
     a, c = b.alias("a"), b.alias("b")
     return (
         a.join(c, "bucket")
@@ -387,19 +486,30 @@ def quantize_int8(
     (id, qvec array<int>, max_abs double) — max_abs is the per-vector
     dequantization scale.
     """
+    # max|v| is hoisted into its own projection and referenced as a
+    # plain column from the quantization lambda: higher-order functions
+    # get no codegen/CSE, so the inlined O(dim) array_max used to
+    # re-evaluate per element — O(dim²) per row.  The multiple
+    # references (guard + lambda + output) keep CollapseProject from
+    # re-inlining it.
     v = F.col(vec_col)
-    m = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double"))))
+    staged = embeddings.select(
+        F.col(id_col),
+        v.alias("__v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))).alias(
+            "max_abs"
+        ),
+    )
+    m = F.col("max_abs")
     q = F.when(
         m > 0,
         F.transform(
-            v,
+            F.col("__v"),
             lambda x: F.floor(x.cast("double") * F.lit(127.0) / m + F.lit(0.5))
             .cast("int"),
         ),
-    ).otherwise(F.transform(v, lambda x: F.lit(0)))
-    return embeddings.select(
-        F.col(id_col), q.alias("qvec"), m.alias("max_abs")
-    )
+    ).otherwise(F.transform(F.col("__v"), lambda x: F.lit(0)))
+    return staged.select(F.col(id_col), q.alias("qvec"), "max_abs")
 
 
 def int8_topk(
@@ -479,17 +589,11 @@ def semdedup_flags(assigned: DataFrame, threshold: float = 0.9) -> DataFrame:
     ~3× flop cut.  A zero vector normalizes to NULL components, never
     matches the threshold, and is therefore kept (not a dup of
     anything), matching the cosine-undefined convention."""
-    nrm = norm(F.col("vec"))
     # drop the raw vec BEFORE the checkpoint: pruning can't push
     # through the checkpoint barrier, and nothing downstream reads it
-    unit = assigned.select(
-        "id",
-        "cell",
-        F.when(
-            nrm > 0,
-            F.transform(F.col("vec"), lambda x: x.cast("double") / nrm),
-        ).alias("__unit"),
-    ).localCheckpoint(eager=False)
+    unit = _unit_normalized(assigned, "vec", ["id", "cell"]).localCheckpoint(
+        eager=False
+    )
     a, b = unit.alias("a"), unit.alias("b")
     dups = (
         a.join(b, "cell")

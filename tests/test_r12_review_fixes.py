@@ -1,0 +1,251 @@
+"""Regression tests for the round-12 similarity/cluster review queue
+(PLANS.md "round-12 queue: similarity/cluster review findings"): the
+cosine NaN/zero-norm guard, LSH length validation, bucket-store reuse,
+NULL-label kNN votes, the connected-components int64 round-trip id
+contract, the unified NULL-id keep contract, and the O(dim²)
+higher-order-function hoists.
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from emiproc_spark.operators.similarity import (
+    _unit_normalized,
+    ann_topk,
+    cosine,
+    cosine_topk,
+    embedding_dup_pairs,
+    knn_classify,
+    knn_join,
+    lsh_buckets,
+    quantize_int8,
+)
+from emiproc_spark.operators.cluster import (
+    connected_components,
+    dedup_keep_best,
+    dedup_keep_representative,
+)
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+# ----------------------------------------------------------------------
+# finding 2: cosine() NaN / zero-norm guard
+# ----------------------------------------------------------------------
+def test_cosine_nan_and_zero_norm_yield_null(spark):
+    df = _emb(
+        spark,
+        [
+            (0, [1.0, 0.0]),
+            (1, [float("nan"), 1.0]),
+            (2, [0.0, 0.0]),
+        ],
+    )
+    out = {
+        r["vec_id"]: r["c"]
+        for r in df.select(
+            "vec_id", cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c")
+        ).collect()
+    }
+    assert out[0] == pytest.approx(1.0)
+    assert out[1] is None  # NaN component -> NULL, never NaN
+    assert out[2] is None  # zero norm -> NULL, never DIVIDE_BY_ZERO
+
+
+def test_cosine_topk_nan_row_cannot_rank_first(spark):
+    # pre-fix, the NaN row ranked FIRST in every descending top-k
+    rows = [(i, [1.0, float(i)]) for i in range(5)]
+    rows.append((99, [float("nan"), 1.0]))
+    rows.append((98, [0.0, 0.0]))
+    out = cosine_topk(_emb(spark, rows), [1.0, 0.0], k=10).collect()
+    ids = [r["vec_id"] for r in out]
+    assert 99 not in ids and 98 not in ids
+    assert ids[0] == 0  # exact match ranks first again
+
+
+def test_knn_join_excludes_undefined_corpus_rows(spark):
+    corpus = _emb(
+        spark,
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [float("nan"), 0.0]), (4, [0.0, 0.0])],
+    )
+    queries = _emb(spark, [(0, [1.0, 0.0])])
+    nn = knn_join(queries, corpus, k=4).collect()
+    got = {r["neighbor_id"] for r in nn}
+    assert got == {1, 2}
+    assert all(r["cos"] is not None for r in nn)
+
+
+# ----------------------------------------------------------------------
+# finding 3: knn_classify NULL-label votes
+# ----------------------------------------------------------------------
+def test_knn_classify_ignores_null_labels(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], None),  # nearest, but unlabeled
+            (2, [0.9, 0.1], None),
+            (3, [0.5, 0.5], "a"),
+            (4, [0.4, 0.6], "b"),
+            (5, [0.45, 0.55], "a"),
+        ],
+        "vec_id long, embedding array<double>, label string",
+    )
+    queries = _emb(spark, [(0, [1.0, 0.0])])
+    out = knn_classify(queries, corpus, k=3).collect()
+    assert len(out) == 1
+    # votes among the 3 nearest LABELED rows: a, a, b -> 'a'
+    assert out[0]["pred_label"] == "a"
+    assert out[0]["votes"] == 2
+
+
+# ----------------------------------------------------------------------
+# finding 9: lsh_buckets length validation
+# ----------------------------------------------------------------------
+def test_lsh_buckets_rejects_length_mismatch(spark):
+    df = _emb(spark, [(0, [1.0, 2.0, 3.0]), (1, [1.0, 2.0])])
+    with pytest.raises(Exception, match="lsh_buckets.*dim=3"):
+        lsh_buckets(df, dim=3).collect()
+
+
+def test_lsh_buckets_rejects_null_vector(spark):
+    df = _emb(spark, [(0, [1.0, 2.0]), (1, None)])
+    with pytest.raises(Exception, match="lsh_buckets"):
+        lsh_buckets(df, dim=2).collect()
+
+
+# ----------------------------------------------------------------------
+# finding 7: ann_topk stored-bucket reuse (the ivf_topk branch)
+# ----------------------------------------------------------------------
+def test_ann_topk_validates_query_length(spark):
+    df = _emb(spark, [(0, [1.0, 2.0])])
+    with pytest.raises(ValueError, match="query_vec"):
+        ann_topk(df, [1.0], dim=2)
+
+
+def test_ann_topk_reuses_stored_bucket_column(spark):
+    rows = [(i, [((i * 31 + j * 7) % 19 - 9) / 9.0 for j in range(8)]) for i in range(100)]
+    emb = _emb(spark, rows)
+    q = rows[0][1]
+    fresh = {r["vec_id"] for r in ann_topk(emb, q, dim=8, k=5).collect()}
+    stored = lsh_buckets(emb, dim=8)
+    reused = {r["vec_id"] for r in ann_topk(stored, q, dim=8, k=5).collect()}
+    assert reused == fresh
+    # proof of REUSE (not recompute): a poisoned stored assignment is
+    # honored — every row in an impossible bucket means zero probes hit
+    poisoned = emb.withColumn("bucket", F.lit("xxxxxxxx"))
+    assert ann_topk(poisoned, q, dim=8, k=5).count() == 0
+
+
+# ----------------------------------------------------------------------
+# finding 8: the O(dim) aggregates are hoisted out of the lambdas
+# ----------------------------------------------------------------------
+def test_quantize_hoist_survives_optimizer(spark):
+    emb = _emb(spark, [(0, [1.0, -4.0, 2.0])])
+    plan = quantize_int8(emb)._jdf.queryExecution().optimizedPlan().toString()
+    # hoisted: ONE array_max in its own projection; an inlined plan
+    # duplicates it into the guard and the per-element lambda body
+    assert plan.count("array_max") == 1
+    row = quantize_int8(emb).collect()[0]
+    assert row["qvec"] == [32, -127, 64]
+    assert row["max_abs"] == 4.0
+
+
+def test_unit_normalized_hoist_survives_optimizer(spark):
+    emb = _emb(spark, [(0, [3.0, 4.0]), (1, [0.0, 0.0]), (2, [float("nan"), 1.0])])
+    staged = _unit_normalized(emb, "embedding", ["vec_id"])
+    plan = staged._jdf.queryExecution().optimizedPlan().toString()
+    # one aggregate = the hoisted norm; inlining duplicates it into the
+    # guard condition and the division lambda
+    assert plan.count("aggregate(") == 1
+    rows = {r["vec_id"]: r["__unit"] for r in staged.collect()}
+    assert rows[0] == pytest.approx([0.6, 0.8])
+    assert rows[1] is None  # zero norm
+    assert rows[2] is None  # NaN — would otherwise poison >= checks
+
+
+def test_embedding_dup_pairs_nan_vector_never_matches(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [float("nan")] * 4),
+        (3, [0.0, 0.0, 0.0, 0.0]),
+    ]
+    pairs = embedding_dup_pairs(_emb(spark, rows), dim=4, threshold=0.9, planes=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(2 not in p and 3 not in p for p in got)
+
+
+# ----------------------------------------------------------------------
+# findings 1/6: connected_components id contract
+# ----------------------------------------------------------------------
+def test_connected_components_rejects_fractional_ids(spark):
+    pairs = spark.createDataFrame(
+        [(7.2, 7.9)], "doc_a double, doc_b double"
+    )
+    with pytest.raises(Exception, match="round-trip int64"):
+        connected_components(pairs).collect()
+
+
+def test_connected_components_rejects_numerically_equal_strings(spark):
+    pairs = spark.createDataFrame([("07", "8")], "doc_a string, doc_b string")
+    with pytest.raises(Exception, match="round-trip int64"):
+        connected_components(pairs).collect()
+
+
+def test_connected_components_rejects_null_ids(spark):
+    pairs = spark.createDataFrame(
+        [(1, None), (2, 3)], "doc_a long, doc_b long"
+    )
+    with pytest.raises(Exception, match="NULL doc_b id"):
+        connected_components(pairs).collect()
+
+
+def test_connected_components_accepts_integral_strings(spark):
+    pairs = spark.createDataFrame(
+        [("1", "2"), ("2", "3")], "doc_a string, doc_b string"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1}
+
+
+# ----------------------------------------------------------------------
+# findings 1/4/5: keep-policy contracts
+# ----------------------------------------------------------------------
+def test_keep_representative_guards_id_coercion(spark):
+    docs = spark.createDataFrame(
+        [("07", "x"), ("8", "y")], "doc_id string, text string"
+    )
+    pairs = spark.createDataFrame([(7, 8)], "doc_a long, doc_b long")
+    with pytest.raises(Exception, match="round-trip int64"):
+        dedup_keep_representative(docs, pairs).collect()
+
+
+def test_keep_policies_keep_null_id_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "a", 0.5), (2, "a", 0.9), (None, "keyless", 0.1)],
+        "doc_id long, text string, score double",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    rep = dedup_keep_representative(docs, pairs)
+    assert sorted(
+        (r["doc_id"] for r in rep.collect()), key=lambda x: (x is None, x)
+    ) == [1, None]
+    best = dedup_keep_best(docs, pairs, "score")
+    assert sorted(
+        (r["doc_id"] for r in best.collect()), key=lambda x: (x is None, x)
+    ) == [2, None]
+
+
+def test_keep_policies_compose_with_embedding_pair_columns(spark):
+    docs = spark.createDataFrame(
+        [(0, 0.1), (1, 0.9), (5, 0.3)], "doc_id long, score double"
+    )
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    rep = dedup_keep_representative(docs, pairs, a_col="id_a", b_col="id_b")
+    assert {r["doc_id"] for r in rep.collect()} == {0, 5}
+    best = dedup_keep_best(docs, pairs, "score", a_col="id_a", b_col="id_b")
+    assert {r["doc_id"] for r in best.collect()} == {1, 5}
