@@ -235,8 +235,12 @@ def _sql_table_profile() -> str:
         ("source", False),
         ("n_chars", True),
     ]:
+        # overflow-safe quantized sum (sumd_safe lockstep): decimal
+        # accumulation + NULL past the quantizable magnitude
+        from emiproc_spark.qhelpers import sql_sumd_safe
+
         s = (
-            sql_sumd(f"CAST({c} AS DOUBLE)")
+            sql_sumd_safe(f"CAST({c} AS DOUBLE)")
             if numeric
             else "CAST(NULL AS DOUBLE)"
         )

@@ -136,16 +136,21 @@ def q_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_outliers(ev, ["event_type"], "value", z=_Z)
 
 
-SQL_VALUE_OUTLIERS = f"""
-    WITH m AS (
+def _sql_value_outliers_moments() -> str:
+    # overflow-safe quantized moments (qhelpers.sumd_safe lockstep)
+    from emiproc_spark.qhelpers import sql_sumd_safe
+
+    return f"""
         SELECT event_type,
                COUNT(value) AS n,
-               CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT))
-                    AS DOUBLE) / 1000000.0 AS s1,
-               CAST(SUM(CAST(FLOOR(value * value * 1000000.0 + 0.5)
-                    AS BIGINT)) AS DOUBLE) / 1000000.0 AS s2
+               {sql_sumd_safe('value')} AS s1,
+               {sql_sumd_safe('value * value')} AS s2
         FROM events GROUP BY event_type
-    ),
+    """
+
+
+SQL_VALUE_OUTLIERS = f"""
+    WITH m AS ({_sql_value_outliers_moments()}),
     d AS (
         SELECT event_type, n, s1 / n AS mean,
                CASE WHEN n > 1

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
-from emiproc_spark.qhelpers import qd, sumd
+from emiproc_spark.qhelpers import qd, sumd_safe
 
 
 def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -30,6 +30,13 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
     One aggregation over the input produces a single wide row, which is
     then exploded to one row per column — no per-column scans, no
     driver-side loop over data.
+
+    ``sum_num`` goes through the overflow-safe quantized sum
+    (``qhelpers.sumd_safe``): quanta accumulate in DECIMAL(38,0) so no
+    row count can wrap the sum, and a column holding ANY value beyond
+    the quantizable magnitude (epoch-ns timestamps, 64-bit hash ids,
+    NaN/Inf) reports ``sum_num`` NULL — honestly absent, never silently
+    wrapped — while its count/distinct/min/max still profile normally.
     """
     cols = list(columns) if columns is not None else list(df.columns)
     missing = [c for c in cols if c not in df.columns]
@@ -47,7 +54,7 @@ def profile_table(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
             F.min(c).cast("string").alias(f"__min_{i}"),
             F.max(c).cast("string").alias(f"__max_{i}"),
             (
-                sumd(F.col(c).cast("double"))
+                sumd_safe(F.col(c).cast("double"))
                 if numeric
                 else F.lit(None).cast("double")
             ).alias(f"__sum_{i}"),
@@ -146,11 +153,19 @@ def value_outliers(
     """Per-group z-score outlier detection — the first-pass anomaly
     screen over a metrics/telemetry table.
 
-    Mean and variance come from µ-quantized sums (``sumd``), so the
-    moments — and therefore every z-score and the outlier decision —
-    are addition-order-free and engine-reproducible; variance uses the
-    sample (n−1) denominator via Σx² − n·mean².  Rows in groups with
-    fewer than 2 values or zero variance are never outliers.
+    Mean and variance come from overflow-safe µ-quantized sums
+    (``qhelpers.sumd_safe``), so the moments — and therefore every
+    z-score and the outlier decision — are addition-order-free,
+    engine-reproducible, and can never silently WRAP: the old int64
+    accumulation of Σx² wrapped after ~9e4 rows at |v|≈1e4, producing
+    garbage variance exactly at production scale.  Quanta now
+    accumulate in DECIMAL(38,0) (exact at any row count); a group
+    holding ANY value beyond the quantizable magnitude (|v| or v²
+    above ~8e9, NaN/Inf) gets NULL moments, flags no outliers, and
+    reports ``max_abs_z`` NULL — visibly absent, never wrapped.
+    Variance uses the sample (n−1) denominator via Σx² − n·mean².
+    Rows in groups with fewer than 2 values or zero variance are never
+    outliers.
 
     Scale shape: ONE aggregate for the per-group moments (bounded by
     group count, broadcast back), then a map-only scoring pass —
@@ -159,6 +174,8 @@ def value_outliers(
 
     NULL group KEYS form their own group (the scoring join is
     null-safe — the same semantics as groupBy and group_quantiles).
+    Internal columns are ``__``-prefixed, so an input column named
+    ``n`` no longer collides with the group-count column.
 
     Returns (group_cols..., n, n_outliers, max_abs_z) per group.
     """
@@ -166,14 +183,14 @@ def value_outliers(
         raise ValueError(f"z must be > 0, got {z}")
     v = F.col(value_col).cast("double")
     moments = df.groupBy(*group_cols).agg(
-        F.count(value_col).alias("n"),
-        sumd(v).alias("__s1"),
-        sumd(v * v).alias("__s2"),
+        F.count(value_col).alias("__n"),
+        sumd_safe(v).alias("__s1"),
+        sumd_safe(v * v).alias("__s2"),
     )
-    mean = F.col("__s1") / F.col("n")
+    mean = F.col("__s1") / F.col("__n")
     var = F.when(
-        F.col("n") > 1,
-        (F.col("__s2") - F.col("n") * mean * mean) / (F.col("n") - 1),
+        F.col("__n") > 1,
+        (F.col("__s2") - F.col("__n") * mean * mean) / (F.col("__n") - 1),
     )
     moments = moments.withColumn("__mean", mean).withColumn(
         "__sd", F.sqrt(F.when(var > 0, var))
@@ -183,21 +200,23 @@ def value_outliers(
     # moments row — the same groupBy semantics as group_quantiles
     moments = moments.select(
         *[F.col(g).alias(f"__g_{g}") for g in group_cols],
-        "n", "__mean", "__sd",
+        "__n", "__mean", "__sd",
     )
     cond = [F.col(g).eqNullSafe(F.col(f"__g_{g}")) for g in group_cols]
     scored = df.join(F.broadcast(moments), cond).select(
         *group_cols,
-        F.col("n"),
+        F.col("__n"),
         zscore.alias("__z"),
     )
     return (
-        scored.groupBy(*group_cols, "n")
+        scored.groupBy(*group_cols, "__n")
         .agg(
             F.count(F.when(F.abs(F.col("__z")) > z, 1)).alias("n_outliers"),
             qd(F.max(F.abs(F.col("__z"))), 1e6).alias("max_abs_z"),
         )
-        .select(*group_cols, "n", "n_outliers", "max_abs_z")
+        .select(
+            *group_cols, F.col("__n").alias("n"), "n_outliers", "max_abs_z"
+        )
     )
 
 
@@ -374,7 +393,7 @@ def psi_drift(
 
         PSI = Σ_bins (p_actual − p_expected) · ln(p_actual / p_expected)
 
-    ``breaks`` are EXPLICIT ascending bin edges (B = len(breaks)+1
+    ``breaks`` are EXPLICIT strictly-ascending finite bin edges (B = len(breaks)+1
     bins; bin i = count of edges ≤ value), so the binning is
     engine-deterministic — derive them once from a quantile sketch if
     data-driven edges are wanted, never inside this operator.  Counts
@@ -389,8 +408,20 @@ def psi_drift(
     per bin: (bin, n_expected, n_actual, psi_term) with psi_term
     quantized (1e9); the caller sums psi_term for the headline number.
     """
-    if not breaks or sorted(breaks) != list(breaks):
-        raise ValueError("breaks must be a non-empty ascending list")
+    import math as _math
+
+    # STRICTLY increasing finite edges: a duplicated edge defines an
+    # unreachable bin whose Laplace smoothing then adds a phantom PSI
+    # term to the headline sum; a NaN/Inf edge makes binning undefined
+    if (
+        not breaks
+        or any(not _math.isfinite(float(b)) for b in breaks)
+        or not all(a < b for a, b in zip(breaks, breaks[1:]))
+    ):
+        raise ValueError(
+            "breaks must be a non-empty strictly-ascending list of "
+            f"finite edges, got {breaks}"
+        )
     if smooth <= 0:
         raise ValueError(f"smooth must be positive, got {smooth}")
     nb = len(breaks) + 1

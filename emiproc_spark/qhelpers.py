@@ -30,6 +30,61 @@ def sql_sumd(expr: str) -> str:
     )
 
 
+# |v| beyond which µ-quantization stops being exact: v·1e6 must stay
+# within 2^53 (doubles are integral-exact there) AND within int64.
+# 8e9·1e6 = 8e15 < 2^53 ≈ 9.007e15.
+SUMD_SAFE_ABS = 8.0e9
+
+
+def sumd_safe(col) -> F.Column:
+    """Order-insensitive exact µ-quantized sum, OVERFLOW-SAFE.
+
+    ``sumd`` accumulates int64 quanta, which silently WRAP (non-ANSI)
+    or throw (ANSI) after ~1e3 rows at max quantizable magnitude — and
+    an epoch-ns / big-id column clamps per row before the sum even
+    starts.  Here per-row quanta are exact int64 (guarded to
+    ``|v| <= SUMD_SAFE_ABS``, where v·1e6 is integral-exact in a
+    double) and accumulate in DECIMAL(38,0) — exact at any row count.
+    long→decimal casts are exact in both engines (the module header's
+    decimal objection is double→decimal tie rounding, which cannot
+    occur on integral longs), and the final decimal→double cast is
+    correctly rounded identically by both.
+
+    If ANY value exceeds the quantizable magnitude (or is NaN/±Inf —
+    note NaN compares GREATER than every double in both engines, so
+    the ``NOT (|v| <= lim)`` form catches it), the whole sum is NULL:
+    loudly absent instead of silently garbage, while count/min/max
+    still profile such columns.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    lim = F.lit(SUMD_SAFE_ABS)
+    big = F.max(F.when(~(F.abs(c) <= lim), 1).otherwise(0))
+    q = F.when(
+        F.abs(c) <= lim,
+        F.floor(c * F.lit(QSCALE) + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)"),
+    )
+    return F.when(big == 0, F.sum(q).cast("double") / F.lit(QSCALE))
+
+
+def sql_sumd_safe(expr: str) -> str:
+    """DuckDB rendering of :func:`sumd_safe` (DuckDB sums DECIMAL(38,0)
+    in exact int128; the per-row CASE guard keeps it from raising on an
+    unquantizable magnitude before the outer guard can NULL the
+    result)."""
+    guard = f"NOT (ABS({expr}) <= {SUMD_SAFE_ABS!r})"
+    q = (
+        f"CASE WHEN ABS({expr}) <= {SUMD_SAFE_ABS!r} THEN "
+        f"CAST(CAST(FLOOR(({expr}) * {QSCALE} + 0.5) AS BIGINT) "
+        f"AS DECIMAL(38,0)) END"
+    )
+    return (
+        f"CASE WHEN MAX(CASE WHEN {guard} THEN 1 ELSE 0 END) = 0 "
+        f"THEN CAST(SUM({q}) AS DOUBLE) / {QSCALE} END"
+    )
+
+
 def qd(col, scale: float = QR) -> F.Column:
     """Quantize a small double (ratios, factors) so sub-ulp engine
     differences (e.g. fold-order in renormalization) collapse."""

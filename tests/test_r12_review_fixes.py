@@ -240,6 +240,113 @@ def test_keep_policies_keep_null_id_docs(spark):
     ) == [2, None]
 
 
+# ----------------------------------------------------------------------
+# stats review findings: sumd overflow guards, internal-column prefix,
+# strict PSI breaks (PLANS.md "round-12 queue: history/stats")
+# ----------------------------------------------------------------------
+def test_profile_table_epoch_ns_column_yields_null_sum(spark):
+    from emiproc_spark.operators.stats import profile_table
+
+    base = 1_700_000_000_000_000_000  # epoch-ns: |v|*1e6 far beyond int64
+    df = spark.createDataFrame(
+        [(i, base + i) for i in range(10)], "k long, ts_ns long"
+    )
+    out = {r["column"]: r for r in profile_table(df).collect()}
+    # pre-fix: per-row clamp + silent int64 wrap produced garbage
+    assert out["ts_ns"]["sum_num"] is None
+    assert out["ts_ns"]["n_nonnull"] == 10  # the rest still profiles
+    assert out["ts_ns"]["min_str"] == str(base)
+    assert out["k"]["sum_num"] == pytest.approx(45.0)
+
+
+def test_profile_table_sum_exact_past_int64_quantum_capacity(spark):
+    from emiproc_spark.operators.stats import profile_table
+
+    # 2000 rows at v = 8e9: quanta are 8e15 each — an int64 accumulator
+    # wraps after ~1150 of them; the decimal path is exact
+    df = spark.range(2000).select((F.lit(8.0e9)).alias("v"))
+    out = {r["column"]: r for r in profile_table(df, ["v"]).collect()}
+    assert out["v"]["sum_num"] == pytest.approx(8.0e9 * 2000)
+
+
+def test_value_outliers_exact_at_wrap_magnitude(spark):
+    import math
+
+    from emiproc_spark.operators.stats import value_outliers
+
+    # the judge's wrap case: v ~ 1e4 over 1e5 rows — Σ(v²·1e6) ≈ 1e19
+    # wrapped int64 silently; decimal accumulation keeps it exact
+    n = 100_000
+    df = spark.range(n).select(
+        F.lit("g").alias("grp"),
+        (F.lit(10_000.0) + (F.col("id") % 100).cast("double")).alias("v"),
+    )
+    row = value_outliers(df, ["grp"], "v").collect()[0]
+    vals = [10_000.0 + (i % 100) for i in range(n)]
+    mean = sum(vals) / n
+    var = (sum(v * v for v in vals) - n * mean * mean) / (n - 1)
+    expect_max_z = max(abs(v - mean) for v in vals) / math.sqrt(var)
+    assert row["n"] == n and row["n_outliers"] == 0
+    assert row["max_abs_z"] == pytest.approx(expect_max_z, abs=1e-4)
+
+
+def test_value_outliers_overflow_magnitude_group_is_null_not_garbage(spark):
+    from emiproc_spark.operators.stats import value_outliers
+
+    df = spark.createDataFrame(
+        [("big", 1.7e18), ("big", 1.8e18), ("ok", 1.0), ("ok", 2.0)],
+        "grp string, v double",
+    )
+    out = {r["grp"]: r for r in value_outliers(df, ["grp"], "v").collect()}
+    assert out["big"]["max_abs_z"] is None and out["big"]["n_outliers"] == 0
+    assert out["ok"]["max_abs_z"] is not None
+
+
+def test_value_outliers_input_column_named_n(spark):
+    from emiproc_spark.operators.stats import value_outliers
+
+    df = spark.createDataFrame(
+        [("a", 1.0, 7), ("a", 2.0, 7), ("a", 3.0, 7)],
+        "grp string, v double, n int",
+    )
+    row = value_outliers(df, ["grp"], "v").collect()[0]
+    assert row["n"] == 3  # group count, not the input column
+
+
+def test_psi_drift_rejects_duplicate_and_nonfinite_breaks(spark):
+    from emiproc_spark.operators.stats import psi_drift
+
+    e = spark.createDataFrame([(1.0,)], "v double")
+    with pytest.raises(ValueError, match="strictly-ascending"):
+        psi_drift(e, e, "v", [1.0, 1.0, 2.0])
+    with pytest.raises(ValueError, match="strictly-ascending"):
+        psi_drift(e, e, "v", [1.0, float("inf")])
+
+
+def test_sumd_safe_matches_duckdb_oracle(spark):
+    """The Spark and DuckDB renderings of the overflow-safe sum agree
+    bit-for-bit across the guard boundary."""
+    import duckdb
+
+    from emiproc_spark.qhelpers import sql_sumd_safe, sumd_safe
+
+    cases = [
+        [1.25, -2.5, 3.125],          # plain
+        [8.0e9, 8.0e9, -1.0],         # at the magnitude limit
+        [1.7e18, 1.0],                # beyond the limit -> NULL
+        [float("nan"), 1.0],          # NaN -> NULL
+    ]
+    for vals in cases:
+        df = spark.createDataFrame([(v,) for v in vals], "v double")
+        got = df.agg(sumd_safe(F.col("v")).alias("s")).collect()[0]["s"]
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t AS SELECT * FROM (VALUES " +
+                    ", ".join(f"(CAST('{v!r}' AS DOUBLE))" for v in vals) +
+                    ") AS t(v)")
+        want = con.execute(f"SELECT {sql_sumd_safe('v')} FROM t").fetchone()[0]
+        assert got == want, (vals, got, want)
+
+
 def test_keep_policies_compose_with_embedding_pair_columns(spark):
     docs = spark.createDataFrame(
         [(0, 0.1), (1, 0.9), (5, 0.3)], "doc_id long, score double"
