@@ -75,7 +75,7 @@ SQL_TEXT_STATS = f"""
     SELECT lang, source, COUNT(*) AS n_docs,
            CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
            CAST(SUM(len(list_filter(string_split(text, ' '),
-                                    x -> x IN {STOPWORDS_SQL}))) AS BIGINT) AS sum_stop,
+                                    x -> lower(x) IN {STOPWORDS_SQL}))) AS BIGINT) AS sum_stop,
            CAST(SUM(length(text)) AS BIGINT) AS sum_chars
     FROM documents GROUP BY 1, 2
 """
@@ -89,9 +89,9 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_LANG_ID = f"""
     SELECT doc_id,
-           {sql_qd(f"len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL}))"
+           {sql_qd(f"len(list_filter(string_split(text, ' '), x -> lower(x) IN {STOPWORDS_SQL}))"
                    f" / CAST(len(string_split(text, ' ')) AS DOUBLE)")} AS en_score,
-           CASE WHEN len(list_filter(string_split(text, ' '), x -> x IN {STOPWORDS_SQL}))
+           CASE WHEN len(list_filter(string_split(text, ' '), x -> lower(x) IN {STOPWORDS_SQL}))
                      / CAST(len(string_split(text, ' ')) AS DOUBLE) > 0.05
                 THEN 1 ELSE 0 END AS is_en
     FROM documents

@@ -52,13 +52,23 @@ def token_count(text: Column) -> Column:
 
 
 def stopword_count(toks: Column) -> Column:
-    return F.size(F.filter(toks, lambda t: t.isin(STOPWORDS)))
+    """Tokens matched CASE-INSENSITIVELY against the stopword set: the
+    tokenizer does not lowercase, so a sentence-initial "The" must
+    still count — matching raw tokens biased en_score/stopword_ratio
+    low on exactly the well-formed English the scorers exist to detect.
+    Oracle lockstep: ``lower(x) IN {STOPWORDS_SQL}``."""
+    return F.size(F.filter(toks, lambda t: F.lower(t).isin(STOPWORDS)))
 
 
 # BPE-ish pre-tokenizer regex (GPT-2 style, simplified to the subset both
 # Java regex and RE2 support — no lookahead): contraction suffixes, then
 # space-prefixed letter runs, digit runs, punctuation runs, whitespace runs.
-BPE_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s']+|\\s+"
+# The punctuation class INCLUDES the apostrophe (as GPT-2's
+# [^\s\p{L}\p{N}]+ does): ordered alternation still lets the
+# contraction branch win, while a lone apostrophe (possessive "James'",
+# quote marks) tokenizes as punctuation instead of being silently
+# dropped from the count.
+BPE_REGEX = "'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+"
 
 
 def bpe_tokens(text: Column) -> Column:

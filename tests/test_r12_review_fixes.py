@@ -241,6 +241,37 @@ def test_keep_policies_keep_null_id_docs(spark):
 
 
 # ----------------------------------------------------------------------
+# text review findings: BPE apostrophe class, case-insensitive stopwords
+# ----------------------------------------------------------------------
+def test_bpe_lone_apostrophe_is_counted(spark):
+    from emiproc_spark.operators.text import bpe_tokens
+
+    d = spark.createDataFrame(
+        [(0, "James' book"), (1, "'quoted'")], "doc_id long, text string"
+    )
+    out = {
+        r["doc_id"]: r["toks"]
+        for r in d.select("doc_id", bpe_tokens(F.col("text")).alias("toks")).collect()
+    }
+    # pre-fix the lone apostrophe vanished from the token stream
+    assert out[0] == ["James", "'", " book"]
+    assert out[1] == ["'", "quoted", "'"]
+
+
+def test_stopwords_match_case_insensitively(spark):
+    from emiproc_spark.operators.text import lang_id_score, quality_features
+
+    d = spark.createDataFrame(
+        [(0, "The cat sat on a mat")], "doc_id long, text string"
+    )
+    row = lang_id_score(d).collect()[0]
+    # 'The' (sentence-initial) and 'a' both count: 2 of 6 tokens
+    assert row["en_score"] == pytest.approx(2 / 6)
+    q = quality_features(d).collect()[0]
+    assert q["stopword_ratio"] == pytest.approx(2 / 6)
+
+
+# ----------------------------------------------------------------------
 # stats review findings: sumd overflow guards, internal-column prefix,
 # strict PSI breaks (PLANS.md "round-12 queue: history/stats")
 # ----------------------------------------------------------------------
