@@ -113,6 +113,61 @@ def latest_snapshot(
     )
 
 
+def _obs_lattice(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    bucket_ns: int,
+    tiebreak: Sequence[str],
+    payload: Column,
+) -> DataFrame:
+    """Shared resample scaffolding (``resample_locf`` /
+    ``resample_interp``): bucketing, per-bucket last observation,
+    per-key bounds + dense lattice, and the lattice↔observation join.
+    Returns ``(*keys, __bucket, __obs)`` with ``__obs`` = the caller's
+    ``payload`` expression from the bucket's last observation (by
+    ``ts, *tiebreak``), NULL on gap buckets.
+
+    - Buckets are pure-int64 FLOOR division — float division of
+      epoch-nanos (> 2^53) would misplace boundary timestamps by one
+      bucket, and bare DIV truncates toward zero, collapsing two
+      distinct pre-1970 buckets into bucket 0 (oracles mirror via
+      ``sql_floor_div``).  ``ts_col`` is backtick-escaped so a quoted
+      identifier cannot break out of the spliced expression.
+    - NULL ``value_col`` rows are NOT observations: dropped before
+      bucketing so they can never out-rank a real bucket value; a key
+      whose every value is NULL disappears.
+    - ``obs`` feeds BOTH the bounds/lattice branch and the join probe;
+      the localCheckpoint keeps the raw event table from being scanned
+      and aggregated twice (same pattern as speciate_country's
+      dimension reuse).  The lattice explode is the only row
+      amplification and is bounded by time span / bucket size, not by
+      event count — at 100 TB the events dominate and are touched
+      exactly once.
+    """
+    if bucket_ns <= 0:
+        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
+    p = int(bucket_ns)
+    q = "`" + ts_col.replace("`", "``") + "`"
+    bucket = F.expr(f"({q} - pmod({q}, {p})) div {p}")
+    ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
+    obs = (
+        df.where(F.col(value_col).isNotNull())
+        .withColumn("__bucket", bucket)
+        .groupBy(*keys, "__bucket")
+        .agg(F.max_by(payload, ordkey).alias("__obs"))
+        .localCheckpoint(eager=False)
+    )
+    bounds = obs.groupBy(*keys).agg(
+        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
+    )
+    lattice = bounds.select(
+        *keys, F.explode(F.sequence("__b0", "__b1")).alias("__bucket")
+    )
+    return lattice.join(obs, [*keys, "__bucket"], "left")
+
+
 def resample_locf(
     df: DataFrame,
     keys: Sequence[str],
@@ -148,41 +203,13 @@ def resample_locf(
     by the event count — at 100 TB the events dominate and they are
     touched exactly once.
     """
-    if bucket_ns <= 0:
-        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     keys = list(keys)
-    # pure-int64 FLOOR division — float division of epoch-nanos
-    # (> 2^53) would misplace boundary timestamps by one bucket, and
-    # bare DIV truncates toward zero, which would collapse two distinct
-    # pre-1970 buckets into bucket 0 (oracles mirror via sql_floor_div)
-    p = int(bucket_ns)
-    # backtick-escape: a ts_col containing a backtick would otherwise
-    # break out of the quoted identifier inside the spliced expression
-    q = "`" + ts_col.replace("`", "``") + "`"
-    bucket = F.expr(f"({q} - pmod({q}, {p})) div {p}")
-    ordkey = F.struct(
-        F.col(ts_col), *[F.col(c) for c in tiebreak]
-    )
-    obs = (
-        df.where(F.col(value_col).isNotNull())
-        .withColumn("__bucket", bucket)
-        .groupBy(*keys, "__bucket")
-        .agg(F.max_by(F.col(value_col), ordkey).alias("__obs"))
-        # obs feeds BOTH the bounds/lattice branch and the join probe;
-        # without this the raw event table is scanned and aggregated
-        # twice (same pattern as speciate_country's dimension reuse)
-        .localCheckpoint(eager=False)
-    )
-    bounds = obs.groupBy(*keys).agg(
-        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
-    )
-    lattice = bounds.select(
-        *keys,
-        F.explode(F.sequence("__b0", "__b1")).alias("__bucket"),
+    joined = _obs_lattice(
+        df, keys, ts_col, value_col, bucket_ns, tiebreak, F.col(value_col)
     )
     w = Window.partitionBy(*keys).orderBy("__bucket")
     return (
-        lattice.join(obs, [*keys, "__bucket"], "left")
+        joined
         .select(
             *keys,
             (F.col("__bucket") * F.lit(bucket_ns)).alias("bucket_start"),
@@ -230,6 +257,17 @@ def apply_changelog(
     if missing:
         raise ValueError(
             f"changelog lacks column(s) {missing} required by the merge"
+        )
+    # op_col / order_by are consumed (not merged) but equally required —
+    # without this a changelog missing them died with a raw
+    # UNRESOLVED_COLUMN from the window sort instead of a named error
+    missing_ctl = [
+        c for c in [op_col, *order_by] if c not in changelog.columns
+    ]
+    if missing_ctl:
+        raise ValueError(
+            f"changelog lacks op/order column(s) {missing_ctl} required "
+            "to order and classify the merge"
         )
     latest = latest_snapshot(changelog, keys, order_by)
     upserts = latest.where(
@@ -286,40 +324,16 @@ def resample_interp(
     next) over the SAME key partitioning — Catalyst plans one exchange
     with two sorts, never a second shuffle.
     """
-    if bucket_ns <= 0:
-        raise ValueError(f"bucket_ns must be positive, got {bucket_ns}")
     keys = list(keys)
     p = int(bucket_ns)
-    # backtick-escape: a ts_col containing a backtick would otherwise
-    # break out of the quoted identifier inside the spliced expression
-    q = "`" + ts_col.replace("`", "``") + "`"
-    bucket = F.expr(f"({q} - pmod({q}, {p})) div {p}")
-    ordkey = F.struct(F.col(ts_col), *[F.col(c) for c in tiebreak])
-    obs = (
-        df.where(F.col(value_col).isNotNull())
-        .withColumn("__bucket", bucket)
-        .groupBy(*keys, "__bucket")
-        .agg(
-            F.max_by(
-                F.struct(
-                    F.col(value_col).cast("double").alias("v"),
-                    F.col(ts_col).alias("t"),
-                ),
-                ordkey,
-            ).alias("__obs")
-        )
-        .localCheckpoint(eager=False)
-    )
-    bounds = obs.groupBy(*keys).agg(
-        F.min("__bucket").alias("__b0"), F.max("__bucket").alias("__b1")
-    )
-    lattice = bounds.select(
-        *keys, F.explode(F.sequence("__b0", "__b1")).alias("__bucket")
+    payload = F.struct(
+        F.col(value_col).cast("double").alias("v"),
+        F.col(ts_col).alias("t"),
     )
     wf = Window.partitionBy(*keys).orderBy("__bucket")
     wb = Window.partitionBy(*keys).orderBy(F.col("__bucket").desc())
     joined = (
-        lattice.join(obs, [*keys, "__bucket"], "left")
+        _obs_lattice(df, keys, ts_col, value_col, bucket_ns, tiebreak, payload)
         .withColumn("__prev", F.last("__obs", ignorenulls=True).over(wf))
         .withColumn("__next", F.last("__obs", ignorenulls=True).over(wb))
     )

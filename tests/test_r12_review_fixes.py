@@ -241,6 +241,25 @@ def test_keep_policies_keep_null_id_docs(spark):
 
 
 # ----------------------------------------------------------------------
+# history review finding: apply_changelog op/order column validation
+# ----------------------------------------------------------------------
+def test_apply_changelog_validates_op_and_order_columns(spark):
+    from emiproc_spark.operators.history import apply_changelog
+
+    snap = spark.createDataFrame([(1, "a")], "k long, v string")
+    # changelog has the merge columns but lacks op + order columns:
+    # previously a raw UNRESOLVED_COLUMN out of the window sort
+    ctl = spark.createDataFrame([(1, "b")], "k long, v string")
+    with pytest.raises(ValueError, match="op/order column"):
+        apply_changelog(snap, ctl, ["k"], ["ts"], op_col="op")
+    ok = spark.createDataFrame(
+        [(1, "b", 5, "upsert")], "k long, v string, ts long, op string"
+    )
+    got = apply_changelog(snap, ok, ["k"], ["ts"], op_col="op").collect()
+    assert [(r["k"], r["v"]) for r in got] == [(1, "b")]
+
+
+# ----------------------------------------------------------------------
 # text review findings: BPE apostrophe class, case-insensitive stopwords
 # ----------------------------------------------------------------------
 def test_bpe_lone_apostrophe_is_counted(spark):
