@@ -321,13 +321,18 @@ def shard_manifest(
     n_shards: int,
     size_col: str = "n_tokens",
     key_col: str = "doc_id",
+    salt: str = "shard",
 ) -> DataFrame:
     """Per-shard manifest: ``(shard_id, n_docs, total_tokens)`` — the
     dimension-sized table a data loader uses to schedule epochs.  One
     hash-agg with map-side partials; the hash sharding keeps shard sizes
     balanced to ~±sqrt tolerance without a sort.  A NULL ``size_col``
     raises (a skipped NULL silently under-reports the shard's tokens —
-    the :func:`pack_sequences` contract)."""
+    the :func:`pack_sequences` contract).  ``salt`` must match the one
+    the docs were packed with (:func:`assign_shards` /
+    :func:`pack_sequences`) — before it was forwarded here, a manifest
+    for a non-default-salt packing silently described a DIFFERENT shard
+    assignment."""
     size = F.when(
         F.col(size_col).isNull(),
         F.raise_error(
@@ -339,7 +344,7 @@ def shard_manifest(
         ).cast("long"),
     ).otherwise(F.col(size_col).cast("long"))
     return (
-        assign_shards(docs, n_shards, key_col)
+        assign_shards(docs, n_shards, key_col, salt)
         .groupBy("shard_id")
         .agg(
             F.count("*").alias("n_docs"),

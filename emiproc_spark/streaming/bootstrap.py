@@ -96,11 +96,23 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
     df.coalesce(1).write.mode("overwrite").parquet(tmp)
     part = _glob.glob(_os.path.join(tmp, "part-*.parquet"))[0]
     _os.makedirs(d, exist_ok=True)
+    ad = _os.path.abspath(d)
+    # cache hygiene (r11 advisor): evict entries whose directory is
+    # gone (the map otherwise grows unboundedly in a long-lived
+    # driver), and re-anchor when the directory holds no ordered files
+    # — a deleted-and-recreated path must NOT inherit the old session's
+    # base, or its files get stamped with a stale (possibly
+    # maxFileAge-expired) mtime
+    for k in list(_ORDERED_FILE_BASES):
+        if not _os.path.isdir(k):
+            del _ORDERED_FILE_BASES[k]
+    if not _glob.glob(_os.path.join(d, "f*.parquet")):
+        _ORDERED_FILE_BASES.pop(ad, None)
+    base = _ORDERED_FILE_BASES.setdefault(
+        ad, _time.time() - ORDERED_FILE_MTIME_LAG_S
+    )
     dst = _os.path.join(d, f"f{order}.parquet")
     _shutil.copyfile(part, dst)
-    base = _ORDERED_FILE_BASES.setdefault(
-        _os.path.abspath(d), _time.time() - ORDERED_FILE_MTIME_LAG_S
-    )
     t = base + order
     _os.utime(dst, (t, t))
     _shutil.rmtree(tmp)
@@ -109,6 +121,9 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
 #: Per-directory mtime base for :func:`write_ordered_file`, captured at
 #: the directory's first write so later orders stay strictly newer no
 #: matter how much wall-clock time the frames' computation takes.
+#: Entries are evicted when their directory disappears, and a directory
+#: with no ordered files left re-anchors on its next write (so a
+#: deleted-and-recreated path never reuses a stale base).
 _ORDERED_FILE_BASES: dict[str, float] = {}
 
 

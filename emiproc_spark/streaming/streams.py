@@ -181,8 +181,20 @@ def pin_shards_to_checkpoint(
                 )
             finally:
                 stream_in.close()
-        except Exception as ex:  # checksum/permission errors via py4j
-            raise _unreadable(ex) from ex
+        except Exception as ex:
+            # an IO/classpath failure (transient FS error, checksum or
+            # permission problem, missing commons-io class) says NOTHING
+            # about the sidecar's contents — advising "delete it" here
+            # could coach an operator into destroying a valid pin after
+            # a transient error, so only PARSE failures (below) carry
+            # the delete advice
+            raise ValueError(
+                f"shard sidecar {checkpoint_location.rstrip('/')}/"
+                f"{SHARDS_SIDECAR} could not be READ ({ex!r}) — a "
+                "transient filesystem or classpath problem, not a "
+                "mangled record.  Retry or fix the environment; do NOT "
+                "delete the sidecar on this error."
+            ) from ex
     if exists and raw.strip():
         try:
             rec = json.loads(raw.decode("utf-8"))

@@ -241,6 +241,58 @@ def test_keep_policies_keep_null_id_docs(spark):
 
 
 # ----------------------------------------------------------------------
+# r11 advisor items: shard_manifest salt passthrough, ordered-file
+# mtime base re-anchoring
+# ----------------------------------------------------------------------
+def test_shard_manifest_follows_salt(spark):
+    from emiproc_spark.operators.packing import assign_shards, shard_manifest
+
+    docs = spark.range(500).select(
+        F.col("id").alias("doc_id"), F.lit(10).alias("n_tokens")
+    )
+    want = {
+        r["shard_id"]: r["n"]
+        for r in assign_shards(docs, 8, salt="mysalt")
+        .groupBy("shard_id").agg(F.count("*").alias("n")).collect()
+    }
+    got = {
+        r["shard_id"]: r["n_docs"]
+        for r in shard_manifest(docs, 8, salt="mysalt").collect()
+    }
+    assert got == want  # pre-fix the manifest used the DEFAULT salt
+    default = {
+        r["shard_id"]: r["n_docs"] for r in shard_manifest(docs, 8).collect()
+    }
+    assert default != got  # the salt genuinely changes the assignment
+
+
+def test_write_ordered_file_reanchors_after_recreate(spark, tmp_path):
+    import os
+    import shutil
+
+    from emiproc_spark.streaming import bootstrap as bs
+
+    d = str(tmp_path / "ordered")
+    df = spark.range(3).select(F.col("id").alias("v"))
+    bs.write_ordered_file(df, d, 0)
+    first_base = bs._ORDERED_FILE_BASES[os.path.abspath(d)]
+    # simulate a later session: the path is deleted and recreated after
+    # enough wall-clock that reusing the old base would stamp stale
+    # mtimes; force the stale condition by backdating the cached base
+    shutil.rmtree(d)
+    bs._ORDERED_FILE_BASES[os.path.abspath(d)] = first_base - 1e6
+    bs.write_ordered_file(df, d, 0)
+    new_base = bs._ORDERED_FILE_BASES[os.path.abspath(d)]
+    assert new_base > first_base - 1e6 + 10  # re-anchored near now
+    got = os.path.getmtime(os.path.join(d, "f0.parquet"))
+    assert abs(got - new_base) < 2
+    # eviction: a vanished directory's entry is dropped on the next call
+    shutil.rmtree(d)
+    bs.write_ordered_file(df, str(tmp_path / "other"), 0)
+    assert os.path.abspath(d) not in bs._ORDERED_FILE_BASES
+
+
+# ----------------------------------------------------------------------
 # history review finding: apply_changelog op/order column validation
 # ----------------------------------------------------------------------
 def test_apply_changelog_validates_op_and_order_columns(spark):

@@ -440,12 +440,15 @@ def test_pin_shards_sidecar_crash_and_corruption(spark, tmp_path):
         assert json.load(fh)["n_shards"] == 64
     # the pin above wrote through the Hadoop local FS, so a .crc exists;
     # a hand edit now leaves it stale and the READ fails — must surface
-    # as the named error, not a raw Py4J ChecksumException
+    # as the named READ error (not a raw Py4J ChecksumException), and
+    # must NOT advise deleting the sidecar: an IO failure says nothing
+    # about the record's validity (r11 advisor)
     assert os.path.exists(crc)
     with open(side, "w") as fh:
         fh.write('{"stream": "funnel_stream", "n_shards": 999}')
-    with pytest.raises(ValueError, match="unreadable"):
+    with pytest.raises(ValueError, match="could not be READ") as ei:
         pin_shards_to_checkpoint(spark, ckpt, 64, "funnel_stream")
+    assert "delete it to re-pin" not in str(ei.value)
     # truncated json: named error naming the file, not JSONDecodeError
     hand_write('{"stream": "funnel_str')
     with pytest.raises(ValueError, match="unreadable.*delete it to re-pin"):
