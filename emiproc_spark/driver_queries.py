@@ -1439,95 +1439,53 @@ from emiproc_spark.driver_queries_r11 import ORACLES_R11, QUERIES_R11  # noqa: E
 QUERIES.update(QUERIES_R11)
 ORACLES.update(ORACLES_R11)
 
-# Round-11 front-window rotation.  The driver samples a contiguous
+# Round-12 front-window rotation.  The driver samples a contiguous
 # 50-query block from the FRONT of the registry; per the standing
 # discipline (registry >4× the window), EVERY query whose
 # implementation changed this round goes first, then refill (oldest
 # evidence first).  NOTE (r10 judge item 4): when writing round notes,
 # derive the front/refill split from ``len(_REVERIFY)`` — do not
-# hand-count (two rounds of ledger miscounts came from that habit).
-# Round 11 is deliberately low-churn so the refill drains the entire
-# r4/r5 evidence cohort.
+# hand-count.  Round 12 lands the r11 review campaign's deferred
+# similarity/cluster + stats + text queues; with front = 29 the refill
+# (21 slots) drains every remaining r5-era query plus two r6-era.
+#
+# Deliberately NOT rotated (the r11 shingles precedent — validation/
+# bookkeeping-only changes where no valid caller's PLAN changes):
+# apply_changelog's op/order column validation (cdc_merge/scd2_history
+# — scd2_history refills as r5-era anyway), pin_shards_to_checkpoint's
+# read-vs-parse error split (error path only), shard_manifest's salt
+# parameter (default value preserves every existing plan bit-for-bit;
+# unit-tested), and write_ordered_file's mtime-base cache hygiene
+# (driver-side bookkeeping exercised only across delete/recreate
+# cycles, which no driver query performs; unit-tested).
 _REVERIFY = [
-    # NEW this round: the funnel and CDC checkpoint-bootstrap resume
-    # flows (streaming/bootstrap.py) driven end-to-end under two shard
-    # counts each — closing the r10 asymmetry where only the neardup
-    # upgrade path had a driver oracle
-    "stream_funnel_resume", "stream_cdc_resume",
-    # run_available_now grew a 300 s timeout at both call sites (a
-    # future no-data-batch regression fails one query instead of
-    # stalling the sweep; r10 advisor)
-    "stream_neardup_resume",
-    # near_dup_stream's batch fallback now mirrors the fold's seen-set
-    # dedup for ids both bootstrap-flagged and live in one frame (r10
-    # advisor); run_available_now serializes its conf toggle under a
-    # module lock
-    "stream_neardup",
-    # temporally_scaled / export_fluxie gained the sf_dim broadcast
-    # cardinality guard (named error past the combo budget, r10
-    # advisor) — the guard is a new count action on both query paths
-    "temporal_expand", "fluxie_export",
-    # r11 review fixes: changelog_state_stream ranks NULL (ts, tiebreak)
-    # stamps below concrete ones (DESC NULLS LAST parity), carries the
-    # input key type, and gained the latest-wins batch fallback
-    "stream_cdc",
-    # sessionize_stream's fold now NULL-skips value sums (batch F.sum
-    # parity) instead of poisoning the session sum to NaN
-    "stream_sessionize",
-    # heavy_hitters_stream rejects batch input with a named error at
-    # build (previously an opaque AnalysisException at execution)
-    "stream_heavy",
-    # r11 dedup-module review fixes: verify_candidate_pairs
-    # canonicalizes pair orientation (a reversed duplicate no longer
-    # survives as two rows) — rotates every query through it or the
-    # shared minhash/curate stores built on it
-    "lsh_verified", "minhash_est", "lsh_quality",
+    # --- r12: similarity/cluster review queue (PLANS.md r12 queue) ---
+    # cosine() NaN/zero-norm guard + NULL-cos filters rotate every
+    # operator-backed ANN query; the O(dim²) hoist changes the
+    # embedding_dup/semdedup/int8 plans; lsh_buckets length validation
+    # and ann_topk's stored-bucket reuse change the bucket family;
+    # knn_classify pre-filters NULL labels
+    "knn_join", "knn_classify", "ann_cosine_topk", "ann_lsh_buckets",
+    "ann_multiprobe", "ann_recall", "ivf_topk", "ivf_store_probe",
+    "int8_topk", "kmeans_topics", "semdedup", "embedding_dup",
+    # embedding_dup_pairs consumers outside the ANN family
+    "split_leakage", "cluster_split",
+    # connected_components' int64 round-trip + NULL-id contract and the
+    # keep-policy guards rotate every cluster-collapse query (curate's
+    # stage 2 runs dedup_keep_representative)
+    "dup_clusters", "dedup_representative", "dedup_best",
     "curate_corpus", "curation_gates",
-    # exact_duplicates excludes NULL-text docs (md5(NULL) grouped them
-    # into one fake duplicate group); passage_spans emits no spans for
-    # NULL/empty docs (md5('') collisions)
-    "dedup_exact", "passage_dedup",
-    # ngram_jaccard_pairs validates threshold + localCheckpoint instead
-    # of cache; setsim_join selects (id, text) instead of a rename that
-    # went ambiguous next to an existing doc_id; edit1_pairs backticks
-    # its key column; lsh_candidate_pairs_incremental validates that
-    # every new_docs id has signature rows
-    "ngram_jaccard", "setsim_exact", "fuzzy_join", "minhash_inc",
-    # r11 sampling/packing review fixes: the shard coin is now SALTED
-    # ("shard") so sampling-then-sharding doesn't collapse survivors
-    # into the lowest shards (oracles moved in lockstep); NULL size
-    # raises in pack/manifest
-    "seq_pack", "shard_plan",
-    # weighted_sample ranks the Efraimidis-Spirakis key in the log
-    # domain (pow underflowed to 0.0 for small weights, silently
-    # de-weighting the sample); oracle helper moved in lockstep
-    "weighted_sample", "wav_cycle",
-    # mixture_rates / temperature_rates: zero/NULL-token strata now get
-    # rate 0.0 instead of the silent 1.0 from least() skipping NULL
-    "data_mix", "temp_mix",
-    # decontaminate family raises on NULL doc_id (a contaminated
-    # keyless doc silently survived the anti join); bloom fpr validated
-    "decontaminate", "bloom_decon", "decon_spans",
-    # chunk_documents drops NULL/empty docs (junk NULL-chunk rows);
-    # cluster_split aliases its component join (ambiguity fix)
-    "doc_chunks", "cluster_split",
-    # r11 text-module review fixes: length_percentiles excludes
-    # NULL-text docs from the histogram (they skewed every quantile);
-    # fingerprint(NULL) is NULL, not md5('') (mass-clustering hazard);
-    # boilerplate detection/stripping joins null-safely on the group
-    # (a NULL source's boilerplate silently passed through);
-    # dsir_weights aggregates the target by term directly (one shuffle
-    # fewer, no id requirement).  NOTE: shingles() gained an n>=1
-    # ValueError — argument validation only, no valid caller's plan
-    # changes, so its ~30 consumer queries are deliberately NOT rotated.
-    "length_percentiles", "doc_fingerprint", "boilerplate_strip",
-    "dsir_sample",
-    # r11 history-module review fixes: resample_locf drops NULL-valued
-    # rows before bucketing (a NULL could out-rank and discard a real
-    # bucket value — oracle moved in lockstep); resample_interp
-    # computes interpolation weights from int64 DIFFERENCES (epoch-ns
-    # endpoints exceed 2^53, so the old endpoint-cast zeroed fine-
-    # bucket weights — both oracles moved in lockstep)
+    # --- r12: stats overflow guards (sumd_safe decimal accumulation,
+    # __-prefixed internals, strict PSI breaks; oracles in lockstep) ---
+    "table_profile", "value_outliers", "psi_drift",
+    # --- r12: text heuristics (BPE apostrophe class; case-insensitive
+    # stopword matching; lang_id/text_stats oracles in lockstep; the
+    # quality_filter driver query's plan is UNCHANGED — its stopword
+    # rule is disabled — but it rotates with its module per the r11
+    # verdict's done-criterion) ---
+    "token_counts", "lang_id", "text_stats", "quality_filter",
+    # --- r12: resample scaffolding factored into _obs_lattice (pure
+    # refactor, but the plan-producing code path moved — rotate) ---
     "resample_locf", "resample_interp", "resample_nulls",
 ]
 
