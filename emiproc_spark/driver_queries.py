@@ -1487,6 +1487,12 @@ _REVERIFY = [
     # --- r12: resample scaffolding factored into _obs_lattice (pure
     # refactor, but the plan-producing code path moved — rotate) ---
     "resample_locf", "resample_interp", "resample_nulls",
+    # --- r12 joins/graph review: range_join's overlap predicate gained
+    # the two non-emptiness conjuncts (an empty interval spuriously
+    # matched; oracle in lockstep); pagerank raises on NULL endpoints.
+    # Both were r5-era refill members, so fronting them costs nothing —
+    # the full r5-era drain still fits the window ---
+    "range_join", "pagerank",
 ]
 
 

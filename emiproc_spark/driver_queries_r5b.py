@@ -122,6 +122,7 @@ SQL_RANGE_JOIN = f"""
     SELECT e.err_id, c.click_id, e.user_id,
            LEAST(e.end_, c.end_) - GREATEST(e.start_, c.start_) AS overlap_ns
     FROM e JOIN c ON e.user_id = c.user_id
+                 AND e.start_ < e.end_ AND c.start_ < c.end_
                  AND e.start_ < c.end_ AND c.start_ < e.end_
 """
 

@@ -50,8 +50,27 @@ def pagerank(
         raise ValueError(f"iterations must be >= 1, got {iterations}")
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
+    dtypes = dict(edges.dtypes)
+    for c in (src_col, dst_col):
+        if c not in dtypes:
+            raise ValueError(
+                f"pagerank: no column {c!r} in edges (have {list(dtypes)})"
+            )
+
+    def _endpoint(c: str) -> F.Column:
+        # a NULL endpoint is not a node: its edge would silently
+        # contribute nothing on the src equi-joins while fabricating a
+        # phantom NULL row in the output — raise loudly instead (the
+        # connected_components NULL-id contract)
+        return F.when(
+            F.col(c).isNull(),
+            F.raise_error(F.lit(f"pagerank: NULL {c} endpoint")).cast(
+                dtypes[c]
+            ),
+        ).otherwise(F.col(c))
+
     e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        _endpoint(src_col).alias("src"), _endpoint(dst_col).alias("dst")
     ).distinct()
     e = e.localCheckpoint(eager=False)  # every iteration re-reads it
     nodes = (

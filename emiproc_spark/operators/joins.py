@@ -58,6 +58,27 @@ def _spanned(
     return df.withColumn("__bucket", F.explode(buckets))
 
 
+def _nonempty_interval(start: str, end: str, who: str) -> Column:
+    """``start < end`` as a filter conjunct that still RAISES on an
+    inverted interval: Catalyst pushes this predicate below
+    ``_spanned``'s explode guard (it references only pre-explode
+    columns), and a plain ``start < end`` there would silently DROP the
+    inverted row that guard exists to flag."""
+    s, e = F.col(start), F.col(end)
+    return F.when(
+        e < s,
+        F.raise_error(
+            F.concat(
+                F.lit(f"{who}: inverted interval ["),
+                s.cast("string"),
+                F.lit(", "),
+                e.cast("string"),
+                F.lit(") — end must be >= start"),
+            )
+        ).cast("boolean"),
+    ).otherwise(s < e)
+
+
 def _rename_collisions(
     df: DataFrame, own_cols: list[str], other_cols: list[str], by: list[str]
 ) -> tuple[DataFrame, dict[str, str]]:
@@ -230,6 +251,12 @@ def range_join(
     all non-key columns of both sides (right's renamed ``r_<col>`` on
     collision).
 
+    EMPTY intervals (start == end) overlap nothing: the full overlap
+    predicate is max(starts) < min(ends), and the two cross conditions
+    (``l.start < r.end ∧ r.start < l.end``) alone are equivalent to it
+    only for NON-empty intervals — an empty [5, 5) would otherwise
+    spuriously pair with every interval strictly containing 5.
+
     Shuffle volume is rows × ceil(len/bucket + 1): size ``bucket`` near
     the typical interval length (see module docstring).
     ``bucket="auto"`` measures the p90 interval length over both sides
@@ -261,7 +288,12 @@ def range_join(
     pairs = (
         lx.join(rx, [*by, "__bucket"])
         .where(
-            (F.col(l_start) < F.col(re))
+            # max(starts) < min(ends): the two non-emptiness conjuncts
+            # make the cross conditions the true overlap predicate —
+            # without them an empty interval spuriously matches
+            _nonempty_interval(l_start, l_end, "range_join")
+            & _nonempty_interval(rs, re, "range_join")
+            & (F.col(l_start) < F.col(re))
             & (F.col(rs) < F.col(l_end))
             & (F.col("__bucket") == F.floor(later_start / bucket).cast("long"))
         )

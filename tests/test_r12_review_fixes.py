@@ -241,6 +241,34 @@ def test_keep_policies_keep_null_id_docs(spark):
 
 
 # ----------------------------------------------------------------------
+# r12 joins/graph review: empty-interval overlap, NULL graph endpoints
+# ----------------------------------------------------------------------
+def test_range_join_empty_intervals_match_nothing(spark):
+    from emiproc_spark.operators.joins import range_join
+
+    left = spark.createDataFrame(
+        [(1, "k", 5, 5), (2, "k", 3, 7)], "lid long, k string, start long, end long"
+    )
+    right = spark.createDataFrame(
+        [(10, "k", 0, 10), (11, "k", 6, 6)], "rid long, k string, start long, end long"
+    )
+    got = {(r["lid"], r["rid"]) for r in range_join(left, right, ["k"], bucket=10).collect()}
+    # the empty [5,5) and [6,6) intervals pair with nothing; pre-fix
+    # (1,10), (2,11) both leaked through the cross conditions
+    assert got == {(2, 10)}
+
+
+def test_pagerank_rejects_null_endpoints(spark):
+    from emiproc_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, None)], "src long, dst long")
+    with pytest.raises(Exception, match="NULL dst endpoint"):
+        pagerank(edges, iterations=1).collect()
+    with pytest.raises(ValueError, match="no column"):
+        pagerank(edges, src_col="nope")
+
+
+# ----------------------------------------------------------------------
 # r11 advisor items: shard_manifest salt passthrough, ordered-file
 # mtime base re-anchoring
 # ----------------------------------------------------------------------
