@@ -1493,6 +1493,10 @@ _REVERIFY = [
     # Both were r5-era refill members, so fronting them costs nothing —
     # the full r5-era drain still fits the window ---
     "range_join", "pagerank",
+    # --- r12 layout review: zorder_key validates coordinates into
+    # [0, 2**bits) (out-of-range/NULL raised instead of silently
+    # interleaving distant rows into one key); r5-era refill member ---
+    "zorder_layout",
 ]
 
 

@@ -28,13 +28,33 @@ def zorder_key(xcol: Column | str, ycol: Column | str, bits: int) -> Column:
     """Morton-interleave two non-negative integer columns into one key.
 
     Bit ``b`` of x lands at key bit ``2b``, bit ``b`` of y at ``2b+1``;
-    ``bits`` bounds each input (values must fit, i.e. < 2**bits).
-    2·bits ≤ 62 keeps the key in a BIGINT.
+    ``bits`` bounds each input.  2·bits ≤ 62 keeps the key in a BIGINT.
+
+    Inputs are VALIDATED into [0, 2**bits): an out-of-range or negative
+    value would silently drop its high (or smear its sign) bits, making
+    distant rows share a key — the layout then interleaves far-apart
+    tiles into the same files and the min/max pruning the curve exists
+    for quietly degrades.  NULL coordinates raise too (a NULL key would
+    range-partition all such rows into one lump).
     """
     if not 1 <= bits <= 31:
         raise ValueError(f"bits must be in [1, 31], got {bits}")
-    x = F.col(xcol).cast("long") if isinstance(xcol, str) else xcol.cast("long")
-    y = F.col(ycol).cast("long") if isinstance(ycol, str) else ycol.cast("long")
+    lim = 1 << bits
+
+    def _bounded(col: Column | str, name: str) -> Column:
+        c = F.col(col).cast("long") if isinstance(col, str) else col.cast("long")
+        return F.when(
+            c.isNull() | (c < 0) | (c >= lim),
+            F.raise_error(
+                F.concat(
+                    F.lit(f"zorder_key: {name} out of range [0, {lim}): "),
+                    F.coalesce(c.cast("string"), F.lit("NULL")),
+                )
+            ).cast("long"),
+        ).otherwise(c)
+
+    x = _bounded(xcol, "x")
+    y = _bounded(ycol, "y")
     z = F.lit(0).cast("long")
     for b in range(bits):
         z = z.bitwiseOR(

@@ -258,6 +258,23 @@ def test_range_join_empty_intervals_match_nothing(spark):
     assert got == {(2, 10)}
 
 
+def test_zorder_key_validates_range(spark):
+    from emiproc_spark.operators.layout import zorder_key
+
+    df = spark.createDataFrame(
+        [(3, 2), (4, 0)], "x long, y long"  # 4 >= 2**2
+    )
+    ok = df.where(F.col("x") < 4).select(
+        zorder_key("x", "y", 2).alias("z")
+    ).collect()
+    assert ok[0]["z"] == 0b1101  # interleave(3, 2)
+    with pytest.raises(Exception, match="out of range"):
+        df.select(zorder_key("x", "y", 2).alias("z")).collect()
+    nulls = spark.createDataFrame([(None, 1)], "x long, y long")
+    with pytest.raises(Exception, match="out of range"):
+        nulls.select(zorder_key("x", "y", 2).alias("z")).collect()
+
+
 def test_pagerank_rejects_null_endpoints(spark):
     from emiproc_spark.operators.graph import pagerank
 
