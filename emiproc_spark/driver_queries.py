@@ -1497,6 +1497,10 @@ _REVERIFY = [
     # [0, 2**bits) (out-of-range/NULL raised instead of silently
     # interleaving distant rows into one key); r5-era refill member ---
     "zorder_layout",
+    # --- r12 multimodal review: decode_image's fake path returns a 0x0
+    # frame for an empty payload instead of crashing on a 1x1 reshape
+    # of zero elements; extract_features rides it ---
+    "multimodal_features",
 ]
 
 

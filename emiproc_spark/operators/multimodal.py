@@ -44,7 +44,10 @@ def decode_image(payload: bytes, fake: bool = False) -> np.ndarray:
     byte-statistics stand-in for oracle-stable fixtures."""
     if fake:
         arr = np.frombuffer(payload, dtype=np.uint8)
-        side = max(1, int(len(arr) ** 0.5))
+        # an empty payload is a 0x0 image: the old max(1, ...) floor
+        # forced a 1x1 reshape of 0 elements — a raw numpy ValueError
+        # on any empty document instead of a well-formed empty frame
+        side = int(len(arr) ** 0.5)
         return arr[: side * side].reshape(side, side)
 
     try:  # optional dependency: C-speed decode for every format

@@ -258,6 +258,24 @@ def test_range_join_empty_intervals_match_nothing(spark):
     assert got == {(2, 10)}
 
 
+def test_fake_decode_empty_payload(spark):
+    from emiproc_spark.operators.multimodal import (
+        attach_binary,
+        decode_image,
+        extract_features,
+    )
+
+    assert decode_image(b"", fake=True).shape == (0, 0)
+    docs = spark.createDataFrame([(1, ""), (2, "abcd")], "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in extract_features(attach_binary(docs), fake=True).collect()
+    }
+    # pre-fix: raw numpy "cannot reshape array of size 0" on doc 1
+    assert out[1]["n_bytes"] == 0 and out[1]["mean_byte"] == 0.0
+    assert out[2]["checksum"] == sum(b"abcd") % 1_000_003
+
+
 def test_zorder_key_validates_range(spark):
     from emiproc_spark.operators.layout import zorder_key
 
