@@ -1501,6 +1501,10 @@ _REVERIFY = [
     # frame for an empty payload instead of crashing on a 1x1 reshape
     # of zero elements; extract_features rides it ---
     "multimodal_features",
+    # --- r12 interpolation review: resolve_daytype guards the
+    # assembled slot count (a typo'd/missing day_type row silently
+    # compacted the 168-array; now a named error) ---
+    "resolve_daytype",
 ]
 
 

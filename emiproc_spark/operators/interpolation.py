@@ -258,6 +258,12 @@ def resolve_daytype(
     partition {0..6} exactly — a gap or overlap would silently produce
     a compacted (<168) or shifted (>168) array that downstream
     hour-of-week indexing reads out of position.
+
+    The same hazard exists in the DATA, so the output is guarded: a
+    profile missing one of the set's day_types (e.g. a typo'd label the
+    join silently drops), carrying a duplicate day_type row, or holding
+    a ratios array that is not exactly 24 long would all assemble a
+    wrong-length array — each raises a named error instead.
     Returns (profile_id, ptype='hour_of_week', ratios ARRAY<168>).
     """
     sets = day_type_sets or {"weekday": [0, 1, 2, 3, 4], "weekend": [5, 6]}
@@ -278,11 +284,35 @@ def resolve_daytype(
     tot = per_day.groupBy("profile_id").agg(F.sum("ratio").alias("tot"))
     from emiproc_spark.operators.profiles import _ratio_from_pairs
 
-    return (
+    assembled = (
         per_day.join(tot, "profile_id")
         .withColumn("ratio", F.col("ratio") / F.col("tot"))
         .groupBy("profile_id")
-        .agg(_ratio_from_pairs().alias("ratios"))
-        .withColumn("ptype", F.lit("hour_of_week"))
-        .select("profile_id", "ptype", "ratios")
+        .agg(
+            _ratio_from_pairs().alias("ratios"),
+            F.count("*").alias("__n"),
+        )
+    )
+    checked = F.when(F.col("__n") == 168, F.col("ratios")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    "resolve_daytype: profile assembled "
+                ),
+                F.col("__n").cast("string"),
+                F.lit(
+                    " hour slots instead of 168 for profile_id "
+                ),
+                F.col("profile_id").cast("string"),
+                F.lit(
+                    " — a missing/duplicated day_type row or a ratios "
+                    "array that is not 24 long"
+                ),
+            )
+        ).cast("array<double>")
+    )
+    return assembled.select(
+        "profile_id",
+        F.lit("hour_of_week").alias("ptype"),
+        checked.alias("ratios"),
     )

@@ -258,6 +258,31 @@ def test_range_join_empty_intervals_match_nothing(spark):
     assert got == {(2, 10)}
 
 
+def test_resolve_daytype_guards_slot_count(spark):
+    from emiproc_spark.operators.interpolation import resolve_daytype
+
+    ok = spark.createDataFrame(
+        [(1, "weekday", [1.0] * 24), (1, "weekend", [2.0] * 24)],
+        "profile_id long, day_type string, ratios array<double>",
+    )
+    row = resolve_daytype(ok).collect()[0]
+    assert len(row["ratios"]) == 168
+    # a typo'd day_type silently vanished in the join pre-fix,
+    # compacting the array to 120 slots
+    typo = spark.createDataFrame(
+        [(1, "weekday", [1.0] * 24), (1, "Weekend", [2.0] * 24)],
+        "profile_id long, day_type string, ratios array<double>",
+    )
+    with pytest.raises(Exception, match="instead of 168"):
+        resolve_daytype(typo).collect()
+    short = spark.createDataFrame(
+        [(1, "weekday", [1.0] * 23), (1, "weekend", [2.0] * 24)],
+        "profile_id long, day_type string, ratios array<double>",
+    )
+    with pytest.raises(Exception, match="instead of 168"):
+        resolve_daytype(short).collect()
+
+
 def test_fake_decode_empty_payload(spark):
     from emiproc_spark.operators.multimodal import (
         attach_binary,
