@@ -47,7 +47,18 @@ def resample_vertical_profiles(
     target layer it overlaps — an interval theta-join then hash-agg.
     Mass above the last target level is dropped (caller validates), as
     the reference's weight matrix does.
+
+    ``target_tops`` must be strictly increasing and positive (layer 0
+    spans (0, tops[0]]): an unsorted list would make every t_lo ≥ t_hi,
+    zero every overlap, and silently return all-zero profiles.
     """
+    if not target_tops or not all(
+        a < b for a, b in zip([0.0, *target_tops], target_tops)
+    ):
+        raise ValueError(
+            "resample_vertical_profiles: target_tops must be strictly "
+            f"increasing and positive, got {target_tops}"
+        )
     spark = vprofiles.sparkSession
     bounds = [(i, (0.0 if i == 0 else target_tops[i - 1]), t) for i, t in enumerate(target_tops)]
     tgt = spark.createDataFrame(bounds, schema="layer int, t_lo double, t_hi double")

@@ -258,6 +258,22 @@ def test_range_join_empty_intervals_match_nothing(spark):
     assert got == {(2, 10)}
 
 
+def test_resample_vertical_validates_target_tops(spark):
+    from emiproc_spark.operators.vertical import resample_vertical_profiles
+
+    vp = spark.createDataFrame(
+        [(1, [10.0, 20.0], [0.5, 0.5])],
+        "profile_id long, heights_top_m array<double>, ratios array<double>",
+    )
+    # pre-fix an unsorted target list silently returned all-zero ratios
+    with pytest.raises(ValueError, match="strictly increasing"):
+        resample_vertical_profiles(vp, [20.0, 10.0])
+    with pytest.raises(ValueError, match="strictly increasing"):
+        resample_vertical_profiles(vp, [])
+    ok = resample_vertical_profiles(vp, [15.0, 25.0]).collect()[0]
+    assert ok["ratios"] == pytest.approx([0.75, 0.25])
+
+
 def test_resolve_daytype_guards_slot_count(spark):
     from emiproc_spark.operators.interpolation import resolve_daytype
 
