@@ -64,11 +64,14 @@ ivrows = st.lists(st.tuples(key, iv), min_size=1, max_size=10)
 def test_range_join_matches_bruteforce(spark, li, ri, bucket):
     lrows = [(k, s, s + n) for k, (s, n) in li]
     rrows = [(k, s, s + n) for k, (s, n) in ri]
+    # true overlap is max(starts) < min(ends); the two cross conditions
+    # suffice only for NON-empty intervals (an empty [5,5) would pair
+    # with everything containing 5) — mirror range_join's semantics
     expect = sorted(
         (lk, ls, rs)
         for (lk, ls, le) in lrows
         for (rk, rs, re) in rrows
-        if lk == rk and ls < re and rs < le
+        if lk == rk and ls < le and rs < re and ls < re and rs < le
     )
     left = spark.createDataFrame(lrows, "k int, start long, end long")
     right = spark.createDataFrame(rrows, "k int, start long, end long")
