@@ -47,10 +47,47 @@ def cosine(a: Column, b: Column) -> Column:
     caller filters NULL scores out.  NOTE: ``denom > 0`` alone is NOT a
     NaN guard — Spark's NaN compares greater than every double — hence
     the explicit ``isnan`` checks.
+
+    PERF: this single-Column form re-evaluates its O(dim) aggregates
+    per REFERENCE (``d`` twice, ``denom`` twice — no CSE inside an
+    expression tree), so hot paths use :func:`_with_cosine`, which
+    hoists each aggregate into a projected column evaluated once.
     """
     d = dot(a, b)
     denom = norm(a) * norm(b)
     return F.when((denom > 0) & ~F.isnan(denom) & ~F.isnan(d), d / denom)
+
+
+def _cosine_from(d: Column, denom: Column) -> Column:
+    """:func:`cosine`'s NULL-when-undefined guard over already-computed
+    dot/denominator columns (cheap references, so the repeated mentions
+    cost nothing)."""
+    return F.when((denom > 0) & ~F.isnan(denom) & ~F.isnan(d), d / denom)
+
+
+def _with_cosine(df: DataFrame, a: Column, b: Column, out: str = "cos") -> DataFrame:
+    """Add ``cosine(a, b)`` as column ``out`` with each O(dim) aggregate
+    evaluated exactly ONCE per row.
+
+    ``cosine()`` inlined into a projection evaluates dot twice and each
+    norm twice (6 O(dim) passes — expression trees get no CSE), and a
+    subsequent ``.where(out IS NOT NULL)`` is pushed below the
+    projection by alias substitution, duplicating all of it again (12
+    passes).  Here the three aggregates land in their own projection and
+    the guard references them as plain columns; the multiple references
+    keep CollapseProject from re-inlining (same mechanism as
+    ``_unit_normalized``).  Callers must keep NULL-score filters ABOVE a
+    pushdown barrier (limit / window), never directly above this
+    projection.
+    """
+    staged = (
+        df.withColumn("__cos_d", dot(a, b))
+        .withColumn("__cos_na", norm(a))
+        .withColumn("__cos_nb", norm(b))
+    )
+    denom = F.col("__cos_na") * F.col("__cos_nb")
+    cos = _cosine_from(F.col("__cos_d"), denom)
+    return staged.withColumn(out, cos).drop("__cos_d", "__cos_na", "__cos_nb")
 
 
 def cosine_topk(
@@ -67,12 +104,15 @@ def cosine_topk(
     """
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        embeddings.select(
-            id_col, cosine(F.col(vec_col), q).alias("cos")
-        )
-        .where(F.col("cos").isNotNull())  # cosine-undefined rows are not hits
+        _with_cosine(embeddings.select(id_col, vec_col), F.col(vec_col), q)
+        .select(id_col, "cos")
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
+        # cosine-undefined rows are not hits: DESC orders NULLs LAST, so
+        # the k kept rows are exactly the pre-filter top-k — and above
+        # the limit the filter cannot be pushed back into (and thereby
+        # duplicate) the cosine projection
+        .where(F.col("cos").isNotNull())
     )
 
 
@@ -90,26 +130,42 @@ def knn_join(
 
     ``carry_cols``: extra corpus columns to carry onto the neighbor rows
     inside the single scoring scan (so callers don't rescan the corpus
-    to re-attach metadata like labels)."""
+    to re-attach metadata like labels).
+
+    PERF shape: each side's norm is computed ONCE PER ROW before the
+    join (corpus: N aggregates, queries: Q — on the broadcast side, so
+    it ships pre-computed), and each candidate pair pays exactly one
+    O(dim) pass (the dot) instead of re-deriving both norms per pair —
+    a 3× flop cut that grows with the guard's re-evaluations (the
+    inlined guarded cosine was 6 passes/pair).  The NULL-score filter
+    sits ABOVE the window: predicates on non-partition columns cannot
+    cross a window, so the cosine projection is never duplicated by
+    pushdown; DESC ranks NULLs last, so surviving ranks are identical
+    to pre-filter ranks."""
     from pyspark.sql import Window
 
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    ).withColumn("__qn", norm(F.col("qvec")))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec"), *carry_cols
+    ).withColumn("__cn", norm(F.col("__cvec")))
+    staged = c.crossJoin(F.broadcast(q)).withColumn(
+        "__d", dot(F.col("__cvec"), F.col("qvec"))
     )
-    scored = corpus.crossJoin(F.broadcast(q)).select(
+    scored = staged.select(
         "query_id",
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("qvec")).alias("cos"),
+        "neighbor_id",
+        _cosine_from(F.col("__d"), F.col("__cn") * F.col("__qn")).alias("cos"),
         *carry_cols,
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return (
+        scored.withColumn("rank", F.row_number().over(w))
         # cosine-undefined corpus rows (NaN / zero-norm → NULL cos) are
-        # not neighbors — drop them before ranking so they never occupy
-        # (or, as NaN would, hijack) a top-k slot
-        scored.where(F.col("cos").isNotNull())
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
+        # not neighbors — they rank after every real score (NULLS LAST),
+        # so dropping them here never shifts a real neighbor's rank
+        .where((F.col("rank") <= k) & F.col("cos").isNotNull())
         .drop("rank")
     )
 
@@ -198,11 +254,16 @@ def lsh_buckets(
             )
         ).cast("array<double>")
     )
+    # the validated vector is hoisted into its own projection: inlining
+    # ``checked`` into every plane's dot re-evaluates the guard (and
+    # carries the raise_error branch) ``planes`` times per row; the
+    # multiple references keep CollapseProject from re-inlining it
+    staged = embeddings.withColumn("__lsh_v", checked)
     bits = []
     for p in range(planes):
         hp = F.array(*[F.lit(v) for v in hyperplane(dim, p)])
-        bits.append(F.when(dot(checked, hp) > 0, "1").otherwise("0"))
-    return embeddings.withColumn("bucket", F.concat(*bits))
+        bits.append(F.when(dot(F.col("__lsh_v"), hp) > 0, "1").otherwise("0"))
+    return staged.withColumn("bucket", F.concat(*bits)).drop("__lsh_v")
 
 
 def ann_topk(
@@ -256,12 +317,16 @@ def ann_topk(
             for i in range(planes)
         ]
     q = F.array(*[F.lit(float(v)) for v in query_vec])
+    probed = bucketed.where(F.col(bucket_col).isin(probes)).select(id_col, vec_col)
     return (
-        bucketed.where(F.col(bucket_col).isin(probes))
-        .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
-        .where(F.col("cos").isNotNull())
+        _with_cosine(probed, F.col(vec_col), q)
+        .select(id_col, "cos")
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
+        # NULL (cosine-undefined) scores rank last under DESC, so
+        # filtering above the limit keeps exactly the pre-filter top-k
+        # without letting pushdown duplicate the cosine projection
+        .where(F.col("cos").isNotNull())
     )
 
 
@@ -284,21 +349,18 @@ def ivf_seed_centroids(
     return [(i, [float(v) for v in r[1]]) for i, r in enumerate(rows)]
 
 
-def _centroid_scores(vec_col: str, centroids: list[tuple[int, list[float]]]) -> Column:
-    """Array of (cos, neg_cid) structs — one per centroid — computed in a
-    single JVM projection; ``array_max`` picks the best (ties → smaller
-    centroid id via the negated id field)."""
-    return F.array(
-        *[
-            F.struct(
-                cosine(
-                    F.col(vec_col), F.array(*[F.lit(float(v)) for v in cvec])
-                ).alias("cos"),
-                F.lit(-cid).alias("neg_cid"),
-            )
-            for cid, cvec in centroids
-        ]
-    )
+def _py_norm(vec: list[float]) -> float:
+    """Driver-side mirror of :func:`norm` over a literal vector: the
+    same left-to-right ``acc + x·x`` fold over the same doubles and a
+    correctly-rounded sqrt, so the result is BIT-IDENTICAL to what the
+    JVM aggregate computes over ``F.array(*map(F.lit, vec))`` (higher-
+    order functions never constant-fold, so keeping ``norm(literal)``
+    in-plan would re-evaluate an O(dim) pass per row per centroid)."""
+    acc = 0.0
+    for v in vec:
+        x = float(v)
+        acc += x * x
+    return acc**0.5
 
 
 def ivf_assign(
@@ -309,10 +371,17 @@ def ivf_assign(
 ) -> DataFrame:
     """IVF cell assignment: nearest-centroid by cosine.
 
-    Map-only — the centroid list rides along as an array-of-structs
-    literal inside one whole-stage-codegen projection, so assignment of
-    100 TB of vectors is a scan with zero shuffle.  Write the result
-    partitioned by ``cell`` and every probe becomes partition pruning.
+    Map-only — the centroid matrix rides along as literals inside one
+    whole-stage-codegen projection, so assignment of 100 TB of vectors
+    is a scan with zero shuffle.  Write the result partitioned by
+    ``cell`` and every probe becomes partition pruning.
+
+    PERF shape: the row vector's norm and its dot with each centroid
+    are hoisted into their own projection (1 + k O(dim) passes per
+    row); centroid norms are driver-computed constants (bit-identical
+    to the in-plan aggregate — see :func:`_py_norm`).  The inlined
+    guarded ``cosine()`` per struct field used to cost ~5 O(dim)
+    passes per centroid per row.
 
     A degenerate vector (NaN component / zero norm) has NULL cosine to
     every centroid; struct ordering ranks a NULL ``cos`` below every
@@ -320,8 +389,26 @@ def ivf_assign(
     = the smallest centroid id — deterministic, and a NaN can no longer
     hijack the assignment (Spark orders NaN above all doubles).
     """
-    best = F.array_max(_centroid_scores(vec_col, centroids))
-    return embeddings.withColumn(cell_col, (-best["neg_cid"]).cast("int"))
+    staged = embeddings.withColumn("__ivf_nv", norm(F.col(vec_col)))
+    dcols = []
+    for cid, cvec in centroids:
+        c_lit = F.array(*[F.lit(float(v)) for v in cvec])
+        dcols.append(f"__ivf_d{cid}")
+        staged = staged.withColumn(dcols[-1], dot(F.col(vec_col), c_lit))
+    scores = [
+        F.struct(
+            _cosine_from(
+                F.col(f"__ivf_d{cid}"),
+                F.col("__ivf_nv") * F.lit(_py_norm(cvec)),
+            ).alias("cos"),
+            F.lit(-cid).alias("neg_cid"),
+        )
+        for cid, cvec in centroids
+    ]
+    best = F.array_max(F.array(*scores))
+    return staged.withColumn(cell_col, (-best["neg_cid"]).cast("int")).drop(
+        "__ivf_nv", *dcols
+    )
 
 
 def ivf_refine(
@@ -394,12 +481,15 @@ def ivf_topk(
         assigned = embeddings
     else:
         assigned = ivf_assign(embeddings, centroids, vec_col, cell_col)
+    probed = assigned.where(F.col(cell_col).isin(probes)).select(id_col, vec_col)
     return (
-        assigned.where(F.col(cell_col).isin(probes))
-        .select(id_col, cosine(F.col(vec_col), q).alias("cos"))
-        .where(F.col("cos").isNotNull())
+        _with_cosine(probed, F.col(vec_col), q)
+        .select(id_col, "cos")
         .orderBy(F.col("cos").desc(), F.col(id_col))
         .limit(k)
+        # same barrier placement as ann_topk/cosine_topk: NULLs rank
+        # last, filter above the limit
+        .where(F.col("cos").isNotNull())
     )
 
 
@@ -647,8 +737,15 @@ def kmeans_assign_q(
             ]
         )
     )
-    return embeddings.withColumn("cluster", best["cluster"]).withColumn(
-        "dist_q12", best["dist_q12"]
+    # hoist the argmin struct: extracting cluster and dist_q12 from two
+    # separate copies of ``best`` would evaluate all k O(dim) distance
+    # aggregates twice per row (no CSE across projection expressions);
+    # the double reference below keeps CollapseProject from re-inlining
+    staged = embeddings.withColumn("__km_best", best)
+    return (
+        staged.withColumn("cluster", F.col("__km_best.cluster"))
+        .withColumn("dist_q12", F.col("__km_best.dist_q12"))
+        .drop("__km_best")
     )
 
 
