@@ -99,18 +99,29 @@ def connected_components(
         )
 
     edges = pairs.select(_as_id(a_col).alias("src"), _as_id(b_col).alias("dst"))
-    # undirected: propagate both ways
-    edges = edges.union(
+    # undirected: propagate both ways.  Self-loops make the per-round
+    # neighborhood min CLOSED — the node's own label arrives through
+    # the same join as its neighbors' labels, so the round needs no
+    # second labels-side join, and tagging the self-loop row also
+    # carries the PREVIOUS label out of the aggregation, so the
+    # convergence probe is a filter over the round's own (checkpointed)
+    # output instead of a corpus-wide join of old vs new labels.
+    und = edges.union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = und.union(
+        und.select("src", F.col("src").alias("dst"))
     ).distinct()
     edges = _truncate(edges)
 
     labels = edges.select("src").distinct().withColumn("component", F.col("src"))
 
-    for _ in range(max_iter):
-        # round part 1: every node takes the min label in its closed
-        # neighborhood (one shuffle on dst, one hash-agg on src)
-        nbr_min = (
+    for rnd in range(max_iter):
+        # every node takes the min label in its closed neighborhood:
+        # ONE shuffle on dst + one hash-agg on src (self-loop row =
+        # own label); max(when(dst==src)) extracts the previous label
+        # for the convergence flag (exactly one self-loop per src)
+        stepped = (
             edges.join(
                 labels.select(
                     F.col("src").alias("dst"), F.col("component").alias("dst_label")
@@ -118,46 +129,50 @@ def connected_components(
                 "dst",
             )
             .groupBy("src")
-            .agg(F.min("dst_label").alias("nbr_min"))
-        )
-        stepped = labels.join(nbr_min, "src", "left").select(
-            "src",
-            F.least(
-                F.col("component"), F.coalesce("nbr_min", "component")
-            ).alias("component"),
-        )
-        # round part 2: pointer jump — follow component -> its own
-        # current label, halving chain depth (log-round convergence)
-        jumped = (
-            stepped.alias("n")
-            .join(
-                labels.select(
-                    F.col("src").alias("component"),
-                    F.col("component").alias("parent_label"),
-                ).alias("p"),
-                "component",
-                "left",
+            .agg(
+                F.min("dst_label").alias("component"),
+                F.max(
+                    F.when(F.col("dst") == F.col("src"), F.col("dst_label"))
+                ).alias("__prev"),
             )
-            .select(
+        )
+        if rnd == 0:
+            # pointer jump through round-0 labels is the identity
+            # (every label still maps to itself) — skip the join
+            jumped = stepped.select(
                 "src",
-                F.least(
-                    F.col("component"), F.coalesce("parent_label", "component")
-                ).alias("component"),
+                "component",
+                (F.col("component") != F.col("__prev")).alias("__chg"),
             )
-        )
+        else:
+            # pointer jump — follow component -> its own current
+            # label, halving chain depth (log-round convergence)
+            final = F.least(
+                F.col("component"), F.coalesce("parent_label", "component")
+            )
+            jumped = (
+                stepped.alias("n")
+                .join(
+                    labels.select(
+                        F.col("src").alias("component"),
+                        F.col("component").alias("parent_label"),
+                    ).alias("p"),
+                    "component",
+                    "left",
+                )
+                .select(
+                    "src",
+                    final.alias("component"),
+                    (final != F.col("__prev")).alias("__chg"),
+                )
+            )
         # lazy checkpoint: the convergence probe below is the action
         # that materializes it, so each round costs ONE distributed job
         # (plus the probe's reuse of the checkpointed partitions), not
         # two separate materializations
         new_labels = _truncate(jumped)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "src")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("__chg")).limit(1).count()
+        labels = new_labels.select("src", "component")
         if changed == 0:
             break
     else:
