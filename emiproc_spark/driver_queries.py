@@ -1505,6 +1505,11 @@ _REVERIFY = [
     # assembled slot count (a typo'd/missing day_type row silently
     # compacted the 168-array; now a named error) ---
     "resolve_daytype",
+    # --- r12 optimization: bm25_topk/mine_hard_negatives carry doc
+    # length through the explode instead of a window over the postings
+    # aggregate (2 fewer Exchanges, Window removed); hybrid_search
+    # consumes bm25_topk ---
+    "bm25_topk", "hard_negatives", "hybrid_search",
 ]
 
 

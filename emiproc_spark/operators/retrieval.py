@@ -58,16 +58,25 @@ def bm25_topk(
         [(t, float(c)) for t, c in Counter(query_terms).items()],
         schema="term string, qtf double",
     )
-    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
-    corpus = tok.agg(
-        F.count_distinct(id_col).alias("n_docs"),
-        F.count("*").alias("n_tok"),
+    # doc length is the token-array size, known BEFORE the explode —
+    # carrying it through the explode and into the tf groupBy keys (one
+    # value per doc, so the extra key is free) removes the doc-length
+    # window and its exchange over the aggregated relation.  Corpus
+    # stats likewise come from a no-explode scan: a non-NULL text
+    # always splits to >= 1 token (so its doc counts), a NULL text
+    # explodes to no rows (so it must not).
+    corpus = docs.agg(
+        F.count(F.col(text_col)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
+        ).cast("long").alias("n_tok"),
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    # doc length = sum of tfs; the window's doc partitioning is a
-    # subset of the aggregate's (doc, term) hash partitioning, so this
-    # is a second (bounded) exchange, not a rescan
-    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks")).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     posting = tf.join(F.broadcast(qterms), "term")
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
     scored = posting.join(F.broadcast(dfreq), "term").crossJoin(
@@ -135,13 +144,21 @@ def mine_hard_negatives(
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    tok = docs.select(id_col, F.explode(tokens(F.col(text_col))).alias("term"))
-    corpus = tok.agg(
-        F.count_distinct(id_col).alias("n_docs"),
-        F.count("*").alias("n_tok"),
+    # same shape as bm25_topk: dl = token-array size carried through
+    # the explode (no doc-length window), corpus stats from a
+    # no-explode scan (NULL text -> no tokens -> not a corpus doc)
+    corpus = docs.agg(
+        F.count(F.col(text_col)).alias("n_docs"),
+        F.coalesce(
+            F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
+        ).cast("long").alias("n_tok"),
     )
-    tf = tok.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
-    tf = tf.withColumn("dl", F.sum("tf").over(Window.partitionBy(id_col)))
+    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks")).select(
+        id_col,
+        F.size("__toks").alias("dl"),
+        F.explode("__toks").alias("term"),
+    )
+    tf = tok.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     qtok = (
         queries.select(
             query_id_col,
