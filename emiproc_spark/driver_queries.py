@@ -1446,8 +1446,9 @@ ORACLES.update(ORACLES_R11)
 # evidence first).  NOTE (r10 judge item 4): when writing round notes,
 # derive the front/refill split from ``len(_REVERIFY)`` — do not
 # hand-count.  Round 12 lands the r11 review campaign's deferred
-# similarity/cluster + stats + text queues; with front = 29 the refill
-# (21 slots) drains every remaining r5-era query plus two r6-era.
+# similarity/cluster + stats + text queues plus the r12 optimization
+# rotations; with front = len(_REVERIFY) = 45 the refill (5 slots)
+# takes the five stalest-evidence queries.
 #
 # Deliberately NOT rotated (the r11 shingles precedent — validation/
 # bookkeeping-only changes where no valid caller's PLAN changes):
@@ -1510,6 +1511,14 @@ _REVERIFY = [
     # aggregate (2 fewer Exchanges, Window removed); hybrid_search
     # consumes bm25_topk ---
     "bm25_topk", "hard_negatives", "hybrid_search",
+    # --- r12 optimization: doc_shingles dedups per row
+    # (array_distinct before the explode) instead of a corpus-wide
+    # .distinct() shuffle; setsim_join carries the per-doc set size
+    # from the pre-explode array (count window removed) and the verify
+    # stage reuses the checkpointed shingle relation instead of
+    # re-tokenizing the corpus ---
+    "ngram_jaccard", "setsim_exact", "minhash_lsh", "minhash_inc",
+    "minhash_est", "lsh_quality", "lsh_capped", "lsh_verified",
 ]
 
 

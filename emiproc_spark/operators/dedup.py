@@ -54,13 +54,24 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     explode (and the md5 hashing layered on it downstream) is the
     family's dominant map cost and must not inherit a compacted
     input's 1-3 scan partitions.
+
+    Dedup happens per row (``array_distinct`` before the explode), not
+    as a relation-wide ``.distinct()``: the set lives entirely within
+    one document, so deduplicating it needs no corpus-wide
+    (doc_id, shingle) exchange — the whole relation is map-side.  That
+    also keeps every document's shingles inside one partition, so a
+    downstream groupBy(doc_id) partial-aggregates to ONE row per doc
+    before its exchange.
     """
     from emiproc_spark.qhelpers import widen_for_fanout
 
     tok = widen_for_fanout(docs).select(
         "doc_id", tokens(F.col(text_col)).alias("toks")
     )
-    return tok.select("doc_id", F.explode(shingles(F.col("toks"), n)).alias("shingle")).distinct()
+    return tok.select(
+        "doc_id",
+        F.explode(F.array_distinct(shingles(F.col("toks"), n))).alias("shingle"),
+    )
 
 
 def ngram_jaccard_pairs(
@@ -425,6 +436,7 @@ def verify_candidate_pairs(
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Exact shingle-Jaccard confirmation of candidate pairs — the
     verify stage of a verify-then-cluster dedup pipeline (LSH recalls
@@ -438,6 +450,14 @@ def verify_candidate_pairs(
     drives both joins (no shingle×shingle self-join here).  Returns
     (doc_a, doc_b, n_common, jaccard) for pairs with jaccard ≥
     threshold; candidates with no common shingle drop out.
+
+    ``shingles``: an optional precomputed distinct (doc_id, shingle)
+    relation for ``docs`` (same ``n``, same tokenizer — i.e.
+    :func:`doc_shingles` output, ideally already checkpointed by the
+    caller).  A caller that built the shingle relation for candidate
+    generation (``setsim_join``) passes it here so the verify stage
+    semi-filters it instead of re-tokenizing and re-shingling the
+    corpus a second time.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
@@ -460,13 +480,18 @@ def verify_candidate_pairs(
         .distinct()
     )
     # semi-filter BEFORE shingling: Catalyst won't push a semi join
-    # below the explode+distinct, and at scale candidates are a small
-    # fraction of the corpus — non-candidate docs must never explode.
-    # Lazy localCheckpoint (not cache): reused thrice below, blocks
-    # free on GC instead of pinning storage
-    sh = doc_shingles(
-        docs.join(cand_docs, "doc_id", "semi"), text_col, n
-    ).localCheckpoint(eager=False)
+    # below the explode, and at scale candidates are a small fraction
+    # of the corpus — non-candidate docs must never explode.  Lazy
+    # localCheckpoint (not cache): reused thrice below, blocks free on
+    # GC instead of pinning storage
+    if shingles is None:
+        sh = doc_shingles(
+            docs.join(cand_docs, "doc_id", "semi"), text_col, n
+        ).localCheckpoint(eager=False)
+    else:
+        sh = shingles.join(cand_docs, "doc_id", "semi").localCheckpoint(
+            eager=False
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sb = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1108,16 +1133,31 @@ def setsim_join(
     # the frame already carried one next to a different id_col
     d = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
     # the shingle relation feeds the frequency agg, the prefix ranks
-    # and (indirectly) the verify — lazy localCheckpoint, not cache()
-    # (blocks free on GC instead of pinning executor storage)
-    sh = doc_shingles(d, text_col, n).localCheckpoint(eager=False)
+    # and the verify — lazy localCheckpoint, not cache() (blocks free
+    # on GC instead of pinning executor storage).  The per-doc set size
+    # is the array size BEFORE the explode, carried through as a plain
+    # column — no count(*) window over the corpus-sized relation.
+    from emiproc_spark.qhelpers import widen_for_fanout
+
+    tok = widen_for_fanout(d).select(
+        "doc_id", tokens(F.col(text_col)).alias("__toks")
+    )
+    sh = (
+        tok.select(
+            "doc_id", F.array_distinct(shingles(F.col("__toks"), n)).alias("__set")
+        )
+        .select(
+            "doc_id",
+            F.size("__set").alias("__sz"),
+            F.explode("__set").alias("shingle"),
+        )
+        .localCheckpoint(eager=False)
+    )
     freq = sh.groupBy("shingle").agg(F.count("*").alias("__df"))
     sized = sh.join(freq, "shingle")
     w = Window.partitionBy("doc_id").orderBy("__df", "shingle")
-    sz = Window.partitionBy("doc_id")
     pre = (
         sized.withColumn("__pos", F.row_number().over(w))
-        .withColumn("__sz", F.count("*").over(sz))
         .where(
             F.col("__pos")
             <= F.col("__sz")
@@ -1163,4 +1203,8 @@ def setsim_join(
         # reference (~4x the query cost in a vanilla session)
         .localCheckpoint(eager=False)
     )
-    return verify_candidate_pairs(d, cand, text_col, n, threshold)
+    # the verify stage reuses the checkpointed shingle relation — the
+    # corpus is tokenized and shingled ONCE for the whole join
+    return verify_candidate_pairs(
+        d, cand, text_col, n, threshold, shingles=sh.select("doc_id", "shingle")
+    )
