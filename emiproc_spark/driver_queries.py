@@ -1447,8 +1447,8 @@ ORACLES.update(ORACLES_R11)
 # derive the front/refill split from ``len(_REVERIFY)`` — do not
 # hand-count.  Round 12 lands the r11 review campaign's deferred
 # similarity/cluster + stats + text queues plus the r12 optimization
-# rotations; with front = len(_REVERIFY) = 45 the refill (5 slots)
-# takes the five stalest-evidence queries.
+# rotations; with front = len(_REVERIFY) = 47 the refill (3 slots)
+# takes the three stalest-evidence queries.
 #
 # Deliberately NOT rotated (the r11 shingles precedent — validation/
 # bookkeeping-only changes where no valid caller's PLAN changes):
@@ -1519,6 +1519,13 @@ _REVERIFY = [
     # re-tokenizing the corpus ---
     "ngram_jaccard", "setsim_exact", "minhash_lsh", "minhash_inc",
     "minhash_est", "lsh_quality", "lsh_capped", "lsh_verified",
+    # --- r12 optimization: hamming_pairs packs the simhash bit-string
+    # into two 32-bit halves before the quarter self-join (integer
+    # blocking keys, 4-long candidate rows, XOR+bit_count distance);
+    # temporally_scaled_cellwise joins the per-key sf VECTOR to the
+    # facts before the hour fan-out, so the expanded relation never
+    # crosses an exchange ---
+    "hamming_pairs", "temporal_expand_cell",
 ]
 
 

@@ -693,35 +693,56 @@ def hamming_pairs(
             "complete for distances <= 3 (4 blocks; d+1 blocks must agree "
             "by pigeonhole) — larger thresholds would silently lose pairs"
         )
-    if reuse_fingerprints:
-        fingerprints = fingerprints.localCheckpoint(eager=False)
-    quarters = fingerprints.select(
+    # pack the 64-char bit-string into two 32-bit halves ONCE per doc
+    # (inside the checkpointed relation, so the conversion — like the
+    # fingerprint plan — runs once, not per join side): the quarter
+    # blocking key becomes a 16-bit integer lane instead of a 16-char
+    # substring, the candidate shuffle carries 4 longs instead of two
+    # 64-char strings, and the per-pair Hamming distance is two
+    # XOR+bit_count ops instead of splitting both strings into 64-char
+    # arrays and zip-counting them
+    packed = fingerprints.select(
         "doc_id",
-        "simhash_bits",
+        F.conv(F.substring("simhash_bits", 1, 32), 2, 10)
+        .cast("long")
+        .alias("__hi"),
+        F.conv(F.substring("simhash_bits", 33, 32), 2, 10)
+        .cast("long")
+        .alias("__lo"),
+    )
+    if reuse_fingerprints:
+        packed = packed.localCheckpoint(eager=False)
+    quarters = packed.select(
+        "doc_id",
+        "__hi",
+        "__lo",
         F.explode(F.sequence(F.lit(0), F.lit(3))).alias("q"),
-    ).withColumn("qbits", F.substring("simhash_bits", F.col("q") * 16 + 1, F.lit(16)))
+    ).withColumn(
+        "qval",
+        # q 0/2 take the high 16 bits of their half, q 1/3 the low
+        F.when(F.col("q") == 0, F.shiftright(F.col("__hi"), 16))
+        .when(F.col("q") == 1, F.col("__hi"))
+        .when(F.col("q") == 2, F.shiftright(F.col("__lo"), 16))
+        .otherwise(F.col("__lo"))
+        .bitwiseAND(F.lit(0xFFFF)),
+    )
     a, b = quarters.alias("a"), quarters.alias("b")
     cand = (
-        a.join(b, ["q", "qbits"])
+        a.join(b, ["q", "qval"])
         .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash_bits").alias("bits_a"),
-            F.col("b.simhash_bits").alias("bits_b"),
+            F.col("a.__hi").alias("__hi_a"),
+            F.col("a.__lo").alias("__lo_a"),
+            F.col("b.__hi").alias("__hi_b"),
+            F.col("b.__lo").alias("__lo_b"),
         )
         .distinct()
     )
-    dist = F.size(
-        F.filter(
-            F.zip_with(
-                F.split("bits_a", ""),
-                F.split("bits_b", ""),
-                lambda x, y: (x != y).cast("int"),
-            ),
-            lambda d: d == 1,
-        )
-    )
+    dist = F.bit_count(
+        F.col("__hi_a").bitwiseXOR(F.col("__hi_b"))
+    ) + F.bit_count(F.col("__lo_a").bitwiseXOR(F.col("__lo_b")))
     return cand.withColumn("hamming", dist).where(F.col("hamming") <= max_distance).select(
         "doc_a", "doc_b", "hamming"
     )
