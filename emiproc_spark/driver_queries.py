@@ -1447,8 +1447,9 @@ ORACLES.update(ORACLES_R11)
 # derive the front/refill split from ``len(_REVERIFY)`` — do not
 # hand-count.  Round 12 lands the r11 review campaign's deferred
 # similarity/cluster + stats + text queues plus the r12 optimization
-# rotations; with front = len(_REVERIFY) = 47 the refill (3 slots)
-# takes the three stalest-evidence queries.
+# rotations; front = len(_REVERIFY) = 50 — the window is exactly the
+# changed set this round, no refill slots (the evidence drain resumes
+# next round).
 #
 # Deliberately NOT rotated (the r11 shingles precedent — validation/
 # bookkeeping-only changes where no valid caller's PLAN changes):
@@ -1526,6 +1527,13 @@ _REVERIFY = [
     # facts before the hour fan-out, so the expanded relation never
     # crosses an exchange ---
     "hamming_pairs", "temporal_expand_cell",
+    # --- r12 optimization: near_dup_stream widens the stateless
+    # signature stage (the replayed single-file batch serialized the
+    # minhash hashing on one core) and stream_neardup / stream_cdc
+    # size shards explicitly per the derive_shards docstring rule
+    # instead of the 4096/1024 resize floors (stream_funnel's sizing
+    # measured a wash and was reverted — not rotated) ---
+    "stream_neardup", "stream_neardup_resume", "stream_cdc",
 ]
 
 

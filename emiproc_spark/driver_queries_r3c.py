@@ -627,8 +627,20 @@ def q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema("doc_id long, text string").parquet(src)
     from emiproc_spark.streaming.streams import run_available_now
 
+    # explicit shard sizing per the operator docstring's rule
+    # (max(a few shards per core, buckets/~1000)): the derived
+    # default's 4096 floor is a resize-robustness constant ~30x this
+    # corpus's bucket count, and every shard present in the single
+    # batch costs a Python/Arrow/state round-trip.  The checkpoint is
+    # per-invocation (uuid), so no pin is affected; pair results are
+    # shard-layout independent (the resume oracle proves it).
+    n_docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count() * 2
+    n_shards = max(
+        4 * spark.sparkContext.defaultParallelism, (4 * n_docs) // 1000
+    )
     out = near_dup_stream(
-        stream, n=3, k=8, bands=4, max_bucket=_ND_MAX_BUCKET, state_ttl="1 hour"
+        stream, n=3, k=8, bands=4, max_bucket=_ND_MAX_BUCKET, state_ttl="1 hour",
+        n_shards=n_shards,
     )
     # processing-time timers would keep an availableNow run alive
     # indefinitely (unlike the event-time sessionizer): after the data

@@ -77,6 +77,11 @@ def q_stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = spark.readStream.schema(
         "ts timestamp, user_id long, event_type string"
     ).parquet(src)
+    # NB (r12 optimization pass): explicit derive_shards-rule sizing
+    # (max(4·parallelism, keys/1000) = 128 here) was A/B-measured a
+    # wash at this key count (1.63→1.73 s — ~780 near-empty shard
+    # invocations saved vs one extra count job) and reverted; the
+    # derived 1024 floor stands.
     out = funnel_stream(stream, _FUNNEL_STEPS)
     res = _run_stream(out, "r5h_stream_funnel", "append")
     return res.select(

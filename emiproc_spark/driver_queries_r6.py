@@ -809,7 +809,15 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(d)
     )
-    out = changelog_state_stream(stream)
+    # explicit bucket sizing (operator docstring rule: a few buckets
+    # per core, or keys/~1000 — the event count bounds the key count
+    # from above).  The derived default's 1024 floor costs a
+    # Python/Arrow/state round-trip per bucket per micro-batch, and
+    # this query runs FOUR batches (maxFilesPerTrigger=1 over 4 files);
+    # checkpoints are per-invocation, so no pin is affected.
+    n_ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
+    n_buckets = max(4 * spark.sparkContext.defaultParallelism, n_ev // 1000)
+    out = changelog_state_stream(stream, n_buckets=n_buckets)
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try:

@@ -747,17 +747,32 @@ def near_dup_stream(
     # NULL ids carry no identity to pair on: drop them explicitly (the
     # batch self-join drops them silently via the < comparison; without
     # this the stateful operator would crash on int(NaN))
+    pre = docs.select(
+        id_checked.alias("doc_id"),
+        F.col(text_col),
+        *(
+            [F.coalesce(F.col(bootstrap_col), F.lit(False)).alias(bootstrap_col)]
+            if has_bs
+            else []
+        ),
+    ).where(F.col("doc_id").isNotNull())
+    if pre.isStreaming:
+        # the signature stage (k-permutation md5 over every shingle) is
+        # the batch's dominant map cost and must not inherit the
+        # SOURCE's split count — a replayed single-file batch presents
+        # one split and serializes the hashing on one core (measured:
+        # the whole micro-batch was one long task).  Streaming exposes
+        # no per-batch size to gate on (widen_for_fanout's logical-plan
+        # probe is batch-only), so widen unconditionally: the exchange
+        # moves each batch's input rows once, which the band explode +
+        # state shuffle downstream already exceed, and hash
+        # partitioning by id keeps the layout deterministic for
+        # replayed batches.
+        pre = pre.repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     sigs = minhash_signature_array(
-        docs.select(
-            id_checked.alias("doc_id"),
-            F.col(text_col),
-            *(
-                [F.coalesce(F.col(bootstrap_col), F.lit(False)).alias(bootstrap_col)]
-                if has_bs
-                else []
-            ),
-        ).where(F.col("doc_id").isNotNull()),
-        text_col, n, k, carry_cols=carry,
+        pre, text_col, n, k, carry_cols=carry
     ).withColumnsRenamed({"doc_id": id_col} if id_col != "doc_id" else {})
     banded = sigs.select(
         F.col(id_col),
