@@ -18,6 +18,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.operators import basic as ops
 from emiproc_spark.operators import regrid as rg
@@ -187,7 +188,7 @@ def q_group_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(
             F.broadcast(
-                spark.createDataFrame(
+                local_rows_df(spark, 
                     [(m, g_) for g_, ms in fx.CATEGORY_GROUPS.items() for m in ms],
                     schema="category string, grp string",
                 )
@@ -209,7 +210,7 @@ SQL_GROUP_CATEGORIES = f"""
 
 def q_group_substances(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fx.emissions(spark, sf_dir)
-    mdf = spark.createDataFrame(
+    mdf = local_rows_df(spark, 
         [(m, g_) for g_, ms in fx.SUBSTANCE_GROUPS.items() for m in ms],
         schema="substance string, grp string",
     )
@@ -231,7 +232,7 @@ SQL_GROUP_SUBSTANCES = f"""
 
 def q_scale_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = fx.emissions(spark, sf_dir)
-    factors = spark.createDataFrame(
+    factors = local_rows_df(spark, 
         fx.SCALE_FACTORS, schema="category string, substance string, factor double"
     )
     scaled = ops.scale_inventory(e, factors)
@@ -291,7 +292,7 @@ def q_speciate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.core.schemas import SPECIATION
 
     e = fx.emissions(spark, sf_dir)
-    spec = spark.createDataFrame(fx.SPECIATION_ROWS, schema=SPECIATION)
+    spec = local_rows_df(spark, fx.SPECIATION_ROWS, schema=SPECIATION)
     sp = spn.speciate(e, spec)
     return sp.groupBy("cell_id", "category", "substance").agg(
         sumd("value_kg_y").alias("value_kg_y")
@@ -534,7 +535,7 @@ YEAR_HOURS = 8784.0  # 2024 is a leap year
 def _test_tprofiles(spark: SparkSession) -> DataFrame:
     from emiproc_spark.core.schemas import TPROFILE
 
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (0, "daily", _daily_ratios(0)),
             (1, "daily", [1.0 / 24] * 24),
@@ -557,7 +558,7 @@ def q_temporal_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     e2 = e.groupBy("cell_id", "category", "substance").agg(
         sumd("value_kg_y").alias("value_kg_y")
     )
-    index = spark.createDataFrame(
+    index = local_rows_df(spark, 
         [("A", "F", 0), ("A", "O", 0), ("R", "F", 2), ("R", "O", 2)],
         schema="category string, substance string, profile_id int",
     )
@@ -602,10 +603,10 @@ def q_profiles_combine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fx.emissions(spark, sf_dir)
     w = e.groupBy("category").agg(sumd("value_kg_y").alias("weight"))
-    idx = spark.createDataFrame(
+    idx = local_rows_df(spark, 
         [("A", 0), ("N", 1), ("R", 0)], schema="category string, profile_id int"
     )
-    grp = spark.createDataFrame(
+    grp = local_rows_df(spark, 
         [("A", "grp_an"), ("N", "grp_an"), ("R", "grp_r")],
         schema="category string, grp string",
     )
@@ -652,10 +653,10 @@ def q_country_to_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell c belongs 60 % to country C(c%3), 40 % to C((c+1)%3)."""
     from emiproc_spark.operators.profiles import country_to_cells
 
-    cidx = spark.createDataFrame(
+    cidx = local_rows_df(spark, 
         [("C0", 0), ("C1", 1), ("C2", 2)], schema="country string, profile_id int"
     )
-    store = spark.createDataFrame(
+    store = local_rows_df(spark, 
         [(k, "daily", _daily_ratios(k)) for k in range(3)],
         schema="profile_id int, ptype string, ratios array<double>",
     )
@@ -738,7 +739,7 @@ def q_vertical_rebin(spark: SparkSession, sf_dir: str) -> DataFrame:
     (resample_vertical_profiles)."""
     from emiproc_spark.operators.vertical import resample_vertical_profiles
 
-    vp = spark.createDataFrame(
+    vp = local_rows_df(spark, 
         [
             (0, [50.0, 100.0, 200.0], [0.5, 0.3, 0.2]),
             (1, [100.0, 300.0], [0.6, 0.4]),
@@ -929,7 +930,7 @@ def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     o_c = orders.where(F.col("o_orderstatus") == "O").select("o_custkey")
     no_f = all_c.subtract(f_c)  # EXCEPT (distinct) semantics
     both = o_c.intersect(f_c)
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [("except_f",), ("intersect_of",)], schema="branch string"
     ).join(
         no_f.agg(F.count("*").alias("n")).withColumn("branch", F.lit("except_f"))
@@ -964,7 +965,7 @@ def q_composite_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the 1e-9 quantizer."""
     from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
 
-    subs = spark.createDataFrame(
+    subs = local_rows_df(spark, 
         [
             (0, "daily", _daily_ratios(0)),
             (0, "weekly", WEEKLY_RATIOS),
@@ -1044,7 +1045,7 @@ def q_interpolate_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     (interpolate_profiles semantics); first 1000 hours."""
     from emiproc_spark.operators.interpolation import profile_to_hour_of_year
 
-    prof = spark.createDataFrame(
+    prof = local_rows_df(spark, 
         [(0, [(m + 1) / 78.0 for m in range(12)])],
         schema="profile_id int, ratios array<double>",
     )
@@ -1092,7 +1093,7 @@ def _region_table(spark: SparkSession):
         (i, name, wkb_box(x0, y0, x1, y1), x0, y0, x1, y1, (x1 - x0) * (y1 - y0))
         for i, (name, x0, y0, x1, y1) in enumerate(REGIONS)
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         schema=(
             "region_key long, country string, geometry binary, "
@@ -1476,7 +1477,7 @@ _REVERIFY = [
     # keep-policy guards rotate every cluster-collapse query (curate's
     # stage 2 runs dedup_keep_representative)
     "dup_clusters", "dedup_representative", "dedup_best",
-    "curate_corpus", "curation_gates",
+    "curate_corpus",
     # --- r12: stats overflow guards (sumd_safe decimal accumulation,
     # __-prefixed internals, strict PSI breaks; oracles in lockstep) ---
     "table_profile", "value_outliers", "psi_drift",
@@ -1488,7 +1489,7 @@ _REVERIFY = [
     "token_counts", "lang_id", "text_stats", "quality_filter",
     # --- r12: resample scaffolding factored into _obs_lattice (pure
     # refactor, but the plan-producing code path moved — rotate) ---
-    "resample_locf", "resample_interp", "resample_nulls",
+    "resample_locf", "resample_interp",
     # --- r12 joins/graph review: range_join's overlap predicate gained
     # the two non-emptiness conjuncts (an empty interval spuriously
     # matched; oracle in lockstep); pagerank raises on NULL endpoints.
@@ -1534,6 +1535,16 @@ _REVERIFY = [
     # instead of the 4096/1024 resize floors (stream_funnel's sizing
     # measured a wash and was reverted — not rotated) ---
     "stream_neardup", "stream_neardup_resume", "stream_cdc",
+    # --- r12 optimization: bigram_logprob attaches the per-context
+    # total to the bigram-count relation as a window instead of
+    # re-joining a per-ctx aggregate into the corpus-sized scored
+    # relation (Exchange 24 -> 18); speciate_country's literal selector
+    # / cell-country tables now enter as Arrow LocalRelations (the
+    # localdf conversion) — fronted over curation_gates (a thin
+    # aggregate over the curate store curate_corpus keeps exercising)
+    # and resample_nulls (locf+interp keep covering _obs_lattice and
+    # both fill branches) ---
+    "bigram_logprob", "speciate_country",
 ]
 
 

@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.operators import speciation as spn
 from emiproc_spark.qhelpers import qd, sql_qd, sql_sumd, sumd
@@ -72,7 +73,7 @@ SQL_SPECIATE_INVENTORY = f"""
 def _raster_grid(spark: SparkSession) -> DataFrame:
     """10×10 lon-major degree grid matching fixture cell ids
     (cell_id = lon_i * nlat + lat_i)."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (lon_i * fx.FINE_NY + lat_i, float(lon_i), float(lat_i), 1.0)
             for lon_i in range(fx.FINE_NX)

@@ -16,6 +16,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.qhelpers import qd, sql_qd, sql_sumd, sumd
 
@@ -31,14 +32,14 @@ def _store3(spark: SparkSession) -> DataFrame:
         (1, "daily", [1.0 / 24] * 24),
         (2, "weekly", [(d + 1) / 28.0 for d in range(7)]),
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, schema="profile_id int, ptype string, ratios array<double>"
     )
 
 
 def _daily_k(spark: SparkSession) -> DataFrame:
     """Three pattern-k daily profiles, ids 0..2."""
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (k, "daily", [(h + 1 + k) / (300.0 + 24 * k) for h in range(24)])
             for k in range(3)
@@ -110,7 +111,7 @@ def q_group_profiles_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fx.emissions(spark, sf_dir)
     w = e.groupBy("category", "substance").agg(sumd("value_kg_y").alias("weight"))
-    idx = spark.createDataFrame(
+    idx = local_rows_df(spark, 
         GPI_ASSIGN, schema="category string, substance string, profile_id int"
     )
     iw = idx.join(w, ["category", "substance"])
@@ -167,10 +168,10 @@ def q_merge_indexes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = fx.emissions(spark, sf_dir)
     keys = e.select("category", "substance").distinct()
-    general = spark.createDataFrame(
+    general = local_rows_df(spark, 
         [("A", 0), ("N", 1)], schema="category string, profile_id int"
     )
-    specific = spark.createDataFrame(
+    specific = local_rows_df(spark, 
         [("A", "F", 5), ("R", "O", 7)],
         schema="category string, substance string, profile_id int",
     )
@@ -198,7 +199,7 @@ SQL_MERGE_INDEXES = f"""
 def q_resolve_daytype(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.interpolation import resolve_daytype
 
-    day_profiles = spark.createDataFrame(
+    day_profiles = local_rows_df(spark, 
         [
             (0, "weekday", [(h + 1) / 300.0 for h in range(24)]),
             (0, "weekend", [1.0 / 24] * 24),
@@ -265,7 +266,7 @@ SQL_REGIONIZE = f"""
 def q_tz_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.exports.writers import tz_shifted_ratios
 
-    shifts = spark.createDataFrame(
+    shifts = local_rows_df(spark, 
         [(r, r - 2) for r in range(6)], schema="region_id int, shift_h int"
     )
     out = tz_shifted_ratios(_daily_k(spark), shifts)
@@ -634,11 +635,11 @@ ORACLES_R2 = {
 def q_icon_oem_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.exports.icon import region_scaling_factors
 
-    regions = spark.createDataFrame(
+    regions = local_rows_df(spark, 
         [(r, f"R{r}", r - 2) for r in range(6)],
         "region_id int, region_key string, tz_shift int",
     )
-    index = spark.createDataFrame(
+    index = local_rows_df(spark, 
         [("traffic", "NOx", r, "daily", r % 3) for r in range(6)],
         "category string, substance string, region_id int, ptype string, profile_id int",
     )
@@ -709,12 +710,12 @@ ORACLES_R2["shapefile_regions"] = SQL_SHAPEFILE_REGIONS
 def q_add_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.composite import concatenate_profiles
 
-    a = spark.createDataFrame(
+    a = local_rows_df(spark, 
         [(k, "daily", [(h + 1 + k) / (300.0 + 24 * k) for h in range(24)])
          for k in range(2)],
         "profile_id int, ptype string, ratios array<double>",
     )
-    b = spark.createDataFrame(
+    b = local_rows_df(spark, 
         [(0, "weekly", [(d + 1) / 28.0 for d in range(7)]),
          (1, "daily", [1.0 / 24] * 24)],
         "profile_id int, ptype string, ratios array<double>",
@@ -765,7 +766,7 @@ SQL_MISSING_CELLS = f"""
 def q_broadcast_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.composite import broadcast_to_types
 
-    composite = spark.createDataFrame(
+    composite = local_rows_df(spark, 
         [(0, "daily", 4), (0, "weekly", 5), (1, "daily", 6), (2, "monthly", 7)],
         "comp_id int, ptype string, profile_id int",
     )

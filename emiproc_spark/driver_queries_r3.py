@@ -17,6 +17,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.fixtures import events as _events
 from emiproc_spark.operators import temporal as tp
@@ -246,7 +247,7 @@ def q_fluxie_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cell fluxes are byte-identical µ-multiples (qd at 1e9 is exact on
     # identical inputs); country sums are float dots in engine-specific
     # order, so quantize those to 1e-2 (≫ the ~1e-8 order noise)
-    out_df = spark.createDataFrame(
+    out_df = local_rows_df(spark, 
         rows, "substance string, kind string, lon double, lat double, flux double"
     )
     return out_df.select(

@@ -23,6 +23,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.qhelpers import qd, sql_qd, sql_sumd, sumd  # noqa: F401
 
@@ -56,7 +57,7 @@ def _cell_country(spark: SparkSession) -> DataFrame:
             rows += [(c, "C0", 0.5)]
         elif c % 4 == 2:
             rows += [(c, "C2", 1.0)]
-    return spark.createDataFrame(rows, "cell_id long, country string, fraction double")
+    return local_rows_df(spark, rows, "cell_id long, country string, fraction double")
 
 
 def q_speciate_country(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -71,7 +72,7 @@ def q_speciate_country(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cell_id", "category", "substance")
         .agg(sumd("value_kg_y").alias("value_kg_y"))
     )
-    spec = spark.createDataFrame(_SPEC_ROWS, schema=SPECIATION)
+    spec = local_rows_df(spark, _SPEC_ROWS, schema=SPECIATION)
     out = speciate(e, spec, cell_country=_cell_country(spark))
     return out.select("cell_id", "category", "substance", "value_kg_y")
 
@@ -198,7 +199,7 @@ SQL_ICON_MESH = f"""
 def q_profile_da(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.interpolation import profile_da
 
-    prof = spark.createDataFrame(
+    prof = local_rows_df(spark, 
         [(0, [(h + 1) / 300.0 for h in range(24)])],
         schema="profile_id int, ratios array<double>",
     )
@@ -246,7 +247,7 @@ def q_totals_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators import basic as ops
 
     e = fx.emissions(spark, sf_dir)
-    factors = spark.createDataFrame(
+    factors = local_rows_df(spark, 
         [("A", "F", 1.1), ("R", "O", 1.0000001)],
         schema="category string, substance string, factor double",
     )
@@ -477,7 +478,7 @@ def q_profiles_yaml(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = os.path.join(fx.scratch_dir("emiproc_yaml_"), "prof.yaml")
-    prof = spark.createDataFrame(
+    prof = local_rows_df(spark, 
         [
             ("daily", [(h + 1) / 16.0 for h in range(24)]),
             ("weekly", [(d + 1) / 8.0 for d in range(7)]),

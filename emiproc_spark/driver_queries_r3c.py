@@ -12,6 +12,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 
 from emiproc_spark.qhelpers import qd, sql_qd
@@ -435,10 +436,10 @@ def q_temporal_expand_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.temporal import temporally_scaled_cellwise
     from emiproc_spark.qhelpers import sumd
 
-    cidx = spark.createDataFrame(
+    cidx = local_rows_df(spark, 
         [("C0", 0), ("C1", 1), ("C2", 2)], schema="country string, profile_id int"
     )
-    store = spark.createDataFrame(
+    store = local_rows_df(spark, 
         [(k, "daily", _daily_ratios(k)) for k in range(3)],
         schema="profile_id int, ptype string, ratios array<double>",
     )
@@ -702,11 +703,11 @@ def q_oem_profiles_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.functions.netcdf3 import read_netcdf
     from emiproc_spark.grids import regular_grid
 
-    index = spark.createDataFrame(
+    index = local_rows_df(spark, 
         [("A", "F", "daily", 0)],
         "category string, substance string, ptype string, profile_id int",
     )
-    store = spark.createDataFrame(
+    store = local_rows_df(spark, 
         [(0, "daily", [(h + 1) / 300.0 for h in range(24)])],
         "profile_id int, ptype string, ratios array<double>",
     )
@@ -729,7 +730,7 @@ def q_oem_profiles_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("tz", -1, int(p), float(v))
         for p, v in enumerate(tzm.reshape(-1))
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows, "kind string, region int, pos int, value double"
     ).withColumn("value", qd("value"))
 
@@ -842,7 +843,7 @@ def q_antimeridian_remap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (2, -180.0, 0.0, -179.0, 1.0),
         (3, -180.0, 1.0, -179.0, 2.0),
     ]
-    src = spark.createDataFrame(
+    src = local_rows_df(spark, 
         [
             (i, bytearray(wkb_box(x0, y0, x1, y1)), x0, y0, x1, y1)
             for i, x0, y0, x1, y1 in cells

@@ -39,6 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 
 from emiproc_spark.qhelpers import qd, sql_qd
@@ -66,7 +67,7 @@ def q_profile_index_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
     store, index = read_temporal_profiles_csv(
         spark, path, ["category", "substance"]
     )
-    facts = spark.createDataFrame(
+    facts = local_rows_df(spark, 
         [
             (c, s, 1.0)
             for c in ("heat", "traffic")
@@ -116,7 +117,7 @@ def q_specific_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     def mk(c: float) -> list[float]:
         return [c, 2 * c, 3 * c]
 
-    prof = spark.createDataFrame(
+    prof = local_rows_df(spark, 
         [
             (0, "weekday_4", mk(_SD_C["w4"])),
             (0, "weekend", mk(_SD_C["we"])),
@@ -125,7 +126,7 @@ def q_specific_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         schema="profile_id int, day_type string, ratios array<double>",
     )
-    general = spark.createDataFrame(
+    general = local_rows_df(spark, 
         [(0, mk(_SD_C["g0"])), (1, mk(_SD_C["g1"]))],
         schema="profile_id int, ratios array<double>",
     )
@@ -171,7 +172,7 @@ _VALIDITY_ROWS = [
 def q_profile_validity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.operators.composite import check_valid_profiles
 
-    prof = spark.createDataFrame(
+    prof = local_rows_df(spark, 
         [(i, "daily", r) for i, r in _VALIDITY_ROWS],
         schema="profile_id int, ptype string, ratios array<double>",
     )
@@ -449,7 +450,7 @@ def q_specific_day_sf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.driver_queries import WEEKLY_RATIOS, _daily_ratios
     from emiproc_spark.operators.temporal import scaling_factor_at, time_scaffold
 
-    subs = spark.createDataFrame(
+    subs = local_rows_df(spark, 
         [
             (0, "daily_saturday", _daily_ratios(0)),
             (0, "weekly", WEEKLY_RATIOS),

@@ -31,6 +31,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.driver_queries_text import DOCS2_SQL, DOUBLE_OFFSET, SQL_MINHASH_LSH, _docs2
 
@@ -294,7 +295,7 @@ def q_stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
         def side(etype: str, path: str) -> str:
-            sentinel = spark.createDataFrame(
+            sentinel = local_rows_df(spark, 
                 [(-1, -1)], "event_id long, user_id long"
             ).select(
                 "event_id", F.timestamp_micros(F.lit(flush_us)).alias("ts"), "user_id"

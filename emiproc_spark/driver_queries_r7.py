@@ -34,6 +34,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.driver_queries_r6 import (
     CURATE_MIN_TOKENS,
@@ -199,7 +200,7 @@ def q_ratio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"),
         (F.col("c") / F.col("ct")).alias("ratio"),
     )
-    broken = spark.createDataFrame(
+    broken = local_rows_df(spark, 
         [("__broken", 0.5), ("__broken", 0.4)], "grp string, ratio double"
     )
     return ratio_sum_gate(ratios.unionByName(broken), ["grp"], "ratio")

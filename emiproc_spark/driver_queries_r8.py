@@ -18,6 +18,8 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from emiproc_spark.localdf import local_rows_df
+
 QUERIES_R8: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES_R8: dict[str, str] = {}
 
@@ -36,7 +38,7 @@ def q_hourly_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from emiproc_spark.driver_queries import _test_tprofiles
 
     profs = _test_tprofiles(spark)
-    broken = spark.createDataFrame(
+    broken = local_rows_df(spark, 
         [(99, "daily", [1.0 / 24] * 23 + [0.5])], schema=TPROFILE
     )
     return pipelines.temporal_profile_gates(profs.unionByName(broken))

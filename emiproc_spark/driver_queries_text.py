@@ -13,6 +13,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark import fixtures as fx
 from emiproc_spark.qhelpers import qd, sql_qd
 from emiproc_spark.operators import dedup as dd
@@ -309,7 +310,7 @@ def q_ann_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     planes = [
         (p, i, hp_i) for p in range(8) for i, hp_i in enumerate(hyperplane(DIM, p))
     ]
-    pdf = spark.createDataFrame(planes, schema="p int, i int, hp double")
+    pdf = local_rows_df(spark, planes, schema="p int, i int, hp double")
     bits = (
         terms.join(F.broadcast(pdf), "i")
         .groupBy("vec_id", "p")

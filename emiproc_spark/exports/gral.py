@@ -35,6 +35,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.functions import geometry as geom
 
 HOUR_PER_YR = 365.25 * 24.0
@@ -78,8 +80,8 @@ def _format_lines(
 ) -> DataFrame:
     """Distributed formatting: (kind, line) rows for the three files."""
     spark = shaped.sparkSession
-    sgdf = spark.createDataFrame(
-        sg_rows, "substance string, category string, source_group int"
+    sgdf = local_rows_df(
+        spark, sg_rows, "substance string, category string, source_group int"
     )
     idf = spark.createDataFrame(info_df)
     # a caller-supplied source_groups mapping missing a live

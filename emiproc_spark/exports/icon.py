@@ -25,6 +25,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 # driver-collect guard: the ICON exports collect REGION-sized matrices
 # (regions × catsubs × cycles).  A mis-regionized input (e.g. cell-level
 # ids passed as region_ids) would OOM the driver — fail loudly instead.
@@ -301,7 +303,8 @@ def export_inventory_profiles(
             "export_inventory_profiles distinct timezones",
         )
     )
-    regions = spark.createDataFrame(
+    regions = local_rows_df(
+        spark,
         [(i, tz, int(shifts.get(tz, 0))) for i, tz in enumerate(tz_rows)],
         "region_id int, region_key string, tz_shift int",
     )

@@ -27,6 +27,8 @@ import numpy as np
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 # reference emiproc/utils/constants.py MOLAR_MASSES_
 MOLAR_MASSES = {
     "CO2": 44.009, "CO": 28.010, "CH4": 16.04, "N2O": 44.013,
@@ -49,8 +51,8 @@ def to_mole_flux(
     species from the wrfchemi files instead."""
     mm = molar_masses or MOLAR_MASSES
     spark = hourly.sparkSession
-    mmdf = spark.createDataFrame(
-        [(s, m) for s, m in mm.items()], "substance string, molar_mass double"
+    mmdf = local_rows_df(
+        spark, [(s, m) for s, m in mm.items()], "substance string, molar_mass double"
     )
     areas = grid.select("cell_id", "area_m2")
     # coalesce the key: a NULL substance can never match the table, and

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.sources.readers import SECONDS_PER_YEAR, to_wide
 
 
@@ -49,8 +51,8 @@ def dim_codes(
     ordered = sorted(set(tuple(p) for p in pairs))
     decode = dict(enumerate(ordered))
     schema = ", ".join(f"{c} string" for c in cols) + ", cs_code int"
-    codes = df.sparkSession.createDataFrame(
-        [(*p, i) for i, p in enumerate(ordered)], schema
+    codes = local_rows_df(
+        df.sparkSession, [(*p, i) for i, p in enumerate(ordered)], schema
     )
     return codes, decode
 

@@ -16,13 +16,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 KEY = ["cell_id", "category", "substance"]
 
 
 def _mapping_df(spark: SparkSession, mapping: dict[str, str], key: str) -> DataFrame:
     """dict {old -> group} as a broadcastable 2-column table."""
     rows = [(k, v) for k, v in mapping.items()]
-    return spark.createDataFrame(rows, schema=f"{key} string, __group string")
+    return local_rows_df(spark, rows, f"{key} string, __group string")
 
 
 def validate_group(mapping: dict[str, list[str]]) -> dict[str, str]:

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.temporal import scaling_factor_at
 
 
@@ -75,7 +77,7 @@ def broadcast_to_types(
     ``composite`` and would otherwise vanish from the widened output
     instead of becoming all-(−1) rows."""
     spark = composite.sparkSession
-    tdf = spark.createDataFrame([(t,) for t in ptypes], schema="ptype string")
+    tdf = local_rows_df(spark, [(t,) for t in ptypes], "ptype string")
     universe = (
         comp_ids.select("comp_id") if comp_ids is not None else composite.select("comp_id")
     ).distinct()
@@ -123,7 +125,7 @@ def ensure_specific_days_consistency(
         **{abbr: SPECIFIC_DAY_DOWS[full] for abbr, full in _DAY_ALIASES.items()},
     }
     rows = [(dt, d) for dt, days in expand.items() for d in days]
-    mapping = spark.createDataFrame(rows, schema="day_type string, dow int")
+    mapping = local_rows_df(spark, rows, "day_type string, dow int")
     # most specific wins when several types cover the same dow: a single
     # day beats weekday_4 beats weekday/weekend (reference only fills a
     # range day "if not already defined", temporal/utils.py:68-74)
@@ -146,7 +148,7 @@ def ensure_specific_days_consistency(
     )
     if general is None:
         return specific
-    days = spark.createDataFrame([(d,) for d in range(7)], schema="dow int")
+    days = local_rows_df(spark, [(d,) for d in range(7)], "dow int")
     # the profile universe is BOTH inputs: a pid that appears only in
     # day_profiles (full specific coverage, no general fallback) must
     # not vanish because the scaffold was built from general alone.

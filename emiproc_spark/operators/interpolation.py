@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.core.schemas import PROFILE_SIZES
 
 
@@ -275,7 +277,7 @@ def resolve_daytype(
         )
     spark = day_profiles.sparkSession
     rows = [(dt, d) for dt, days in sets.items() for d in days]
-    days = spark.createDataFrame(rows, schema="day_type string, dow int")
+    days = local_rows_df(spark, rows, "day_type string, dow int")
     per_day = (
         day_profiles.join(F.broadcast(days), "day_type")
         .select("profile_id", "dow", F.posexplode("ratios").alias("h", "ratio"))

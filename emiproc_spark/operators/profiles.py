@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 INDEX_DIMS = ["category", "substance", "cell_id", "country", "type"]
 
 
@@ -110,7 +112,7 @@ def group_profiles_indexes(
     emiproc/profiles/operators.py:307-411)."""
     spark = index_with_weight.sparkSession
     rows = [(m, g) for g, ms in mapping.items() for m in ms]
-    mdf = spark.createDataFrame(rows, schema=f"{dim} string, __group string")
+    mdf = local_rows_df(spark, rows, f"{dim} string, __group string")
     regrouped = (
         index_with_weight.join(F.broadcast(mdf), dim, "left")
         .withColumn(dim, F.coalesce("__group", dim))

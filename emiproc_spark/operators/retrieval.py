@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.text import tokens
 
 # score quantization: per-(doc, term) contributions round to 1e-9 and
@@ -54,9 +56,10 @@ def bm25_topk(
     # duplicates)
     from collections import Counter
 
-    qterms = docs.sparkSession.createDataFrame(
+    qterms = local_rows_df(
+        docs.sparkSession,
         [(t, float(c)) for t, c in Counter(query_terms).items()],
-        schema="term string, qtf double",
+        "term string, qtf double",
     )
     # doc length is the token-array size, known BEFORE the explode —
     # carrying it through the explode and into the tf groupBy keys (one

@@ -19,6 +19,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 HASH_DENOM = float(16**8)  # first 8 md5 hex digits → uniform [0, 1)
 
 
@@ -87,7 +89,8 @@ def stratified_sample(
     spark = df.sparkSession
     # internal name: a business column called "rate" on df must not
     # collide with the broadcast rate table
-    rate_df = spark.createDataFrame(
+    rate_df = local_rows_df(
+        spark,
         [(k, float(v)) for k, v in rates.items()],
         f"{stratum_col} string, __rate double",
     )
@@ -120,7 +123,8 @@ def mixture_rates(
     """
     spark = df.sparkSession
     wsum = sum(weights.values())
-    w_df = spark.createDataFrame(
+    w_df = local_rows_df(
+        spark,
         [(k, float(v) / wsum) for k, v in weights.items()],
         f"{stratum_col} string, weight double",
     )
@@ -175,7 +179,8 @@ def mixture_plan(
         raise ValueError(f"max_epochs must be >= 1, got {max_epochs}")
     spark = df.sparkSession
     wsum = sum(weights.values())
-    w_df = spark.createDataFrame(
+    w_df = local_rows_df(
+        spark,
         [(k, float(v) / wsum) for k, v in weights.items()],
         f"{stratum_col} string, weight double",
     )

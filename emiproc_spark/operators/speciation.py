@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.basic import KEY
 
 # NOx speciation constants (reference emiproc/speciation.py:439-501):
@@ -359,7 +361,7 @@ def _nox_table(spark: SparkSession, no2_fraction: float, nox: str) -> DataFrame:
     ]
     from emiproc_spark.core.schemas import SPECIATION
 
-    return spark.createDataFrame(rows, schema=SPECIATION)
+    return local_rows_df(spark, rows, SPECIATION)
 
 
 def speciate_inventory(
@@ -382,9 +384,10 @@ def speciate_inventory(
         for (cat, sub), dsts in speciation_dict.items()
         for (dst_cat, dst_sub), ratio in dsts.items()
     ]
-    table = spark.createDataFrame(
+    table = local_rows_df(
+        spark,
         rows,
-        schema=(
+        (
             "category string, substance string, dst_category string, "
             "dst_substance string, ratio double"
         ),

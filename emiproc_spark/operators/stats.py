@@ -19,6 +19,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import NumericType
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.qhelpers import qd, sumd_safe
 
 
@@ -280,7 +282,7 @@ def group_quantiles(
     )
     cum = hist.withColumn("__cum", F.sum("__cnt").over(w))
     totals = hist.groupBy(*group_cols).agg(F.sum("__cnt").alias("__n"))
-    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    qdf = local_rows_df(spark, [(float(q),) for q in quantiles], "q double")
     pos = totals.crossJoin(F.broadcast(qdf)).select(
         *group_cols,
         "q",

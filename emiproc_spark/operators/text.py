@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.qhelpers import qd
 
 # small English stopword set for the heuristic scorers (deterministic,
@@ -343,7 +345,7 @@ def length_percentiles(
     w = Window.orderBy("len").rowsBetween(Window.unboundedPreceding, 0)
     cum = hist.withColumn("cum", F.sum("cnt").over(w))
     totals = F.broadcast(cum.agg(F.max("cum").alias("__n")))
-    qdf = spark.createDataFrame([(float(q),) for q in quantiles], "q double")
+    qdf = local_rows_df(spark, [(float(q),) for q in quantiles], "q double")
     pos = qdf.crossJoin(totals).select(
         "q",
         (F.lit(1.0) * (F.col("__n") - 1) * F.col("q")).alias("p"),
@@ -637,8 +639,16 @@ def bigram_logprob(
         ).alias("s"),
     ).select(id_col, F.col("s.ctx").alias("ctx"), F.col("s.bg").alias("bg"))
     tf = bg.groupBy(id_col, "ctx", "bg").agg(F.count("*").alias("tf"))
-    bgc = tf.groupBy("ctx", "bg").agg(F.sum("tf").alias("gc"))
-    ctxc = bgc.groupBy("ctx").agg(F.sum("gc").alias("cc"))
+    # context totals ride the bigram-vocabulary relation as a window —
+    # joining a separate per-ctx aggregate back to the doc-level scored
+    # relation would re-shuffle the corpus-sized tf join output by ctx;
+    # this shuffles only the (ctx, bg)-level counts (integer sums, so
+    # fold order cannot change the value)
+    bgc = (
+        tf.groupBy("ctx", "bg")
+        .agg(F.sum("tf").alias("gc"))
+        .withColumn("cc", F.sum("gc").over(Window.partitionBy("ctx")))
+    )
     vocab = F.broadcast(
         docs.select(
             F.explode(tokens(F.lower(F.col(text_col)))).alias("__w")
@@ -646,11 +656,7 @@ def bigram_logprob(
         .where(F.col("__w") != "")
         .agg(F.count_distinct("__w").alias("__v"))
     )
-    scored = (
-        tf.join(bgc, ["ctx", "bg"])
-        .join(ctxc, "ctx")
-        .crossJoin(vocab)
-    )
+    scored = tf.join(bgc, ["ctx", "bg"]).crossJoin(vocab)
     logp = F.log(
         (F.col("gc") + F.lit(alpha))
         / (F.col("cc") + F.lit(alpha) * F.col("__v"))

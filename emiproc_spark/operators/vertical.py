@@ -16,6 +16,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.profiles import _ratio_from_pairs
 
 
@@ -61,7 +63,7 @@ def resample_vertical_profiles(
         )
     spark = vprofiles.sparkSession
     bounds = [(i, (0.0 if i == 0 else target_tops[i - 1]), t) for i, t in enumerate(target_tops)]
-    tgt = spark.createDataFrame(bounds, schema="layer int, t_lo double, t_hi double")
+    tgt = local_rows_df(spark, bounds, "layer int, t_lo double, t_hi double")
     layers = explode_layers(vprofiles)
     overlap = F.greatest(
         F.lit(0.0), F.least("hi", "t_hi") - F.greatest("lo", "t_lo")

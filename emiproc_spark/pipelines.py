@@ -17,6 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
 from emiproc_spark.operators.basic import add_inventories, group_categories
 from emiproc_spark.operators.regrid import (
     remap_inventory,
@@ -291,7 +292,8 @@ def tno_to_icon(
                 (F.row_number().over(Window.orderBy("tzid")) - 1).cast("int"),
             )
         )
-        shift_rows = spark.createDataFrame(
+        shift_rows = local_rows_df(
+            spark,
             [(tz, int(h)) for tz, h in shifts.items()] or [("", 0)],
             "tzid string, tz_shift int",
         )
@@ -392,7 +394,7 @@ def zurich_to_gral(
     if categories_group:
         pairs = [(m, g) for g, members in categories_group.items() for m in members]
         mapping = F.broadcast(
-            spark.createDataFrame(pairs, "category string, category_group string")
+            local_rows_df(spark, pairs, "category string, category_group string")
         )
         shaped = (
             shaped.join(mapping, "category", "left")

@@ -38,6 +38,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.profiles import dedup_profiles, normalize_ratios
 
 WEEKLY_SIZE = 7
@@ -267,7 +269,8 @@ def edgar_auxiliary_profiles(
     )
 
     if country_aliases:
-        alias_rows = spark.createDataFrame(
+        alias_rows = local_rows_df(
+            spark,
             [(k, v) for k, v in country_aliases.items()], "country string, donor string"
         )
         aliased = index.join(
@@ -281,7 +284,8 @@ def edgar_auxiliary_profiles(
         # driver-side probe of the category set.  An unresolvable
         # category raises at execution time via the guard column.
         inv = F.broadcast(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(c, c[:3]) for c in inv_categories],
                 "inv_category string, prefix string",
             )

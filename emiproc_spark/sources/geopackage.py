@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.functions import geometry as geom
 
 _ENVELOPE_DOUBLES = {0: 0, 1: 4, 2: 6, 3: 6, 4: 8}
@@ -114,7 +116,7 @@ def read_gpkg_layer(
         (lo, min(lo + step, maxrow))
         for lo in range(0, maxrow, step)
     ] or [(0, 0)]
-    bdf = spark.createDataFrame(bounds, "lo long, hi long")
+    bdf = local_rows_df(spark, bounds, "lo long, hi long")
     attr_sql = ", ".join(f'"{n}"' for n, _ in cols)
     schema = ", ".join(
         ["geometry binary"] + [f"`{n}` {t}" for n, t in cols]

@@ -24,6 +24,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.functions import geometry as geom
 
 HOUR_PER_YR = 365.25 * 24.0  # reference emiproc/utils/constants.py:7
@@ -215,7 +217,8 @@ def gral_inventory(
                     raise ValueError(f"{fpath}: malformed GRAL .dat: {e}") from e
 
     scan = files.mapInPandas(run, schema=_SCHEMA)
-    mdf = spark.createDataFrame(
+    mdf = local_rows_df(
+        spark,
         [(g, s, c) for g, (s, c) in source_group_mapping.items()],
         "source_group int, substance string, category string",
     )

@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 from emiproc_spark.operators.profiles import dedup_profiles, normalize_ratios
 
 DAY_NAMES = ["mon", "tue", "wed", "thu", "fri", "sat", "sun"]
@@ -162,7 +164,7 @@ def profiles_from_yaml(spark: SparkSession, path: str) -> tuple[DataFrame, DataF
             )
         seen.add(ptype)
         rows.append((spec.get("name", path), ptype, [float(x) for x in value]))
-    prof = spark.createDataFrame(rows, schema="name string, ptype string, ratios array<double>")
+    prof = local_rows_df(spark, rows, "name string, ptype string, ratios array<double>")
     prof = prof.withColumn("ratios", normalize_ratios(F.col("ratios")))
     return dedup_profiles(prof)
 

@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 # reference default_point_source_correction modes (swiss.py:14-31)
 KEEP_RASTER_ONLY = "keep_raster_only"
 IS_ONLY_POINT_SOURCE = "is_only_point_source"
@@ -143,8 +145,8 @@ def swiss_rasters(
     scan = scan.withColumn("cat", split[0]).withColumn(
         "sub_file", F.when(F.size(F.split("raster_key", "_")) > 1, split[1])
     )
-    alias_df = spark.createDataFrame(
-        list(aliases.items()) or [("", "")], "sub_file string, sub_alias string"
+    alias_df = local_rows_df(
+        spark, list(aliases.items()) or [("", "")], "sub_file string, sub_alias string"
     )
     scan = scan.join(F.broadcast(alias_df), "sub_file", "left").withColumn(
         "sub_norm", F.coalesce("sub_alias", "sub_file")
@@ -213,8 +215,8 @@ def point_source_corrections(
       (clamped like the reference's warning path, swiss.py:176-186)
     """
     spark = totals.sparkSession
-    corr = spark.createDataFrame(
-        list(corrections.items()) or [("", "")], "category string, corr string"
+    corr = local_rows_df(
+        spark, list(corrections.items()) or [("", "")], "category string, corr string"
     )
     j = totals.join(
         point_totals, ["category", "substance"], "full"

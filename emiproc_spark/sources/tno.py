@@ -38,6 +38,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from emiproc_spark.localdf import local_rows_df
+
 
 def _char_list(arr: np.ndarray) -> list[str]:
     arr = np.asarray(arr)
@@ -167,8 +169,8 @@ def _apply_substance_mapping(
                 f"substances_mapping keys absent from file: {sorted(missing)}"
             )
     spark = scan.sparkSession
-    mapping = spark.createDataFrame(
-        list(substances_mapping.items()), "file_substance string, substance string"
+    mapping = local_rows_df(
+        spark, list(substances_mapping.items()), "file_substance string, substance string"
     )
     return scan.join(F.broadcast(mapping), "file_substance").drop("file_substance")
 
@@ -346,11 +348,11 @@ def tno_gridded_profiles(
     dlon = spacing(lons, "longitude")
     dlat = spacing(lats, "latitude")
     nlat = len(lats)
-    lon_pos = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(lons)], "longitude double, lon_i int"
+    lon_pos = local_rows_df(
+        spark, [(float(v), i) for i, v in enumerate(lons)], "longitude double, lon_i int"
     )
-    lat_pos = spark.createDataFrame(
-        [(v, i) for i, v in enumerate(lats)], "latitude double, lat_i int"
+    lat_pos = local_rows_df(
+        spark, [(float(v), i) for i, v in enumerate(lats)], "latitude double, lat_i int"
     )
     keyed = (
         df.join(F.broadcast(lon_pos), "longitude")
