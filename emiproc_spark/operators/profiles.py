@@ -130,26 +130,57 @@ def dedup_profiles(profiles: DataFrame) -> tuple[DataFrame, DataFrame]:
     (store(profile_id, ptype, ratios), index(…keys, profile_id)).
 
     Ids are the lexicographic rank of (ptype, ratios), assigned by a
-    range-partitioned distributed sort + per-partition offset
-    (``zipWithIndex``) — no single-task global window, so per-cell
+    range-partitioned distributed sort + per-partition offset — no
+    single-task global window and no Python round-trip, so per-cell
     profile stores (TNO gridded day-of-year) dedup at scale too.
     """
     key_cols = [c for c in profiles.columns if c not in ("ptype", "ratios")]
-    spark = profiles.sparkSession
     distinct = profiles.select("ptype", "ratios").distinct()
-    ranked = (
+    # Rank = per-range-partition local row number + the row count of all
+    # earlier partitions.  monotonically_increasing_id() encodes exactly
+    # (partition_id << 33) + local row number in task order, and the
+    # preceding sortWithinPartitions fixes that order to the sort order,
+    # so (mid − (pid << 33)) is the local rank — entirely JVM-side (the
+    # old rdd.zipWithIndex ran an EAGER count job at query-build time
+    # and pickled every ratio vector through a Python round-trip, and
+    # its createDataFrame scan planned as a pickled-RDD scan).  The
+    # lazy localCheckpoint pins the physical partitioning so the offset
+    # aggregation and the store read the same partition layout.
+    marked = (
         distinct.repartitionByRange("ptype", "ratios")
         .sortWithinPartitions("ptype", "ratios")
-        .rdd.zipWithIndex()
-        .map(lambda t: (int(t[1]), t[0]["ptype"], list(t[0]["ratios"])))
+        .select(
+            "ptype",
+            "ratios",
+            F.spark_partition_id().alias("__pid"),
+            F.monotonically_increasing_id().alias("__mid"),
+        )
+        .localCheckpoint(eager=False)
     )
-    store = spark.createDataFrame(
-        ranked, schema="profile_id int, ptype string, ratios array<double>"
+    from pyspark.sql import Window
+
+    # one row per shuffle partition — the running-sum window is
+    # bounded by the partition count, not the data
+    off_w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        marked.groupBy("__pid")
+        .agg(F.count("*").alias("__n"))
+        .select("__pid", F.coalesce(F.sum("__n").over(off_w), F.lit(0)).alias("__off"))
     )
-    # The store is the deduped dictionary — small by construction — but
-    # its lineage runs through a Python-RDD zipWithIndex; materialize it
-    # once so the index join and every downstream consumer do not each
-    # replay the sort + Python round-trip.
+    store = marked.join(F.broadcast(offsets), "__pid").select(
+        (
+            F.col("__off")
+            + F.col("__mid")
+            - F.shiftleft(F.col("__pid").cast("long"), 33)
+        )
+        .cast("int")
+        .alias("profile_id"),
+        "ptype",
+        "ratios",
+    )
+    # The store is the deduped dictionary — small by construction —
+    # and feeds the index join plus every downstream consumer:
+    # materialize it once.
     store = store.localCheckpoint(eager=False)
     index = profiles.join(store, ["ptype", "ratios"], "left").select(
         *key_cols, "ptype", "profile_id"

@@ -42,6 +42,14 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # PySpark 4 wraps EVERY DataFrame/Column API call with Python
+        # call-site capture for error context: a conf.get round-trip,
+        # PySparkCurrentOrigin.set/clear py4j calls and a Python stack
+        # walk per call.  Measured here: a Column op costs 7.2 ms with
+        # it on vs 0.6 ms off; query CONSTRUCTION (driver-side, serial
+        # on any cluster) dominated several dimension-sized queries.
+        # Costs only the file:line origin decoration on error messages.
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():

@@ -66,6 +66,38 @@ def test_dedup_profiles(spark):
     assert m["A"] == m["B"] != m["C"]
 
 
+def test_dedup_profiles_ids_are_lexicographic_rank(spark):
+    """ids must be the dense 0..n-1 lexicographic rank of (ptype,
+    ratios) even when the distinct store spans many range partitions
+    (the JVM-side offset arithmetic replacing rdd.zipWithIndex)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{i}", ptype, [float(i), rng.random()])
+        for i in range(200)
+        for ptype in ("daily", "weekly")
+    ]
+    df = spark.createDataFrame(
+        rows, schema="category string, ptype string, ratios array<double>"
+    ).repartition(16)
+    store, index = dedup_profiles(df)
+    got = [
+        (r["ptype"], tuple(r["ratios"]), r["profile_id"])
+        for r in store.collect()
+    ]
+    expected_order = sorted((p, rt) for p, rt, _ in got)
+    assert sorted(pid for _, _, pid in got) == list(range(len(got)))
+    for p, rt, pid in got:
+        assert expected_order[pid] == (p, rt)
+    # index maps every input row to its vector's id
+    idx = {r["category"]: r["profile_id"] for r in index.where("ptype = 'daily'").collect()}
+    rank_of = {(p, rt): pid for p, rt, pid in got}
+    for i in [0, 7, 199]:
+        key = ("daily", tuple(next(r[2] for r in rows if r[0] == f"k{i}" and r[1] == "daily")))
+        assert idx[f"k{i}"] == rank_of[key]
+
+
 def test_country_to_cells_fraction_blend(spark, tprofiles):
     cidx = spark.createDataFrame(
         [("X", 0), ("Y", 1)], schema="country string, profile_id int"
