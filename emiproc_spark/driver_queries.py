@@ -1478,6 +1478,15 @@ ORACLES.update(ORACLES_R11)
 # both r5-era so they lead the next evidence drain regardless).  All
 # six displaced queries were verified green against the oracle at
 # sf0.01 this round via emiproc_spark.parity before displacement.
+#
+# Changed beyond window capacity (late-round widen_for_fanout
+# applications to winnow_fingerprints, duplicated_spans and the BM25
+# postings fan-out): winnow_fp, winnow_overlap, dup_spans and
+# dup_fraction gained one explicit repartition each (row-identical
+# output — a round-robin exchange cannot change any aggregate here);
+# all four verified green via emiproc_spark.parity at sf0.01.  The
+# bm25/hard_negatives/hybrid_search side of the same change is already
+# in the window above.
 _REVERIFY = [
     # --- r12: similarity/cluster review queue (PLANS.md r12 queue) ---
     # cosine() NaN/zero-norm guard + NULL-cos filters rotate every

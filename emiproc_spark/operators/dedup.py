@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from emiproc_spark.operators.text import shingles, tokens
+from emiproc_spark.qhelpers import widen_for_fanout
 
 
 def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -63,8 +64,6 @@ def doc_shingles(docs: DataFrame, text_col: str = "text", n: int = 3) -> DataFra
     downstream groupBy(doc_id) partial-aggregates to ONE row per doc
     before its exchange.
     """
-    from emiproc_spark.qhelpers import widen_for_fanout
-
     tok = widen_for_fanout(docs).select(
         "doc_id", tokens(F.col(text_col)).alias("toks")
     )
@@ -776,6 +775,8 @@ def passage_spans(
     giant cross-corpus duplicated span, and a span-removal pass would
     treat every empty doc as duplicated boilerplate.
     """
+    # NOT widened: one md5 per win-token span is too cheap to pay an
+    # exchange for (A/B measured 0.40 s -> 0.76 s with the widen)
     tok = docs.where(
         F.col(text_col).isNotNull() & (F.col(text_col) != "")
     ).select(id_col, tokens(F.col(text_col)).alias("__toks"))
@@ -845,7 +846,10 @@ def winnow_fingerprints(
     """
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    toks = docs.select(
+    # widen before the shingle/md5/window-min pipeline (same gate as
+    # doc_shingles — no-op at scale): a compacted corpus presents 1-2
+    # scan splits and serializes the O(n·w) fingerprint build
+    toks = widen_for_fanout(docs).select(
         F.col(id_col), tokens(F.col(text_col)).alias("__toks")
     )
     sh = toks.select(id_col, shingles(F.col("__toks"), k).alias("__sh"))
@@ -947,7 +951,8 @@ def duplicated_spans(
         raise ValueError(f"shingle length must be >= 1, got {n}")
     from pyspark.sql import Window
 
-    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks"))
+    # widen before the per-token shingle transform (no-op at scale)
+    tok = widen_for_fanout(docs).select(id_col, tokens(F.col(text_col)).alias("__toks"))
     ph = tok.where(F.size("__toks") >= n).select(
         id_col,
         F.explode(
@@ -1158,8 +1163,6 @@ def setsim_join(
     # on GC instead of pinning executor storage).  The per-doc set size
     # is the array size BEFORE the explode, carried through as a plain
     # column — no count(*) window over the corpus-sized relation.
-    from emiproc_spark.qhelpers import widen_for_fanout
-
     tok = widen_for_fanout(d).select(
         "doc_id", tokens(F.col(text_col)).alias("__toks")
     )

@@ -74,7 +74,14 @@ def bm25_topk(
             F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
         ).cast("long").alias("n_tok"),
     )
-    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks")).select(
+    # widen before the tokenize/explode (same gate as doc_shingles —
+    # no-op at scale): a compacted corpus presents 1-2 scan splits and
+    # would serialize the tokenization on one core
+    from emiproc_spark.qhelpers import widen_for_fanout
+
+    tok = widen_for_fanout(docs).select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
         id_col,
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
@@ -156,7 +163,14 @@ def mine_hard_negatives(
             F.sum(F.size(tokens(F.col(text_col)))), F.lit(0)
         ).cast("long").alias("n_tok"),
     )
-    tok = docs.select(id_col, tokens(F.col(text_col)).alias("__toks")).select(
+    # widen before the tokenize/explode: a compacted small corpus
+    # presents 1-2 scan splits and would serialize the tokenization on
+    # one core (same gate as doc_shingles; no-op at scale)
+    from emiproc_spark.qhelpers import widen_for_fanout
+
+    tok = widen_for_fanout(docs).select(
+        id_col, tokens(F.col(text_col)).alias("__toks")
+    ).select(
         id_col,
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
@@ -172,8 +186,13 @@ def mine_hard_negatives(
     )
     posting = tf.join(F.broadcast(qtok.select("term").distinct()), "term")
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
+    # the (posting x query-term) join multiplies rows, so its input is
+    # exactly the CPU-heavy-per-byte shape AQE's byte-based coalescing
+    # serializes onto 1-2 post-shuffle partitions: re-widen the pruned
+    # postings (explicit repartition — AQE respects it; the gate makes
+    # it a no-op once the relation is genuinely large)
     scored = (
-        posting.join(F.broadcast(dfreq), "term")
+        widen_for_fanout(posting.join(F.broadcast(dfreq), "term"))
         .join(qtok, "term")
         .crossJoin(F.broadcast(corpus))
     )
