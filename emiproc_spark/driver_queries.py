@@ -1487,6 +1487,16 @@ ORACLES.update(ORACLES_R11)
 # all four verified green via emiproc_spark.parity at sf0.01.  The
 # bm25/hard_negatives/hybrid_search side of the same change is already
 # in the window above.
+#
+# Also beyond capacity: normalize_ratios now binds its fold total via
+# aggregate's finish lambda instead of re-evaluating the O(n) fold per
+# transform element (O(n²) interpreted) — the expression is
+# value-identical (same left-fold sum, same per-element division) and
+# the helper rides MANY profile queries.  Verified green at sf0.01:
+# normalize_ratios (the operator's own oracle), profiles_combine,
+# add_profiles, country_to_cells, remap_profiles, missing_cells,
+# interpolate_profiles, composite_scaling, icon_oem_sf, plus the
+# profiles_io/edgar consumers already in the window.
 _REVERIFY = [
     # --- r12: similarity/cluster review queue (PLANS.md r12 queue) ---
     # cosine() NaN/zero-norm guard + NULL-cos filters rotate every

@@ -40,12 +40,23 @@ def _ratio_from_pairs(pos_col: str = "pos", val_col: str = "ratio") -> F.Column:
 
 def normalize_ratios(ratios: F.Column) -> F.Column:
     """Row-normalize; all-zero → uniform (reference rescale_ratios,
-    emiproc/profiles/temporal/composite.py:29-45)."""
-    total = F.aggregate(ratios, F.lit(0.0), lambda a, x: a + x)
+    emiproc/profiles/temporal/composite.py:29-45).
+
+    The total is folded once and bound via ``aggregate``'s finish
+    lambda: higher-order functions are interpreted with no
+    subexpression elimination, so referencing a free-standing
+    aggregate expression inside the ``transform`` lambda re-evaluates
+    the whole O(n) fold PER ELEMENT — O(n²) per row, measured as a
+    ~1.8 s single-task CPU burn on EDGAR's 2016-slot arrays."""
     n = F.size(ratios)
-    return F.when(
-        total == 0.0, F.transform(ratios, lambda _: F.lit(1.0) / n)
-    ).otherwise(F.transform(ratios, lambda x: x / total))
+    return F.aggregate(
+        ratios,
+        F.lit(0.0),
+        lambda a, x: a + x,
+        lambda total: F.when(
+            total == F.lit(0.0), F.transform(ratios, lambda _: F.lit(1.0) / n)
+        ).otherwise(F.transform(ratios, lambda x: x / total)),
+    )
 
 
 def get_weights_of_profiles(
