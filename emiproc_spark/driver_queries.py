@@ -1497,6 +1497,12 @@ ORACLES.update(ORACLES_R11)
 # add_profiles, country_to_cells, remap_profiles, missing_cells,
 # interpolate_profiles, composite_scaling, icon_oem_sf, plus the
 # profiles_io/edgar consumers already in the window.
+#
+# Also beyond capacity: robust_outliers now lazily checkpoints its
+# dimension-sized med/mad quantile tables (the nested group_quantiles
+# subtree re-executed per reference — 62 Exchanges → 6; a pure
+# materialization barrier, values untouched); verified green at
+# sf0.01 together with group_quantiles (the helper it composes).
 _REVERIFY = [
     # --- r12: similarity/cluster review queue (PLANS.md r12 queue) ---
     # cosine() NaN/zero-norm guard + NULL-cos filters rotate every

@@ -95,8 +95,12 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ANN side: IVF cell assignment + per-query probes (the q_ivf_topk
     # plan, generalized to NQ queries via one window instead of a
-    # per-query collect)
-    ivf = ivf_scored(spark, sf_dir)
+    # per-query collect).  The scored relation feeds BOTH the
+    # assignment and the probe branches — truncate its lineage so the
+    # centroid-scoring subtree materializes once instead of once per
+    # branch (no ReusedExchange fired here; the duplicated subtree was
+    # ~10 Exchanges of the query's 26)
+    ivf = ivf_scored(spark, sf_dir).localCheckpoint(eager=False)
     wv = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), "cid")
     assigned = (
         ivf.withColumn("rn", F.row_number().over(wv))

@@ -351,10 +351,16 @@ def robust_outliers(
     if k <= 0:
         raise ValueError(f"k must be > 0, got {k}")
     v = F.col(value_col).cast("double")
+    # med and mad are dimension-sized (one row per group) but their
+    # group_quantiles lineage is a multi-exchange histogram pipeline
+    # that NESTS (mad's histogram is built over dev, which references
+    # med): without truncation the plan re-derives the quantile
+    # subtree inside every reference — 62 Exchanges in the declared
+    # query's physical plan vs 18 with the two checkpoints
     med = group_quantiles(df, group_cols, value_col, (0.5,)).select(
         *[F.col(g).alias(f"__g_{g}") for g in group_cols],
         F.col("value").alias("__med"),
-    )
+    ).localCheckpoint(eager=False)
     cond = [F.col(g).eqNullSafe(F.col(f"__g_{g}")) for g in group_cols]
     dev = (
         df.where(v.isNotNull())
@@ -365,7 +371,7 @@ def robust_outliers(
     mad = group_quantiles(dev, group_cols, "__dev", (0.5,)).select(
         *[F.col(g).alias(f"__h_{g}") for g in group_cols],
         F.col("value").alias("__mad"),
-    )
+    ).localCheckpoint(eager=False)
     cond2 = [F.col(g).eqNullSafe(F.col(f"__h_{g}")) for g in group_cols]
     scored = dev.join(F.broadcast(mad), cond2)
     return (
