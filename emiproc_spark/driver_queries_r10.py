@@ -71,10 +71,21 @@ def q_stream_neardup_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             no_data_batches=False, timeout=300,
         )
 
-    old = run(a_dir, "doc_id long, text string", n_shards=257)
-    new = run(
-        b_dir, "doc_id long, text string, __bootstrap boolean", n_shards=131
-    )
+    # the two incarnations are INDEPENDENT streams (separate sources,
+    # separate fresh checkpoints, separate memory sinks — incarnation 2
+    # rebuilds state from the bootstrap rows in ITS OWN source, never
+    # from incarnation 1's output), so overlap them: each run spends
+    # most of its wall time in per-batch fixed costs (query start,
+    # state-store setup/commit, WAL) that leave most cores idle
+    # (guide §2.6 — submit independent jobs from a small pool)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(run, a_dir, "doc_id long, text string", 257)
+        f_new = pool.submit(
+            run, b_dir, "doc_id long, text string, __bootstrap boolean", 131
+        )
+        old, new = f_old.result(), f_new.result()
     return old.withColumn("incarn", F.lit("old")).unionByName(
         new.withColumn("incarn", F.lit("new"))
     )

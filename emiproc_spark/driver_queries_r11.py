@@ -107,8 +107,16 @@ def q_stream_funnel_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         name = f"r11_funnel_resume_{uuid.uuid4().hex[:8]}"
         return run_available_now(out, name, "append", timeout=300)
 
-    old = run(a_dir, _FR_SHARDS[0]).withColumn("incarn", F.lit("old"))
-    new = run(b_dir, _FR_SHARDS[1]).withColumn("incarn", F.lit("new"))
+    # independent incarnations (separate sources/checkpoints/sinks;
+    # the state handoff rides b_dir's bootstrap rows) — overlap them,
+    # same rationale as q_stream_cdc_resume below (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(run, a_dir, _FR_SHARDS[0])
+        f_new = pool.submit(run, b_dir, _FR_SHARDS[1])
+        old = f_old.result().withColumn("incarn", F.lit("old"))
+        new = f_new.result().withColumn("incarn", F.lit("new"))
     return old.unionByName(new).select(
         "user_id",
         F.unix_micros("step1_ts").alias("step1_us"),
@@ -216,8 +224,19 @@ def q_stream_cdc_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dv").alias("value"),
         )
 
-    old = run(a_dir, _CDC_BUCKETS[0]).withColumn("incarn", F.lit("old"))
-    new = run(b_dir, _CDC_BUCKETS[1]).withColumn("incarn", F.lit("new"))
+    # the two incarnations are INDEPENDENT streams (separate sources,
+    # fresh per-invocation checkpoints, separate memory sinks —
+    # incarnation 2's state rebuild comes from the bootstrap rows in
+    # its own source files, not from incarnation 1's result), so
+    # overlap them (guide §2.6): their wall time is dominated by
+    # per-micro-batch fixed costs that leave most cores idle
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_old = pool.submit(run, a_dir, _CDC_BUCKETS[0])
+        f_new = pool.submit(run, b_dir, _CDC_BUCKETS[1])
+        old = f_old.result().withColumn("incarn", F.lit("old"))
+        new = f_new.result().withColumn("incarn", F.lit("new"))
     return old.unionByName(new)
 
 

@@ -391,19 +391,20 @@ def _stream_events_dir(spark: SparkSession, sf_dir: str) -> str:
     return out
 
 
-def _run_stream(out_df: DataFrame, name: str, mode: str) -> DataFrame:
+def _run_stream(
+    out_df: DataFrame, name: str, mode: str, no_data_batches: bool = True
+) -> DataFrame:
     import uuid
 
+    from emiproc_spark.streaming.streams import run_available_now
+
     name = f"{name}_{uuid.uuid4().hex[:8]}"  # unique per invocation
-    q = (
-        out_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return out_df.sparkSession.table(name)
+    # no_data_batches=False skips the trailing watermark-advance
+    # micro-batch — pass it ONLY for queries whose final batch provably
+    # emits nothing (run_available_now docstring); the extra batch costs
+    # a full stateful-stage execution (all state partitions reload,
+    # commit, and round-trip Python for timed-out groups).
+    return run_available_now(out_df, name, mode, no_data_batches=no_data_batches)
 
 
 def q_stream_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -452,7 +453,11 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = dedup_stream(stream, ["user_id", "event_type"], "3650 days").select(
         "user_id", "event_type"
     )
-    return _run_stream(out, "r3b_stream_dedup", "append")
+    # dropDuplicatesWithinWatermark emits every kept row in the DATA
+    # batch that delivered it; the trailing no-data batch only evicts
+    # expired state (emits nothing), so skip it — one stateful-stage
+    # execution saved, result rows identical
+    return _run_stream(out, "r3b_stream_dedup", "append", no_data_batches=False)
 
 
 SQL_STREAM_DEDUP = """

@@ -564,7 +564,17 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream, gap="30 minutes", watermark_delay="1 minute",
         ts_col="ts", key_col="user_id", value_col="value",
     )
-    res = _run_stream(out, "r3c_stream_sessionize", "append")
+    # every REAL session closes in the data batch (the sentinel event,
+    # one gap+hour past the global max, forces it shut when processed);
+    # after that batch the only open state is one sentinel-started
+    # session per user whose event-time timeout (sentinel+gap) exceeds
+    # the final watermark (sentinel−1min), so the trailing no-data
+    # batch provably emits nothing — skip it (it cost a full stateful
+    # stage: 32 state store reloads + commits for zero output rows).
+    # The session_start <= cutoff filter below still guards leakage.
+    res = _run_stream(
+        out, "r3c_stream_sessionize", "append", no_data_batches=False
+    )
     # drop any sentinel-session leakage (a trailing timeout batch)
     return res.where(F.col("session_start") <= F.lit(cutoff)).select(
         "user_id",

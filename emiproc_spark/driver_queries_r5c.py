@@ -478,13 +478,24 @@ def q_stream_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     if sf_dir not in _HH_STREAM_DIRS:
         d = os.path.join(fx.scratch_dir("emiproc_hh_stream_"), "in")
         ev = fx.events(spark, sf_dir).select("event_id", "user_id")
-        for p in range(4):
-            (
-                ev.where(F.col("event_id") % 4 == p)
-                .select("user_id")
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(d)
+        # overlap the four 1-task slice writes (guide §2.6); pinned
+        # mtimes keep the maxFilesPerTrigger=1 batch order identical
+        # to the old sequential appends (the MG merge order is part of
+        # the sketch's identity)
+        from concurrent.futures import ThreadPoolExecutor
+
+        from emiproc_spark.streaming.bootstrap import write_ordered_file
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda p: write_ordered_file(
+                        ev.where(F.col("event_id") % 4 == p).select("user_id"),
+                        d,
+                        p,
+                    ),
+                    range(4),
+                )
             )
         _HH_STREAM_DIRS[sf_dir] = d
     d = _HH_STREAM_DIRS[sf_dir]

@@ -796,12 +796,24 @@ def q_stream_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise("upsert")
             .alias("op"),
         )
-        for p in range(4):
-            (
-                ev.where(F.col("event_id") % 4 == p)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(d)
+        # four independent single-file slice writes: overlap them from
+        # a small pool (guide §2.6 — each is a 1-task job, serially
+        # they left 31 cores idle four times over); write_ordered_file
+        # pins mtimes by slice index, so the micro-batch order under
+        # maxFilesPerTrigger=1 is exactly the old sequential-append
+        # order regardless of job completion order
+        from concurrent.futures import ThreadPoolExecutor
+
+        from emiproc_spark.streaming.bootstrap import write_ordered_file
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(
+                pool.map(
+                    lambda p: write_ordered_file(
+                        ev.where(F.col("event_id") % 4 == p), d, p
+                    ),
+                    range(4),
+                )
             )
         _CDC_STREAM_DIRS[sf_dir] = d
 

@@ -54,6 +54,8 @@ this flow in the first place.
 
 from __future__ import annotations
 
+import threading as _threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -103,18 +105,35 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
     # — a deleted-and-recreated path must NOT inherit the old session's
     # base, or its files get stamped with a stale (possibly
     # maxFileAge-expired) mtime
-    for k in list(_ORDERED_FILE_BASES):
-        if not _os.path.isdir(k):
-            del _ORDERED_FILE_BASES[k]
-    if not _glob.glob(_os.path.join(d, "f*.parquet")):
-        _ORDERED_FILE_BASES.pop(ad, None)
-    base = _ORDERED_FILE_BASES.setdefault(
-        ad, _time.time() - ORDERED_FILE_MTIME_LAG_S
-    )
-    dst = _os.path.join(d, f"f{order}.parquet")
-    _shutil.copyfile(part, dst)
-    t = base + order
-    _os.utime(dst, (t, t))
+    # base bookkeeping under a lock: concurrent writers of DIFFERENT
+    # orders into one directory (a caller overlapping its slice writes)
+    # must agree on ONE base — an unsynchronized re-anchor between a
+    # peer's setdefault and its copyfile could hand two writers bases
+    # drifting apart by more than the 1 s order step
+    with _ORDERED_FILE_LOCK:
+        for k in list(_ORDERED_FILE_BASES):
+            if not _os.path.isdir(k):
+                _ORDERED_FILE_BASES.pop(k, None)
+        if ad not in _ORDERED_FILE_PENDING and not _glob.glob(
+            _os.path.join(d, "f*.parquet")
+        ):
+            _ORDERED_FILE_BASES.pop(ad, None)
+        base = _ORDERED_FILE_BASES.setdefault(
+            ad, _time.time() - ORDERED_FILE_MTIME_LAG_S
+        )
+        _ORDERED_FILE_PENDING[ad] = _ORDERED_FILE_PENDING.get(ad, 0) + 1
+    try:
+        dst = _os.path.join(d, f"f{order}.parquet")
+        _shutil.copyfile(part, dst)
+        t = base + order
+        _os.utime(dst, (t, t))
+    finally:
+        with _ORDERED_FILE_LOCK:
+            n = _ORDERED_FILE_PENDING.get(ad, 1) - 1
+            if n <= 0:
+                _ORDERED_FILE_PENDING.pop(ad, None)
+            else:
+                _ORDERED_FILE_PENDING[ad] = n
     _shutil.rmtree(tmp)
 
 
@@ -125,6 +144,14 @@ def write_ordered_file(df: DataFrame, d: str, order: int) -> None:
 #: with no ordered files left re-anchors on its next write (so a
 #: deleted-and-recreated path never reuses a stale base).
 _ORDERED_FILE_BASES: dict[str, float] = {}
+
+#: Directories with an ordered write IN FLIGHT (base chosen, file not
+#: yet copied) and the number of such writers — the empty-directory
+#: re-anchor must not fire for these, or a concurrent peer's files get
+#: a drifted base.  Guarded by :data:`_ORDERED_FILE_LOCK`.
+_ORDERED_FILE_PENDING: dict[str, int] = {}
+
+_ORDERED_FILE_LOCK = _threading.Lock()
 
 
 def funnel_bootstrap_events(

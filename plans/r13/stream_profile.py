@@ -86,17 +86,19 @@ def main() -> None:
     for rep in range(reps):
         rows.clear()
         t0 = time.perf_counter()
+        t0_wall = time.time()
         df = QUERIES[name](spark, sf_dir)
+        t_build = time.perf_counter() - t0
         df.write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
         spark.catalog.clearCache()
         # listener events are async; give the bus a moment to drain
         time.sleep(1.0)
-        print(f"== rep {rep}: total {dt:.3f}s ==")
+        print(f"== rep {rep}: total {dt:.3f}s (query fn returned at {t_build:.3f}s) ==")
         t_prev = None
         for r in rows:
             if r["event"] == "started":
-                print(f"  started at +?")
+                print(f"  started at +{r['t'] - t0_wall:.3f}s")
                 t_prev = r["t"]
             elif r["event"] == "progress":
                 gap = (r["t"] - t_prev) if t_prev else 0.0
