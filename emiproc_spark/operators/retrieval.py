@@ -86,11 +86,27 @@ def bm25_topk(
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
     )
+    # prune to query terms BEFORE the tf shuffle (broadcast semi join,
+    # guide §2.3 "aggregate before you shuffle" / §3.2): only query-term
+    # occurrences cross the exchange instead of the corpus's whole
+    # token explode — the tf groups for query terms are identical
+    # either side of the filter.  dl (full doc length) is computed from
+    # the unexploded array above, so the prune cannot change it.
+    tok = tok.join(F.broadcast(qterms.select("term")), "term")
     tf = tok.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
-    posting = tf.join(F.broadcast(qterms), "term")
+    # the pruned posting relation feeds BOTH the per-term document
+    # frequencies and the scored join; without a materialization
+    # barrier Spark re-executes the whole tokenize/explode/aggregate
+    # subtree once per reference (no CSE across DataFrame references —
+    # the r12 plan dumps show the corpus scan + Generate pipeline
+    # twice).  Lazy localCheckpoint: one pass, both consumers read the
+    # materialized partitions (§3.3).
+    posting = tf.localCheckpoint(eager=False)
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
-    scored = posting.join(F.broadcast(dfreq), "term").crossJoin(
-        F.broadcast(corpus)
+    scored = (
+        posting.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(qterms), "term")
+        .crossJoin(F.broadcast(corpus))
     )
     avgdl = F.col("n_tok") / F.col("n_docs")
     idf = F.log(
@@ -175,7 +191,6 @@ def mine_hard_negatives(
         F.size("__toks").alias("dl"),
         F.explode("__toks").alias("term"),
     )
-    tf = tok.groupBy(id_col, "dl", "term").agg(F.count("*").alias("tf"))
     qtok = (
         queries.select(
             query_id_col,
@@ -184,7 +199,26 @@ def mine_hard_negatives(
         .groupBy(query_id_col, "term")
         .agg(F.count("*").cast("double").alias("qtf"))
     )
-    posting = tf.join(F.broadcast(qtok.select("term").distinct()), "term")
+    # prune to the query vocabulary BEFORE the tf shuffle (broadcast
+    # semi join, guide §2.3/§3.2): only query-term occurrences cross
+    # the exchange instead of the corpus's whole token explode.  dl is
+    # computed from the unexploded array above, so the prune cannot
+    # change it, and the tf groups for surviving terms are identical.
+    tok = tok.join(F.broadcast(qtok.select("term").distinct()), "term")
+    # the pruned posting relation feeds BOTH the document frequencies
+    # and the scored join; without a materialization barrier Spark
+    # re-executes the whole tokenize/explode/aggregate subtree once per
+    # reference (the r12 plan dumps show the corpus scan + Generate
+    # pipeline twice).  Lazy localCheckpoint: one pass (§3.3).  It also
+    # settles the r12 advisor's widen-at-a-join-site concern: the
+    # widen's observed-partition fallback now plans over a LogicalRDD
+    # (the checkpointed partitions) instead of eagerly materializing an
+    # unexecuted tokenize/groupBy/join subtree.
+    posting = (
+        tok.groupBy(id_col, "dl", "term")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = posting.groupBy("term").agg(F.count("*").alias("df"))
     # the (posting x query-term) join multiplies rows, so its input is
     # exactly the CPU-heavy-per-byte shape AQE's byte-based coalescing
@@ -192,7 +226,8 @@ def mine_hard_negatives(
     # postings (explicit repartition — AQE respects it; the gate makes
     # it a no-op once the relation is genuinely large)
     scored = (
-        widen_for_fanout(posting.join(F.broadcast(dfreq), "term"))
+        widen_for_fanout(posting)
+        .join(F.broadcast(dfreq), "term")
         .join(qtok, "term")
         .crossJoin(F.broadcast(corpus))
     )
